@@ -20,8 +20,14 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0.
+
+    documents → span explode → media-ref counts → NDVI tile kernel →
+    cell-encode → groupby(cell_id) aggregate (pipelines/flagship.py).
+    """
+    from raster_functions_ray.pipelines import flagship
+
+    return flagship.run("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -1,0 +1,181 @@
+"""Stack-reduce kernels over co-registered scene collections (SURVEY.md §2.4).
+
+Input convention: ``stack`` is a 4-D array (scene, band, h, w) (or 3-D
+(scene, h, w) for single-band), matching the reference's
+``rasters_pixels`` tuple (functions/Reference.py:214-217).  In the engine the
+stack is assembled by ``groupby((tx, ty)).map_groups`` over tile rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Landsat C2 clear-pixel QA codes (functions/LandsatPixelPercentile.py:15-17,
+# functions/LandsatMedianPixelComposite.py:25-27); −3001 cloud sentinel.
+LANDSAT_CLEAR_PIX_VALS = np.array([672, 676, 680, 684, 20480, 20484, 20512, 23552])
+FILTER_VAL = -3001.0
+
+_AGG_OPS = {"sum": np.sum, "average": np.mean, "mean": np.mean, "median": np.median,
+            "minimum": np.min, "maximum": np.max, "standard deviation": np.std, "std": np.std}
+
+
+def aggregate(stack: np.ndarray, masks: np.ndarray, method: str = "Sum"):
+    """Reduce along the scene axis; mask = AND of masks.
+
+    Semantics: functions/deprecated/Aggregate.py:56-63 (op table :33-39).
+    """
+    op = _AGG_OPS[method.lower()]
+    out = op(np.asarray(stack), axis=0)
+    m = np.all(np.asarray(masks), axis=0).astype(np.uint8)
+    return out, m
+
+
+def apply_qa_mask(sr_stack: np.ndarray, qa_stack: np.ndarray,
+                  clear_vals: np.ndarray = LANDSAT_CLEAR_PIX_VALS) -> np.ndarray:
+    """Replace non-clear pixels with the −3001 sentinel.
+
+    Semantics: the reference's ``apply_mask`` helper used by
+    functions/LandsatMedianPixelComposite.py:174-180 (np.isin against the
+    clear-code list).
+    """
+    sr = np.asarray(sr_stack, dtype=np.float32)
+    clear = np.isin(np.asarray(qa_stack), clear_vals)
+    return np.where(clear, sr, np.float32(FILTER_VAL))
+
+
+def median_composite(stack: np.ndarray, qa_band: int):
+    """Clear-pixel nanmedian across scenes of a (scene, band, h, w) stack.
+
+    Semantics: functions/LandsatMedianPixelComposite.py:130-196 — QA band is
+    broadcast across SR bands, non-clear → sentinel → NaN → nanmedian.
+    """
+    stack = np.asarray(stack)
+    qa = stack[:, qa_band, :, :]
+    sr = stack[:, :qa_band, :, :].astype(np.float32)
+    qa_rep = np.repeat(qa[:, None, :, :], qa_band, axis=1)
+    filtered = apply_qa_mask(sr, qa_rep)
+    data = np.where(filtered == np.float32(FILTER_VAL), np.nan, filtered)
+    with np.errstate(invalid="ignore"):
+        return np.nanmedian(data, axis=0)
+
+
+def pixel_percentile(stack: np.ndarray, qa_band: int, percentile: float):
+    """Per-pixel percentile of clear observations.
+
+    Semantics: functions/LandsatPixelPercentile.py:134-196, vectorized
+    (the reference loops pixels); NaN where no clear obs.
+    """
+    stack = np.asarray(stack)
+    qa = stack[:, qa_band, :, :]
+    sr = stack[:, :qa_band, :, :].astype(np.float32)
+    qa_rep = np.repeat(qa[:, None, :, :], qa_band, axis=1)
+    filtered = apply_qa_mask(sr, qa_rep)
+    data = np.where(filtered == np.float32(FILTER_VAL), np.nan, filtered)
+    with np.errstate(invalid="ignore"):
+        return np.nanpercentile(data, percentile, axis=0)
+
+
+def image_synthesis_mean(stack: np.ndarray, qa_band: int):
+    """Clear-pixel mean per band ('synthetic cloud-free month').
+
+    Semantics: functions/Landsat_Image_Synthesis.py:95-160 (month filtering
+    happens upstream as a Dataset filter on acq_ts).
+    """
+    stack = np.asarray(stack)
+    qa = stack[:, qa_band, :, :]
+    sr = stack[:, :qa_band, :, :].astype(np.float32)
+    qa_rep = np.repeat(qa[:, None, :, :], qa_band, axis=1)
+    filtered = apply_qa_mask(sr, qa_rep)
+    data = np.where(filtered == np.float32(FILTER_VAL), np.nan, filtered)
+    with np.errstate(invalid="ignore"):
+        return np.nanmean(data, axis=0)
+
+
+def find_kth_max(stack: np.ndarray, k: int = 1, invalid_above: float = 100.0):
+    """Per-pixel k-th largest across the stack with the reference's sentinel
+    semantics: values > ``invalid_above`` → −1; all-invalid pixels → −1.
+
+    Semantics: functions/FindMax.py:60-86 (k=1), functions/FindSecondMax.py:60-87
+    (k=2, via full sort), functions/FindThirdMax.py (k=3).
+    """
+    a = np.array(np.squeeze(np.asarray(stack)), dtype=np.float64)
+    a[a > invalid_above] = -1
+    if k == 1:
+        out = np.max(a, axis=0)
+    else:
+        out = np.sort(a, axis=0)[-k]
+    any_valid = np.max(a != -1, axis=0)
+    out[~any_valid.astype(bool)] = -1
+    return out
+
+
+def percent_above_threshold(stack: np.ndarray, threshold: float, below: bool = True):
+    """Scalar % of (date-filtered) stack pixels ≤ threshold, broadcast as a
+    constant block.
+
+    Semantics: functions/PercentAboveThreshold.py:90-150 (the reference's
+    reduce is ``<= threshold`` despite the name; date filtering happens
+    upstream as a Dataset filter).  Returns (scalar_pct, block).
+    """
+    a = np.asarray(stack).reshape(-1)
+    total = a.size
+    cnt = int(np.size(np.where(a <= threshold))) if below else int(np.size(np.where(a >= threshold)))
+    pct = (cnt / total) * 100.0
+    shp = np.asarray(stack).shape[-2:]
+    return pct, np.ones(shp, dtype=np.float64) * pct
+
+
+def linregress_slope_intercept(x: np.ndarray, y: np.ndarray):
+    """OLS slope/intercept (scipy.stats.linregress equivalent, pure numpy)."""
+    x = np.asarray(x, dtype=np.float64).ravel()
+    y = np.asarray(y, dtype=np.float64).ravel()
+    xm, ym = x.mean(), y.mean()
+    dx = x - xm
+    denom = np.dot(dx, dx)
+    slope = np.dot(dx, y - ym) / denom if denom != 0 else 0.0
+    return slope, ym - slope * xm
+
+
+def topographic_c_correction(band: np.ndarray, cos_i: np.ndarray):
+    """Teillet C-correction for one (scene, band): fit band = m*cos_i + b,
+    C = b/m, corrected = band * (cos_zenith + C)/(cos_i + C) — here returned
+    as (C, slope, intercept); the per-pixel correction is applied by the
+    caller with its sun geometry.
+
+    Semantics: functions/TopographicCCorrection.py:88-154 (regression
+    :143-147).
+    """
+    m, b = linregress_slope_intercept(cos_i, band)
+    c = b / m if m != 0 else 0.0
+    return c, m, b
+
+
+def cos_incidence(slope_deg: np.ndarray, aspect_deg: np.ndarray,
+                  sun_azimuth: float, sun_elevation: float) -> np.ndarray:
+    """cos(i) from terrain slope/aspect + sun position.
+
+    Semantics: functions/TopographicCCorrection.py:135-136.
+    """
+    sz = np.deg2rad(90.0 - sun_elevation)  # solar zenith
+    sa = np.deg2rad(sun_azimuth)
+    sl = np.deg2rad(np.asarray(slope_deg, dtype=np.float64))
+    asp = np.deg2rad(np.asarray(aspect_deg, dtype=np.float64))
+    return (np.cos(sz) * np.cos(sl)
+            + np.sin(sz) * np.sin(sl) * np.cos(sa - asp))
+
+
+def seasonal_naive_forecast(series: np.ndarray, season: int, horizon: int) -> np.ndarray:
+    """Deterministic stand-in for the SARIMAX per-pixel forecast
+    (functions/SeasonalARIMA.py:148-223): statsmodels is unavailable in this
+    environment, so the engine ships a seasonal-naive forecaster (value =
+    mean of same-phase historical observations).  The Ray-side plumbing
+    (ordered groups, per-pixel series) is identical to what a SARIMAX actor
+    pool would use."""
+    s = np.asarray(series, dtype=np.float64)
+    n = s.shape[0]
+    out = np.empty(horizon, dtype=np.float64)
+    for h in range(horizon):
+        phase = (n + h) % season
+        vals = s[phase::season]
+        out[h] = np.nan if vals.size == 0 else np.nanmean(vals)
+    return out

@@ -1,0 +1,85 @@
+"""Hierarchical cell index (quadtree over lon/lat, S2/H3-style role).
+
+Every tile and geometry is assigned to cells of a fixed hierarchical grid;
+spatial joins / zonal ops shuffle on ``cell_id``.  Design goals:
+
+- **vectorized**: pure NumPy over coordinate arrays inside ``map_batches``;
+- **SQL-reproducible**: the encoding uses only IEEE-double ops + floor +
+  integer packing, so a DuckDB oracle computes bit-identical ids
+  (the driver's correctness gate hashes values);
+- **hierarchical**: ``parent(cell)`` halves ix/iy, like S2 level demotion.
+
+World domain is lon ∈ [0, 360), lat ∈ [-90, 90] (FIXTURES.md §1).  Cells at
+level L form a 2^L × 2^L grid (lat axis clipped at the pole).
+
+Packing: cell_id = L * 2^52 + ix * 2^26 + iy  (L ≤ 25).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+LEVEL_STRIDE = 2**52
+IX_STRIDE = 2**26
+
+
+def cell_encode(lon: np.ndarray, lat: np.ndarray, level: int) -> np.ndarray:
+    """Vectorized lon/lat -> cell id at ``level``.
+
+    DuckDB equivalent (must stay in sync — used by oracle_sql):
+      CAST(:L AS BIGINT)*4503599627370496
+      + CAST(floor(lon/360.0*n) AS BIGINT)*67108864
+      + LEAST(CAST(floor((lat+90.0)/180.0*n) AS BIGINT), n-1)
+    """
+    n = float(2**level)
+    ix = np.floor(np.asarray(lon, dtype=np.float64) / 360.0 * n).astype(np.int64)
+    iy = np.floor((np.asarray(lat, dtype=np.float64) + 90.0) / 180.0 * n).astype(np.int64)
+    iy = np.minimum(iy, int(n) - 1)
+    return level * LEVEL_STRIDE + ix * IX_STRIDE + iy
+
+
+def cell_decode(cell_id: np.ndarray):
+    cell_id = np.asarray(cell_id, dtype=np.int64)
+    level = cell_id // LEVEL_STRIDE
+    rem = cell_id % LEVEL_STRIDE
+    return level, rem // IX_STRIDE, rem % IX_STRIDE
+
+
+def parent(cell_id: np.ndarray) -> np.ndarray:
+    level, ix, iy = cell_decode(cell_id)
+    return (level - 1) * LEVEL_STRIDE + (ix // 2) * IX_STRIDE + (iy // 2)
+
+
+def cell_bounds(cell_id: int):
+    level, ix, iy = cell_decode(np.asarray([cell_id]))
+    n = float(2 ** int(level[0]))
+    w, h = 360.0 / n, 180.0 / n
+    return (ix[0] * w, iy[0] * h - 90.0, (ix[0] + 1) * w, (iy[0] + 1) * h - 90.0)
+
+
+def covering(xmin: float, ymin: float, xmax: float, ymax: float, level: int) -> np.ndarray:
+    """All cell ids at ``level`` whose rectangle intersects the (closed) bbox."""
+    n = 2**level
+    ix0 = int(np.floor(xmin / 360.0 * n))
+    ix1 = int(np.floor(np.nextafter(xmax, -np.inf) / 360.0 * n)) if xmax > xmin else ix0
+    iy0 = max(0, int(np.floor((ymin + 90.0) / 180.0 * n)))
+    iy1 = min(n - 1, int(np.floor(np.nextafter(ymax + 90.0, -np.inf) / 180.0 * n)) if ymax > ymin else iy0)
+    ix1 = max(ix0, ix1)
+    ixs = np.arange(ix0, ix1 + 1, dtype=np.int64)
+    iys = np.arange(iy0, iy1 + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(ixs, iys, indexing="ij")
+    return level * LEVEL_STRIDE + gx.ravel() * IX_STRIDE + gy.ravel()
+
+
+def neighbors(cell_id: int, ring: int = 1) -> np.ndarray:
+    """Cells within ``ring`` king-moves (kNN ring search); lon wraps, lat clips."""
+    level, ix, iy = cell_decode(np.asarray([cell_id]))
+    level, ix, iy = int(level[0]), int(ix[0]), int(iy[0])
+    n = 2**level
+    out = []
+    for dx in range(-ring, ring + 1):
+        for dy in range(-ring, ring + 1):
+            jy = iy + dy
+            if 0 <= jy < n:
+                out.append(level * LEVEL_STRIDE + ((ix + dx) % n) * IX_STRIDE + jy)
+    return np.asarray(sorted(set(out)), dtype=np.int64)

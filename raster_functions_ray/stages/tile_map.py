@@ -1,0 +1,99 @@
+"""Lower per-tile pixel kernels onto ``map_batches`` (SURVEY.md §2.1 → MB).
+
+The unit of work is a tile ROW; batches are Arrow tables read zero-copy from
+the object store.  A kernel is a function ``(pixels, mask, meta) ->
+(out_pixels, out_mask)`` over NumPy views of one tile; ``apply_kernel``
+vectorizes per PIXEL inside the kernel while iterating the (coarse) tile rows
+of a batch — per-row overhead is amortized over 4k–65k pixels/tile.
+
+This replaces the reference's host-driven ``updatePixels(tlc, shape, props,
+**pixelBlocks)`` protocol (functions/Reference.py:188-241): ``meta`` plays the
+role of ``props`` (extent, cellSize, srid, acq_ts, sun geometry ...), and the
+output pixel-type cast happens here, at the stage boundary, exactly where the
+reference does ``astype(props['pixelType'])``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from .. import tilecodec
+
+META_COLS = ("tile_id", "scene_id", "tx", "ty", "width", "height", "band_count",
+             "pixel_type", "extent", "cell_size", "srid", "nodata", "acq_ts",
+             "sun_azimuth", "sun_elevation")
+
+Kernel = Callable[[np.ndarray, np.ndarray, dict], tuple[np.ndarray, np.ndarray | None]]
+
+
+def run_kernel_on_batch(batch: pa.Table, kernel: Kernel, out_pixel_type: str | None,
+                        out_band_count: int | None = None) -> pa.Table:
+    """Apply ``kernel`` to every tile row of an Arrow batch; returns a new
+    batch with pixels/mask/band_count/pixel_type rewritten and georeference
+    columns passed through.  Pure function — shared by the Ray stage and the
+    single-process oracle path in tests."""
+    metas = {c: batch[c].to_pylist() for c in META_COLS if c in batch.column_names}
+    out_pixels, out_masks, out_bc, out_pt = [], [], [], []
+    for i, pix, msk in tilecodec.iter_tiles(batch):
+        meta = {c: metas[c][i] for c in metas}
+        res_pix, res_mask = kernel(pix, msk, meta)
+        pt = out_pixel_type or meta["pixel_type"]
+        res_pix = np.asarray(res_pix).astype(np.dtype(pt), copy=False)
+        bc = 1 if res_pix.ndim == 2 else res_pix.shape[0]
+        out_pixels.append(tilecodec.encode(res_pix))
+        out_masks.append(tilecodec.encode(np.asarray(
+            res_mask if res_mask is not None else np.ones(res_pix.shape[-2:], np.uint8),
+            dtype=np.uint8)))
+        out_bc.append(bc)
+        out_pt.append(pt)
+    cols = {}
+    for c in batch.column_names:
+        if c in ("pixels", "mask"):
+            continue
+        cols[c] = batch[c]
+    cols["band_count"] = pa.array(out_bc, pa.int32())
+    cols["pixel_type"] = pa.array(out_pt, pa.string())
+    cols["pixels"] = pa.array(out_pixels, pa.binary())
+    cols["mask"] = pa.array(out_masks, pa.binary())
+    return pa.table(cols)
+
+
+def apply_kernel(ds: rd.Dataset, kernel: Kernel, out_pixel_type: str | None = None,
+                 batch_size: int = 32, **mb_kw) -> rd.Dataset:
+    """The MB lowering: stateless tasks, Arrow batches, small batch_size
+    because tile rows are megabyte-wide (SURVEY.md §7.2 'very wide rows')."""
+    return ds.map_batches(
+        lambda b: run_kernel_on_batch(b, kernel, out_pixel_type),
+        batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True, **mb_kw)
+
+
+def tile_stats(ds: rd.Dataset, batch_size: int = 32, **mb_kw) -> rd.Dataset:
+    """Per-tile masked summary statistics (first band): a cheap reduction
+    used to gate raster outputs in row-form (mean/min/max/valid count).
+
+    Models the reference's per-raster ``statistics`` info
+    (functions/Reference.py:158-163) computed engine-side.
+    """
+    def _stats(batch: pa.Table) -> pa.Table:
+        ids, means, mins, maxs, valids = [], [], [], [], []
+        tid = batch["tile_id"].to_pylist()
+        for i, pix, msk in tilecodec.iter_tiles(batch):
+            b0 = pix if pix.ndim == 2 else pix[0]
+            valid = msk.astype(bool)
+            vals = b0[valid].astype(np.float64)
+            ids.append(tid[i])
+            if vals.size:
+                means.append(float(vals.mean())); mins.append(float(vals.min()))
+                maxs.append(float(vals.max())); valids.append(int(vals.size))
+            else:
+                means.append(float("nan")); mins.append(float("nan"))
+                maxs.append(float("nan")); valids.append(0)
+        return pa.table({"tile_id": pa.array(ids), "mean": pa.array(means, pa.float64()),
+                         "min": pa.array(mins, pa.float64()), "max": pa.array(maxs, pa.float64()),
+                         "valid_px": pa.array(valids, pa.int64())})
+    return ds.map_batches(_stats, batch_format="pyarrow", batch_size=batch_size,
+                          zero_copy_batch=True, **mb_kw)
