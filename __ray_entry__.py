@@ -37,7 +37,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
     returns a Dataset / pandas DataFrame / pyarrow Table. Name every
     computed/aggregate column so names match ``oracle_sql``.
     """
-    return {}
+    from raster_functions_ray import ann, dedup, rasterqueries as rq, relational as rel
+    from raster_functions_ray import spatial, synth, textops
+
+    # raster oracles read the synthetic parquet — make sure it exists before
+    # the driver runs either side
+    synth.synth_dir(0.01)
+
+    return {
+        # relational (SURVEY.md §2 aggregate/join/filter/top-k shapes)
+        "q1_pricing": rel.q1_pricing,
+        "orders_by_segment": rel.q_orders_by_segment,
+        "top_parts": rel.q_top_parts,
+        "distinct_brands": rel.q_distinct_brands,
+        "events_daily": rel.q_events_daily,
+        "nation_balance": rel.q_nation_balance,
+        "user_activity": rel.q_user_activity,
+        "orders_filter_join": rel.q_orders_filter_join,
+        "lineitem_part_join": rel.q_lineitem_part_join,
+        # spatial: cell encode, point-in-polygon join, kNN, zonal
+        "cell_assign": spatial.q_cell_assign,
+        "pip_rect": spatial.q_pip_rect,
+        "zonal_value": spatial.q_zonal_value,
+        "knn": spatial.q_knn,
+        # text analysis
+        "token_stats": textops.q_token_stats,
+        "lang_profile": textops.q_lang_profile,
+        "doc_prefix_groups": textops.q_doc_prefix_groups,
+        # dedup
+        "exact_dedup": dedup.q_exact_dedup,
+        "minhash_dedup": dedup.q_minhash_dedup,
+        "simhash": dedup.q_simhash,
+        # similarity search
+        "ann_topk": ann.q_ann_topk,
+        "lsh_bucket_sizes": ann.q_lsh_bucket_sizes,
+        # raster pipelines over the synthetic tile world
+        "tile_cells": rq.q_tile_cells,
+        "ndvi_stats": rq.q_ndvi_stats,
+        "hillshade_stats": rq.q_hillshade_stats,
+        "aspect_slope_stats": rq.q_aspect_slope_stats,
+        "aggregate_mean_stats": rq.q_aggregate_mean_stats,
+        "median_composite_stats": rq.q_median_composite_stats,
+        "zonal_remap_counts": rq.q_zonal_remap_counts,
+        "doc_zone_join": rq.q_doc_zone_join,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -47,4 +90,30 @@ def oracle_sql() -> dict[str, str]:
     embeddings). Omit for non-SQL-expressible ops → driver records a
     weaker rows-only check.
     """
-    return {}
+    from raster_functions_ray import ann, dedup, rasterqueries as rq, relational as rel
+    from raster_functions_ray import spatial, textops
+
+    return {
+        "q1_pricing": rel.Q1_SQL,
+        "orders_by_segment": rel.Q_ORDERS_BY_SEGMENT_SQL,
+        "top_parts": rel.Q_TOP_PARTS_SQL,
+        "distinct_brands": rel.Q_DISTINCT_BRANDS_SQL,
+        "events_daily": rel.Q_EVENTS_DAILY_SQL,
+        "nation_balance": rel.Q_NATION_BALANCE_SQL,
+        "user_activity": rel.Q_USER_ACTIVITY_SQL,
+        "orders_filter_join": rel.Q_ORDERS_FILTER_JOIN_SQL,
+        "lineitem_part_join": rel.Q_LINEITEM_PART_JOIN_SQL,
+        "cell_assign": spatial.Q_CELL_ASSIGN_SQL,
+        "pip_rect": spatial.Q_PIP_RECT_SQL,
+        "zonal_value": spatial.Q_ZONAL_VALUE_SQL,
+        "knn": spatial.Q_KNN_SQL,
+        "token_stats": textops.Q_TOKEN_STATS_SQL,
+        "lang_profile": textops.Q_LANG_PROFILE_SQL,
+        "doc_prefix_groups": textops.Q_DOC_PREFIX_GROUPS_SQL,
+        "exact_dedup": dedup.Q_EXACT_DEDUP_SQL,
+        "ann_topk": ann.Q_ANN_TOPK_SQL,
+        "tile_cells": rq.tile_cells_oracle_sql(0.01),
+        # minhash_dedup / simhash / lsh_bucket_sizes / pixel-stat raster
+        # queries / doc_zone_join: not SQL-expressible → rows-only checks;
+        # their pixel-exact correctness is gated by the pytest golden suite.
+    }

@@ -98,7 +98,10 @@ def find_kth_max(stack: np.ndarray, k: int = 1, invalid_above: float = 100.0):
     Semantics: functions/FindMax.py:60-86 (k=1), functions/FindSecondMax.py:60-87
     (k=2, via full sort), functions/FindThirdMax.py (k=3).
     """
-    a = np.array(np.squeeze(np.asarray(stack)), dtype=np.float64)
+    a = np.asarray(stack)
+    if a.ndim == 4:  # (scene, band, h, w) → first band, like the reference's squeeze
+        a = a[:, 0, :, :]
+    a = np.array(a, dtype=np.float64)
     a[a > invalid_above] = -1
     if k == 1:
         out = np.max(a, axis=0)

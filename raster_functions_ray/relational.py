@@ -1,0 +1,281 @@
+"""Relational pipelines over the driver's TPC-H-ish tables, Ray-Data-first.
+
+These are the SQL-checkable operators of the engine (driver runs each against
+its DuckDB oracle at sf0.01).  Patterns exercised:
+
+- column pruning at the read (every read_parquet passes ``columns``);
+- vectorized filters inside map_batches (no per-row ``ds.filter(fn)``);
+- pre-aggregation inside map_batches before the groupby shuffle
+  (partial combine → small all-to-all), per SURVEY.md §4;
+- broadcast joins for small dimension tables (ray.put + map-side lookup);
+- sort/limit top-k with deterministic tie-breaks.
+
+Float discipline: aggregate outputs are rounded (2 decimals for money,
+6 for ratios) in BOTH the Ray pipeline and the oracle SQL so that
+non-associative fp summation order cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from .sources import read_table
+
+
+def _round(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
+    for c, nd in spec.items():
+        df[c] = df[c].astype(float).round(nd)
+    return df
+
+
+def q1_pricing(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 shape: filtered scan → grouped aggregate.
+
+    Pre-aggregates per batch (one row per (flag, status) per batch) before
+    the groupby, so the shuffle moves O(groups × batches) rows, not O(rows).
+    """
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice", "l_discount", "l_shipdate"])
+
+    cutoff = pa.scalar(pd.Timestamp("2024-11-01"), pa.timestamp("us"))
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        b = b.filter(pc.less_equal(b["l_shipdate"], cutoff))
+        df = b.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_revenue=("revenue", "sum"),
+            sum_disc=("l_discount", "sum"),
+            n=("l_quantity", "size"),
+        ).reset_index()
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    out = (partials.groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                      Sum("sum_base_price", alias_name="sum_base_price"),
+                      Sum("sum_revenue", alias_name="sum_revenue"),
+                      Sum("sum_disc", alias_name="sum_disc"),
+                      Sum("n", alias_name="n"))
+           .to_pandas())
+    out["avg_qty"] = out["sum_qty"] / out["n"]
+    out["avg_disc"] = out["sum_disc"] / out["n"]
+    out = out.drop(columns=["sum_disc"])
+    return _round(out, {"sum_qty": 2, "sum_base_price": 2, "sum_revenue": 2,
+                        "avg_qty": 6, "avg_disc": 6})
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_revenue,
+       COUNT(*) AS n,
+       ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
+       ROUND(SUM(l_discount) / COUNT(*), 6) AS avg_disc
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-11-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_orders_by_segment(sf_dir: str) -> pd.DataFrame:
+    """Broadcast join: customer (small) shipped into the orders scan via
+    ray.put; aggregate per market segment."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        seg = ray.get(seg_ref)
+        df = b.to_pandas()
+        df["c_mktsegment"] = df["o_custkey"].map(seg)
+        return df.groupby("c_mktsegment", sort=False).agg(
+            n_orders=("o_totalprice", "size"),
+            total_price=("o_totalprice", "sum")).reset_index()
+
+    out = (orders.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby("c_mktsegment")
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("total_price", alias_name="total_price"))
+           .to_pandas())
+    return _round(out, {"total_price": 2})
+
+
+Q_ORDERS_BY_SEGMENT_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_top_parts(sf_dir: str) -> pd.DataFrame:
+    """Top-k with deterministic tie-break: sort (retailprice desc, partkey asc) limit 10."""
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_retailprice", "p_brand"])
+    out = ds.sort(["p_retailprice", "p_partkey"], descending=[True, False]).limit(10)
+    return out.to_pandas()
+
+
+Q_TOP_PARTS_SQL = """
+SELECT p_partkey, p_retailprice, p_brand
+FROM part ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10
+"""
+
+
+def q_distinct_brands(sf_dir: str) -> pd.DataFrame:
+    """Distinct (shuffle dedup) via groupby on the value."""
+    ds = read_table(sf_dir, "part", columns=["p_brand"])
+    out = ds.groupby("p_brand").aggregate(Count(alias_name="n")).to_pandas()
+    return out[["p_brand"]].sort_values("p_brand").reset_index(drop=True)
+
+
+Q_DISTINCT_BRANDS_SQL = "SELECT DISTINCT p_brand FROM part ORDER BY p_brand"
+
+
+def q_events_daily(sf_dir: str) -> pd.DataFrame:
+    """Tumbling daily window over the events stream:
+    groupby (event_type, day) with pre-aggregated partials."""
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        df["day"] = df["ts"].dt.floor("D")
+        return df.groupby(["event_type", "day"], sort=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")).reset_index()
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby(["event_type", "day"])
+           .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+           .to_pandas())
+    return _round(out, {"sum_value": 4})
+
+
+Q_EVENTS_DAILY_SQL = """
+SELECT event_type, date_trunc('day', ts) AS day,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY event_type, day
+"""
+
+
+def q_nation_balance(sf_dir: str) -> pd.DataFrame:
+    """Two-level broadcast join (nation ← customer) + grouped mean."""
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nmap_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    cust = read_table(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        nmap = ray.get(nmap_ref)
+        df = b.to_pandas()
+        df["n_name"] = df["c_nationkey"].map(nmap)
+        return df.groupby("n_name", sort=False).agg(
+            n_customers=("c_acctbal", "size"), sum_bal=("c_acctbal", "sum")).reset_index()
+
+    out = (cust.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby("n_name")
+           .aggregate(Sum("n_customers", alias_name="n_customers"),
+                      Sum("sum_bal", alias_name="sum_bal"))
+           .to_pandas())
+    out["avg_bal"] = (out["sum_bal"] / out["n_customers"])
+    return _round(out, {"sum_bal": 2, "avg_bal": 6})
+
+
+Q_NATION_BALANCE_SQL = """
+SELECT n_name, COUNT(*) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS sum_bal,
+       ROUND(SUM(c_acctbal) / COUNT(*), 6) AS avg_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_user_activity(sf_dir: str) -> pd.DataFrame:
+    """Per-user activity profile: count, value stats, last event time —
+    grouped aggregate with multiple reducers on a higher-cardinality key."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "value", "ts"])
+    out = (ds.groupby("user_id")
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value", alias_name="sum_value"),
+                      Min("ts", alias_name="first_ts"),
+                      Max("ts", alias_name="last_ts"))
+           .to_pandas())
+    return _round(out, {"sum_value": 4})
+
+
+Q_USER_ACTIVITY_SQL = """
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM events GROUP BY user_id
+"""
+
+
+def q_orders_filter_join(sf_dir: str) -> pd.DataFrame:
+    """Semi-join shape: orders of customers in the BUILDING segment placed
+    before a date — broadcast the key set, filter map-side, aggregate."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].tolist())
+    keys_ref = ray.put(keys)
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderdate", "o_totalprice", "o_orderpriority"])
+    cutoff = pa.scalar(pd.Timestamp("2024-07-01"), pa.timestamp("us"))
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        b = b.filter(pc.less(b["o_orderdate"], cutoff))
+        df = b.to_pandas()
+        ks = ray.get(keys_ref)
+        df = df[df["o_custkey"].isin(ks)]
+        return df.groupby("o_orderpriority", sort=False).agg(
+            n=("o_totalprice", "size"), total=("o_totalprice", "sum")).reset_index()
+
+    out = (orders.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby("o_orderpriority")
+           .aggregate(Sum("n", alias_name="n"), Sum("total", alias_name="total"))
+           .to_pandas())
+    return _round(out, {"total": 2})
+
+
+Q_ORDERS_FILTER_JOIN_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderdate < TIMESTAMP '2024-07-01'
+  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderpriority
+"""
+
+
+def q_lineitem_part_join(sf_dir: str) -> pd.DataFrame:
+    """Broadcast dimension join lineitem ⨝ part → per-brand quantity."""
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    bmap_ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        bmap = ray.get(bmap_ref)
+        df = b.to_pandas()
+        df["p_brand"] = df["l_partkey"].map(bmap)
+        return df.groupby("p_brand", sort=False).agg(
+            n=("l_quantity", "size"), sum_qty=("l_quantity", "sum")).reset_index()
+
+    out = (li.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby("p_brand")
+           .aggregate(Sum("n", alias_name="n"), Sum("sum_qty", alias_name="sum_qty"))
+           .to_pandas())
+    return _round(out, {"sum_qty": 2})
+
+
+Q_LINEITEM_PART_JOIN_SQL = """
+SELECT p_brand, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""

@@ -1,0 +1,307 @@
+"""Spatial operators: cell assignment, point-in-polygon joins, kNN, zonal.
+
+Two input families:
+
+- **SQL-checkable path** (driver correctness gate): points derived
+  deterministically from the ``events`` table with integer arithmetic
+  (exact in IEEE doubles, reproducible in DuckDB — see ``POINT_SQL``), zone
+  rectangles from closed-form integer formulas inlined as a VALUES CTE.
+- **engine path**: WKT text-span geometries and the synthetic ``zones``
+  table (convex polygons), joined to tiles/points via cell ids.
+
+The reference's vector surface is the ZonalAttributesTable envelope-intersects
+lookup (functions/utils.py:206-244); here the join is explicit: encode both
+sides to cells, shuffle on cell_id (or broadcast the small side).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from . import grid
+from .sources import read_table
+
+CELL_LEVEL = 6
+
+# ------------------------------------------------------------ derived points
+
+# x = (event_id * 7919 mod 36000)/100 ∈ [0,360); y = (event_id*104729 mod 18000)/100 − 90
+POINT_SQL = """
+  SELECT event_id, value,
+         CAST((event_id * 7919) % 36000 AS DOUBLE) / 100.0 AS x,
+         CAST((event_id * 104729) % 18000 AS DOUBLE) / 100.0 - 90.0 AS y
+  FROM events
+"""
+
+
+def derive_points(batch: pa.Table) -> pa.Table:
+    eid = np.asarray(batch["event_id"], dtype=np.int64)
+    x = ((eid * 7919) % 36000).astype(np.float64) / 100.0
+    y = ((eid * 104729) % 18000).astype(np.float64) / 100.0 - 90.0
+    out = {"event_id": pa.array(eid, pa.int64()), "x": pa.array(x), "y": pa.array(y)}
+    if "value" in batch.column_names:
+        out["value"] = batch["value"]
+    return pa.table(out)
+
+
+def event_points(sf_dir: str, with_value: bool = True) -> rd.Dataset:
+    cols = ["event_id", "value"] if with_value else ["event_id"]
+    return read_table(sf_dir, "events", columns=cols).map_batches(
+        derive_points, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ----------------------------------------------------------- cell assignment
+
+def q_cell_assign(sf_dir: str) -> pd.DataFrame:
+    """Every event-point → hierarchical cell id (level 6). Exact-match gate."""
+    pts = event_points(sf_dir, with_value=False)
+
+    def enc(b: pa.Table) -> pa.Table:
+        cells = grid.cell_encode(np.asarray(b["x"]), np.asarray(b["y"]), CELL_LEVEL)
+        return b.append_column("cell_id", pa.array(cells, pa.int64()))
+
+    return pts.map_batches(enc, batch_format="pyarrow").to_pandas()
+
+
+Q_CELL_ASSIGN_SQL = f"""
+WITH pts AS ({POINT_SQL})
+SELECT event_id, x, y,
+       CAST({CELL_LEVEL} AS BIGINT) * 4503599627370496
+       + CAST(floor(x / 360.0 * 64.0) AS BIGINT) * 67108864
+       + LEAST(CAST(floor((y + 90.0) / 180.0 * 64.0) AS BIGINT), 63) AS cell_id
+FROM pts
+"""
+
+# ------------------------------------------------------ rectangle zone join
+
+N_RECT_ZONES = 8
+
+
+def rect_zones() -> pd.DataFrame:
+    """Deterministic rectangle zones (closed-form; duplicated in SQL)."""
+    z = np.arange(N_RECT_ZONES, dtype=np.int64)
+    return pd.DataFrame({
+        "zone_id": z,
+        "xmin": (z * 41 % 300).astype(np.float64),
+        "xmax": (z * 41 % 300).astype(np.float64) + 60.0,
+        "ymin": (z * 23 % 120).astype(np.float64) - 85.0,
+        "ymax": (z * 23 % 120).astype(np.float64) - 85.0 + 45.0,
+    })
+
+
+RECT_ZONES_SQL = f"""
+  SELECT z AS zone_id,
+         CAST((z * 41) % 300 AS DOUBLE) AS xmin,
+         CAST((z * 41) % 300 AS DOUBLE) + 60.0 AS xmax,
+         CAST((z * 23) % 120 AS DOUBLE) - 85.0 AS ymin,
+         CAST((z * 23) % 120 AS DOUBLE) - 85.0 + 45.0 AS ymax
+  FROM (SELECT UNNEST(range({N_RECT_ZONES})) AS z)
+"""
+
+
+def points_in_rects_batch(b: pa.Table, zones: pd.DataFrame) -> pa.Table:
+    """Vectorized point × rect containment (half-open [min, max))."""
+    x = np.asarray(b["x"])
+    y = np.asarray(b["y"])
+    eids = np.asarray(b["event_id"], dtype=np.int64)
+    vals = np.asarray(b["value"]) if "value" in b.column_names else None
+    out_e, out_z, out_v = [], [], []
+    for _, zr in zones.iterrows():
+        hit = (x >= zr["xmin"]) & (x < zr["xmax"]) & (y >= zr["ymin"]) & (y < zr["ymax"])
+        idx = np.nonzero(hit)[0]
+        out_e.append(eids[idx])
+        out_z.append(np.full(idx.size, int(zr["zone_id"]), np.int64))
+        if vals is not None:
+            out_v.append(vals[idx])
+    cols = {"event_id": pa.array(np.concatenate(out_e) if out_e else np.empty(0, np.int64)),
+            "zone_id": pa.array(np.concatenate(out_z) if out_z else np.empty(0, np.int64))}
+    if vals is not None:
+        cols["value"] = pa.array(np.concatenate(out_v) if out_v else np.empty(0, np.float64))
+    return pa.table(cols)
+
+
+def q_pip_rect(sf_dir: str) -> pd.DataFrame:
+    """Point-in-rectangle join row set (broadcast zones, map-side containment).
+    Exact join-output gate: every (event, zone) pair."""
+    zones = rect_zones()
+    zref = ray.put(zones)
+    pts = event_points(sf_dir, with_value=False)
+    out = pts.map_batches(lambda b: points_in_rects_batch(b, ray.get(zref)),
+                          batch_format="pyarrow")
+    return out.to_pandas()
+
+
+Q_PIP_RECT_SQL = f"""
+WITH pts AS ({POINT_SQL}), zones AS ({RECT_ZONES_SQL})
+SELECT p.event_id, z.zone_id
+FROM pts p JOIN zones z
+  ON p.x >= z.xmin AND p.x < z.xmax AND p.y >= z.ymin AND p.y < z.ymax
+"""
+
+
+def q_zonal_value(sf_dir: str) -> pd.DataFrame:
+    """Zonal aggregate: per-zone count and value sum of contained points —
+    the raster-to-vector zonal-extraction shape over the point cloud."""
+    zones = rect_zones()
+    zref = ray.put(zones)
+    pts = event_points(sf_dir, with_value=True)
+    joined = pts.map_batches(lambda b: points_in_rects_batch(b, ray.get(zref)),
+                             batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return df.groupby("zone_id", sort=False).agg(
+            n_points=("value", "size"), sum_value=("value", "sum")).reset_index()
+
+    out = (joined.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby("zone_id")
+           .aggregate(Sum("n_points", alias_name="n_points"),
+                      Sum("sum_value", alias_name="sum_value"))
+           .to_pandas())
+    out["sum_value"] = out["sum_value"].astype(float).round(4)
+    return out
+
+
+Q_ZONAL_VALUE_SQL = f"""
+WITH pts AS ({POINT_SQL}), zones AS ({RECT_ZONES_SQL})
+SELECT z.zone_id, COUNT(*) AS n_points, ROUND(SUM(p.value), 4) AS sum_value
+FROM pts p JOIN zones z
+  ON p.x >= z.xmin AND p.x < z.xmax AND p.y >= z.ymin AND p.y < z.ymax
+GROUP BY z.zone_id
+"""
+
+# ----------------------------------------------------------------- kNN ----
+
+KNN_QUERIES = [(0, 45.0, 10.0), (1, 180.0, -45.0), (2, 300.0, 60.0), (3, 90.0, -10.0)]
+KNN_K = 5
+
+
+def q_knn(sf_dir: str) -> pd.DataFrame:
+    """k nearest event-points to each query point (planar squared distance,
+    tie-break event_id).  Per-batch partial top-k inside map_batches →
+    tiny final reduce: no global sort, no full shuffle."""
+    qarr = np.asarray([[q[1], q[2]] for q in KNN_QUERIES])
+    qref = ray.put(qarr)
+    pts = event_points(sf_dir, with_value=False)
+
+    def partial_topk(b: pa.Table) -> pd.DataFrame:
+        qs = ray.get(qref)
+        x = np.asarray(b["x"]); y = np.asarray(b["y"])
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        frames = []
+        for qi in range(qs.shape[0]):
+            d2 = (x - qs[qi, 0]) ** 2 + (y - qs[qi, 1]) ** 2
+            k = min(KNN_K, d2.size)
+            idx = np.argpartition(d2, k - 1)[:k]
+            frames.append(pd.DataFrame({"q_id": qi, "event_id": eid[idx], "d2": d2[idx]}))
+        return pd.concat(frames, ignore_index=True)
+
+    partials = pts.map_batches(partial_topk, batch_format="pyarrow", batch_size=65536)
+    cand = partials.to_pandas()  # ≤ k × n_queries × n_batches rows — tiny
+    cand = cand.sort_values(["q_id", "d2", "event_id"]).groupby("q_id").head(KNN_K)
+    cand["rank"] = cand.groupby("q_id").cumcount() + 1
+    return cand[["q_id", "event_id", "rank"]].reset_index(drop=True)
+
+
+def _knn_sql() -> str:
+    qvals = ", ".join(f"({q}, {x}, {y})" for q, x, y in KNN_QUERIES)
+    return f"""
+WITH pts AS ({POINT_SQL}),
+     queries(q_id, qx, qy) AS (VALUES {qvals})
+SELECT q_id, event_id, rank FROM (
+  SELECT q.q_id, p.event_id,
+         ROW_NUMBER() OVER (PARTITION BY q.q_id
+                            ORDER BY (p.x - q.qx)*(p.x - q.qx) + (p.y - q.qy)*(p.y - q.qy), p.event_id) AS rank
+  FROM pts p CROSS JOIN queries q)
+WHERE rank <= {KNN_K}
+"""
+
+
+Q_KNN_SQL = _knn_sql()
+
+# ------------------------------------------- convex polygon PIP (engine path)
+
+def point_in_convex_batch(x: np.ndarray, y: np.ndarray, verts: np.ndarray) -> np.ndarray:
+    """Vectorized point-in-convex-polygon: all cross products same sign
+    (CCW ring, boundary counts as inside)."""
+    n = len(verts) // 2
+    vx, vy = verts[0::2], verts[1::2]
+    inside = np.ones(x.shape, dtype=bool)
+    for i in range(n):
+        x1, y1 = vx[i], vy[i]
+        x2, y2 = vx[(i + 1) % n], vy[(i + 1) % n]
+        cross = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+        inside &= cross >= 0
+    return inside
+
+
+def wkt_parse_points(texts: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Parse 'POINT (x y)' rows; returns (idx, x, y) of the point rows."""
+    idx, xs, ys = [], [], []
+    for i, t in enumerate(texts):
+        if t.startswith("POINT"):
+            body = t[t.index("(") + 1 : t.rindex(")")]
+            a, b = body.split()
+            idx.append(i); xs.append(float(a)); ys.append(float(b))
+    return (np.asarray(idx, np.int64), np.asarray(xs, np.float64), np.asarray(ys, np.float64))
+
+
+class ZoneJoiner:
+    """Actor-pool stage: holds the (broadcast) zone table + per-cell zone
+    index across batches — the engine equivalent of the reference's
+    per-block ZonalAttributesTable query cache
+    (functions/deprecated/ZonalRemap.py:166-178).
+
+    State built once per actor in __init__: for each cell id at CELL_LEVEL,
+    the list of zones whose bbox intersects the cell (coarse filter); the
+    exact convex test runs per batch only against those candidates.
+    """
+
+    def __init__(self, zones_ref):
+        zones = ray.get(zones_ref)
+        self.zones = zones
+        self.cell_to_zones: dict[int, list[int]] = {}
+        for i in range(len(zones)):
+            bb = zones["bbox"][i]
+            for c in grid.covering(bb[0], bb[1], bb[2], bb[3], CELL_LEVEL):
+                self.cell_to_zones.setdefault(int(c), []).append(i)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        doc_ids = b["doc_id"].to_pylist()
+        pidx, x, y = wkt_parse_points(texts)
+        cells = grid.cell_encode(x, y, CELL_LEVEL)
+        out_doc, out_zone = [], []
+        for j in range(pidx.size):
+            for zi in self.cell_to_zones.get(int(cells[j]), ()):
+                z = self.zones
+                verts = np.asarray(z["vertices"][zi], dtype=np.float64)
+                if z["is_rect"][zi]:
+                    bb = z["bbox"][zi]
+                    hit = (bb[0] <= x[j] < bb[2]) and (bb[1] <= y[j] < bb[3])
+                else:
+                    hit = bool(point_in_convex_batch(np.asarray([x[j]]), np.asarray([y[j]]), verts)[0])
+                if hit:
+                    out_doc.append(doc_ids[pidx[j]])
+                    out_zone.append(int(z["zone_id"][zi]))
+        return pa.table({"doc_id": pa.array(out_doc, pa.string()),
+                         "zone_id": pa.array(out_zone, pa.int32())})
+
+
+def doc_points_in_zones(docs: rd.Dataset, zones: pd.DataFrame,
+                        concurrency: int = 4) -> rd.Dataset:
+    """Text-span POINT geometries joined to the synthetic zone polygons via
+    the cell-indexed actor pool."""
+    from .stages import spans
+
+    exploded = spans.explode_spans(docs)
+    pts = spans.text_spans(exploded)
+    zref = ray.put(zones)
+    return pts.map_batches(ZoneJoiner, fn_constructor_args=(zref,),
+                           batch_format="pyarrow", batch_size=8192,
+                           concurrency=concurrency)

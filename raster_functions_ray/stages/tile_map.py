@@ -37,9 +37,24 @@ def run_kernel_on_batch(batch: pa.Table, kernel: Kernel, out_pixel_type: str | N
     columns passed through.  Pure function — shared by the Ray stage and the
     single-process oracle path in tests."""
     metas = {c: batch[c].to_pylist() for c in META_COLS if c in batch.column_names}
+    # halo-stage outputs carry a `padding` column: width/height are CORE dims,
+    # the binary payload includes the halo (stages/halo.py)
+    pads = batch["padding"].to_pylist() if "padding" in batch.column_names else None
+    pt_l = batch["pixel_type"].to_pylist()
+    bc_l = batch["band_count"].to_pylist()
+    h_l = batch["height"].to_pylist()
+    w_l = batch["width"].to_pylist()
+    pix_col, msk_col = batch["pixels"], batch["mask"]
     out_pixels, out_masks, out_bc, out_pt = [], [], [], []
-    for i, pix, msk in tilecodec.iter_tiles(batch):
+    for i in range(batch.num_rows):
+        p2 = 2 * int(pads[i]) if pads else 0
+        h, w = int(h_l[i]) + p2, int(w_l[i]) + p2
+        pix = tilecodec.decode(pix_col[i].as_buffer(), pt_l[i], int(bc_l[i]), h, w)
+        msk = tilecodec.decode_mask(
+            msk_col[i].as_buffer() if msk_col[i].is_valid else None, h, w)
         meta = {c: metas[c][i] for c in metas}
+        if pads:
+            meta["padding"] = int(pads[i])
         res_pix, res_mask = kernel(pix, msk, meta)
         pt = out_pixel_type or meta["pixel_type"]
         res_pix = np.asarray(res_pix).astype(np.dtype(pt), copy=False)
@@ -52,8 +67,8 @@ def run_kernel_on_batch(batch: pa.Table, kernel: Kernel, out_pixel_type: str | N
         out_pt.append(pt)
     cols = {}
     for c in batch.column_names:
-        if c in ("pixels", "mask"):
-            continue
+        if c in ("pixels", "mask", "padding"):
+            continue  # padding is consumed: outputs are core-sized
         cols[c] = batch[c]
     cols["band_count"] = pa.array(out_bc, pa.int32())
     cols["pixel_type"] = pa.array(out_pt, pa.string())

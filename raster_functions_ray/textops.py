@@ -1,0 +1,197 @@
+"""Text-analysis operators over the documents table (training-data pipeline
+additions: token counting, quality scoring, language-ID, fingerprinting).
+
+All stages are vectorized map_batches over pandas string ops or stateful
+actor pools (compiled regexes in __init__).  SQL-checkable ones pair with
+DuckDB list/string functions; the heuristics (langid) are rows-only checks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Mean, Sum
+
+from .sources import read_table
+
+
+def q_token_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-document token count (whitespace split) + char length.
+
+    Matches DuckDB: len(list_filter(string_split_regex(text,'\\s+'), ...)).
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_tokens": df["text"].str.split().str.len().astype("int64"),
+            "n_chars": df["text"].str.len().astype("int64"),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=8192).to_pandas()
+
+
+Q_TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+def q_lang_profile(sf_dir: str) -> pd.DataFrame:
+    """Per-language corpus profile: doc count, avg tokens, avg chars."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        df["n_tokens"] = df["text"].str.split().str.len()
+        df["n_chars"] = df["text"].str.len()
+        return df.groupby("lang", sort=False).agg(
+            n_docs=("text", "size"), sum_tokens=("n_tokens", "sum"),
+            sum_chars=("n_chars", "sum")).reset_index()
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+           .groupby("lang")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("sum_tokens", alias_name="sum_tokens"),
+                      Sum("sum_chars", alias_name="sum_chars"))
+           .to_pandas())
+    out["avg_tokens"] = (out["sum_tokens"] / out["n_docs"]).round(6)
+    out["avg_chars"] = (out["sum_chars"] / out["n_docs"]).round(6)
+    return out
+
+
+Q_LANG_PROFILE_SQL = r"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS sum_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       ROUND(SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) / COUNT(*), 6) AS avg_tokens,
+       ROUND(SUM(length(text)) / COUNT(*), 6) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_doc_prefix_groups(sf_dir: str) -> pd.DataFrame:
+    """Document fingerprint by 3-token prefix → group sizes (the shape of
+    fingerprint-based clustering; SQL-checkable)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        df["prefix"] = df["text"].str.split().str[:3].str.join(" ")
+        g = df.groupby("prefix", sort=False).agg(
+            n_docs=("doc_id", "size"), min_doc_id=("doc_id", "min")).reset_index()
+        return g
+
+    from ray.data.aggregate import Min
+    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+            .groupby("prefix")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Min("min_doc_id", alias_name="min_doc_id"))
+            .to_pandas())
+
+
+Q_DOC_PREFIX_GROUPS_SQL = """
+SELECT array_to_string(string_split(text, ' ')[1:3], ' ') AS prefix,
+       COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+FROM documents GROUP BY prefix
+"""
+
+
+STOPWORDS = frozenset("the a an and or of to in is are was were be been for on at by with".split())
+
+
+class QualityScorer:
+    """Actor-pool stage: quality heuristics with regexes compiled once per
+    actor (stop-word ratio, punctuation ratio, mean word length,
+    alpha ratio)."""
+
+    def __init__(self):
+        self.word_re = re.compile(r"[A-Za-z]+")
+        self.punct_re = re.compile(r"[^\w\s]")
+
+    def __call__(self, b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        toks = df["text"].str.lower().str.findall(self.word_re)
+        n_tok = toks.str.len().clip(lower=1)
+        df_out = pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "stop_ratio": toks.map(lambda ws: sum(w in STOPWORDS for w in ws)) / n_tok,
+            "punct_ratio": df["text"].str.count(self.punct_re) / df["text"].str.len().clip(lower=1),
+            "mean_word_len": toks.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0),
+            "alpha_ratio": df["text"].str.count(r"[A-Za-z]") / df["text"].str.len().clip(lower=1),
+        })
+        return df_out
+
+
+def quality_scores(sf_dir: str, concurrency: int = 4) -> rd.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(QualityScorer, batch_format="pyarrow",
+                          batch_size=4096, concurrency=concurrency)
+
+
+# n-gram language profiles for the heuristic lang-ID (trained on nothing —
+# just characteristic letter patterns; deterministic)
+_LANG_HINTS = {
+    "en": ("the", "ing", "and", "ion"),
+    "de": ("der", "sch", "ein", "und"),
+    "fr": ("les", "ent", "que", "ion"),
+    "es": ("los", "que", "ión", "ado"),
+    "zh": (),
+}
+
+
+class LangId:
+    """Heuristic n-gram language ID (rows-only check): CJK-codepoint test
+    for zh, otherwise argmax of per-language trigram hit rates."""
+
+    def __init__(self):
+        self.cjk = re.compile(r"[一-鿿]")
+
+    def __call__(self, b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        langs = []
+        for t in df["text"]:
+            if self.cjk.search(t):
+                langs.append("zh")
+                continue
+            low = t.lower()
+            best, best_score = "en", -1.0
+            for lang, grams in _LANG_HINTS.items():
+                if not grams:
+                    continue
+                score = sum(low.count(g) for g in grams)
+                if score > best_score:
+                    best, best_score = lang, score
+            langs.append(best)
+        return pd.DataFrame({"doc_id": df["doc_id"], "pred_lang": langs})
+
+
+def lang_id(sf_dir: str, concurrency: int = 4) -> rd.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow", batch_size=4096,
+                          concurrency=concurrency)
+
+
+def rolling_fingerprint(text: str, window: int = 16, mod: int = 1 << 31) -> int:
+    """Deterministic rolling-hash document fingerprint (min of window hashes)."""
+    data = text.encode("utf-8")
+    if len(data) <= window:
+        return int.from_bytes(hashlib.blake2b(data, digest_size=4).digest(), "big") % mod
+    base, h, power = 257, 0, 1
+    for i in range(window):
+        h = (h * base + data[i]) % mod
+        power = (power * base) % mod
+    best = h
+    for i in range(window, len(data)):
+        h = (h * base + data[i] - data[i - window] * power) % mod
+        best = min(best, h)
+    return best

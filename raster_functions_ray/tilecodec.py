@@ -17,6 +17,7 @@ import pyarrow as pa
 
 def decode(buf: bytes | memoryview, pixel_type: str, band_count: int, height: int, width: int) -> np.ndarray:
     """binary buffer -> read-only ndarray (band_count, height, width); (h, w) if 1 band."""
+    band_count, height, width = int(band_count), int(height), int(width)
     a = np.frombuffer(buf, dtype=np.dtype(pixel_type))
     if band_count == 1:
         return a.reshape(height, width)
@@ -24,6 +25,7 @@ def decode(buf: bytes | memoryview, pixel_type: str, band_count: int, height: in
 
 
 def decode_mask(buf: bytes | memoryview | None, height: int, width: int) -> np.ndarray:
+    height, width = int(height), int(width)
     if buf is None:
         return np.ones((height, width), dtype=np.uint8)
     return np.frombuffer(buf, dtype=np.uint8).reshape(height, width)

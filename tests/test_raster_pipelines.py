@@ -1,0 +1,131 @@
+"""End-to-end raster pipeline gates:
+
+- halo exchange == whole-scene oracle (tile boundaries exact);
+- temporal composite == single-process stack reduce;
+- zonal remap / burn-in plumbing.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from raster_functions_ray import synth, tilecodec
+from raster_functions_ray.functions import focal as fc
+from raster_functions_ray.functions import stack as st
+from raster_functions_ray.sources import read_tiles
+from raster_functions_ray.stages import composite, halo, tile_map
+
+
+def load_scene(synth_d: str, scene_id: int):
+    """Reassemble a full scene array + mask from its tile rows (oracle side)."""
+    t = pq.read_table(f"{synth_d}/tiles.parquet")
+    t = t.filter(np.asarray(t["scene_id"]) == scene_id)
+    rows = t.to_pylist()
+    g = max(r["tx"] for r in rows) - min(r["tx"] for r in rows) + 1
+    tp = rows[0]["width"]
+    bc, pt = rows[0]["band_count"], rows[0]["pixel_type"]
+    tx0 = min(r["tx"] for r in rows)
+    ty0 = min(r["ty"] for r in rows)
+    scene = np.zeros((bc, g * tp, g * tp), dtype=np.dtype(pt))
+    mask = np.zeros((g * tp, g * tp), dtype=np.uint8)
+    for r in rows:
+        pix = tilecodec.decode(r["pixels"], pt, bc, tp, tp)
+        if pix.ndim == 2:
+            pix = pix[None]
+        x0, y0 = (r["tx"] - tx0) * tp, (r["ty"] - ty0) * tp
+        scene[:, y0:y0 + tp, x0:x0 + tp] = pix
+        mask[y0:y0 + tp, x0:x0 + tp] = tilecodec.decode_mask(r["mask"], tp, tp)
+    return scene, mask, rows[0]
+
+
+def test_halo_matches_whole_scene_hillshade(synth_sf001):
+    """The strip shuffle must reproduce the exact pixels a single-process
+    whole-scene computation yields — including across tile boundaries."""
+    scene, mask, meta = load_scene(synth_sf001, 0)  # scene 0 = DEM
+    dem = scene[0].astype(np.float64)
+    # oracle: pad whole scene the same way the engine pads scene borders
+    pdem = np.pad(dem, 1, mode="edge")
+    pmask = np.zeros((dem.shape[0] + 2, dem.shape[1] + 2), np.uint8)
+    pmask[1:-1, 1:-1] = mask
+    exp_pix, exp_mask = fc.hillshade(pdem, pmask, meta["cell_size"],
+                                     is_geographic=(meta["srid"] == 4326))
+    exp_pix = exp_pix.astype(np.uint8)
+
+    tiles = read_tiles(synth_sf001).filter(expr="scene_id == 0")
+    padded = halo.with_halo(tiles, padding=1)
+
+    def kernel(p, m, mt):
+        d = p if p.ndim == 2 else p[0]
+        return fc.hillshade(d, m, mt["cell_size"], is_geographic=(mt["srid"] == 4326))
+
+    out = tile_map.apply_kernel(padded, kernel, out_pixel_type="u1").take_all()
+    tp = meta["width"]
+    assert len(out) == 16  # 4×4 tiles at sf0.001
+    for r in out:
+        pix = tilecodec.decode(r["pixels"], "u1", 1, tp, tp)
+        m = tilecodec.decode_mask(r["mask"], tp, tp)
+        x0, y0 = int(r["tx"]) * tp, int(r["ty"]) * tp
+        np.testing.assert_array_equal(pix, exp_pix[y0:y0 + tp, x0:x0 + tp],
+                                      err_msg=f"tile {r['tile_id']}")
+        np.testing.assert_array_equal(m, exp_mask[y0:y0 + tp, x0:x0 + tp])
+
+
+def test_composite_matches_stack_oracle(synth_sf001):
+    """groupby((tx,ty)) aggregate == single-process reduce over the epoch
+    stack, ordered by acq_ts."""
+    t = pq.read_table(f"{synth_sf001}/tiles.parquet")
+    t = t.filter(np.asarray(t["band_count"]) == 2)
+    df = t.to_pandas()
+    # build the oracle for one (tx, ty)
+    tx, ty = int(df["tx"].iloc[0]), int(df["ty"].iloc[0])
+    g = df[(df["tx"] == tx) & (df["ty"] == ty)].sort_values("acq_ts")
+    assert len(g) == 2  # redir scenes have 2 epochs
+    tp = int(g["width"].iloc[0])
+    stack = np.stack([
+        tilecodec.decode(r["pixels"], r["pixel_type"], 2, tp, tp) for _, r in g.iterrows()])
+    masks = np.stack([tilecodec.decode_mask(r["mask"], tp, tp) for _, r in g.iterrows()])
+    exp, exp_m = st.aggregate(stack, masks, "Average")
+    exp = exp.astype(np.float32)
+
+    tiles = read_tiles(synth_sf001).filter(expr="band_count == 2")
+    out = composite.stack_reduce(tiles, composite.aggregate_reduce("Average"),
+                                 out_pixel_type="f4")
+    rows = {(r["tx"], r["ty"]): r for r in out.take_all()}
+    r = rows[(tx, ty)]
+    assert r["n_scenes"] == 2
+    got = tilecodec.decode(r["pixels"], "f4", 2, tp, tp)
+    np.testing.assert_array_equal(got, exp)
+    np.testing.assert_array_equal(tilecodec.decode_mask(r["mask"], tp, tp), exp_m)
+
+
+def test_median_composite_pipeline(synth_sf001):
+    tiles = read_tiles(synth_sf001).filter(expr="band_count == 7")
+    out = composite.stack_reduce(tiles, composite.median_composite_reduce(qa_band=6),
+                                 out_pixel_type="f4").take_all()
+    assert len(out) > 0
+    r = out[0]
+    assert r["band_count"] == 6  # QA band consumed
+    assert r["n_scenes"] == 6
+
+
+def test_tile_cell_assignment_deterministic(synth_sf001):
+    from raster_functions_ray import rasterqueries as rq
+    a = rq.q_tile_cells("/root/testdata/sf0.001")
+    b = rq.q_tile_cells("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(
+        a.sort_values("tile_id").reset_index(drop=True),
+        b.sort_values("tile_id").reset_index(drop=True))
+    # every tile got a valid level-6 cell id
+    from raster_functions_ray import grid
+    lvl, ix, iy = grid.cell_decode(a["cell_id"].to_numpy())
+    assert (lvl == 6).all()
+    assert ((ix >= 0) & (ix < 64)).all() and ((iy >= 0) & (iy < 64)).all()
+
+
+def test_zonal_remap_counts_runs(synth_sf001):
+    from raster_functions_ray import rasterqueries as rq
+    out = rq.q_zonal_remap_counts("/root/testdata/sf0.001")
+    assert len(out) > 0
+    px_per_tile = out.groupby("tile_id")["n_px"].sum()
+    assert (px_per_tile == 32 * 32).all()  # partition of every DEM tile
