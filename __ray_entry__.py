@@ -37,8 +37,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     returns a Dataset / pandas DataFrame / pyarrow Table. Name every
     computed/aggregate column so names match ``oracle_sql``.
     """
-    from raster_functions_ray import ann, dedup, rasterqueries as rq, relational as rel
-    from raster_functions_ray import spatial, synth, textops
+    from raster_functions_ray import ann, bandmath, dedup, rasterqueries as rq
+    from raster_functions_ray import relational as rel, spatial, synth, textops
 
     # raster oracles read the synthetic parquet — make sure it exists before
     # the driver runs either side
@@ -80,6 +80,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_composite_stats": rq.q_median_composite_stats,
         "zonal_remap_counts": rq.q_zonal_remap_counts,
         "doc_zone_join": rq.q_doc_zone_join,
+        # band algebra on columns (same kernels as the raster path, SQL-exact)
+        "windchill": bandmath.q_windchill,
+        "heat_index": bandmath.q_heat_index,
+        "fuzzy_linear": bandmath.q_fuzzy_linear,
+        "arithmetic_cols": bandmath.q_arithmetic_cols,
+        # chains, classifiers, two-phase + windowed composites
+        "tri_stats": rq.q_tri_stats,
+        "ndvi_colormap_chain": rq.q_ndvi_colormap_chain,
+        "composite_bands_stats": rq.q_composite_bands_stats,
+        "vector_field_stats": rq.q_vector_field_stats,
+        "knn_classify_stats": rq.q_knn_classify_stats,
+        "rf_classify_stats": rq.q_rf_classify_stats,
+        "percent_above_threshold": rq.q_percent_above_threshold,
+        "topographic_c": rq.q_topographic_c,
     }
 
 
@@ -90,8 +104,8 @@ def oracle_sql() -> dict[str, str]:
     embeddings). Omit for non-SQL-expressible ops → driver records a
     weaker rows-only check.
     """
-    from raster_functions_ray import ann, dedup, rasterqueries as rq, relational as rel
-    from raster_functions_ray import spatial, textops
+    from raster_functions_ray import ann, bandmath, dedup, rasterqueries as rq
+    from raster_functions_ray import relational as rel, spatial, textops
 
     return {
         "q1_pricing": rel.Q1_SQL,
@@ -113,6 +127,9 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": dedup.Q_EXACT_DEDUP_SQL,
         "ann_topk": ann.Q_ANN_TOPK_SQL,
         "tile_cells": rq.tile_cells_oracle_sql(0.01),
+        "windchill": bandmath.Q_WINDCHILL_SQL,
+        "fuzzy_linear": bandmath.Q_FUZZY_LINEAR_SQL,
+        "arithmetic_cols": bandmath.Q_ARITHMETIC_COLS_SQL,
         # minhash_dedup / simhash / lsh_bucket_sizes / pixel-stat raster
         # queries / doc_zone_join: not SQL-expressible → rows-only checks;
         # their pixel-exact correctness is gated by the pytest golden suite.

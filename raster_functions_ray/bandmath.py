@@ -1,0 +1,133 @@
+"""Band-algebra queries with SQL oracles: the reference's scalar pixel
+formulas (Windchill, HeatIndex, FuzzyMembership, Arithmetic) applied to
+column-derived fields so DuckDB can verify them value-exactly.
+
+The same kernels (functions/pointwise.py) run over tile pixels in the raster
+pipelines; here they run over columns derived deterministically from the
+events/lineitem tables — identical IEEE arithmetic both sides, rounded to 4
+decimals to absorb libm ulp differences (np.power vs duckdb pow).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .functions import pointwise as pw
+from .sources import read_table
+
+# temperature in F derived from value∈[0,100): t = value − 20 ∈ [−20, 80)
+# wind speed mph: ws = (event_id % 40) + 1 ∈ [1, 40]
+_DERIVE_SQL = """
+  SELECT event_id,
+         CAST(value - 20.0 AS DOUBLE) AS t,
+         CAST((event_id % 40) + 1 AS DOUBLE) AS ws,
+         CAST((event_id % 90) + 5 AS DOUBLE) AS rh
+  FROM events
+"""
+
+
+def _derive(b: pa.Table) -> pd.DataFrame:
+    eid = np.asarray(b["event_id"], dtype=np.int64)
+    val = np.asarray(b["value"], dtype=np.float64)
+    return pd.DataFrame({
+        "event_id": eid,
+        "t": val - 20.0,
+        "ws": ((eid % 40) + 1).astype(np.float64),
+        "rh": ((eid % 90) + 5).astype(np.float64),
+    })
+
+
+def q_windchill(sf_dir: str) -> pd.DataFrame:
+    """Windchill formula (functions/deprecated/Windchill.py:93-129) over
+    derived columns; mask semantics → wc only where ws>=0 (always here)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def kern(b: pa.Table) -> pd.DataFrame:
+        df = _derive(b)
+        # f8 path (columns, not f4 pixels) so it matches SQL double math
+        t, ws = df["t"].to_numpy(), df["ws"].to_numpy()
+        ws16 = np.power(ws, 0.16)
+        wc = 35.74 + 0.6215 * t + 0.4275 * t * ws16 - 35.75 * ws16
+        # half-up fixed-point: identical IEEE ops to the SQL oracle (numpy
+        # round() is half-even, DuckDB ROUND is half-away -- avoid both)
+        wc = np.floor(wc * 10000.0 + 0.5) / 10000.0
+        return pd.DataFrame({"event_id": df["event_id"], "wc": wc})
+
+    return ds.map_batches(kern, batch_format="pyarrow", batch_size=65536).to_pandas()
+
+
+Q_WINDCHILL_SQL = f"""
+WITH d AS ({_DERIVE_SQL})
+SELECT event_id,
+       floor((35.74 + 0.6215 * t + 0.4275 * t * pow(ws, 0.16) - 35.75 * pow(ws, 0.16)) * 10000.0 + 0.5) / 10000.0 AS wc
+FROM d
+"""
+
+
+def q_heat_index(sf_dir: str) -> pd.DataFrame:
+    """Rothfusz heat index incl. the reference's adjustment regions
+    (functions/deprecated/HeatIndex.py:73-117) over derived columns.
+    Uses the shared f4 kernel; rounded to 2 decimals (f4 → ~7 significant
+    digits; values < 1000 keep 2-decimal stability vs the f8 oracle)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def kern(b: pa.Table) -> pd.DataFrame:
+        df = _derive(b)
+        t = (df["t"].to_numpy() + 60.0)  # shift into HI-relevant range [40, 140)
+        hi = pw.heat_index(t.astype(np.float32), df["rh"].to_numpy(np.float32))
+        return pd.DataFrame({"event_id": df["event_id"],
+                             "hi": np.round(hi.astype(np.float64), 2)})
+
+    return ds.map_batches(kern, batch_format="pyarrow", batch_size=65536).to_pandas()
+
+
+# float32 arithmetic is not reproducible in DuckDB doubles → rows-only check
+# (pixel-exactness of the kernel itself is gated in tests/test_kernels_pointwise.py)
+
+
+def q_fuzzy_linear(sf_dir: str) -> pd.DataFrame:
+    """Fuzzy linear membership (functions/FuzzyMembership.py:119-121) of
+    l_quantity between 10 and 40, clipped [0,1] — exact in doubles."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def kern(b: pa.Table) -> pd.DataFrame:
+        q = np.asarray(b["l_quantity"], dtype=np.float64)
+        r = np.clip((q - 10.0) / (40.0 - 10.0), 0.0, 1.0)
+        return pd.DataFrame({"l_orderkey": np.asarray(b["l_orderkey"]),
+                             "l_linenumber": np.asarray(b["l_linenumber"]),
+                             "membership": np.round(r, 6)})
+
+    return ds.map_batches(kern, batch_format="pyarrow", batch_size=65536).to_pandas()
+
+
+Q_FUZZY_LINEAR_SQL = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(LEAST(GREATEST((l_quantity - 10.0) / 30.0, 0.0), 1.0), 6) AS membership
+FROM lineitem
+"""
+
+
+def q_arithmetic_cols(sf_dir: str) -> pd.DataFrame:
+    """Arithmetic op (functions/deprecated/Arithmetic.py:46-64) as column
+    algebra: extendedprice / quantity (divide), rounded."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber",
+                                                 "l_extendedprice", "l_quantity"])
+
+    def kern(b: pa.Table) -> pd.DataFrame:
+        with np.errstate(divide="ignore"):
+            r = np.asarray(b["l_extendedprice"], np.float64) / np.asarray(b["l_quantity"], np.float64)
+        r = np.floor(r * 10000.0 + 0.5) / 10000.0  # half-up, matches oracle
+        return pd.DataFrame({"l_orderkey": np.asarray(b["l_orderkey"]),
+                             "l_linenumber": np.asarray(b["l_linenumber"]),
+                             "unit_price": r})
+
+    return ds.map_batches(kern, batch_format="pyarrow", batch_size=65536).to_pandas()
+
+
+Q_ARITHMETIC_COLS_SQL = """
+SELECT l_orderkey, l_linenumber,
+       floor((l_extendedprice / l_quantity) * 10000.0 + 0.5) / 10000.0 AS unit_price
+FROM lineitem
+"""

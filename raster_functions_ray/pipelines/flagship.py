@@ -58,7 +58,7 @@ def run(sf_dir: str = "/root/testdata/sf0.001") -> rd.Dataset:
     counts = media_ref_counts(read_documents(d)).to_pandas()
     count_map_ref = ray.put(dict(zip(counts["media_ref"], counts["ref_count"])))
 
-    tiles = read_tiles(d).filter(expr="band_count == 2")
+    tiles = read_tiles(d, bands=2)
     ndvi_tiles = tile_map.apply_kernel(tiles, ndvi_kernel, out_pixel_type="f4")
     stats = tile_map.tile_stats(ndvi_tiles)
 

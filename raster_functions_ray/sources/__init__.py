@@ -12,10 +12,24 @@ import os
 import ray.data as rd
 
 
-def read_tiles(synth_d: str, columns: list[str] | None = None, **kw) -> rd.Dataset:
-    """Tile catalog + payload. Pass ``columns`` to prune (e.g. metadata-only
-    stages must not pull the pixel binary off storage)."""
-    return rd.read_parquet(os.path.join(synth_d, "tiles.parquet"), columns=columns, **kw)
+def read_tiles(synth_d: str, columns: list[str] | None = None,
+               bands: int | None = None, scene_id: int | None = None, **kw) -> rd.Dataset:
+    """Tile catalog + payload. Pass ``columns`` to prune (metadata-only
+    stages must not pull the pixel binary off storage) and ``bands`` /
+    ``scene_id`` for ROW-GROUP pushdown at the read — the synth writer uses
+    small homogeneous row groups, so e.g. the 2-band scenes' pixels never
+    leave storage when reading the 1-band DEMs."""
+    import pyarrow.compute as pc
+
+    flt = kw.pop("filter", None)
+    if bands is not None:
+        f = pc.field("band_count") == bands
+        flt = f if flt is None else flt & f
+    if scene_id is not None:
+        f = pc.field("scene_id") == scene_id
+        flt = f if flt is None else flt & f
+    return rd.read_parquet(os.path.join(synth_d, "tiles.parquet"),
+                           columns=columns, filter=flt, **kw)
 
 
 def read_documents(synth_d: str, **kw) -> rd.Dataset:

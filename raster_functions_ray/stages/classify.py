@@ -1,0 +1,152 @@
+"""Stateful classifier stages (SURVEY.md §2.3 → actor pools).
+
+The reference ops re-read the training CSV and re-fit per pixel BLOCK
+(functions/KNearestNeighborsClassifier.py:81-128 — an acknowledged
+anti-pattern); the engine fits once per ACTOR in ``__init__`` and predicts
+per batch.
+
+scikit-learn is not available in this environment, so:
+- kNN / nearest-neighbors are implemented exactly in NumPy (brute-force
+  distance matmul + argpartition — identical results to sklearn's brute
+  algorithm for euclidean metric);
+- RandomForest / GradientBoosted (functions/RandomForestClassifier.py:71-120,
+  functions/GradientBoostedClassifier.py:72-130) fall back to a deterministic
+  seeded bagged-stump ensemble behind an import-try: the Ray-side plumbing
+  (actor state, 3-band [pred, p0, p1] output, thresholding) is identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .. import tilecodec
+
+try:  # pragma: no cover - not present in this environment
+    from sklearn.ensemble import GradientBoostingClassifier, RandomForestClassifier
+    HAVE_SKLEARN = True
+except ImportError:
+    HAVE_SKLEARN = False
+
+
+def knn_predict(train_X: np.ndarray, train_y: np.ndarray, X: np.ndarray, k: int) -> np.ndarray:
+    """Brute-force kNN majority vote (euclidean; ties → smallest label,
+    matching sklearn's argmax-over-class-counts order).  Distance via the
+    matmul identity — never materializes the (n, m, d) broadcast tensor."""
+    d2 = (X**2).sum(1)[:, None] - 2 * X @ train_X.T + (train_X**2).sum(1)[None, :]
+    idx = np.argpartition(d2, k - 1, axis=1)[:, :k]
+    labels = train_y[idx]
+    classes = np.unique(train_y)
+    votes = np.stack([(labels == c).sum(1) for c in classes], axis=1)
+    return classes[np.argmax(votes, axis=1)]
+
+
+def knn_neighbors(train_X: np.ndarray, X: np.ndarray, k: int) -> np.ndarray:
+    """k nearest training-row indices per query row, distance-ordered."""
+    d2 = (X**2).sum(1)[:, None] - 2 * X @ train_X.T + (train_X**2).sum(1)[None, :]
+    part = np.argpartition(d2, k - 1, axis=1)[:, :k]
+    order = np.argsort(np.take_along_axis(d2, part, axis=1), axis=1, kind="stable")
+    return np.take_along_axis(part, order, axis=1)
+
+
+class _StumpEnsemble:
+    """Deterministic bagged-stump classifier (sklearn fallback): each seeded
+    round picks a feature + threshold minimizing gini on a bootstrap
+    sample; predict_proba = mean of stump votes."""
+
+    def __init__(self, n_estimators: int = 50, random_state: int = 43):
+        self.n = n_estimators
+        self.seed = random_state
+
+    def fit(self, X: np.ndarray, y: np.ndarray):
+        rng = np.random.default_rng(self.seed)
+        self.stumps = []
+        n, d = X.shape
+        for _ in range(self.n):
+            idx = rng.integers(0, n, n)
+            Xi, yi = X[idx], y[idx]
+            best = None
+            for f in rng.choice(d, min(d, 3), replace=False):
+                for q in (25, 50, 75):
+                    t = np.percentile(Xi[:, f], q)
+                    left = yi[Xi[:, f] <= t]
+                    right = yi[Xi[:, f] > t]
+                    if left.size == 0 or right.size == 0:
+                        continue
+                    p_l, p_r = left.mean(), right.mean()
+                    gini = left.size * p_l * (1 - p_l) + right.size * p_r * (1 - p_r)
+                    if best is None or gini < best[0]:
+                        best = (gini, f, t, round(p_l), round(p_r))
+            self.stumps.append(best[1:] if best else (0, 0.0, 0, 1))
+        return self
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        votes = np.zeros(len(X))
+        for f, t, vl, vr in self.stumps:
+            votes += np.where(X[:, f] <= t, vl, vr)
+        p1 = votes / len(self.stumps)
+        return np.stack([1 - p1, p1], axis=1)
+
+
+class TileClassifier:
+    """Actor-pool stage: classify each pixel stack (bands = features).
+
+    model: 'knn' (exact), 'rf' / 'gbt' (sklearn if present, stump ensemble
+    fallback).  Output tile: 1 band (knn) or 3 bands [pred, p0, p1]
+    thresholded like functions/RandomForestClassifier.py:104-117.
+    """
+
+    def __init__(self, training_ref, model: str = "knn", k: int = 5,
+                 n_features: int = 6, prob_threshold: float = 0.5):
+        df = ray.get(training_ref)
+        feats = [f"pred_{i}" for i in range(1, n_features + 1)]
+        self.X = df[feats].to_numpy(dtype=np.float64)
+        self.y = df["VarToPredict"].to_numpy(dtype=np.int64)
+        self.model_kind = model
+        self.k = k
+        self.thresh = prob_threshold
+        if model in ("rf", "gbt"):
+            if HAVE_SKLEARN:  # pragma: no cover
+                cls = RandomForestClassifier if model == "rf" else GradientBoostingClassifier
+                self.model = cls(random_state=43).fit(self.X, self.y)
+            else:
+                self.model = _StumpEnsemble(random_state=43).fit(self.X, self.y)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_pix, out_bc, out_pt = [], [], []
+        for i, pix, msk in tilecodec.iter_tiles(batch):
+            if pix.ndim == 2:
+                pix = pix[None]
+            bands, h, w = pix.shape
+            feats = pix.reshape(bands, -1).T.astype(np.float64)
+            if self.model_kind == "knn":
+                pred = knn_predict(self.X[:, :bands], self.y, feats, self.k)
+                out = pred.reshape(h, w).astype(np.float32)
+                out_bc.append(1)
+            else:
+                proba = self.model.predict_proba(feats)
+                pred = (proba[:, 1] >= self.thresh).astype(np.float32)
+                out = np.stack([pred.reshape(h, w),
+                                proba[:, 0].reshape(h, w).astype(np.float32),
+                                proba[:, 1].reshape(h, w).astype(np.float32)])
+                out_bc.append(3)
+            out_pix.append(tilecodec.encode(out.astype(np.float32)))
+            out_pt.append("f4")
+        cols = {c: batch[c] for c in batch.column_names if c not in ("pixels", "mask", "band_count", "pixel_type")}
+        cols["band_count"] = pa.array(out_bc, pa.int32())
+        cols["pixel_type"] = pa.array(out_pt, pa.string())
+        cols["pixels"] = pa.array(out_pix, pa.binary())
+        cols["mask"] = batch["mask"]
+        return pa.table(cols)
+
+
+def classify_tiles(tiles: rd.Dataset, training: pd.DataFrame, model: str = "knn",
+                   k: int = 5, concurrency: int = 4, batch_size: int = 8) -> rd.Dataset:
+    tref = ray.put(training)
+    return tiles.map_batches(TileClassifier,
+                             fn_constructor_kwargs={"training_ref": tref, "model": model, "k": k},
+                             batch_format="pyarrow", batch_size=batch_size,
+                             concurrency=concurrency)

@@ -1,0 +1,185 @@
+"""Tests for expression evaluator, chain fusion, classifiers, checkpoint
+resume, media stubs, dedup determinism."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from raster_functions_ray.functions.expr import Expression, vector_field
+
+
+class TestExpression:
+    def test_arithmetic_precedence(self):
+        e = Expression("1 + 2 * 3 - 4 / 2")
+        assert e.evaluate({}) == 5.0
+
+    def test_power_and_unary(self):
+        assert Expression("-2 ** 2").evaluate({}) == -4.0
+        assert Expression("(3 + 1) ** 0.5").evaluate({}) == 2.0
+
+    def test_functions(self):
+        a = np.array([[4.0, 9.0], [16.0, 25.0]])
+        out = Expression("SquareRoot(A)").evaluate({"A": a})
+        np.testing.assert_allclose(out, np.sqrt(a))
+        out = Expression("Square(Abs(0 - A))").evaluate({"A": a})
+        np.testing.assert_allclose(out, a * a)
+
+    def test_trig(self):
+        out = Expression("Cos(A) * Cos(A) + Sin(A) * Sin(A)").evaluate({"A": np.array([0.3, 1.2])})
+        np.testing.assert_allclose(out, 1.0)
+
+    def test_focal_padding_and_shrink(self):
+        e = Expression("Focal_Max(A, 3) - Focal_Min(A, 3)")
+        assert e.padding_required == 1
+        a = np.pad(np.arange(16, dtype=np.float64).reshape(4, 4), 1, mode="edge")
+        out = e.evaluate({"A": a})
+        assert out.shape == (4, 4)
+        assert out[1, 1] == 10.0  # max 10? (3×3 around center) — range of window
+
+    def test_focal_mixed_with_pointwise(self):
+        e = Expression("Focal_Max(A, 3) + A")
+        a = np.pad(np.ones((4, 4)), 1, mode="edge")
+        out = e.evaluate({"A": a})
+        assert out.shape == (4, 4)
+        np.testing.assert_allclose(out, 2.0)
+
+    def test_tri_expression(self):
+        from raster_functions_ray.functions.expr import terrain_ruggedness_expression
+        e = terrain_ruggedness_expression()
+        assert e.variables == ["DEM"]
+        a = np.pad(np.arange(16, dtype=np.float64).reshape(4, 4), 1, mode="edge")
+        out = e.evaluate({"DEM": a})
+        # sqrt(|max² − min²|) per window
+        win_max = 10.0  # at core (1,1): values 0..10
+        win_min = 0.0
+        assert out[1, 1] == pytest.approx(np.sqrt(abs(win_max**2 - win_min**2)))
+
+    def test_vector_field(self):
+        mag, d = vector_field(np.array([3.0]), np.array([4.0]))
+        assert mag[0] == 5.0
+        assert d[0] == pytest.approx(np.degrees(np.arctan2(3, 4)))
+
+    def test_variables_and_errors(self):
+        with pytest.raises(Exception):
+            Expression("Foo(A)").evaluate({"A": np.ones(2)})
+        with pytest.raises(Exception):
+            Expression("A +")
+
+
+class TestClassifierKernels:
+    def test_knn_exact(self):
+        from raster_functions_ray.stages.classify import knn_predict
+        X = np.array([[0.0], [1.0], [10.0], [11.0]])
+        y = np.array([0, 0, 1, 1])
+        pred = knn_predict(X, y, np.array([[0.5], [10.5]]), k=2)
+        assert pred.tolist() == [0, 1]
+
+    def test_knn_neighbors_ordered(self):
+        from raster_functions_ray.stages.classify import knn_neighbors
+        X = np.array([[0.0], [5.0], [2.0]])
+        nb = knn_neighbors(X, np.array([[1.9]]), k=3)
+        assert nb[0].tolist() == [2, 0, 1]  # by distance: 2.0, 0.0, 5.0
+
+    def test_stump_ensemble_deterministic(self):
+        from raster_functions_ray.stages.classify import _StumpEnsemble
+        rng = np.random.default_rng(5)
+        X = rng.normal(0, 1, (200, 3))
+        y = (X[:, 0] > 0).astype(int)
+        m1 = _StumpEnsemble(20, 43).fit(X, y)
+        m2 = _StumpEnsemble(20, 43).fit(X, y)
+        t = rng.normal(0, 1, (50, 3))
+        np.testing.assert_array_equal(m1.predict_proba(t), m2.predict_proba(t))
+        acc = ((m1.predict_proba(t)[:, 1] > 0.5) == (t[:, 0] > 0)).mean()
+        assert acc > 0.8
+
+
+class TestCheckpoint:
+    def test_write_resume(self, tmp_path):
+        from raster_functions_ray.state.checkpoint import CheckpointStore, run_partitioned
+        store = CheckpointStore(str(tmp_path / "ckpt"))
+        calls = []
+
+        def factory(key):
+            calls.append(key)
+            return pa.table({"k": [key], "v": [len(key)]})
+
+        keys = ["a", "b", "c"]
+        done = run_partitioned(factory, keys, "s1", store)
+        assert done == keys and calls == keys
+        # resume: nothing recomputed
+        calls.clear()
+        done = run_partitioned(factory, keys, "s1", store)
+        assert done == [] and calls == []
+        # partial failure sim: add a new key → only it runs
+        done = run_partitioned(factory, keys + ["d"], "s1", store)
+        assert done == ["d"] and calls == ["d"]
+        # lineage has rows/bytes metrics
+        ln = store.lineage()
+        assert set(ln["partition_key"]) == {"a", "b", "c", "d"}
+        assert (ln["rows"] == 1).all()
+        # read back
+        t = store.read_partition("s1", "a")
+        assert t.to_pydict() == {"k": ["a"], "v": [1]}
+
+    def test_hot_partitions(self, tmp_path):
+        from raster_functions_ray.state.checkpoint import CheckpointStore
+        store = CheckpointStore(str(tmp_path / "c2"))
+        for i in range(10):
+            store.record("s", f"k{i}", "", rows=100, nbytes=1000, wall_sec=0.1)
+        store.record("s", "hot", "", rows=10000, nbytes=100000, wall_sec=1.0)
+        hot = store.hot_partitions("s")
+        assert set(hot["partition_key"]) == {"hot"}
+
+
+class TestMedia:
+    def test_decode_featurize_pipeline(self):
+        import ray.data as rd
+        from raster_functions_ray.stages import media
+        t = media.synth_media(32)
+        imgs = rd.from_arrow(t).filter(expr="kind == 'image'")
+        # concurrency=1 per stage: the test cluster has 4 CPUs and two actor
+        # pools + read tasks must all fit (pool-starves-read pitfall)
+        out = media.decode_and_featurize(imgs, target=(16, 16), concurrency=1,
+                                         batch_size=8).to_pandas()
+        assert len(out) == len([k for k in t["kind"].to_pylist() if k == "image"])
+        assert {"media_id", "mean_r", "luma_std", "edge_energy"} <= set(out.columns)
+        # deterministic: same payload → same features
+        out2 = media.decode_and_featurize(rd.from_arrow(t).filter(expr="kind == 'image'"),
+                                          target=(16, 16), concurrency=1,
+                                          batch_size=8).to_pandas()
+        pd.testing.assert_frame_equal(out.sort_values("media_id").reset_index(drop=True),
+                                      out2.sort_values("media_id").reset_index(drop=True))
+
+    def test_resize_and_frames(self):
+        from raster_functions_ray.stages.media import resize_nearest, sample_frames
+        arr = np.arange(64, dtype=np.uint8).reshape(8, 8, 1).repeat(3, axis=2)
+        out = resize_nearest(arr, (4, 4))
+        assert out.shape == (4, 4, 3)
+        assert sample_frames(10, 3).tolist() == [0, 3, 6, 9]
+
+
+class TestDedupDeterminism:
+    def test_minhash_signature_stable(self):
+        from raster_functions_ray.dedup import _perm_params, minhash_signature, shingles
+        a, b = _perm_params()
+        s1 = minhash_signature(shingles("the quick brown fox jumps"), a, b)
+        s2 = minhash_signature(shingles("the quick brown fox jumps"), a, b)
+        np.testing.assert_array_equal(s1, s2)
+        # similar docs share many minhashes
+        s3 = minhash_signature(shingles("the quick brown fox leaps"), a, b)
+        assert (s1 == s3).mean() > 0.2
+
+    def test_simhash_near_dup(self):
+        from raster_functions_ray.dedup import hamming64, simhash64
+        a = simhash64("alpha beta gamma delta epsilon zeta eta theta")
+        b = simhash64("alpha beta gamma delta epsilon zeta eta iota")
+        c = simhash64("completely different words entirely here now")
+        assert hamming64(a, b) < hamming64(a, c)
+
+    def test_jaccard(self):
+        from raster_functions_ray.dedup import jaccard
+        assert jaccard("a b c d", "a b c d") == 1.0
+        assert jaccard("a b c d", "x y z w") == 0.0

@@ -52,7 +52,7 @@ def test_halo_matches_whole_scene_hillshade(synth_sf001):
                                      is_geographic=(meta["srid"] == 4326))
     exp_pix = exp_pix.astype(np.uint8)
 
-    tiles = read_tiles(synth_sf001).filter(expr="scene_id == 0")
+    tiles = read_tiles(synth_sf001, scene_id=0)
     padded = halo.with_halo(tiles, padding=1)
 
     def kernel(p, m, mt):
@@ -88,7 +88,7 @@ def test_composite_matches_stack_oracle(synth_sf001):
     exp, exp_m = st.aggregate(stack, masks, "Average")
     exp = exp.astype(np.float32)
 
-    tiles = read_tiles(synth_sf001).filter(expr="band_count == 2")
+    tiles = read_tiles(synth_sf001, bands=2)
     out = composite.stack_reduce(tiles, composite.aggregate_reduce("Average"),
                                  out_pixel_type="f4")
     rows = {(r["tx"], r["ty"]): r for r in out.take_all()}
@@ -100,7 +100,7 @@ def test_composite_matches_stack_oracle(synth_sf001):
 
 
 def test_median_composite_pipeline(synth_sf001):
-    tiles = read_tiles(synth_sf001).filter(expr="band_count == 7")
+    tiles = read_tiles(synth_sf001, bands=7)
     out = composite.stack_reduce(tiles, composite.median_composite_reduce(qa_band=6),
                                  out_pixel_type="f4").take_all()
     assert len(out) > 0

@@ -29,7 +29,7 @@ def test_tiles_parquet_decodes(synth_sf001):
 
 
 def test_apply_kernel_matches_oracle(synth_sf001):
-    ds = read_tiles(synth_sf001).filter(expr="band_count == 2")
+    ds = read_tiles(synth_sf001, bands=2)
     out = tile_map.apply_kernel(ds, lambda p, m, meta: (pw.ndvi(p[0], p[1], "Raw"), m),
                                 out_pixel_type="f4")
     got = {r["tile_id"]: r for r in out.take_all()}
