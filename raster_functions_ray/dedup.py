@@ -38,7 +38,10 @@ def q_exact_dedup(sf_dir: str) -> pd.DataFrame:
         df = b.to_pandas()
         return pd.DataFrame({"doc_id": df["doc_id"], "h": _text_hash(df["text"])})
 
-    hashed = ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
+    # small corpora arrive as one block — split it so the sort-based
+    # aggregate parallelizes (no-op data movement at scale, where the read
+    # already yields many blocks)
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192).repartition(16)
     out = (hashed.groupby("h")
            .aggregate(Min("doc_id", alias_name="keep_doc_id"),
                       Count(alias_name="n_copies"))
@@ -67,15 +70,28 @@ def _perm_params(n_perm: int = N_PERM) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _token_hash(tok: str) -> int:
+    return int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=4).digest(), "big")
+
+
 def shingles(text: str, k: int = 3) -> set[int]:
-    """Word k-gram shingles as 32-bit hashes."""
+    """Word k-gram shingles as order-sensitive polynomial hashes of the
+    per-token blake2b hashes — the SAME shingle space MinHasher signs, so
+    LSH candidate recall and the exact Jaccard verify agree."""
     toks = text.split()
+    th = [_token_hash(t) for t in toks]
+    if not th:
+        return set()
+    if len(th) < k:
+        grams = [th]
+    else:
+        grams = [th[i:i + k] for i in range(len(th) - k + 1)]
     out = set()
-    for i in range(max(0, len(toks) - k + 1)):
-        g = " ".join(toks[i : i + k])
-        out.add(int.from_bytes(hashlib.blake2b(g.encode(), digest_size=4).digest(), "big"))
-    if not out and toks:
-        out.add(int.from_bytes(hashlib.blake2b(" ".join(toks).encode(), digest_size=4).digest(), "big"))
+    for g in grams:
+        c = 0
+        for v in g:
+            c = (c * 1_000_003 + v) % _MERSENNE
+        out.add(c)
     return out
 
 
@@ -89,48 +105,108 @@ def minhash_signature(sh: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 class MinHasher:
-    """Actor-pool stage: permutation parameters generated once per actor."""
+    """Actor-pool stage: permutation parameters + token-hash cache built once
+    per actor; signatures computed batch-vectorized.
+
+    Vectorization: all docs' shingle hashes are concatenated into one array,
+    the 64 permutations are applied as one (64, total) modmul, and per-doc
+    minima come from ``np.minimum.reduceat`` at the doc boundaries — no
+    per-doc Python loop in the hash math.  Token→hash goes through a dict
+    cache (corpus vocabularies are small; blake2b runs once per distinct
+    token)."""
 
     def __init__(self, k: int = 3):
         self.a, self.b = _perm_params()
         self.k = k
+        self.token_cache: dict[str, int] = {}
+
+    def _tok_hash(self, tok: str) -> int:
+        h = self.token_cache.get(tok)
+        if h is None:
+            h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=4).digest(), "big")
+            self.token_cache[tok] = h
+        return h
+
+    def _doc_shingles(self, text: str) -> np.ndarray:
+        toks = text.split()
+        th = np.fromiter((self._tok_hash(t) for t in toks), dtype=np.int64, count=len(toks))
+        k = self.k
+        if th.size < k:
+            if th.size == 0:
+                return np.asarray([0], dtype=np.int64)
+            grams = th[None, :]
+        else:
+            grams = np.lib.stride_tricks.sliding_window_view(th, k)
+        # order-sensitive k-gram combine (fixed odd multipliers, 61-bit field)
+        combined = np.zeros(grams.shape[0], dtype=np.int64)
+        for j in range(grams.shape[1]):
+            combined = (combined * 1_000_003 + grams[:, j]) % _MERSENNE
+        return np.unique(combined)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        rows_doc, rows_band, rows_hash = [], [], []
+        sh_list = [self._doc_shingles(t) for t in df["text"]]
+        lens = np.asarray([s.size for s in sh_list])
+        flat = np.concatenate(sh_list) if sh_list else np.empty(0, np.int64)
+        # (64, total) permuted hashes → per-doc minima at boundaries
+        h = (self.a[:, None] * flat[None, :] + self.b[:, None]) % _MERSENNE
+        bounds = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        sigs = np.minimum.reduceat(h, bounds, axis=1)  # (64, n_docs)
         rpb = N_PERM // N_BANDS
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            sig = minhash_signature(shingles(text, self.k), self.a, self.b)
+        n = len(df)
+        rows_doc = np.repeat(df["doc_id"].to_numpy(), N_BANDS)
+        rows_band = np.tile(np.arange(N_BANDS, dtype=np.int32), n)
+        rows_hash = []
+        for di in range(n):
+            col = sigs[:, di]
             for band in range(N_BANDS):
-                bh = hashlib.blake2b(sig[band * rpb:(band + 1) * rpb].tobytes(),
-                                     digest_size=8).hexdigest()
-                rows_doc.append(doc_id)
-                rows_band.append(band)
-                rows_hash.append(bh)
+                rows_hash.append(hashlib.blake2b(
+                    col[band * rpb:(band + 1) * rpb].tobytes(), digest_size=8).hexdigest())
         return pa.table({"doc_id": pa.array(rows_doc),
                          "band": pa.array(rows_band, pa.int32()),
                          "band_hash": pa.array(rows_hash, pa.string())})
 
 
 def minhash_candidates(sf_dir: str, concurrency: int = 4) -> pd.DataFrame:
-    """LSH bucket join: (band, band_hash) groups with ≥2 docs → candidate
-    pairs (doc_a < doc_b), deduplicated across bands."""
+    """LSH bucket join: (band, band_hash) buckets with ≥2 docs → candidate
+    pairs (doc_a < doc_b), deduplicated across bands.
+
+    Scale shape: almost every bucket is a singleton, so running a Python
+    map_groups over every bucket is O(corpus) Python-call overhead.  Instead:
+    native Count aggregate → tiny colliding-key set → broadcast semi-join
+    filter → pairs formed only from the (small) surviving rows."""
+    import ray
+
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     banded = ds.map_batches(MinHasher, batch_format="pyarrow", batch_size=2048,
                             concurrency=concurrency)
+    # consumed twice (count + filter); signatures are compact (~16 short
+    # rows/doc) so pinning beats re-hashing the corpus
+    banded = banded.materialize()
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group["doc_id"].tolist())
-        out = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
-        if not out:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=group["doc_id"].dtype),
-                                 "doc_b": pd.Series([], dtype=group["doc_id"].dtype)})
-        return pd.DataFrame(out, columns=["doc_a", "doc_b"])
+    counts = banded.groupby(["band", "band_hash"]).aggregate(Count(alias_name="n"))
+    hot = counts.filter(expr="n >= 2").to_pandas()  # collisions are rare → small
+    if hot.empty:
+        return pd.DataFrame({"doc_a": [], "doc_b": []})
+    hot_keys = set(zip(hot["band"].astype(int), hot["band_hash"]))
+    keys_ref = ray.put(hot_keys)
 
-    cand = (banded.groupby(["band", "band_hash"])
-            .map_groups(pairs, batch_format="pandas")
-            .to_pandas())
-    return cand.drop_duplicates().reset_index(drop=True)
+    def keep_colliding(b: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        bands = b["band"].to_pylist()
+        hashes = b["band_hash"].to_pylist()
+        mask = [(int(bb), hh) in ks for bb, hh in zip(bands, hashes)]
+        return b.filter(pa.array(mask, pa.bool_()))
+
+    survivors = banded.map_batches(keep_colliding, batch_format="pyarrow").to_pandas()
+    pairs = []
+    for _, grp in survivors.groupby(["band", "band_hash"]):
+        ids = sorted(grp["doc_id"].tolist())
+        pairs.extend((ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids)))
+    if not pairs:
+        return pd.DataFrame({"doc_a": [], "doc_b": []})
+    return (pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+            .drop_duplicates().reset_index(drop=True))
 
 
 def jaccard(a: str, b: str, k: int = 3) -> float:
@@ -148,8 +224,15 @@ def q_minhash_dedup(sf_dir: str, threshold: float = 0.7) -> pd.DataFrame:
     cand = minhash_candidates(sf_dir)
     if cand.empty:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]).to_pandas()
-    text_of = dict(zip(docs["doc_id"], docs["text"]))
+    # fetch ONLY the candidate docs' texts (pushdown filter at the read) —
+    # verify cost scales with candidates, not corpus
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    need = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+                         filters=pc.field("doc_id").isin(need))
+    text_of = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
     sims = [jaccard(text_of[a], text_of[b]) for a, b in zip(cand["doc_a"], cand["doc_b"])]
     cand = cand.assign(jaccard=np.round(sims, 6))
     out = cand[cand["jaccard"] >= threshold].sort_values(["doc_a", "doc_b"])

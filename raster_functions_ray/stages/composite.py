@@ -26,43 +26,57 @@ StackReduce = Callable[[np.ndarray, np.ndarray, pd.DataFrame], tuple[np.ndarray,
 #   -> (out (band,h,w) or (h,w), out_mask (h,w))
 
 
-def _group_reduce(g: pd.DataFrame, reduce_fn: StackReduce, out_pixel_type: str | None) -> pd.DataFrame:
-    g = g.sort_values("acq_ts").reset_index(drop=True)
-    first = g.iloc[0]
-    bc, pt = int(first["band_count"]), first["pixel_type"]
-    h, w = int(first["height"]), int(first["width"])
+import pyarrow as pa
+
+
+def _group_reduce(g: pa.Table, reduce_fn: StackReduce, out_pixel_type: str | None) -> pa.Table:
+    g = g.sort_by("acq_ts")
+    meta = {c: g[c][0].as_py() for c in g.column_names if c not in ("pixels", "mask")}
+    bc, pt = int(meta["band_count"]), meta["pixel_type"]
+    h, w = int(meta["height"]), int(meta["width"])
+    pix_col, mask_col = g["pixels"], g["mask"]
     arrs, masks = [], []
-    for _, row in g.iterrows():
-        a = tilecodec.decode(row["pixels"], pt, bc, h, w)
+    for i in range(g.num_rows):
+        a = tilecodec.decode(pix_col[i].as_buffer(), pt, bc, h, w)
         arrs.append(a if a.ndim == 3 else a[None])
-        masks.append(tilecodec.decode_mask(row["mask"], h, w))
+        masks.append(tilecodec.decode_mask(mask_col[i].as_buffer(), h, w))
     stack = np.stack(arrs)          # (scene, band, h, w)
     mstack = np.stack(masks)        # (scene, h, w)
-    out, out_mask = reduce_fn(stack, mstack, g)
+    gdf = pd.DataFrame({k: [v] * g.num_rows for k, v in meta.items()
+                        if k in ("scene_id", "acq_ts", "sun_azimuth", "sun_elevation")})
+    gdf["acq_ts"] = g["acq_ts"].to_pandas().values
+    out, out_mask = reduce_fn(stack, mstack, gdf)
     opt = out_pixel_type or pt
     out = np.asarray(out).astype(np.dtype(opt), copy=False)
     out_bc = 1 if out.ndim == 2 else out.shape[0]
-    rec = {c: [first[c]] for c in ("scene_id", "extent", "cell_size", "srid",
-                                   "nodata", "acq_ts", "sun_azimuth", "sun_elevation")
-           if c in g.columns}
+    rec: dict = {}
+    for c in ("scene_id", "extent", "cell_size", "srid", "nodata", "acq_ts",
+              "sun_azimuth", "sun_elevation"):
+        if c in g.column_names:
+            rec[c] = g[c].slice(0, 1)
     rec.update({
-        "tile_id": [f"c_{int(first['tx']):04d}_{int(first['ty']):04d}"],
-        "tx": [int(first["tx"])], "ty": [int(first["ty"])],
-        "width": [w], "height": [h],
-        "band_count": [out_bc], "pixel_type": [opt],
-        "pixels": [tilecodec.encode(out)],
-        "mask": [tilecodec.encode(np.asarray(out_mask, dtype=np.uint8))],
-        "n_scenes": [len(g)],
+        "tile_id": pa.array([f"c_{int(meta['tx']):04d}_{int(meta['ty']):04d}"]),
+        "tx": pa.array([int(meta["tx"])], pa.int32()),
+        "ty": pa.array([int(meta["ty"])], pa.int32()),
+        "width": pa.array([w], pa.int32()), "height": pa.array([h], pa.int32()),
+        "band_count": pa.array([out_bc], pa.int32()),
+        "pixel_type": pa.array([opt]),
+        "pixels": pa.array([tilecodec.encode(out)], pa.binary()),
+        "mask": pa.array([tilecodec.encode(np.asarray(out_mask, dtype=np.uint8))], pa.binary()),
+        "n_scenes": pa.array([g.num_rows], pa.int64()),
     })
-    return pd.DataFrame(rec)
+    return pa.table(rec)
 
 
 def stack_reduce(tiles: rd.Dataset, reduce_fn: StackReduce,
                  out_pixel_type: str | None = None) -> rd.Dataset:
-    """The grouped-reduce lowering (one shuffle keyed on the tile grid)."""
+    """The grouped-reduce lowering (one shuffle keyed on the tile grid).
+
+    Groups arrive as Arrow tables (zero-copy binary pixel columns — the
+    pandas path would copy every payload into Python objects)."""
     return tiles.groupby(["tx", "ty"]).map_groups(
         lambda g: _group_reduce(g, reduce_fn, out_pixel_type),
-        batch_format="pandas")
+        batch_format="pyarrow")
 
 
 # ---- canned reduces wrapping functions/stack.py kernels -------------------
