@@ -94,6 +94,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rf_classify_stats": rq.q_rf_classify_stats,
         "percent_above_threshold": rq.q_percent_above_threshold,
         "topographic_c": rq.q_topographic_c,
+        "convert_per_month": bandmath.q_convert_per_month,
+        # remaining §2 operators
+        "dnbr_stats": rq.q_dnbr_stats,
+        "landsat_qa_stats": rq.q_landsat_qa_stats,
+        "rank_filter_stats": rq.q_rank_filter_stats,
+        "block_statistics_stats": rq.q_block_statistics_stats,
+        "pixel_percentile_stats": rq.q_pixel_percentile_stats,
+        "find_second_max_stats": rq.q_find_second_max_stats,
+        "image_synthesis_stats": rq.q_image_synthesis_stats,
+        "latitude_corner": rq.q_latitude_corner,
+        "mask_replace_chain": rq.q_mask_replace_chain,
+        "vineyard_chain": rq.q_vineyard_chain,
+        "cti_stats": rq.q_cti_stats,
+        "inpaint_stats": rq.q_inpaint_stats,
+        "seasonal_forecast_stats": rq.q_seasonal_forecast_stats,
+        "doc_media_join": rq.q_doc_media_join,
+        "span_kinds": rq.q_span_kinds,
+        "merge_extract_stats": rq.q_merge_extract_stats,
+        "select_by_pixel_size": rq.q_select_by_pixel_size,
+        "random_source": rq.q_random_source,
+        "hexagon_stats": rq.q_hexagon_stats,
     }
 
 
@@ -128,6 +149,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": ann.Q_ANN_TOPK_SQL,
         "tile_cells": rq.tile_cells_oracle_sql(0.01),
         "windchill": bandmath.Q_WINDCHILL_SQL,
+        "convert_per_month": bandmath.Q_CONVERT_PER_MONTH_SQL,
+        "latitude_corner": rq.latitude_oracle_sql(0.01),
+        "doc_media_join": rq.doc_media_join_oracle_sql(0.01),
+        "span_kinds": rq.span_kinds_oracle_sql(0.01),
         "fuzzy_linear": bandmath.Q_FUZZY_LINEAR_SQL,
         "arithmetic_cols": bandmath.Q_ARITHMETIC_COLS_SQL,
         # minhash_dedup / simhash / lsh_bucket_sizes / pixel-stat raster

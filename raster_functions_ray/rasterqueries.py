@@ -429,3 +429,482 @@ def q_topographic_c(sf_dir: str) -> pd.DataFrame:
     intercept = agg["sy"] / agg["n"] - slope * agg["sx"] / agg["n"]
     agg["c_factor"] = np.round(intercept / slope, 6)
     return agg[["scene_id", "c_factor"]].sort_values("scene_id").reset_index(drop=True)
+
+
+# --------------------------------------------- remaining §2 operators ----
+
+def q_dnbr_stats(sf_dir: str) -> pd.DataFrame:
+    """Differenced NBR (functions/deprecated/DifferencedNormalizedBurnRatio.py:99-117):
+    before/after = the two redir epochs of each footprint, grouped + time-ordered."""
+    d = synth.synth_dir_for(sf_dir)
+    tiles = read_tiles(d, bands=2)
+
+    def dnbr_reduce(stack, masks, g):
+        # stack (2 epochs, 2 bands, h, w), epoch order = acq_ts order
+        out = pw.nbr_difference(stack[0, 0], stack[0, 1], stack[1, 0], stack[1, 1])
+        return out, np.all(masks, axis=0).astype(np.uint8)
+
+    out = composite.stack_reduce(tiles, dnbr_reduce, out_pixel_type="f4")
+    return _stats_df(out)
+
+
+def q_landsat_qa_stats(sf_dir: str) -> pd.DataFrame:
+    """LandsatC2QA bit decode (functions/LandsatC2QA.py:109-127), vectorized:
+    count of cloud|shadow-flagged pixels per Landsat tile."""
+    d = synth.synth_dir_for(sf_dir)
+    tiles = read_tiles(d, bands=7)
+
+    def kernel_batch(b: pa.Table) -> pd.DataFrame:
+        from . import tilecodec
+        recs = []
+        tid = b["tile_id"].to_pylist()
+        for i, pix, msk in tilecodec.iter_tiles(b):
+            flags = pw.landsat_c2_qa(pix[6], cloud=True, shadow=True)
+            recs.append((tid[i], int(flags.sum()), int(flags.size)))
+        return pd.DataFrame(recs, columns=["tile_id", "n_flagged", "n_px"])
+
+    return (tiles.map_batches(kernel_batch, batch_format="pyarrow", batch_size=32)
+            .to_pandas().sort_values("tile_id").reset_index(drop=True))
+
+
+def q_rank_filter_stats(sf_dir: str) -> pd.DataFrame:
+    """RankFilter median 3×3 (functions/RankFilter.py:101-111) over
+    halo-padded DEM tiles."""
+    from .functions import focal as fc
+
+    d = synth.synth_dir_for(sf_dir)
+    tiles = read_tiles(d, bands=1)
+    padded = halo.with_halo(tiles, padding=1)
+
+    def kernel(p, m, meta):
+        dem = p if p.ndim == 2 else p[0]
+        return fc.rank_filter(dem, 3, "median"), fc.erode_mask_3x3(m)
+
+    out = tile_map.apply_kernel(padded, kernel, out_pixel_type="f4")
+    return _stats_df(out)
+
+
+def q_block_statistics_stats(sf_dir: str) -> pd.DataFrame:
+    """BlockStatistics mean size=4 (functions/BlockStatistics.py:93-110):
+    the downsample/pyramid primitive — output tiles are 1/4 size with 4×
+    cell size."""
+    from .functions import focal as fc
+
+    d = synth.synth_dir_for(sf_dir)
+    tiles = read_tiles(d, bands=1)
+
+    def kernel(p, m, meta):
+        dem = p if p.ndim == 2 else p[0]
+        out = fc.block_statistics(dem, m, 4, "mean")
+        return out, (m.reshape(out.shape[0], 4, out.shape[1], 4).max(axis=(1, 3)))
+
+    out = tile_map.apply_kernel(tiles, kernel, out_pixel_type="f4")
+    df = _stats_df(out)
+    return df
+
+
+def q_pixel_percentile_stats(sf_dir: str) -> pd.DataFrame:
+    """LandsatPixelPercentile (functions/LandsatPixelPercentile.py:134-196):
+    25th percentile of clear observations per pixel."""
+    d = synth.synth_dir_for(sf_dir)
+    tiles = read_tiles(d, bands=7)
+    out = composite.stack_reduce(tiles, composite.percentile_reduce(qa_band=6, pct=25.0),
+                                 out_pixel_type="f4")
+    df = tile_map.tile_stats(out).to_pandas()
+    for c in ("mean", "min", "max"):
+        df[c] = df[c].astype(float).round(4)
+    return df.sort_values("tile_id").reset_index(drop=True)
+
+
+def q_find_second_max_stats(sf_dir: str) -> pd.DataFrame:
+    """FindSecondMax (functions/FindSecondMax.py:60-87) across the landsat
+    epochs, inputs pre-scaled into the reference's 0–100 classified domain."""
+    d = synth.synth_dir_for(sf_dir)
+    tiles = read_tiles(d, bands=7)
+
+    def scale_0_100(p, m, meta):
+        return (p[0].astype(np.float64) / 65535.0 * 100.0), m
+
+    scaled = tile_map.apply_kernel(tiles, scale_0_100, out_pixel_type="f8")
+
+    from .functions import stack as st
+
+    def reduce_fn(stack, masks, g):
+        out = st.find_kth_max(stack, k=2, invalid_above=100.0)
+        return out, np.ones(out.shape, np.uint8)
+
+    out = composite.stack_reduce(scaled, reduce_fn, out_pixel_type="f8")
+    return _stats_df(out)
+
+
+def q_image_synthesis_stats(sf_dir: str) -> pd.DataFrame:
+    """Landsat_Image_Synthesis (functions/Landsat_Image_Synthesis.py:95-160):
+    clear-pixel mean of a month-window of epochs."""
+    import pyarrow.compute as pc
+
+    d = synth.synth_dir_for(sf_dir)
+    tiles = read_tiles(d, bands=7)
+    lo = pa.scalar(pd.Timestamp("1985-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1985-04-01"), pa.timestamp("us"))
+    tiles = tiles.map_batches(
+        lambda b: b.filter(pc.and_(pc.greater_equal(b["acq_ts"], lo), pc.less(b["acq_ts"], hi))),
+        batch_format="pyarrow", batch_size=64, zero_copy_batch=True)
+    out = composite.stack_reduce(tiles, composite.synthesis_reduce(qa_band=6),
+                                 out_pixel_type="f4")
+    df = tile_map.tile_stats(out).to_pandas()
+    for c in ("mean", "min", "max"):
+        df[c] = df[c].astype(float).round(4)
+    return df.sort_values("tile_id").reset_index(drop=True)
+
+
+def q_latitude_corner(sf_dir: str) -> pd.DataFrame:
+    """Latitude op (functions/Latitude.py:45-83): per-tile latitude of the
+    bottom output row — closed-form in the extent, hence SQL-exact."""
+    d = synth.synth_dir_for(sf_dir)
+    tiles = read_tiles(d, bands=1)
+
+    def kernel_batch(b: pa.Table) -> pd.DataFrame:
+        from . import tilecodec
+        recs = []
+        tid = b["tile_id"].to_pylist()
+        exts = b["extent"].to_pylist()
+        cs = b["cell_size"].to_pylist()
+        hs = b["height"].to_pylist()
+        ws = b["width"].to_pylist()
+        for i in range(b.num_rows):
+            block = pw.latitude_block(exts[i], cs[i], (int(hs[i]), int(ws[i])))
+            recs.append((tid[i], float(block[-1, 0])))
+        return pd.DataFrame(recs, columns=["tile_id", "last_row_lat"])
+
+    return (tiles.map_batches(kernel_batch, batch_format="pyarrow", batch_size=64)
+            .to_pandas())
+
+
+def latitude_oracle_sql(sf: float = 0.01) -> str:
+    d = synth.synth_dir(sf)
+    return f"""
+SELECT tile_id, extent[4] - cell_size[2] * (height - 1) AS last_row_lat
+FROM read_parquet('{d}/tiles.parquet') WHERE band_count = 1
+"""
+
+
+def q_mask_replace_chain(sf_dir: str) -> pd.DataFrame:
+    """MaskRaster + ReplaceNulls chain (functions/MaskRaster.py:34-40,
+    functions/ReplaceNulls.py:47-57) fused into one stage."""
+    from .pipelines.chain import Op, build_chain
+
+    d = synth.synth_dir_for(sf_dir)
+    tiles = read_tiles(d, bands=2)
+
+    def mask_op(p, m, meta):
+        out, om = pw.mask_raster(p[0], p[1], m)
+        return out, om
+
+    def replace_op(p, m, meta):
+        out, om = pw.replace_nulls(p, -9999.0)
+        return out, om
+
+    out = build_chain(tiles, [Op("mask", mask_op, out_pixel_type="f4"),
+                              Op("replace", replace_op, out_pixel_type="f4")])
+    return _stats_df(out)
+
+
+def q_vineyard_chain(sf_dir: str) -> pd.DataFrame:
+    """VineyardAnalysis diamond DAG (functions/VineyardAnalysis.rft.xml:27-115):
+    ONE DEM feeds slope% and aspect branches plus the elevation input —
+    evaluated fused per padded tile, like the reference's per-block pull."""
+    from .functions import focal as fc
+
+    d = synth.synth_dir_for(sf_dir)
+    tiles = read_tiles(d, bands=1)
+    padded = halo.with_halo(tiles, padding=1)
+
+    def kernel(p, m, meta):
+        dem = p if p.ndim == 2 else p[0]
+        cs = meta["cell_size"]
+        dxc = fc.convolve3x3(dem, fc.ASPECT_X) / 8.0
+        dyc = fc.convolve3x3(dem, fc.ASPECT_Y) / 8.0
+        slope_pct = np.sqrt((dxc / cs[0]) ** 2 + (dyc / cs[1]) ** 2) * 100.0
+        aspect = (57.29578 * np.arctan2(dxc, -dyc)) % 360.0
+        out = pw.vineyard_analysis(dem[1:-1, 1:-1], slope_pct[1:-1, 1:-1],
+                                   aspect[1:-1, 1:-1])
+        return out, fc.erode_mask_3x3(m)
+
+    out = tile_map.apply_kernel(padded, kernel, out_pixel_type="u1")
+    return _stats_df(out)
+
+
+def d8_flow_accumulation(dem: np.ndarray, max_iters: int | None = None) -> np.ndarray:
+    """Per-tile D8 flow accumulation (pure numpy, no scipy): steepest-descent
+    direction per pixel, then iterative upstream-count propagation to a fixed
+    point.  Per-tile semantics like the reference's in-block hydrology
+    (functions/CompoundTopographicIndex_64bitScipy.py:80-149 — which solves
+    the same linear system with spsolve)."""
+    h, w = dem.shape
+    offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    pad = np.pad(dem, 1, mode="edge")
+    drops = np.full((8, h, w), -np.inf)
+    for k, (dy, dx) in enumerate(offs):
+        nb = pad[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+        dist = np.sqrt(dy * dy + dx * dx)
+        drops[k] = (dem - nb) / dist
+    best = np.argmax(drops, axis=0)
+    has_down = np.max(drops, axis=0) > 0
+    acc = np.ones((h, w))
+    it = 0
+    limit = max_iters or (h + w)
+    while it < limit:
+        new = np.ones((h, w))
+        accp = np.pad(acc, 1, mode="constant")
+        for k, (dy, dx) in enumerate(offs):
+            # neighbor at (-dy,-dx) flows INTO me if its best==k and has_down
+            src_best = np.pad(best, 1, mode="constant", constant_values=-1)[1 - dy:1 - dy + h, 1 - dx:1 - dx + w]
+            src_down = np.pad(has_down, 1, mode="constant")[1 - dy:1 - dy + h, 1 - dx:1 - dx + w]
+            src_acc = accp[1 - dy:1 - dy + h, 1 - dx:1 - dx + w]
+            new += np.where((src_best == k) & src_down, src_acc, 0.0)
+        if np.array_equal(new, acc):
+            break
+        acc = new
+        it += 1
+    return acc
+
+
+def q_cti_stats(sf_dir: str) -> pd.DataFrame:
+    """Compound Topographic Index from in-tile D8 flow accumulation + slope
+    (functions/CompoundTopographicIndex.py:52-86 + the 64bitScipy hydrology),
+    heavy kernel → actor pool."""
+    from .functions import focal as fc
+
+    d = synth.synth_dir_for(sf_dir)
+    tiles = read_tiles(d, bands=1)
+    padded = halo.with_halo(tiles, padding=1)
+
+    def kernel(p, m, meta):
+        dem = (p if p.ndim == 2 else p[0]).astype(np.float64)
+        cs = float(meta["cell_size"][0])
+        dxc = fc.convolve3x3(dem, fc.ASPECT_X) / 8.0
+        dyc = fc.convolve3x3(dem, fc.ASPECT_Y) / 8.0
+        slope_deg = np.degrees(np.arctan(np.sqrt(dxc**2 + dyc**2) / cs))[1:-1, 1:-1]
+        core = dem[1:-1, 1:-1]
+        acc = d8_flow_accumulation(core, max_iters=64)
+        cti = pw.compound_topographic_index(slope_deg, acc, cs)
+        return cti, fc.erode_mask_3x3(m)
+
+    out = tile_map.apply_kernel(padded, kernel, out_pixel_type="f4", batch_size=8)
+    return _stats_df(out)
+
+
+def q_inpaint_stats(sf_dir: str) -> pd.DataFrame:
+    """Whole-image op (ProcessFullImage, functions/
+    StepwiseLocalRadiometricAdjustment.py:50-149): per-SCENE groupby
+    assembles the full image, iterative mask-dilation inpainting fills NoData
+    holes from the local neighborhood mean (pure-numpy re-expression of the
+    OpenCV/numba original; cv2/numba absent in this environment)."""
+    d = synth.synth_dir_for(sf_dir)
+    tiles = read_tiles(d, bands=1)
+
+    def inpaint_scene(g: pa.Table) -> pd.DataFrame:
+        from . import tilecodec
+        g2 = g.sort_by([("ty", "ascending"), ("tx", "ascending")])
+        txs = np.asarray(g2["tx"]); tys = np.asarray(g2["ty"])
+        tp = int(g2["width"][0].as_py())
+        gx0, gy0 = txs.min(), tys.min()
+        nx = txs.max() - gx0 + 1; ny = tys.max() - gy0 + 1
+        scene = np.zeros((ny * tp, nx * tp))
+        valid = np.zeros((ny * tp, nx * tp), dtype=bool)
+        for i in range(g2.num_rows):
+            pix = tilecodec.decode(g2["pixels"][i].as_buffer(), g2["pixel_type"][i].as_py(),
+                                   1, tp, tp)
+            msk = tilecodec.decode_mask(g2["mask"][i].as_buffer(), tp, tp)
+            y0, x0 = (tys[i] - gy0) * tp, (txs[i] - gx0) * tp
+            scene[y0:y0 + tp, x0:x0 + tp] = pix
+            valid[y0:y0 + tp, x0:x0 + tp] = msk.astype(bool)
+        # iterative boundary fill: each round, fill invalid pixels that have
+        # >=1 valid 3x3 neighbor with the local valid mean
+        filled = scene.copy()
+        v = valid.copy()
+        for _ in range(16):
+            if v.all():
+                break
+            pv = np.pad(v, 1); pf = np.pad(filled, 1)
+            nsum = np.zeros_like(filled); ncnt = np.zeros_like(filled)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dy == dx == 0:
+                        continue
+                    nv = pv[1 + dy:1 + dy + v.shape[0], 1 + dx:1 + dx + v.shape[1]]
+                    nf = pf[1 + dy:1 + dy + v.shape[0], 1 + dx:1 + dx + v.shape[1]]
+                    nsum += np.where(nv, nf, 0.0); ncnt += nv
+            fill_now = (~v) & (ncnt > 0)
+            filled[fill_now] = nsum[fill_now] / ncnt[fill_now]
+            v = v | fill_now
+        sid = int(g["scene_id"][0].as_py())
+        return pd.DataFrame({"scene_id": [sid],
+                             "filled_px": [int((~valid).sum())],
+                             "mean_after": [round(float(filled.mean()), 4)]})
+
+    out = tiles.groupby("scene_id").map_groups(inpaint_scene, batch_format="pyarrow")
+    return out.to_pandas().sort_values("scene_id").reset_index(drop=True)
+
+
+def q_seasonal_forecast_stats(sf_dir: str) -> pd.DataFrame:
+    """SeasonalARIMA shape (functions/SeasonalARIMA.py:148-223): per-pixel
+    time series ordered by acq_ts → seasonal-naive forecast (statsmodels
+    absent — see functions/stack.py seasonal_naive_forecast); pixels
+    subsampled 8× (the reference itself is per-pixel-model-cost bound)."""
+    from .functions import stack as st
+
+    d = synth.synth_dir_for(sf_dir)
+    tiles = read_tiles(d, bands=7)
+
+    def reduce_fn(stack, masks, g):
+        series = stack[:, 0, ::8, ::8].astype(np.float64)  # (epochs, h/8, w/8)
+        h, w = series.shape[1:]
+        out = np.zeros((h, w))
+        for yy in range(h):
+            for xx in range(w):
+                out[yy, xx] = st.seasonal_naive_forecast(series[:, yy, xx], season=3, horizon=1)[0]
+        full = np.repeat(np.repeat(out, 8, axis=0), 8, axis=1)
+        return full, np.ones(full.shape, np.uint8)
+
+    out = composite.stack_reduce(tiles, reduce_fn, out_pixel_type="f4")
+    df = tile_map.tile_stats(out).to_pandas()
+    for c in ("mean", "min", "max"):
+        df[c] = df[c].astype(float).round(4)
+    return df.sort_values("tile_id").reset_index(drop=True)
+
+
+def q_doc_media_join(sf_dir: str) -> pd.DataFrame:
+    """Hash-partitioned LARGE-side join (Dataset.join): exploded media spans
+    ⨝ tile metadata on tile_id → per-scene reference counts.  SQL oracle
+    unnests the same spans in DuckDB — exact join-row gate."""
+    from ray.data.aggregate import Count
+    from .sources import read_documents
+    from .stages import spans as sp
+
+    d = synth.synth_dir_for(sf_dir)
+    media = sp.media_refs(sp.explode_spans(read_documents(d)))
+    tiles = read_tiles(d, columns=["tile_id", "scene_id"])
+    joined = media.join(tiles, join_type="inner", num_partitions=16,
+                        on=("media_ref",), right_on=("tile_id",))
+    out = (joined.groupby("scene_id").aggregate(Count(alias_name="n_refs"))
+           .to_pandas())
+    out["scene_id"] = out["scene_id"].astype("int64")
+    out["n_refs"] = out["n_refs"].astype("int64")
+    return out.sort_values("scene_id").reset_index(drop=True)
+
+
+def doc_media_join_oracle_sql(sf: float = 0.01) -> str:
+    d = synth.synth_dir(sf)
+    return f"""
+WITH s AS (SELECT UNNEST(spans) AS sp FROM read_parquet('{d}/documents.parquet')),
+m AS (SELECT sp.media_ref AS media_ref FROM s WHERE sp.kind = 'media')
+SELECT CAST(t.scene_id AS BIGINT) AS scene_id, COUNT(*) AS n_refs
+FROM m JOIN read_parquet('{d}/tiles.parquet') t ON m.media_ref = t.tile_id
+GROUP BY t.scene_id
+"""
+
+
+def q_span_kinds(sf_dir: str) -> pd.DataFrame:
+    """Span explode invariant in aggregate form: span counts by kind +
+    offset-ordering checksum (SQL oracle unnests the same list column)."""
+    from ray.data.aggregate import Count, Sum
+    from .sources import read_documents
+    from .stages import spans as sp
+
+    d = synth.synth_dir_for(sf_dir)
+    exploded = sp.explode_spans(read_documents(d))
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return df.groupby("kind", sort=False).agg(
+            n=("offset", "size"), sum_offset=("offset", "sum")).reset_index()
+
+    out = (exploded.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby("kind")
+           .aggregate(Sum("n", alias_name="n"), Sum("sum_offset", alias_name="sum_offset"))
+           .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    out["sum_offset"] = out["sum_offset"].astype("int64")
+    return out.sort_values("kind").reset_index(drop=True)
+
+
+def span_kinds_oracle_sql(sf: float = 0.01) -> str:
+    d = synth.synth_dir(sf)
+    return f"""
+WITH s AS (SELECT UNNEST(spans) AS sp FROM read_parquet('{d}/documents.parquet'))
+SELECT sp.kind AS kind, COUNT(*) AS n,
+       CAST(SUM(sp.offset) AS BIGINT) AS sum_offset
+FROM s GROUP BY sp.kind
+"""
+
+
+def q_merge_extract_stats(sf_dir: str) -> pd.DataFrame:
+    """MergeRasters (union of two scene datasets) + ExtractBand (band 1 of
+    the 2-band tiles) — functions/deprecated/MergeRasters.rft.xml /
+    ExtractBandFunction."""
+    d = synth.synth_dir_for(sf_dir)
+    a = read_tiles(d, scene_id=0)
+    b = read_tiles(d, bands=2)
+
+    def extract_band(p, m, meta):
+        return (p if p.ndim == 2 else p[0]), m
+
+    merged = a.union(tile_map.apply_kernel(b, extract_band, out_pixel_type=None))
+    return _stats_df(merged)
+
+
+def q_select_by_pixel_size(sf_dir: str) -> pd.DataFrame:
+    """SelectByPixelSize (functions/SelectByPixelSize.py:65-95): route each
+    footprint to the native or BlockStatistics-downsampled raster by cell
+    size vs threshold; here threshold picks native (30m <= 60) — the other
+    branch is pruned at plan time (selectRasters semantics)."""
+    from .functions import focal as fc
+
+    d = synth.synth_dir_for(sf_dir)
+    threshold = 60.0
+    native = read_tiles(d, bands=1)
+    choice = pw.select_by_pixel_size(30.0, threshold)
+    if choice == 0:
+        out = native  # plan-time pruning: the downsampled input is never read
+    else:
+        def down(p, m, meta):
+            dem = p if p.ndim == 2 else p[0]
+            return fc.block_statistics(dem, m, 2, "mean"), m[::2, ::2]
+        out = tile_map.apply_kernel(native, down, out_pixel_type="f4")
+    return _stats_df(out)
+
+
+def q_random_source(sf_dir: str) -> pd.DataFrame:
+    """Random synthetic raster source (functions/deprecated/Random.py:23-51):
+    ray.data.range → seeded per-tile RNG tiles, deterministic."""
+    import ray.data as rdm
+
+    n = 64
+    ds = rdm.range(n)
+
+    def gen(b: pa.Table) -> pd.DataFrame:
+        ids = np.asarray(b["id"], dtype=np.int64)
+        recs = []
+        for i in ids:
+            rng = np.random.default_rng(42 + int(i))
+            tile = rng.integers(0, 200, (3, 16, 16)).astype(np.uint8)
+            recs.append((int(i), round(float(tile.mean()), 6)))
+        return pd.DataFrame(recs, columns=["tile_idx", "mean_val"])
+
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=16).to_pandas()
+
+
+def q_hexagon_stats(sf_dir: str) -> pd.DataFrame:
+    """HexagonPixels aesthetic render (functions/HexagonPixels.py:39-83)."""
+    from .functions import focal as fc
+
+    d = synth.synth_dir_for(sf_dir)
+    tiles = read_tiles(d, bands=1)
+
+    def kernel(p, m, meta):
+        dem = (p if p.ndim == 2 else p[0]).astype(np.float64)
+        return fc.hexagon_pixels(dem, 8), m
+
+    out = tile_map.apply_kernel(tiles, kernel, out_pixel_type="f4")
+    return _stats_df(out)

@@ -46,6 +46,7 @@ def run_kernel_on_batch(batch: pa.Table, kernel: Kernel, out_pixel_type: str | N
     w_l = batch["width"].to_pylist()
     pix_col, msk_col = batch["pixels"], batch["mask"]
     out_pixels, out_masks, out_bc, out_pt = [], [], [], []
+    out_h, out_w = [], []
     for i in range(batch.num_rows):
         p2 = 2 * int(pads[i]) if pads else 0
         h, w = int(h_l[i]) + p2, int(w_l[i]) + p2
@@ -65,11 +66,17 @@ def run_kernel_on_batch(batch: pa.Table, kernel: Kernel, out_pixel_type: str | N
             dtype=np.uint8)))
         out_bc.append(bc)
         out_pt.append(pt)
+        out_h.append(res_pix.shape[-2])
+        out_w.append(res_pix.shape[-1])
     cols = {}
     for c in batch.column_names:
         if c in ("pixels", "mask", "padding"):
             continue  # padding is consumed: outputs are core-sized
         cols[c] = batch[c]
+    # kernels may change the grid (BlockStatistics downsample) — record
+    # the actual output dims
+    cols["height"] = pa.array(out_h, pa.int32())
+    cols["width"] = pa.array(out_w, pa.int32())
     cols["band_count"] = pa.array(out_bc, pa.int32())
     cols["pixel_type"] = pa.array(out_pt, pa.string())
     cols["pixels"] = pa.array(out_pixels, pa.binary())
