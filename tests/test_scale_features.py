@@ -1,0 +1,69 @@
+"""Skew salting + resumable partitioned pipeline tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def skewed_ds():
+    # key "hot" has 1000 rows, 10 cold keys have 10 each
+    keys = ["hot"] * 1000 + [f"k{i}" for i in range(10) for _ in range(10)]
+    vals = np.arange(len(keys), dtype=np.float64)
+    return rd.from_arrow(pa.table({"key": keys, "v": vals})), keys, vals
+
+
+class TestSalting:
+    def test_detect_hot(self):
+        from raster_functions_ray.stages.salt import detect_hot_keys
+        ds, _, _ = skewed_ds()
+        assert detect_hot_keys(ds, "key") == {"hot"}
+
+    def test_salted_sum_equals_plain(self):
+        from raster_functions_ray.stages.salt import salted_aggregate
+        ds, keys, vals = skewed_ds()
+        out = salted_aggregate(ds, "key", "v", "sum").set_index("key")["sum_v"]
+        exp = pd.DataFrame({"key": keys, "v": vals}).groupby("key")["v"].sum()
+        pd.testing.assert_series_equal(out.sort_index(), exp.sort_index(),
+                                       check_names=False)
+
+    def test_salted_count_min_max(self):
+        from raster_functions_ray.stages.salt import salted_aggregate
+        ds, keys, vals = skewed_ds()
+        df = pd.DataFrame({"key": keys, "v": vals})
+        n = salted_aggregate(ds, "key", "v", "count").set_index("key")["n"]
+        assert n["hot"] == 1000 and n["k3"] == 10
+        mn = salted_aggregate(ds, "key", "v", "min").set_index("key")["min_v"]
+        assert mn["hot"] == df[df.key == "hot"]["v"].min()
+
+    def test_holistic_rejected(self):
+        from raster_functions_ray.stages.salt import salted_aggregate
+        ds, _, _ = skewed_ds()
+        with pytest.raises(ValueError):
+            salted_aggregate(ds, "key", "v", "median")
+
+    def test_salt_splits_hot_group(self):
+        from raster_functions_ray.stages.salt import add_salt, detect_hot_keys
+        ds, _, _ = skewed_ds()
+        hot = detect_hot_keys(ds, "key")
+        salted = add_salt(ds, "key", hot, k=8).to_pandas()
+        assert salted.loc[salted.key == "hot", "_salt"].nunique() > 1
+        assert (salted.loc[salted.key != "hot", "_salt"] == 0).all()
+
+
+class TestPartitionedResume:
+    def test_resume_skips_finished(self, tmp_path, synth_sf001):
+        from raster_functions_ray.pipelines import partitioned
+        r1 = partitioned.run("/root/testdata/sf0.001", str(tmp_path / "ck"), scene_ids=[0])
+        assert r1["computed"] == [0] and r1["skipped"] == []
+        r2 = partitioned.run("/root/testdata/sf0.001", str(tmp_path / "ck"), scene_ids=[0, 9])
+        assert r2["skipped"] == [0] and r2["computed"] == [9]
+        # outputs readable and row counts recorded
+        from raster_functions_ray.state.checkpoint import CheckpointStore
+        store = CheckpointStore(str(tmp_path / "ck"))
+        t = store.read_partition("hillshade", "scene=0")
+        assert t.num_rows == 16  # 4×4 tiles per scene at sf0.001
+        ln = store.lineage()
+        assert set(ln["partition_key"]) == {"scene=0", "scene=9"}
+        assert (ln["rows"] == 16).all()
