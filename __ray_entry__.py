@@ -115,6 +115,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "select_by_pixel_size": rq.q_select_by_pixel_size,
         "random_source": rq.q_random_source,
         "hexagon_stats": rq.q_hexagon_stats,
+        # ordered-window / as-of operators + metadata ops
+        "sessionize": rel.q_sessionize,
+        "running_totals": rel.q_running_totals,
+        "asof_join": rel.q_asof_join,
+        "tile_catalog": rq.q_tile_catalog,
+        "key_metadata": rq.q_key_metadata,
     }
 
 
@@ -153,6 +159,11 @@ def oracle_sql() -> dict[str, str]:
         "latitude_corner": rq.latitude_oracle_sql(0.01),
         "doc_media_join": rq.doc_media_join_oracle_sql(0.01),
         "span_kinds": rq.span_kinds_oracle_sql(0.01),
+        "sessionize": rel.Q_SESSIONIZE_SQL,
+        "running_totals": rel.Q_RUNNING_TOTALS_SQL,
+        "asof_join": rel.Q_ASOF_JOIN_SQL,
+        "tile_catalog": rq.tile_catalog_oracle_sql(0.01),
+        "key_metadata": rq.key_metadata_oracle_sql(0.01),
         "fuzzy_linear": bandmath.Q_FUZZY_LINEAR_SQL,
         "arithmetic_cols": bandmath.Q_ARITHMETIC_COLS_SQL,
         # minhash_dedup / simhash / lsh_bucket_sizes / pixel-stat raster

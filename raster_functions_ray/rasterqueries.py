@@ -908,3 +908,57 @@ def q_hexagon_stats(sf_dir: str) -> pd.DataFrame:
 
     out = tile_map.apply_kernel(tiles, kernel, out_pixel_type="f4")
     return _stats_df(out)
+
+
+def q_tile_catalog(sf_dir: str) -> pd.DataFrame:
+    """Tile-catalog manifest (scripts/ExtractRasterInfo.py:1-10 analog):
+    metadata-only projection of the tile table — SQL-exact."""
+    d = synth.synth_dir_for(sf_dir)
+    tiles = read_tiles(d, columns=["tile_id", "scene_id", "width", "height",
+                                   "band_count", "pixel_type", "srid"])
+    out = tiles.to_pandas()
+    for c in ("scene_id", "width", "height", "band_count", "srid"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def tile_catalog_oracle_sql(sf: float = 0.01) -> str:
+    d = synth.synth_dir(sf)
+    return f"""
+SELECT tile_id, CAST(scene_id AS BIGINT) AS scene_id,
+       CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+       CAST(band_count AS BIGINT) AS band_count, pixel_type,
+       CAST(srid AS BIGINT) AS srid
+FROM read_parquet('{d}/tiles.parquet')
+"""
+
+
+def q_key_metadata(sf_dir: str) -> pd.DataFrame:
+    """KeyMetadata op (functions/deprecated/KeyMetadata.py:63-108):
+    metadata-only transform — injects/overrides dataset- and band-level
+    properties WITHOUT touching pixels (the read never loads the pixel
+    column).  Emits the resulting property bag per tile."""
+    d = synth.synth_dir_for(sf_dir)
+    tiles = read_tiles(d, columns=["tile_id", "band_count", "pixel_type", "acq_ts"])
+
+    def inject(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        # dataset-level: datatype=Processed; band 0: bandname per band count
+        df["datatype"] = "Processed"
+        df["bandname"] = np.where(df["band_count"] == 1, "DEM",
+                                  np.where(df["band_count"] == 2, "RedIR", "Landsat"))
+        df["acq_year"] = df["acq_ts"].dt.year.astype("int64")
+        return df[["tile_id", "datatype", "bandname", "acq_year"]]
+
+    return tiles.map_batches(inject, batch_format="pyarrow", batch_size=1024).to_pandas()
+
+
+def key_metadata_oracle_sql(sf: float = 0.01) -> str:
+    d = synth.synth_dir(sf)
+    return f"""
+SELECT tile_id, 'Processed' AS datatype,
+       CASE WHEN band_count = 1 THEN 'DEM'
+            WHEN band_count = 2 THEN 'RedIR' ELSE 'Landsat' END AS bandname,
+       CAST(date_part('year', acq_ts) AS BIGINT) AS acq_year
+FROM read_parquet('{d}/tiles.parquet')
+"""

@@ -279,3 +279,115 @@ SELECT p_brand, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 """
+
+
+def q_sessionize(sf_dir: str) -> pd.DataFrame:
+    """Gap-based sessionization of the events stream (streaming-window
+    shape, SURVEY.md §2.7 'no watermarks' note): per user, a new session
+    starts after a >30-minute gap; windows computed per ordered group
+    (groupby(user).map_groups over ts-sorted rows)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        g["session_id"] = gap.cumsum().astype("int64")
+        return g[["event_id", "user_id", "session_id"]]
+
+    out = (ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+           .to_pandas())
+    out["user_id"] = out["user_id"].astype("int64")
+    return out
+
+
+Q_SESSIONIZE_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CASE WHEN prev_ts IS NOT NULL AND ts - prev_ts > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM (SELECT event_id, user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events)
+"""
+
+
+def q_running_totals(sf_dir: str) -> pd.DataFrame:
+    """Running (cumulative) per-user aggregates over the ordered stream —
+    the ordered-window operator; sequential left-to-right accumulation in
+    BOTH engines keeps the doubles bit-identical."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        g["rn"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["cum_value"] = np.floor(g["value"].cumsum().to_numpy() * 10000.0 + 0.5) / 10000.0
+        return g[["event_id", "user_id", "rn", "cum_value"]]
+
+    out = (ds.groupby("user_id").map_groups(running, batch_format="pandas")
+           .to_pandas())
+    out["user_id"] = out["user_id"].astype("int64")
+    return out
+
+
+Q_RUNNING_TOTALS_SQL = """
+SELECT event_id, user_id,
+       ROW_NUMBER() OVER w AS rn,
+       floor(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) * 10000.0 + 0.5) / 10000.0 AS cum_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_asof_join(sf_dir: str) -> pd.DataFrame:
+    """As-of join (SURVEY.md §2.7 custom-operator family): each event joins
+    the latest order of the same customer with o_orderdate <= ts.
+
+    Lowering: orders (small side) broadcast as per-user ts-sorted arrays;
+    events resolved per batch with np.searchsorted — no shuffle.  At equal
+    sizes the same kernel runs inside per-user-bucket map_groups.
+    """
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"]).to_pandas()
+    orders = orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    per_user: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for ck, g in orders.groupby("o_custkey"):
+        # dedupe equal dates keeping the LAST orderkey (max key per date is
+        # what 'latest order' resolves to under (date, key) ordering)
+        per_user[int(ck)] = (g["o_orderdate"].to_numpy("datetime64[us]").astype("int64"),
+                             g["o_orderkey"].to_numpy(np.int64))
+    pu_ref = ray.put(per_user)
+
+    events = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def resolve(b: pa.Table) -> pd.DataFrame:
+        pu = ray.get(pu_ref)
+        df = b.to_pandas()
+        ts = df["ts"].to_numpy("datetime64[us]").astype("int64")
+        out_key = np.full(len(df), -1, dtype=np.int64)
+        for uid, idxs in df.groupby("user_id").indices.items():
+            ent = pu.get(int(uid))
+            if ent is None:
+                continue
+            dates, keys = ent
+            pos = np.searchsorted(dates, ts[idxs], side="right") - 1
+            ok = pos >= 0
+            out_key[idxs[ok]] = keys[pos[ok]]
+        res = pd.DataFrame({"event_id": df["event_id"], "user_id": df["user_id"],
+                            "o_orderkey": out_key})
+        return res[res["o_orderkey"] >= 0]
+
+    out = events.map_batches(resolve, batch_format="pyarrow", batch_size=65536).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    return out
+
+
+Q_ASOF_JOIN_SQL = """
+SELECT e.event_id, e.user_id, o.o_orderkey
+FROM events e
+JOIN orders o
+  ON o.o_custkey = e.user_id
+ AND o.o_orderdate <= e.ts
+QUALIFY ROW_NUMBER() OVER (PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1
+"""
