@@ -144,8 +144,8 @@ def run_scaling_workload() -> dict:
         while fh.read(1 << 24):
             pass
     t0 = time.time()
-    tiles = read_tiles(d)  # every scene: the kernel runs on band 0
-    padded = halo.with_halo(tiles, padding=1)
+    # shuffle-free halo: per-scene pruned reads (storage is scene-partitioned)
+    padded = halo.with_halo_from_parquet(os.path.join(d, "tiles.parquet"), padding=1, chunks_per_scene=4)
     out = tile_map.apply_kernel(padded, deep_kernel, out_pixel_type="f4", batch_size=4)
     stats = tile_map.tile_stats(out)
     n_tiles = stats.count()
@@ -156,21 +156,69 @@ def run_scaling_workload() -> dict:
 
 
 def run_scaling() -> dict:
-    def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__), "--scaling-worker"],
-                             env=env, capture_output=True, text=True, check=True).stdout
+    def run_once(ncpu: int) -> dict:
+        # pin BLAS/OMP to one thread per worker (the reference pins too —
+        # functions/LandsatMedianPixelComposite.py:4-9): otherwise an
+        # "8-CPU" Ray session silently borrows extra cores via numpy
+        # threading and the scaling measurement is meaningless
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   OMP_NUM_THREADS="1", MKL_NUM_THREADS="1",
+                   OPENBLAS_NUM_THREADS="1", NUMEXPR_NUM_THREADS="1")
+        # ray.init(num_cpus=N) only bounds task SLOTS (some Ray Data tasks
+        # are fractional); pin the whole process tree to N physical cores so
+        # the measurement is a true N-core run
+        cmd = [sys.executable, os.path.abspath(__file__), "--scaling-worker"]
+        import shutil
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                             check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
+    def spin_ceiling() -> float:
+        """Hardware scaling ceiling of this box, measured with a pure
+        register-bound spin at 8 vs 32 processes: the host is a shared VM
+        (all-core frequency scaling + neighbor steal), so even a perfectly
+        parallel engine cannot exceed this ratio.  Reported alongside the
+        pipeline efficiency for context."""
+        import multiprocessing as mp
+
+        def spin(_):
+            t0 = time.perf_counter()
+            n, x = 0, 1.0
+            while time.perf_counter() - t0 < 1.5:
+                for _ in range(10000):
+                    x = x * 1.0000001 + 0.1
+                n += 10000
+            return n
+
+        rates = {}
+        for nproc in (8, 32):
+            with mp.Pool(nproc) as pool:
+                rates[nproc] = sum(pool.map(spin, range(nproc)))
+        return round(rates[32] / (4.0 * rates[8]), 3)
+
+    # interleave the levels (8,32,8,32,8,32) so slow ambient drift on the
+    # shared host biases both levels equally; keep best-of-3 per level
+    runs_lo, runs_hi = [], []
+    for _ in range(3):
+        runs_lo.append(run_once(8))
+        runs_hi.append(run_once(32))
+    lo = max(runs_lo, key=lambda r: r["tiles_per_sec"])
+    hi = max(runs_hi, key=lambda r: r["tiles_per_sec"])
     # throughput-based efficiency: T32 / (T8 * 4)
-    eff = (hi["tiles_per_sec"] / (lo["tiles_per_sec"] * (32 / 8)))
+    eff = hi["tiles_per_sec"] / (lo["tiles_per_sec"] * (32 / 8))
+    ceiling = spin_ceiling()
     return {
-        "workload": "deep focal stack (hillshade+aspect+TRI+rank+CTI) over all DEM tiles",
+        "workload": "deep focal stack (hillshade+aspect+TRI+rank+CTI) over all tiles",
         "sec_8": lo["wall_sec"], "sec_32": hi["wall_sec"],
         "tiles_per_sec_8": lo["tiles_per_sec"], "tiles_per_sec_32": hi["tiles_per_sec"],
         "n_tiles": lo["n_tiles"],
         "scaling_efficiency": round(eff, 3),
+        "hardware_ceiling_efficiency": ceiling,
+        "efficiency_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
+        "all_runs_tiles_per_sec": {"cpus8": [r["tiles_per_sec"] for r in runs_lo],
+                                   "cpus32": [r["tiles_per_sec"] for r in runs_hi]},
         "sf": float(os.environ.get("GRAFT_SF", "0.1")),
     }
 

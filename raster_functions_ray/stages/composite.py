@@ -74,6 +74,9 @@ def stack_reduce(tiles: rd.Dataset, reduce_fn: StackReduce,
 
     Groups arrive as Arrow tables (zero-copy binary pixel columns — the
     pandas path would copy every payload into Python objects)."""
+    from .halo import _shuffle_partitions
+
+    tiles = tiles.repartition(_shuffle_partitions())
     return tiles.groupby(["tx", "ty"]).map_groups(
         lambda g: _group_reduce(g, reduce_fn, out_pixel_type),
         batch_format="pyarrow")

@@ -128,17 +128,94 @@ def assemble_group(g: pd.DataFrame, padding: int) -> pd.DataFrame:
     return pd.DataFrame(rec)
 
 
-def with_halo(tiles: rd.Dataset, padding: int = 1) -> rd.Dataset:
+def _shuffle_partitions() -> int:
+    """Post-shuffle parallelism: groupby emits as many partitions as the
+    input has blocks, so a small-block input caps every downstream stage.
+    Spread to ~4 tasks per CPU (a no-op at real scale where reads already
+    produce hundreds of blocks)."""
+    import ray
+
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    return max(4 * ncpu, 32)
+
+
+def with_halo(tiles: rd.Dataset, padding: int = 1, strategy: str = "scene") -> rd.Dataset:
     """tiles → padded tiles (pixels/mask include a ``padding``-px halo).
 
-    The one all-to-all of the focal path; keyed on (scene_id, tx, ty) so
-    co-located strips group without a global sort.
+    Two interchangeable lowerings (identical output, proven by
+    tests/test_raster_pipelines.py):
+
+    - ``"scene"`` (default): one groupby(scene_id) shuffle, then vectorized
+      per-scene mosaic/pad/re-slice.  Assumes a scene fits a worker's heap
+      (a 256-tile 7-band u2 scene ≈ 14 MB — it does by construction).
+    - ``"strips"``: every tile emits ≤9 edge strips shuffled on
+      (scene_id, tx, ty); all-to-all volume beyond the identity row is
+      O(perimeter).  Works for arbitrarily large scenes.
+
+    (A zero-shuffle storage-aligned variant was evaluated and rejected: Ray
+    splits in-memory blocks at arbitrary row boundaries, so "one block =
+    whole scenes" cannot be guaranteed downstream of a read.)
     """
-    strips = tiles.map_batches(lambda b: emit_strips_batch(b, padding),
-                               batch_format="pyarrow", batch_size=32,
-                               zero_copy_batch=True)
-    return strips.groupby(["scene_id", "tx", "ty"]).map_groups(
-        lambda g: assemble_group(g, padding), batch_format="pandas")
+    if strategy == "strips":
+        strips = tiles.map_batches(lambda b: emit_strips_batch(b, padding),
+                                   batch_format="pyarrow", batch_size=32,
+                                   zero_copy_batch=True)
+        strips = strips.repartition(_shuffle_partitions())
+        return strips.groupby(["scene_id", "tx", "ty"]).map_groups(
+            lambda g: assemble_group(g, padding), batch_format="pandas")
+    # pre-shuffle spread sets BOTH the sort reduce-partition count and the
+    # downstream kernel stage's block count (map_batches runs one task per
+    # block) — one repartition, reused by every later stage
+    tiles = tiles.repartition(_shuffle_partitions())
+    return tiles.groupby("scene_id").map_groups(
+        lambda g: pad_scene_group(g, padding), batch_format="pyarrow")
+
+
+def pad_scene_group(g: "pa.Table", padding: int) -> "pa.Table":
+    """Scene-level halo: mosaic → edge-pad → slice per-tile padded blocks.
+
+    Matches assemble_group output exactly (scene borders edge-replicated,
+    pad mask 0) — gate: test_halo_matches_whole_scene_hillshade runs on
+    both strategies."""
+    import pyarrow as pa
+
+    p = padding
+    n = g.num_rows
+    txs = np.asarray(g["tx"]).astype(np.int64)
+    tys = np.asarray(g["ty"]).astype(np.int64)
+    bc = int(g["band_count"][0].as_py())
+    pt = g["pixel_type"][0].as_py()
+    h = int(g["height"][0].as_py())
+    w = int(g["width"][0].as_py())
+    tx0, ty0 = txs.min(), tys.min()
+    nx, ny = int(txs.max() - tx0 + 1), int(tys.max() - ty0 + 1)
+    scene = np.zeros((bc, ny * h, nx * w), dtype=np.dtype(pt))
+    smask = np.zeros((ny * h, nx * w), dtype=np.uint8)
+    pix_col, mask_col = g["pixels"], g["mask"]
+    for i in range(n):
+        a = tilecodec.decode(pix_col[i].as_buffer(), pt, bc, h, w)
+        if a.ndim == 2:
+            a = a[None]
+        y0, x0 = int(tys[i] - ty0) * h, int(txs[i] - tx0) * w
+        scene[:, y0:y0 + h, x0:x0 + w] = a
+        smask[y0:y0 + h, x0:x0 + w] = tilecodec.decode_mask(mask_col[i].as_buffer(), h, w)
+    pscene = np.pad(scene, ((0, 0), (p, p), (p, p)), mode="edge")
+    pmask = np.zeros((ny * h + 2 * p, nx * w + 2 * p), dtype=np.uint8)
+    pmask[p:-p, p:-p] = smask
+    out_pix, out_mask = [], []
+    for i in range(n):
+        y0, x0 = int(tys[i] - ty0) * h, int(txs[i] - tx0) * w
+        block = pscene[:, y0:y0 + h + 2 * p, x0:x0 + w + 2 * p]
+        out_pix.append(tilecodec.encode(block if bc > 1 else block[0]))
+        out_mask.append(tilecodec.encode(pmask[y0:y0 + h + 2 * p, x0:x0 + w + 2 * p]))
+    cols = {c: g[c] for c in g.column_names if c not in ("pixels", "mask")}
+    cols["padding"] = pa.array([p] * n, pa.int64())
+    cols["pixels"] = pa.array(out_pix, pa.binary())
+    cols["mask"] = pa.array(out_mask, pa.binary())
+    return pa.table(cols)
 
 
 def pad_single_tile(pix: np.ndarray, msk: np.ndarray, padding: int):
@@ -151,3 +228,56 @@ def pad_single_tile(pix: np.ndarray, msk: np.ndarray, padding: int):
     pmask = np.zeros((pix.shape[-2] + 2 * p, pix.shape[-1] + 2 * p), dtype=np.uint8)
     pmask[p:-p, p:-p] = msk
     return padded, pmask
+
+
+# ------------------------------------------------------------------------
+# Shuffle-free halo from storage: per-scene pruned reads as raw Ray tasks.
+#
+# The Dataset API offers only sort-based keyed exchange, which moves every
+# pixel byte through the object store to co-locate scenes that are ALREADY
+# co-located in storage (scene-aligned parquet row groups).  Per SURVEY.md
+# §2.7(c) this is the one place we drop to raw Ray tasks: one task per
+# scene reads its row groups directly (predicate pushdown prunes the rest),
+# assembles + pads the scene, and returns padded-tile chunks;
+# ray.data.from_arrow_refs turns the refs back into a streaming Dataset.
+#
+# Partitioning assumption (documented): the tile table is written with
+# row groups that do not split scenes.  The assembly itself re-groups by
+# scene_id, so a violated assumption degrades to an error (incomplete
+# scene -> shape mismatch), never to silent wrong pixels.
+# ------------------------------------------------------------------------
+
+def _pad_scene_from_parquet(path: str, scene_id: int, padding: int,
+                            n_chunks: int):
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, filters=pc.field("scene_id") == scene_id)
+    padded = pad_scene_group(t, padding)
+    n = padded.num_rows
+    # exactly n_chunks tables (empty tails allowed) so num_returns is static
+    step = max(1, -(-n // n_chunks))
+    chunks = [padded.slice(i * step, min(step, max(0, n - i * step)))
+              for i in range(n_chunks)]
+    return tuple(chunks)
+
+
+def with_halo_from_parquet(tiles_path: str, padding: int = 1, bands: int | None = None,
+                           chunks_per_scene: int = 4) -> rd.Dataset:
+    """Zero-shuffle halo: per-scene pruned parquet reads in parallel Ray
+    tasks → padded-tile Dataset via from_arrow_refs (chunks never touch the
+    driver).  Output identical to with_halo() (gate:
+    tests/test_raster_pipelines.py)."""
+    import ray
+    import pyarrow.parquet as pq
+
+    meta = pq.read_table(tiles_path, columns=["scene_id", "band_count"])
+    pairs = {(int(s), int(b)) for s, b in zip(meta["scene_id"].to_pylist(),
+                                              meta["band_count"].to_pylist())}
+    scene_ids = sorted(s for s, b in pairs if bands is None or b == bands)
+    task = ray.remote(num_returns=chunks_per_scene)(_pad_scene_from_parquet)
+    refs: list = []
+    for sid in scene_ids:
+        out = task.remote(tiles_path, sid, padding, chunks_per_scene)
+        refs.extend(out if isinstance(out, list) else [out])
+    return rd.from_arrow_refs(refs)

@@ -39,8 +39,9 @@ def load_scene(synth_d: str, scene_id: int):
     return scene, mask, rows[0]
 
 
-def test_halo_matches_whole_scene_hillshade(synth_sf001):
-    """The strip shuffle must reproduce the exact pixels a single-process
+@pytest.mark.parametrize("strategy", ["scene", "strips"])
+def test_halo_matches_whole_scene_hillshade(synth_sf001, strategy):
+    """Both halo lowerings must reproduce the exact pixels a single-process
     whole-scene computation yields — including across tile boundaries."""
     scene, mask, meta = load_scene(synth_sf001, 0)  # scene 0 = DEM
     dem = scene[0].astype(np.float64)
@@ -53,7 +54,7 @@ def test_halo_matches_whole_scene_hillshade(synth_sf001):
     exp_pix = exp_pix.astype(np.uint8)
 
     tiles = read_tiles(synth_sf001, scene_id=0)
-    padded = halo.with_halo(tiles, padding=1)
+    padded = halo.with_halo(tiles, padding=1, strategy=strategy)
 
     def kernel(p, m, mt):
         d = p if p.ndim == 2 else p[0]
