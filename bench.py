@@ -123,21 +123,7 @@ def run_scaling_workload() -> dict:
     import pyarrow.parquet as pq
     n_tiles = None
 
-    def deep_kernel(p, m, meta):
-        dem = (p if p.ndim == 2 else p[0]).astype(np.float64)
-        cs = meta["cell_size"]
-        hs, _ = fc.hillshade(dem, m, cs)
-        asp, om = fc.aspect_slope(dem, m, cs)
-        tri = np.sqrt(np.abs(fc.focal_max(dem, 3) ** 2 - fc.focal_min(dem, 3) ** 2))
-        med = fc.rank_filter(dem, 3, "median")
-        core = dem[1:-1, 1:-1]
-        acc = d8_flow_accumulation(core, max_iters=48)
-        dxc = fc.convolve3x3(dem, fc.ASPECT_X)[1:-1, 1:-1] / (8.0 * cs[0])
-        dyc = fc.convolve3x3(dem, fc.ASPECT_Y)[1:-1, 1:-1] / (8.0 * cs[1])
-        slope_deg = np.degrees(np.arctan(np.sqrt(dxc**2 + dyc**2)))
-        cti = pw.compound_topographic_index(slope_deg, acc, float(cs[0]))
-        out = np.stack([hs, asp, tri, med, cti, acc])
-        return out, om
+    from raster_functions_ray.benchkit import deep_kernel
 
     # warm page cache
     with open(os.path.join(d, "tiles.parquet"), "rb") as fh:
@@ -153,6 +139,31 @@ def run_scaling_workload() -> dict:
     ray.shutdown()
     return {"wall_sec": round(wall, 3), "n_tiles": n_tiles,
             "tiles_per_sec": round(n_tiles / wall, 2), "num_cpus": NUM_CPUS}
+
+
+def _spin(_):
+    t0 = time.perf_counter()
+    n, x = 0, 1.0
+    while time.perf_counter() - t0 < 1.5:
+        for _ in range(10000):
+            x = x * 1.0000001 + 0.1
+        n += 10000
+    return n
+
+
+def spin_ceiling() -> float:
+    """Hardware scaling ceiling of this box, measured with a pure
+    register-bound spin at 8 vs 32 processes: the host is a shared VM
+    (all-core frequency scaling + neighbor steal), so even a perfectly
+    parallel engine cannot exceed this ratio.  Reported alongside the
+    pipeline efficiency for context."""
+    import multiprocessing as mp
+
+    rates = {}
+    for nproc in (8, 32):
+        with mp.Pool(nproc) as pool:
+            rates[nproc] = sum(pool.map(_spin, range(nproc)))
+    return round(rates[32] / (4.0 * rates[8]), 3)
 
 
 def run_scaling() -> dict:
@@ -175,29 +186,6 @@ def run_scaling() -> dict:
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def spin_ceiling() -> float:
-        """Hardware scaling ceiling of this box, measured with a pure
-        register-bound spin at 8 vs 32 processes: the host is a shared VM
-        (all-core frequency scaling + neighbor steal), so even a perfectly
-        parallel engine cannot exceed this ratio.  Reported alongside the
-        pipeline efficiency for context."""
-        import multiprocessing as mp
-
-        def spin(_):
-            t0 = time.perf_counter()
-            n, x = 0, 1.0
-            while time.perf_counter() - t0 < 1.5:
-                for _ in range(10000):
-                    x = x * 1.0000001 + 0.1
-                n += 10000
-            return n
-
-        rates = {}
-        for nproc in (8, 32):
-            with mp.Pool(nproc) as pool:
-                rates[nproc] = sum(pool.map(spin, range(nproc)))
-        return round(rates[32] / (4.0 * rates[8]), 3)
-
     # interleave the levels (8,32,8,32,8,32) so slow ambient drift on the
     # shared host biases both levels equally; keep best-of-3 per level
     runs_lo, runs_hi = [], []
@@ -208,15 +196,33 @@ def run_scaling() -> dict:
     hi = max(runs_hi, key=lambda r: r["tiles_per_sec"])
     # throughput-based efficiency: T32 / (T8 * 4)
     eff = hi["tiles_per_sec"] / (lo["tiles_per_sec"] * (32 / 8))
+
+    # hardware control: the IDENTICAL computation via raw multiprocessing
+    # (no Ray / object store / scheduler) at the same two core counts —
+    # measures this shared VM's memory-subsystem scaling cap for the kernel.
+    # Engine-relative efficiency = ray ratio / control ratio: the number
+    # that transfers to a real N-vs-4N-node cluster where each node brings
+    # its own memory subsystem.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from raster_functions_ray import synth
+    from raster_functions_ray.benchkit import mp_baseline
+
+    tiles_path = os.path.join(synth.synth_dir_for(SF_DIR), "tiles.parquet")
+    os.environ["OMP_NUM_THREADS"] = "1"
+    mp8 = mp_baseline(tiles_path, 8)
+    mp32 = mp_baseline(tiles_path, 32)
+    hw_eff = mp32 / (mp8 * 4.0)
     ceiling = spin_ceiling()
     return {
-        "workload": "deep focal stack (hillshade+aspect+TRI+rank+CTI) over all tiles",
+        "workload": "deep focal chain x6 (hillshade+aspect+TRI+rank+CTI) over all tiles",
         "sec_8": lo["wall_sec"], "sec_32": hi["wall_sec"],
         "tiles_per_sec_8": lo["tiles_per_sec"], "tiles_per_sec_32": hi["tiles_per_sec"],
         "n_tiles": lo["n_tiles"],
         "scaling_efficiency": round(eff, 3),
-        "hardware_ceiling_efficiency": ceiling,
-        "efficiency_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
+        "hardware_control_tiles_per_sec": {"cpus8": round(mp8, 1), "cpus32": round(mp32, 1)},
+        "hardware_control_efficiency": round(hw_eff, 3),
+        "engine_relative_efficiency": round(eff / hw_eff, 3),
+        "spin_ceiling_efficiency": ceiling,
         "all_runs_tiles_per_sec": {"cpus8": [r["tiles_per_sec"] for r in runs_lo],
                                    "cpus32": [r["tiles_per_sec"] for r in runs_hi]},
         "sf": float(os.environ.get("GRAFT_SF", "0.1")),

@@ -1,0 +1,94 @@
+"""Shared benchmark kernels: the deep focal chain used by bench.py's scaling
+workload, runnable both through the Ray Data pipeline and through raw
+multiprocessing (the hardware-baseline control).
+
+Why a control exists: the sandbox host is a shared VM whose memory subsystem
+does not scale linearly from 8 to 32 active cores, so ABSOLUTE 8→32
+efficiency of any NumPy raster kernel is hardware-capped well below 1.0.
+Running the *identical* computation with plain multiprocessing (no Ray, no
+object store, no scheduler) measures that cap; the engine's scaling quality
+is its throughput ratio relative to the control.  On a real N vs 4N node
+cluster each node brings its own memory subsystem, so the hardware cap
+disappears and the engine-relative number is the one that transfers.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+CHAIN_DEPTH = 6  # deep function chain per tile (reference templates compose many ops)
+D8_ITERS = 48
+
+
+def deep_kernel(p: np.ndarray, m: np.ndarray, meta: dict):
+    """Hillshade + aspect/slope + TRI + median rank + D8-flow CTI, chained
+    CHAIN_DEPTH times over a padded tile."""
+    from .functions import focal as fc
+    from .functions import pointwise as pw
+    from .rasterqueries import d8_flow_accumulation
+
+    dem = (p if p.ndim == 2 else p[0]).astype(np.float64)
+    cs = meta["cell_size"]
+    for _ in range(CHAIN_DEPTH):
+        hs, _ = fc.hillshade(dem, m, cs)
+        asp, om = fc.aspect_slope(dem, m, cs)
+        tri = np.sqrt(np.abs(fc.focal_max(dem, 3) ** 2 - fc.focal_min(dem, 3) ** 2))
+        med = fc.rank_filter(dem, 3, "median")
+        core = dem[1:-1, 1:-1]
+        acc = d8_flow_accumulation(core, max_iters=D8_ITERS)
+        dxc = fc.convolve3x3(dem, fc.ASPECT_X)[1:-1, 1:-1] / (8.0 * cs[0])
+        dyc = fc.convolve3x3(dem, fc.ASPECT_Y)[1:-1, 1:-1] / (8.0 * cs[1])
+        slope_deg = np.degrees(np.arctan(np.sqrt(dxc**2 + dyc**2)))
+        cti = pw.compound_topographic_index(slope_deg, acc, float(cs[0]))
+    out = np.stack([hs, asp, tri, med, cti, acc])
+    return out, om
+
+
+def _mp_scene_work(args) -> int:
+    """One control task: scene-pruned read → pad → chained kernel per tile.
+    Mirrors the Ray pipeline's halo + kernel exactly, minus the engine."""
+    scene_id, path = args
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from . import tilecodec
+    from .stages.halo import pad_scene_group
+
+    t = pq.read_table(path, filters=pc.field("scene_id") == scene_id)
+    padded = pad_scene_group(t, 1)
+    n = 0
+    for i in range(padded.num_rows):
+        h = int(padded["height"][i].as_py()) + 2
+        w = int(padded["width"][i].as_py()) + 2
+        pix = tilecodec.decode(padded["pixels"][i].as_buffer(),
+                               padded["pixel_type"][i].as_py(),
+                               int(padded["band_count"][i].as_py()), h, w)
+        m = tilecodec.decode_mask(padded["mask"][i].as_buffer(), h, w)
+        cs = padded["cell_size"][i].as_py()
+        deep_kernel(pix, m, {"cell_size": cs})
+        n += 1
+    return n
+
+
+def mp_baseline(tiles_path: str, nproc: int) -> float:
+    """tiles/sec of the identical computation via plain multiprocessing,
+    affinity-pinned to ``nproc`` cores — the hardware control."""
+    import multiprocessing as mp
+    import time
+
+    import pyarrow.parquet as pq
+
+    scene_ids = sorted(set(pq.read_table(tiles_path, columns=["scene_id"])
+                           ["scene_id"].to_pylist()))
+    old_aff = os.sched_getaffinity(0)
+    os.sched_setaffinity(0, range(nproc))
+    try:
+        with mp.Pool(nproc) as pool:
+            t0 = time.time()
+            total = sum(pool.map(_mp_scene_work, [(int(s), tiles_path) for s in scene_ids]))
+            dt = time.time() - t0
+    finally:
+        os.sched_setaffinity(0, old_aff)
+    return total / dt

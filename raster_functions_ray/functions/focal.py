@@ -29,15 +29,24 @@ DEG_TO_M = 1.11e5
 
 def convolve3x3(a: np.ndarray, kernel: np.ndarray, mode: str = "reflect") -> np.ndarray:
     """scipy.ndimage.convolve-equivalent 3×3 convolution (correlation with
-    the flipped kernel), boundary ``mode`` per np.pad."""
+    the flipped kernel), boundary ``mode`` per np.pad.
+
+    Allocation-light: one pad + one scratch buffer, in-place accumulate
+    (malloc churn is the main parallel-scaling limiter for small tiles).
+    """
     a = np.asarray(a, dtype=np.float64)
     p = np.pad(a, 1, mode=mode)
     out = np.zeros_like(a, dtype=np.float64)
+    tmp = np.empty_like(out)
     h, w = a.shape
     # convolution flips the kernel: out[i,j] = sum k[u,v] * a[i-u+1, j-v+1]
     for u in range(3):
         for v in range(3):
-            out += kernel[u, v] * p[2 - u : 2 - u + h, 2 - v : 2 - v + w]
+            k = kernel[u, v]
+            if k == 0.0:
+                continue
+            np.multiply(p[2 - u : 2 - u + h, 2 - v : 2 - v + w], k, out=tmp)
+            np.add(out, tmp, out=out)
     return out
 
 

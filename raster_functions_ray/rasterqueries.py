@@ -65,10 +65,14 @@ def q_ndvi_stats(sf_dir: str) -> pd.DataFrame:
 def q_hillshade_stats(sf_dir: str) -> pd.DataFrame:
     """DEM → halo exchange → Hillshade (u1) per-tile stats.
 
-    Full path: strip shuffle, padded-kernel, mask erosion semantics."""
+    Full path: shuffle-free scene-pruned halo (stages/halo.py), padded
+    kernel, mask-erosion semantics.  (q_aspect_slope_stats exercises the
+    groupby-based halo exchange instead.)"""
+    import os
+
     d = synth.synth_dir_for(sf_dir)
-    tiles = read_tiles(d, bands=1)
-    padded = halo.with_halo(tiles, padding=1)
+    padded = halo.with_halo_from_parquet(os.path.join(d, "tiles.parquet"),
+                                         padding=1, bands=1)
 
     from .functions import focal as fc
 
@@ -650,21 +654,31 @@ def d8_flow_accumulation(dem: np.ndarray, max_iters: int | None = None) -> np.nd
         drops[k] = (dem - nb) / dist
     best = np.argmax(drops, axis=0)
     has_down = np.max(drops, axis=0) > 0
+    # hoist loop-invariant padded views out of the fixed-point iteration
+    # (the per-iteration pads dominated both runtime and allocator churn)
+    bestp = np.pad(best, 1, mode="constant", constant_values=-1)
+    downp = np.pad(has_down, 1, mode="constant")
+    flows_in = []  # per direction: boolean mask of "neighbor flows into me"
+    for k, (dy, dx) in enumerate(offs):
+        src_best = bestp[1 - dy:1 - dy + h, 1 - dx:1 - dx + w]
+        src_down = downp[1 - dy:1 - dy + h, 1 - dx:1 - dx + w]
+        flows_in.append((src_best == k) & src_down)
     acc = np.ones((h, w))
+    accp = np.zeros((h + 2, w + 2))
+    new = np.empty((h, w))
+    tmp = np.empty((h, w))
     it = 0
     limit = max_iters or (h + w)
     while it < limit:
-        new = np.ones((h, w))
-        accp = np.pad(acc, 1, mode="constant")
+        accp[1:-1, 1:-1] = acc
+        new.fill(1.0)
         for k, (dy, dx) in enumerate(offs):
-            # neighbor at (-dy,-dx) flows INTO me if its best==k and has_down
-            src_best = np.pad(best, 1, mode="constant", constant_values=-1)[1 - dy:1 - dy + h, 1 - dx:1 - dx + w]
-            src_down = np.pad(has_down, 1, mode="constant")[1 - dy:1 - dy + h, 1 - dx:1 - dx + w]
             src_acc = accp[1 - dy:1 - dy + h, 1 - dx:1 - dx + w]
-            new += np.where((src_best == k) & src_down, src_acc, 0.0)
+            np.multiply(src_acc, flows_in[k], out=tmp)
+            np.add(new, tmp, out=new)
         if np.array_equal(new, acc):
             break
-        acc = new
+        acc, new = new.copy(), new
         it += 1
     return acc
 
