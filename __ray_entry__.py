@@ -121,6 +121,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": rel.q_asof_join,
         "tile_catalog": rq.q_tile_catalog,
         "key_metadata": rq.q_key_metadata,
+        # skew-safe + two-phase + scale-path variants
+        "zonal_value_salted": spatial.q_zonal_value_salted,
+        "fuzzy_mssmall_two_phase": bandmath.q_fuzzy_mssmall_two_phase,
+        "anti_join": rel.q_anti_join,
+        "ivf_search": ann.q_ivf_search,
+        "training_data_pipeline": textops.q_training_data_pipeline,
     }
 
 
@@ -164,6 +170,9 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": rel.Q_ASOF_JOIN_SQL,
         "tile_catalog": rq.tile_catalog_oracle_sql(0.01),
         "key_metadata": rq.key_metadata_oracle_sql(0.01),
+        "zonal_value_salted": spatial.Q_ZONAL_VALUE_SQL,
+        "fuzzy_mssmall_two_phase": bandmath.Q_FUZZY_MSSMALL_SQL,
+        "anti_join": rel.Q_ANTI_JOIN_SQL,
         "fuzzy_linear": bandmath.Q_FUZZY_LINEAR_SQL,
         "arithmetic_cols": bandmath.Q_ARITHMETIC_COLS_SQL,
         # minhash_dedup / simhash / lsh_bucket_sizes / pixel-stat raster

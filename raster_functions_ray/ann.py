@@ -128,3 +128,106 @@ def q_lsh_bucket_sizes(sf_dir: str) -> pd.DataFrame:
 
     out = lsh_buckets(sf_dir).groupby("bucket").aggregate(Count(alias_name="n")).to_pandas()
     return out.sort_values("bucket").reset_index(drop=True)
+
+
+# ------------------------------------------------------------- IVF path
+
+N_CLUSTERS = 16
+KMEANS_ITERS = 8
+
+
+def _kmeans_centroids(sample: np.ndarray, k: int = N_CLUSTERS,
+                      iters: int = KMEANS_ITERS, seed: int = 314159) -> np.ndarray:
+    """Seeded mini k-means on a driver-side sample (centroids are tiny and
+    broadcast; the expensive assignment runs distributed)."""
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for c in range(k):
+            pts = sample[assign == c]
+            if len(pts):
+                cent[c] = pts.mean(0)
+    return cent
+
+
+class IvfAssigner:
+    """Actor-pool stage: assign each embedding to its nearest centroid
+    (the IVF 'coarse quantizer'); centroids broadcast once per actor."""
+
+    def __init__(self, centroids_ref):
+        self.cent = ray.get(centroids_ref)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids, mat = _embedding_matrix(b)
+        d2 = (mat**2).sum(1)[:, None] - 2 * mat @ self.cent.T + (self.cent**2).sum(1)[None, :]
+        return pa.table({"vec_id": pa.array(ids),
+                         "list_id": pa.array(d2.argmin(1).astype(np.int64))})
+
+
+def ivf_build(sf_dir: str, concurrency: int = 4) -> tuple[np.ndarray, rd.Dataset]:
+    """IVF index build: centroids from a sample + distributed assignment."""
+    import pyarrow.parquet as pq
+
+    sample_t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    _, sample = _embedding_matrix(sample_t.slice(0, min(2048, sample_t.num_rows)))
+    cent = _kmeans_centroids(sample)
+    cref = ray.put(cent)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    assign = ds.map_batches(IvfAssigner, fn_constructor_args=(cref,),
+                            batch_format="pyarrow", batch_size=8192,
+                            concurrency=concurrency)
+    return cent, assign
+
+
+def q_ivf_search(sf_dir: str, n_probe: int = 4, concurrency: int = 4) -> pd.DataFrame:
+    """IVF-ANN: search only the ``n_probe`` nearest inverted lists per query
+    (the scale path — brute force is the exact baseline it approximates).
+
+    Rows-only check; recall vs the exact q_ann_topk is asserted in
+    tests (deterministic: seeded centroids)."""
+    cent, assign = ivf_build(sf_dir, concurrency=concurrency)
+    assign_df = assign.to_pandas()
+    list_of = dict(zip(assign_df["vec_id"], assign_df["list_id"]))
+
+    qids, qmat = load_queries(sf_dir)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    # probe lists per query by centroid distance
+    d2 = (qmat**2).sum(1)[:, None] - 2 * qmat @ cent.T + (cent**2).sum(1)[None, :]
+    probes = np.argsort(d2, axis=1)[:, :n_probe]
+    probe_sets = [set(map(int, probes[i])) for i in range(len(qids))]
+    pref = ray.put((qn, probe_sets, list_of))
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        q, psets, lof = ray.get(pref)
+        ids, mat = _embedding_matrix(b)
+        keep = ids >= N_QUERIES
+        ids, mat = ids[keep], mat[keep]
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mn = mat / np.where(norms == 0, 1.0, norms)
+        sims = mn @ q.T
+        frames = []
+        lists = np.asarray([lof[int(v)] for v in ids])
+        for qi in range(q.shape[0]):
+            in_probe = np.isin(lists, list(psets[qi]))
+            if not in_probe.any():
+                continue
+            cand_ids, cand_sims = ids[in_probe], sims[in_probe, qi]
+            k = min(TOP_K, cand_ids.size)
+            idx = np.argpartition(-cand_sims, k - 1)[:k]
+            frames.append(pd.DataFrame({"q_id": qi, "vec_id": cand_ids[idx],
+                                        "sim": cand_sims[idx]}))
+        if not frames:
+            return pd.DataFrame({"q_id": pd.Series([], dtype="int64"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "sim": pd.Series([], dtype="float64")})
+        return pd.concat(frames, ignore_index=True)
+
+    cand = ds.map_batches(partial, batch_format="pyarrow", batch_size=8192).to_pandas()
+    cand = cand.sort_values(["q_id", "sim", "vec_id"], ascending=[True, False, True])
+    cand = cand.groupby("q_id").head(TOP_K)
+    cand["rank"] = cand.groupby("q_id").cumcount() + 1
+    return cand[["q_id", "vec_id", "rank"]].reset_index(drop=True)

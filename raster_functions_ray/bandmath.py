@@ -154,3 +154,51 @@ SELECT event_id,
        value * (CAST(date_part('day', last_day(ts)) AS DOUBLE) * 86400.0) AS per_month
 FROM events
 """
+
+
+def q_fuzzy_mssmall_two_phase(sf_dir: str) -> pd.DataFrame:
+    """FuzzyMembership MS-Small (functions/FuzzyMembership.py:139-143) over
+    l_quantity — the TWO-PHASE global-statistics plan (SURVEY.md §7.2):
+    phase 1 computes dataset mean/std with a distributed aggregate, phase 2
+    broadcasts the scalars into the map stage.  SQL oracle recomputes with
+    AVG/STDDEV_POP."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    # phase 1: sum / sumsq / n partials → exact population mean/std
+    def moments(b: pa.Table) -> pd.DataFrame:
+        q = np.asarray(b["l_quantity"], dtype=np.float64)
+        return pd.DataFrame({"s": [q.sum()], "ss": [(q * q).sum()], "n": [q.size]})
+
+    agg = (ds.map_batches(moments, batch_format="pyarrow", batch_size=65536)
+           .map_batches(lambda b: pd.DataFrame({"s": [np.asarray(b["s"]).sum()],
+                                                "ss": [np.asarray(b["ss"]).sum()],
+                                                "n": [np.asarray(b["n"]).sum()]}),
+                        batch_format="pyarrow", batch_size=8192)
+           .to_pandas().sum())
+    mean = agg["s"] / agg["n"]
+    # population std via E[x²] − mean² (matches STDDEV_POP up to fp noise,
+    # absorbed by round-6 of the final membership)
+    std = float(np.sqrt(agg["ss"] / agg["n"] - mean * mean))
+    stats_ref = ray.put((float(mean), std))
+
+    def kern(b: pa.Table) -> pd.DataFrame:
+        m, s = ray.get(stats_ref)
+        q = np.asarray(b["l_quantity"], dtype=np.float64)
+        out = np.where(q <= m, 1.0, s / (q - m + s))
+        return pd.DataFrame({"l_orderkey": np.asarray(b["l_orderkey"]),
+                             "l_linenumber": np.asarray(b["l_linenumber"]),
+                             "membership": np.round(out, 6)})
+
+    return ds.map_batches(kern, batch_format="pyarrow", batch_size=65536).to_pandas()
+
+
+Q_FUZZY_MSSMALL_SQL = """
+WITH s AS (SELECT AVG(l_quantity) AS m, STDDEV_POP(l_quantity) AS sd FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       ROUND(CASE WHEN l_quantity <= s.m THEN 1.0
+                  ELSE s.sd / (l_quantity - s.m + s.sd) END, 6) AS membership
+FROM lineitem, s
+"""

@@ -44,7 +44,7 @@ def q1_pricing(sf_dir: str) -> pd.DataFrame:
                     columns=["l_returnflag", "l_linestatus", "l_quantity",
                              "l_extendedprice", "l_discount", "l_shipdate"])
 
-    cutoff = pa.scalar(pd.Timestamp("2024-11-01"), pa.timestamp("us"))
+    cutoff = pa.scalar(pd.Timestamp("2000-06-01"), pa.timestamp("us"))
 
     def partial(b: pa.Table) -> pd.DataFrame:
         b = b.filter(pc.less_equal(b["l_shipdate"], cutoff))
@@ -83,7 +83,7 @@ SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
        ROUND(SUM(l_discount) / COUNT(*), 6) AS avg_disc
 FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2024-11-01'
+WHERE l_shipdate <= TIMESTAMP '2000-06-01'
 GROUP BY l_returnflag, l_linestatus
 """
 
@@ -228,7 +228,7 @@ def q_orders_filter_join(sf_dir: str) -> pd.DataFrame:
     keys_ref = ray.put(keys)
     orders = read_table(sf_dir, "orders",
                         columns=["o_custkey", "o_orderdate", "o_totalprice", "o_orderpriority"])
-    cutoff = pa.scalar(pd.Timestamp("2024-07-01"), pa.timestamp("us"))
+    cutoff = pa.scalar(pd.Timestamp("1998-07-01"), pa.timestamp("us"))
 
     def partial(b: pa.Table) -> pd.DataFrame:
         b = b.filter(pc.less(b["o_orderdate"], cutoff))
@@ -248,7 +248,7 @@ def q_orders_filter_join(sf_dir: str) -> pd.DataFrame:
 Q_ORDERS_FILTER_JOIN_SQL = """
 SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
 FROM orders
-WHERE o_orderdate < TIMESTAMP '2024-07-01'
+WHERE o_orderdate < TIMESTAMP '1998-07-01'
   AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
 GROUP BY o_orderpriority
 """
@@ -363,7 +363,12 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
     def resolve(b: pa.Table) -> pd.DataFrame:
         pu = ray.get(pu_ref)
         df = b.to_pandas()
-        ts = df["ts"].to_numpy("datetime64[us]").astype("int64")
+        # events are 2024 but orders span 1995-2001: derive an in-range
+        # as-of timestamp deterministically so the search position varies
+        # (same formula in the SQL oracle)
+        eid = df["event_id"].to_numpy(np.int64)
+        ts = (pd.Timestamp("1995-01-01").value // 1000
+              + (eid * 104729 % 2500) * 86_400_000_000)
         out_key = np.full(len(df), -1, dtype=np.int64)
         for uid, idxs in df.groupby("user_id").indices.items():
             ent = pu.get(int(uid))
@@ -383,11 +388,51 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
 
 
 Q_ASOF_JOIN_SQL = """
+WITH e AS (
+  SELECT event_id, user_id,
+         TIMESTAMP '1995-01-01' + INTERVAL (CAST(event_id * 104729 % 2500 AS INTEGER)) DAY AS asof_ts
+  FROM events)
 SELECT e.event_id, e.user_id, o.o_orderkey
-FROM events e
+FROM e
 JOIN orders o
   ON o.o_custkey = e.user_id
- AND o.o_orderdate <= e.ts
+ AND o.o_orderdate <= e.asof_ts
 QUALIFY ROW_NUMBER() OVER (PARTITION BY e.event_id
                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1
+"""
+
+
+def q_anti_join(sf_dir: str) -> pd.DataFrame:
+    """Anti join: customers with no order before mid-1995 — broadcast the
+    (filtered) order-customer key set (a Bloom filter at scale) and filter
+    map-side.  Arrow-native filter keeps empty batches schema-stable."""
+    import pyarrow.compute as pc2
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    cutoff = pa.scalar(pd.Timestamp("1995-06-01"), pa.timestamp("us"))
+    jan = orders.map_batches(
+        lambda b: b.filter(pc2.less(b["o_orderdate"], cutoff)).select(["o_custkey"]),
+        batch_format="pyarrow").to_pandas()
+    kref = ray.put(set(jan["o_custkey"].tolist()))
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+
+    def anti(b: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        keep = [k not in ks for k in b["c_custkey"].to_pylist()]
+        return b.filter(pa.array(keep, pa.bool_()))
+
+    out = cust.map_batches(anti, batch_format="pyarrow", batch_size=65536).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                            "c_name": pd.Series([], dtype="object"),
+                            "c_acctbal": pd.Series([], dtype="float64")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+Q_ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate < TIMESTAMP '1995-06-01')
+ORDER BY c_custkey
 """

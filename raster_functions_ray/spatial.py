@@ -305,3 +305,25 @@ def doc_points_in_zones(docs: rd.Dataset, zones: pd.DataFrame,
     return pts.map_batches(ZoneJoiner, fn_constructor_args=(zref,),
                            batch_format="pyarrow", batch_size=8192,
                            concurrency=concurrency)
+
+
+def q_zonal_value_salted(sf_dir: str) -> pd.DataFrame:
+    """Same result as q_zonal_value, computed through the SKEW-SAFE path:
+    hot zones detected from counts, their rows salted into k sub-groups,
+    two-phase merge (stages/salt.py).  Shares q_zonal_value's SQL oracle —
+    proving salting preserves exact aggregates."""
+    from .stages.salt import salted_aggregate
+
+    zones = rect_zones()
+    zref = ray.put(zones)
+    pts = event_points(sf_dir, with_value=True)
+    joined = pts.map_batches(lambda b: points_in_rects_batch(b, ray.get(zref)),
+                             batch_format="pyarrow")
+    sums = salted_aggregate(joined, "zone_id", "value", "sum", hot_factor=1.5, k=8)
+    counts = salted_aggregate(joined, "zone_id", "value", "count", hot_factor=1.5, k=8)
+    out = sums.merge(counts, on="zone_id")
+    out = out.rename(columns={"sum_value": "sum_value", "n": "n_points"})
+    out["sum_value"] = out["sum_value"].astype(float).round(4)
+    out["zone_id"] = out["zone_id"].astype("int64")
+    out["n_points"] = out["n_points"].astype("int64")
+    return out[["zone_id", "n_points", "sum_value"]]

@@ -195,3 +195,46 @@ def rolling_fingerprint(text: str, window: int = 16, mod: int = 1 << 31) -> int:
         h = (h * base + data[i] - data[i - window] * power) % mod
         best = min(best, h)
     return best
+
+
+def q_training_data_pipeline(sf_dir: str) -> pd.DataFrame:
+    """Composed training-data pipeline (the 100 TB shape in miniature):
+    quality scoring (actor pool) → language ID (actor pool) → exact-dup
+    marking → per-(pred_lang, kept) corpus stats.  One streaming pass per
+    stage; the dedup survivor set is broadcast, not shuffled."""
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    # stage 1+2 fused pipeline over documents
+    scored = quality_scores(sf_dir, concurrency=2)
+    langs = lang_id(sf_dir, concurrency=2).to_pandas()
+    lmap_ref = ray.put(dict(zip(langs["doc_id"], langs["pred_lang"])))
+
+    # survivor set from exact dedup (min doc_id per content hash)
+    from .dedup import q_exact_dedup
+
+    survivors = set(q_exact_dedup(sf_dir)["keep_doc_id"].tolist())
+    sref = ray.put(survivors)
+
+    def finalize(b: pa.Table) -> pd.DataFrame:
+        lmap = ray.get(lmap_ref)
+        surv = ray.get(sref)
+        df = b.to_pandas()
+        df["pred_lang"] = df["doc_id"].map(lmap)
+        df["kept"] = df["doc_id"].isin(surv) & (df["stop_ratio"] < 0.9) & (df["alpha_ratio"] > 0.5)
+        return (df.groupby(["pred_lang", "kept"], sort=False)
+                .agg(n_docs=("doc_id", "size"),
+                     sum_stop=("stop_ratio", "sum"))
+                .reset_index())
+
+    out = (scored.map_batches(finalize, batch_format="pyarrow", batch_size=8192)
+           .groupby(["pred_lang", "kept"])
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("sum_stop", alias_name="sum_stop"))
+           .to_pandas())
+    out["avg_stop_ratio"] = (out["sum_stop"] / out["n_docs"]).round(6)
+    out = out.drop(columns=["sum_stop"])
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values(["pred_lang", "kept"]).reset_index(drop=True)

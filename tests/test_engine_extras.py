@@ -183,3 +183,28 @@ class TestDedupDeterminism:
         from raster_functions_ray.dedup import jaccard
         assert jaccard("a b c d", "a b c d") == 1.0
         assert jaccard("a b c d", "x y z w") == 0.0
+
+
+class TestIvf:
+    def test_recall_vs_exact(self, synth_sf001):
+        from raster_functions_ray import ann
+        sf = "/root/testdata/sf0.01"
+        exact = ann.q_ann_topk(sf)
+        approx = ann.q_ivf_search(sf, n_probe=6)
+        # recall@5 of IVF with 6/16 probes should be substantial
+        hits = 0
+        for q in exact["q_id"].unique():
+            e = set(exact.loc[exact.q_id == q, "vec_id"])
+            a = set(approx.loc[approx.q_id == q, "vec_id"])
+            hits += len(e & a)
+        recall = hits / len(exact)
+        assert recall >= 0.4, recall
+
+    def test_deterministic(self):
+        from raster_functions_ray import ann
+        import numpy as np
+        rng = np.random.default_rng(1)
+        sample = rng.random((500, 8))
+        c1 = ann._kmeans_centroids(sample, k=4)
+        c2 = ann._kmeans_centroids(sample, k=4)
+        np.testing.assert_array_equal(c1, c2)
