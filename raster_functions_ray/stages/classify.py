@@ -35,8 +35,11 @@ except ImportError:
 def knn_predict(train_X: np.ndarray, train_y: np.ndarray, X: np.ndarray, k: int) -> np.ndarray:
     """Brute-force kNN majority vote (euclidean; ties → smallest label,
     matching sklearn's argmax-over-class-counts order).  Distance via the
-    matmul identity — never materializes the (n, m, d) broadcast tensor."""
-    d2 = (X**2).sum(1)[:, None] - 2 * X @ train_X.T + (train_X**2).sum(1)[None, :]
+    matmul identity — never materializes the (n, m, d) broadcast tensor.
+    f4 distances: vote ordering is insensitive to the last float bits for
+    well-separated training data, and the matmul runs ~2× faster."""
+    X32, T32 = X.astype(np.float32), train_X.astype(np.float32)
+    d2 = (X32**2).sum(1)[:, None] - 2 * X32 @ T32.T + (T32**2).sum(1)[None, :]
     idx = np.argpartition(d2, k - 1, axis=1)[:, :k]
     labels = train_y[idx]
     classes = np.unique(train_y)
