@@ -67,3 +67,45 @@ class TestPartitionedResume:
         ln = store.lineage()
         assert set(ln["partition_key"]) == {"scene=0", "scene=9"}
         assert (ln["rows"] == 16).all()
+
+
+class TestCrashResume:
+    def test_resume_after_mid_run_failure_equals_single_run(self, tmp_path):
+        """SURVEY §5.5: resume-after-kill equals single-run output. A factory
+        that dies mid-job leaves completed partitions in the store; the rerun
+        completes only the missing ones and the combined output matches an
+        uninterrupted run exactly."""
+        import pyarrow as pa
+        from raster_functions_ray.state.checkpoint import CheckpointStore, run_partitioned
+
+        def factory(key):
+            return pa.table({"k": [key] * 3, "v": list(range(3))})
+
+        keys = [f"p{i}" for i in range(6)]
+
+        # uninterrupted reference run
+        ref_store = CheckpointStore(str(tmp_path / "ref"))
+        run_partitioned(factory, keys, "job", ref_store)
+
+        # crashing run: dies after 3 partitions
+        crash_store = CheckpointStore(str(tmp_path / "crash"))
+        calls = {"n": 0}
+
+        def crashing(key):
+            if calls["n"] == 3:
+                raise RuntimeError("simulated worker death")
+            calls["n"] += 1
+            return factory(key)
+
+        with pytest.raises(RuntimeError):
+            run_partitioned(crashing, keys, "job", crash_store)
+        assert len(crash_store.finished_keys("job")) == 3
+
+        # resume with the healthy factory
+        resumed = run_partitioned(factory, keys, "job", crash_store)
+        assert len(resumed) == 3  # only the missing partitions
+
+        for key in keys:
+            a = ref_store.read_partition("job", key)
+            b = crash_store.read_partition("job", key)
+            assert a.equals(b)
