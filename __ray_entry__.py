@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": rel.q_anti_join,
         "ivf_search": ann.q_ivf_search,
         "training_data_pipeline": textops.q_training_data_pipeline,
+        "heat_index_f8": bandmath.q_heat_index_f8,
+        "fish_habitat_f8": bandmath.q_fish_habitat_f8,
     }
 
 
@@ -173,6 +175,8 @@ def oracle_sql() -> dict[str, str]:
         "zonal_value_salted": spatial.Q_ZONAL_VALUE_SQL,
         "fuzzy_mssmall_two_phase": bandmath.Q_FUZZY_MSSMALL_SQL,
         "anti_join": rel.Q_ANTI_JOIN_SQL,
+        "heat_index_f8": bandmath.Q_HEAT_INDEX_F8_SQL,
+        "fish_habitat_f8": bandmath.Q_FISH_HABITAT_F8_SQL,
         "fuzzy_linear": bandmath.Q_FUZZY_LINEAR_SQL,
         "arithmetic_cols": bandmath.Q_ARITHMETIC_COLS_SQL,
         # minhash_dedup / simhash / lsh_bucket_sizes / pixel-stat raster

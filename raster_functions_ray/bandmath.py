@@ -202,3 +202,103 @@ SELECT l_orderkey, l_linenumber,
                   ELSE s.sd / (l_quantity - s.m + s.sd) END, 6) AS membership
 FROM lineitem, s
 """
+
+
+def q_heat_index_f8(sf_dir: str) -> pd.DataFrame:
+    """Rothfusz heat index in f8 column form with the reference's exact
+    branch structure (functions/deprecated/HeatIndex.py:73-117), including
+    its idiosyncratic high-humidity adjustment ((t-85)/10)*((87-t)/5) —
+    SQL-exact via an identical CASE cascade."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def kern(b: pa.Table) -> pd.DataFrame:
+        df = _derive(b)
+        t = df["t"].to_numpy() + 60.0  # [40, 140)
+        r = df["rh"].to_numpy()
+        H = 0.5 * (t + 61.0 + ((t - 68.0) * 1.2) + (r * 0.094))
+        a = ((H + t) / 2.0) > 80.0
+        tr, rr, tt = t * r, r * r, t * t
+        full = (-42.379 + 2.04901523 * t + 10.14333127 * r - 0.22475541 * tr
+                - 6.83783e-3 * tt - 5.481717e-2 * rr + 1.22874e-3 * tt * r
+                + 8.5282e-4 * t * rr - 1.99e-6 * tt * rr)
+        c1 = a & (r < 13.0) & (t >= 80.0) & (t <= 112.0)
+        adj1 = ((13.0 - r) / 4.0) * np.sqrt((17.0 - np.abs(t - 95.0)) / 17.0)
+        c2 = a & (r > 85.0) & (t >= 80.0) & (t <= 87.0)
+        adj2 = ((t - 85.0) / 10.0) * ((87.0 - t) / 5.0)
+        out = np.where(a, full - np.where(c1, adj1, 0.0) + np.where(c2, adj2, 0.0), H)
+        out = np.floor(out * 10000.0 + 0.5) / 10000.0
+        return pd.DataFrame({"event_id": df["event_id"], "hi": out})
+
+    return ds.map_batches(kern, batch_format="pyarrow", batch_size=65536).to_pandas()
+
+
+Q_HEAT_INDEX_F8_SQL = f"""
+WITH d AS ({_DERIVE_SQL}),
+base AS (
+  SELECT event_id, t + 60.0 AS tt_, rh AS r FROM d
+), steps AS (
+  SELECT event_id, tt_ AS t, r,
+         0.5 * (tt_ + 61.0 + ((tt_ - 68.0) * 1.2) + (r * 0.094)) AS H
+  FROM base
+)
+SELECT event_id,
+  floor((CASE WHEN (H + t) / 2.0 > 80.0 THEN
+      (-42.379 + 2.04901523 * t + 10.14333127 * r - 0.22475541 * (t * r)
+       - 6.83783e-3 * (t * t) - 5.481717e-2 * (r * r) + 1.22874e-3 * (t * t) * r
+       + 8.5282e-4 * t * (r * r) - 1.99e-6 * (t * t) * (r * r))
+      - (CASE WHEN r < 13.0 AND t >= 80.0 AND t <= 112.0
+              THEN ((13.0 - r) / 4.0) * sqrt((17.0 - abs(t - 95.0)) / 17.0)
+              ELSE 0.0 END)
+      + (CASE WHEN r > 85.0 AND t >= 80.0 AND t <= 87.0
+              THEN ((t - 85.0) / 10.0) * ((87.0 - t) / 5.0)
+              ELSE 0.0 END)
+    ELSE H END) * 10000.0 + 0.5) / 10000.0 AS hi
+FROM steps
+"""
+
+
+def q_fish_habitat_f8(sf_dir: str) -> pd.DataFrame:
+    """FishHabitatSuitability trapezoid membership in f8 column form
+    (functions/FishHabitatSuitability.py:71-99): temp and salinity derived
+    from event columns, fixed depth factor — SQL-exact CASE cascade."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+    from .functions.pointwise import depth_factor
+    dfac = depth_factor(5.0)  # plateau → 1.0
+
+    def trap(x, min_a, min_p, max_p, max_a):
+        out = np.where(x <= min_p, (x - min_a) / (min_p - min_a),
+                       np.where(x >= max_p, (x - max_a) / (max_p - max_a), 1.0))
+        return np.where(out < 0.0, 0.0, out)
+
+    def kern(b: pa.Table) -> pd.DataFrame:
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        val = np.asarray(b["value"], dtype=np.float64)
+        temp = 15.0 + val * 0.2            # [15, 35)
+        sal = 28.0 + ((eid % 90).astype(np.float64)) * 0.1  # [28, 37)
+        tm = trap(temp, 17.99, 26.37, 29.15, 33.35)
+        sm = trap(sal, 28.81, 32.27, 35.81, 36.79)
+        out = np.floor(tm * sm * dfac * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({"event_id": eid, "suitability": out})
+
+    return ds.map_batches(kern, batch_format="pyarrow", batch_size=65536).to_pandas()
+
+
+Q_FISH_HABITAT_F8_SQL = """
+WITH d AS (
+  SELECT event_id,
+         15.0 + value * 0.2 AS temp,
+         28.0 + CAST(event_id % 90 AS DOUBLE) * 0.1 AS sal
+  FROM events
+), m AS (
+  SELECT event_id,
+    GREATEST(CASE WHEN temp <= 26.37 THEN (temp - 17.99) / (26.37 - 17.99)
+                  WHEN temp >= 29.15 THEN (temp - 33.35) / (29.15 - 33.35)
+                  ELSE 1.0 END, 0.0) AS tm,
+    GREATEST(CASE WHEN sal <= 32.27 THEN (sal - 28.81) / (32.27 - 28.81)
+                  WHEN sal >= 35.81 THEN (sal - 36.79) / (35.81 - 36.79)
+                  ELSE 1.0 END, 0.0) AS sm
+  FROM d
+)
+SELECT event_id, floor(tm * sm * 1.0 * 1000000.0 + 0.5) / 1000000.0 AS suitability
+FROM m
+"""
