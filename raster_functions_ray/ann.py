@@ -68,7 +68,9 @@ def q_ann_topk(sf_dir: str) -> pd.DataFrame:
         frames = []
         k = min(TOP_K, ids.size)
         for qi in range(q.shape[0]):
-            idx = np.argpartition(-sims[:, qi], k - 1)[:k]
+            # lexsort (not argpartition) so batch-level selection honors the
+            # oracle's (sim DESC, vec_id) tie-break even at the k boundary
+            idx = np.lexsort((ids, -sims[:, qi]))[:k]
             frames.append(pd.DataFrame({"q_id": qi, "vec_id": ids[idx], "sim": sims[idx, qi]}))
         return pd.concat(frames, ignore_index=True)
 
@@ -152,9 +154,30 @@ def _kmeans_centroids(sample: np.ndarray, k: int = N_CLUSTERS,
     return cent
 
 
+def _sample_embeddings(path: str, cap: int = 2048) -> np.ndarray:
+    """K-means sample read via bounded row-group iteration — NEVER the whole
+    parquet (O(sample) driver memory, not O(corpus))."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    got, need = [], cap
+    for rb in pf.iter_batches(batch_size=min(cap, 1024),
+                              columns=["vec_id", "embedding"]):
+        got.append(pa.Table.from_batches([rb]))
+        need -= rb.num_rows
+        if need <= 0:
+            break
+    t = pa.concat_tables(got).slice(0, cap)
+    _, mat = _embedding_matrix(t)
+    return mat
+
+
 class IvfAssigner:
     """Actor-pool stage: assign each embedding to its nearest centroid
-    (the IVF 'coarse quantizer'); centroids broadcast once per actor."""
+    (the IVF 'coarse quantizer'); centroids broadcast once per actor.
+    Emits (vec_id, embedding, list_id) — list_id travels as a COLUMN, so
+    the index can be written list-partitioned and probed by pruned reads
+    (no driver-side assignment table)."""
 
     def __init__(self, centroids_ref):
         self.cent = ray.get(centroids_ref)
@@ -162,34 +185,67 @@ class IvfAssigner:
     def __call__(self, b: pa.Table) -> pa.Table:
         ids, mat = _embedding_matrix(b)
         d2 = (mat**2).sum(1)[:, None] - 2 * mat @ self.cent.T + (self.cent**2).sum(1)[None, :]
-        return pa.table({"vec_id": pa.array(ids),
-                         "list_id": pa.array(d2.argmin(1).astype(np.int64))})
+        lid = d2.argmin(1).astype(np.int64)
+        # list_id drives the hive partition layout (and is consumed by it);
+        # lid stays as a data column inside the files for per-query probing
+        return (b.append_column("list_id", pa.array(lid))
+                .append_column("lid", pa.array(lid)))
 
 
-def ivf_build(sf_dir: str, concurrency: int = 4) -> tuple[np.ndarray, rd.Dataset]:
-    """IVF index build: centroids from a sample + distributed assignment."""
-    import pyarrow.parquet as pq
+def ivf_build(sf_dir: str, concurrency: int = 4) -> tuple[np.ndarray, str]:
+    """IVF index build, 100-TB shape: centroids from a bounded sample;
+    assignment runs distributed and is written as a LIST-PARTITIONED parquet
+    index (one directory per inverted list).  Search then touches only the
+    probed lists' files.  Returns (centroids, index_dir).
 
-    sample_t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    _, sample = _embedding_matrix(sample_t.slice(0, min(2048, sample_t.num_rows)))
-    cent = _kmeans_centroids(sample)
+    The index is deterministic (seeded kmeans, nearest-centroid assignment)
+    and cached per source dir; a concurrent build writes to a unique tmp dir
+    and publishes atomically."""
+    import os
+    import uuid
+
+    src = f"{sf_dir}/embeddings.parquet"
+    index_dir = os.path.join("/tmp/rfr_ivf",
+                             f"v2_{os.path.basename(os.path.normpath(sf_dir))}_k{N_CLUSTERS}")
+    cent_path = os.path.join(index_dir, "centroids.npy")
+    if os.path.exists(os.path.join(index_dir, "_DONE")):
+        return np.load(cent_path), index_dir
+
+    cent = _kmeans_centroids(_sample_embeddings(src))
     cref = ray.put(cent)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     assign = ds.map_batches(IvfAssigner, fn_constructor_args=(cref,),
                             batch_format="pyarrow", batch_size=8192,
                             concurrency=concurrency)
-    return cent, assign
+    tmp = f"{index_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    # parquet lives under lists/ so Dataset reads never see the .npy/_DONE
+    assign.write_parquet(os.path.join(tmp, "lists"), partition_cols=["list_id"])
+    np.save(os.path.join(tmp, "centroids.npy"), cent)
+    try:
+        os.replace(tmp, index_dir)
+    except OSError:
+        # lost the publish race — another process finished first; use theirs
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    with open(os.path.join(index_dir, "_DONE"), "w") as f:
+        f.write("ok")
+    return np.load(cent_path), index_dir
 
 
 def q_ivf_search(sf_dir: str, n_probe: int = 4, concurrency: int = 4) -> pd.DataFrame:
     """IVF-ANN: search only the ``n_probe`` nearest inverted lists per query
     (the scale path — brute force is the exact baseline it approximates).
 
-    Rows-only check; recall vs the exact q_ann_topk is asserted in
-    tests (deterministic: seeded centroids)."""
-    cent, assign = ivf_build(sf_dir, concurrency=concurrency)
-    assign_df = assign.to_pandas()
-    list_of = dict(zip(assign_df["vec_id"], assign_df["list_id"]))
+    Scale shape: the probed lists are PRUNED AT THE READ (the index is
+    list-partitioned parquet; non-probed lists' vectors never leave
+    storage), and list membership rides the ``list_id`` partition column —
+    no whole-corpus assignment dict on the driver.
+
+    Rows-only check; recall vs the exact q_ann_topk is asserted in tests
+    (deterministic: seeded centroids)."""
+    import os
+
+    cent, index_dir = ivf_build(sf_dir, concurrency=concurrency)
 
     qids, qmat = load_queries(sf_dir)
     qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -197,27 +253,39 @@ def q_ivf_search(sf_dir: str, n_probe: int = 4, concurrency: int = 4) -> pd.Data
     d2 = (qmat**2).sum(1)[:, None] - 2 * qmat @ cent.T + (cent**2).sum(1)[None, :]
     probes = np.argsort(d2, axis=1)[:, :n_probe]
     probe_sets = [set(map(int, probes[i])) for i in range(len(qids))]
-    pref = ray.put((qn, probe_sets, list_of))
+    union_lists = sorted(set().union(*probe_sets))
+    pref = ray.put((qn, probe_sets))
 
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # probe pruning AT THE PATH LEVEL: only the probed lists' partition
+    # directories are ever opened — non-probed vectors never leave storage
+    probe_paths = []
+    for l in union_lists:
+        pdir = os.path.join(index_dir, "lists", f"list_id={l}")
+        probe_paths += [os.path.join(pdir, f) for f in sorted(os.listdir(pdir))
+                        if f.endswith(".parquet")]
+    ds = rd.read_parquet(probe_paths, columns=["vec_id", "embedding", "lid"])
 
     def partial(b: pa.Table) -> pd.DataFrame:
-        q, psets, lof = ray.get(pref)
+        q, psets = ray.get(pref)
+        lists_all = np.asarray(b["lid"], dtype=np.int64)
         ids, mat = _embedding_matrix(b)
         keep = ids >= N_QUERIES
-        ids, mat = ids[keep], mat[keep]
+        ids, mat, lists = ids[keep], mat[keep], lists_all[keep]
+        if ids.size == 0:
+            return pd.DataFrame({"q_id": pd.Series([], dtype="int64"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "sim": pd.Series([], dtype="float64")})
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         mn = mat / np.where(norms == 0, 1.0, norms)
         sims = mn @ q.T
         frames = []
-        lists = np.asarray([lof[int(v)] for v in ids])
         for qi in range(q.shape[0]):
             in_probe = np.isin(lists, list(psets[qi]))
             if not in_probe.any():
                 continue
             cand_ids, cand_sims = ids[in_probe], sims[in_probe, qi]
             k = min(TOP_K, cand_ids.size)
-            idx = np.argpartition(-cand_sims, k - 1)[:k]
+            idx = np.lexsort((cand_ids, -cand_sims))[:k]
             frames.append(pd.DataFrame({"q_id": qi, "vec_id": cand_ids[idx],
                                         "sim": cand_sims[idx]}))
         if not frames:

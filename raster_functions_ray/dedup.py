@@ -156,15 +156,23 @@ class MinHasher:
         n = len(df)
         rows_doc = np.repeat(df["doc_id"].to_numpy(), N_BANDS)
         rows_band = np.tile(np.arange(N_BANDS, dtype=np.int32), n)
-        rows_hash = []
-        for di in range(n):
-            col = sigs[:, di]
-            for band in range(N_BANDS):
-                rows_hash.append(hashlib.blake2b(
-                    col[band * rpb:(band + 1) * rpb].tobytes(), digest_size=8).hexdigest())
+        # vectorized FNV-1a-style mix of each band's rpb signature rows into
+        # one int64 bucket key (band index folded in, so keys from different
+        # bands never alias a bucket) — replaces a per-doc × per-band
+        # Python blake2b loop; two docs share a band key iff their rpb
+        # signature values match (mod a ~2^-64 mixing collision)
+        u = sigs.reshape(N_BANDS, rpb, n).astype(np.uint64)
+        acc = np.broadcast_to(
+            (np.arange(N_BANDS, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             ^ np.uint64(0xCBF29CE484222325))[:, None], (N_BANDS, n)).copy()
+        with np.errstate(over="ignore"):
+            for j in range(rpb):
+                acc = (acc ^ u[:, j, :]) * np.uint64(0x100000001B3)
+            acc ^= acc >> np.uint64(33)
+        band_hash = acc.view(np.int64).T.ravel()  # doc-major
         return pa.table({"doc_id": pa.array(rows_doc),
                          "band": pa.array(rows_band, pa.int32()),
-                         "band_hash": pa.array(rows_hash, pa.string())})
+                         "band_hash": pa.array(band_hash, pa.int64())})
 
 
 def minhash_candidates(sf_dir: str, concurrency: int = 4) -> pd.DataFrame:
@@ -184,19 +192,18 @@ def minhash_candidates(sf_dir: str, concurrency: int = 4) -> pd.DataFrame:
     # rows/doc) so pinning beats re-hashing the corpus
     banded = banded.materialize()
 
-    counts = banded.groupby(["band", "band_hash"]).aggregate(Count(alias_name="n"))
+    counts = banded.groupby("band_hash").aggregate(Count(alias_name="n"))
     hot = counts.filter(expr="n >= 2").to_pandas()  # collisions are rare → small
     if hot.empty:
         return pd.DataFrame({"doc_a": [], "doc_b": []})
-    hot_keys = set(zip(hot["band"].astype(int), hot["band_hash"]))
-    keys_ref = ray.put(hot_keys)
+    # band index is folded into band_hash (MinHasher), so the single int64
+    # key set suffices; filter is a vectorized Arrow is_in, not a Python loop
+    hot_arr = pa.array(hot["band_hash"].to_numpy(), pa.int64())
+    keys_ref = ray.put(hot_arr)
 
     def keep_colliding(b: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
-        bands = b["band"].to_pylist()
-        hashes = b["band_hash"].to_pylist()
-        mask = [(int(bb), hh) in ks for bb, hh in zip(bands, hashes)]
-        return b.filter(pa.array(mask, pa.bool_()))
+        import pyarrow.compute as pc
+        return b.filter(pc.is_in(b["band_hash"], value_set=ray.get(keys_ref)))
 
     survivors = banded.map_batches(keep_colliding, batch_format="pyarrow").to_pandas()
     pairs = []

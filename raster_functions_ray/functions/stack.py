@@ -199,3 +199,20 @@ def seasonal_naive_forecast(series: np.ndarray, season: int, horizon: int) -> np
         vals = s[phase::season]
         out[h] = np.nan if vals.size == 0 else np.nanmean(vals)
     return out
+
+
+def seasonal_naive_forecast_grid(series: np.ndarray, season: int, horizon: int) -> np.ndarray:
+    """Grid-vectorized seasonal-naive forecast: ``series`` is (epochs, h, w);
+    returns (horizon, h, w).  Per-pixel-identical to mapping
+    ``seasonal_naive_forecast`` over every (y, x) — the forecast is pure
+    same-phase indexing, so it needs no per-pixel loop (the reference loops
+    only because SARIMAX must fit per pixel; this stand-in need not)."""
+    s = np.asarray(series, dtype=np.float64)
+    n = s.shape[0]
+    out = np.empty((horizon,) + s.shape[1:], dtype=np.float64)
+    for h in range(horizon):
+        phase = (n + h) % season
+        vals = s[phase::season]
+        with np.errstate(invalid="ignore"):
+            out[h] = np.nanmean(vals, axis=0) if vals.shape[0] else np.nan
+    return out

@@ -48,13 +48,24 @@ def _fuse(ops: list[Op]) -> Callable:
     return fused
 
 
-def build_chain(ds: rd.Dataset, ops: list[Op]) -> rd.Dataset:
-    """Lower a chain onto Dataset stages, fusing pointwise runs."""
+def build_chain(ds: rd.Dataset, ops: list[Op], tiles_path: str | None = None,
+                bands: int | None = None) -> rd.Dataset:
+    """Lower a chain onto Dataset stages, fusing pointwise runs.
+
+    When the chain STARTS with a padded op and ``tiles_path`` is given, the
+    halo comes from the shuffle-free storage-aligned read
+    (halo.with_halo_from_parquet) instead of the groupby exchange — ``ds``
+    is then never executed (lazy).  Mid-chain padded ops always use the
+    exchange (their input exists only as a Dataset)."""
     i = 0
     while i < len(ops):
         op = ops[i]
         if op.padding > 0:
-            ds = halo.with_halo(ds, padding=op.padding)
+            if i == 0 and tiles_path is not None:
+                ds = halo.with_halo_from_parquet(tiles_path, padding=op.padding,
+                                                 bands=bands)
+            else:
+                ds = halo.with_halo(ds, padding=op.padding)
             ds = tile_map.apply_kernel(ds, op.kernel, op.out_pixel_type,
                                        batch_size=op.batch_size)
             i += 1

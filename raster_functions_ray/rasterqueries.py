@@ -9,6 +9,8 @@ tests/test_raster_pipelines.py).  The tile→cell assignment IS SQL-checkable
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -89,8 +91,8 @@ def q_hillshade_stats(sf_dir: str) -> pd.DataFrame:
 def q_aspect_slope_stats(sf_dir: str) -> pd.DataFrame:
     d = synth.synth_dir_for(sf_dir)
     from .functions import focal as fc
-    tiles = read_tiles(d, bands=1)
-    padded = halo.with_halo(tiles, padding=1)
+    padded = halo.with_halo_from_parquet(os.path.join(d, "tiles.parquet"),
+                                         padding=1, bands=1)
 
     def kernel(p, m, meta):
         dem = p if p.ndim == 2 else p[0]
@@ -101,11 +103,12 @@ def q_aspect_slope_stats(sf_dir: str) -> pd.DataFrame:
 
 
 def q_aggregate_mean_stats(sf_dir: str) -> pd.DataFrame:
-    """Temporal stack mean over the 2-band (before/after) scene pairs."""
+    """Temporal stack mean over the 2-band (before/after) scene pairs
+    (shuffle-free: epochs are storage-co-located, stack_reduce_from_parquet)."""
     d = synth.synth_dir_for(sf_dir)
-    tiles = read_tiles(d, bands=2)
-    out = composite.stack_reduce(tiles, composite.aggregate_reduce("Average"),
-                                 out_pixel_type="f4")
+    out = composite.stack_reduce_from_parquet(
+        os.path.join(d, "tiles.parquet"), composite.aggregate_reduce("Average"),
+        out_pixel_type="f4", bands=2)
     df = tile_map.tile_stats(out).to_pandas()
     for c in ("mean", "min", "max"):
         df[c] = df[c].astype(float).round(6)
@@ -113,11 +116,12 @@ def q_aggregate_mean_stats(sf_dir: str) -> pd.DataFrame:
 
 
 def q_median_composite_stats(sf_dir: str) -> pd.DataFrame:
-    """Clear-pixel median composite over the Landsat epoch stacks (QA band 7)."""
+    """Clear-pixel median composite over the Landsat epoch stacks (QA band 7),
+    via the zero-shuffle storage-aligned stack reduce."""
     d = synth.synth_dir_for(sf_dir)
-    tiles = read_tiles(d, bands=7)
-    out = composite.stack_reduce(tiles, composite.median_composite_reduce(qa_band=6),
-                                 out_pixel_type="f4")
+    out = composite.stack_reduce_from_parquet(
+        os.path.join(d, "tiles.parquet"),
+        composite.median_composite_reduce(qa_band=6), out_pixel_type="f4", bands=7)
     df = tile_map.tile_stats(out).to_pandas()
     for c in ("mean", "min", "max"):
         df[c] = df[c].astype(float).round(4)
@@ -214,7 +218,8 @@ def q_tri_stats(sf_dir: str) -> pd.DataFrame:
         return out, erode_mask_3x3(m) if pad == 1 else m
     tiles = read_tiles(d, bands=1)
     out = build_chain(tiles, [Op("tri", kernel, padding=expr.padding_required,
-                                 out_pixel_type="f4")])
+                                 out_pixel_type="f4")],
+                      tiles_path=os.path.join(d, "tiles.parquet"), bands=1)
     return _stats_df(out)
 
 
@@ -258,13 +263,13 @@ def q_composite_bands_stats(sf_dir: str) -> pd.DataFrame:
     two redir epochs of each footprint into one 4-band tile (band order =
     acq_ts order, fixed like CompositeBands-4Bands-Ordered.rft.xml)."""
     d = synth.synth_dir_for(sf_dir)
-    tiles = read_tiles(d, bands=2)
 
     def zip_bands(stack, masks, g):
         bands = np.concatenate(list(stack), axis=0)  # (2*epochs, h, w)
         return bands, np.all(masks, axis=0).astype(np.uint8)
 
-    out = composite.stack_reduce(tiles, zip_bands, out_pixel_type="f4")
+    out = composite.stack_reduce_from_parquet(
+        os.path.join(d, "tiles.parquet"), zip_bands, out_pixel_type="f4", bands=2)
     df = tile_map.tile_stats(out).to_pandas()
     for c in ("mean", "min", "max"):
         df[c] = df[c].astype(float).round(6)
@@ -349,18 +354,6 @@ def q_percent_above_threshold(sf_dir: str) -> pd.DataFrame:
     """PercentAboveThreshold (functions/PercentAboveThreshold.py:90-150):
     date-window filter on acq_ts → per-footprint scalar %≤threshold."""
     d = synth.synth_dir_for(sf_dir)
-    tiles = read_tiles(d, bands=7)
-
-    # date window (functions/PercentAboveThreshold.py:128-135) as a
-    # vectorized Arrow filter: keep epochs in [1985-02-01, 1985-06-01)
-    import pyarrow.compute as pc
-
-    lo = pa.scalar(pd.Timestamp("1985-02-01"), pa.timestamp("us"))
-    hi = pa.scalar(pd.Timestamp("1985-06-01"), pa.timestamp("us"))
-    tiles = tiles.map_batches(
-        lambda b: b.filter(pc.and_(pc.greater_equal(b["acq_ts"], lo),
-                                   pc.less(b["acq_ts"], hi))),
-        batch_format="pyarrow", batch_size=64, zero_copy_batch=True)
 
     from .functions import stack as st
 
@@ -368,7 +361,11 @@ def q_percent_above_threshold(sf_dir: str) -> pd.DataFrame:
         pct, block = st.percent_above_threshold(stack[:, 0, :, :], 8000.0, below=True)
         return block, np.ones(block.shape, np.uint8)
 
-    out = composite.stack_reduce(tiles, reduce_fn, out_pixel_type="f8")
+    # date window (functions/PercentAboveThreshold.py:128-135) pruned at the
+    # METADATA read — out-of-window epochs' pixels never leave storage
+    out = composite.stack_reduce_from_parquet(
+        os.path.join(d, "tiles.parquet"), reduce_fn, out_pixel_type="f8", bands=7,
+        acq_window=(pd.Timestamp("1985-02-01"), pd.Timestamp("1985-06-01")))
 
     def pct_rows(b: pa.Table) -> pd.DataFrame:
         from . import tilecodec
@@ -392,8 +389,8 @@ def q_topographic_c(sf_dir: str) -> pd.DataFrame:
     from .functions import stack as st
 
     d = synth.synth_dir_for(sf_dir)
-    dem_tiles = read_tiles(d, bands=1)
-    padded = halo.with_halo(dem_tiles, padding=1)
+    padded = halo.with_halo_from_parquet(os.path.join(d, "tiles.parquet"),
+                                         padding=1, bands=1)
 
     def slope_aspect_cos(b: pa.Table) -> pd.DataFrame:
         from . import tilecodec
@@ -441,14 +438,14 @@ def q_dnbr_stats(sf_dir: str) -> pd.DataFrame:
     """Differenced NBR (functions/deprecated/DifferencedNormalizedBurnRatio.py:99-117):
     before/after = the two redir epochs of each footprint, grouped + time-ordered."""
     d = synth.synth_dir_for(sf_dir)
-    tiles = read_tiles(d, bands=2)
 
     def dnbr_reduce(stack, masks, g):
         # stack (2 epochs, 2 bands, h, w), epoch order = acq_ts order
         out = pw.nbr_difference(stack[0, 0], stack[0, 1], stack[1, 0], stack[1, 1])
         return out, np.all(masks, axis=0).astype(np.uint8)
 
-    out = composite.stack_reduce(tiles, dnbr_reduce, out_pixel_type="f4")
+    out = composite.stack_reduce_from_parquet(
+        os.path.join(d, "tiles.parquet"), dnbr_reduce, out_pixel_type="f4", bands=2)
     return _stats_df(out)
 
 
@@ -477,8 +474,8 @@ def q_rank_filter_stats(sf_dir: str) -> pd.DataFrame:
     from .functions import focal as fc
 
     d = synth.synth_dir_for(sf_dir)
-    tiles = read_tiles(d, bands=1)
-    padded = halo.with_halo(tiles, padding=1)
+    padded = halo.with_halo_from_parquet(os.path.join(d, "tiles.parquet"),
+                                         padding=1, bands=1)
 
     def kernel(p, m, meta):
         dem = p if p.ndim == 2 else p[0]
@@ -511,9 +508,9 @@ def q_pixel_percentile_stats(sf_dir: str) -> pd.DataFrame:
     """LandsatPixelPercentile (functions/LandsatPixelPercentile.py:134-196):
     25th percentile of clear observations per pixel."""
     d = synth.synth_dir_for(sf_dir)
-    tiles = read_tiles(d, bands=7)
-    out = composite.stack_reduce(tiles, composite.percentile_reduce(qa_band=6, pct=25.0),
-                                 out_pixel_type="f4")
+    out = composite.stack_reduce_from_parquet(
+        os.path.join(d, "tiles.parquet"),
+        composite.percentile_reduce(qa_band=6, pct=25.0), out_pixel_type="f4", bands=7)
     df = tile_map.tile_stats(out).to_pandas()
     for c in ("mean", "min", "max"):
         df[c] = df[c].astype(float).round(4)
@@ -524,37 +521,30 @@ def q_find_second_max_stats(sf_dir: str) -> pd.DataFrame:
     """FindSecondMax (functions/FindSecondMax.py:60-87) across the landsat
     epochs, inputs pre-scaled into the reference's 0–100 classified domain."""
     d = synth.synth_dir_for(sf_dir)
-    tiles = read_tiles(d, bands=7)
-
-    def scale_0_100(p, m, meta):
-        return (p[0].astype(np.float64) / 65535.0 * 100.0), m
-
-    scaled = tile_map.apply_kernel(tiles, scale_0_100, out_pixel_type="f8")
 
     from .functions import stack as st
 
     def reduce_fn(stack, masks, g):
-        out = st.find_kth_max(stack, k=2, invalid_above=100.0)
+        # scale band 0 into the 0–100 classified domain inside the reduce
+        # (was a separate pre-kernel stage; fused here so the storage-aligned
+        # path reads each pixel exactly once)
+        series = stack[:, 0:1, :, :].astype(np.float64) / 65535.0 * 100.0
+        out = st.find_kth_max(series, k=2, invalid_above=100.0)
         return out, np.ones(out.shape, np.uint8)
 
-    out = composite.stack_reduce(scaled, reduce_fn, out_pixel_type="f8")
+    out = composite.stack_reduce_from_parquet(
+        os.path.join(d, "tiles.parquet"), reduce_fn, out_pixel_type="f8", bands=7)
     return _stats_df(out)
 
 
 def q_image_synthesis_stats(sf_dir: str) -> pd.DataFrame:
     """Landsat_Image_Synthesis (functions/Landsat_Image_Synthesis.py:95-160):
     clear-pixel mean of a month-window of epochs."""
-    import pyarrow.compute as pc
-
     d = synth.synth_dir_for(sf_dir)
-    tiles = read_tiles(d, bands=7)
-    lo = pa.scalar(pd.Timestamp("1985-01-01"), pa.timestamp("us"))
-    hi = pa.scalar(pd.Timestamp("1985-04-01"), pa.timestamp("us"))
-    tiles = tiles.map_batches(
-        lambda b: b.filter(pc.and_(pc.greater_equal(b["acq_ts"], lo), pc.less(b["acq_ts"], hi))),
-        batch_format="pyarrow", batch_size=64, zero_copy_batch=True)
-    out = composite.stack_reduce(tiles, composite.synthesis_reduce(qa_band=6),
-                                 out_pixel_type="f4")
+    out = composite.stack_reduce_from_parquet(
+        os.path.join(d, "tiles.parquet"), composite.synthesis_reduce(qa_band=6),
+        out_pixel_type="f4", bands=7,
+        acq_window=(pd.Timestamp("1985-01-01"), pd.Timestamp("1985-04-01")))
     df = tile_map.tile_stats(out).to_pandas()
     for c in ("mean", "min", "max"):
         df[c] = df[c].astype(float).round(4)
@@ -620,8 +610,8 @@ def q_vineyard_chain(sf_dir: str) -> pd.DataFrame:
     from .functions import focal as fc
 
     d = synth.synth_dir_for(sf_dir)
-    tiles = read_tiles(d, bands=1)
-    padded = halo.with_halo(tiles, padding=1)
+    padded = halo.with_halo_from_parquet(os.path.join(d, "tiles.parquet"),
+                                         padding=1, bands=1)
 
     def kernel(p, m, meta):
         dem = p if p.ndim == 2 else p[0]
@@ -690,8 +680,8 @@ def q_cti_stats(sf_dir: str) -> pd.DataFrame:
     from .functions import focal as fc
 
     d = synth.synth_dir_for(sf_dir)
-    tiles = read_tiles(d, bands=1)
-    padded = halo.with_halo(tiles, padding=1)
+    padded = halo.with_halo_from_parquet(os.path.join(d, "tiles.parquet"),
+                                         padding=1, bands=1)
 
     def kernel(p, m, meta):
         dem = (p if p.ndim == 2 else p[0]).astype(np.float64)
@@ -769,19 +759,15 @@ def q_seasonal_forecast_stats(sf_dir: str) -> pd.DataFrame:
     from .functions import stack as st
 
     d = synth.synth_dir_for(sf_dir)
-    tiles = read_tiles(d, bands=7)
 
     def reduce_fn(stack, masks, g):
         series = stack[:, 0, ::8, ::8].astype(np.float64)  # (epochs, h/8, w/8)
-        h, w = series.shape[1:]
-        out = np.zeros((h, w))
-        for yy in range(h):
-            for xx in range(w):
-                out[yy, xx] = st.seasonal_naive_forecast(series[:, yy, xx], season=3, horizon=1)[0]
+        out = st.seasonal_naive_forecast_grid(series, season=3, horizon=1)[0]
         full = np.repeat(np.repeat(out, 8, axis=0), 8, axis=1)
         return full, np.ones(full.shape, np.uint8)
 
-    out = composite.stack_reduce(tiles, reduce_fn, out_pixel_type="f4")
+    out = composite.stack_reduce_from_parquet(
+        os.path.join(d, "tiles.parquet"), reduce_fn, out_pixel_type="f4", bands=7)
     df = tile_map.tile_stats(out).to_pandas()
     for c in ("mean", "min", "max"):
         df[c] = df[c].astype(float).round(4)

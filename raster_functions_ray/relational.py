@@ -413,13 +413,13 @@ def q_anti_join(sf_dir: str) -> pd.DataFrame:
     jan = orders.map_batches(
         lambda b: b.filter(pc2.less(b["o_orderdate"], cutoff)).select(["o_custkey"]),
         batch_format="pyarrow").to_pandas()
-    kref = ray.put(set(jan["o_custkey"].tolist()))
+    kref = ray.put(pa.array(np.unique(jan["o_custkey"].to_numpy()), pa.int64()))
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
 
     def anti(b: pa.Table) -> pa.Table:
-        ks = ray.get(kref)
-        keep = [k not in ks for k in b["c_custkey"].to_pylist()]
-        return b.filter(pa.array(keep, pa.bool_()))
+        # vectorized Arrow membership (is_in + invert), not a per-row Python
+        # `in`-set loop; the broadcast key array becomes a Bloom filter at scale
+        return b.filter(pc2.invert(pc2.is_in(b["c_custkey"], value_set=ray.get(kref))))
 
     out = cust.map_batches(anti, batch_format="pyarrow", batch_size=65536).to_pandas()
     if out.empty:

@@ -197,7 +197,10 @@ def q_knn(sf_dir: str) -> pd.DataFrame:
         for qi in range(qs.shape[0]):
             d2 = (x - qs[qi, 0]) ** 2 + (y - qs[qi, 1]) ** 2
             k = min(KNN_K, d2.size)
-            idx = np.argpartition(d2, k - 1)[:k]
+            # lexsort, not argpartition: distance ties at the k-boundary must
+            # honor the oracle's (d2, event_id) ROW_NUMBER ordering (points
+            # sit on a 0.01° lattice, so exact d2 ties are realistic)
+            idx = np.lexsort((eid, d2))[:k]
             frames.append(pd.DataFrame({"q_id": qi, "event_id": eid[idx], "d2": d2[idx]}))
         return pd.concat(frames, ignore_index=True)
 
@@ -273,23 +276,42 @@ class ZoneJoiner:
 
     def __call__(self, b: pa.Table) -> pa.Table:
         texts = b["text"].to_pylist()
-        doc_ids = b["doc_id"].to_pylist()
+        doc_ids = np.asarray(b["doc_id"].to_pylist(), dtype=object)
         pidx, x, y = wkt_parse_points(texts)
         cells = grid.cell_encode(x, y, CELL_LEVEL)
-        out_doc, out_zone = [], []
-        for j in range(pidx.size):
-            for zi in self.cell_to_zones.get(int(cells[j]), ()):
-                z = self.zones
-                verts = np.asarray(z["vertices"][zi], dtype=np.float64)
+        # group points by cell (one stable sort), then run the VECTORIZED
+        # containment test per (cell, candidate-zone) pair — no per-point
+        # Python loop (the exact test cost scales with candidate pairs)
+        order = np.argsort(cells, kind="stable")
+        sc = cells[order]
+        cuts = np.flatnonzero(np.diff(sc)) + 1
+        starts = np.concatenate([[0], cuts])
+        ends = np.concatenate([cuts, [sc.size]])
+        z = self.zones
+        sel_docs, sel_zones = [], []
+        for s, e in zip(starts, ends):
+            zis = self.cell_to_zones.get(int(sc[s]), ())
+            if not zis:
+                continue
+            idxs = order[s:e]
+            xx, yy = x[idxs], y[idxs]
+            for zi in zis:
                 if z["is_rect"][zi]:
                     bb = z["bbox"][zi]
-                    hit = (bb[0] <= x[j] < bb[2]) and (bb[1] <= y[j] < bb[3])
+                    hit = (bb[0] <= xx) & (xx < bb[2]) & (bb[1] <= yy) & (yy < bb[3])
                 else:
-                    hit = bool(point_in_convex_batch(np.asarray([x[j]]), np.asarray([y[j]]), verts)[0])
-                if hit:
-                    out_doc.append(doc_ids[pidx[j]])
-                    out_zone.append(int(z["zone_id"][zi]))
-        return pa.table({"doc_id": pa.array(out_doc, pa.string()),
+                    verts = np.asarray(z["vertices"][zi], dtype=np.float64)
+                    hit = point_in_convex_batch(xx, yy, verts)
+                if hit.any():
+                    took = idxs[hit]
+                    sel_docs.append(doc_ids[pidx[took]])
+                    sel_zones.append(np.full(took.size, int(z["zone_id"][zi]), np.int32))
+        if sel_docs:
+            out_doc = np.concatenate(sel_docs)
+            out_zone = np.concatenate(sel_zones)
+        else:
+            out_doc, out_zone = [], np.asarray([], np.int32)
+        return pa.table({"doc_id": pa.array(list(out_doc), pa.string()),
                          "zone_id": pa.array(out_zone, pa.int32())})
 
 

@@ -82,6 +82,88 @@ def stack_reduce(tiles: rd.Dataset, reduce_fn: StackReduce,
         batch_format="pyarrow")
 
 
+# ------------------------------------------------------------------------
+# Shuffle-free stack reduce from storage (the scale path, like
+# halo.with_halo_from_parquet): temporal epochs of one footprint are
+# ALREADY co-located in storage (scene-aligned row groups; scenes of a
+# position are consecutive), so the groupby(tx, ty) exchange above moves
+# every pixel byte through the object store only to restore a locality the
+# writer guaranteed.  Instead: one Ray task per (position, ty-band) does a
+# pruned parquet read of just its scenes/rows, groups in-memory by (tx, ty)
+# and runs the SAME _group_reduce — bit-identical output, zero shuffle.
+#
+# Partitioning assumption (documented): all epochs of a footprint live in
+# the one tiles file and share the global (tx, ty) grid.  Violation
+# degrades to a wrong group (missing epochs -> n_scenes mismatch), which
+# the n_scenes column makes visible — never silent wrong pixels.
+# ------------------------------------------------------------------------
+
+def _reduce_tiles_from_parquet(path: str, scene_ids: list[int], ty_lo: int, ty_hi: int,
+                               reduce_fn: StackReduce, out_pixel_type: str | None):
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    flt = (pc.field("scene_id").isin(scene_ids)
+           & (pc.field("ty") >= ty_lo) & (pc.field("ty") < ty_hi))
+    t = pq.read_table(path, filters=flt)
+    t = t.sort_by([("ty", "ascending"), ("tx", "ascending")])
+    txs = np.asarray(t["tx"], dtype=np.int64)
+    tys = np.asarray(t["ty"], dtype=np.int64)
+    keys = (tys << 32) | txs
+    cuts = np.flatnonzero(np.diff(keys)) + 1
+    starts = np.concatenate([[0], cuts])
+    ends = np.concatenate([cuts, [keys.size]])
+    outs = [_group_reduce(t.slice(int(s), int(e - s)), reduce_fn, out_pixel_type)
+            for s, e in zip(starts, ends)]
+    return pa.concat_tables(outs)
+
+
+def stack_reduce_from_parquet(tiles_path: str, reduce_fn: StackReduce,
+                              out_pixel_type: str | None = None,
+                              bands: int | None = None,
+                              acq_window: tuple | None = None) -> rd.Dataset:
+    """Zero-shuffle stack_reduce: per-(position, ty-band) pruned reads in
+    parallel Ray tasks; output identical to stack_reduce() (gate:
+    tests/test_raster_pipelines.py equality test).
+
+    ``acq_window=(lo, hi)`` prunes whole SCENES at the metadata read —
+    filtered epochs' pixels never leave storage (vs the Dataset-side
+    filter, which reads then drops them)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    meta = pq.read_table(tiles_path,
+                         columns=["scene_id", "band_count", "tx", "ty", "acq_ts"])
+    mdf = meta.to_pandas()
+    if bands is not None:
+        mdf = mdf[mdf["band_count"] == bands]
+    sc = (mdf.groupby("scene_id")
+          .agg(tx0=("tx", "min"), ty0=("ty", "min"),
+               ty_min=("ty", "min"), ty_max=("ty", "max"),
+               acq_ts=("acq_ts", "first")).reset_index())
+    if acq_window is not None:
+        lo, hi = acq_window
+        sc = sc[(sc["acq_ts"] >= lo) & (sc["acq_ts"] < hi)]
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    positions = list(sc.groupby(["tx0", "ty0"]))
+    bands_per_pos = max(1, (2 * ncpu) // max(1, len(positions)))
+    task = ray.remote(_reduce_tiles_from_parquet)
+    refs = []
+    for _, pos in positions:
+        ids = [int(s) for s in pos["scene_id"]]
+        y0, y1 = int(pos["ty_min"].min()), int(pos["ty_max"].max()) + 1
+        n_bands = min(bands_per_pos, y1 - y0)
+        edges = np.linspace(y0, y1, n_bands + 1).astype(int)
+        for lo_e, hi_e in zip(edges[:-1], edges[1:]):
+            if hi_e > lo_e:
+                refs.append(task.remote(tiles_path, ids, int(lo_e), int(hi_e),
+                                        reduce_fn, out_pixel_type))
+    return rd.from_arrow_refs(refs)
+
+
 # ---- canned reduces wrapping functions/stack.py kernels -------------------
 
 def aggregate_reduce(method: str) -> StackReduce:

@@ -197,39 +197,52 @@ def rolling_fingerprint(text: str, window: int = 16, mod: int = 1 << 31) -> int:
     return best
 
 
+class DocScorer:
+    """Actor-pool stage fusing one read-side pass over documents: quality
+    heuristics + language ID + content hash — one text decode per doc, all
+    regex state built once per actor.  Emits narrow scalar rows
+    (doc_id, h, pred_lang, stop_ratio, alpha_ratio)."""
+
+    def __init__(self):
+        self.quality = QualityScorer()
+        self.langid = LangId()
+
+    def __call__(self, b: pa.Table) -> pd.DataFrame:
+        qdf = self.quality(b)
+        qdf["pred_lang"] = self.langid(b)["pred_lang"].values
+        from .dedup import _text_hash
+
+        qdf["h"] = _text_hash(b.to_pandas()["text"]).values
+        return qdf[["doc_id", "h", "pred_lang", "stop_ratio", "alpha_ratio"]]
+
+
 def q_training_data_pipeline(sf_dir: str) -> pd.DataFrame:
     """Composed training-data pipeline (the 100 TB shape in miniature):
-    quality scoring (actor pool) → language ID (actor pool) → exact-dup
-    marking → per-(pred_lang, kept) corpus stats.  One streaming pass per
-    stage; the dedup survivor set is broadcast, not shuffled."""
-    import hashlib
+    one fused scoring pass (quality + lang-ID + content hash, actor pool) →
+    exact-dup survivor marking via a HASH-KEYED JOIN (min doc_id per h
+    aggregated distributed, joined back — no driver-side survivor set or
+    lang map; everything O(corpus) stays in the object store) →
+    per-(pred_lang, kept) corpus stats via partial+final aggregate."""
+    from ray.data.aggregate import Min, Sum
 
-    import ray
-    from ray.data.aggregate import Count, Sum
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    scored = ds.map_batches(DocScorer, batch_format="pyarrow", batch_size=4096,
+                            concurrency=2)
+    # consumed twice (survivor aggregate + join probe); rows are 5 narrow
+    # scalars/doc, so pinning beats re-reading + re-scoring the corpus
+    scored = scored.repartition(16).materialize()
+    survivors = scored.groupby("h").aggregate(Min("doc_id", alias_name="keep_doc_id"))
+    marked = scored.join(survivors, join_type="inner", num_partitions=16, on=("h",))
 
-    # stage 1+2 fused pipeline over documents
-    scored = quality_scores(sf_dir, concurrency=2)
-    langs = lang_id(sf_dir, concurrency=2).to_pandas()
-    lmap_ref = ray.put(dict(zip(langs["doc_id"], langs["pred_lang"])))
-
-    # survivor set from exact dedup (min doc_id per content hash)
-    from .dedup import q_exact_dedup
-
-    survivors = set(q_exact_dedup(sf_dir)["keep_doc_id"].tolist())
-    sref = ray.put(survivors)
-
-    def finalize(b: pa.Table) -> pd.DataFrame:
-        lmap = ray.get(lmap_ref)
-        surv = ray.get(sref)
+    def partial(b: pa.Table) -> pd.DataFrame:
         df = b.to_pandas()
-        df["pred_lang"] = df["doc_id"].map(lmap)
-        df["kept"] = df["doc_id"].isin(surv) & (df["stop_ratio"] < 0.9) & (df["alpha_ratio"] > 0.5)
+        df["kept"] = ((df["doc_id"] == df["keep_doc_id"])
+                      & (df["stop_ratio"] < 0.9) & (df["alpha_ratio"] > 0.5))
         return (df.groupby(["pred_lang", "kept"], sort=False)
-                .agg(n_docs=("doc_id", "size"),
-                     sum_stop=("stop_ratio", "sum"))
+                .agg(n_docs=("doc_id", "size"), sum_stop=("stop_ratio", "sum"))
                 .reset_index())
 
-    out = (scored.map_batches(finalize, batch_format="pyarrow", batch_size=8192)
+    out = (marked.map_batches(partial, batch_format="pyarrow", batch_size=8192)
            .groupby(["pred_lang", "kept"])
            .aggregate(Sum("n_docs", alias_name="n_docs"),
                       Sum("sum_stop", alias_name="sum_stop"))

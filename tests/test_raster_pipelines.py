@@ -110,6 +110,53 @@ def test_median_composite_pipeline(synth_sf001):
     assert r["n_scenes"] == 6
 
 
+def test_stack_reduce_from_parquet_equals_shuffle(synth_sf001):
+    """The shuffle-free storage-aligned stack reduce must be bit-identical
+    to the groupby((tx,ty)) exchange — both lower onto _group_reduce."""
+    path = f"{synth_sf001}/tiles.parquet"
+    for bands, reduce_fn, opt in [
+        (2, composite.aggregate_reduce("Average"), "f4"),
+        (7, composite.median_composite_reduce(qa_band=6), "f4"),
+    ]:
+        via_shuffle = composite.stack_reduce(
+            read_tiles(synth_sf001, bands=bands), reduce_fn, out_pixel_type=opt)
+        via_parquet = composite.stack_reduce_from_parquet(
+            path, reduce_fn, out_pixel_type=opt, bands=bands)
+        a = {r["tile_id"]: r for r in via_shuffle.take_all()}
+        b = {r["tile_id"]: r for r in via_parquet.take_all()}
+        assert set(a) == set(b) and len(a) > 0
+        for tid in a:
+            assert a[tid]["pixels"] == b[tid]["pixels"], tid
+            assert a[tid]["mask"] == b[tid]["mask"]
+            assert a[tid]["n_scenes"] == b[tid]["n_scenes"]
+            assert a[tid]["acq_ts"] == b[tid]["acq_ts"]
+
+
+def test_stack_reduce_from_parquet_acq_window(synth_sf001):
+    """acq_window prunes whole epochs at the metadata read — equal to the
+    Dataset-side acq_ts filter feeding the shuffle path."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    lo, hi = pd.Timestamp("1985-01-01"), pd.Timestamp("1985-04-01")
+    path = f"{synth_sf001}/tiles.parquet"
+    via_parquet = composite.stack_reduce_from_parquet(
+        path, composite.synthesis_reduce(qa_band=6), out_pixel_type="f4",
+        bands=7, acq_window=(lo, hi))
+    tiles = read_tiles(synth_sf001, bands=7)
+    slo = pa.scalar(lo, pa.timestamp("us"))
+    shi = pa.scalar(hi, pa.timestamp("us"))
+    filtered = tiles.map_batches(
+        lambda b: b.filter(pc.and_(pc.greater_equal(b["acq_ts"], slo),
+                                   pc.less(b["acq_ts"], shi))),
+        batch_format="pyarrow", batch_size=64)
+    via_shuffle = composite.stack_reduce(
+        filtered, composite.synthesis_reduce(qa_band=6), out_pixel_type="f4")
+    a = {r["tile_id"]: r["pixels"] for r in via_shuffle.take_all()}
+    b = {r["tile_id"]: r["pixels"] for r in via_parquet.take_all()}
+    assert a == b and len(a) > 0
+
+
 def test_tile_cell_assignment_deterministic(synth_sf001):
     from raster_functions_ray import rasterqueries as rq
     a = rq.q_tile_cells("/root/testdata/sf0.001")
