@@ -129,6 +129,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_data_pipeline": textops.q_training_data_pipeline,
         "heat_index_f8": bandmath.q_heat_index_f8,
         "fish_habitat_f8": bandmath.q_fish_habitat_f8,
+        # round-2: template-gap ops + LinearSpectralUnmixing
+        "lsu_stats": rq.q_lsu_stats,
+        "ndsi_ndwi_stats": rq.q_ndsi_ndwi_stats,
+        "deviation_from_mean_stats": rq.q_deviation_from_mean_stats,
+        "multidirectional_hillshade_stats": rq.q_multidirectional_hillshade_stats,
+        "remove_nodata_stats": rq.q_remove_nodata_stats,
     }
 
 

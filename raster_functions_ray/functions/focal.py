@@ -87,6 +87,34 @@ def hillshade(dem_padded: np.ndarray, mask_padded: np.ndarray, cell_size,
     return shade[1:-1, 1:-1], erode_mask_3x3(np.asarray(mask_padded))
 
 
+def multidirectional_hillshade(dem_padded: np.ndarray, mask_padded: np.ndarray,
+                               cell_size, z_factor: float = 1.0,
+                               is_geographic: bool = False):
+    """Multidirectional hillshade (functions/deprecated/
+    MultidirectionalHillshade.rft.xml wraps the built-in Hillshade in
+    multidirectional mode): the published USGS method (Mark 1992) blends
+    illumination from six azimuths — 225/270/315/360 at 60° altitude
+    weighted by sin²(aspect − azimuth), plus overhead fill — re-expressed
+    here as a weighted combination of the single-direction kernel above,
+    with aspect from the same Sobel gradients.  Returns (f8 block 0-255,
+    eroded mask)."""
+    v = np.asarray(dem_padded, dtype=np.float64)
+    dxr = convolve3x3(v, SOBEL_X)
+    dyr = convolve3x3(v, SOBEL_Y)
+    aspect = np.arctan2(dyr, -dxr)
+    num = np.zeros_like(v)
+    den = np.zeros_like(v)
+    for az in (225.0, 270.0, 315.0, 360.0):
+        w = np.sin(aspect - math.radians(az)) ** 2
+        shade, _ = hillshade(v, mask_padded, cell_size, z_factor=z_factor,
+                             azimuth=az, elevation=60.0,
+                             is_geographic=is_geographic)
+        num[1:-1, 1:-1] += w[1:-1, 1:-1] * shade
+        den += w
+    out = num[1:-1, 1:-1] / np.where(den[1:-1, 1:-1] == 0, 1.0, den[1:-1, 1:-1])
+    return np.clip(out, 0.0, 255.0), erode_mask_3x3(np.asarray(mask_padded))
+
+
 def aspect_slope(dem_padded: np.ndarray, mask_padded: np.ndarray, cell_size,
                  z_factor: float = 1.0):
     """Combined slope-class + aspect-octant code (19–48) on a padded tile.

@@ -181,6 +181,15 @@ def fuzzy_membership(r, mode="linear", par1=0.0, par2=0.0, hedge="NONE",
 
     MS modes consume dataset-level mean/std (a prior global aggregate in the
     engine — functions/FuzzyMembership.py:87-88).
+
+    Deliberate divergence: for MSSmall/MSLarge the reference applies its two
+    np.putmask calls SEQUENTIALLY against the array it is mutating, so when
+    ``mean*meanMultiplier < 1.0`` the second putmask re-tests values the
+    first already overwrote and clobbers them with rTemp
+    (functions/FuzzyMembership.py:150-158).  This kernel precomputes the
+    condition from the ORIGINAL array — each pixel takes exactly one branch
+    — which is the mathematically-intended semantics; the
+    Q_FUZZY_MSSMALL_SQL oracle encodes this (repo) behavior.
     """
     r = np.array(r, dtype=np.float64)
     mode = mode.lower()
@@ -273,9 +282,64 @@ def convert_per_second_to_per_month(pixels, acq_month_days: int) -> np.ndarray:
     return np.asarray(pixels, dtype=np.float64) * (acq_month_days * 86400.0)
 
 
-def select_by_pixel_size(cell_size_x: float, threshold: float) -> int:
-    """Route to input 0 (finer) or 1 (coarser). Semantics: functions/SelectByPixelSize.py:65-95."""
-    return 0 if cell_size_x <= threshold else 1
+def select_by_pixel_size(cell_size_x: float, threshold: float,
+                         cell_size_y: float | None = None) -> int:
+    """Route to input 0 (finer) or 1 (coarser).
+
+    Semantics: functions/SelectByPixelSize.py:65-95 — the reference's
+    selectRasters routes on the MEAN of the request cell sizes with a
+    strict '<' (a cell size exactly equal to the threshold picks the
+    coarser raster), so anisotropic cells use both axes."""
+    v = 0.5 * (cell_size_x + (cell_size_y if cell_size_y is not None else cell_size_x))
+    return 0 if v < threshold else 1
+
+
+def remove_nodata(pixels: np.ndarray, mask: np.ndarray, value: float = 0.0):
+    """Con(IsNull(r), value, r): replace NoData-masked pixels with a
+    constant and force the mask valid.
+
+    Semantics: functions/RemoveNoData.rft.xml — Con over Is Null with a
+    Const raster (the template's built-in composition re-expressed as one
+    pointwise kernel)."""
+    out = np.array(pixels, dtype=np.float64)
+    invalid = np.asarray(mask) == 0
+    if out.ndim == 3:
+        out[:, invalid] = value
+    else:
+        out[invalid] = value
+    return out, np.ones(out.shape[-2:], dtype=np.uint8)
+
+
+def linear_spectral_unmixing(pixels: np.ndarray, signatures: dict,
+                             method: str = "Scaled") -> np.ndarray:
+    """Per-pixel least-squares endmember abundances + residual band.
+
+    Semantics: functions/deprecated/LinearSpectralUnmixing.py:60-130 —
+    coefficients = column-stacked endmember signatures (:66-72), pixels
+    flattened to a (bands, n_pix) system solved with np.linalg.lstsq
+    (:97-106); 'Scaled' clips negatives, scales by the GLOBAL max across
+    all endmember bands, and appends R² computed against the scalar mean
+    of y (:108-118, reproducing the reference's y.mean() with no axis);
+    'Raw' appends the residual sum of squares.  Output: (n_endmembers + 1,
+    h, w) f4, band order = signature-dict order then residuals (:121-127).
+    Requires bands > n_endmembers (lstsq residuals defined)."""
+    coeff = np.array(list(signatures.values()), dtype=np.float64).T  # (bands, M)
+    p = np.asarray(pixels, dtype=np.float64)
+    bands, h, w = p.shape
+    y = p.transpose(1, 2, 0).reshape(-1, bands).T                   # (bands, n_pix)
+    model, resid = np.linalg.lstsq(coeff, y, rcond=None)[:2]
+    endmembers = model.reshape(coeff.shape[1], h, w)
+    if method.lower() == "scaled":
+        endmembers = endmembers.clip(min=0)
+        mx = endmembers.max()
+        if mx > 0:
+            endmembers = endmembers * (1.0 / mx)
+        tss = np.sum((y - y.mean()) ** 2, axis=0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            resid_band = (1.0 - resid / tss).reshape(1, h, w)
+    else:
+        resid_band = resid.reshape(1, h, w)
+    return np.vstack([endmembers, resid_band]).astype(F4)
 
 
 def compound_topographic_index(slope_deg, flow_acc, cell_size: float) -> np.ndarray:

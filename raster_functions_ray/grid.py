@@ -58,12 +58,18 @@ def cell_bounds(cell_id: int):
 
 
 def covering(xmin: float, ymin: float, xmax: float, ymax: float, level: int) -> np.ndarray:
-    """All cell ids at ``level`` whose rectangle intersects the (closed) bbox."""
+    """All cell ids at ``level`` whose rectangle intersects the (closed) bbox.
+
+    The max edges are treated as INCLUSIVE: a bbox max landing exactly on a
+    cell boundary includes the boundary cell (harmless over-covering), so a
+    downstream exact containment test that counts the polygon boundary as
+    inside (spatial.point_in_convex_batch) never loses a candidate to the
+    coarse filter."""
     n = 2**level
     ix0 = int(np.floor(xmin / 360.0 * n))
-    ix1 = int(np.floor(np.nextafter(xmax, -np.inf) / 360.0 * n)) if xmax > xmin else ix0
+    ix1 = int(np.floor(xmax / 360.0 * n)) if xmax > xmin else ix0
     iy0 = max(0, int(np.floor((ymin + 90.0) / 180.0 * n)))
-    iy1 = min(n - 1, int(np.floor(np.nextafter(ymax + 90.0, -np.inf) / 180.0 * n)) if ymax > ymin else iy0)
+    iy1 = min(n - 1, int(np.floor((ymax + 90.0) / 180.0 * n)) if ymax > ymin else iy0)
     ix1 = max(ix0, ix1)
     ixs = np.arange(ix0, ix1 + 1, dtype=np.int64)
     iys = np.arange(iy0, iy1 + 1, dtype=np.int64)

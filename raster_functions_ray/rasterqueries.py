@@ -910,6 +910,104 @@ def q_hexagon_stats(sf_dir: str) -> pd.DataFrame:
     return _stats_df(out)
 
 
+# --------------------------------------- template-gap ops (round 2) ----
+
+# deterministic endmember signatures in the synthetic Landsat DN domain
+# (band base levels are 7000 + 900*b — synth._scene_pixels)
+LSU_SIGNATURES = {
+    "Shadow": [6800.0, 7600.0, 8500.0, 9300.0, 10200.0, 11000.0],
+    "Veg": [7200.0, 8300.0, 9100.0, 10600.0, 11000.0, 11600.0],
+    "NPV": [7000.0, 7900.0, 8900.0, 9800.0, 10800.0, 11800.0],
+    "Soil": [7400.0, 8100.0, 9400.0, 10000.0, 11400.0, 12400.0],
+}
+
+
+def q_lsu_stats(sf_dir: str) -> pd.DataFrame:
+    """LinearSpectralUnmixing (functions/deprecated/LinearSpectralUnmixing.py:
+    60-130): per-pixel lstsq endmember abundances + R² band over the 6
+    Landsat SR bands, Scaled mode.  Per-tile stats of the first abundance
+    band (rows-only; pixel math gated by the golden pytest oracle)."""
+    d = synth.synth_dir_for(sf_dir)
+    tiles = read_tiles(d, bands=7)
+
+    def kernel(p, m, meta):
+        out = pw.linear_spectral_unmixing(p[:6], LSU_SIGNATURES, method="Scaled")
+        return out, m
+
+    out = tile_map.apply_kernel(tiles, kernel, out_pixel_type="f4")
+    return _stats_df(out)
+
+
+def q_ndsi_ndwi_stats(sf_dir: str) -> pd.DataFrame:
+    """NDSI + NDWI for Landsat OLI (functions/deprecated/
+    'Normalized-Difference Snow Index (NDSI) for Landsat OLI.rft.xml' and
+    the NDWI twin): both are the same normalized-difference kernel as NDVI
+    with different band bindings — NDSI=(green−swir1)/(green+swir1),
+    NDWI=(green−nir)/(green+nir).  Two-band output, stats of NDSI."""
+    d = synth.synth_dir_for(sf_dir)
+    tiles = read_tiles(d, bands=7)
+
+    def kernel(p, m, meta):
+        green, nir, swir1 = p[1], p[3], p[4]
+        ndsi = pw.ndvi(swir1, green)  # (green − swir1)/(green + swir1)
+        ndwi = pw.ndvi(nir, green)    # (green − nir)/(green + nir)
+        return np.stack([ndsi, ndwi]), m
+
+    out = tile_map.apply_kernel(tiles, kernel, out_pixel_type="f4")
+    return _stats_df(out)
+
+
+def q_deviation_from_mean_stats(sf_dir: str) -> pd.DataFrame:
+    """DeviationFromMean (functions/deprecated/DeviationFromMean.rft.xml:
+    Arithmetic(Raster, Aggregate-mean(Raster[])) ): earliest epoch minus the
+    temporal stack mean, per footprint — a composition of the existing
+    aggregate reduce and band arithmetic, lowered onto the shuffle-free
+    stack reduce."""
+    d = synth.synth_dir_for(sf_dir)
+
+    def reduce_fn(stack, masks, g):
+        mean = np.asarray(stack, dtype=np.float64).mean(axis=0)
+        dev = np.asarray(stack[0], dtype=np.float64) - mean
+        return dev, np.all(masks, axis=0).astype(np.uint8)
+
+    out = composite.stack_reduce_from_parquet(
+        os.path.join(d, "tiles.parquet"), reduce_fn, out_pixel_type="f8", bands=2)
+    return _stats_df(out)
+
+
+def q_multidirectional_hillshade_stats(sf_dir: str) -> pd.DataFrame:
+    """MultidirectionalHillshade (functions/deprecated/
+    MultidirectionalHillshade.rft.xml): USGS-style multi-azimuth blend over
+    halo-padded DEM tiles (shuffle-free halo)."""
+    from .functions import focal as fc
+
+    d = synth.synth_dir_for(sf_dir)
+    padded = halo.with_halo_from_parquet(os.path.join(d, "tiles.parquet"),
+                                         padding=1, bands=1)
+
+    def kernel(p, m, meta):
+        dem = p if p.ndim == 2 else p[0]
+        return fc.multidirectional_hillshade(dem, m, meta["cell_size"],
+                                             is_geographic=(meta["srid"] == 4326))
+
+    out = tile_map.apply_kernel(padded, kernel, out_pixel_type="u1")
+    return _stats_df(out)
+
+
+def q_remove_nodata_stats(sf_dir: str) -> pd.DataFrame:
+    """RemoveNoData (functions/RemoveNoData.rft.xml: Con(IsNull, const,
+    raster)): masked DEM pixels replaced by 0, mask forced valid — per-tile
+    stats (valid_px becomes the full tile, gating the mask rewrite)."""
+    d = synth.synth_dir_for(sf_dir)
+    tiles = read_tiles(d, bands=1)
+
+    def kernel(p, m, meta):
+        return pw.remove_nodata(p, m, 0.0)
+
+    out = tile_map.apply_kernel(tiles, kernel, out_pixel_type="f4")
+    return _stats_df(out)
+
+
 def q_tile_catalog(sf_dir: str) -> pd.DataFrame:
     """Tile-catalog manifest (scripts/ExtractRasterInfo.py:1-10 analog):
     metadata-only projection of the tile table — SQL-exact."""

@@ -264,28 +264,41 @@ def build_training(n: int = 500) -> pa.Table:
 # ----------------------------------------------------------------- cache ----
 
 def synth_dir(sf: float) -> str:
-    """Generate (once) and return the parquet dir for scale factor ``sf``."""
+    """Generate (once) and return the parquet dir for scale factor ``sf``.
+
+    Concurrency-safe: each generator writes to a uniquely-suffixed tmp dir
+    (complete with the _DONE marker) and publishes with ONE atomic
+    os.replace; a lost race leaves the winner's cache untouched.
+
+    Tile row groups are 4 tile-rows tall (and never straddle scenes, which
+    divide evenly): ty-range predicates then prune at row-group granularity,
+    which the storage-aligned readers (stages/halo.py, stages/composite.py
+    stack_reduce_from_parquet) rely on to avoid decoding pixels they drop."""
+    import shutil
+    import uuid
+
     p = params_for(sf)
-    d = os.path.join(CACHE_ROOT, f"v2_sf{p.sf}")
+    d = os.path.join(CACHE_ROOT, f"v3_sf{p.sf}")
     marker = os.path.join(d, "_DONE")
     if os.path.exists(marker):
         return d
-    tmp = d + ".tmp"
-    os.makedirs(tmp, exist_ok=True)
+    tmp = f"{d}.tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp)
     tiles = build_tiles(p)
-    pq.write_table(tiles, os.path.join(tmp, "tiles.parquet"), row_group_size=256)
+    pq.write_table(tiles, os.path.join(tmp, "tiles.parquet"),
+                   row_group_size=4 * p.tiles_per_side)
     docs = build_documents(p, tiles["tile_id"].to_pylist())
     pq.write_table(docs, os.path.join(tmp, "documents.parquet"), row_group_size=4096)
     pq.write_table(build_zones(p), os.path.join(tmp, "zones.parquet"))
     pq.write_table(build_training(), os.path.join(tmp, "training.parquet"))
     with open(os.path.join(tmp, "params.json"), "w") as f:
         json.dump(p.__dict__, f)
-    os.makedirs(d, exist_ok=True)
-    for name in os.listdir(tmp):
-        os.replace(os.path.join(tmp, name), os.path.join(d, name))
-    os.rmdir(tmp)
-    with open(marker, "w") as f:
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
         f.write("ok")
+    try:
+        os.replace(tmp, d)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the publish race
     return d
 
 

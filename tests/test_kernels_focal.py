@@ -196,3 +196,28 @@ class TestStack:
         series = np.array([1.0, 2.0, 3.0, 1.0, 2.0, 3.0])
         out = st.seasonal_naive_forecast(series, season=3, horizon=3)
         np.testing.assert_allclose(out, [1.0, 2.0, 3.0])
+
+
+class TestMultidirectionalHillshade:
+    def test_range_and_mask(self):
+        rng = np.random.default_rng(3)
+        dem = np.pad(rng.uniform(0, 100, (6, 6)), 1, mode="edge")
+        m = np.ones((8, 8), np.uint8)
+        out, om = fc.multidirectional_hillshade(dem, m, (30.0, 30.0))
+        assert out.shape == (6, 6) and om.shape == (6, 6)
+        assert (out >= 0).all() and (out <= 255).all()
+        assert om.all()
+
+    def test_differs_from_single_direction_on_slope(self):
+        yy, xx = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+        dem = (10.0 * xx + 3.0 * yy).astype(float)
+        m = np.ones((8, 8), np.uint8)
+        multi, _ = fc.multidirectional_hillshade(dem, m, (30.0, 30.0))
+        single, _ = fc.hillshade(dem, m, (30.0, 30.0))
+        assert not np.allclose(multi, single)
+
+    def test_flat_terrain_constant(self):
+        dem = np.full((8, 8), 42.0)
+        m = np.ones((8, 8), np.uint8)
+        out, _ = fc.multidirectional_hillshade(dem, m, (30.0, 30.0))
+        assert np.allclose(out, out[0, 0])

@@ -210,3 +210,67 @@ class TestRemapLUT:
         assert out[0].tolist() == [[1.0, 2.0]]
         assert out[1].tolist() == [[10.0, 30.0]]
         assert out[2].tolist() == [[20.0, 0.0]]
+
+
+class TestLinearSpectralUnmixing:
+    """Golden oracle for functions/deprecated/LinearSpectralUnmixing.py:60-130."""
+
+    def test_exact_decomposition_raw(self):
+        # pixels are exact mixes of orthogonal endmembers -> abundances
+        # recovered exactly, RSS ~ 0
+        sigs = {"A": [1.0, 0.0, 0.0], "B": [0.0, 1.0, 0.0]}
+        a = np.array([[2.0, 3.0], [0.5, 1.0]])
+        b = np.array([[1.0, 0.0], [4.0, 2.0]])
+        pix = np.stack([a, b, np.zeros((2, 2))])  # 3 bands
+        out = pw.linear_spectral_unmixing(pix, sigs, method="Raw")
+        assert out.shape == (3, 2, 2)
+        np.testing.assert_allclose(out[0], a, atol=1e-5)
+        np.testing.assert_allclose(out[1], b, atol=1e-5)
+        np.testing.assert_allclose(out[2], 0.0, atol=1e-5)
+
+    def test_scaled_matches_hand_oracle(self):
+        sigs = {"A": [1.0, 0.0, 0.0], "B": [0.0, 1.0, 0.0]}
+        a = np.array([[2.0, 4.0]])
+        b = np.array([[1.0, 2.0]])
+        pix = np.stack([a, b, np.zeros((1, 2))])
+        out = pw.linear_spectral_unmixing(pix, sigs, method="Scaled")
+        # global max across endmember bands = 4 -> scaled by 1/4
+        np.testing.assert_allclose(out[0], a / 4.0, atol=1e-5)
+        np.testing.assert_allclose(out[1], b / 4.0, atol=1e-5)
+        # exact fit -> RSS=0 -> R2 = 1 everywhere
+        np.testing.assert_allclose(out[2], 1.0, atol=1e-5)
+
+    def test_negative_abundance_clipped_in_scaled(self):
+        # y = [0, 1, 0] against A=[1,0,0], B=[1,1,0] solves to (a,b)=(-1,1):
+        # Scaled mode clips the negative abundance to 0
+        sigs = {"A": [1.0, 0.0, 0.0], "B": [1.0, 1.0, 0.0]}
+        pix = np.stack([np.zeros((1, 1)), np.ones((1, 1)), np.zeros((1, 1))])
+        out = pw.linear_spectral_unmixing(pix, sigs, method="Scaled")
+        assert (out[:2] >= 0).all() and (out[:2] <= 1).all()
+        assert out[0, 0, 0] == 0.0
+
+
+class TestRemoveNoData:
+    def test_replaces_masked_and_forces_valid(self):
+        p = np.array([[1.0, 2.0], [3.0, 4.0]])
+        m = np.array([[1, 0], [0, 1]], np.uint8)
+        out, om = pw.remove_nodata(p, m, 0.0)
+        assert out.tolist() == [[1.0, 0.0], [0.0, 4.0]]
+        assert om.tolist() == [[1, 1], [1, 1]]
+
+    def test_multiband(self):
+        p = np.ones((2, 2, 2))
+        m = np.array([[1, 0], [1, 1]], np.uint8)
+        out, om = pw.remove_nodata(p, m, -5.0)
+        assert out[0, 0, 1] == -5.0 and out[1, 0, 1] == -5.0
+        assert out[0, 0, 0] == 1.0
+
+
+class TestSelectByPixelSize:
+    def test_mean_and_strict_threshold(self):
+        # reference routes on 0.5*(csx+csy) < threshold (SelectByPixelSize.py
+        # selectRasters): equality picks the COARSER raster
+        assert pw.select_by_pixel_size(30.0, 60.0) == 0
+        assert pw.select_by_pixel_size(60.0, 60.0) == 1
+        assert pw.select_by_pixel_size(30.0, 40.0, cell_size_y=50.0) == 1
+        assert pw.select_by_pixel_size(30.0, 41.0, cell_size_y=50.0) == 0
