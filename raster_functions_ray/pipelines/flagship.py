@@ -59,27 +59,34 @@ def run(sf_dir: str = "/root/testdata/sf0.001") -> rd.Dataset:
     count_map_ref = ray.put(dict(zip(counts["media_ref"], counts["ref_count"])))
 
     tiles = read_tiles(d, bands=2)
-    ndvi_tiles = tile_map.apply_kernel(tiles, ndvi_kernel, out_pixel_type="f4")
-    stats = tile_map.tile_stats(ndvi_tiles)
 
-    def attach(batch: pa.Table) -> pa.Table:
+    def ndvi_cell_stats(batch: pa.Table) -> pa.Table:
+        """ONE fused stage per tile batch: NDVI kernel → masked stats →
+        ref-count broadcast join → cell encode.  Pixels are decoded once
+        and never re-encoded (the unfused chain round-tripped every tile
+        through a binary column between kernel and stats), and the extent
+        already on the row feeds cell encoding — no second metadata read."""
+        from .. import tilecodec
+
         cmap = ray.get(count_map_ref)
-        refs = [int(cmap.get(t, 0)) for t in batch["tile_id"].to_pylist()]
-        return batch.append_column("ref_count", pa.array(refs, pa.int64()))
+        tid = batch["tile_id"].to_pylist()
+        ext = np.asarray(batch["extent"].to_pylist(), dtype=np.float64)
+        means = np.empty(batch.num_rows)
+        for i, pix, msk in tilecodec.iter_tiles(batch):
+            out = pointwise.ndvi(pix[0], pix[1], "Raw")
+            valid = msk.astype(bool)
+            means[i] = float(out[valid].astype(np.float64).mean()) if valid.any() else np.nan
+        lon, lat = synth.world_to_lonlat((ext[:, 0] + ext[:, 2]) / 2,
+                                         (ext[:, 1] + ext[:, 3]) / 2, p)
+        return pa.table({
+            "tile_id": batch["tile_id"],
+            "mean": pa.array(means, pa.float64()),
+            "ref_count": pa.array([int(cmap.get(t, 0)) for t in tid], pa.int64()),
+            "cell_id": pa.array(cellindex.point_cells_batch(lon, lat), pa.int64()),
+        })
 
-    stats = stats.map_batches(attach, batch_format="pyarrow")
-
-    # re-attach georeference for cell encoding (metadata-only read: no pixels)
-    geo = read_tiles(d, columns=["tile_id", "extent"]).to_pandas()
-    geo_ref = ray.put(dict(zip(geo["tile_id"], geo["extent"])))
-
-    def add_cell(batch: pa.Table) -> pa.Table:
-        gmap = ray.get(geo_ref)
-        ext = np.asarray([gmap[t] for t in batch["tile_id"].to_pylist()])
-        lon, lat = synth.world_to_lonlat((ext[:, 0] + ext[:, 2]) / 2, (ext[:, 1] + ext[:, 3]) / 2, p)
-        return batch.append_column("cell_id", pa.array(cellindex.point_cells_batch(lon, lat), pa.int64()))
-
-    stats = stats.map_batches(add_cell, batch_format="pyarrow")
+    stats = tiles.map_batches(ndvi_cell_stats, batch_format="pyarrow",
+                              batch_size=32, zero_copy_batch=True)
     return (stats.groupby("cell_id")
             .aggregate(Count(alias_name="n_tiles"),
                        Mean("mean", alias_name="mean_ndvi"),
