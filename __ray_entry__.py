@@ -135,6 +135,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deviation_from_mean_stats": rq.q_deviation_from_mean_stats,
         "multidirectional_hillshade_stats": rq.q_multidirectional_hillshade_stats,
         "remove_nodata_stats": rq.q_remove_nodata_stats,
+        # round-2: new SQL-exact coverage (range join, windows, grouped
+        # top-k/median, WKT rect zonal join, cell hierarchy, dot-product ANN,
+        # quality counts, distributed dup-marking)
+        "range_join": rel.q_range_join,
+        "window_lag": rel.q_window_lag,
+        "nation_top_customers": rel.q_nation_top_customers,
+        "segment_median_price": rel.q_segment_median_price,
+        "doc_zone_join_rect": spatial.q_doc_zone_join_rect,
+        "tile_parent_cells": rq.q_tile_parent_cells,
+        "ann_dot_topk": ann.q_ann_dot_topk,
+        "quality_counts": textops.q_quality_counts,
+        "dedup_mark": textops.q_dedup_mark,
+        # multimodal plumbing (stub codec, deterministic)
+        "media_features": rq.q_media_features,
     }
 
 
@@ -185,6 +199,15 @@ def oracle_sql() -> dict[str, str]:
         "fish_habitat_f8": bandmath.Q_FISH_HABITAT_F8_SQL,
         "fuzzy_linear": bandmath.Q_FUZZY_LINEAR_SQL,
         "arithmetic_cols": bandmath.Q_ARITHMETIC_COLS_SQL,
+        "range_join": rel.Q_RANGE_JOIN_SQL,
+        "window_lag": rel.Q_WINDOW_LAG_SQL,
+        "nation_top_customers": rel.Q_NATION_TOP_CUSTOMERS_SQL,
+        "segment_median_price": rel.Q_SEGMENT_MEDIAN_PRICE_SQL,
+        "doc_zone_join_rect": spatial.doc_zone_join_rect_oracle_sql(0.01),
+        "tile_parent_cells": rq.tile_parent_cells_oracle_sql(0.01),
+        "ann_dot_topk": ann.Q_ANN_DOT_TOPK_SQL,
+        "quality_counts": textops.Q_QUALITY_COUNTS_SQL,
+        "dedup_mark": textops.Q_DEDUP_MARK_SQL,
         # minhash_dedup / simhash / lsh_bucket_sizes / pixel-stat raster
         # queries / doc_zone_join: not SQL-expressible → rows-only checks;
         # their pixel-exact correctness is gated by the pytest golden suite.

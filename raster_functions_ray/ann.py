@@ -299,3 +299,52 @@ def q_ivf_search(sf_dir: str, n_probe: int = 4, concurrency: int = 4) -> pd.Data
     cand = cand.groupby("q_id").head(TOP_K)
     cand["rank"] = cand.groupby("q_id").cumcount() + 1
     return cand[["q_id", "vec_id", "rank"]].reset_index(drop=True)
+
+
+def q_ann_dot_topk(sf_dir: str) -> pd.DataFrame:
+    """Exact inner-product top-k (the unnormalized twin of q_ann_topk;
+    DuckDB oracle uses list_inner_product) — batch matmul partial top-k
+    with lexsort tie-break."""
+    qids, qmat = load_queries(sf_dir)
+    qref = ray.put(qmat)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        q = ray.get(qref)
+        ids, mat = _embedding_matrix(b)
+        keep = ids >= N_QUERIES
+        ids, mat = ids[keep], mat[keep]
+        if ids.size == 0:
+            return pd.DataFrame({"q_id": pd.Series([], dtype="int64"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "sim": pd.Series([], dtype="float64")})
+        sims = mat @ q.T
+        frames = []
+        k = min(TOP_K, ids.size)
+        for qi in range(q.shape[0]):
+            idx = np.lexsort((ids, -sims[:, qi]))[:k]
+            frames.append(pd.DataFrame({"q_id": qi, "vec_id": ids[idx], "sim": sims[idx, qi]}))
+        return pd.concat(frames, ignore_index=True)
+
+    cand = ds.map_batches(partial, batch_format="pyarrow", batch_size=8192).to_pandas()
+    cand = cand.sort_values(["q_id", "sim", "vec_id"], ascending=[True, False, True])
+    cand = cand.groupby("q_id").head(TOP_K)
+    cand["rank"] = cand.groupby("q_id").cumcount() + 1
+    return cand[["q_id", "vec_id", "rank"]].reset_index(drop=True)
+
+
+Q_ANN_DOT_TOPK_SQL = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), queries AS (
+  SELECT vec_id AS q_id, e AS qe FROM base WHERE vec_id < {N_QUERIES}
+), cands AS (
+  SELECT vec_id, e FROM base WHERE vec_id >= {N_QUERIES}
+)
+SELECT q_id, vec_id, rank FROM (
+  SELECT q.q_id, c.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.q_id
+                            ORDER BY list_inner_product(c.e, q.qe) DESC, c.vec_id) AS rank
+  FROM cands c CROSS JOIN queries q)
+WHERE rank <= {TOP_K}
+"""

@@ -1060,3 +1060,51 @@ SELECT tile_id, 'Processed' AS datatype,
        CAST(date_part('year', acq_ts) AS BIGINT) AS acq_year
 FROM read_parquet('{d}/tiles.parquet')
 """
+
+
+def q_tile_parent_cells(sf_dir: str) -> pd.DataFrame:
+    """Hierarchical cell demotion (grid.parent — the S2-style level walk):
+    tile cells at LEVEL and their parents at LEVEL−1, SQL-exact (pure
+    integer/float arithmetic on the extent column)."""
+    d = synth.synth_dir_for(sf_dir)
+    p = synth.params_for(synth.sf_from_dir(sf_dir))
+    tiles = read_tiles(d, columns=["tile_id", "extent"])
+    out = cellindex.assign_tile_cells(tiles, p, LEVEL)
+
+    def add_parent(b: pa.Table) -> pa.Table:
+        par = grid.parent(np.asarray(b["cell_id"], dtype=np.int64))
+        return b.append_column("parent_cell_id", pa.array(par, pa.int64()))
+
+    return (out.map_batches(add_parent, batch_format="pyarrow")
+            .to_pandas().drop(columns=["extent"]))
+
+
+def tile_parent_cells_oracle_sql(sf: float = 0.01) -> str:
+    p = synth.params_for(sf)
+    d = synth.synth_dir(sf)
+    n = float(2**LEVEL)
+    ix = f"CAST(floor(((extent[1] + extent[3]) / 2.0) / {p.world_w} * {n}) AS BIGINT)"
+    iy = f"LEAST(CAST(floor(((extent[2] + extent[4]) / 2.0) / {p.world_h} * {n}) AS BIGINT), {int(n) - 1})"
+    return f"""
+SELECT tile_id,
+       CAST({LEVEL} AS BIGINT) * 4503599627370496 + {ix} * 67108864 + {iy} AS cell_id,
+       CAST({LEVEL - 1} AS BIGINT) * 4503599627370496
+       + ({ix} // 2) * 67108864 + ({iy} // 2) AS parent_cell_id
+FROM read_parquet('{d}/tiles.parquet')
+"""
+
+
+def q_media_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal pipeline (stages/media.py): image rows → actor-pool decode
+    (STUB codec — container has no image libs; plumbing/schema real) →
+    resize → feature extraction.  Deterministic (payload-hash-seeded stub),
+    rows-only check."""
+    import ray.data as rdm
+
+    from .stages import media
+
+    n = 64 if "0.001" in sf_dir else 256
+    t = media.synth_media(n=n)
+    images = rdm.from_arrow(t).filter(lambda r: r["kind"] == "image")
+    out = media.decode_and_featurize(images, target=(32, 32), concurrency=2)
+    return out.to_pandas().sort_values("media_id").reset_index(drop=True)

@@ -436,3 +436,155 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                         WHERE o_orderdate < TIMESTAMP '1995-06-01')
 ORDER BY c_custkey
 """
+
+
+# ------------------------------------------------- round-2 exact additions
+
+N_VALUE_RANGES = 12
+
+
+def value_ranges() -> pd.DataFrame:
+    """Deterministic overlapping [lo, hi) value ranges (closed-form ints,
+    duplicated in SQL) — the small side of the range join."""
+    z = np.arange(N_VALUE_RANGES, dtype=np.int64)
+    lo = (z * 37 % 400).astype(np.float64)
+    return pd.DataFrame({"range_id": z, "lo": lo, "hi": lo + 55.0})
+
+
+VALUE_RANGES_SQL = f"""
+  SELECT z AS range_id,
+         CAST((z * 37) %% 400 AS DOUBLE) AS lo,
+         CAST((z * 37) %% 400 AS DOUBLE) + 55.0 AS hi
+  FROM (SELECT UNNEST(range({N_VALUE_RANGES})) AS z)
+""".replace("%%", "%")
+
+
+def q_range_join(sf_dir: str) -> pd.DataFrame:
+    """Range join (an operator Ray Data lacks natively): events joined to
+    overlapping value intervals — small side broadcast, containment
+    vectorized map-side, per-range partial counts combined in a tiny
+    groupby.  The 100-TB shape: the stream never shuffles; only
+    pre-aggregated (range_id, n, sum) partial rows do."""
+    ranges = value_ranges()
+    rref = ray.put(ranges)
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        r = ray.get(rref)
+        v = np.asarray(b["value"], dtype=np.float64)
+        recs = []
+        for _, row in r.iterrows():
+            hit = (v >= row["lo"]) & (v < row["hi"])
+            recs.append((int(row["range_id"]), int(hit.sum()),
+                         float(v[hit].sum())))
+        return pd.DataFrame(recs, columns=["range_id", "n_events", "sum_value"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby("range_id")
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("sum_value", alias_name="sum_value"))
+           .to_pandas())
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(4)
+    return out.sort_values("range_id").reset_index(drop=True)
+
+
+Q_RANGE_JOIN_SQL = f"""
+WITH r AS ({VALUE_RANGES_SQL})
+SELECT r.range_id, COUNT(e.event_id) AS n_events,
+       ROUND(COALESCE(SUM(e.value), 0), 4) AS sum_value
+FROM r LEFT JOIN events e ON e.value >= r.lo AND e.value < r.hi
+GROUP BY r.range_id ORDER BY range_id
+"""
+
+
+def q_window_lag(sf_dir: str) -> pd.DataFrame:
+    """LAG window: per-user microseconds since the previous event (ordered
+    groups — groupby(user).map_groups over ts-sorted rows; INTEGER micro
+    deltas, because float-seconds division differs from DuckDB's in the
+    last ulp)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def lagged(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        delta = g["ts"].diff() // pd.Timedelta(microseconds=1)
+        g["gap_us"] = delta.fillna(-1).astype("int64")
+        return g[["event_id", "user_id", "gap_us"]]
+
+    out = (ds.groupby("user_id").map_groups(lagged, batch_format="pandas")
+           .to_pandas())
+    out["user_id"] = out["user_id"].astype("int64")
+    return out
+
+
+Q_WINDOW_LAG_SQL = """
+SELECT event_id, user_id,
+       COALESCE(epoch_us(ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)),
+                -1) AS gap_us
+FROM events
+"""
+
+
+def q_nation_top_customers(sf_dir: str) -> pd.DataFrame:
+    """Grouped top-k (window rank): 3 highest-balance customers per nation,
+    ties broken by c_custkey.  Per-batch partial top-k (no global sort) →
+    tiny driver-side final rank."""
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return (df.sort_values(["c_nationkey", "c_acctbal", "c_custkey"],
+                               ascending=[True, False, True])
+                .groupby("c_nationkey").head(3))
+
+    cand = cust.map_batches(partial, batch_format="pyarrow", batch_size=65536).to_pandas()
+    cand = cand.sort_values(["c_nationkey", "c_acctbal", "c_custkey"],
+                            ascending=[True, False, True])
+    cand = cand.groupby("c_nationkey").head(3)
+    cand["rank"] = cand.groupby("c_nationkey").cumcount() + 1
+    out = cand[["c_nationkey", "rank", "c_custkey", "c_name", "c_acctbal"]]
+    out = out.reset_index(drop=True)
+    out["c_nationkey"] = out["c_nationkey"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    return out
+
+
+Q_NATION_TOP_CUSTOMERS_SQL = """
+SELECT c_nationkey, rank, c_custkey, c_name, c_acctbal FROM (
+  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rank
+  FROM customer)
+WHERE rank <= 3
+"""
+
+
+def q_segment_median_price(sf_dir: str) -> pd.DataFrame:
+    """Holistic grouped aggregate (exact median — not a sketch): per
+    market segment the median order price of its customers' orders.
+    groupby(segment).map_groups with np.median == DuckDB median() (both
+    average the two middle values)."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = orders.join(cust, join_type="inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"c_mktsegment": [g["c_mktsegment"].iloc[0]],
+                             "median_price": [float(np.median(g["o_totalprice"].to_numpy()))],
+                             "n_orders": [np.int64(len(g))]})
+
+    out = (joined.groupby("c_mktsegment").map_groups(med, batch_format="pandas")
+           .to_pandas())
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+Q_SEGMENT_MEDIAN_PRICE_SQL = """
+SELECT c_mktsegment, median(o_totalprice) AS median_price,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""

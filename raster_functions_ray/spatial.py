@@ -349,3 +349,39 @@ def q_zonal_value_salted(sf_dir: str) -> pd.DataFrame:
     out["zone_id"] = out["zone_id"].astype("int64")
     out["n_points"] = out["n_points"].astype("int64")
     return out[["zone_id", "n_points", "sum_value"]]
+
+
+def q_doc_zone_join_rect(sf_dir: str) -> pd.DataFrame:
+    """Doc text-span POINT geometries joined to the RECTANGULAR synthetic
+    zones only — the SQL-exact slice of q_doc_zone_join (DuckDB parses the
+    same WKT strings and applies the same half-open bbox containment; the
+    convex-polygon remainder stays a rows-only check).  Same ZoneJoiner
+    actor-pool path, zone table filtered before broadcast."""
+    from . import synth
+    from .sources import read_documents, read_zones
+
+    d = synth.synth_dir_for(sf_dir)
+    zones = read_zones(d).to_pandas()
+    zones = zones[zones["is_rect"]].reset_index(drop=True)
+    out = doc_points_in_zones(read_documents(d), zones).to_pandas()
+    out["zone_id"] = out["zone_id"].astype("int64")
+    return out.sort_values(["doc_id", "zone_id"]).reset_index(drop=True)
+
+
+def doc_zone_join_rect_oracle_sql(sf: float = 0.01) -> str:
+    from . import synth
+
+    d = synth.synth_dir(sf)
+    return f"""
+WITH s AS (SELECT doc_id, UNNEST(spans) AS sp
+           FROM read_parquet('{d}/documents.parquet')),
+p AS (SELECT doc_id,
+             CAST(string_split(replace(replace(sp.text, 'POINT (', ''), ')', ''), ' ')[1] AS DOUBLE) AS x,
+             CAST(string_split(replace(replace(sp.text, 'POINT (', ''), ')', ''), ' ')[2] AS DOUBLE) AS y
+      FROM s WHERE sp.kind = 'text' AND sp.text LIKE 'POINT%'),
+z AS (SELECT zone_id, bbox FROM read_parquet('{d}/zones.parquet') WHERE is_rect)
+SELECT p.doc_id, CAST(z.zone_id AS BIGINT) AS zone_id
+FROM p JOIN z ON p.x >= z.bbox[1] AND p.x < z.bbox[3]
+             AND p.y >= z.bbox[2] AND p.y < z.bbox[4]
+ORDER BY doc_id, zone_id
+"""

@@ -251,3 +251,66 @@ def q_training_data_pipeline(sf_dir: str) -> pd.DataFrame:
     out = out.drop(columns=["sum_stop"])
     out["n_docs"] = out["n_docs"].astype("int64")
     return out.sort_values(["pred_lang", "kept"]).reset_index(drop=True)
+
+
+def q_quality_counts(sf_dir: str) -> pd.DataFrame:
+    """SQL-exact slice of the quality scorer: per-doc ASCII punctuation /
+    alpha / char counts (integer counts, not ratios, so the oracle is
+    bit-exact; explicit ASCII classes because Python's \\w is unicode-aware
+    and RE2's is not)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def counts(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_chars": df["text"].str.len().astype("int64"),
+            "n_punct": df["text"].str.count(r"[^A-Za-z0-9_\s]").astype("int64"),
+            "n_alpha": df["text"].str.count(r"[A-Za-z]").astype("int64"),
+        })
+
+    return ds.map_batches(counts, batch_format="pyarrow", batch_size=8192).to_pandas()
+
+
+Q_QUALITY_COUNTS_SQL = r"""
+SELECT doc_id, length(text) AS n_chars,
+       len(regexp_extract_all(text, '[^A-Za-z0-9_\s]')) AS n_punct,
+       len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+FROM documents
+"""
+
+
+def q_dedup_mark(sf_dir: str) -> pd.DataFrame:
+    """Per-doc exact-dup survivor flag — the distributed dup-marking stage
+    of the training pipeline in isolation, SQL-exact: kept iff the doc is
+    the min doc_id of its content-hash group (hash-keyed aggregate + join,
+    no driver-side set)."""
+    from ray.data.aggregate import Min
+
+    from .dedup import _text_hash
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_hash(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({"doc_id": df["doc_id"], "h": _text_hash(df["text"])})
+
+    hashed = (ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
+              .repartition(8).materialize())
+    survivors = hashed.groupby("h").aggregate(Min("doc_id", alias_name="keep_doc_id"))
+    marked = hashed.join(survivors, join_type="inner", num_partitions=8, on=("h",))
+
+    def finish(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "kept": (df["doc_id"] == df["keep_doc_id"])})
+
+    out = marked.map_batches(finish, batch_format="pyarrow", batch_size=65536).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_DEDUP_MARK_SQL = """
+SELECT doc_id,
+       doc_id = MIN(doc_id) OVER (PARTITION BY text) AS kept
+FROM documents ORDER BY doc_id
+"""

@@ -208,3 +208,60 @@ class TestIvf:
         c1 = ann._kmeans_centroids(sample, k=4)
         c2 = ann._kmeans_centroids(sample, k=4)
         np.testing.assert_array_equal(c1, c2)
+
+
+class TestChainProtocol:
+    """Op-protocol lowering (SURVEY.md §2.7): one chain mixing pointwise →
+    focal(padded) → stateful(actor) → grouped(stack reduce) stages must
+    equal the same stages composed by hand."""
+
+    def test_mixed_chain_equals_manual(self, synth_sf001):
+        import numpy as np
+        from raster_functions_ray.functions import focal as fc
+        from raster_functions_ray.pipelines.chain import Op, build_chain
+        from raster_functions_ray.sources import read_tiles
+        from raster_functions_ray.stages import composite, halo, tile_map
+
+        def extract_scale(p, m, meta):
+            return (p[0].astype(np.float64) * 2.0), m
+
+        def focal_mean(p, m, meta):
+            d = p if p.ndim == 2 else p[0]
+            return fc.rank_filter(d, 3, "mean"), fc.erode_mask_3x3(m)
+
+        def make_state():
+            return {"thresh": 1.0, "gain": 0.5}
+
+        def stateful_remap(p, m, meta, state):
+            return np.where(p > state["thresh"], p * state["gain"], p), m
+
+        def stack_mean(stack, masks, g):
+            return np.asarray(stack, np.float64).mean(axis=0), \
+                np.all(masks, axis=0).astype(np.uint8)
+
+        ops = [
+            Op("scale", extract_scale, out_pixel_type="f8"),
+            Op("focal", focal_mean, padding=1, out_pixel_type="f8"),
+            Op("remap", stateful_remap, out_pixel_type="f8",
+               state_factory=make_state),
+            Op("mean", stack_mean, out_pixel_type="f8", group_key=("tx", "ty")),
+        ]
+        chained = build_chain(read_tiles(synth_sf001, bands=2), ops)
+        got = {r["tile_id"]: r for r in chained.take_all()}
+
+        # manual composition of the identical stages
+        ds = read_tiles(synth_sf001, bands=2)
+        ds = tile_map.apply_kernel(ds, extract_scale, "f8")
+        ds = halo.with_halo(ds, padding=1)
+        ds = tile_map.apply_kernel(ds, focal_mean, "f8")
+        st = make_state()
+        ds = tile_map.apply_kernel(
+            ds, lambda p, m, meta: stateful_remap(p, m, meta, st), "f8")
+        ds = composite.stack_reduce(ds, stack_mean, "f8")
+        exp = {r["tile_id"]: r for r in ds.take_all()}
+
+        assert set(got) == set(exp) and len(got) > 0
+        for tid in got:
+            assert got[tid]["pixels"] == exp[tid]["pixels"], tid
+            assert got[tid]["mask"] == exp[tid]["mask"]
+            assert got[tid]["n_scenes"] == exp[tid]["n_scenes"] == 2
