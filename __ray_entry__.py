@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_mark": textops.q_dedup_mark,
         # multimodal plumbing (stub codec, deterministic)
         "media_features": rq.q_media_features,
+        # embedding-cosine near-dup (top-1 neighbor per vector, SQL-exact)
+        "embedding_nn_dedup": dedup.q_embedding_nn_dedup,
     }
 
 
@@ -208,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_dot_topk": ann.Q_ANN_DOT_TOPK_SQL,
         "quality_counts": textops.Q_QUALITY_COUNTS_SQL,
         "dedup_mark": textops.Q_DEDUP_MARK_SQL,
+        "embedding_nn_dedup": dedup.Q_EMBEDDING_NN_DEDUP_SQL,
         # minhash_dedup / simhash / lsh_bucket_sizes / pixel-stat raster
         # queries / doc_zone_join: not SQL-expressible → rows-only checks;
         # their pixel-exact correctness is gated by the pytest golden suite.

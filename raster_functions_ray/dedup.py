@@ -71,28 +71,29 @@ def _perm_params(n_perm: int = N_PERM) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _token_hash(tok: str) -> int:
-    return int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=4).digest(), "big")
+    """Deterministic 32-bit token hash — MUST stay in sync with MinHasher's
+    batch-vectorized pd.util.hash_array path (same murmur, fixed key), so
+    the exact-Jaccard verify shares the LSH's shingle space."""
+    return int(pd.util.hash_array(np.asarray([tok], dtype=object))[0] & 0xFFFFFFFF)
 
 
 def shingles(text: str, k: int = 3) -> set[int]:
     """Word k-gram shingles as order-sensitive polynomial hashes of the
-    per-token blake2b hashes — the SAME shingle space MinHasher signs, so
+    vectorized token hashes — the SAME shingle space MinHasher signs, so
     LSH candidate recall and the exact Jaccard verify agree."""
     toks = text.split()
-    th = [_token_hash(t) for t in toks]
-    if not th:
+    if not toks:
         return set()
-    if len(th) < k:
-        grams = [th]
+    th = (pd.util.hash_array(np.asarray(toks, dtype=object))
+          & 0xFFFFFFFF).astype(np.int64)
+    if th.size < k:
+        grams = th[None, :]
     else:
-        grams = [th[i:i + k] for i in range(len(th) - k + 1)]
-    out = set()
-    for g in grams:
-        c = 0
-        for v in g:
-            c = (c * 1_000_003 + v) % _MERSENNE
-        out.add(c)
-    return out
+        grams = np.lib.stride_tricks.sliding_window_view(th, k)
+    c = np.zeros(grams.shape[0], dtype=np.int64)
+    for j in range(grams.shape[1]):
+        c = (c * 1_000_003 + grams[:, j]) % _MERSENNE
+    return set(int(v) for v in c)
 
 
 def minhash_signature(sh: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -118,40 +119,80 @@ class MinHasher:
     def __init__(self, k: int = 3):
         self.a, self.b = _perm_params()
         self.k = k
-        self.token_cache: dict[str, int] = {}
 
-    def _tok_hash(self, tok: str) -> int:
-        h = self.token_cache.get(tok)
-        if h is None:
-            h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=4).digest(), "big")
-            self.token_cache[tok] = h
-        return h
+    def _batch_shingles(self, texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+        """All docs' shingle hashes in one vectorized pass: ONE
+        pd.util.hash_array over every token of the batch (deterministic
+        murmur, fixed key — matches _token_hash), ONE sliding-window
+        polynomial combine over the flat token array, windows that straddle
+        doc boundaries masked out.  Duplicate shingles are NOT deduped —
+        the signature is a min, which duplicates cannot change.  Returns
+        (flat_shingles, per_doc_lens)."""
+        k = self.k
+        tok_lists = texts.str.split().tolist()
+        lens = np.asarray([len(t) for t in tok_lists], dtype=np.int64)
+        n = lens.size
+        flat_toks = np.concatenate(
+            [np.asarray(t, dtype=object) for t in tok_lists if t]) \
+            if lens.sum() else np.empty(0, dtype=object)
+        th = (pd.util.hash_array(flat_toks) & 0xFFFFFFFF).astype(np.int64)
+        if th.size >= k:
+            w = np.lib.stride_tricks.sliding_window_view(th, k)
+            comb = np.zeros(w.shape[0], dtype=np.int64)
+            for j in range(k):
+                comb = (comb * 1_000_003 + w[:, j]) % _MERSENNE
+            doc_of = np.repeat(np.arange(n), lens)
+            same_doc = doc_of[:comb.size] == doc_of[k - 1:]
+            vdoc = doc_of[:comb.size][same_doc]
+            vcomb = comb[same_doc]
+            counts = np.bincount(vdoc, minlength=n)
+        else:
+            vcomb = np.empty(0, np.int64)
+            counts = np.zeros(n, np.int64)
+        segs = np.split(vcomb, np.cumsum(counts)[:-1]) if n else []
+        # short docs (< k tokens): one gram over all tokens; empty: [0]
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        for d in np.flatnonzero(lens < k):
+            tvals = th[offsets[d]:offsets[d + 1]]
+            if tvals.size == 0:
+                segs[d] = np.asarray([0], np.int64)
+            else:
+                c = 0
+                for v in tvals:
+                    c = (c * 1_000_003 + int(v)) % _MERSENNE
+                segs[d] = np.asarray([c], np.int64)
+        out_lens = np.asarray([s.size for s in segs], dtype=np.int64)
+        flat = np.concatenate(segs) if segs else np.empty(0, np.int64)
+        return flat, out_lens
 
     def _doc_shingles(self, text: str) -> np.ndarray:
-        toks = text.split()
-        th = np.fromiter((self._tok_hash(t) for t in toks), dtype=np.int64, count=len(toks))
-        k = self.k
-        if th.size < k:
-            if th.size == 0:
-                return np.asarray([0], dtype=np.int64)
-            grams = th[None, :]
-        else:
-            grams = np.lib.stride_tricks.sliding_window_view(th, k)
-        # order-sensitive k-gram combine (fixed odd multipliers, 61-bit field)
-        combined = np.zeros(grams.shape[0], dtype=np.int64)
-        for j in range(grams.shape[1]):
-            combined = (combined * 1_000_003 + grams[:, j]) % _MERSENNE
-        return np.unique(combined)
+        """Single-doc path (kept for oracle parity checks in tests)."""
+        flat, _ = self._batch_shingles(pd.Series([text]))
+        return np.unique(flat)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        sh_list = [self._doc_shingles(t) for t in df["text"]]
-        lens = np.asarray([s.size for s in sh_list])
-        flat = np.concatenate(sh_list) if sh_list else np.empty(0, np.int64)
-        # (64, total) permuted hashes → per-doc minima at boundaries
-        h = (self.a[:, None] * flat[None, :] + self.b[:, None]) % _MERSENNE
-        bounds = np.concatenate([[0], np.cumsum(lens)[:-1]])
-        sigs = np.minimum.reduceat(h, bounds, axis=1)  # (64, n_docs)
+        flat, lens = self._batch_shingles(df["text"])
+        # (64, chunk) permuted hashes → per-doc minima at boundaries.
+        # Chunked along DOC boundaries so the (64, total) intermediate
+        # stays cache-resident — one giant matrix goes memory-bound and
+        # is ~25× slower per element on oversized batches.
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        sig_parts = []
+        d0 = 0
+        while d0 < lens.size:
+            d1 = d0
+            while d1 < lens.size and ends[d1] - starts[d0] <= 16384:
+                d1 += 1
+            d1 = max(d1, d0 + 1)
+            seg = flat[starts[d0]:ends[d1 - 1]]
+            h = (self.a[:, None] * seg[None, :] + self.b[:, None]) % _MERSENNE
+            bounds = starts[d0:d1] - starts[d0]
+            sig_parts.append(np.minimum.reduceat(h, bounds, axis=1))
+            d0 = d1
+        sigs = np.concatenate(sig_parts, axis=1) if sig_parts else \
+            np.empty((N_PERM, 0), np.int64)  # (64, n_docs)
         rpb = N_PERM // N_BANDS
         n = len(df)
         rows_doc = np.repeat(df["doc_id"].to_numpy(), N_BANDS)
@@ -175,6 +216,20 @@ class MinHasher:
                          "band_hash": pa.array(band_hash, pa.int64())})
 
 
+_MINHASHER: MinHasher | None = None
+
+
+def minhash_batch(b: pa.Table) -> pa.Table:
+    """Stateless-task lowering of MinHasher with a per-WORKER state cache:
+    Ray reuses worker processes, so the permutation params + token cache
+    are built once per worker (actor-__init__ semantics) while scheduling
+    stays task-pool — no fixed pool to ramp up on small inputs."""
+    global _MINHASHER
+    if _MINHASHER is None:
+        _MINHASHER = MinHasher()
+    return _MINHASHER(b)
+
+
 def minhash_candidates(sf_dir: str, concurrency: int = 4) -> pd.DataFrame:
     """LSH bucket join: (band, band_hash) buckets with ≥2 docs → candidate
     pairs (doc_a < doc_b), deduplicated across bands.
@@ -186,8 +241,10 @@ def minhash_candidates(sf_dir: str, concurrency: int = 4) -> pd.DataFrame:
     import ray
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    banded = ds.map_batches(MinHasher, batch_format="pyarrow", batch_size=2048,
-                            concurrency=concurrency)
+    # driver docs ship in one row group → one read block; spread it so the
+    # signature tasks actually run in parallel (map_batches is per-block)
+    banded = (ds.repartition(32)
+              .map_batches(minhash_batch, batch_format="pyarrow", batch_size=256))
     # consumed twice (count + filter); signatures are compact (~16 short
     # rows/doc) so pinning beats re-hashing the corpus
     banded = banded.materialize()
@@ -284,3 +341,65 @@ def q_simhash(sf_dir: str, concurrency: int = 4) -> pd.DataFrame:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+# ------------------------------------------- embedding-cosine near-dup
+
+def q_embedding_nn_dedup(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup: every vector's nearest neighbor by cosine
+    (its dedup candidate) — SQL-exact via DuckDB list_cosine_similarity +
+    ROW_NUMBER.
+
+    Engine shape: the corpus embedding matrix is normalized once and
+    broadcast (ray.put); each batch runs one matmul against it and takes
+    the per-row argmax with a vec_id tie-break.  At test scale the corpus
+    IS the small side; at 100 TB the broadcast is replaced by the
+    list-partitioned IVF self-join (ann.ivf_build: co-probe same-list
+    vectors only) — this query pins the exact semantics that approximation
+    is measured against (ann tests assert IVF recall)."""
+    import ray
+
+    from .sources import read_table
+    from raster_functions_ray import ann
+
+    import pyarrow.parquet as pq
+
+    corpus = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    ids, mat = ann._embedding_matrix(corpus)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mn = mat / np.where(norms == 0, 1.0, norms)
+    cref = ray.put((ids, mn))
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        cids, cmat = ray.get(cref)
+        bids, bmat = ann._embedding_matrix(b)
+        bn = bmat / np.where(np.linalg.norm(bmat, axis=1, keepdims=True) == 0,
+                             1.0, np.linalg.norm(bmat, axis=1, keepdims=True))
+        sims = bn @ cmat.T                      # (batch, corpus)
+        # exclude self-similarity, then argmax with (sim DESC, vec_id) order
+        self_col = np.searchsorted(cids, bids)
+        sims[np.arange(bids.size), self_col] = -np.inf
+        # lexsort-free argmax with tie-break: argmax scans left-to-right and
+        # cids is ascending, so the FIRST maximal column is the min vec_id
+        nn = sims.argmax(axis=1)
+        return pd.DataFrame({"vec_id": bids, "nn_vec_id": cids[nn]})
+
+    out = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+Q_EMBEDDING_NN_DEDUP_SQL = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT vec_id, nn_vec_id FROM (
+  SELECT a.vec_id, b.vec_id AS nn_vec_id,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY list_cosine_similarity(a.e, b.e) DESC,
+                                     b.vec_id) AS rn
+  FROM base a JOIN base b ON a.vec_id <> b.vec_id)
+WHERE rn = 1 ORDER BY vec_id
+"""
