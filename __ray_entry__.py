@@ -151,6 +151,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": rq.q_media_features,
         # embedding-cosine near-dup (top-1 neighbor per vector, SQL-exact)
         "embedding_nn_dedup": dedup.q_embedding_nn_dedup,
+        # TableFunction category join + checkpoint/lineage/resume pipeline
+        "table_function_stats": rq.q_table_function_stats,
+        "resumable_hillshade": rq.q_resumable_hillshade,
     }
 
 

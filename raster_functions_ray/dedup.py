@@ -305,19 +305,49 @@ def q_minhash_dedup(sf_dir: str, threshold: float = 0.7) -> pd.DataFrame:
 
 # ---------------------------------------------------------------- simhash
 
+def simhash_batch_u64(texts: pd.Series) -> np.ndarray:
+    """Vectorized 64-bit SimHash over word unigram hashes: ONE
+    pd.util.hash_array call for every token of the batch, bits unpacked as
+    a (total_tokens, 64) sign matrix, per-doc bit-vote sums via
+    np.add.reduceat — no per-token Python loop."""
+    tok_lists = texts.str.split().tolist()
+    lens = np.asarray([len(t) for t in tok_lists], dtype=np.int64)
+    n = lens.size
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists if t]) \
+        if lens.sum() else np.empty(0, dtype=object)
+    h = pd.util.hash_array(flat)  # uint64, deterministic murmur
+    # docs with zero tokens get one all-zero vote (hash 0 below contributes
+    # −1 votes; we instead splice true zero rows in, vectorized via insert)
+    empty = np.flatnonzero(lens == 0)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    acc = np.empty((n, 64), dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    # chunk along DOC boundaries (≤16k tokens per chunk) so the
+    # (tokens, 64) int16 sign matrix stays cache-resident
+    d0 = 0
+    while d0 < n:
+        d1 = d0
+        while d1 < n and ends[d1] - starts[d0] <= 16384:
+            d1 += 1
+        d1 = max(d1, d0 + 1)
+        seg = h[starts[d0]:ends[d1 - 1]]
+        votes = (((seg[:, None] >> shifts) & np.uint64(1)).astype(np.int16) * 2 - 1)
+        seg_lens = lens[d0:d1].copy()
+        if (seg_lens == 0).any():
+            ins = starts[d0:d1][seg_lens == 0] - starts[d0]
+            votes = np.insert(votes, ins, 0, axis=0)
+            seg_lens = np.maximum(seg_lens, 1)
+        bounds = np.concatenate([[0], np.cumsum(seg_lens)[:-1]])
+        acc[d0:d1] = np.add.reduceat(votes.astype(np.int64), bounds, axis=0)
+        d0 = d1
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    return ((acc > 0).astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word unigram hashes (deterministic)."""
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    for tok in text.split():
-        h = np.uint64(int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"))
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    """64-bit SimHash of one document (single-doc view of the batch path)."""
+    return int(simhash_batch_u64(pd.Series([text]))[0])
 
 
 class SimHasher:
@@ -326,10 +356,10 @@ class SimHasher:
 
     def __call__(self, b: pa.Table) -> pd.DataFrame:
         df = b.to_pandas()
-        hs = [simhash64(t) for t in df["text"]]
+        hs = simhash_batch_u64(df["text"])
         return pd.DataFrame({"doc_id": df["doc_id"],
-                             "simhash_hi": [h >> 32 for h in hs],
-                             "simhash_lo": [h & 0xFFFFFFFF for h in hs]})
+                             "simhash_hi": (hs >> np.uint64(32)).astype(np.int64),
+                             "simhash_lo": (hs & np.uint64(0xFFFFFFFF)).astype(np.int64)})
 
 
 def q_simhash(sf_dir: str, concurrency: int = 4) -> pd.DataFrame:

@@ -1108,3 +1108,69 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
     images = rdm.from_arrow(t).filter(lambda r: r["kind"] == "image")
     out = media.decode_and_featurize(images, target=(32, 32), concurrency=2)
     return out.to_pandas().sort_values("media_id").reset_index(drop=True)
+
+
+def q_table_function_stats(sf_dir: str) -> pd.DataFrame:
+    """TableFunction (SURVEY.md §2.5; the category label/color table
+    built-in): DEM remapped into elevation classes (RemapFunction), class
+    values joined to a broadcast attribute table (label per category) —
+    per-(tile, label) pixel counts.  Rows-only (pixel domain)."""
+    d = synth.synth_dir_for(sf_dir)
+    tiles = read_tiles(d, bands=1)
+    # category table: class value -> label (the TableFunction side input)
+    cat = {10: "lowland", 20: "upland", 30: "montane", 40: "alpine"}
+    ranges = [0, 600, 600, 800, 800, 1000, 1000, 1e9]
+    values = [10, 20, 30, 40]
+    cref = ray.put((cat, ranges, values))
+
+    def kernel_batch(b: pa.Table) -> pd.DataFrame:
+        catmap, rngs, vals = ray.get(cref)
+        from . import tilecodec
+        recs = []
+        tid = b["tile_id"].to_pylist()
+        for i, pix, msk in tilecodec.iter_tiles(b):
+            dem = pix if pix.ndim == 2 else pix[0]
+            classes = rm.remap(dem, rngs, vals, default=0)
+            uv, cnt = np.unique(classes[~np.isnan(classes)].astype(np.int64),
+                                return_counts=True)
+            for v, c in zip(uv, cnt):
+                recs.append((tid[i], catmap.get(int(v), "other"), int(c)))
+        return pd.DataFrame(recs, columns=["tile_id", "label", "n_px"])
+
+    out = tiles.map_batches(kernel_batch, batch_format="pyarrow", batch_size=32)
+    return (out.to_pandas().sort_values(["tile_id", "label"])
+            .reset_index(drop=True))
+
+
+def q_resumable_hillshade(sf_dir: str) -> pd.DataFrame:
+    """Checkpoint/lineage/resume as a first-class pipeline (north-rule
+    'resumable from checkpoint with per-partition lineage + metrics'):
+    the partitioned per-scene hillshade runs TWICE into a fresh store —
+    run 1 computes every partition (atomic writes + lineage records),
+    run 2 must skip them all via the checkpoint filter.  Output: one row
+    per partition with its lineage row count and both runs' dispositions
+    (deterministic; rows-only)."""
+    import shutil
+    import uuid
+
+    from .pipelines import partitioned
+    from .state.checkpoint import CheckpointStore
+
+    root = f"/tmp/rfr_ckpt_query/{uuid.uuid4().hex[:8]}"
+    try:
+        r1 = partitioned.run(sf_dir, root)
+        r2 = partitioned.run(sf_dir, root)
+        store = CheckpointStore(root)
+        lin = store.lineage()
+        rows = (lin.groupby("partition_key")
+                .agg(n_rows=("rows", "sum"), n_records=("rows", "size"))
+                .reset_index())
+        rows["computed_run1"] = rows["partition_key"].map(
+            lambda k: int(k.split("=")[1]) in set(r1["computed"]))
+        rows["skipped_run2"] = rows["partition_key"].map(
+            lambda k: int(k.split("=")[1]) in set(r2["skipped"]))
+        rows["n_rows"] = rows["n_rows"].astype("int64")
+        rows["n_records"] = rows["n_records"].astype("int64")
+        return rows.sort_values("partition_key").reset_index(drop=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
