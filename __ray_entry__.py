@@ -154,6 +154,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TableFunction category join + checkpoint/lineage/resume pipeline
         "table_function_stats": rq.q_table_function_stats,
         "resumable_hillshade": rq.q_resumable_hillshade,
+        # dedicated gates for formerly-partial ops
+        "chuck_close_stats": rq.q_chuck_close_stats,
+        "nn_neighbors_stats": rq.q_nn_neighbors_stats,
+        "rasterize_attributes_stats": rq.q_rasterize_attributes_stats,
     }
 
 

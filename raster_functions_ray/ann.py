@@ -155,16 +155,20 @@ def _kmeans_centroids(sample: np.ndarray, k: int = N_CLUSTERS,
 
 
 def _sample_embeddings(path: str, cap: int = 2048) -> np.ndarray:
-    """K-means sample read via bounded row-group iteration — NEVER the whole
-    parquet (O(sample) driver memory, not O(corpus))."""
+    """K-means sample via STRIDED row-group reads — O(sample) driver
+    memory, never the whole parquet, and the stride avoids the bias of a
+    pure-prefix sample when the corpus is ordered in storage."""
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(path)
+    n_rg = pf.num_row_groups
+    per_rg = max(1, cap // max(1, min(n_rg, 8)))
+    stride = max(1, n_rg // 8)
     got, need = [], cap
-    for rb in pf.iter_batches(batch_size=min(cap, 1024),
-                              columns=["vec_id", "embedding"]):
-        got.append(pa.Table.from_batches([rb]))
-        need -= rb.num_rows
+    for rg in range(0, n_rg, stride):
+        t_rg = pf.read_row_group(rg, columns=["vec_id", "embedding"])
+        got.append(t_rg.slice(0, per_rg))
+        need -= min(per_rg, t_rg.num_rows)
         if need <= 0:
             break
     t = pa.concat_tables(got).slice(0, cap)
@@ -206,7 +210,7 @@ def ivf_build(sf_dir: str, concurrency: int = 4) -> tuple[np.ndarray, str]:
 
     src = f"{sf_dir}/embeddings.parquet"
     index_dir = os.path.join("/tmp/rfr_ivf",
-                             f"v2_{os.path.basename(os.path.normpath(sf_dir))}_k{N_CLUSTERS}")
+                             f"v3_{os.path.basename(os.path.normpath(sf_dir))}_k{N_CLUSTERS}")
     cent_path = os.path.join(index_dir, "centroids.npy")
     if os.path.exists(os.path.join(index_dir, "_DONE")):
         return np.load(cent_path), index_dir

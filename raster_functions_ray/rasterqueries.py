@@ -1174,3 +1174,98 @@ def q_resumable_hillshade(sf_dir: str) -> pd.DataFrame:
         return rows.sort_values("partition_key").reset_index(drop=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def q_chuck_close_stats(sf_dir: str) -> pd.DataFrame:
+    """BasicChuckClose / BasicCubism aesthetic render
+    (functions/BasicChuckClose.py:60-107, functions/BasicCubism.py:40-78):
+    block-mean downsample → class quantize → expand back to full
+    resolution.  Per-tile stats of the classed render (rows-only)."""
+    from .functions import focal as fc
+
+    d = synth.synth_dir_for(sf_dir)
+    tiles = read_tiles(d, bands=1)
+
+    def kernel(p, m, meta):
+        dem = (p if p.ndim == 2 else p[0]).astype(np.float64)
+        blocks = fc.block_statistics(dem, m, 8, "mean")     # (h/8, w/8)
+        lo, hi = float(np.nanmin(blocks)), float(np.nanmax(blocks))
+        span = (hi - lo) or 1.0
+        classed = np.floor((blocks - lo) / span * 7.999)    # 8 tone classes
+        full = np.repeat(np.repeat(classed, 8, axis=0), 8, axis=1)
+        return full, m
+
+    out = tile_map.apply_kernel(tiles, kernel, out_pixel_type="u1")
+    return _stats_df(out)
+
+
+def q_nn_neighbors_stats(sf_dir: str) -> pd.DataFrame:
+    """NearestNeighborsClassifier (functions/NearestNeighborsClassifier.py:
+    90-166): k neighbor LABELS emitted as k output bands per pixel —
+    actor-pool stage, training table broadcast, fit once per actor.
+    Per-tile per-band agreement stats (rows-only)."""
+    from .sources import read_training
+    from .stages.classify import knn_neighbors
+
+    d = synth.synth_dir_for(sf_dir)
+    training = read_training(d).to_pandas()
+    feats = [f"pred_{i}" for i in range(1, 7)]
+    tX = training[feats].to_numpy(dtype=np.float64)
+    ty_ = training["VarToPredict"].to_numpy(dtype=np.int64)
+    tref = ray.put((tX, ty_))
+    tiles = read_tiles(d, bands=7)
+
+    class NeighborLabels:
+        def __init__(self):
+            self.X, self.y = ray.get(tref)
+
+        def __call__(self, b: pa.Table) -> pd.DataFrame:
+            from . import tilecodec
+            recs = []
+            tid = b["tile_id"].to_pylist()
+            for i, pix, msk in tilecodec.iter_tiles(b):
+                # 2× pixel subsample: the per-pixel neighbor search is the
+                # reference's stated cost bound too; stats stay per-tile
+                f = pix[:6, ::2, ::2].reshape(6, -1).T.astype(np.float64)
+                idx = knn_neighbors(self.X, f, k=3)       # (npix, 3)
+                labels = self.y[idx]                      # k label bands
+                agree = (labels == labels[:, :1]).all(axis=1).mean()
+                recs.append((tid[i], int(labels[:, 0].sum()),
+                             round(float(agree), 6)))
+            return pd.DataFrame(recs, columns=["tile_id", "sum_l1", "unanimity"])
+
+    # ≤ half the session CPUs: a full-width actor pool can starve the read
+    # tasks feeding it (observed deadlock at concurrency == num_cpus)
+    out = tiles.map_batches(NeighborLabels, batch_format="pyarrow",
+                            batch_size=8, concurrency=4)
+    return out.to_pandas().sort_values("tile_id").reset_index(drop=True)
+
+
+def q_rasterize_attributes_stats(sf_dir: str) -> pd.DataFrame:
+    """RasterizeAttributes (functions/deprecated/RasterizeAttributes.py:
+    135-169): burn the zone raster, then write M zone-attribute bands —
+    per-tile mean of each burned attribute band (rows-only)."""
+    d = synth.synth_dir_for(sf_dir)
+    p = synth.params_for(synth.sf_from_dir(sf_dir))
+    zones = read_zones(d).to_pandas()
+    attr_map = {int(r["zone_id"]): [r["attr_1"], r["attr_2"]]
+                for _, r in zones.iterrows()}
+    zref = ray.put((zones, attr_map))
+    tiles = read_tiles(d, bands=1)
+
+    def kernel_batch(b: pa.Table) -> pd.DataFrame:
+        zdf, amap = ray.get(zref)
+        from . import tilecodec
+        recs = []
+        tid = b["tile_id"].to_pylist()
+        exts = b["extent"].to_pylist()
+        for i, pix, msk in tilecodec.iter_tiles(b):
+            dem = pix if pix.ndim == 2 else pix[0]
+            zr = burn_zone_raster(dem.shape, exts[i], p, zdf)
+            out = rm.rasterize_attributes(dem, zr, amap, n_attrs=2)
+            recs.append((tid[i], round(float(out[1].mean()), 4),
+                         round(float(out[2].mean()), 4)))
+        return pd.DataFrame(recs, columns=["tile_id", "mean_attr1", "mean_attr2"])
+
+    out = tiles.map_batches(kernel_batch, batch_format="pyarrow", batch_size=16)
+    return out.to_pandas().sort_values("tile_id").reset_index(drop=True)

@@ -48,7 +48,10 @@ def knn_predict(train_X: np.ndarray, train_y: np.ndarray, X: np.ndarray, k: int)
 
 
 def knn_neighbors(train_X: np.ndarray, X: np.ndarray, k: int) -> np.ndarray:
-    """k nearest training-row indices per query row, distance-ordered."""
+    """k nearest training-row indices per query row, distance-ordered.
+    f4 matmul like knn_predict (~2× faster; neighbor ordering insensitive
+    to the last float bits for well-separated training data)."""
+    X, train_X = X.astype(np.float32), train_X.astype(np.float32)
     d2 = (X**2).sum(1)[:, None] - 2 * X @ train_X.T + (train_X**2).sum(1)[None, :]
     part = np.argpartition(d2, k - 1, axis=1)[:, :k]
     order = np.argsort(np.take_along_axis(d2, part, axis=1), axis=1, kind="stable")
