@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chuck_close_stats": rq.q_chuck_close_stats,
         "nn_neighbors_stats": rq.q_nn_neighbors_stats,
         "rasterize_attributes_stats": rq.q_rasterize_attributes_stats,
+        "video_frame_plan": rq.q_video_frame_plan,
     }
 
 
@@ -218,6 +219,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_counts": textops.Q_QUALITY_COUNTS_SQL,
         "dedup_mark": textops.Q_DEDUP_MARK_SQL,
         "embedding_nn_dedup": dedup.Q_EMBEDDING_NN_DEDUP_SQL,
+        "video_frame_plan": rq.video_frame_plan_oracle_sql(0.01),
         # minhash_dedup / simhash / lsh_bucket_sizes / pixel-stat raster
         # queries / doc_zone_join: not SQL-expressible → rows-only checks;
         # their pixel-exact correctness is gated by the pytest golden suite.

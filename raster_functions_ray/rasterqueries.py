@@ -1095,19 +1095,54 @@ FROM read_parquet('{d}/tiles.parquet')
 
 
 def q_media_features(sf_dir: str) -> pd.DataFrame:
-    """Multimodal pipeline (stages/media.py): image rows → actor-pool decode
-    (STUB codec — container has no image libs; plumbing/schema real) →
-    resize → feature extraction.  Deterministic (payload-hash-seeded stub),
-    rows-only check."""
-    import ray.data as rdm
+    """Multimodal pipeline (stages/media.py): media TABLE (opaque binary
+    payload + typed metadata, synth media.parquet) → image rows → actor-pool
+    decode (STUB codec — container has no image libs; plumbing/schema real)
+    → resize → feature extraction.  Deterministic (payload-hash-seeded
+    stub), rows-only check."""
+    import pyarrow.compute as pc
 
     from .stages import media
 
-    n = 64 if "0.001" in sf_dir else 256
-    t = media.synth_media(n=n)
-    images = rdm.from_arrow(t).filter(lambda r: r["kind"] == "image")
-    out = media.decode_and_featurize(images, target=(32, 32), concurrency=2)
+    d = synth.synth_dir_for(sf_dir)
+    ds = rd.read_parquet(os.path.join(d, "media.parquet"),
+                         filter=pc.field("kind") == "image")
+    out = media.decode_and_featurize(ds, target=(32, 32), concurrency=2)
     return out.to_pandas().sort_values("media_id").reset_index(drop=True)
+
+
+def q_video_frame_plan(sf_dir: str) -> pd.DataFrame:
+    """Video frame-sampling plan (stages/media.sample_frames): per video
+    row the number of frames a stride-10 sampler extracts — metadata-only
+    read (the binary payload never leaves storage), SQL-exact."""
+    import pyarrow.compute as pc
+
+    from .stages.media import sample_frames
+
+    d = synth.synth_dir_for(sf_dir)
+    ds = rd.read_parquet(os.path.join(d, "media.parquet"),
+                         columns=["media_id", "kind", "n_frames"],
+                         filter=pc.field("kind") == "video")
+
+    def plan(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        df["n_sampled"] = [int(sample_frames(int(n), 10).size)
+                           for n in df["n_frames"]]
+        df["n_frames"] = df["n_frames"].astype("int64")
+        return df[["media_id", "n_frames", "n_sampled"]]
+
+    out = ds.map_batches(plan, batch_format="pyarrow", batch_size=4096).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+def video_frame_plan_oracle_sql(sf: float = 0.01) -> str:
+    d = synth.synth_dir(sf)
+    return f"""
+SELECT media_id, CAST(n_frames AS BIGINT) AS n_frames,
+       ((CAST(n_frames AS BIGINT) - 1) // 10) + 1 AS n_sampled
+FROM read_parquet('{d}/media.parquet') WHERE kind = 'video'
+ORDER BY media_id
+"""
 
 
 def q_table_function_stats(sf_dir: str) -> pd.DataFrame:

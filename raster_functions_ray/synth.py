@@ -278,7 +278,7 @@ def synth_dir(sf: float) -> str:
     import uuid
 
     p = params_for(sf)
-    d = os.path.join(CACHE_ROOT, f"v3_sf{p.sf}")
+    d = os.path.join(CACHE_ROOT, f"v4_sf{p.sf}")
     marker = os.path.join(d, "_DONE")
     if os.path.exists(marker):
         return d
@@ -291,6 +291,9 @@ def synth_dir(sf: float) -> str:
     pq.write_table(docs, os.path.join(tmp, "documents.parquet"), row_group_size=4096)
     pq.write_table(build_zones(p), os.path.join(tmp, "zones.parquet"))
     pq.write_table(build_training(), os.path.join(tmp, "training.parquet"))
+    from .stages.media import synth_media
+    pq.write_table(synth_media(n=max(64, int(2560 * p.sf))),
+                   os.path.join(tmp, "media.parquet"), row_group_size=256)
     with open(os.path.join(tmp, "params.json"), "w") as f:
         json.dump(p.__dict__, f)
     with open(os.path.join(tmp, "_DONE"), "w") as f:
