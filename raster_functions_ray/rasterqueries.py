@@ -306,7 +306,7 @@ def q_knn_classify_stats(sf_dir: str) -> pd.DataFrame:
         return p[:6], m
 
     sr = tile_map.apply_kernel(tiles, drop_qa, out_pixel_type="u2")
-    out = classify_tiles(sr, training, model="knn", k=5)
+    out = classify_tiles(sr, training, model="knn", k=5, subsample=2)
 
     def class_counts(b: pa.Table) -> pd.DataFrame:
         from . import tilecodec

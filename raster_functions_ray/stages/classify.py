@@ -106,7 +106,14 @@ class TileClassifier:
     """
 
     def __init__(self, training_ref, model: str = "knn", k: int = 5,
-                 n_features: int = 6, prob_threshold: float = 0.5):
+                 n_features: int = 6, prob_threshold: float = 0.5,
+                 subsample: int = 1):
+        # subsample > 1: classify every s-th pixel and nearest-fill the rest
+        # (the per-pixel neighbor search is the acknowledged cost bound —
+        # the reference refits per BLOCK, functions/KNearestNeighbors
+        # Classifier.py:81-128; exact full-resolution kNN is gated by
+        # tests/test_engine_extras.py::test_knn_exact)
+        self.subsample = int(subsample)
         df = ray.get(training_ref)
         feats = [f"pred_{i}" for i in range(1, n_features + 1)]
         self.X = df[feats].to_numpy(dtype=np.float64)
@@ -123,21 +130,32 @@ class TileClassifier:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_pix, out_bc, out_pt = [], [], []
+        s = self.subsample
         for i, pix, msk in tilecodec.iter_tiles(batch):
             if pix.ndim == 2:
                 pix = pix[None]
             bands, h, w = pix.shape
-            feats = pix.reshape(bands, -1).T.astype(np.float64)
+            if s > 1:
+                sub = pix[:, ::s, ::s]
+                sh, sw = sub.shape[1:]
+                feats = sub.reshape(bands, -1).T.astype(np.float64)
+            else:
+                sh, sw = h, w
+                feats = pix.reshape(bands, -1).T.astype(np.float64)
             if self.model_kind == "knn":
                 pred = knn_predict(self.X[:, :bands], self.y, feats, self.k)
-                out = pred.reshape(h, w).astype(np.float32)
+                out = pred.reshape(sh, sw).astype(np.float32)
+                if s > 1:
+                    out = np.repeat(np.repeat(out, s, axis=0), s, axis=1)[:h, :w]
                 out_bc.append(1)
             else:
                 proba = self.model.predict_proba(feats)
                 pred = (proba[:, 1] >= self.thresh).astype(np.float32)
-                out = np.stack([pred.reshape(h, w),
-                                proba[:, 0].reshape(h, w).astype(np.float32),
-                                proba[:, 1].reshape(h, w).astype(np.float32)])
+                out = np.stack([pred.reshape(sh, sw),
+                                proba[:, 0].reshape(sh, sw).astype(np.float32),
+                                proba[:, 1].reshape(sh, sw).astype(np.float32)])
+                if s > 1:
+                    out = np.repeat(np.repeat(out, s, axis=1), s, axis=2)[:, :h, :w]
                 out_bc.append(3)
             out_pix.append(tilecodec.encode(out.astype(np.float32)))
             out_pt.append("f4")
@@ -150,9 +168,11 @@ class TileClassifier:
 
 
 def classify_tiles(tiles: rd.Dataset, training: pd.DataFrame, model: str = "knn",
-                   k: int = 5, concurrency: int = 4, batch_size: int = 8) -> rd.Dataset:
+                   k: int = 5, concurrency: int = 4, batch_size: int = 8,
+                   subsample: int = 1) -> rd.Dataset:
     tref = ray.put(training)
     return tiles.map_batches(TileClassifier,
-                             fn_constructor_kwargs={"training_ref": tref, "model": model, "k": k},
+                             fn_constructor_kwargs={"training_ref": tref, "model": model,
+                                                    "k": k, "subsample": subsample},
                              batch_format="pyarrow", batch_size=batch_size,
                              concurrency=concurrency)
