@@ -1304,3 +1304,20 @@ def q_rasterize_attributes_stats(sf_dir: str) -> pd.DataFrame:
 
     out = tiles.map_batches(kernel_batch, batch_format="pyarrow", batch_size=16)
     return out.to_pandas().sort_values("tile_id").reset_index(drop=True)
+
+
+def q_audio_features(sf_dir: str) -> pd.DataFrame:
+    """Audio rows of the media table → actor-pool decode (stub codec) →
+    waveform features (stages/media.AudioFeatures).  Deterministic
+    (payload-hash-seeded stub), rows-only check."""
+    import pyarrow.compute as pc
+
+    from .stages.media import AudioFeatures
+
+    d = synth.synth_dir_for(sf_dir)
+    ds = rd.read_parquet(os.path.join(d, "media.parquet"),
+                         columns=["media_id", "kind", "payload", "sample_rate"],
+                         filter=pc.field("kind") == "audio")
+    out = ds.map_batches(AudioFeatures, batch_format="pyarrow",
+                         batch_size=64, concurrency=2)
+    return out.to_pandas().sort_values("media_id").reset_index(drop=True)

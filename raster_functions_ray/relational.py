@@ -588,3 +588,104 @@ SELECT c_mktsegment, median(o_totalprice) AS median_price,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
+
+
+def q_segment_except(sf_dir: str) -> pd.DataFrame:
+    """Set op (EXCEPT): brands carrying a part priced above 995 but NONE
+    above 999 — distinct-set difference via one pre-aggregated distinct
+    pass per side and a driver-side set difference over the (tiny)
+    distinct-brand domain."""
+    part = read_table(sf_dir, "part", columns=["p_brand", "p_retailprice"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        lo = df.loc[df["p_retailprice"] > 995.0, "p_brand"].unique()
+        hi = df.loc[df["p_retailprice"] > 999.0, "p_brand"].unique()
+        return pd.DataFrame({"p_brand": np.concatenate([lo, hi]),
+                             "side": ["lo"] * lo.size + ["hi"] * hi.size})
+
+    sides = (part.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+             .to_pandas().drop_duplicates())
+    lo = set(sides.loc[sides["side"] == "lo", "p_brand"])
+    hi = set(sides.loc[sides["side"] == "hi", "p_brand"])
+    return pd.DataFrame({"p_brand": sorted(lo - hi)})
+
+
+Q_SEGMENT_EXCEPT_SQL = """
+SELECT p_brand FROM part WHERE p_retailprice > 995
+EXCEPT
+SELECT p_brand FROM part WHERE p_retailprice > 999
+ORDER BY p_brand
+"""
+
+
+def q_nation_segment_rollup(sf_dir: str) -> pd.DataFrame:
+    """Two-level grouped aggregate with a HAVING filter: (nation, segment)
+    customer counts + balance sums, keeping only groups with ≥ 5 customers
+    — partial per-batch combine, one small keyed aggregate."""
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return (df.groupby(["c_nationkey", "c_mktsegment"], sort=False)
+                .agg(n_cust=("c_acctbal", "size"), sum_bal=("c_acctbal", "sum"))
+                .reset_index())
+
+    out = (cust.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby(["c_nationkey", "c_mktsegment"])
+           .aggregate(Sum("n_cust", alias_name="n_cust"),
+                      Sum("sum_bal", alias_name="sum_bal"))
+           .to_pandas())
+    out = out[out["n_cust"] >= 5]
+    out["n_cust"] = out["n_cust"].astype("int64")
+    out["c_nationkey"] = out["c_nationkey"].astype("int64")
+    out["sum_bal"] = out["sum_bal"].round(4)
+    return (out.sort_values(["c_nationkey", "c_mktsegment"])
+            .reset_index(drop=True))
+
+
+Q_NATION_SEGMENT_ROLLUP_SQL = """
+SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_cust,
+       ROUND(SUM(c_acctbal), 4) AS sum_bal
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+HAVING COUNT(*) >= 5
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+def q_event_type_pivot(sf_dir: str) -> pd.DataFrame:
+    """Conditional aggregation (pivot shape): per user, counts of each
+    event type as columns — partial pivot per batch, Sum-combined."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        g = df.groupby("user_id", sort=False)["event_type"]
+        out = pd.DataFrame({
+            "user_id": g.size().index,
+            "n_click": g.apply(lambda s: int((s == "click").sum())).values,
+            "n_view": g.apply(lambda s: int((s == "view").sum())).values,
+            "n_other": g.apply(lambda s: int((~s.isin(["click", "view"])).sum())).values,
+        })
+        return out
+
+    out = (ev.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby("user_id")
+           .aggregate(Sum("n_click", alias_name="n_click"),
+                      Sum("n_view", alias_name="n_view"),
+                      Sum("n_other", alias_name="n_other"))
+           .to_pandas())
+    for c in ("user_id", "n_click", "n_view", "n_other"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+Q_EVENT_TYPE_PIVOT_SQL = """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click') AS n_click,
+       COUNT(*) FILTER (event_type = 'view') AS n_view,
+       COUNT(*) FILTER (event_type NOT IN ('click', 'view')) AS n_other
+FROM events GROUP BY user_id ORDER BY user_id
+"""

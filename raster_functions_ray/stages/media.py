@@ -140,3 +140,39 @@ def synth_media(n: int = 256, seed: int = 42) -> pa.Table:
         rows["n_frames"].append(int(rng.integers(1, 300)) if kind == "video" else 1)
         rows["sample_rate"].append(16000 if kind == "audio" else 0)
     return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+
+
+def _fake_decode_audio(payload: bytes, n_samples: int = 4096) -> np.ndarray:
+    """STUB audio decoder (no codec libs in this environment): deterministic
+    f4 waveform seeded by the payload hash — replace with soundfile/ffmpeg
+    in production."""
+    seed = int.from_bytes(hashlib.blake2b(payload, digest_size=4).digest(), "big")
+    rng = np.random.default_rng(seed)
+    t = np.arange(n_samples, dtype=np.float32)
+    f0 = float(rng.uniform(0.002, 0.05))
+    return (np.sin(2 * np.pi * f0 * t) * 0.5
+            + rng.normal(0, 0.1, n_samples)).astype(np.float32)
+
+
+class AudioFeatures:
+    """Actor-pool stage: audio payload → decoded waveform (stub) → real
+    NumPy features (RMS, zero-crossing rate, dominant FFT bin, spectral
+    centroid) — the audio twin of ImageFeatures; swap the decoder for a
+    real codec and everything downstream is unchanged."""
+
+    def __call__(self, b: pa.Table) -> pd.DataFrame:
+        recs = []
+        payloads = b["payload"].to_pylist()
+        mids = b["media_id"].to_pylist()
+        srs = b["sample_rate"].to_pylist()
+        for i in range(b.num_rows):
+            w = _fake_decode_audio(payloads[i])
+            rms = float(np.sqrt(np.mean(w**2)))
+            zcr = float((np.diff(np.signbit(w)) != 0).mean())
+            spec = np.abs(np.fft.rfft(w.astype(np.float64)))
+            dom_bin = int(spec[1:].argmax()) + 1
+            centroid = float((spec * np.arange(spec.size)).sum() / spec.sum())
+            recs.append((mids[i], int(srs[i]), round(rms, 6), round(zcr, 6),
+                         dom_bin, round(centroid, 4)))
+        return pd.DataFrame(recs, columns=["media_id", "sample_rate", "rms",
+                                           "zcr", "dom_bin", "centroid"])
