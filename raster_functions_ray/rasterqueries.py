@@ -128,9 +128,21 @@ def q_median_composite_stats(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("tile_id").reset_index(drop=True)
 
 
-def burn_zone_raster(pix_shape, ext, p: synth.SynthParams, zones: pd.DataFrame) -> np.ndarray:
+def prep_zones(zones: pd.DataFrame) -> list[tuple]:
+    """One-time conversion of the zone table into plain (zone_id, bbox,
+    is_rect, vertices) numpy tuples, zone_id-ordered — hoisted out of the
+    per-tile burn loop (pandas iterrows per tile dominated the burn)."""
+    out = []
+    for _, zr in zones.sort_values("zone_id").iterrows():
+        out.append((int(zr["zone_id"]), np.asarray(zr["bbox"], np.float64),
+                    bool(zr["is_rect"]), np.asarray(zr["vertices"], np.float64)))
+    return out
+
+
+def burn_zone_raster(pix_shape, ext, p: synth.SynthParams, zlist: list[tuple]) -> np.ndarray:
     """Vector→raster burn-in: per-pixel zone id from the zone polygons
     (candidates bbox-filtered; higher zone_id wins on overlap).
+    ``zlist`` comes from prep_zones (built once per batch, not per tile).
 
     The engine side of functions/deprecated/RasterizeAttributes.py:135-169.
     """
@@ -142,16 +154,15 @@ def burn_zone_raster(pix_shape, ext, p: synth.SynthParams, zones: pd.DataFrame) 
     tlat = (ext[1] / p.world_h * 180.0 - 90.0, ext[3] / p.world_h * 180.0 - 90.0)
     z = np.zeros((h, w), dtype=np.int32)
     from .spatial import point_in_convex_batch
-    for _, zr in zones.sort_values("zone_id").iterrows():
-        bb = zr["bbox"]
+    for zone_id, bb, is_rect, verts in zlist:
         if bb[2] < tlon[0] or bb[0] > tlon[1] or bb[3] < tlat[0] or bb[1] > tlat[1]:
             continue
-        if zr["is_rect"]:
+        if is_rect:
             hit = (lon >= bb[0]) & (lon < bb[2]) & (lat >= bb[1]) & (lat < bb[3])
         else:
             hit = point_in_convex_batch(lon.ravel(), lat.ravel(),
-                                        np.asarray(zr["vertices"])).reshape(h, w)
-        z[hit] = int(zr["zone_id"])
+                                        verts).reshape(h, w)
+        z[hit] = zone_id
     return z
 
 
@@ -168,13 +179,14 @@ def q_zonal_remap_counts(sf_dir: str) -> pd.DataFrame:
 
     def kernel_batch(b: pa.Table) -> pd.DataFrame:
         zdf, ztm = ray.get(zones_ref)
+        zlist = prep_zones(zdf)  # once per batch, not per tile
         from . import tilecodec
         recs = []
         tid = b["tile_id"].to_pylist()
         exts = b["extent"].to_pylist()
         for i, pix, msk in tilecodec.iter_tiles(b):
             dem = pix if pix.ndim == 2 else pix[0]
-            zr = burn_zone_raster(dem.shape, exts[i], p, zdf)
+            zr = burn_zone_raster(dem.shape, exts[i], p, zlist)
             out = rm.zonal_remap(dem, zr, ztm, background=0, default_target=255)
             vals, cnts = np.unique(out, return_counts=True)
             for v, n in zip(vals, cnts):
@@ -1290,13 +1302,14 @@ def q_rasterize_attributes_stats(sf_dir: str) -> pd.DataFrame:
 
     def kernel_batch(b: pa.Table) -> pd.DataFrame:
         zdf, amap = ray.get(zref)
+        zlist = prep_zones(zdf)  # once per batch, not per tile
         from . import tilecodec
         recs = []
         tid = b["tile_id"].to_pylist()
         exts = b["extent"].to_pylist()
         for i, pix, msk in tilecodec.iter_tiles(b):
             dem = pix if pix.ndim == 2 else pix[0]
-            zr = burn_zone_raster(dem.shape, exts[i], p, zdf)
+            zr = burn_zone_raster(dem.shape, exts[i], p, zlist)
             out = rm.rasterize_attributes(dem, zr, amap, n_attrs=2)
             recs.append((tid[i], round(float(out[1].mean()), 4),
                          round(float(out[2].mean()), 4)))

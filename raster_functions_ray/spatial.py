@@ -385,3 +385,64 @@ FROM p JOIN z ON p.x >= z.bbox[1] AND p.x < z.bbox[3]
              AND p.y >= z.bbox[2] AND p.y < z.bbox[4]
 ORDER BY doc_id, zone_id
 """
+
+
+def q_doc_zone_join_cellshuffle(sf_dir: str) -> pd.DataFrame:
+    """The SHUFFLE-JOIN lowering of the doc↔zone spatial join (north-star:
+    'point-in-polygon joins with groupby-aggregate shuffles keyed on cell
+    id'): when the zone side is too big to broadcast, both sides key on
+    the SAME cell grid — zones explode to (cell_id, zone) coverage rows,
+    points encode to cell_id, and a hash join on cell_id co-partitions
+    them; the exact containment test runs vectorized inside the join
+    output.  Returns the identical row set as the broadcast ZoneJoiner
+    path and shares q_doc_zone_join_rect's SQL oracle (rect zones)."""
+    import pyarrow.compute as pc
+
+    from . import synth
+    from .sources import read_documents, read_zones
+    from .stages import spans
+
+    d = synth.synth_dir_for(sf_dir)
+    zones = read_zones(d).to_pandas()
+    zones = zones[zones["is_rect"]].reset_index(drop=True)
+
+    # zone side: one (cell_id, zone) row per covered cell — the shuffle key
+    zrows = {"cell_id": [], "zone_id": [], "xmin": [], "ymin": [],
+             "xmax": [], "ymax": []}
+    for _, zr in zones.iterrows():
+        bb = zr["bbox"]
+        for c in grid.covering(bb[0], bb[1], bb[2], bb[3], CELL_LEVEL):
+            zrows["cell_id"].append(int(c))
+            zrows["zone_id"].append(int(zr["zone_id"]))
+            zrows["xmin"].append(bb[0]); zrows["ymin"].append(bb[1])
+            zrows["xmax"].append(bb[2]); zrows["ymax"].append(bb[3])
+    zcells = rd.from_pandas(pd.DataFrame(zrows))
+
+    # point side: WKT POINT spans keyed by the same cell grid
+    pts = spans.text_spans(spans.explode_spans(read_documents(d)))
+
+    def encode_points(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        doc_ids = np.asarray(b["doc_id"].to_pylist(), dtype=object)
+        pidx, x, y = wkt_parse_points(texts)
+        cells = grid.cell_encode(x, y, CELL_LEVEL)
+        return pa.table({"cell_id": pa.array(cells, pa.int64()),
+                         "doc_id": pa.array(list(doc_ids[pidx]), pa.string()),
+                         "x": pa.array(x), "y": pa.array(y)})
+
+    pcells = pts.map_batches(encode_points, batch_format="pyarrow", batch_size=8192)
+    joined = pcells.join(zcells, join_type="inner", num_partitions=16,
+                         on=("cell_id",))
+
+    def contains(b: pa.Table) -> pa.Table:
+        x = np.asarray(b["x"]); y = np.asarray(b["y"])
+        hit = ((np.asarray(b["xmin"]) <= x) & (x < np.asarray(b["xmax"]))
+               & (np.asarray(b["ymin"]) <= y) & (y < np.asarray(b["ymax"])))
+        kept = b.filter(pa.array(hit))
+        return kept.select(["doc_id", "zone_id"])
+
+    # no dedup: each point lies in exactly ONE cell, so a (span, zone) hit
+    # joins exactly once — same row multiplicity as the oracle's span join
+    out = joined.map_batches(contains, batch_format="pyarrow").to_pandas()
+    out["zone_id"] = out["zone_id"].astype("int64")
+    return out.sort_values(["doc_id", "zone_id"]).reset_index(drop=True)
