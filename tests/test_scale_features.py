@@ -109,3 +109,28 @@ class TestCrashResume:
             a = ref_store.read_partition("job", key)
             b = crash_store.read_partition("job", key)
             assert a.equals(b)
+
+
+class TestEmbeddingNNDedup:
+    def test_argmax_tie_break_is_min_vec_id(self):
+        """The batch argmax must pick the SMALLEST vec_id among cosine ties
+        (matching the oracle's ROW_NUMBER order): np.argmax returns the
+        first maximal column and cids are ascending — pin that contract."""
+        import numpy as np
+        sims = np.array([[0.5, 0.9, 0.9, 0.1]])
+        cids = np.array([10, 20, 30, 40])
+        assert cids[sims.argmax(axis=1)[0]] == 20  # first of the tied pair
+
+    def test_query_excludes_self(self, synth_sf001):
+        from raster_functions_ray.dedup import q_embedding_nn_dedup
+        out = q_embedding_nn_dedup("/root/testdata/sf0.001")
+        assert (out["vec_id"] != out["nn_vec_id"]).all()
+        assert len(out) > 0
+
+
+class TestChainGroupKeyValidation:
+    def test_unsupported_group_key_raises(self):
+        import pytest as _pt
+        from raster_functions_ray.pipelines.chain import Op, build_chain
+        with _pt.raises(ValueError, match="unsupported group_key"):
+            build_chain(None, [Op("bad", lambda *a: a, group_key=("scene_id",))])
