@@ -226,6 +226,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_mark": textops.Q_DEDUP_MARK_SQL,
         "embedding_nn_dedup": dedup.Q_EMBEDDING_NN_DEDUP_SQL,
         "video_frame_plan": rq.video_frame_plan_oracle_sql(0.01),
+        "doc_zone_join": spatial.doc_zone_join_oracle_sql(0.01),
         "doc_zone_join_cellshuffle": spatial.doc_zone_join_rect_oracle_sql(0.01),
         "segment_except": rel.Q_SEGMENT_EXCEPT_SQL,
         "nation_segment_rollup": rel.Q_NATION_SEGMENT_ROLLUP_SQL,

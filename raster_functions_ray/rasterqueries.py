@@ -205,9 +205,9 @@ def q_doc_zone_join(sf_dir: str) -> pd.DataFrame:
 
     d = synth.synth_dir_for(sf_dir)
     zones = read_zones(d).to_pandas()
-    out = spatial.doc_points_in_zones(read_documents(d), zones)
-    return (out.to_pandas().sort_values(["doc_id", "zone_id"])
-            .reset_index(drop=True))
+    out = spatial.doc_points_in_zones(read_documents(d), zones).to_pandas()
+    out["zone_id"] = out["zone_id"].astype("int64")
+    return out.sort_values(["doc_id", "zone_id"]).reset_index(drop=True)
 
 
 # ------------------------------------------------------- chains & ML ----
@@ -797,7 +797,8 @@ def q_doc_media_join(sf_dir: str) -> pd.DataFrame:
     d = synth.synth_dir_for(sf_dir)
     media = sp.media_refs(sp.explode_spans(read_documents(d)))
     tiles = read_tiles(d, columns=["tile_id", "scene_id"])
-    joined = media.join(tiles, join_type="inner", num_partitions=16,
+    from .sources import join_partitions
+    joined = media.join(tiles, join_type="inner", num_partitions=join_partitions(),
                         on=("media_ref",), right_on=("tile_id",))
     out = (joined.groupby("scene_id").aggregate(Count(alias_name="n_refs"))
            .to_pandas())

@@ -568,7 +568,8 @@ def q_segment_median_price(sf_dir: str) -> pd.DataFrame:
     average the two middle values)."""
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    joined = orders.join(cust, join_type="inner", num_partitions=8,
+    from .sources import join_partitions
+    joined = orders.join(cust, join_type="inner", num_partitions=join_partitions(),
                          on=("o_custkey",), right_on=("c_custkey",))
 
     def med(g: pd.DataFrame) -> pd.DataFrame:

@@ -47,3 +47,16 @@ def read_training(synth_d: str, **kw) -> rd.Dataset:
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None, **kw) -> rd.Dataset:
     """Driver-provided TPC-H-ish tables (TESTDATA.md)."""
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns, **kw)
+
+
+def join_partitions(factor: int = 2, cap: int = 64) -> int:
+    """Partition count for Dataset.join hash shuffles, sized to the cluster
+    (each partition spins an aggregator actor in Ray 2.49 — a hardcoded 16
+    oversubscribes small sessions and undersubscribes big ones)."""
+    import ray
+
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    return max(2, min(cap, ncpu // factor))

@@ -24,7 +24,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from . import grid
-from .sources import read_table
+from .sources import join_partitions, read_table
 
 CELL_LEVEL = 6
 
@@ -431,7 +431,7 @@ def q_doc_zone_join_cellshuffle(sf_dir: str) -> pd.DataFrame:
                          "x": pa.array(x), "y": pa.array(y)})
 
     pcells = pts.map_batches(encode_points, batch_format="pyarrow", batch_size=8192)
-    joined = pcells.join(zcells, join_type="inner", num_partitions=16,
+    joined = pcells.join(zcells, join_type="inner", num_partitions=join_partitions(),
                          on=("cell_id",))
 
     def contains(b: pa.Table) -> pa.Table:
@@ -446,3 +446,35 @@ def q_doc_zone_join_cellshuffle(sf_dir: str) -> pd.DataFrame:
     out = joined.map_batches(contains, batch_format="pyarrow").to_pandas()
     out["zone_id"] = out["zone_id"].astype("int64")
     return out.sort_values(["doc_id", "zone_id"]).reset_index(drop=True)
+
+
+def doc_zone_join_oracle_sql(sf: float = 0.01) -> str:
+    """FULL doc↔zone join oracle — rect zones by half-open bbox, CONVEX
+    zones by the same all-cross-products-non-negative test the engine's
+    point_in_convex_batch runs (identical IEEE operation order, so the
+    match is bit-exact); upgraded the headline spatial join from a
+    rows-only check to SQL-exact."""
+    from . import synth
+
+    d = synth.synth_dir(sf)
+    return f"""
+WITH s AS (SELECT doc_id, UNNEST(spans) AS sp
+           FROM read_parquet('{d}/documents.parquet')),
+p AS (SELECT doc_id,
+             CAST(string_split(replace(replace(sp.text, 'POINT (', ''), ')', ''), ' ')[1] AS DOUBLE) AS x,
+             CAST(string_split(replace(replace(sp.text, 'POINT (', ''), ')', ''), ' ')[2] AS DOUBLE) AS y
+      FROM s WHERE sp.kind = 'text' AND sp.text LIKE 'POINT%'),
+z AS (SELECT zone_id, bbox, is_rect, vertices, len(vertices)//2 AS nv
+      FROM read_parquet('{d}/zones.parquet'))
+SELECT p.doc_id, CAST(z.zone_id AS BIGINT) AS zone_id
+FROM p JOIN z ON
+  CASE WHEN z.is_rect THEN
+    p.x >= z.bbox[1] AND p.x < z.bbox[3] AND p.y >= z.bbox[2] AND p.y < z.bbox[4]
+  ELSE
+    list_aggregate(list_transform(range(1, z.nv + 1), i ->
+      CASE WHEN (z.vertices[2*(i % z.nv)+1] - z.vertices[2*i-1]) * (p.y - z.vertices[2*i])
+              - (z.vertices[2*(i % z.nv)+2] - z.vertices[2*i]) * (p.x - z.vertices[2*i-1]) >= 0
+           THEN 1 ELSE 0 END), 'min') = 1
+  END
+ORDER BY doc_id, zone_id
+"""

@@ -232,7 +232,9 @@ def q_training_data_pipeline(sf_dir: str) -> pd.DataFrame:
     # scalars/doc, so pinning beats re-reading + re-scoring the corpus
     scored = scored.repartition(16).materialize()
     survivors = scored.groupby("h").aggregate(Min("doc_id", alias_name="keep_doc_id"))
-    marked = scored.join(survivors, join_type="inner", num_partitions=16, on=("h",))
+    from .sources import join_partitions
+    marked = scored.join(survivors, join_type="inner",
+                         num_partitions=join_partitions(), on=("h",))
 
     def partial(b: pa.Table) -> pd.DataFrame:
         df = b.to_pandas()
@@ -298,7 +300,9 @@ def q_dedup_mark(sf_dir: str) -> pd.DataFrame:
     hashed = (ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
               .repartition(8).materialize())
     survivors = hashed.groupby("h").aggregate(Min("doc_id", alias_name="keep_doc_id"))
-    marked = hashed.join(survivors, join_type="inner", num_partitions=8, on=("h",))
+    from .sources import join_partitions
+    marked = hashed.join(survivors, join_type="inner",
+                         num_partitions=join_partitions(), on=("h",))
 
     def finish(b: pa.Table) -> pd.DataFrame:
         df = b.to_pandas()
