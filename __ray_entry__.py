@@ -224,6 +224,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_dot_topk": ann.Q_ANN_DOT_TOPK_SQL,
         "quality_counts": textops.Q_QUALITY_COUNTS_SQL,
         "dedup_mark": textops.Q_DEDUP_MARK_SQL,
+        "training_data_pipeline": textops.Q_TRAINING_DATA_PIPELINE_SQL,
         "embedding_nn_dedup": dedup.Q_EMBEDDING_NN_DEDUP_SQL,
         "video_frame_plan": rq.video_frame_plan_oracle_sql(0.01),
         "doc_zone_join": spatial.doc_zone_join_oracle_sql(0.01),

@@ -318,3 +318,52 @@ SELECT doc_id,
        doc_id = MIN(doc_id) OVER (PARTITION BY text) AS kept
 FROM documents ORDER BY doc_id
 """
+
+
+def _gram_count_sql(grams: tuple[str, ...]) -> str:
+    return " + ".join(
+        f"(length(low) - length(replace(low, '{g}', ''))) // 3" for g in grams)
+
+
+def _training_pipeline_sql() -> str:
+    """DuckDB oracle for the COMPOSED training pipeline: same stopword
+    ratio (lower + [a-z]+ tokens), same non-overlapping trigram counts
+    (replace trick == str.count), same strictly-greater lang argmax order
+    (en,de,fr,es), same window dup-marking — bit-exact vs DocScorer."""
+    sw = "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS)) + "]"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, lower(text) AS low,
+         regexp_extract_all(lower(text), '[a-z]+') AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, text, low,
+         len(list_filter(toks, t -> list_contains({sw}, t)))
+           / GREATEST(len(toks), 1) AS stop_ratio,
+         len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+           / GREATEST(length(text), 1) AS alpha_ratio,
+         {_gram_count_sql(_LANG_HINTS['en'])} AS s_en,
+         {_gram_count_sql(_LANG_HINTS['de'])} AS s_de,
+         {_gram_count_sql(_LANG_HINTS['fr'])} AS s_fr,
+         {_gram_count_sql(_LANG_HINTS['es'])} AS s_es,
+         regexp_matches(text, '[一-鿿]') AS is_zh
+  FROM base
+), lang AS (
+  SELECT *,
+    CASE WHEN is_zh THEN 'zh'
+         WHEN s_es > GREATEST(s_en, s_de, s_fr) THEN 'es'
+         WHEN s_fr > GREATEST(s_en, s_de) THEN 'fr'
+         WHEN s_de > s_en THEN 'de'
+         ELSE 'en' END AS pred_lang,
+    doc_id = MIN(doc_id) OVER (PARTITION BY text) AS survivor
+  FROM scored
+)
+SELECT pred_lang,
+       (survivor AND stop_ratio < 0.9 AND alpha_ratio > 0.5) AS kept,
+       COUNT(*) AS n_docs,
+       ROUND(SUM(stop_ratio) / COUNT(*), 6) AS avg_stop_ratio
+FROM lang GROUP BY pred_lang, kept ORDER BY pred_lang, kept
+"""
+
+
+Q_TRAINING_DATA_PIPELINE_SQL = _training_pipeline_sql()
