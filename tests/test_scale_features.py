@@ -134,3 +134,37 @@ class TestChainGroupKeyValidation:
         from raster_functions_ray.pipelines.chain import Op, build_chain
         with _pt.raises(ValueError, match="unsupported group_key"):
             build_chain(None, [Op("bad", lambda *a: a, group_key=("scene_id",))])
+
+
+class TestOraclePairsAtSf0001:
+    """Re-run two headline exact-oracle pairs at a DIFFERENT scale factor
+    (sf0.001) than the driver's gate (sf0.01) — guards against constants
+    accidentally tuned to one sf."""
+
+    def test_training_pipeline_matches_oracle(self, synth_sf001):
+        import duckdb
+        from raster_functions_ray import textops
+        sf = "/root/testdata/sf0.001"
+        mine = textops.q_training_data_pipeline(sf)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        oracle = con.execute(textops.Q_TRAINING_DATA_PIPELINE_SQL).df()
+        a = mine.sort_values(["pred_lang", "kept"]).reset_index(drop=True)
+        b = oracle.sort_values(["pred_lang", "kept"]).reset_index(drop=True)
+        assert a["pred_lang"].tolist() == b["pred_lang"].tolist()
+        assert a["n_docs"].tolist() == b["n_docs"].tolist()
+        assert a["avg_stop_ratio"].tolist() == b["avg_stop_ratio"].tolist()
+
+    def test_doc_zone_join_matches_oracle(self, synth_sf001):
+        import duckdb
+        from raster_functions_ray import rasterqueries as rq, spatial
+        sf = "/root/testdata/sf0.001"
+        mine = rq.q_doc_zone_join(sf)
+        oracle = duckdb.connect().execute(
+            spatial.doc_zone_join_oracle_sql(0.001)).df()
+        a = mine.sort_values(["doc_id", "zone_id"]).reset_index(drop=True)
+        b = oracle.sort_values(["doc_id", "zone_id"]).reset_index(drop=True)
+        assert len(a) == len(b) > 0
+        assert a["doc_id"].tolist() == b["doc_id"].tolist()
+        assert a["zone_id"].tolist() == b["zone_id"].tolist()
