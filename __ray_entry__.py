@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": rq.q_audio_features,
         # set ops / multi-level aggregate / pivot (all SQL-exact)
         "doc_zone_join_cellshuffle": spatial.q_doc_zone_join_cellshuffle,
+        "knn_cell_ring": spatial.q_knn_cell_ring,
         "segment_except": rel.q_segment_except,
         "nation_segment_rollup": rel.q_nation_segment_rollup,
         "event_type_pivot": rel.q_event_type_pivot,
@@ -228,6 +229,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_nn_dedup": dedup.Q_EMBEDDING_NN_DEDUP_SQL,
         "video_frame_plan": rq.video_frame_plan_oracle_sql(0.01),
         "doc_zone_join": spatial.doc_zone_join_oracle_sql(0.01),
+        "knn_cell_ring": spatial.Q_KNN_SQL,
         "doc_zone_join_cellshuffle": spatial.doc_zone_join_rect_oracle_sql(0.01),
         "segment_except": rel.Q_SEGMENT_EXCEPT_SQL,
         "nation_segment_rollup": rel.Q_NATION_SEGMENT_ROLLUP_SQL,

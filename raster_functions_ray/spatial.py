@@ -478,3 +478,76 @@ FROM p JOIN z ON
   END
 ORDER BY doc_id, zone_id
 """
+
+
+def q_knn_cell_ring(sf_dir: str) -> pd.DataFrame:
+    """kNN via CELL-RING search (north-star: 'kNN neighbor queries …
+    keyed on cell id'): candidates are restricted to grid cells within an
+    expanding Chebyshev ring of each query's cell, with a distance bound
+    proving exactness — any cell at ring ρ is ≥ (ρ−1)·min_cell_dim away,
+    so once the k-th candidate distance is under that bound the ring needs
+    no further expansion.  Returns the IDENTICAL rows as brute-force q_knn
+    and shares its SQL oracle.
+
+    At 100 TB the point table would be cell-partitioned parquet and each
+    ring prunes AT THE READ (like the IVF list probe); here the points are
+    derived in-flight, so the ring prunes the candidate set per batch
+    (vectorized is_in on cell ids) — same plan shape, in-memory index."""
+    qarr = np.asarray([[q[1], q[2]] for q in KNN_QUERIES])
+    qcells = grid.cell_encode(qarr[:, 0], qarr[:, 1], CELL_LEVEL)
+    n = 2 ** CELL_LEVEL
+    min_dim = min(360.0 / n, 180.0 / n)
+
+    def ring_cells(qi: int, rho: int) -> np.ndarray:
+        return grid.neighbors(int(qcells[qi]), ring=rho)
+
+    pts = event_points(sf_dir, with_value=False)
+    rho = 1
+    results: dict[int, pd.DataFrame] = {}
+    pending = set(range(len(KNN_QUERIES)))
+    while pending:
+        rings = {qi: ring_cells(qi, rho) for qi in pending}
+        rref = ray.put((qarr, rings))
+
+        def partial(b: pa.Table) -> pd.DataFrame:
+            qs, rgs = ray.get(rref)
+            x = np.asarray(b["x"]); y = np.asarray(b["y"])
+            eid = np.asarray(b["event_id"], dtype=np.int64)
+            cells = grid.cell_encode(x, y, CELL_LEVEL)
+            frames = []
+            for qi, cand_cells in rgs.items():
+                m = np.isin(cells, cand_cells)
+                if not m.any():
+                    continue
+                d2 = (x[m] - qs[qi, 0]) ** 2 + (y[m] - qs[qi, 1]) ** 2
+                k = min(KNN_K, d2.size)
+                idx = np.lexsort((eid[m], d2))[:k]
+                frames.append(pd.DataFrame({"q_id": qi, "event_id": eid[m][idx],
+                                            "d2": d2[idx]}))
+            if not frames:
+                return pd.DataFrame({"q_id": pd.Series([], dtype="int64"),
+                                     "event_id": pd.Series([], dtype="int64"),
+                                     "d2": pd.Series([], dtype="float64")})
+            return pd.concat(frames, ignore_index=True)
+
+        cand = pts.map_batches(partial, batch_format="pyarrow",
+                               batch_size=65536).to_pandas()
+        done = set()
+        for qi in pending:
+            c = cand[cand["q_id"] == qi].sort_values(["d2", "event_id"]).head(KNN_K)
+            if len(c) == KNN_K and np.sqrt(c["d2"].iloc[-1]) < (rho - 1) * min_dim:
+                results[qi] = c
+                done.add(qi)
+        pending -= done
+        if pending:
+            if rho >= 2 * n:  # whole grid covered — everything found is final
+                for qi in pending:
+                    results[qi] = (cand[cand["q_id"] == qi]
+                                   .sort_values(["d2", "event_id"]).head(KNN_K))
+                pending = set()
+            else:
+                rho *= 2
+
+    out = pd.concat([results[qi] for qi in sorted(results)], ignore_index=True)
+    out["rank"] = out.groupby("q_id").cumcount() + 1
+    return out[["q_id", "event_id", "rank"]].reset_index(drop=True)
