@@ -273,9 +273,17 @@ def run_scaling() -> dict:
     tiles_path = os.path.join(synth.synth_dir_for(SF_DIR), "tiles.parquet")
     docs_path = os.path.join(SF_DIR, "documents.parquet")
     os.environ["OMP_NUM_THREADS"] = "1"
+
+    def best_of(fn, *args, n: int = 2) -> float:
+        # controls get the same noise filtering as the Ray side (best-of),
+        # so engine_relative divides comparably-filtered ratios
+        return max(fn(*args) for _ in range(n))
+
     controls = {
-        "focal": (mp_baseline(tiles_path, 8), mp_baseline(tiles_path, 32)),
-        "text": (mp_text_baseline(docs_path, 8), mp_text_baseline(docs_path, 32)),
+        "focal": (best_of(mp_baseline, tiles_path, 8),
+                  best_of(mp_baseline, tiles_path, 32)),
+        "text": (best_of(mp_text_baseline, docs_path, 8),
+                 best_of(mp_text_baseline, docs_path, 32)),
     }
     ceiling = spin_ceiling()
     desc = {

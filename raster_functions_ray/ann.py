@@ -40,38 +40,38 @@ def load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     return ids[order], mat[order]
 
 
-def q_ann_topk(sf_dir: str) -> pd.DataFrame:
-    """Exact cosine top-k per query (excluding the query rows themselves):
-    batch-level matmul partial top-k → small driver-side merge.
+_EMPTY_PARTIAL = {"q_id": pd.Series([], dtype="int64"),
+                  "vec_id": pd.Series([], dtype="int64"),
+                  "sim": pd.Series([], dtype="float64")}
 
-    Output: (q_id, vec_id, rank) — similarity values intentionally omitted
-    so fp summation-order noise can't flip the value hash; ties break by
-    vec_id (and are vanishingly unlikely on random floats).
-    """
+
+def _brute_force_topk(sf_dir: str, normalize: bool) -> pd.DataFrame:
+    """Shared exact top-k pipeline: broadcast query matrix, per-batch matmul
+    (cosine when ``normalize``, inner product otherwise), lexsort partial
+    top-k so the k-boundary honors the oracle's (sim DESC, vec_id)
+    tie-break, tiny driver-side final merge."""
     qids, qmat = load_queries(sf_dir)
-    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-    qref = ray.put(qn)
+    q = qmat / np.linalg.norm(qmat, axis=1, keepdims=True) if normalize else qmat
+    qref = ray.put(q)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def partial(b: pa.Table) -> pd.DataFrame:
-        q = ray.get(qref)
+        qm = ray.get(qref)
         ids, mat = _embedding_matrix(b)
         keep = ids >= N_QUERIES
         ids, mat = ids[keep], mat[keep]
         if ids.size == 0:
-            return pd.DataFrame({"q_id": pd.Series([], dtype="int64"),
-                                 "vec_id": pd.Series([], dtype="int64"),
-                                 "sim": pd.Series([], dtype="float64")})
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        mn = mat / np.where(norms == 0, 1.0, norms)
-        sims = mn @ q.T  # (n, nq)
+            return pd.DataFrame(_EMPTY_PARTIAL)
+        if normalize:
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.where(norms == 0, 1.0, norms)
+        sims = mat @ qm.T  # (n, nq)
         frames = []
         k = min(TOP_K, ids.size)
-        for qi in range(q.shape[0]):
-            # lexsort (not argpartition) so batch-level selection honors the
-            # oracle's (sim DESC, vec_id) tie-break even at the k boundary
+        for qi in range(qm.shape[0]):
             idx = np.lexsort((ids, -sims[:, qi]))[:k]
-            frames.append(pd.DataFrame({"q_id": qi, "vec_id": ids[idx], "sim": sims[idx, qi]}))
+            frames.append(pd.DataFrame({"q_id": qi, "vec_id": ids[idx],
+                                        "sim": sims[idx, qi]}))
         return pd.concat(frames, ignore_index=True)
 
     cand = ds.map_batches(partial, batch_format="pyarrow", batch_size=8192).to_pandas()
@@ -79,6 +79,16 @@ def q_ann_topk(sf_dir: str) -> pd.DataFrame:
     cand = cand.groupby("q_id").head(TOP_K)
     cand["rank"] = cand.groupby("q_id").cumcount() + 1
     return cand[["q_id", "vec_id", "rank"]].reset_index(drop=True)
+
+
+def q_ann_topk(sf_dir: str) -> pd.DataFrame:
+    """Exact cosine top-k per query (excluding the query rows themselves).
+
+    Output: (q_id, vec_id, rank) — similarity values intentionally omitted
+    so fp summation-order noise can't flip the value hash; ties break by
+    vec_id (and are vanishingly unlikely on random floats).
+    """
+    return _brute_force_topk(sf_dir, normalize=True)
 
 
 Q_ANN_TOPK_SQL = f"""
@@ -209,8 +219,13 @@ def ivf_build(sf_dir: str, concurrency: int = 4) -> tuple[np.ndarray, str]:
     import uuid
 
     src = f"{sf_dir}/embeddings.parquet"
-    index_dir = os.path.join("/tmp/rfr_ivf",
-                             f"v3_{os.path.basename(os.path.normpath(sf_dir))}_k{N_CLUSTERS}")
+    # cache key includes a source fingerprint (size+mtime): a regenerated
+    # embeddings.parquet must NOT silently reuse the previous corpus' index
+    st = os.stat(src)
+    fp = f"{st.st_size}_{int(st.st_mtime)}"
+    index_dir = os.path.join(
+        "/tmp/rfr_ivf",
+        f"v3_{os.path.basename(os.path.normpath(sf_dir))}_k{N_CLUSTERS}_{fp}")
     cent_path = os.path.join(index_dir, "centroids.npy")
     if os.path.exists(os.path.join(index_dir, "_DONE")):
         return np.load(cent_path), index_dir
@@ -265,8 +280,14 @@ def q_ivf_search(sf_dir: str, n_probe: int = 4, concurrency: int = 4) -> pd.Data
     probe_paths = []
     for l in union_lists:
         pdir = os.path.join(index_dir, "lists", f"list_id={l}")
+        if not os.path.isdir(pdir):
+            continue  # empty inverted list: no vector was assigned to it
         probe_paths += [os.path.join(pdir, f) for f in sorted(os.listdir(pdir))
                         if f.endswith(".parquet")]
+    if not probe_paths:
+        return pd.DataFrame({"q_id": pd.Series([], dtype="int64"),
+                             "vec_id": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64")})
     ds = rd.read_parquet(probe_paths, columns=["vec_id", "embedding", "lid"])
 
     def partial(b: pa.Table) -> pd.DataFrame:
@@ -307,34 +328,8 @@ def q_ivf_search(sf_dir: str, n_probe: int = 4, concurrency: int = 4) -> pd.Data
 
 def q_ann_dot_topk(sf_dir: str) -> pd.DataFrame:
     """Exact inner-product top-k (the unnormalized twin of q_ann_topk;
-    DuckDB oracle uses list_inner_product) — batch matmul partial top-k
-    with lexsort tie-break."""
-    qids, qmat = load_queries(sf_dir)
-    qref = ray.put(qmat)
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-
-    def partial(b: pa.Table) -> pd.DataFrame:
-        q = ray.get(qref)
-        ids, mat = _embedding_matrix(b)
-        keep = ids >= N_QUERIES
-        ids, mat = ids[keep], mat[keep]
-        if ids.size == 0:
-            return pd.DataFrame({"q_id": pd.Series([], dtype="int64"),
-                                 "vec_id": pd.Series([], dtype="int64"),
-                                 "sim": pd.Series([], dtype="float64")})
-        sims = mat @ q.T
-        frames = []
-        k = min(TOP_K, ids.size)
-        for qi in range(q.shape[0]):
-            idx = np.lexsort((ids, -sims[:, qi]))[:k]
-            frames.append(pd.DataFrame({"q_id": qi, "vec_id": ids[idx], "sim": sims[idx, qi]}))
-        return pd.concat(frames, ignore_index=True)
-
-    cand = ds.map_batches(partial, batch_format="pyarrow", batch_size=8192).to_pandas()
-    cand = cand.sort_values(["q_id", "sim", "vec_id"], ascending=[True, False, True])
-    cand = cand.groupby("q_id").head(TOP_K)
-    cand["rank"] = cand.groupby("q_id").cumcount() + 1
-    return cand[["q_id", "vec_id", "rank"]].reset_index(drop=True)
+    DuckDB oracle uses list_inner_product)."""
+    return _brute_force_topk(sf_dir, normalize=False)
 
 
 Q_ANN_DOT_TOPK_SQL = f"""

@@ -221,9 +221,9 @@ _MINHASHER: MinHasher | None = None
 
 def minhash_batch(b: pa.Table) -> pa.Table:
     """Stateless-task lowering of MinHasher with a per-WORKER state cache:
-    Ray reuses worker processes, so the permutation params + token cache
-    are built once per worker (actor-__init__ semantics) while scheduling
-    stays task-pool — no fixed pool to ramp up on small inputs."""
+    Ray reuses worker processes, so the permutation params are built once
+    per worker (actor-__init__ semantics) while scheduling stays
+    task-pool — no fixed pool to ramp up on small inputs."""
     global _MINHASHER
     if _MINHASHER is None:
         _MINHASHER = MinHasher()

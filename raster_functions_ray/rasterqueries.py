@@ -1096,8 +1096,14 @@ def tile_parent_cells_oracle_sql(sf: float = 0.01) -> str:
     p = synth.params_for(sf)
     d = synth.synth_dir(sf)
     n = float(2**LEVEL)
-    ix = f"CAST(floor(((extent[1] + extent[3]) / 2.0) / {p.world_w} * {n}) AS BIGINT)"
-    iy = f"LEAST(CAST(floor(((extent[2] + extent[4]) / 2.0) / {p.world_h} * {n}) AS BIGINT), {int(n) - 1})"
+    # replicate the engine's EXACT operation order (world_to_lonlat →
+    # cell_encode: *360/360 and −90+90 round-trips), like
+    # tile_cells_oracle_sql — a simplified floor(v/world*n) can flip on a
+    # value within 1 ulp of a cell boundary (grid.py sync contract)
+    ix = (f"CAST(floor(((extent[1] + extent[3]) / 2.0) / {p.world_w} * 360.0"
+          f" / 360.0 * {n}) AS BIGINT)")
+    iy = (f"LEAST(CAST(floor(((((extent[2] + extent[4]) / 2.0) / {p.world_h}"
+          f" * 180.0 - 90.0) + 90.0) / 180.0 * {n}) AS BIGINT), {int(n) - 1})")
     return f"""
 SELECT tile_id,
        CAST({LEVEL} AS BIGINT) * 4503599627370496 + {ix} * 67108864 + {iy} AS cell_id,

@@ -663,14 +663,13 @@ def q_event_type_pivot(sf_dir: str) -> pd.DataFrame:
 
     def partial(b: pa.Table) -> pd.DataFrame:
         df = b.to_pandas()
-        g = df.groupby("user_id", sort=False)["event_type"]
-        out = pd.DataFrame({
-            "user_id": g.size().index,
-            "n_click": g.apply(lambda s: int((s == "click").sum())).values,
-            "n_view": g.apply(lambda s: int((s == "view").sum())).values,
-            "n_other": g.apply(lambda s: int((~s.isin(["click", "view"])).sum())).values,
-        })
-        return out
+        # one vectorized pass: indicator columns then a single grouped sum
+        # (three per-group Python lambdas were the hot-path alternative)
+        df["n_click"] = (df["event_type"] == "click").astype("int64")
+        df["n_view"] = (df["event_type"] == "view").astype("int64")
+        df["n_other"] = 1 - df["n_click"] - df["n_view"]
+        return (df.groupby("user_id", sort=False)[["n_click", "n_view", "n_other"]]
+                .sum().reset_index())
 
     out = (ev.map_batches(partial, batch_format="pyarrow", batch_size=65536)
            .groupby("user_id")

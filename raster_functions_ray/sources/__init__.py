@@ -49,14 +49,19 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None, **kw) -
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns, **kw)
 
 
+def cluster_cpus(default: int = 8) -> int:
+    """CPU count of the (possibly not-yet-started) Ray cluster — the one
+    place work-sizing helpers read it from."""
+    import ray
+
+    try:
+        return int(ray.cluster_resources().get("CPU", default))
+    except Exception:
+        return default
+
+
 def join_partitions(factor: int = 2, cap: int = 64) -> int:
     """Partition count for Dataset.join hash shuffles, sized to the cluster
     (each partition spins an aggregator actor in Ray 2.49 — a hardcoded 16
     oversubscribes small sessions and undersubscribes big ones)."""
-    import ray
-
-    try:
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        ncpu = 8
-    return max(2, min(cap, ncpu // factor))
+    return max(2, min(cap, cluster_cpus() // factor))

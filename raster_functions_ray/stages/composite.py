@@ -132,6 +132,8 @@ def stack_reduce_from_parquet(tiles_path: str, reduce_fn: StackReduce,
     import pyarrow.parquet as pq
     import ray
 
+    from ..sources import cluster_cpus
+
     meta = pq.read_table(tiles_path,
                          columns=["scene_id", "band_count", "tx", "ty", "acq_ts"])
     mdf = meta.to_pandas()
@@ -144,10 +146,7 @@ def stack_reduce_from_parquet(tiles_path: str, reduce_fn: StackReduce,
     if acq_window is not None:
         lo, hi = acq_window
         sc = sc[(sc["acq_ts"] >= lo) & (sc["acq_ts"] < hi)]
-    try:
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        ncpu = 8
+    ncpu = cluster_cpus()
     positions = list(sc.groupby(["tx0", "ty0"]))
     bands_per_pos = max(1, (2 * ncpu) // max(1, len(positions)))
     task = ray.remote(_reduce_tiles_from_parquet)

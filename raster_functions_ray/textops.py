@@ -264,10 +264,13 @@ def q_quality_counts(sf_dir: str) -> pd.DataFrame:
 
     def counts(b: pa.Table) -> pd.DataFrame:
         df = b.to_pandas()
+        # whitespace spelled out (not \s): Python's \s is unicode-aware and
+        # RE2's is ASCII-only, so e.g. U+00A0 would count as punctuation on
+        # one side only
         return pd.DataFrame({
             "doc_id": df["doc_id"],
             "n_chars": df["text"].str.len().astype("int64"),
-            "n_punct": df["text"].str.count(r"[^A-Za-z0-9_\s]").astype("int64"),
+            "n_punct": df["text"].str.count(r"[^A-Za-z0-9_ \t\n\r\f\v]").astype("int64"),
             "n_alpha": df["text"].str.count(r"[A-Za-z]").astype("int64"),
         })
 
@@ -276,7 +279,7 @@ def q_quality_counts(sf_dir: str) -> pd.DataFrame:
 
 Q_QUALITY_COUNTS_SQL = r"""
 SELECT doc_id, length(text) AS n_chars,
-       len(regexp_extract_all(text, '[^A-Za-z0-9_\s]')) AS n_punct,
+       len(regexp_extract_all(text, '[^A-Za-z0-9_ \t\n\r\f\v]')) AS n_punct,
        len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
 FROM documents
 """
