@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # set ops / multi-level aggregate / pivot (all SQL-exact)
         "doc_zone_join_cellshuffle": spatial.q_doc_zone_join_cellshuffle,
         "knn_cell_ring": spatial.q_knn_cell_ring,
+        "stretch_stats": rq.q_stretch_stats,
         "segment_except": rel.q_segment_except,
         "nation_segment_rollup": rel.q_nation_segment_rollup,
         "event_type_pivot": rel.q_event_type_pivot,

@@ -1341,3 +1341,22 @@ def q_audio_features(sf_dir: str) -> pd.DataFrame:
     out = ds.map_batches(AudioFeatures, batch_format="pyarrow",
                          batch_size=64, concurrency=2)
     return out.to_pandas().sort_values("media_id").reset_index(drop=True)
+
+
+def q_stretch_stats(sf_dir: str) -> pd.DataFrame:
+    """StretchFunction (SURVEY.md §2.5): per-tile min-max stretch of the
+    DEM into display range [0, 255] using the tile's OWN stats (the
+    updateRasterInfo statistics flow) — fused stretch + stats in one
+    map_batches pass."""
+    d = synth.synth_dir_for(sf_dir)
+    tiles = read_tiles(d, bands=1)
+
+    def kernel(p, m, meta):
+        dem = (p if p.ndim == 2 else p[0]).astype(np.float64)
+        valid = m.astype(bool)
+        lo = float(dem[valid].min()) if valid.any() else 0.0
+        hi = float(dem[valid].max()) if valid.any() else 1.0
+        return rm.stretch_minmax(dem, lo, hi), m
+
+    out = tile_map.apply_kernel(tiles, kernel, out_pixel_type="u1")
+    return _stats_df(out)
