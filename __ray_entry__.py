@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_zone_join_cellshuffle": spatial.q_doc_zone_join_cellshuffle,
         "knn_cell_ring": spatial.q_knn_cell_ring,
         "stretch_stats": rq.q_stretch_stats,
+        "fuzzy_gaussian": bandmath.q_fuzzy_gaussian,
         "segment_except": rel.q_segment_except,
         "nation_segment_rollup": rel.q_nation_segment_rollup,
         "event_type_pivot": rel.q_event_type_pivot,
@@ -216,6 +217,7 @@ def oracle_sql() -> dict[str, str]:
         "heat_index_f8": bandmath.Q_HEAT_INDEX_F8_SQL,
         "fish_habitat_f8": bandmath.Q_FISH_HABITAT_F8_SQL,
         "fuzzy_linear": bandmath.Q_FUZZY_LINEAR_SQL,
+        "fuzzy_gaussian": bandmath.Q_FUZZY_GAUSSIAN_SQL,
         "arithmetic_cols": bandmath.Q_ARITHMETIC_COLS_SQL,
         "range_join": rel.Q_RANGE_JOIN_SQL,
         "window_lag": rel.Q_WINDOW_LAG_SQL,

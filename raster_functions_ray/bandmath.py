@@ -302,3 +302,32 @@ WITH d AS (
 SELECT event_id, floor(tm * sm * 1.0 * 1000000.0 + 0.5) / 1000000.0 AS suitability
 FROM m
 """
+
+
+def q_fuzzy_gaussian(sf_dir: str) -> pd.DataFrame:
+    """Fuzzy Gaussian membership (functions/FuzzyMembership.py:123-125)
+    of l_quantity around midpoint 25 with spread 0.01: e^(−a(x−mid)²),
+    clipped [0,1], using the SAME kernel as the raster path
+    (functions/pointwise.fuzzy_membership mode='gaussian').  ROUND(6)
+    absorbs pow-vs-exp last-ulp differences vs DuckDB."""
+    from .functions import pointwise as pw
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def kern(b: pa.Table) -> pd.DataFrame:
+        q = np.asarray(b["l_quantity"], dtype=np.float64)
+        r = pw.fuzzy_membership(q, mode="gaussian", par1=25.0, par2=0.01)
+        return pd.DataFrame({"l_orderkey": np.asarray(b["l_orderkey"]),
+                             "l_linenumber": np.asarray(b["l_linenumber"]),
+                             "membership": np.round(r, 6)})
+
+    return ds.map_batches(kern, batch_format="pyarrow", batch_size=65536).to_pandas()
+
+
+Q_FUZZY_GAUSSIAN_SQL = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(LEAST(GREATEST(exp(-0.01 * (l_quantity - 25.0) * (l_quantity - 25.0)),
+                            0.0), 1.0), 6) AS membership
+FROM lineitem
+"""
