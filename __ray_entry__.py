@@ -237,7 +237,8 @@ def oracle_sql() -> dict[str, str]:
         "segment_except": rel.Q_SEGMENT_EXCEPT_SQL,
         "nation_segment_rollup": rel.Q_NATION_SEGMENT_ROLLUP_SQL,
         "event_type_pivot": rel.Q_EVENT_TYPE_PIVOT_SQL,
-        # minhash_dedup / simhash / lsh_bucket_sizes / pixel-stat raster
-        # queries / doc_zone_join: not SQL-expressible → rows-only checks;
+        "lsh_bucket_sizes": ann.lsh_bucket_sizes_oracle_sql(),
+        # minhash_dedup / simhash / pixel-stat raster queries: not
+        # SQL-expressible (pandas hash / RNG pixel payloads) → rows-only;
         # their pixel-exact correctness is gated by the pytest golden suite.
     }

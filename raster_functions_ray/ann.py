@@ -134,12 +134,37 @@ def lsh_buckets(sf_dir: str, concurrency: int = 4) -> rd.Dataset:
 
 
 def q_lsh_bucket_sizes(sf_dir: str) -> pd.DataFrame:
-    """Bucket histogram of the hyperplane LSH (rows-only check —
-    deterministic because the planes are seeded)."""
+    """Bucket histogram of the hyperplane LSH (SQL-exact: the seeded planes
+    are embedded as literals in ``lsh_bucket_sizes_oracle_sql`` and the sign
+    test has ≥2e-5 margin vs fp summation noise at sf≤0.1)."""
     from ray.data.aggregate import Count
 
     out = lsh_buckets(sf_dir).groupby("bucket").aggregate(Count(alias_name="n")).to_pandas()
     return out.sort_values("bucket").reset_index(drop=True)
+
+
+def lsh_bucket_sizes_oracle_sql(dim: int = 64) -> str:
+    """DuckDB oracle for ``q_lsh_bucket_sizes``: regenerate the SAME seeded
+    hyperplanes (no data dependence) and embed them as DOUBLE[] literals, so
+    bucket = Σ_p (list_dot_product(e, plane_p) > 0) << p matches the numpy
+    ``mat @ planes`` sign pattern bit-for-bit (repr() round-trips doubles;
+    sign flips would need |dot| ~ 1e-12 — measured minimum is 2.2e-5)."""
+    rng = np.random.default_rng(271828)
+    planes = rng.standard_normal((dim, N_PLANES))
+    terms = []
+    for p in range(N_PLANES):
+        lit = "[" + ",".join(repr(float(v)) for v in planes[:, p]) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(e, {lit}) > 0 THEN {1 << p} ELSE 0 END)")
+    expr = "\n    + ".join(terms)
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), bucketed AS (
+  SELECT {expr} AS bucket FROM base
+)
+SELECT bucket, COUNT(*) AS n FROM bucketed GROUP BY bucket ORDER BY bucket
+"""
 
 
 # ------------------------------------------------------------- IVF path
