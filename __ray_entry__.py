@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": dedup.q_exact_dedup,
         "minhash_dedup": dedup.q_minhash_dedup,
         "simhash": dedup.q_simhash,
+        "ngram_jaccard": dedup.q_ngram_jaccard,
         # similarity search
         "ann_topk": ann.q_ann_topk,
         "lsh_bucket_sizes": ann.q_lsh_bucket_sizes,
@@ -238,6 +239,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_segment_rollup": rel.Q_NATION_SEGMENT_ROLLUP_SQL,
         "event_type_pivot": rel.Q_EVENT_TYPE_PIVOT_SQL,
         "lsh_bucket_sizes": ann.lsh_bucket_sizes_oracle_sql(),
+        "ngram_jaccard": dedup.Q_NGRAM_JACCARD_SQL,
         # minhash_dedup / simhash / pixel-stat raster queries: not
         # SQL-expressible (pandas hash / RNG pixel payloads) → rows-only;
         # their pixel-exact correctness is gated by the pytest golden suite.

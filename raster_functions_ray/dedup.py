@@ -433,3 +433,162 @@ SELECT vec_id, nn_vec_id FROM (
   FROM base a JOIN base b ON a.vec_id <> b.vec_id)
 WHERE rn = 1 ORDER BY vec_id
 """
+
+
+# ----------------------------------------- exact set-similarity self-join
+
+# Word w-shingling (Broder 1997) + prefix filtering with the position and
+# length filters of PPJoin (Xiao et al., WWW'08): an EXACT similarity
+# self-join — unlike MinHash-LSH there is no probabilistic recall loss, so
+# the output is SQL-provable (Q_NGRAM_JACCARD below is a plain all-pairs
+# oracle over the same shingle definition).
+W_SHINGLE = 3
+JACCARD_TAU = 0.8
+
+
+def _word_shingle_rows(b: pa.Table) -> pd.DataFrame:
+    """(doc_id, s, n) rows: one row per DISTINCT word-3-shingle hash per
+    doc, with the doc's distinct-shingle count ``n`` carried for the
+    length/position filters.  One pd.util.hash_array call per batch; the
+    trigram strings are built on flat object arrays (no per-doc loop)."""
+    doc_ids = np.asarray(b["doc_id"], dtype=np.int64)
+    words = pd.Series(b["text"].to_pandas()).str.split(" ")
+    lens = words.str.len().to_numpy(dtype=np.int64)
+    flat = np.concatenate([np.asarray(w, dtype=object) for w in words]) \
+        if len(words) else np.empty(0, dtype=object)
+    if flat.size < W_SHINGLE:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "s": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64")})
+    tri = flat[:-2] + " " + flat[1:-1] + " " + flat[2:]
+    doc_idx = np.repeat(np.arange(len(lens)), lens)[:-2]
+    # windows that cross a doc boundary reach into the next doc's words
+    valid = doc_idx == np.repeat(np.arange(len(lens)), lens)[2:]
+    tri, doc_idx = tri[valid], doc_idx[valid]
+    # int64 view: uint64 hashes above 2^63 break Arrow int promotion in
+    # the hash-shuffle aggregator
+    h = pd.util.hash_array(tri).view(np.int64)
+    key = np.unique(np.stack([doc_idx.astype(np.int64), h], axis=1), axis=0)
+    d, s = key[:, 0], key[:, 1]
+    n_per = np.bincount(d, minlength=len(lens))  # distinct shingles per doc
+    return pd.DataFrame({"doc_id": doc_ids[d], "s": s,
+                         "n": n_per[d].astype(np.int64)})
+
+
+def _prefix_select(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-doc prefix under the global (df, s) order: the first
+    n − ⌈τ·n⌉ + 1 shingles.  Any pair with Jaccard ≥ τ shares a prefix
+    shingle under ANY fixed global order (prefix-filter lemma), so rarer-
+    first is a pure selectivity choice, not a correctness one."""
+    import math
+
+    g = g.sort_values(["df", "s"], kind="mergesort")
+    n = int(g["n"].iloc[0])
+    p = n - math.ceil(JACCARD_TAU * n) + 1
+    out = g.head(p).copy()
+    out["pos"] = np.arange(len(out), dtype=np.int64)
+    return out[["s", "doc_id", "pos", "n"]]
+
+
+def _pair_filter(b: pa.Table) -> pd.DataFrame:
+    """Vectorized candidate filter over prefix⨝prefix join rows: keep
+    doc_a < doc_b, then the exact length filter (|A| ≥ τ|B|) and position
+    filter (1 + min(remaining_a, remaining_b) ≥ ⌈τ/(1+τ)·(n_a+n_b)⌉)."""
+    da = np.asarray(b["doc_a"], dtype=np.int64)
+    db = np.asarray(b["doc_b"], dtype=np.int64)
+    pos_a = np.asarray(b["pos_a"], dtype=np.int64)
+    pos_b = np.asarray(b["pos_b"], dtype=np.int64)
+    na = np.asarray(b["n_a"], dtype=np.int64)
+    nb = np.asarray(b["n_b"], dtype=np.int64)
+    need = np.ceil(JACCARD_TAU / (1 + JACCARD_TAU) * (na + nb))
+    ok = (da < db) & \
+         (np.minimum(na, nb) >= JACCARD_TAU * np.maximum(na, nb)) & \
+         (1 + np.minimum(na - pos_a - 1, nb - pos_b - 1) >= need)
+    return pd.DataFrame({"doc_a": da[ok], "doc_b": db[ok]})
+
+
+def word_shingles(text: str, w: int = W_SHINGLE) -> set[str]:
+    toks = text.split(" ")
+    return {" ".join(toks[i:i + w]) for i in range(len(toks) - w + 1)}
+
+
+def q_ngram_jaccard(sf_dir: str, threshold: float = JACCARD_TAU) -> pd.DataFrame:
+    """EXACT n-gram (word-3-shingle) Jaccard similarity self-join at
+    threshold τ=0.8 — the non-probabilistic complement of q_minhash_dedup.
+
+    Distributed plan (PPJoin shape, every stage a Dataset op):
+      docs → distinct (doc_id, shingle-hash, n) rows            [map_batches]
+      → shingle df                                              [groupby(s)]
+      → df joined back                                          [hash join]
+      → per-doc prefix under the (df, s) global order           [groupby(doc)]
+      → candidate pairs + length/position filters               [groupby(s)]
+      → distinct pairs                                          [groupby(pair)]
+      → exact string-shingle Jaccard on candidates only (pushdown read).
+    Hash collisions could in principle perturb candidate generation
+    (~|shingles|²/2⁶⁴ — ignored); the verify step is collision-free
+    (string sets), so emitted pairs are always exact."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .sources import join_partitions
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    sh = (ds.map_batches(_word_shingle_rows, batch_format="pyarrow", batch_size=4096)
+          .repartition(8).materialize())
+    df = sh.groupby("s").aggregate(Count(alias_name="df"))
+    joined = sh.join(df, join_type="inner", num_partitions=join_partitions(), on=("s",))
+    prefix = (joined.groupby("doc_id").map_groups(_prefix_select, batch_format="pandas")
+              .materialize())
+    # pair generation as a hash SELF-JOIN on the prefix shingle (vectorized
+    # filter after), not a per-shingle map_groups — posting lists are tiny
+    # but numerous, so per-group Python dispatch dominates otherwise
+    left = prefix.map_batches(
+        lambda b: b.rename_columns(["s", "doc_a", "pos_a", "n_a"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    right = prefix.map_batches(
+        lambda b: b.rename_columns(["s", "doc_b", "pos_b", "n_b"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    pairs = (left.join(right, join_type="inner",
+                       num_partitions=join_partitions(), on=("s",))
+             .map_batches(_pair_filter, batch_format="pyarrow", batch_size=65536))
+    cand = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="cnt")).to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    need = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+                         filters=pc.field("doc_id").isin(need))
+    text_of = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    sets = {d: word_shingles(t) for d, t in text_of.items()}
+    inter = np.array([len(sets[a] & sets[b]) for a, b in zip(cand["doc_a"], cand["doc_b"])])
+    union = np.array([len(sets[a]) + len(sets[b]) for a, b in zip(cand["doc_a"], cand["doc_b"])]) - inter
+    cand = cand.assign(jaccard=np.round(inter / np.maximum(union, 1), 6))
+    out = cand[cand["jaccard"] >= threshold][["doc_a", "doc_b", "jaccard"]]
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+Q_NGRAM_JACCARD_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         list_extract(l, CAST(u AS INT)) || ' ' ||
+         list_extract(l, CAST(u AS INT) + 1) || ' ' ||
+         list_extract(l, CAST(u AS INT) + 2) AS s
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS u FROM w)
+), counts AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.shared AS DOUBLE) / (ca.n + cb.n - i.shared), 6) AS jaccard
+FROM inter i
+JOIN counts ca ON ca.doc_id = i.doc_a
+JOIN counts cb ON cb.doc_id = i.doc_b
+WHERE CAST(i.shared AS DOUBLE) / (ca.n + cb.n - i.shared) >= {JACCARD_TAU}
+ORDER BY doc_a, doc_b
+"""

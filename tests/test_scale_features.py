@@ -168,3 +168,37 @@ class TestOraclePairsAtSf0001:
         assert len(a) == len(b) > 0
         assert a["doc_id"].tolist() == b["doc_id"].tolist()
         assert a["zone_id"].tolist() == b["zone_id"].tolist()
+
+
+class TestNgramJaccard:
+    def test_shingle_rows_respect_doc_boundaries(self):
+        import pyarrow as pa
+
+        from raster_functions_ray import dedup
+
+        b = pa.table({"doc_id": [1, 2], "text": ["a b c d", "x y z"]})
+        out = dedup._word_shingle_rows(b)
+        # doc 1: "a b c","b c d"; doc 2: "x y z" — no window spans docs
+        assert list(out.groupby("doc_id")["s"].count()) == [2, 1]
+        assert list(out.groupby("doc_id")["n"].first()) == [2, 1]
+
+    def test_matches_bruteforce_at_sf0001(self):
+        from raster_functions_ray import dedup
+
+        out = dedup.q_ngram_jaccard("/root/testdata/sf0.001")
+        import pyarrow.parquet as pq
+
+        t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                          columns=["doc_id", "text"])
+        sets = {d: dedup.word_shingles(s) for d, s in
+                zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+        ids = sorted(sets)
+        expect = []
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a]) + len(sets[b]) - inter
+                if union and inter / union >= dedup.JACCARD_TAU:
+                    expect.append((a, b, round(inter / union, 6)))
+        got = list(out.itertuples(index=False, name=None))
+        assert got == expect
