@@ -3,6 +3,12 @@
 The reference has no readers/writers — the ArcGIS host supplies pixel blocks
 (SURVEY.md §2.6); here every table is parquet read via
 ``ray.data.read_parquet`` with column pruning at the read.
+
+Lance (the north-rule's table format) is supported when the ``lance``
+package is importable: a ``<name>.lance`` dataset next to the parquet file
+wins and is read via ``ray.data.read_lance`` with the same column pruning.
+This container ships no lance wheel, so the parquet path is what the tests
+exercise; the dispatch itself is covered by ``tests/test_engine_extras.py``.
 """
 
 from __future__ import annotations
@@ -10,6 +16,24 @@ from __future__ import annotations
 import os
 
 import ray.data as rd
+
+try:  # pragma: no cover - lance is absent in this container
+    import lance  # noqa: F401
+
+    _HAVE_LANCE = True
+except ImportError:
+    _HAVE_LANCE = False
+
+
+def _read_any(base: str, columns: list[str] | None = None, **kw) -> rd.Dataset:
+    """``<base>.lance`` (if the lance reader is available) else
+    ``<base>.parquet`` — one dispatch point so every table source is
+    format-agnostic."""
+    lance_dir = base + ".lance"
+    if _HAVE_LANCE and os.path.isdir(lance_dir):
+        kw.pop("filter", None)  # read_lance pushes filters via `filter=` SQL string
+        return rd.read_lance(lance_dir, columns=columns, **kw)
+    return rd.read_parquet(base + ".parquet", columns=columns, **kw)
 
 
 def read_tiles(synth_d: str, columns: list[str] | None = None,
@@ -33,7 +57,7 @@ def read_tiles(synth_d: str, columns: list[str] | None = None,
 
 
 def read_documents(synth_d: str, **kw) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(synth_d, "documents.parquet"), **kw)
+    return _read_any(os.path.join(synth_d, "documents"), **kw)
 
 
 def read_zones(synth_d: str, columns: list[str] | None = None, **kw) -> rd.Dataset:
@@ -45,8 +69,8 @@ def read_training(synth_d: str, **kw) -> rd.Dataset:
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None, **kw) -> rd.Dataset:
-    """Driver-provided TPC-H-ish tables (TESTDATA.md)."""
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns, **kw)
+    """Driver-provided TPC-H-ish tables (TESTDATA.md); lance-or-parquet."""
+    return _read_any(os.path.join(sf_dir, name), columns=columns, **kw)
 
 
 def cluster_cpus(default: int = 8) -> int:

@@ -265,3 +265,32 @@ class TestChainProtocol:
             assert got[tid]["pixels"] == exp[tid]["pixels"], tid
             assert got[tid]["mask"] == exp[tid]["mask"]
             assert got[tid]["n_scenes"] == exp[tid]["n_scenes"] == 2
+
+
+class TestSourceFormatDispatch:
+    def test_lance_dir_wins_when_reader_available(self, tmp_path, monkeypatch):
+        """_read_any prefers <base>.lance via rd.read_lance when the lance
+        package is present; parquet otherwise (this container has no lance,
+        so the dispatch is driven by monkeypatch)."""
+        import ray.data as rd
+
+        from raster_functions_ray import sources
+
+        calls = {}
+        (tmp_path / "documents.lance").mkdir()
+        monkeypatch.setattr(sources, "_HAVE_LANCE", True)
+        monkeypatch.setattr(rd, "read_lance",
+                            lambda path, columns=None, **kw: calls.setdefault("path", path),
+                            raising=False)
+        sources._read_any(str(tmp_path / "documents"), columns=["doc_id"])
+        assert calls["path"].endswith("documents.lance")
+
+    def test_parquet_fallback_without_lance(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from raster_functions_ray import sources
+
+        pq.write_table(pa.table({"x": [1, 2]}), tmp_path / "t.parquet")
+        ds = sources._read_any(str(tmp_path / "t"))
+        assert ds.count() == 2
