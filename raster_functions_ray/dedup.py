@@ -34,9 +34,12 @@ def q_exact_dedup(sf_dir: str) -> pd.DataFrame:
     group.  Output: one row per distinct text (survivor + dup count)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def add_hash(b: pa.Table) -> pd.DataFrame:
+    def add_hash(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
-        return pd.DataFrame({"doc_id": df["doc_id"], "h": _text_hash(df["text"])})
+        # Arrow out: pandas blocks put Ray's sort-aggregate on a ~1k rows/s
+        # per-row path (see _word_shingle_rows)
+        return pa.table({"doc_id": pa.array(df["doc_id"], pa.int64()),
+                         "h": pa.array(_text_hash(df["text"]), pa.string())})
 
     # small corpora arrive as one block — split it so the sort-based
     # aggregate parallelizes (no-op data movement at scale, where the read
@@ -446,20 +449,22 @@ W_SHINGLE = 3
 JACCARD_TAU = 0.8
 
 
-def _word_shingle_rows(b: pa.Table) -> pd.DataFrame:
+def _word_shingle_rows(b: pa.Table) -> pa.Table:
     """(doc_id, s, n) rows: one row per DISTINCT word-3-shingle hash per
     doc, with the doc's distinct-shingle count ``n`` carried for the
     length/position filters.  One pd.util.hash_array call per batch; the
-    trigram strings are built on flat object arrays (no per-doc loop)."""
+    trigram strings are built on flat object arrays (no per-doc loop).
+    Output MUST be Arrow: pandas blocks send Ray's sort-aggregate into a
+    ~1k rows/s per-row path (measured 46s vs <2s on this stage)."""
     doc_ids = np.asarray(b["doc_id"], dtype=np.int64)
     words = pd.Series(b["text"].to_pandas()).str.split(" ")
     lens = words.str.len().to_numpy(dtype=np.int64)
     flat = np.concatenate([np.asarray(w, dtype=object) for w in words]) \
         if len(words) else np.empty(0, dtype=object)
     if flat.size < W_SHINGLE:
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                             "s": pd.Series([], dtype="int64"),
-                             "n": pd.Series([], dtype="int64")})
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "s": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
     tri = flat[:-2] + " " + flat[1:-1] + " " + flat[2:]
     doc_idx = np.repeat(np.arange(len(lens)), lens)[:-2]
     # windows that cross a doc boundary reach into the next doc's words
@@ -471,11 +476,11 @@ def _word_shingle_rows(b: pa.Table) -> pd.DataFrame:
     key = np.unique(np.stack([doc_idx.astype(np.int64), h], axis=1), axis=0)
     d, s = key[:, 0], key[:, 1]
     n_per = np.bincount(d, minlength=len(lens))  # distinct shingles per doc
-    return pd.DataFrame({"doc_id": doc_ids[d], "s": s,
-                         "n": n_per[d].astype(np.int64)})
+    return pa.table({"doc_id": pa.array(doc_ids[d]), "s": pa.array(s),
+                     "n": pa.array(n_per[d].astype(np.int64))})
 
 
-def _prefix_select(g: pd.DataFrame) -> pd.DataFrame:
+def _prefix_select(g: pd.DataFrame) -> pa.Table:
     """Per-doc prefix under the global (df, s) order: the first
     n − ⌈τ·n⌉ + 1 shingles.  Any pair with Jaccard ≥ τ shares a prefix
     shingle under ANY fixed global order (prefix-filter lemma), so rarer-
@@ -487,10 +492,11 @@ def _prefix_select(g: pd.DataFrame) -> pd.DataFrame:
     p = n - math.ceil(JACCARD_TAU * n) + 1
     out = g.head(p).copy()
     out["pos"] = np.arange(len(out), dtype=np.int64)
-    return out[["s", "doc_id", "pos", "n"]]
+    return pa.Table.from_pandas(out[["s", "doc_id", "pos", "n"]],
+                                preserve_index=False)
 
 
-def _pair_filter(b: pa.Table) -> pd.DataFrame:
+def _pair_filter(b: pa.Table) -> pa.Table:
     """Vectorized candidate filter over prefix⨝prefix join rows: keep
     doc_a < doc_b, then the exact length filter (|A| ≥ τ|B|) and position
     filter (1 + min(remaining_a, remaining_b) ≥ ⌈τ/(1+τ)·(n_a+n_b)⌉)."""
@@ -504,7 +510,7 @@ def _pair_filter(b: pa.Table) -> pd.DataFrame:
     ok = (da < db) & \
          (np.minimum(na, nb) >= JACCARD_TAU * np.maximum(na, nb)) & \
          (1 + np.minimum(na - pos_a - 1, nb - pos_b - 1) >= need)
-    return pd.DataFrame({"doc_a": da[ok], "doc_b": db[ok]})
+    return pa.table({"doc_a": pa.array(da[ok]), "doc_b": pa.array(db[ok])})
 
 
 def word_shingles(text: str, w: int = W_SHINGLE) -> set[str]:

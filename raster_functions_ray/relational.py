@@ -477,7 +477,8 @@ def q_range_join(sf_dir: str) -> pd.DataFrame:
             hit = (v >= row["lo"]) & (v < row["hi"])
             recs.append((int(row["range_id"]), int(hit.sum()),
                          float(v[hit].sum())))
-        return pd.DataFrame(recs, columns=["range_id", "n_events", "sum_value"])
+        part = pd.DataFrame(recs, columns=["range_id", "n_events", "sum_value"])
+        return pa.Table.from_pandas(part, preserve_index=False)
 
     out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
            .groupby("range_id")
@@ -629,9 +630,10 @@ def q_nation_segment_rollup(sf_dir: str) -> pd.DataFrame:
 
     def partial(b: pa.Table) -> pd.DataFrame:
         df = b.to_pandas()
-        return (df.groupby(["c_nationkey", "c_mktsegment"], sort=False)
+        part = (df.groupby(["c_nationkey", "c_mktsegment"], sort=False)
                 .agg(n_cust=("c_acctbal", "size"), sum_bal=("c_acctbal", "sum"))
                 .reset_index())
+        return pa.Table.from_pandas(part, preserve_index=False)
 
     out = (cust.map_batches(partial, batch_format="pyarrow", batch_size=65536)
            .groupby(["c_nationkey", "c_mktsegment"])
@@ -668,8 +670,9 @@ def q_event_type_pivot(sf_dir: str) -> pd.DataFrame:
         df["n_click"] = (df["event_type"] == "click").astype("int64")
         df["n_view"] = (df["event_type"] == "view").astype("int64")
         df["n_other"] = 1 - df["n_click"] - df["n_view"]
-        return (df.groupby("user_id", sort=False)[["n_click", "n_view", "n_other"]]
+        part = (df.groupby("user_id", sort=False)[["n_click", "n_view", "n_other"]]
                 .sum().reset_index())
+        return pa.Table.from_pandas(part, preserve_index=False)
 
     out = (ev.map_batches(partial, batch_format="pyarrow", batch_size=65536)
            .groupby("user_id")

@@ -213,7 +213,11 @@ class DocScorer:
         from .dedup import _text_hash
 
         qdf["h"] = _text_hash(b.to_pandas()["text"]).values
-        return qdf[["doc_id", "h", "pred_lang", "stop_ratio", "alpha_ratio"]]
+        # Arrow out: this feeds a groupby + hash join; pandas blocks would
+        # drop the sort-aggregate to ~1k rows/s
+        return pa.Table.from_pandas(
+            qdf[["doc_id", "h", "pred_lang", "stop_ratio", "alpha_ratio"]],
+            preserve_index=False)
 
 
 def q_training_data_pipeline(sf_dir: str) -> pd.DataFrame:
@@ -240,9 +244,10 @@ def q_training_data_pipeline(sf_dir: str) -> pd.DataFrame:
         df = b.to_pandas()
         df["kept"] = ((df["doc_id"] == df["keep_doc_id"])
                       & (df["stop_ratio"] < 0.9) & (df["alpha_ratio"] > 0.5))
-        return (df.groupby(["pred_lang", "kept"], sort=False)
+        part = (df.groupby(["pred_lang", "kept"], sort=False)
                 .agg(n_docs=("doc_id", "size"), sum_stop=("stop_ratio", "sum"))
                 .reset_index())
+        return pa.Table.from_pandas(part, preserve_index=False)
 
     out = (marked.map_batches(partial, batch_format="pyarrow", batch_size=8192)
            .groupby(["pred_lang", "kept"])
@@ -296,9 +301,10 @@ def q_dedup_mark(sf_dir: str) -> pd.DataFrame:
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def add_hash(b: pa.Table) -> pd.DataFrame:
+    def add_hash(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
-        return pd.DataFrame({"doc_id": df["doc_id"], "h": _text_hash(df["text"])})
+        return pa.table({"doc_id": pa.array(df["doc_id"], pa.int64()),
+                         "h": pa.array(_text_hash(df["text"]), pa.string())})
 
     hashed = (ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
               .repartition(8).materialize())

@@ -177,7 +177,7 @@ class TestNgramJaccard:
         from raster_functions_ray import dedup
 
         b = pa.table({"doc_id": [1, 2], "text": ["a b c d", "x y z"]})
-        out = dedup._word_shingle_rows(b)
+        out = dedup._word_shingle_rows(b).to_pandas()
         # doc 1: "a b c","b c d"; doc 2: "x y z" — no window spans docs
         assert list(out.groupby("doc_id")["s"].count()) == [2, 1]
         assert list(out.groupby("doc_id")["n"].first()) == [2, 1]
