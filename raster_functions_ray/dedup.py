@@ -29,17 +29,20 @@ def _text_hash(s: pd.Series) -> pd.Series:
     return s.map(lambda t: hashlib.blake2b(t.encode("utf-8"), digest_size=8).hexdigest())
 
 
+def content_hash_rows(b: pa.Table) -> pa.Table:
+    """(doc_id, h) projection shared by exact dedup and dup-marking.
+    Arrow out: pandas blocks put Ray's sort-aggregate on a ~1k rows/s
+    per-row path (see _word_shingle_rows)."""
+    df = b.to_pandas()
+    return pa.table({"doc_id": pa.array(df["doc_id"], pa.int64()),
+                     "h": pa.array(_text_hash(df["text"]), pa.string())})
+
+
 def q_exact_dedup(sf_dir: str) -> pd.DataFrame:
     """Exact dedup: hash-partition on content hash, keep min doc_id per
     group.  Output: one row per distinct text (survivor + dup count)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def add_hash(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        # Arrow out: pandas blocks put Ray's sort-aggregate on a ~1k rows/s
-        # per-row path (see _word_shingle_rows)
-        return pa.table({"doc_id": pa.array(df["doc_id"], pa.int64()),
-                         "h": pa.array(_text_hash(df["text"]), pa.string())})
+    add_hash = content_hash_rows
 
     # small corpora arrive as one block — split it so the sort-based
     # aggregate parallelizes (no-op data movement at scale, where the read
@@ -296,9 +299,11 @@ def q_minhash_dedup(sf_dir: str, threshold: float = 0.7) -> pd.DataFrame:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    from .sources import read_table_filtered
+
     need = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
-                         filters=pc.field("doc_id").isin(need))
+    docs = read_table_filtered(sf_dir, "documents", ["doc_id", "text"],
+                               pc.field("doc_id").isin(need))
     text_of = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
     sims = [jaccard(text_of[a], text_of[b]) for a, b in zip(cand["doc_a"], cand["doc_b"])]
     cand = cand.assign(jaccard=np.round(sims, 6))
@@ -446,7 +451,8 @@ WHERE rn = 1 ORDER BY vec_id
 # the output is SQL-provable (Q_NGRAM_JACCARD below is a plain all-pairs
 # oracle over the same shingle definition).
 W_SHINGLE = 3
-JACCARD_TAU = 0.8
+TAU_NUM, TAU_DEN = 4, 5  # τ as a rational so every filter bound is integer-exact
+JACCARD_TAU = TAU_NUM / TAU_DEN
 
 
 def _word_shingle_rows(b: pa.Table) -> pa.Table:
@@ -485,11 +491,9 @@ def _prefix_select(g: pd.DataFrame) -> pa.Table:
     n − ⌈τ·n⌉ + 1 shingles.  Any pair with Jaccard ≥ τ shares a prefix
     shingle under ANY fixed global order (prefix-filter lemma), so rarer-
     first is a pure selectivity choice, not a correctness one."""
-    import math
-
     g = g.sort_values(["df", "s"], kind="mergesort")
     n = int(g["n"].iloc[0])
-    p = n - math.ceil(JACCARD_TAU * n) + 1
+    p = n - (-(-TAU_NUM * n) // TAU_DEN) + 1  # n − ⌈τ·n⌉ + 1, integer-exact
     out = g.head(p).copy()
     out["pos"] = np.arange(len(out), dtype=np.int64)
     return pa.Table.from_pandas(out[["s", "doc_id", "pos", "n"]],
@@ -506,9 +510,12 @@ def _pair_filter(b: pa.Table) -> pa.Table:
     pos_b = np.asarray(b["pos_b"], dtype=np.int64)
     na = np.asarray(b["n_a"], dtype=np.int64)
     nb = np.asarray(b["n_b"], dtype=np.int64)
-    need = np.ceil(JACCARD_TAU / (1 + JACCARD_TAU) * (na + nb))
+    # integer arithmetic (τ = NUM/DEN): np.ceil(0.8/1.8*(na+nb)) overshoots
+    # the exact bound by 1 for ~800 sizes under 20000 (fp compound rounding)
+    # and would drop pairs whose Jaccard is exactly τ
+    need = -(-TAU_NUM * (na + nb)) // (TAU_NUM + TAU_DEN)
     ok = (da < db) & \
-         (np.minimum(na, nb) >= JACCARD_TAU * np.maximum(na, nb)) & \
+         (TAU_DEN * np.minimum(na, nb) >= TAU_NUM * np.maximum(na, nb)) & \
          (1 + np.minimum(na - pos_a - 1, nb - pos_b - 1) >= need)
     return pa.table({"doc_a": pa.array(da[ok]), "doc_b": pa.array(db[ok])})
 
@@ -563,14 +570,20 @@ def q_ngram_jaccard(sf_dir: str, threshold: float = JACCARD_TAU) -> pd.DataFrame
                              "doc_b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
     need = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
-                         filters=pc.field("doc_id").isin(need))
+    from .sources import read_table_filtered
+
+    docs = read_table_filtered(sf_dir, "documents", ["doc_id", "text"],
+                               pc.field("doc_id").isin(need))
     text_of = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
     sets = {d: word_shingles(t) for d, t in text_of.items()}
     inter = np.array([len(sets[a] & sets[b]) for a, b in zip(cand["doc_a"], cand["doc_b"])])
     union = np.array([len(sets[a]) + len(sets[b]) for a, b in zip(cand["doc_a"], cand["doc_b"])]) - inter
-    cand = cand.assign(jaccard=np.round(inter / np.maximum(union, 1), 6))
-    out = cand[cand["jaccard"] >= threshold][["doc_a", "doc_b", "jaccard"]]
+    # threshold on the UNROUNDED ratio exactly like the SQL WHERE clause;
+    # round only the reported value (integer ratios: fp division is
+    # deterministic and identical on both sides)
+    jac = inter / np.maximum(union, 1)
+    cand = cand.assign(jaccard=np.round(jac, 6))[jac >= threshold]
+    out = cand[["doc_a", "doc_b", "jaccard"]]
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 

@@ -27,13 +27,35 @@ except ImportError:
 
 def _read_any(base: str, columns: list[str] | None = None, **kw) -> rd.Dataset:
     """``<base>.lance`` (if the lance reader is available) else
-    ``<base>.parquet`` — one dispatch point so every table source is
-    format-agnostic."""
+    ``<base>.parquet`` — one dispatch point so the document / driver-table
+    sources are format-agnostic (``read_tiles`` stays parquet-only: its
+    row-group pushdown contract is parquet-specific)."""
     lance_dir = base + ".lance"
     if _HAVE_LANCE and os.path.isdir(lance_dir):
-        kw.pop("filter", None)  # read_lance pushes filters via `filter=` SQL string
+        if kw.get("filter") is not None:
+            # read_lance takes SQL-string filters, not pyarrow expressions;
+            # silently dropping the predicate would return wrong (unfiltered)
+            # rows, so refuse until a translation is implemented
+            raise NotImplementedError(
+                "pyarrow filter= is not translated for the lance path yet")
+        kw.pop("filter", None)
         return rd.read_lance(lance_dir, columns=columns, **kw)
     return rd.read_parquet(base + ".parquet", columns=columns, **kw)
+
+
+def read_table_filtered(sf_dir: str, name: str, columns: list[str], flt):
+    """Driver-side pushdown read of a SMALL filtered slice (candidate-verify
+    reads) as a pyarrow Table, honoring the lance-or-parquet dispatch —
+    query code must not hardcode ``<name>.parquet`` next to a read_table
+    that would resolve to ``<name>.lance``."""
+    import pyarrow.parquet as pq
+
+    base = os.path.join(sf_dir, name)
+    if _HAVE_LANCE and os.path.isdir(base + ".lance"):
+        import lance
+
+        return lance.dataset(base + ".lance").to_table(columns=columns, filter=flt)
+    return pq.read_table(base + ".parquet", columns=columns, filters=flt)
 
 
 def read_tiles(synth_d: str, columns: list[str] | None = None,
@@ -61,11 +83,11 @@ def read_documents(synth_d: str, **kw) -> rd.Dataset:
 
 
 def read_zones(synth_d: str, columns: list[str] | None = None, **kw) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(synth_d, "zones.parquet"), columns=columns, **kw)
+    return _read_any(os.path.join(synth_d, "zones"), columns=columns, **kw)
 
 
 def read_training(synth_d: str, **kw) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(synth_d, "training.parquet"), **kw)
+    return _read_any(os.path.join(synth_d, "training"), **kw)
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None, **kw) -> rd.Dataset:

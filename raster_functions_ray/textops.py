@@ -301,10 +301,7 @@ def q_dedup_mark(sf_dir: str) -> pd.DataFrame:
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def add_hash(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        return pa.table({"doc_id": pa.array(df["doc_id"], pa.int64()),
-                         "h": pa.array(_text_hash(df["text"]), pa.string())})
+    from .dedup import content_hash_rows as add_hash
 
     hashed = (ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
               .repartition(8).materialize())
