@@ -39,7 +39,11 @@ def ndvi_kernel(pix: np.ndarray, msk: np.ndarray, meta: dict):
 def media_ref_counts(docs: rd.Dataset) -> rd.Dataset:
     """Per-tile media reference counts, pre-aggregated inside map_batches
     before the (small) groupby shuffle."""
-    exploded = spans.explode_spans(docs)
+    from ..sources import join_partitions
+
+    # synth/driver doc tables arrive as ONE row group → one block; spread it
+    # so explode + partial-count parallelize (no-op where the read is wide)
+    exploded = spans.explode_spans(docs.repartition(join_partitions()))
     media = spans.media_refs(exploded)
 
     def partial(b: pa.Table) -> pa.Table:
@@ -87,7 +91,13 @@ def run(sf_dir: str = "/root/testdata/sf0.001") -> rd.Dataset:
 
     stats = tiles.map_batches(ndvi_cell_stats, batch_format="pyarrow",
                               batch_size=32, zero_copy_batch=True)
-    return (stats.groupby("cell_id")
+    # coalesce the per-tile scalar rows before the shuffle: groupby emits one
+    # reduce partition per input block, and 50 near-empty partitions cost
+    # ~3s of pure scheduling here (measured via ds.stats at sf0.1)
+    from ..sources import join_partitions
+
+    return (stats.repartition(join_partitions())
+            .groupby("cell_id")
             .aggregate(Count(alias_name="n_tiles"),
                        Mean("mean", alias_name="mean_ndvi"),
                        Sum("ref_count", alias_name="doc_refs")))
