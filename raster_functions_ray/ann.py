@@ -21,20 +21,26 @@ N_QUERIES = 3  # queries are embeddings of vec_id 0..N_QUERIES-1
 TOP_K = 5
 
 
-def _embedding_matrix(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+def _embedding_matrix(b: pa.Table, dim: int = 64) -> tuple[np.ndarray, np.ndarray]:
     emb = b["embedding"]
     if isinstance(emb, pa.ChunkedArray):
         emb = emb.combine_chunks()
+    if len(emb) == 0:  # empty block from an upstream filter: emb[0] would raise
+        return np.empty(0, np.int64), np.empty((0, dim), np.float64)
     flat = np.asarray(emb.flatten(), dtype=np.float64)
     dim = len(emb[0])
     return np.asarray(b["vec_id"], dtype=np.int64), flat.reshape(-1, dim)
 
 
 def load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    t = t.filter(np.isin(np.asarray(t["vec_id"]), np.arange(N_QUERIES)))
+    from .sources import read_table_filtered
+
+    # same lance-or-parquet dispatch as the corpus scan (queries and corpus
+    # must come from the same dataset)
+    t = read_table_filtered(sf_dir, "embeddings", ["vec_id", "embedding"],
+                            pc.field("vec_id") < N_QUERIES)
     ids, mat = _embedding_matrix(t)
     order = np.argsort(ids)
     return ids[order], mat[order]
@@ -244,10 +250,19 @@ def ivf_build(sf_dir: str, concurrency: int = 4) -> tuple[np.ndarray, str]:
     import uuid
 
     src = f"{sf_dir}/embeddings.parquet"
+    from .sources import _HAVE_LANCE
+
+    if _HAVE_LANCE and os.path.isdir(f"{sf_dir}/embeddings.lance") \
+            and not os.path.exists(src):
+        # the row-group sampler below is parquet-specific; refusing beats
+        # sampling a file the corpus scan (read_table dispatch) won't use
+        raise NotImplementedError(
+            "IVF build sampling is parquet-only; lance-only corpora need a "
+            "fragment-strided sampler")
     # cache key includes a source fingerprint (size+mtime): a regenerated
     # embeddings.parquet must NOT silently reuse the previous corpus' index
     st = os.stat(src)
-    fp = f"{st.st_size}_{int(st.st_mtime)}"
+    fp = f"{st.st_size}_{st.st_mtime_ns}"  # ns: same-second rewrites must miss
     index_dir = os.path.join(
         "/tmp/rfr_ivf",
         f"v3_{os.path.basename(os.path.normpath(sf_dir))}_k{N_CLUSTERS}_{fp}")

@@ -278,6 +278,10 @@ class ZoneJoiner:
         texts = b["text"].to_pylist()
         doc_ids = np.asarray(b["doc_id"].to_pylist(), dtype=object)
         pidx, x, y = wkt_parse_points(texts)
+        if x.size == 0:  # all-POLYGON batch: the [0]/[0] boundary slices
+            # below would still index sc[0] on an empty array
+            return pa.table({"doc_id": pa.array([], pa.string()),
+                             "zone_id": pa.array([], pa.int32())})
         cells = grid.cell_encode(x, y, CELL_LEVEL)
         # group points by cell (one stable sort), then run the VECTORIZED
         # containment test per (cell, candidate-zone) pair — no per-point
@@ -340,7 +344,10 @@ def q_zonal_value_salted(sf_dir: str) -> pd.DataFrame:
     zref = ray.put(zones)
     pts = event_points(sf_dir, with_value=True)
     joined = pts.map_batches(lambda b: points_in_rects_batch(b, ray.get(zref)),
-                             batch_format="pyarrow")
+                             batch_format="pyarrow").materialize()
+    # materialized: two salted_aggregate calls each run a hot-key detect
+    # pass + an aggregate pass — without pinning, the lazy read+derive+join
+    # chain would re-execute four times
     sums = salted_aggregate(joined, "zone_id", "value", "sum", hot_factor=1.5, k=8)
     counts = salted_aggregate(joined, "zone_id", "value", "count", hot_factor=1.5, k=8)
     out = sums.merge(counts, on="zone_id")
@@ -535,7 +542,10 @@ def q_knn_cell_ring(sf_dir: str) -> pd.DataFrame:
         done = set()
         for qi in pending:
             c = cand[cand["q_id"] == qi].sort_values(["d2", "event_id"]).head(KNN_K)
-            if len(c) == KNN_K and np.sqrt(c["d2"].iloc[-1]) < (rho - 1) * min_dim:
+            # unsearched cells are at Chebyshev >= rho+1, i.e. every point
+            # there is >= rho*min_dim away; (rho-1) was one ring too
+            # conservative and made the rho=1 pass always a throwaway
+            if len(c) == KNN_K and np.sqrt(c["d2"].iloc[-1]) < rho * min_dim:
                 results[qi] = c
                 done.add(qi)
         pending -= done

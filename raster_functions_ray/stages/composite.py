@@ -42,9 +42,11 @@ def _group_reduce(g: pa.Table, reduce_fn: StackReduce, out_pixel_type: str | Non
         masks.append(tilecodec.decode_mask(mask_col[i].as_buffer(), h, w))
     stack = np.stack(arrs)          # (scene, band, h, w)
     mstack = np.stack(masks)        # (scene, h, w)
-    gdf = pd.DataFrame({k: [v] * g.num_rows for k, v in meta.items()
-                        if k in ("scene_id", "acq_ts", "sun_azimuth", "sun_elevation")})
-    gdf["acq_ts"] = g["acq_ts"].to_pandas().values
+    # per-scene meta must come from each ROW (replicating row 0 would hand
+    # reduce_fn the first scene's sun geometry for every scene)
+    gdf = pd.DataFrame({c: g[c].to_pandas().values
+                        for c in ("scene_id", "acq_ts", "sun_azimuth", "sun_elevation")
+                        if c in g.column_names})
     out, out_mask = reduce_fn(stack, mstack, gdf)
     opt = out_pixel_type or pt
     out = np.asarray(out).astype(np.dtype(opt), copy=False)
@@ -64,6 +66,27 @@ def _group_reduce(g: pa.Table, reduce_fn: StackReduce, out_pixel_type: str | Non
         "pixels": pa.array([tilecodec.encode(out)], pa.binary()),
         "mask": pa.array([tilecodec.encode(np.asarray(out_mask, dtype=np.uint8))], pa.binary()),
         "n_scenes": pa.array([g.num_rows], pa.int64()),
+    })
+    return pa.table(rec)
+
+
+def _empty_reduced(g: pa.Table) -> pa.Table:
+    """Zero-row table with _group_reduce's OUTPUT schema (same construction
+    order), so an empty ty-band block unions cleanly with reduced blocks."""
+    rec: dict = {}
+    for c in ("scene_id", "extent", "cell_size", "srid", "nodata", "acq_ts",
+              "sun_azimuth", "sun_elevation"):
+        if c in g.column_names:
+            rec[c] = g[c].slice(0, 0)
+    rec.update({
+        "tile_id": pa.array([], pa.string()),
+        "tx": pa.array([], pa.int32()), "ty": pa.array([], pa.int32()),
+        "width": pa.array([], pa.int32()), "height": pa.array([], pa.int32()),
+        "band_count": pa.array([], pa.int32()),
+        "pixel_type": pa.array([], pa.string()),
+        "pixels": pa.array([], pa.binary()),
+        "mask": pa.array([], pa.binary()),
+        "n_scenes": pa.array([], pa.int64()),
     })
     return pa.table(rec)
 
@@ -106,6 +129,9 @@ def _reduce_tiles_from_parquet(path: str, scene_ids: list[int], ty_lo: int, ty_h
     flt = (pc.field("scene_id").isin(scene_ids)
            & (pc.field("ty") >= ty_lo) & (pc.field("ty") < ty_hi))
     t = pq.read_table(path, filters=flt)
+    if t.num_rows == 0:  # empty ty-band (gap in coverage): the [0]/[0]
+        # boundary slices below would hand _group_reduce a 0-row group
+        return _empty_reduced(t)
     t = t.sort_by([("ty", "ascending"), ("tx", "ascending")])
     txs = np.asarray(t["tx"], dtype=np.int64)
     tys = np.asarray(t["ty"], dtype=np.int64)

@@ -133,13 +133,9 @@ def _shuffle_partitions() -> int:
     input has blocks, so a small-block input caps every downstream stage.
     Spread to ~4 tasks per CPU (a no-op at real scale where reads already
     produce hundreds of blocks)."""
-    import ray
+    from ..sources import cluster_cpus
 
-    try:
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        ncpu = 8
-    return max(4 * ncpu, 32)
+    return max(4 * cluster_cpus(), 32)
 
 
 def with_halo(tiles: rd.Dataset, padding: int = 1, strategy: str = "scene") -> rd.Dataset:
@@ -192,6 +188,14 @@ def pad_scene_group(g: "pa.Table", padding: int) -> "pa.Table":
     w = int(g["width"][0].as_py())
     tx0, ty0 = txs.min(), tys.min()
     nx, ny = int(txs.max() - tx0 + 1), int(tys.max() - ty0 + 1)
+    if n != nx * ny:
+        # a hole in the mosaic would be zero-filled here while the strips
+        # lowering edge-replicates at coverage borders — the two strategies
+        # would silently diverge, so refuse instead (sparse scenes take the
+        # strips / parquet lowering)
+        raise ValueError(
+            f"scene halo needs a dense tile rectangle: got {n} tiles for a "
+            f"{nx}x{ny} grid; use strategy='strips' or with_halo_from_parquet")
     scene = np.zeros((bc, ny * h, nx * w), dtype=np.dtype(pt))
     smask = np.zeros((ny * h, nx * w), dtype=np.uint8)
     pix_col, mask_col = g["pixels"], g["mask"]
