@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_cells": rq.q_tile_cells,
         "ndvi_stats": rq.q_ndvi_stats,
         "hillshade_stats": rq.q_hillshade_stats,
+        "hillshade_shuffle_halo": rq.q_hillshade_shuffle_halo_stats,
         "aspect_slope_stats": rq.q_aspect_slope_stats,
         "aggregate_mean_stats": rq.q_aggregate_mean_stats,
         "median_composite_stats": rq.q_median_composite_stats,

@@ -18,7 +18,6 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import ray.data as rd
 from ray.data.aggregate import Count, Min
 
 from .sources import read_table
@@ -297,7 +296,6 @@ def q_minhash_dedup(sf_dir: str, threshold: float = 0.7) -> pd.DataFrame:
     # fetch ONLY the candidate docs' texts (pushdown filter at the read) —
     # verify cost scales with candidates, not corpus
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
     from .sources import read_table_filtered
 
@@ -397,13 +395,13 @@ def q_embedding_nn_dedup(sf_dir: str) -> pd.DataFrame:
     is measured against (ann tests assert IVF recall)."""
     import ray
 
-    from .sources import read_table
     from raster_functions_ray import ann
 
-    import pyarrow.parquet as pq
+    from .sources import read_table, read_table_arrow
 
-    corpus = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                           columns=["vec_id", "embedding"])
+    # same dispatch as the probe-side scan: corpus and probes must come
+    # from the same dataset
+    corpus = read_table_arrow(sf_dir, "embeddings", ["vec_id", "embedding"])
     ids, mat = ann._embedding_matrix(corpus)
     order = np.argsort(ids)
     ids, mat = ids[order], mat[order]
@@ -416,8 +414,8 @@ def q_embedding_nn_dedup(sf_dir: str) -> pd.DataFrame:
     def partial(b: pa.Table) -> pd.DataFrame:
         cids, cmat = ray.get(cref)
         bids, bmat = ann._embedding_matrix(b)
-        bn = bmat / np.where(np.linalg.norm(bmat, axis=1, keepdims=True) == 0,
-                             1.0, np.linalg.norm(bmat, axis=1, keepdims=True))
+        bnorm = np.linalg.norm(bmat, axis=1, keepdims=True)
+        bn = bmat / np.where(bnorm == 0, 1.0, bnorm)
         sims = bn @ cmat.T                      # (batch, corpus)
         # exclude self-similarity, then argmax with (sim DESC, vec_id) order
         self_col = np.searchsorted(cids, bids)
@@ -493,7 +491,8 @@ def _prefix_select(g: pd.DataFrame) -> pa.Table:
     first is a pure selectivity choice, not a correctness one."""
     g = g.sort_values(["df", "s"], kind="mergesort")
     n = int(g["n"].iloc[0])
-    p = n - (-(-TAU_NUM * n) // TAU_DEN) + 1  # n − ⌈τ·n⌉ + 1, integer-exact
+    p = n - (-((-TAU_NUM * n) // TAU_DEN)) + 1  # n − ⌈τ·n⌉ + 1, integer-exact
+    # (minus OUTSIDE the floor-div: -(-x)//y parses as (+x)//y = floor)
     out = g.head(p).copy()
     out["pos"] = np.arange(len(out), dtype=np.int64)
     return pa.Table.from_pandas(out[["s", "doc_id", "pos", "n"]],
@@ -513,7 +512,7 @@ def _pair_filter(b: pa.Table) -> pa.Table:
     # integer arithmetic (τ = NUM/DEN): np.ceil(0.8/1.8*(na+nb)) overshoots
     # the exact bound by 1 for ~800 sizes under 20000 (fp compound rounding)
     # and would drop pairs whose Jaccard is exactly τ
-    need = -(-TAU_NUM * (na + nb)) // (TAU_NUM + TAU_DEN)
+    need = -((-TAU_NUM * (na + nb)) // (TAU_NUM + TAU_DEN))  # true ⌈·⌉
     ok = (da < db) & \
          (TAU_DEN * np.minimum(na, nb) >= TAU_NUM * np.maximum(na, nb)) & \
          (1 + np.minimum(na - pos_a - 1, nb - pos_b - 1) >= need)
@@ -541,7 +540,6 @@ def q_ngram_jaccard(sf_dir: str, threshold: float = JACCARD_TAU) -> pd.DataFrame
     (~|shingles|²/2⁶⁴ — ignored); the verify step is collision-free
     (string sets), so emitted pairs are always exact."""
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
     from .sources import join_partitions
 

@@ -72,6 +72,9 @@ def zonal_remap(v: np.ndarray, z: np.ndarray | None, zt_map: dict,
             if not triples:
                 continue
             for t in triples:
+                # pandas-sourced maps carry NaN for null arms; NaN `is not
+                # None`, so normalize before the nullable-arm dispatch
+                t = [None if (isinstance(a, float) and np.isnan(a)) else a for a in t]
                 sel = (z == k) if z is not None else np.ones(v.shape, dtype=bool)
                 if t[0] is not None and t[1] is not None:
                     sel = sel & (v > t[0]) & (v < t[1])

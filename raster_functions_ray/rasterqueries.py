@@ -68,13 +68,35 @@ def q_hillshade_stats(sf_dir: str) -> pd.DataFrame:
     """DEM → halo exchange → Hillshade (u1) per-tile stats.
 
     Full path: shuffle-free scene-pruned halo (stages/halo.py), padded
-    kernel, mask-erosion semantics.  (q_aspect_slope_stats exercises the
-    groupby-based halo exchange instead.)"""
+    kernel, mask-erosion semantics.  (q_hillshade_shuffle_halo_stats gates
+    the groupby-based halo lowering on the same kernel.)"""
     import os
 
     d = synth.synth_dir_for(sf_dir)
     padded = halo.with_halo_from_parquet(os.path.join(d, "tiles.parquet"),
                                          padding=1, bands=1)
+
+    from .functions import focal as fc
+
+    def hillshade_kernel(p, m, meta):
+        dem = p if p.ndim == 2 else p[0]
+        out, om = fc.hillshade(dem, m, meta["cell_size"],
+                               is_geographic=(meta["srid"] == 4326))
+        return out, om
+
+    out = tile_map.apply_kernel(padded, hillshade_kernel, out_pixel_type="u1")
+    return _stats_df(out)
+
+
+def q_hillshade_shuffle_halo_stats(sf_dir: str) -> pd.DataFrame:
+    """Same hillshade, via the groupby(scene) halo EXCHANGE lowering
+    (halo.with_halo strategy='scene') — the non-storage-aligned fallback for
+    inputs without co-located scenes.  Output is identical to
+    q_hillshade_stats (pytest proves the lowerings equal); this query gates
+    the shuffle lowering in the driver run."""
+    d = synth.synth_dir_for(sf_dir)
+    tiles = read_tiles(d, bands=1)
+    padded = halo.with_halo(tiles, padding=1, strategy="scene")
 
     from .functions import focal as fc
 
@@ -109,10 +131,7 @@ def q_aggregate_mean_stats(sf_dir: str) -> pd.DataFrame:
     out = composite.stack_reduce_from_parquet(
         os.path.join(d, "tiles.parquet"), composite.aggregate_reduce("Average"),
         out_pixel_type="f4", bands=2)
-    df = tile_map.tile_stats(out).to_pandas()
-    for c in ("mean", "min", "max"):
-        df[c] = df[c].astype(float).round(6)
-    return df.sort_values("tile_id").reset_index(drop=True)
+    return _stats_df(out)
 
 
 def q_median_composite_stats(sf_dir: str) -> pd.DataFrame:
@@ -172,7 +191,11 @@ def q_zonal_remap_counts(sf_dir: str) -> pd.DataFrame:
     d = synth.synth_dir_for(sf_dir)
     p = synth.params_for(synth.sf_from_dir(sf_dir))
     zones = read_zones(d).to_pandas()
-    zt_map = {int(r["zone_id"]): [[r["zmin"], r["zmax"], r["zval"]]]
+    # to_pandas turns null zmin/zmax/zval into NaN, and NaN `is not None`,
+    # so the kernel's nullable-arm dispatch would see a two-sided interval
+    # with a NaN bound (all-False) instead of the one-sided semantics
+    nn = lambda x: None if pd.isna(x) else float(x)  # noqa: E731
+    zt_map = {int(r["zone_id"]): [[nn(r["zmin"]), nn(r["zmax"]), nn(r["zval"])]]
               for _, r in zones.iterrows()}
     zones_ref = ray.put((zones, zt_map))
     tiles = read_tiles(d, bands=1)
@@ -282,10 +305,7 @@ def q_composite_bands_stats(sf_dir: str) -> pd.DataFrame:
 
     out = composite.stack_reduce_from_parquet(
         os.path.join(d, "tiles.parquet"), zip_bands, out_pixel_type="f4", bands=2)
-    df = tile_map.tile_stats(out).to_pandas()
-    for c in ("mean", "min", "max"):
-        df[c] = df[c].astype(float).round(6)
-    return df.sort_values("tile_id").reset_index(drop=True)
+    return _stats_df(out)
 
 
 def q_vector_field_stats(sf_dir: str) -> pd.DataFrame:
@@ -407,7 +427,7 @@ def q_topographic_c(sf_dir: str) -> pd.DataFrame:
     def slope_aspect_cos(b: pa.Table) -> pd.DataFrame:
         from . import tilecodec
         recs = []
-        meta_cols = {c: b[c].to_pylist() for c in ("tile_id", "scene_id", "sun_azimuth", "sun_elevation", "width", "pixel_type", "band_count", "height")}
+        meta_cols = {c: b[c].to_pylist() for c in ("tile_id", "scene_id", "sun_azimuth", "sun_elevation", "width", "pixel_type", "band_count", "height", "cell_size")}
         pads = b["padding"].to_pylist()
         for i in range(b.num_rows):
             p2 = 2 * int(pads[i])
@@ -418,7 +438,10 @@ def q_topographic_c(sf_dir: str) -> pd.DataFrame:
             dem = pix if pix.ndim == 2 else pix[0]
             dxc = fc.convolve3x3(dem, fc.ASPECT_X) / 8.0
             dyc = fc.convolve3x3(dem, fc.ASPECT_Y) / 8.0
-            slope_deg = np.degrees(np.arctan(np.sqrt(dxc**2 + dyc**2) / 30.0))[1:-1, 1:-1]
+            csx, csy = (float(v) for v in meta_cols["cell_size"][i])
+            cell = 0.5 * (csx + csy) or 30.0  # from the row, not a constant
+            # that merely matches synth.CELL_SIZE_M
+            slope_deg = np.degrees(np.arctan(np.sqrt(dxc**2 + dyc**2) / cell))[1:-1, 1:-1]
             aspect_deg = (57.29578 * np.arctan2(dxc, -dyc))[1:-1, 1:-1] % 360.0
             cos_i = st.cos_incidence(slope_deg, aspect_deg,
                                      meta_cols["sun_azimuth"][i], meta_cols["sun_elevation"][i])
@@ -438,9 +461,12 @@ def q_topographic_c(sf_dir: str) -> pd.DataFrame:
                       Sum("sxy", alias_name="sxy"))
            .to_pandas())
     denom = agg["sxx"] - agg["sx"] ** 2 / agg["n"]
-    slope = (agg["sxy"] - agg["sx"] * agg["sy"] / agg["n"]) / denom
-    intercept = agg["sy"] / agg["n"] - slope * agg["sx"] / agg["n"]
-    agg["c_factor"] = np.round(intercept / slope, 6)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # degenerate scenes (constant cos_i or zero regression slope) get
+        # NaN rather than a misleading inf C factor
+        slope = (agg["sxy"] - agg["sx"] * agg["sy"] / agg["n"]) / denom.replace(0.0, np.nan)
+        intercept = agg["sy"] / agg["n"] - slope * agg["sx"] / agg["n"]
+        agg["c_factor"] = np.round(intercept / slope.replace(0.0, np.nan), 6)
     return agg[["scene_id", "c_factor"]].sort_values("scene_id").reset_index(drop=True)
 
 

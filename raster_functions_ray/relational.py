@@ -574,8 +574,10 @@ def q_segment_median_price(sf_dir: str) -> pd.DataFrame:
                          on=("o_custkey",), right_on=("c_custkey",))
 
     def med(g: pd.DataFrame) -> pd.DataFrame:
+        # ROUND(4) on both sides: np.median's mean(a,b) and DuckDB's
+        # a + (b-a)*0.5 can differ in the last ulp on even-sized groups
         return pd.DataFrame({"c_mktsegment": [g["c_mktsegment"].iloc[0]],
-                             "median_price": [float(np.median(g["o_totalprice"].to_numpy()))],
+                             "median_price": [round(float(np.median(g["o_totalprice"].to_numpy())), 4)],
                              "n_orders": [np.int64(len(g))]})
 
     out = (joined.groupby("c_mktsegment").map_groups(med, batch_format="pandas")
@@ -585,7 +587,7 @@ def q_segment_median_price(sf_dir: str) -> pd.DataFrame:
 
 
 Q_SEGMENT_MEDIAN_PRICE_SQL = """
-SELECT c_mktsegment, median(o_totalprice) AS median_price,
+SELECT c_mktsegment, ROUND(median(o_totalprice), 4) AS median_price,
        COUNT(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment

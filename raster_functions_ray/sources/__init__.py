@@ -43,6 +43,19 @@ def _read_any(base: str, columns: list[str] | None = None, **kw) -> rd.Dataset:
     return rd.read_parquet(base + ".parquet", columns=columns, **kw)
 
 
+def read_table_arrow(sf_dir: str, name: str, columns: list[str] | None = None):
+    """Whole-table driver-side read as a pyarrow Table (small tables /
+    broadcast sides), honoring the lance-or-parquet dispatch."""
+    import pyarrow.parquet as pq
+
+    base = os.path.join(sf_dir, name)
+    if _HAVE_LANCE and os.path.isdir(base + ".lance"):
+        import lance
+
+        return lance.dataset(base + ".lance").to_table(columns=columns)
+    return pq.read_table(base + ".parquet", columns=columns)
+
+
 def read_table_filtered(sf_dir: str, name: str, columns: list[str], flt):
     """Driver-side pushdown read of a SMALL filtered slice (candidate-verify
     reads) as a pyarrow Table, honoring the lance-or-parquet dispatch —

@@ -15,7 +15,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Count, Mean, Sum
+from ray.data.aggregate import Sum
 
 from .sources import read_table
 
@@ -29,9 +29,11 @@ def q_token_stats(sf_dir: str) -> pd.DataFrame:
 
     def stats(b: pa.Table) -> pd.DataFrame:
         df = b.to_pandas()
+        # ASCII whitespace runs, like RE2's \s+ (Python str.split() is
+        # unicode-aware: U+00A0 etc. would diverge from the oracle)
         return pd.DataFrame({
             "doc_id": df["doc_id"],
-            "n_tokens": df["text"].str.split().str.len().astype("int64"),
+            "n_tokens": df["text"].str.findall(r"[^ \t\n\r\f\v]+").str.len().astype("int64"),
             "n_chars": df["text"].str.len().astype("int64"),
         })
 
@@ -52,7 +54,7 @@ def q_lang_profile(sf_dir: str) -> pd.DataFrame:
 
     def partial(b: pa.Table) -> pd.DataFrame:
         df = b.to_pandas()
-        df["n_tokens"] = df["text"].str.split().str.len()
+        df["n_tokens"] = df["text"].str.findall(r"[^ \t\n\r\f\v]+").str.len()
         df["n_chars"] = df["text"].str.len()
         return df.groupby("lang", sort=False).agg(
             n_docs=("text", "size"), sum_tokens=("n_tokens", "sum"),
@@ -86,7 +88,9 @@ def q_doc_prefix_groups(sf_dir: str) -> pd.DataFrame:
 
     def partial(b: pa.Table) -> pd.DataFrame:
         df = b.to_pandas()
-        df["prefix"] = df["text"].str.split().str[:3].str.join(" ")
+        # literal single-space split (keeps empty pieces), exactly like the
+        # oracle's string_split(text, ' ')[1:3]
+        df["prefix"] = df["text"].str.split(" ").str[:3].str.join(" ")
         g = df.groupby("prefix", sort=False).agg(
             n_docs=("doc_id", "size"), min_doc_id=("doc_id", "min")).reset_index()
         return g
@@ -118,8 +122,10 @@ class QualityScorer:
         self.word_re = re.compile(r"[A-Za-z]+")
         self.punct_re = re.compile(r"[^\w\s]")
 
-    def __call__(self, b: pa.Table) -> pd.DataFrame:
-        df = b.to_pandas()
+    def __call__(self, b) -> pd.DataFrame:
+        # accepts a pyarrow Table or an already-decoded DataFrame (DocScorer
+        # decodes once and shares it)
+        df = b if isinstance(b, pd.DataFrame) else b.to_pandas()
         toks = df["text"].str.lower().str.findall(self.word_re)
         n_tok = toks.str.len().clip(lower=1)
         df_out = pd.DataFrame({
@@ -156,8 +162,8 @@ class LangId:
     def __init__(self):
         self.cjk = re.compile(r"[一-鿿]")
 
-    def __call__(self, b: pa.Table) -> pd.DataFrame:
-        df = b.to_pandas()
+    def __call__(self, b) -> pd.DataFrame:
+        df = b if isinstance(b, pd.DataFrame) else b.to_pandas()
         langs = []
         for t in df["text"]:
             if self.cjk.search(t):
@@ -208,11 +214,12 @@ class DocScorer:
         self.langid = LangId()
 
     def __call__(self, b: pa.Table) -> pd.DataFrame:
-        qdf = self.quality(b)
-        qdf["pred_lang"] = self.langid(b)["pred_lang"].values
+        df = b.to_pandas()  # ONE decode per batch, shared by all scorers
+        qdf = self.quality(df)
+        qdf["pred_lang"] = self.langid(df)["pred_lang"].values
         from .dedup import _text_hash
 
-        qdf["h"] = _text_hash(b.to_pandas()["text"]).values
+        qdf["h"] = _text_hash(df["text"]).values
         # Arrow out: this feeds a groupby + hash join; pandas blocks would
         # drop the sort-aggregate to ~1k rows/s
         return pa.Table.from_pandas(
