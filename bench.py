@@ -50,7 +50,6 @@ def run_bench() -> dict:
                 pass
 
     import pyarrow.parquet as pq
-    n_docs = pq.read_metadata(os.path.join(SF_DIR, "documents.parquet")).num_rows
     n_tiles = pq.read_metadata(os.path.join(d, "tiles.parquet")).num_rows
     n_span_docs = pq.read_metadata(os.path.join(d, "documents.parquet")).num_rows
 
@@ -127,8 +126,6 @@ def run_scaling_workload() -> dict:
     from raster_functions_ray.stages import halo, tile_map
 
     d = synth.synth_dir_for(SF_DIR)
-    import pyarrow.parquet as pq
-    n_tiles = None
 
     from raster_functions_ray.benchkit import deep_kernel
 
@@ -290,7 +287,7 @@ def run_scaling() -> dict:
         "focal": "deep focal chain x6 (hillshade+aspect+TRI+rank+CTI) over all tiles",
         "text": "MinHash-chain x128 + quality counts per doc + band-hash Count aggregate, 4 corpus passes",
     }
-    out: dict = {"sf": float(os.environ.get("GRAFT_SF", "0.1")),
+    out: dict = {"sf": synth.sf_from_dir(SF_DIR),  # from the data dir, like run_bench
                  "spin_ceiling_efficiency": ceiling, "workloads": {}}
     for mode, key in rate_key.items():
         lo = max(runs[(mode, 8)], key=lambda r: r[key])

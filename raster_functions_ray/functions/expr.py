@@ -161,7 +161,10 @@ class Expression:
     def _padding(self, n: _Node) -> int:
         if n.kind == "call" and n.value in _FOCAL:
             size = int(n.args[1].value) if len(n.args) > 1 else 3
-            return max(size // 2, max((self._padding(a) for a in n.args), default=0))
+            # paddings COMPOUND along nesting: Focal(Focal(A,3),3) consumes
+            # 1px per level (max() here under-reported and silently shrank
+            # the output below the core)
+            return size // 2 + max((self._padding(a) for a in n.args), default=0)
         return max((self._padding(a) for a in n.args), default=0)
 
     def _vars(self, n: _Node) -> set[str]:

@@ -75,6 +75,11 @@ def _fuse(ops: list[Op]) -> Callable:
             pix, msk = op.kernel(pix, msk, meta)
             if msk is None:
                 msk = np.ones(np.asarray(pix).shape[-2:], np.uint8)
+            if op is not ops[-1] and op.out_pixel_type is not None:
+                # intermediate casts are SEMANTICS, not formatting: unfused,
+                # each stage boundary astypes (tile_map), and a downstream
+                # threshold/colormap must see the truncated values
+                pix = np.asarray(pix).astype(np.dtype(op.out_pixel_type), copy=False)
         return pix, msk
     return fused
 

@@ -19,7 +19,6 @@ over per-tile scalar rows — pixel payloads never shuffle.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
@@ -28,12 +27,7 @@ from ray.data.aggregate import Count, Mean, Sum
 from .. import synth
 from ..functions import pointwise
 from ..sources import read_documents, read_tiles
-from ..stages import cellindex, spans, tile_map
-
-
-def ndvi_kernel(pix: np.ndarray, msk: np.ndarray, meta: dict):
-    red, ir = pix[0], pix[1]
-    return pointwise.ndvi(red, ir, "Raw"), msk
+from ..stages import cellindex, spans
 
 
 def media_ref_counts(docs: rd.Dataset) -> rd.Dataset:

@@ -50,7 +50,7 @@ def run(sf_dir: str, ckpt_root: str, scene_ids: list[int] | None = None) -> dict
         sids = scene_ids
     store = CheckpointStore(ckpt_root)
     fp = input_fingerprint([os.path.join(d, "tiles.parquet")])
-    done = store.finished_keys("hillshade")
+    done = store.finished_keys("hillshade", input_hash=fp)
     computed, skipped = [], []
     for sid in sids:
         key = f"scene={sid}"

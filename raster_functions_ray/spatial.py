@@ -338,20 +338,18 @@ def q_zonal_value_salted(sf_dir: str) -> pd.DataFrame:
     hot zones detected from counts, their rows salted into k sub-groups,
     two-phase merge (stages/salt.py).  Shares q_zonal_value's SQL oracle —
     proving salting preserves exact aggregates."""
-    from .stages.salt import salted_aggregate
+    from .stages.salt import salted_aggregates
 
     zones = rect_zones()
     zref = ray.put(zones)
     pts = event_points(sf_dir, with_value=True)
     joined = pts.map_batches(lambda b: points_in_rects_batch(b, ray.get(zref)),
                              batch_format="pyarrow").materialize()
-    # materialized: two salted_aggregate calls each run a hot-key detect
-    # pass + an aggregate pass — without pinning, the lazy read+derive+join
-    # chain would re-execute four times
-    sums = salted_aggregate(joined, "zone_id", "value", "sum", hot_factor=1.5, k=8)
-    counts = salted_aggregate(joined, "zone_id", "value", "count", hot_factor=1.5, k=8)
-    out = sums.merge(counts, on="zone_id")
-    out = out.rename(columns={"sum_value": "sum_value", "n": "n_points"})
+    # materialized + single multi-aggregate call: one hot-key detect pass
+    # and one (key,salt) partial pass compute sum AND count together
+    out = salted_aggregates(joined, "zone_id", "value", ["sum", "count"],
+                            hot_factor=1.5, k=8)
+    out = out.rename(columns={"n": "n_points"})
     out["sum_value"] = out["sum_value"].astype(float).round(4)
     out["zone_id"] = out["zone_id"].astype("int64")
     out["n_points"] = out["n_points"].astype("int64")

@@ -114,6 +114,7 @@ class TileClassifier:
         # Classifier.py:81-128; exact full-resolution kNN is gated by
         # tests/test_engine_extras.py::test_knn_exact)
         self.subsample = int(subsample)
+        self.n_features = int(n_features)
         df = ray.get(training_ref)
         feats = [f"pred_{i}" for i in range(1, n_features + 1)]
         self.X = df[feats].to_numpy(dtype=np.float64)
@@ -149,6 +150,14 @@ class TileClassifier:
                     out = np.repeat(np.repeat(out, s, axis=0), s, axis=1)[:h, :w]
                 out_bc.append(1)
             else:
+                # align tile bands to the model's feature count, like the
+                # knn path's self.X[:, :bands] (a 4-band tile against a
+                # 6-feature model otherwise indexes out of range)
+                nf = self.n_features
+                if feats.shape[1] > nf:
+                    feats = feats[:, :nf]
+                elif feats.shape[1] < nf:
+                    feats = np.pad(feats, ((0, 0), (0, nf - feats.shape[1])))
                 proba = self.model.predict_proba(feats)
                 pred = (proba[:, 1] >= self.thresh).astype(np.float32)
                 out = np.stack([pred.reshape(sh, sw),
@@ -169,10 +178,13 @@ class TileClassifier:
 
 def classify_tiles(tiles: rd.Dataset, training: pd.DataFrame, model: str = "knn",
                    k: int = 5, concurrency: int = 4, batch_size: int = 8,
-                   subsample: int = 1) -> rd.Dataset:
+                   subsample: int = 1, n_features: int = 6,
+                   prob_threshold: float = 0.5) -> rd.Dataset:
     tref = ray.put(training)
     return tiles.map_batches(TileClassifier,
                              fn_constructor_kwargs={"training_ref": tref, "model": model,
-                                                    "k": k, "subsample": subsample},
+                                                    "k": k, "subsample": subsample,
+                                                    "n_features": n_features,
+                                                    "prob_threshold": prob_threshold},
                              batch_format="pyarrow", batch_size=batch_size,
                              concurrency=concurrency)

@@ -40,15 +40,16 @@ def add_salt(ds: rd.Dataset, key: str, hot_keys: set, k: int = 8,
     hot_ref = ray.put(hot_keys)
 
     def salt_batch(b: pa.Table) -> pa.Table:
-        import zlib
-
         hot = ray.get(hot_ref)
-        keys = b[key].to_pylist()
-        # content-derived deterministic salt (crc32 — stable across workers
-        # and retries, unlike Python's seeded hash())
-        h = np.asarray([zlib.crc32(f"{v}:{i}".encode()) for i, v in enumerate(keys)],
-                       dtype=np.int64)
-        salts = np.where([v in hot for v in keys], h % k, 0).astype(np.int32)
+        kser = b[key].to_pandas()
+        # batch-position round-robin within hot keys — deterministic GIVEN
+        # the batch, which is all an algebraic (key,salt)-partial reduce
+        # needs: any assignment merges to the same final value. Vectorized
+        # (one hash_array + modular mix), no per-row Python loop.
+        pos = np.arange(len(kser), dtype=np.int64)
+        mix = (pd.util.hash_array(kser.to_numpy()).view(np.int64) + pos) % k
+        is_hot = kser.isin(list(hot)).to_numpy()
+        salts = np.where(is_hot, mix, 0).astype(np.int32)
         return b.append_column(salt_col, pa.array(salts, pa.int32()))
 
     return ds.map_batches(salt_batch, batch_format="pyarrow", zero_copy_batch=True)
@@ -57,26 +58,33 @@ def add_salt(ds: rd.Dataset, key: str, hot_keys: set, k: int = 8,
 _MERGEABLE = {"sum": Sum, "count": Count, "min": Min, "max": Max}
 
 
-def salted_aggregate(ds: rd.Dataset, key: str, value: str, how: str = "sum",
-                     hot_factor: float = 4.0, k: int = 8) -> pd.DataFrame:
+def salted_aggregates(ds: rd.Dataset, key: str, value: str, hows: list[str],
+                      hot_factor: float = 4.0, k: int = 8) -> pd.DataFrame:
     """Two-phase skew-safe aggregate: groupby((key, salt)) partials →
     driver-side merge of ≤k rows per key (the partial table is tiny).
 
-    Only algebraic ``how`` values are allowed — salting changes group
-    boundaries, so the per-group reduce must re-associate exactly.
+    ALL requested ``hows`` are computed in ONE hot-key-detect pass and ONE
+    partial-aggregate pass (Ray .aggregate takes multiple AggregateFns) —
+    callers needing sum+count must not pay two full scans.  Only algebraic
+    ``how`` values are allowed — salting changes group boundaries, so the
+    per-group reduce must re-associate exactly.
     """
-    how = how.lower()
-    if how not in _MERGEABLE:
-        raise ValueError(f"non-reassociable reduce {how!r} cannot be salted")
+    hows = [h.lower() for h in hows]
+    for how in hows:
+        if how not in _MERGEABLE:
+            raise ValueError(f"non-reassociable reduce {how!r} cannot be salted")
     hot = detect_hot_keys(ds, key, hot_factor)
     salted = add_salt(ds, key, hot, k)
-    if how == "count":
-        partial = salted.groupby([key, "_salt"]).aggregate(Count(alias_name="v"))
-        merged = partial.to_pandas().groupby(key)["v"].sum().reset_index()
-    else:
-        agg_cls = _MERGEABLE[how]
-        partial = salted.groupby([key, "_salt"]).aggregate(agg_cls(value, alias_name="v"))
-        pdf = partial.to_pandas()
-        op = {"sum": "sum", "min": "min", "max": "max"}[how]
-        merged = pdf.groupby(key)["v"].agg(op).reset_index()
-    return merged.rename(columns={"v": f"{how}_{value}" if how != "count" else "n"})
+    aggs = [Count(alias_name="v_count") if how == "count"
+            else _MERGEABLE[how](value, alias_name=f"v_{how}") for how in hows]
+    pdf = salted.groupby([key, "_salt"]).aggregate(*aggs).to_pandas()
+    merge_ops = {f"v_{how}": ("sum" if how in ("sum", "count") else how) for how in hows}
+    merged = pdf.groupby(key).agg(merge_ops).reset_index()
+    return merged.rename(columns={
+        f"v_{how}": (f"{how}_{value}" if how != "count" else "n") for how in hows})
+
+
+def salted_aggregate(ds: rd.Dataset, key: str, value: str, how: str = "sum",
+                     hot_factor: float = 4.0, k: int = 8) -> pd.DataFrame:
+    """Single-aggregate convenience wrapper over ``salted_aggregates``."""
+    return salted_aggregates(ds, key, value, [how], hot_factor, k)

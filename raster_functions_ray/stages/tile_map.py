@@ -74,7 +74,17 @@ def run_kernel_on_batch(batch: pa.Table, kernel: Kernel, out_pixel_type: str | N
             continue  # padding is consumed: outputs are core-sized
         cols[c] = batch[c]
     # kernels may change the grid (BlockStatistics downsample) — record
-    # the actual output dims
+    # the actual output dims, and RESCALE cell_size to match (extent is
+    # unchanged, so cell_size must grow when dims shrink or downstream
+    # gradient kernels compute slopes at the wrong scale)
+    if "cell_size" in cols and any(
+            oh != int(h_l[i]) or ow != int(w_l[i])
+            for i, (oh, ow) in enumerate(zip(out_h, out_w))):
+        cs = batch["cell_size"].to_pylist()
+        new_cs = [[csx * int(w_l[i]) / max(ow, 1),
+                   csy * int(h_l[i]) / max(oh, 1)]
+                  for i, ((csx, csy), oh, ow) in enumerate(zip(cs, out_h, out_w))]
+        cols["cell_size"] = pa.array(new_cs, batch["cell_size"].type)
     cols["height"] = pa.array(out_h, pa.int32())
     cols["width"] = pa.array(out_w, pa.int32())
     cols["band_count"] = pa.array(out_bc, pa.int32())

@@ -63,11 +63,16 @@ class CheckpointStore:
                                          "rows", "bytes", "wall_sec", "status", "ts"])
         return pd.DataFrame(recs)
 
-    def finished_keys(self, stage: str) -> set[str]:
+    def finished_keys(self, stage: str, input_hash: str | None = None) -> set[str]:
+        """Keys recorded done — restricted to the given ``input_hash`` when
+        provided, so a rerun over CHANGED input recomputes every partition
+        instead of serving the previous input's output as finished."""
         ln = self.lineage()
         if ln.empty:
             return set()
         done = ln[(ln["stage"] == stage) & (ln["status"] == "done")]
+        if input_hash is not None and "input_hash" in done.columns:
+            done = done[done["input_hash"] == input_hash]
         return set(done["partition_key"])
 
     # ---------------------------------------------------- partition I/O ----
@@ -109,7 +114,14 @@ class CheckpointStore:
 
 
 def _safe(key: str) -> str:
-    return "".join(c if c.isalnum() or c in "-_." else "_" for c in str(key))[:80]
+    s = "".join(c if c.isalnum() or c in "-_." else "_" for c in str(key))
+    if len(s) <= 80:
+        return s
+    # hash-suffix instead of plain truncation: two long keys sharing an
+    # 80-char prefix must NOT collide onto one partition directory
+    import hashlib
+
+    return s[:63] + "-" + hashlib.blake2b(str(key).encode(), digest_size=8).hexdigest()
 
 
 def input_fingerprint(paths: list[str]) -> str:

@@ -294,3 +294,24 @@ class TestSourceFormatDispatch:
         pq.write_table(pa.table({"x": [1, 2]}), tmp_path / "t.parquet")
         ds = sources._read_any(str(tmp_path / "t"))
         assert ds.count() == 2
+
+
+class TestNestedFocalPadding:
+    def test_padding_compounds_and_core_is_exact(self):
+        import numpy as np
+
+        from raster_functions_ray.functions.expr import Expression
+
+        e = Expression("Focal_Max(Focal_Max(A,3),3)")
+        assert e.padding_required == 2  # 1px per nesting level, summed
+        rng = np.random.default_rng(7)
+        core = rng.normal(size=(10, 10))
+        padded = np.pad(core, 2, mode="edge")
+        out = e.evaluate({"A": padded})
+        assert out.shape == core.shape
+        # oracle: two successive 3x3 max filters on the padded array
+        def max3(a):
+            return np.max(np.stack([a[i:a.shape[0]-2+i, j:a.shape[1]-2+j]
+                                    for i in range(3) for j in range(3)]), axis=0)
+        expect = max3(np.pad(max3(padded), 0))[:]  # second pass consumes 2nd px
+        np.testing.assert_allclose(out, expect[:], rtol=0, atol=0)
