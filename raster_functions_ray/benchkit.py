@@ -126,15 +126,27 @@ def text_kernel_batch(b):
     return _TEXT_KERNEL(b)
 
 
+_MP_DOCS_CACHE: dict = {}
+
+
 def _mp_text_work(args) -> tuple[int, object]:
     """Control task: one row slice of documents through the identical
-    kernel + a local Counter partial-aggregate of band hashes."""
+    kernel + a local Counter partial-aggregate of band hashes.
+
+    The table is read ONCE per worker process and sliced per unit — a
+    per-unit full-file read would deflate the control baseline (hundreds
+    of redundant decodes) and inflate the engine-relative number the
+    control exists to keep honest."""
     off, length, path = args
     import collections
 
     import pyarrow.parquet as pq
 
-    t = pq.read_table(path, columns=["doc_id", "text"]).slice(off, length)
+    t_full = _MP_DOCS_CACHE.get(path)
+    if t_full is None:
+        t_full = pq.read_table(path, columns=["doc_id", "text"])
+        _MP_DOCS_CACHE[path] = t_full
+    t = t_full.slice(off, length)
     banded = text_kernel_batch(t)
     c = collections.Counter(banded["band_hash"].to_pylist())
     return t.num_rows, c

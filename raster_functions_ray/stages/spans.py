@@ -11,6 +11,7 @@ BASELINE.json input_hint) is checked by ``span_signature`` /
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -26,7 +27,7 @@ def explode_batch(batch: pa.Table) -> pa.Table:
     # per-doc span ordinal: running index minus each doc's list offset
     offsets = spans.offsets
     starts = pc.take(offsets, parent)
-    ordinal = pc.subtract(pa.array(range(len(flat)), pa.int64()),
+    ordinal = pc.subtract(pa.array(np.arange(len(flat), dtype=np.int64)),
                           pc.cast(starts, pa.int64()))
     return pa.table({
         "doc_id": doc_ids,

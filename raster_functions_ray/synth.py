@@ -75,12 +75,25 @@ _PARAMS = {
 
 
 def params_for(sf: float) -> SynthParams:
-    return _PARAMS[min(_PARAMS, key=lambda k: abs(k - sf))]
+    key = min(_PARAMS, key=lambda k: abs(k - sf))
+    if abs(key - sf) > 1e-9:
+        # nearest-key mapping is for the TEST worlds only — a job pointed at
+        # /data/sf100 must not silently run the sf0.1 tile world while its
+        # metrics claim the requested scale
+        import warnings
+
+        warnings.warn(f"sf={sf} has no synthetic world; using sf={key}",
+                      stacklevel=2)
+    return _PARAMS[key]
 
 
 def sf_from_dir(sf_dir: str) -> float:
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    return float(m.group(1)) if m else 0.01
+    # \d+(\.\d+)? — the loose [0-9.]+ matched 'sf0.01.bak' as '0.01.'
+    # (ValueError) and a dirname without any sf token silently fell back
+    m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
+    if not m:
+        raise ValueError(f"no sf<scale> token in {sf_dir!r}")
+    return float(m.group(1))
 
 
 def pos_type(pos: int) -> str:
@@ -233,10 +246,13 @@ def build_zones(p: SynthParams) -> pa.Table:
             verts = []
             for a in angs:
                 verts += [cx + rx * np.cos(a), cy + ry * np.sin(a)]
+        verts = [round(v, 6) for v in verts]
+        # bbox from the ROUNDED vertices — the stored polygon IS the rounded
+        # one, and the covering-box contract (schema.py) must cover it
         vx, vy = verts[0::2], verts[1::2]
         rows["zone_id"].append(z)
         rows["bbox"].append([min(vx), min(vy), max(vx), max(vy)])
-        rows["vertices"].append([round(v, 6) for v in verts])
+        rows["vertices"].append(verts)
         rows["is_rect"].append(bool(is_rect))
         rows["zmin"].append(None if rng.random() < 0.15 else float(rng.uniform(0, 4000)))
         rows["zmax"].append(None if rng.random() < 0.15 else float(rng.uniform(4000, 9000)))
@@ -278,7 +294,7 @@ def synth_dir(sf: float) -> str:
     import uuid
 
     p = params_for(sf)
-    d = os.path.join(CACHE_ROOT, f"v4_sf{p.sf}")
+    d = os.path.join(CACHE_ROOT, f"v5_sf{p.sf}")  # v5: bbox from rounded verts
     marker = os.path.join(d, "_DONE")
     if os.path.exists(marker):
         return d
@@ -301,7 +317,10 @@ def synth_dir(sf: float) -> str:
     try:
         os.replace(tmp, d)
     except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # lost the publish race
+        shutil.rmtree(tmp, ignore_errors=True)
+        # only a LOST RACE is benign — verify someone actually published
+        if not os.path.exists(marker):
+            raise
     return d
 
 

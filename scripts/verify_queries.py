@@ -57,6 +57,11 @@ def main():
     qs = e.queries()
     oracles = e.oracle_sql()
     only = set(sys.argv[1:])
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must not yield a silent '0 pass, 0 fail' green
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        return 1
 
     con = duckdb.connect()
     for t in TABLES:
@@ -89,8 +94,12 @@ def main():
             problems.append(f"rows {len(got)} != {len(exp)}")
         if sorted(got.columns) != sorted(exp.columns):
             problems.append(f"schema {sorted(got.columns)} != {sorted(exp.columns)}")
-        elif value_hash(got) != value_hash(exp):
-            problems.append("value hash mismatch")
+        else:
+            try:
+                if value_hash(got) != value_hash(exp):
+                    problems.append("value hash mismatch")
+            except Exception as ex:  # un-castable dtype must FAIL this query,
+                problems.append(f"value_hash raised {type(ex).__name__}: {ex}")  # not kill the run
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)} [{dt:.1f}s]")
             if "value hash mismatch" in problems and len(got) == len(exp):
