@@ -315,3 +315,73 @@ class TestNestedFocalPadding:
                                     for i in range(3) for j in range(3)]), axis=0)
         expect = max3(np.pad(max3(padded), 0))[:]  # second pass consumes 2nd px
         np.testing.assert_allclose(out, expect[:], rtol=0, atol=0)
+
+
+class TestReviewRegressionFixes:
+    def test_zonal_remap_one_sided_null_arm(self):
+        """NaN-null arms must behave one-sided (NaN `is not None` trap)."""
+        import numpy as np
+
+        from raster_functions_ray.functions.remap import zonal_remap
+
+        v = np.array([[100.0, 2000.0], [3000.0, 9000.0]])
+        z = np.ones((2, 2), dtype=np.int32)
+        out = zonal_remap(v, z, {1: [[1500.0, float("nan"), 7.0]]})
+        # zmax is null -> one-sided v > 1500
+        assert out.tolist() == [[0, 7], [7, 7]]
+        out2 = zonal_remap(v, z, {1: [[float("nan"), 1500.0, 7.0]]})
+        assert out2.tolist() == [[7, 0], [0, 0]]
+
+    def test_checkpoint_safe_long_keys_do_not_collide(self):
+        from raster_functions_ray.state.checkpoint import _safe
+
+        a = "cells=" + "x" * 100 + "A"
+        b = "cells=" + "x" * 100 + "B"
+        assert _safe(a) != _safe(b)
+        assert len(_safe(a)) <= 80
+
+    def test_classifier_band_alignment(self, synth_sf001):
+        """A 1-band DEM tile against the 6-feature stump model must not
+        index out of range (features are padded to the model width)."""
+        import pandas as pd
+        import ray
+
+        from raster_functions_ray import synth
+        from raster_functions_ray.sources import read_tiles, read_training
+        from raster_functions_ray.stages.classify import classify_tiles
+
+        d = synth.synth_dir(0.001)
+        training = read_training(d).to_pandas()
+        tiles = read_tiles(d, bands=1).limit(4)
+        out = classify_tiles(tiles, training, model="rf", batch_size=4,
+                             concurrency=1).to_pandas()
+        assert len(out) == 4 and set(out["band_count"]) == {3}
+
+    def test_sf_from_dir_strictness(self):
+        import pytest
+
+        from raster_functions_ray import synth
+
+        assert synth.sf_from_dir("/root/testdata/sf0.01") == 0.01
+        with pytest.raises(ValueError):
+            synth.sf_from_dir("/data/no-scale-here")
+
+    def test_salted_aggregates_single_pass_matches_plain(self, synth_sf001):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from raster_functions_ray.stages.salt import salted_aggregates
+
+        rng = np.random.default_rng(3)
+        keys = np.repeat([1, 2, 3], [1000, 50, 50])
+        vals = rng.normal(size=keys.size)
+        ds = rd.from_arrow(pa.table({"k": keys, "value": vals})).repartition(4)
+        out = salted_aggregates(ds, "k", "value", ["sum", "count"], k=4)
+        expect = pd.DataFrame({"k": [1, 2, 3]})
+        expect["sum_value"] = [vals[keys == i].sum() for i in (1, 2, 3)]
+        expect["n"] = [1000, 50, 50]
+        out = out.sort_values("k").reset_index(drop=True)
+        assert list(out["n"]) == list(expect["n"])
+        np.testing.assert_allclose(out["sum_value"], expect["sum_value"], rtol=1e-9)
