@@ -169,6 +169,22 @@ class TestStack:
         out = st.median_composite(stack, qa_band=1)
         np.testing.assert_allclose(out[0], 20.0)  # median of {10, 30}
 
+    def test_nanmedian_axis0_bit_exact(self):
+        # the vectorized fast path must reproduce np.nanmedian exactly,
+        # including all-NaN columns and odd/even valid counts
+        rng = np.random.default_rng(11)
+        for _ in range(10):
+            n = int(rng.integers(1, 8))
+            d = rng.normal(size=(n, 2, 9, 9)).astype(np.float32)
+            d[rng.random(d.shape) < 0.4] = np.nan
+            d[:, :, 0, 0] = np.nan
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                ref = np.nanmedian(d, axis=0)
+            got = st.nanmedian_axis0(d.copy())
+            assert np.array_equal(got, ref, equal_nan=True)
+
     def test_pixel_percentile(self):
         sr = np.stack([np.full((2, 2), v) for v in (10.0, 20.0, 30.0, 40.0)])[:, None]
         qa = np.full((4, 1, 2, 2), 672.0)
