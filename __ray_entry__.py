@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """
     from raster_functions_ray import ann, bandmath, dedup, rasterqueries as rq
     from raster_functions_ray import relational as rel, spatial, synth, textops
+    from raster_functions_ray import trainprep
 
     # raster oracles read the synthetic parquet — make sure it exists before
     # the driver runs either side
@@ -170,6 +171,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_except": rel.q_segment_except,
         "nation_segment_rollup": rel.q_nation_segment_rollup,
         "event_type_pivot": rel.q_event_type_pivot,
+        # round-2: post-dedup training-data prep (all SQL-exact; the two
+        # inherently iterative ones use recursive-CTE oracles)
+        "dup_clusters": trainprep.q_dup_clusters,
+        "stratified_sample": trainprep.q_stratified_sample,
+        "seq_packing": trainprep.q_seq_packing,
+        "bloom_anti_dedup": trainprep.q_bloom_anti_dedup,
+        "tfidf_top_terms": trainprep.q_tfidf_top_terms,
     }
 
 
@@ -182,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
     """
     from raster_functions_ray import ann, bandmath, dedup, rasterqueries as rq
     from raster_functions_ray import relational as rel, spatial, textops
+    from raster_functions_ray import trainprep
 
     return {
         "q1_pricing": rel.Q1_SQL,
@@ -241,6 +250,11 @@ def oracle_sql() -> dict[str, str]:
         "event_type_pivot": rel.Q_EVENT_TYPE_PIVOT_SQL,
         "lsh_bucket_sizes": ann.lsh_bucket_sizes_oracle_sql(),
         "ngram_jaccard": dedup.Q_NGRAM_JACCARD_SQL,
+        "dup_clusters": trainprep.dup_clusters_oracle_sql(),
+        "stratified_sample": trainprep.Q_STRATIFIED_SAMPLE_SQL,
+        "seq_packing": trainprep.Q_SEQ_PACKING_SQL,
+        "bloom_anti_dedup": trainprep.Q_BLOOM_ANTI_DEDUP_SQL,
+        "tfidf_top_terms": trainprep.Q_TFIDF_TOP_TERMS_SQL,
         # minhash_dedup / simhash / pixel-stat raster queries: not
         # SQL-expressible (pandas hash / RNG pixel payloads) → rows-only;
         # their pixel-exact correctness is gated by the pytest golden suite.

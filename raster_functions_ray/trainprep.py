@@ -1,0 +1,403 @@
+"""Training-data preparation operators beyond dedup/ANN: the stages a
+100 TB LLM-corpus pipeline runs AFTER near-dup detection.
+
+- duplicate-cluster resolution: connected components over the exact
+  similarity pair graph (iterative min-label propagation, every step a
+  Dataset shuffle), plus a group-aware train/holdout split so near-dups
+  never straddle the split boundary
+- deterministic stratified sampling: multiplicative-hash buckets with a
+  per-language keep rate — reproducible across runs/workers/cluster sizes
+- sequence packing: greedy fill of fixed token budgets per shard (the
+  batch-assembly step of LLM pretraining), O(packs) per group via
+  searchsorted on the token cumsum, not O(rows) Python
+- corpus anti-dedup: drop documents whose text already exists in a
+  reference ("already trained") corpus — per-block Bloom partials OR-ed
+  into one broadcast prefilter, exact verify only on Bloom positives
+- TF-IDF vocabulary profile: corpus top-k terms by tf·ln(N/df)
+
+The reference repo has no analog (it processes rasters, not corpora);
+these follow the same engine idioms as dedup.py/textops.py and are gated
+by exact DuckDB oracles (recursive CTEs for the two inherently iterative
+ones).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Min, Sum
+
+from .sources import join_partitions, read_table
+
+# ---------------------------------------------------- connected components
+
+def connected_components(edges: rd.Dataset, max_iters: int = 100,
+                         num_partitions: int | None = None) -> pd.DataFrame:
+    """Min-label propagation over an undirected edge Dataset (cols u, v):
+    every node ends with label = the smallest node id in its component.
+
+    Each iteration is fully distributed — one hash join (labels onto edge
+    sources) + one groupby-Min — over EDGE-sized data, which after near-dup
+    candidate generation is O(duplicates), vastly smaller than the corpus.
+    Labels decrease monotonically, so the label sum is a convergence
+    witness; iteration count is bounded by the component diameter (near-dup
+    clusters are shallow — single digits in practice).
+    """
+    nparts = num_partitions or join_partitions()
+    sym = edges.map_batches(
+        lambda b: pa.table({
+            "src": pa.concat_arrays([b["u"].combine_chunks(), b["v"].combine_chunks()]),
+            "dst": pa.concat_arrays([b["v"].combine_chunks(), b["u"].combine_chunks()]),
+        }), batch_format="pyarrow").materialize()
+    labels = (sym.select_columns(["src"])
+              .groupby("src").aggregate(Min("src", alias_name="label"))
+              .map_batches(lambda b: b.rename_columns(["node", "label"]),
+                           batch_format="pyarrow")).materialize()
+    prev_sum = None
+    for _ in range(max_iters):
+        as_src = labels.map_batches(lambda b: b.rename_columns(["src", "label"]),
+                                    batch_format="pyarrow")
+        msgs = (sym.join(as_src, join_type="inner",
+                         num_partitions=nparts, on=("src",))
+                .map_batches(lambda b: pa.table({"node": b["dst"], "label": b["label"]}),
+                             batch_format="pyarrow"))
+        labels = (labels.union(msgs)
+                  .groupby("node").aggregate(Min("label", alias_name="label"))
+                  .materialize())
+        cur = labels.sum("label")
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels.to_pandas().sort_values("node").reset_index(drop=True)
+
+
+_HASH_MULT = 2654435761  # Knuth multiplicative hash; exact in int64 SQL for id < 2^31
+
+
+def _split_hash(ids: np.ndarray, mod: int) -> np.ndarray:
+    """(id * 2654435761) mod 2^32 mod ``mod`` — uint64 wrap-around math so
+    the engine matches BIGINT SQL exactly while never overflowing at
+    corpus-scale ids."""
+    h = (ids.astype(np.uint64) * np.uint64(_HASH_MULT)) % np.uint64(1 << 32)
+    return (h % np.uint64(mod)).astype(np.int64)
+
+
+def q_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-dup cluster resolution + group-aware split: connected
+    components over the EXACT word-3-shingle Jaccard≥0.8 pair graph
+    (dedup.q_ngram_jaccard — SQL-provable, unlike the MinHash graph), with
+    cluster_id = min doc_id per component and a deterministic 80/20
+    train/holdout split keyed on cluster_id, so every member of a near-dup
+    cluster lands on the same side (no train→holdout leakage).
+
+    Oracle: recursive CTE reachability over the identical pair SQL.
+    """
+    from . import dedup
+
+    pairs = dedup.q_ngram_jaccard(sf_dir)[["doc_a", "doc_b"]]
+    if pairs.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "cluster_id": pd.Series([], dtype="int64"),
+                             "split": pd.Series([], dtype="object")})
+    edges = rd.from_arrow(pa.table({
+        "u": pa.array(pairs["doc_a"].to_numpy(np.int64)),
+        "v": pa.array(pairs["doc_b"].to_numpy(np.int64))}))
+    # join shuffle width sized to the (tiny, result-scale) edge set — each
+    # partition spins an aggregator actor, a fixed 16 is pure overhead here
+    labels = connected_components(
+        edges, num_partitions=max(2, min(join_partitions(), len(pairs) // 10000 + 2)))
+    out = labels.rename(columns={"node": "doc_id", "label": "cluster_id"})
+    bucket = _split_hash(out["cluster_id"].to_numpy(np.int64), 10)
+    out["split"] = np.where(bucket < 8, "train", "holdout")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def dup_clusters_oracle_sql() -> str:
+    from . import dedup
+
+    pair_sql = dedup.Q_NGRAM_JACCARD_SQL
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({pair_sql})
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), walk(u, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, w.label FROM edges e JOIN walk w ON w.u = e.v
+)
+SELECT u AS doc_id, MIN(label) AS cluster_id,
+       CASE WHEN ((MIN(label) * {_HASH_MULT}) % 4294967296) % 10 < 8
+            THEN 'train' ELSE 'holdout' END AS split
+FROM walk GROUP BY u ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------ stratified sample
+
+SAMPLE_RATES = {"en": 80}  # percent kept; every other language 50
+SAMPLE_DEFAULT_RATE = 50
+
+
+def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified sampling: multiplicative-hash bucket of
+    doc_id in [0, 100), keep if bucket < rate(lang).  Hash-based (not RNG)
+    so the sample is identical across runs, workers, and cluster sizes —
+    the property that makes corpus sampling resumable/auditable at scale.
+    Pure vectorized map_batches; no shuffle, no driver state."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        langs = np.asarray(b["lang"].to_pylist(), dtype=object)
+        bucket = _split_hash(ids, 100)
+        rates = np.full(ids.size, SAMPLE_DEFAULT_RATE, dtype=np.int64)
+        for lg, r in SAMPLE_RATES.items():
+            rates[langs == lg] = r
+        m = bucket < rates
+        return pa.table({"doc_id": pa.array(ids[m]),
+                         "lang": pa.array(langs[m].astype(str)),
+                         "bucket": pa.array(bucket[m])})
+
+    out = ds.map_batches(keep, batch_format="pyarrow", batch_size=8192).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang,
+       ((doc_id * {_HASH_MULT}) % 4294967296) % 100 AS bucket
+FROM documents
+WHERE ((doc_id * {_HASH_MULT}) % 4294967296) % 100
+      < CASE lang WHEN 'en' THEN {SAMPLE_RATES['en']} ELSE {SAMPLE_DEFAULT_RATE} END
+ORDER BY doc_id
+"""
+
+
+# -------------------------------------------------------- sequence packing
+
+PACK_BUDGET = 256
+N_SHARDS = 8
+
+
+def pack_greedy(tokens: np.ndarray, budget: int = PACK_BUDGET) -> np.ndarray:
+    """Greedy first-fit-in-order packing: walk docs in order, open a new
+    pack when adding the next doc would exceed ``budget`` (a doc larger
+    than the budget gets a pack to itself).  O(packs·log n) via
+    searchsorted on the token cumsum — no per-row Python loop."""
+    n = tokens.size
+    pack_id = np.empty(n, dtype=np.int64)
+    cs = np.cumsum(tokens.astype(np.int64))
+    i, p = 0, 0
+    while i < n:
+        base = cs[i - 1] if i else 0
+        j = int(np.searchsorted(cs, base + budget, side="right"))
+        j = max(j, i + 1)  # oversized doc: take it alone
+        pack_id[i:j] = p
+        i, p = j, p + 1
+    return pack_id
+
+
+def q_seq_packing(sf_dir: str) -> pd.DataFrame:
+    """Sequence packing for LLM pretraining batches: shard docs by
+    doc_id % {N_SHARDS} (shards pack independently in parallel — the unit
+    that scales out), order by doc_id within shard, greedy-fill packs of
+    {PACK_BUDGET} whitespace tokens.  Oracle: recursive CTE running the
+    same greedy recurrence per shard."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tok(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        # ASCII \\s+ split to match the SQL tokenizer (see textops.q_token_stats)
+        nt = df["text"].str.split(r"\s+", regex=True).map(
+            lambda xs: sum(1 for x in xs if x))
+        ids = df["doc_id"].to_numpy(np.int64)
+        return pa.table({"doc_id": pa.array(ids),
+                         "shard": pa.array(ids % N_SHARDS),
+                         "n_tokens": pa.array(nt.to_numpy(np.int64))})
+
+    def pack_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        g["pack_id"] = pack_greedy(g["n_tokens"].to_numpy(np.int64))
+        return g[["doc_id", "shard", "n_tokens", "pack_id"]]
+
+    out = (ds.map_batches(tok, batch_format="pyarrow", batch_size=8192)
+           .groupby("shard").map_groups(pack_group, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_SEQ_PACKING_SQL = rf"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, doc_id % {N_SHARDS} AS shard,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % {N_SHARDS} ORDER BY doc_id) AS rn
+  FROM documents
+), pack(shard, rn, doc_id, n_tokens, acc, pack_id) AS (
+  SELECT shard, rn, doc_id, n_tokens, n_tokens, 0 FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN p.acc + d.n_tokens > {PACK_BUDGET}
+              THEN d.n_tokens ELSE p.acc + d.n_tokens END,
+         CASE WHEN p.acc + d.n_tokens > {PACK_BUDGET}
+              THEN p.pack_id + 1 ELSE p.pack_id END
+  FROM d JOIN pack p ON d.shard = p.shard AND d.rn = p.rn + 1
+)
+SELECT doc_id, shard, n_tokens, pack_id FROM pack ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------- Bloom anti-dedup
+
+BLOOM_BITS = 1 << 17  # 16 KiB per partial; sized for ~10k ref docs at <1% FP
+BLOOM_K = 4
+REF_MOD = 7  # reference ("already trained") corpus = docs with doc_id % 7 == 0
+
+
+def _text_hash64(texts: pd.Series) -> np.ndarray:
+    """Deterministic 64-bit content hash (murmur via pd.util.hash_array —
+    one vectorized call per batch, same family as dedup's shingle hashes)."""
+    return pd.util.hash_array(texts.to_numpy(dtype=object))
+
+
+def _bloom_positions(h: np.ndarray) -> np.ndarray:
+    """(n, BLOOM_K) bit positions from k mixes of the 64-bit hash
+    (Kirsch–Mitzenmacher double hashing: h1 + i*h2)."""
+    h1 = h
+    h2 = (h >> np.uint64(17)) | np.uint64(1)
+    i = np.arange(BLOOM_K, dtype=np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        pos = h1[:, None] + i * h2[:, None]
+    return (pos % np.uint64(BLOOM_BITS)).astype(np.int64)
+
+
+def _bloom_partial(b: pa.Table) -> pa.Table:
+    """Per-block Bloom bitmap over the block's text hashes — the partials
+    are tiny (BLOOM_BITS/8 bytes) and OR-associative, so the driver merges
+    one small array per block instead of collecting per-doc hashes
+    (which would be O(reference corpus) driver memory)."""
+    bits = np.zeros(BLOOM_BITS // 64, dtype=np.uint64)
+    h = _text_hash64(b["text"].to_pandas())
+    pos = _bloom_positions(h).ravel()
+    np.bitwise_or.at(bits, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64))
+    return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+
+def q_bloom_anti_dedup(sf_dir: str) -> pd.DataFrame:
+    """Corpus anti-dedup: drop every document whose text already exists in
+    the reference corpus (docs with doc_id % {REF_MOD} == 0), keep the rest.
+
+    Scale shape: the reference side is streamed once into per-block Bloom
+    partials OR-ed to one {BLOOM_BITS}-bit broadcast filter; the corpus
+    side drops Bloom-negatives vectorized in map_batches (no shuffle for
+    ~99% of rows) and only Bloom-POSITIVES go through the exact hash
+    semi-join.  The definite-drop id set is result-sized (true duplicates
+    only), so its broadcast is cheap by construction.  Equality is on the
+    64-bit content hash (injective on any real corpus; same convention as
+    exact_dedup's GROUP BY text oracle)."""
+    import pyarrow.compute as pc
+    import ray
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _is_ref(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        return b.filter(pa.array(ids % REF_MOD == 0))
+
+    ref = docs.map_batches(_is_ref, batch_format="pyarrow", batch_size=8192)
+    partials = ref.map_batches(_bloom_partial, batch_format="pyarrow",
+                               batch_size=8192).to_pandas()
+    bloom = np.zeros(BLOOM_BITS // 64, dtype=np.uint64)
+    for raw in partials["bits"]:
+        bloom |= np.frombuffer(raw, dtype=np.uint64)
+    bloom_ref = ray.put(bloom)
+
+    def hash_rows(b: pa.Table) -> pa.Table:
+        h = _text_hash64(b["text"].to_pandas())
+        return pa.table({"doc_id": b["doc_id"], "h": pa.array(h.view(np.int64))})
+
+    hashed = docs.map_batches(hash_rows, batch_format="pyarrow",
+                              batch_size=8192).materialize()
+
+    def bloom_positive(b: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)
+        h = np.asarray(b["h"], dtype=np.int64).view(np.uint64)
+        pos = _bloom_positions(h)
+        hit = (bits[pos // 64] >> (pos % 64).astype(np.uint64)) & np.uint64(1)
+        return b.filter(pa.array(hit.all(axis=1)))
+
+    positives = hashed.map_batches(bloom_positive, batch_format="pyarrow")
+    ref_h = ref.map_batches(hash_rows, batch_format="pyarrow", batch_size=8192) \
+        .select_columns(["h"]).groupby("h").aggregate(Count(alias_name="n"))
+    drops = (positives.join(ref_h, join_type="inner",
+                            num_partitions=join_partitions(), on=("h",))
+             .select_columns(["doc_id"]).to_pandas())
+    drop_ref = ray.put(pa.array(drops["doc_id"].to_numpy(np.int64)))
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(pc.is_in(b["doc_id"], value_set=ray.get(drop_ref))))
+
+    out = hashed.select_columns(["doc_id"]).map_batches(
+        keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_BLOOM_ANTI_DEDUP_SQL = f"""
+SELECT doc_id FROM documents
+WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % {REF_MOD} = 0)
+ORDER BY doc_id
+"""
+
+
+# -------------------------------------------------------------- TF-IDF
+
+TFIDF_TOP_K = 20
+
+
+def q_tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Corpus vocabulary profile: top-{TFIDF_TOP_K} terms by
+    tf·ln(N/df) (corpus term frequency × inverse document frequency).
+
+    Per-batch partial (term, tf, df) triples — df partials are additive
+    because each doc lives in exactly one batch — then one groupby-Sum
+    over the VOCABULARY (≪ corpus), score + top-k on the aggregate."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        toks = df["text"].str.split(r"\s+", regex=True).explode()
+        toks = toks[toks != ""]
+        tf = toks.groupby(toks).size()
+        uniq = toks.reset_index().drop_duplicates()  # (doc row, term)
+        dfreq = uniq.groupby(uniq.columns[1]).size()
+        return pa.table({"term": pa.array(tf.index.astype(str)),
+                         "tf": pa.array(tf.to_numpy(np.int64)),
+                         "df": pa.array(dfreq.reindex(tf.index).to_numpy(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+           .groupby("term")
+           .aggregate(Sum("tf", alias_name="tf"), Sum("df", alias_name="df"))
+           .to_pandas())
+    score = agg["tf"].to_numpy(np.float64) * np.log(float(n_docs) / agg["df"].to_numpy(np.float64))
+    agg = agg.assign(_s=score, tfidf=np.round(score, 6))
+    agg = agg.sort_values(["_s", "term"], ascending=[False, True]).head(TFIDF_TOP_K)
+    return agg[["term", "tf", "df", "tfidf"]].reset_index(drop=True)
+
+
+Q_TFIDF_TOP_TERMS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term
+  FROM documents
+), stats AS (
+  SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+), n AS (SELECT COUNT(*) AS n FROM documents)
+SELECT term, tf, df, ROUND(tf * LN(CAST(n.n AS DOUBLE) / df), 6) AS tfidf
+FROM stats, n
+ORDER BY tf * LN(CAST(n.n AS DOUBLE) / df) DESC, term
+LIMIT {TFIDF_TOP_K}
+"""
