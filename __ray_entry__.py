@@ -178,6 +178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_packing": trainprep.q_seq_packing,
         "bloom_anti_dedup": trainprep.q_bloom_anti_dedup,
         "tfidf_top_terms": trainprep.q_tfidf_top_terms,
+        "pattern_scrub": textops.q_pattern_scrub,
+        "decontaminate": textops.q_decontaminate,
     }
 
 
@@ -255,6 +257,8 @@ def oracle_sql() -> dict[str, str]:
         "seq_packing": trainprep.Q_SEQ_PACKING_SQL,
         "bloom_anti_dedup": trainprep.Q_BLOOM_ANTI_DEDUP_SQL,
         "tfidf_top_terms": trainprep.Q_TFIDF_TOP_TERMS_SQL,
+        "pattern_scrub": textops.Q_PATTERN_SCRUB_SQL,
+        "decontaminate": textops.Q_DECONTAMINATE_SQL,
         # minhash_dedup / simhash / pixel-stat raster queries: not
         # SQL-expressible (pandas hash / RNG pixel payloads) → rows-only;
         # their pixel-exact correctness is gated by the pytest golden suite.

@@ -380,3 +380,122 @@ FROM lang GROUP BY pred_lang, kept ORDER BY pred_lang, kept
 
 
 Q_TRAINING_DATA_PIPELINE_SQL = _training_pipeline_sql()
+
+
+# -------------------------------------------------- scrub + decontaminate
+
+SCRUB_PATTERN = r"[a-z]+er\b"  # stand-in for a PII pattern (emails/phones)
+
+
+def q_pattern_scrub(sf_dir: str) -> pd.DataFrame:
+    """Regex scrub/redaction stage (the shape of PII removal): count and
+    redact every SCRUB_PATTERN match, report per-doc redaction count and
+    scrubbed length.  Vectorized pandas str ops (compiled regex reused
+    across the batch); the pattern is ASCII-only so Python re and DuckDB's
+    RE2 agree.  On real corpora the pattern set is emails/phones/SSNs —
+    same stage, different constants."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scrub(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_redacted": df["text"].str.count(SCRUB_PATTERN).astype("int64"),
+            "scrub_len": df["text"].str.replace(
+                SCRUB_PATTERN, "[X]", regex=True).str.len().astype("int64"),
+        })
+
+    return ds.map_batches(scrub, batch_format="pyarrow", batch_size=8192).to_pandas()
+
+
+Q_PATTERN_SCRUB_SQL = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{SCRUB_PATTERN}')) AS n_redacted,
+       length(regexp_replace(text, '{SCRUB_PATTERN}', '[X]', 'g')) AS scrub_len
+FROM documents
+"""
+
+
+DECON_W = 4        # word n-gram width; the ~40-word synthetic vocabulary
+                   # makes a 4-gram as selective as a 13-gram on real text
+DECON_MOD = 97     # eval/benchmark set = docs with doc_id % 97 == 0
+
+
+def _word_ngrams_flat(texts: pd.Series, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """All docs' word w-grams as STRINGS in one vectorized pass (flat token
+    array + shifted concatenation, windows that straddle doc boundaries
+    masked out).  Returns (doc_index, gram) flat arrays."""
+    tok_lists = texts.str.split(" ").tolist()
+    lens = np.asarray([len(t) for t in tok_lists], dtype=np.int64)
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists if t]) \
+        if lens.sum() else np.empty(0, dtype=object)
+    if flat.size < w:
+        return np.empty(0, np.int64), np.empty(0, dtype=object)
+    gram = flat[: flat.size - w + 1]
+    for j in range(1, w):
+        gram = gram + " " + flat[j: flat.size - w + 1 + j]
+    doc_of = np.repeat(np.arange(lens.size), lens)
+    same = doc_of[: gram.size] == doc_of[w - 1:]
+    return doc_of[: gram.size][same], gram[same]
+
+
+def q_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: flag every document sharing at least one
+    word-4-gram with the eval set (docs with doc_id % 97 == 0), reporting
+    the count of distinct shared grams.
+
+    Scale shape: eval/benchmark sets are small BY NATURE, so the eval
+    gram set is the canonical broadcast side (ray.put once, O(eval) not
+    O(corpus)); the corpus streams through one vectorized map_batches with
+    a hash-set membership probe per batch — no shuffle at all.  Exact
+    string grams (not hashes), so the SQL shingle-join oracle is
+    collision-free."""
+    import ray
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def eval_grams(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        sel = df[df["doc_id"] % DECON_MOD == 0]
+        _, grams = _word_ngrams_flat(sel["text"], DECON_W)
+        return pa.table({"g": pa.array(pd.unique(grams), pa.string())})
+
+    ev = docs.map_batches(eval_grams, batch_format="pyarrow",
+                          batch_size=8192).to_pandas()
+    eval_set = pd.unique(ev["g"]) if len(ev) else np.empty(0, dtype=object)
+    ev_ref = ray.put(pd.Index(eval_set))
+
+    def mark(b: pa.Table) -> pd.DataFrame:
+        idx = ray.get(ev_ref)
+        df = b.to_pandas()
+        d, grams = _word_ngrams_flat(df["text"], DECON_W)
+        pairs = pd.DataFrame({"d": d, "g": grams}).drop_duplicates()
+        hit = pairs[pairs["g"].isin(idx)]
+        n = hit.groupby("d").size()
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy()[n.index.to_numpy()],
+            "n_hits": n.to_numpy(np.int64)})
+
+    out = docs.map_batches(mark, batch_format="pyarrow", batch_size=8192).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _decon_gram_sql() -> str:
+    parts = " || ' ' || ".join(
+        f"list_extract(l, CAST(u AS INT) + {j})" for j in range(DECON_W))
+    return parts
+
+
+Q_DECONTAMINATE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, {_decon_gram_sql()} AS s
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - {DECON_W - 1})) AS u FROM w)
+), eval_sh AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % {DECON_MOD} = 0
+)
+SELECT sh.doc_id, COUNT(*) AS n_hits
+FROM sh JOIN eval_sh ON sh.s = eval_sh.s
+GROUP BY sh.doc_id ORDER BY doc_id
+"""

@@ -38,6 +38,18 @@ class TestPackGreedy:
         got = tp.pack_greedy(np.array([60, 40, 1]), budget=100)
         np.testing.assert_array_equal(got, [0, 0, 1])
 
+    def test_budget_invariant(self):
+        # every pack's total <= budget unless it is a single oversized doc,
+        # packs are contiguous and consecutive, nothing is dropped
+        rng = np.random.default_rng(9)
+        toks = rng.integers(1, 500, 1000)
+        budget = 300
+        pid = tp.pack_greedy(toks, budget)
+        assert (np.diff(pid) >= 0).all() and (np.diff(pid) <= 1).all()
+        for p in range(pid.max() + 1):
+            m = pid == p
+            assert toks[m].sum() <= budget or m.sum() == 1
+
 
 class TestConnectedComponents:
     def test_hand_graph(self):
