@@ -69,13 +69,16 @@ def nanmedian_axis0(data: np.ndarray) -> np.ndarray:
     (6, 7, 256, 256) epoch stack (measured); this is the hot reduce of the
     temporal-composite pipelines, so the loop is disqualifying."""
     n = data.shape[0]
+    if n == 0:  # np.nanmedian returns all-NaN on an empty stack; match it
+        return np.full(data.shape[1:], np.nan, dtype=data.dtype)
     s = np.sort(data, axis=0)  # NaNs sort to the end
     cnt = n - np.isnan(data).sum(axis=0)
     lo = np.maximum(cnt - 1, 0) // 2
     hi = np.maximum(cnt, 1) // 2
     v_lo = np.take_along_axis(s, lo[None], axis=0)[0]
     v_hi = np.take_along_axis(s, hi[None], axis=0)[0]
-    out = (v_lo + v_hi) / 2
+    with np.errstate(invalid="ignore"):  # inf + -inf middle pair -> NaN, silently
+        out = (v_lo + v_hi) / 2
     return np.where(cnt == 0, np.nan, out)
 
 

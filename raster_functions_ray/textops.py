@@ -29,11 +29,11 @@ def q_token_stats(sf_dir: str) -> pd.DataFrame:
 
     def stats(b: pa.Table) -> pd.DataFrame:
         df = b.to_pandas()
-        # ASCII whitespace runs, like RE2's \s+ (Python str.split() is
-        # unicode-aware: U+00A0 etc. would diverge from the oracle)
+        # exact RE2 \s class [ \t\n\r\f] — NO \v (RE2's \s excludes it,
+        # verified against DuckDB) and no unicode spaces (U+00A0 etc.)
         return pd.DataFrame({
             "doc_id": df["doc_id"],
-            "n_tokens": df["text"].str.findall(r"[^ \t\n\r\f\v]+").str.len().astype("int64"),
+            "n_tokens": df["text"].str.findall(r"[^ \t\n\r\f]+").str.len().astype("int64"),
             "n_chars": df["text"].str.len().astype("int64"),
         })
 
@@ -54,7 +54,7 @@ def q_lang_profile(sf_dir: str) -> pd.DataFrame:
 
     def partial(b: pa.Table) -> pd.DataFrame:
         df = b.to_pandas()
-        df["n_tokens"] = df["text"].str.findall(r"[^ \t\n\r\f\v]+").str.len()
+        df["n_tokens"] = df["text"].str.findall(r"[^ \t\n\r\f]+").str.len()
         df["n_chars"] = df["text"].str.len()
         return df.groupby("lang", sort=False).agg(
             n_docs=("text", "size"), sum_tokens=("n_tokens", "sum"),
@@ -452,17 +452,27 @@ def q_decontaminate(sf_dir: str) -> pd.DataFrame:
     collision-free."""
     import ray
 
+    import pyarrow.compute as pc
+
+    from .sources import read_table_filtered
+
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def eval_grams(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        sel = df[df["doc_id"] % DECON_MOD == 0]
-        _, grams = _word_ngrams_flat(sel["text"], DECON_W)
-        return pa.table({"g": pa.array(pd.unique(grams), pa.string())})
+    # eval-id discovery scans ONLY the doc_id column (no text decode for the
+    # 99% of rows the eval pass discards), then one pushdown read fetches
+    # the ~1% eval texts; both steps are O(eval) on the text bytes
+    id_ds = read_table(sf_dir, "documents", columns=["doc_id"])
 
-    ev = docs.map_batches(eval_grams, batch_format="pyarrow",
-                          batch_size=8192).to_pandas()
-    eval_set = pd.unique(ev["g"]) if len(ev) else np.empty(0, dtype=object)
+    def _eval_ids(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids[ids % DECON_MOD == 0])})
+
+    eval_ids = sorted(id_ds.map_batches(_eval_ids, batch_format="pyarrow",
+                                        batch_size=65536).to_pandas()["doc_id"])
+    ev_tab = read_table_filtered(sf_dir, "documents", ["doc_id", "text"],
+                                 pc.field("doc_id").isin(eval_ids))
+    _, grams = _word_ngrams_flat(pd.Series(ev_tab["text"].to_pylist()), DECON_W)
+    eval_set = pd.unique(grams) if grams.size else np.empty(0, dtype=object)
     ev_ref = ray.put(pd.Index(eval_set))
 
     def mark(b: pa.Table) -> pd.DataFrame:

@@ -70,6 +70,10 @@ def connected_components(edges: rd.Dataset, max_iters: int = 100,
         if cur == prev_sum:
             break
         prev_sum = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iterations "
+            "(component diameter exceeds the bound); raise max_iters")
     return labels.to_pandas().sort_values("node").reset_index(drop=True)
 
 
@@ -211,9 +215,9 @@ def q_seq_packing(sf_dir: str) -> pd.DataFrame:
 
     def tok(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
-        # ASCII \\s+ split to match the SQL tokenizer (see textops.q_token_stats)
-        nt = df["text"].str.split(r"\s+", regex=True).map(
-            lambda xs: sum(1 for x in xs if x))
+        # explicit RE2-\s class ([ \t\n\r\f], NO \v, NO unicode spaces):
+        # Python's \s would over-count tokens on U+00A0 / \v vs the oracle
+        nt = df["text"].str.findall(r"[^ \t\n\r\f]+").str.len()
         ids = df["doc_id"].to_numpy(np.int64)
         return pa.table({"doc_id": pa.array(ids),
                          "shard": pa.array(ids % N_SHARDS),
@@ -275,12 +279,12 @@ def _bloom_positions(h: np.ndarray) -> np.ndarray:
 
 
 def _bloom_partial(b: pa.Table) -> pa.Table:
-    """Per-block Bloom bitmap over the block's text hashes — the partials
-    are tiny (BLOOM_BITS/8 bytes) and OR-associative, so the driver merges
-    one small array per block instead of collecting per-doc hashes
-    (which would be O(reference corpus) driver memory)."""
+    """Per-block Bloom bitmap over the block's content hashes (int64 column
+    ``h``) — the partials are tiny (BLOOM_BITS/8 bytes) and OR-associative,
+    so the driver merges one small array per block instead of collecting
+    per-doc hashes (which would be O(reference corpus) driver memory)."""
     bits = np.zeros(BLOOM_BITS // 64, dtype=np.uint64)
-    h = _text_hash64(b["text"].to_pandas())
+    h = np.asarray(b["h"], dtype=np.int64).view(np.uint64)
     pos = _bloom_positions(h).ravel()
     np.bitwise_or.at(bits, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64))
     return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
@@ -303,24 +307,26 @@ def q_bloom_anti_dedup(sf_dir: str) -> pd.DataFrame:
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def _is_ref(b: pa.Table) -> pa.Table:
-        ids = np.asarray(b["doc_id"], dtype=np.int64)
-        return b.filter(pa.array(ids % REF_MOD == 0))
-
-    ref = docs.map_batches(_is_ref, batch_format="pyarrow", batch_size=8192)
-    partials = ref.map_batches(_bloom_partial, batch_format="pyarrow",
-                               batch_size=8192).to_pandas()
-    bloom = np.zeros(BLOOM_BITS // 64, dtype=np.uint64)
-    for raw in partials["bits"]:
-        bloom |= np.frombuffer(raw, dtype=np.uint64)
-    bloom_ref = ray.put(bloom)
-
     def hash_rows(b: pa.Table) -> pa.Table:
         h = _text_hash64(b["text"].to_pandas())
         return pa.table({"doc_id": b["doc_id"], "h": pa.array(h.view(np.int64))})
 
+    # text is decoded exactly ONCE (this hash pass); the reference slice,
+    # Bloom partials, and exact verify all derive from the hash dataset
     hashed = docs.map_batches(hash_rows, batch_format="pyarrow",
                               batch_size=8192).materialize()
+
+    def _is_ref(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        return b.filter(pa.array(ids % REF_MOD == 0))
+
+    ref_hashed = hashed.map_batches(_is_ref, batch_format="pyarrow")
+    partials = ref_hashed.map_batches(_bloom_partial, batch_format="pyarrow",
+                                      batch_size=8192).to_pandas()
+    bloom = np.zeros(BLOOM_BITS // 64, dtype=np.uint64)
+    for raw in partials["bits"]:
+        bloom |= np.frombuffer(raw, dtype=np.uint64)
+    bloom_ref = ray.put(bloom)
 
     def bloom_positive(b: pa.Table) -> pa.Table:
         bits = ray.get(bloom_ref)
@@ -330,8 +336,8 @@ def q_bloom_anti_dedup(sf_dir: str) -> pd.DataFrame:
         return b.filter(pa.array(hit.all(axis=1)))
 
     positives = hashed.map_batches(bloom_positive, batch_format="pyarrow")
-    ref_h = ref.map_batches(hash_rows, batch_format="pyarrow", batch_size=8192) \
-        .select_columns(["h"]).groupby("h").aggregate(Count(alias_name="n"))
+    ref_h = (ref_hashed.select_columns(["h"])
+             .groupby("h").aggregate(Count(alias_name="n")))
     drops = (positives.join(ref_h, join_type="inner",
                             num_partitions=join_partitions(), on=("h",))
              .select_columns(["doc_id"]).to_pandas())
@@ -369,8 +375,9 @@ def q_tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
 
     def partial(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
-        toks = df["text"].str.split(r"\s+", regex=True).explode()
-        toks = toks[toks != ""]
+        # RE2-\s token class, see q_seq_packing
+        toks = df["text"].str.findall(r"[^ \t\n\r\f]+").explode()
+        toks = toks[toks.notna()]
         tf = toks.groupby(toks).size()
         uniq = toks.reset_index().drop_duplicates()  # (doc row, term)
         dfreq = uniq.groupby(uniq.columns[1]).size()

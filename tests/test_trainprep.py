@@ -51,6 +51,41 @@ class TestPackGreedy:
             assert toks[m].sum() <= budget or m.sum() == 1
 
 
+class TestReviewRegressions:
+    def test_nanmedian_empty_stack(self):
+        from raster_functions_ray.functions import stack as st
+        out = st.nanmedian_axis0(np.empty((0, 2, 3), np.float32))
+        assert out.shape == (2, 3) and np.isnan(out).all()
+
+    def test_nanmedian_inf_pair_silent(self):
+        from raster_functions_ray.functions import stack as st
+        d = np.array([[[np.inf]], [[-np.inf]]], dtype=np.float64)
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            out = st.nanmedian_axis0(d)
+        assert np.isnan(out[0, 0])
+
+    def test_cc_raises_on_non_convergence(self):
+        import ray.data as rd
+        # 10-node path needs ~9 propagation rounds; cap at 2 must raise
+        u = np.arange(1, 10, dtype=np.int64)
+        edges = rd.from_arrow(pa.table({"u": pa.array(u), "v": pa.array(u - 1)}))
+        with pytest.raises(RuntimeError, match="did not converge"):
+            tp.connected_components(edges, max_iters=2, num_partitions=2)
+
+    def test_tokenizer_matches_re2_on_odd_whitespace(self):
+        # NBSP and \v are NOT RE2 \s: engine token counts must agree with
+        # the DuckDB oracle tokenizer on both
+        import duckdb
+        texts = ["a b c", "a\x0bb c", "a\x0cb  c"]
+        eng = pd.Series(texts).str.findall(r"[^ \t\n\r\f]+").str.len().tolist()
+        sql = [duckdb.execute(
+            "SELECT len(list_filter(string_split_regex(?, '\\s+'), x -> x <> ''))",
+            [t]).fetchone()[0] for t in texts]
+        assert eng == sql
+
+
 class TestConnectedComponents:
     def test_hand_graph(self):
         import ray.data as rd
@@ -65,12 +100,17 @@ class TestConnectedComponents:
 
 
 class TestBloom:
+    @staticmethod
+    def _bloom_of(texts):
+        h = tp._text_hash64(pd.Series(texts)).view(np.int64)
+        tab = pa.table({"h": pa.array(h, pa.int64())})
+        return np.frombuffer(tp._bloom_partial(tab)["bits"][0].as_py(),
+                             dtype=np.uint64)
+
     def test_no_false_negatives_and_low_fp(self):
         rng = np.random.default_rng(5)
         ref = pd.Series([f"ref doc {i} {rng.integers(1e9)}" for i in range(2000)])
-        tab = pa.table({"text": pa.array(ref.tolist())})
-        bits = np.frombuffer(tp._bloom_partial(tab)["bits"][0].as_py(),
-                             dtype=np.uint64)
+        bits = self._bloom_of(ref.tolist())
 
         def is_pos(texts):
             h = tp._text_hash64(pd.Series(texts))
@@ -83,12 +123,9 @@ class TestBloom:
         assert is_pos(other).mean() < 0.02  # FP rate at design load
 
     def test_partials_or_associative(self):
-        a = pa.table({"text": pa.array(["alpha beta", "gamma"])})
-        b = pa.table({"text": pa.array(["delta epsilon"])})
-        both = pa.table({"text": pa.array(["alpha beta", "gamma", "delta epsilon"])})
-        bits_a = np.frombuffer(tp._bloom_partial(a)["bits"][0].as_py(), np.uint64)
-        bits_b = np.frombuffer(tp._bloom_partial(b)["bits"][0].as_py(), np.uint64)
-        bits_ab = np.frombuffer(tp._bloom_partial(both)["bits"][0].as_py(), np.uint64)
+        bits_a = self._bloom_of(["alpha beta", "gamma"])
+        bits_b = self._bloom_of(["delta epsilon"])
+        bits_ab = self._bloom_of(["alpha beta", "gamma", "delta epsilon"])
         np.testing.assert_array_equal(bits_a | bits_b, bits_ab)
 
 
