@@ -248,15 +248,6 @@ def run_scaling() -> dict:
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # interleave levels AND workloads so slow ambient drift on the shared
-    # host biases everything equally; keep best-of-3 per (workload, level)
-    rate_key = {"focal": "tiles_per_sec", "text": "docs_per_sec"}
-    runs: dict[tuple, list] = {(m, n): [] for m in rate_key for n in (8, 32)}
-    for _ in range(3):
-        for mode in rate_key:
-            runs[(mode, 8)].append(run_once(8, mode))
-            runs[(mode, 32)].append(run_once(32, mode))
-
     # hardware controls: the IDENTICAL computations via raw multiprocessing
     # (no Ray / object store / scheduler) at the same two core counts —
     # measures this shared VM's memory-subsystem scaling cap per kernel.
@@ -271,17 +262,37 @@ def run_scaling() -> dict:
     docs_path = os.path.join(SF_DIR, "documents.parquet")
     os.environ["OMP_NUM_THREADS"] = "1"
 
-    def best_of(fn, *args, n: int = 2) -> float:
-        # controls get the same noise filtering as the Ray side (best-of),
-        # so engine_relative divides comparably-filtered ratios
-        return max(fn(*args) for _ in range(n))
+    def control_once(mode: str, ncpu: int) -> float:
+        # pin the control to the SAME physical cores as the taskset'd Ray
+        # runs — an unpinned control can dodge ambient contention by
+        # wandering across the whole host, which the pinned run cannot
+        fn, path = ((mp_baseline, tiles_path) if mode == "focal"
+                    else (mp_text_baseline, docs_path))
+        if hasattr(os, "sched_setaffinity"):
+            prev = os.sched_getaffinity(0)
+            try:
+                os.sched_setaffinity(0, set(range(ncpu)))
+                return fn(path, ncpu)
+            finally:
+                os.sched_setaffinity(0, prev)
+        return fn(path, ncpu)
 
-    controls = {
-        "focal": (best_of(mp_baseline, tiles_path, 8),
-                  best_of(mp_baseline, tiles_path, 32)),
-        "text": (best_of(mp_text_baseline, docs_path, 8),
-                 best_of(mp_text_baseline, docs_path, 32)),
-    }
+    # interleave levels, workloads AND the controls in every round, so slow
+    # ambient drift on the shared host biases ray and control equally (an
+    # earlier layout ran all controls after all ray runs; a decaying load
+    # average then systematically flattered the controls).  Best-of-3 per
+    # (workload, level) on both sides.
+    rate_key = {"focal": "tiles_per_sec", "text": "docs_per_sec"}
+    runs: dict[tuple, list] = {(m, n): [] for m in rate_key for n in (8, 32)}
+    ctrl: dict[tuple, list] = {(m, n): [] for m in rate_key for n in (8, 32)}
+    for _ in range(3):
+        for mode in rate_key:
+            runs[(mode, 8)].append(run_once(8, mode))
+            ctrl[(mode, 8)].append(control_once(mode, 8))
+            runs[(mode, 32)].append(run_once(32, mode))
+            ctrl[(mode, 32)].append(control_once(mode, 32))
+
+    controls = {m: (max(ctrl[(m, 8)]), max(ctrl[(m, 32)])) for m in rate_key}
     ceiling = spin_ceiling()
     desc = {
         "focal": "deep focal chain x6 (hillshade+aspect+TRI+rank+CTI) over all tiles",
@@ -305,6 +316,9 @@ def run_scaling() -> dict:
             "engine_relative_efficiency": round(eff / hw_eff, 3),
             "all_runs": {"cpus8": [r[key] for r in runs[(mode, 8)]],
                          "cpus32": [r[key] for r in runs[(mode, 32)]]},
+            "control_all_runs": {
+                "cpus8": [round(v, 2) for v in ctrl[(mode, 8)]],
+                "cpus32": [round(v, 2) for v in ctrl[(mode, 32)]]},
         }
     # backward-compatible headline fields = focal chain (the round-1 metric)
     f = out["workloads"]["focal"]
