@@ -180,6 +180,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": trainprep.q_tfidf_top_terms,
         "pattern_scrub": textops.q_pattern_scrub,
         "decontaminate": textops.q_decontaminate,
+        # round-2 close: native outer/anti join lowerings + histogram-exact
+        # percentiles (all SQL-exact)
+        "left_outer_join": rel.q_left_outer_join,
+        "anti_join_shuffle": rel.q_anti_join_shuffle,
+        "exact_percentiles": rel.q_exact_percentiles,
     }
 
 
@@ -259,6 +264,9 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": trainprep.Q_TFIDF_TOP_TERMS_SQL,
         "pattern_scrub": textops.Q_PATTERN_SCRUB_SQL,
         "decontaminate": textops.Q_DECONTAMINATE_SQL,
+        "left_outer_join": rel.Q_LEFT_OUTER_JOIN_SQL,
+        "anti_join_shuffle": rel.Q_ANTI_JOIN_SQL,
+        "exact_percentiles": rel.Q_EXACT_PERCENTILES_SQL,
         # minhash_dedup / simhash / pixel-stat raster queries: not
         # SQL-expressible (pandas hash / RNG pixel payloads) → rows-only;
         # their pixel-exact correctness is gated by the pytest golden suite.

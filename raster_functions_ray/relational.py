@@ -694,3 +694,131 @@ SELECT user_id,
        COUNT(*) FILTER (event_type NOT IN ('click', 'view')) AS n_other
 FROM events GROUP BY user_id ORDER BY user_id
 """
+
+
+# ---------------------------------------- round-2 close: join lowerings +
+# histogram-exact percentiles
+
+def q_left_outer_join(sf_dir: str) -> pd.DataFrame:
+    """Customers LEFT OUTER JOIN their order aggregate — the engine's
+    native left_outer hash join (Ray 2.49 Dataset.join), null-filled side
+    resolved map-side after the join.  Pre-aggregating orders BEFORE the
+    join keeps the shuffled payload one row per customer, not one per
+    order."""
+    from .sources import join_partitions
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    per_cust = (orders.groupby("o_custkey")
+                .aggregate(Count(alias_name="n_orders"),
+                           Sum("o_totalprice", alias_name="sum_price"))
+                .map_batches(lambda b: b.rename_columns(
+                    ["c_custkey", "n_orders", "sum_price"]),
+                    batch_format="pyarrow"))
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = cust.join(per_cust, join_type="left_outer",
+                       num_partitions=join_partitions(), on=("c_custkey",))
+
+    def finish(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({
+            "c_custkey": df["c_custkey"],
+            "c_mktsegment": df["c_mktsegment"],
+            "n_orders": df["n_orders"].fillna(0).astype("int64"),
+            "sum_price": np.round(df["sum_price"].fillna(0.0), 2),
+        })
+
+    out = joined.map_batches(finish, batch_format="pyarrow").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+Q_LEFT_OUTER_JOIN_SQL = """
+SELECT c.c_custkey, c.c_mktsegment,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       ROUND(COALESCE(o.sum_price, 0), 2) AS sum_price
+FROM customer c
+LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders, SUM(o_totalprice) AS sum_price
+           FROM orders GROUP BY o_custkey) o
+  ON c.c_custkey = o.o_custkey
+ORDER BY c_custkey
+"""
+
+
+def q_anti_join_shuffle(sf_dir: str) -> pd.DataFrame:
+    """The SAME anti join as q_anti_join, lowered onto the native
+    left_anti shuffle join instead of the broadcast key-set filter —
+    gated by the identical oracle, proving the two lowerings
+    interchangeable (broadcast when the key side is small, shuffle when
+    both sides are corpus-scale)."""
+    from .sources import join_partitions
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    cutoff = pa.scalar(pd.Timestamp("1995-06-01"), pa.timestamp("us"))
+    keys = orders.map_batches(
+        lambda b: b.filter(pc.less(b["o_orderdate"], cutoff)).select(["o_custkey"])
+                   .rename_columns(["c_custkey"]),
+        batch_format="pyarrow")
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+    out = (cust.join(keys, join_type="left_anti",
+                     num_partitions=join_partitions(), on=("c_custkey",))
+           .to_pandas())
+    if out.empty:
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                            "c_name": pd.Series([], dtype="object"),
+                            "c_acctbal": pd.Series([], dtype="float64")})
+    return (out[["c_custkey", "c_name", "c_acctbal"]]
+            .sort_values("c_custkey").reset_index(drop=True))
+
+
+PCT_QS = ((1, 2), (9, 10), (99, 100))  # 0.5 / 0.9 / 0.99 as exact rationals
+
+
+def q_exact_percentiles(sf_dir: str) -> pd.DataFrame:
+    """EXACT corpus percentiles of a bounded-int statistic (per-doc token
+    count) via value-histogram partials: each batch emits one bincount row,
+    the tiny histograms sum driver-side, and the percentile is read off
+    the cumulative counts.  Two passes of nothing — one streaming pass,
+    O(value domain) driver state, no sort, no shuffle of row data; the
+    standard way to get EXACT (not t-digest approximate) quantiles of a
+    bounded statistic at 100 TB.
+
+    Selection rule matches DuckDB quantile_disc: 1-based sorted index
+    ceil(q*n), computed in integer arithmetic."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        nt = (pd.Series(b["text"].to_pandas())
+              .str.findall(r"[^ \t\n\r\f]+").str.len().to_numpy(np.int64))
+        h = np.bincount(nt, minlength=1)
+        return pa.table({"h": pa.array([h.tolist()],
+                                       pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(hist, batch_format="pyarrow", batch_size=8192).to_pandas()
+    width = max(len(h) for h in parts["h"])
+    total = np.zeros(width, dtype=np.int64)
+    for h in parts["h"]:
+        total[: len(h)] += np.asarray(h, dtype=np.int64)
+    n = int(total.sum())
+    cum = np.cumsum(total)
+    rows = []
+    for num, den in PCT_QS:
+        idx = -((-num * n) // den)  # ceil(q*n), integer-exact
+        v = int(np.searchsorted(cum, idx, side="left"))
+        rows.append({"q": num / den, "n_tokens": v})
+    return pd.DataFrame(rows)
+
+
+Q_EXACT_PERCENTILES_SQL = r"""
+WITH t AS (
+  SELECT len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS nt
+  FROM documents
+), agg AS (
+  SELECT CAST(quantile_disc(nt, 0.5) AS BIGINT) AS p50,
+         CAST(quantile_disc(nt, 0.9) AS BIGINT) AS p90,
+         CAST(quantile_disc(nt, 0.99) AS BIGINT) AS p99
+  FROM t
+)
+SELECT CAST(0.5 AS DOUBLE) AS q, p50 AS n_tokens FROM agg
+UNION ALL SELECT CAST(0.9 AS DOUBLE), p90 FROM agg
+UNION ALL SELECT CAST(0.99 AS DOUBLE), p99 FROM agg
+ORDER BY q
+"""
