@@ -30,14 +30,22 @@ from ..sources import read_documents, read_tiles
 from ..stages import cellindex, spans
 
 
-def media_ref_counts(docs: rd.Dataset) -> rd.Dataset:
+def media_ref_counts(docs: rd.Dataset, doc_rgs: int | None = None,
+                     doc_rows: int | None = None) -> rd.Dataset:
     """Per-tile media reference counts, pre-aggregated inside map_batches
-    before the (small) groupby shuffle."""
+    before the (small) groupby shuffle.
+
+    Repartition ONLY when the storage layout actually starves parallelism
+    (one fat row group of many rows): the v4 synth writer emits many row
+    groups, so the read already yields enough blocks and an unconditional
+    repartition is a full-payload all-to-all into the same width — free of
+    benefit at any scale, and at 100 TB a whole extra pass of the nested
+    span payloads through the object store."""
     from ..sources import join_partitions
 
-    # synth/driver doc tables arrive as ONE row group → one block; spread it
-    # so explode + partial-count parallelize (no-op where the read is wide)
-    exploded = spans.explode_spans(docs.repartition(join_partitions()))
+    if doc_rgs is not None and doc_rgs < 4 and (doc_rows or 0) > 100_000:
+        docs = docs.repartition(join_partitions())
+    exploded = spans.explode_spans(docs)
     media = spans.media_refs(exploded)
 
     def partial(b: pa.Table) -> pa.Table:
@@ -53,7 +61,15 @@ def run(sf_dir: str = "/root/testdata/sf0.001") -> rd.Dataset:
     d = synth.synth_dir_for(sf_dir)
     p = synth.params_for(synth.sf_from_dir(sf_dir))
 
-    counts = media_ref_counts(read_documents(d)).to_pandas()
+    import os
+
+    import pyarrow.parquet as pq
+    doc_path = os.path.join(d, "documents.parquet")
+    md = pq.read_metadata(doc_path) if os.path.exists(doc_path) else None
+    counts = media_ref_counts(
+        read_documents(d),
+        doc_rgs=md.num_row_groups if md else None,
+        doc_rows=md.num_rows if md else None).to_pandas()
     count_map_ref = ray.put(dict(zip(counts["media_ref"], counts["ref_count"])))
 
     tiles = read_tiles(d, bands=2)

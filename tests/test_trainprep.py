@@ -148,3 +148,22 @@ class TestSplitHash:
             "SELECT ((i * 2654435761) % 4294967296) % 10 FROM "
             f"(SELECT unnest({ids.tolist()}) AS i)").fetchnumpy()
         np.testing.assert_array_equal(got, list(want.values())[0])
+
+
+class TestExactPercentiles:
+    def test_selection_rule_matches_quantile_disc(self):
+        # ceil(q*n) 1-based index over the cumulative histogram must equal
+        # DuckDB quantile_disc for assorted n and distributions
+        import duckdb
+        rng = np.random.default_rng(21)
+        for n in (1, 2, 5, 97, 400):
+            vals = rng.integers(0, 120, n)
+            total = np.bincount(vals, minlength=1)
+            cum = np.cumsum(total)
+            for num, den in ((1, 2), (9, 10), (99, 100)):
+                idx = -((-num * n) // den)
+                got = int(np.searchsorted(cum, idx, side="left"))
+                want = duckdb.execute(
+                    f"SELECT quantile_disc(v, {num/den}) FROM (SELECT unnest(?) AS v)",
+                    [vals.tolist()]).fetchone()[0]
+                assert got == want, (n, num, den)
