@@ -184,7 +184,9 @@ ORDER BY doc_id
 # -------------------------------------------------------- sequence packing
 
 PACK_BUDGET = 256
-N_SHARDS = 8
+# shards pack independently — the unit that scales out; sized well above
+# any single-node core count so the groupby never caps parallelism
+N_SHARDS = 64
 
 
 def pack_greedy(tokens: np.ndarray, budget: int = PACK_BUDGET) -> np.ndarray:
