@@ -185,6 +185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_outer_join": rel.q_left_outer_join,
         "anti_join_shuffle": rel.q_anti_join_shuffle,
         "exact_percentiles": rel.q_exact_percentiles,
+        # SQL-exact NN classification (broadcast landmark side)
+        "nn_classify": spatial.q_nn_classify,
     }
 
 
@@ -213,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_rect": spatial.Q_PIP_RECT_SQL,
         "zonal_value": spatial.Q_ZONAL_VALUE_SQL,
         "knn": spatial.Q_KNN_SQL,
+        "nn_classify": spatial.Q_NN_CLASSIFY_SQL,
         "token_stats": textops.Q_TOKEN_STATS_SQL,
         "lang_profile": textops.Q_LANG_PROFILE_SQL,
         "doc_prefix_groups": textops.Q_DOC_PREFIX_GROUPS_SQL,

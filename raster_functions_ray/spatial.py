@@ -227,6 +227,71 @@ WHERE rank <= {KNN_K}
 
 Q_KNN_SQL = _knn_sql()
 
+# ---------------------------------------- nearest-neighbor classification
+
+NN_CLASSIFY_K = 3
+
+
+def q_nn_classify(sf_dir: str) -> pd.DataFrame:
+    """NearestNeighborsClassifier re-expressed over driver tables
+    (reference: functions/KNearestNeighborsClassifier.py neighbor mode —
+    each sample maps to its k nearest training rows' ids/labels): landmarks
+    derived from ``supplier`` on the same integer lattice as POINT_SQL,
+    label = s_nationkey; every event point gets its 3 nearest landmarks.
+
+    Scale shape: the landmark side is the classic small broadcast side
+    (suppliers are ~1e-5 of events at any sf) — ``ray.put`` once, read per
+    task; events stream through map_batches, no shuffle.  Stable argsort
+    breaks exact d2 ties (both sides sit on a 0.01° lattice) toward the
+    smaller s_suppkey, matching the oracle's ROW_NUMBER ordering."""
+    lm = (read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+          .to_pandas().sort_values("s_suppkey"))
+    sk = lm["s_suppkey"].to_numpy(np.int64)
+    lx = ((sk * 104729) % 36000).astype(np.float64) / 100.0
+    ly = ((sk * 7919) % 18000).astype(np.float64) / 100.0 - 90.0
+    lab = lm["s_nationkey"].to_numpy(np.int64)
+    lref = ray.put((sk, lx, ly, lab))
+    pts = event_points(sf_dir, with_value=False)
+
+    def nn3(b: pa.Table) -> pa.Table:
+        sk, lx, ly, lab = ray.get(lref)
+        x = np.asarray(b["x"])[:, None]; y = np.asarray(b["y"])[:, None]
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        d2 = (x - lx[None, :]) ** 2 + (y - ly[None, :]) ** 2
+        k = min(NN_CLASSIFY_K, d2.shape[1])
+        # stable sort + suppkey-ascending landmark order == (d2, s_suppkey)
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :k]
+        n = eid.size
+        return pa.table({
+            "event_id": pa.array(np.repeat(eid, k)),
+            "rank": pa.array(np.tile(np.arange(1, k + 1, dtype=np.int64), n)),
+            "nn_suppkey": pa.array(sk[idx].ravel()),
+            "nn_label": pa.array(lab[idx].ravel()),
+        })
+
+    out = pts.map_batches(nn3, batch_format="pyarrow", batch_size=8192)
+    return (out.to_pandas().sort_values(["event_id", "rank"])
+            .reset_index(drop=True))
+
+
+Q_NN_CLASSIFY_SQL = f"""
+WITH pts AS ({POINT_SQL}),
+     lm AS (
+       SELECT s_suppkey,
+              CAST((s_suppkey * 104729) % 36000 AS DOUBLE) / 100.0 AS lx,
+              CAST((s_suppkey * 7919) % 18000 AS DOUBLE) / 100.0 - 90.0 AS ly,
+              CAST(s_nationkey AS BIGINT) AS label
+       FROM supplier)
+SELECT event_id, rank, nn_suppkey, nn_label FROM (
+  SELECT p.event_id, CAST(l.s_suppkey AS BIGINT) AS nn_suppkey, l.label AS nn_label,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+            ORDER BY (p.x - l.lx)*(p.x - l.lx) + (p.y - l.ly)*(p.y - l.ly),
+                     l.s_suppkey) AS rank
+  FROM pts p CROSS JOIN lm l)
+WHERE rank <= {NN_CLASSIFY_K}
+ORDER BY event_id, rank
+"""
+
 # ------------------------------------------- convex polygon PIP (engine path)
 
 def point_in_convex_batch(x: np.ndarray, y: np.ndarray, verts: np.ndarray) -> np.ndarray:
