@@ -178,6 +178,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_packing": trainprep.q_seq_packing,
         "bloom_anti_dedup": trainprep.q_bloom_anti_dedup,
         "tfidf_top_terms": trainprep.q_tfidf_top_terms,
+        "domain_cap": trainprep.q_domain_cap,
+        "doc_repetition": trainprep.q_doc_repetition,
+        "shuffle_order": trainprep.q_shuffle_order,
         "pattern_scrub": textops.q_pattern_scrub,
         "decontaminate": textops.q_decontaminate,
         # round-2 close: native outer/anti join lowerings + histogram-exact
@@ -265,6 +268,9 @@ def oracle_sql() -> dict[str, str]:
         "seq_packing": trainprep.Q_SEQ_PACKING_SQL,
         "bloom_anti_dedup": trainprep.Q_BLOOM_ANTI_DEDUP_SQL,
         "tfidf_top_terms": trainprep.Q_TFIDF_TOP_TERMS_SQL,
+        "domain_cap": trainprep.Q_DOMAIN_CAP_SQL,
+        "doc_repetition": trainprep.Q_DOC_REPETITION_SQL,
+        "shuffle_order": trainprep.Q_SHUFFLE_ORDER_SQL,
         "pattern_scrub": textops.Q_PATTERN_SCRUB_SQL,
         "decontaminate": textops.Q_DECONTAMINATE_SQL,
         "left_outer_join": rel.Q_LEFT_OUTER_JOIN_SQL,

@@ -410,3 +410,143 @@ FROM stats, n
 ORDER BY tf * LN(CAST(n.n AS DOUBLE) / df) DESC, term
 LIMIT {TFIDF_TOP_K}
 """
+
+
+# ------------------------------------------------------- per-domain caps
+
+DOMAIN_CAP_N = 15  # max docs kept per source/domain
+
+
+def q_domain_cap(sf_dir: str) -> pd.DataFrame:
+    """Per-domain document caps: keep at most {DOMAIN_CAP_N} documents per
+    ``source``, preferring longer documents (n_chars DESC, doc_id ASC
+    tie-break) — the standard web-corpus guard against a single domain
+    dominating the training mix.
+
+    Scale shape: top-N-per-key is associative, so every block first
+    reduces to ≤ N rows per source it contains (vectorized pandas
+    sort+head, no Python loop), and the groupby shuffle ships only those
+    partials — O(sources × blocks × N), independent of corpus size. The
+    final per-source merge re-applies the same selection. No full-corpus
+    sort anywhere."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def topn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        return df.groupby("source", sort=False).head(DOMAIN_CAP_N)
+
+    out = (ds.map_batches(topn, batch_format="pandas", batch_size=8192)
+           .groupby("source").map_groups(topn, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "source", "n_chars"]]
+
+
+Q_DOMAIN_CAP_SQL = f"""
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn <= {DOMAIN_CAP_N}
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------- within-document repetition
+
+REP_W = 2  # word-bigram window (Gopher-style duplicate-n-gram fraction)
+
+
+def q_doc_repetition(sf_dir: str) -> pd.DataFrame:
+    """Within-document repetition score: per document, the total number of
+    word bigrams and how many of them are repeats (occurrences beyond the
+    first of each distinct bigram) — the Gopher/FineWeb "fraction of
+    characters in duplicated n-grams" quality signal, in count form so the
+    gate is integer-exact.
+
+    Purely local per document, so the whole operator is ONE vectorized
+    map_batches with zero shuffle: bigrams for every doc in a batch come
+    from a single flat shifted-concatenation pass (textops._word_ngrams_flat),
+    and the per-doc distinct/total counts from one pandas groupby."""
+    from .textops import _word_ngrams_flat
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rep(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        d, grams = _word_ngrams_flat(df["text"], REP_W)
+        if d.size == 0:
+            return pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                                 "n_grams": np.empty(0, np.int64),
+                                 "n_dup": np.empty(0, np.int64)})
+        pairs = pd.DataFrame({"d": d, "g": grams})
+        per = pairs.groupby(["d", "g"], sort=False).size()
+        total = per.groupby(level=0).sum()
+        distinct = per.groupby(level=0).size()
+        ids = df["doc_id"].to_numpy()[total.index.to_numpy()]
+        return pd.DataFrame({
+            "doc_id": ids,
+            "n_grams": total.to_numpy(np.int64),
+            "n_dup": (total - distinct).to_numpy(np.int64)})
+
+    out = ds.map_batches(rep, batch_format="pyarrow", batch_size=8192).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _rep_gram_sql() -> str:
+    return " || ' ' || ".join(
+        f"list_extract(l, CAST(u AS INT) + {j})" for j in range(REP_W))
+
+
+Q_DOC_REPETITION_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), sh AS (
+  SELECT doc_id, {_rep_gram_sql()} AS s
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - {REP_W - 1})) AS u FROM w)
+), per AS (
+  SELECT doc_id, s, COUNT(*) AS c FROM sh GROUP BY doc_id, s
+)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+       CAST(SUM(c - 1) AS BIGINT) AS n_dup
+FROM per GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------ deterministic shuffle
+
+SHUFFLE_LIMIT = 200
+
+
+def q_shuffle_order(sf_dir: str) -> pd.DataFrame:
+    """Deterministic global training-order shuffle: every document gets a
+    pseudo-random sort key from the same multiplicative hash as
+    stratified sampling (bijective mod 2^32 for distinct ids, so the
+    order is total and reproducible across runs and cluster sizes), then
+    a DISTRIBUTED sort materializes the order; the first
+    {SHUFFLE_LIMIT} documents of the epoch are returned.
+
+    This is the one training-prep stage that is INHERENTLY an all-to-all
+    (a global permutation must move every row), so it uses ds.sort — Ray
+    Data's range-partitioned shuffle — rather than fighting it; the hash
+    key (not an RNG) is what makes retries/resumes idempotent."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def key(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        h = (ids.astype(np.uint64) * np.uint64(_HASH_MULT)) % np.uint64(1 << 32)
+        return pa.table({"skey": pa.array(h.astype(np.int64)),
+                         "doc_id": pa.array(ids)})
+
+    out = (ds.map_batches(key, batch_format="pyarrow", batch_size=8192)
+           .sort(["skey", "doc_id"]).limit(SHUFFLE_LIMIT).to_pandas())
+    return out.reset_index(drop=True)
+
+
+Q_SHUFFLE_ORDER_SQL = f"""
+SELECT (doc_id * {_HASH_MULT}) % 4294967296 AS skey, doc_id
+FROM documents
+ORDER BY skey, doc_id
+LIMIT {SHUFFLE_LIMIT}
+"""

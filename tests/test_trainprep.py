@@ -167,3 +167,47 @@ class TestExactPercentiles:
                     f"SELECT quantile_disc(v, {num/den}) FROM (SELECT unnest(?) AS v)",
                     [vals.tolist()]).fetchone()[0]
                 assert got == want, (n, num, den)
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestDomainCapRepetitionShuffle:
+    def test_domain_cap_matches_pandas_window(self, sf_dir=SF_DIR):
+        got = tp.q_domain_cap(sf_dir)
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "n_chars"])
+        ranked = docs.sort_values(["n_chars", "doc_id"],
+                                  ascending=[False, True])
+        want = (ranked.groupby("source", sort=False).head(tp.DOMAIN_CAP_N)
+                .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got, want[["doc_id", "source", "n_chars"]])
+
+    def test_domain_cap_never_exceeds_n(self, sf_dir=SF_DIR):
+        got = tp.q_domain_cap(sf_dir)
+        assert got.groupby("source").size().max() <= tp.DOMAIN_CAP_N
+
+    def test_doc_repetition_hand_doc(self):
+        # "a b a b a" bigrams: (a b) x2, (b a) x2 -> 4 grams, 2 dups
+        d, grams = __import__(
+            "raster_functions_ray.textops", fromlist=["x"]
+        )._word_ngrams_flat(pd.Series(["a b a b a", "x y"]), 2)
+        pairs = pd.DataFrame({"d": d, "g": grams})
+        per = pairs.groupby(["d", "g"]).size()
+        assert per.groupby(level=0).sum().tolist() == [4, 1]
+        assert (per.groupby(level=0).sum()
+                - per.groupby(level=0).size()).tolist() == [2, 0]
+
+    def test_doc_repetition_counts_bounded(self, sf_dir=SF_DIR):
+        got = tp.q_doc_repetition(sf_dir)
+        assert (got["n_dup"] <= got["n_grams"]).all()
+        assert (got["n_grams"] >= 1).all()
+
+    def test_shuffle_order_deterministic_and_sorted(self, sf_dir=SF_DIR):
+        a = tp.q_shuffle_order(sf_dir)
+        b = tp.q_shuffle_order(sf_dir)
+        pd.testing.assert_frame_equal(a, b)
+        assert (np.diff(a["skey"].to_numpy()) >= 0).all()
+        # bijective key: no collisions on distinct ids
+        assert a["skey"].is_unique
