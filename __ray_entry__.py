@@ -181,6 +181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_cap": trainprep.q_domain_cap,
         "doc_repetition": trainprep.q_doc_repetition,
         "shuffle_order": trainprep.q_shuffle_order,
+        "hll_distinct": trainprep.q_hll_distinct,
+        "boilerplate": textops.q_boilerplate,
         "pattern_scrub": textops.q_pattern_scrub,
         "decontaminate": textops.q_decontaminate,
         # round-2 close: native outer/anti join lowerings + histogram-exact
@@ -271,6 +273,8 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": trainprep.Q_DOMAIN_CAP_SQL,
         "doc_repetition": trainprep.Q_DOC_REPETITION_SQL,
         "shuffle_order": trainprep.Q_SHUFFLE_ORDER_SQL,
+        "hll_distinct": trainprep.Q_HLL_DISTINCT_SQL,
+        "boilerplate": textops.Q_BOILERPLATE_SQL,
         "pattern_scrub": textops.Q_PATTERN_SCRUB_SQL,
         "decontaminate": textops.Q_DECONTAMINATE_SQL,
         "left_outer_join": rel.Q_LEFT_OUTER_JOIN_SQL,

@@ -509,3 +509,71 @@ SELECT sh.doc_id, COUNT(*) AS n_hits
 FROM sh JOIN eval_sh ON sh.s = eval_sh.s
 GROUP BY sh.doc_id ORDER BY doc_id
 """
+
+
+# ------------------------------------------------- boilerplate detection
+
+BOILER_W = 3        # word-n-gram width
+BOILER_MIN_DOCS = 3  # a gram in >= this many distinct docs is boilerplate
+
+
+def q_boilerplate(sf_dir: str) -> pd.DataFrame:
+    """Corpus-level boilerplate detection: count, per document, the word
+    {BOILER_W}-grams shared by at least {BOILER_MIN_DOCS} distinct
+    documents — the nav-bar/footer/template signal web-corpus cleaning
+    keys on (C4/RefinedWeb drop or truncate on it).
+
+    Scale shape: the boilerplate gram set is corpus-sized (NOT
+    broadcastable, unlike decontaminate's eval set), so this is the
+    gram-keyed co-partition pipeline: distinct (doc, gram) pairs are
+    emitted per block (a doc's text lives in one row, so in-block dedup is
+    globally exact), document frequencies come from one groupby-Count over
+    the GRAM space, and membership flows back via a hash join on the same
+    key — no driver state, no full-corpus broadcast."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from .sources import join_partitions
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        d, grams = _word_ngrams_flat(df["text"], BOILER_W)
+        p = pd.DataFrame({"d": d, "s": grams}).drop_duplicates()
+        # Arrow block out: pandas blocks feeding a shuffle cost ~10x in
+        # serialization (see ngram-jaccard lesson, commit bfbe665)
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy()[p["d"].to_numpy()]),
+            "s": pa.array(p["s"].to_numpy(dtype=object), pa.string())})
+
+    pair_ds = docs.map_batches(pairs, batch_format="pyarrow",
+                               batch_size=8192).materialize()
+    dfreq = pair_ds.groupby("s").aggregate(Count(alias_name="n"))
+    boiler = dfreq.filter(expr=f"n >= {BOILER_MIN_DOCS}")
+    hits = pair_ds.join(boiler, join_type="inner",
+                        num_partitions=join_partitions(), on=("s",))
+    out = (hits.groupby("doc_id").aggregate(Count(alias_name="n_boiler"))
+           .to_pandas())
+    out["n_boiler"] = out["n_boiler"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _boiler_gram_sql() -> str:
+    return " || ' ' || ".join(
+        f"list_extract(l, CAST(u AS INT) + {j})" for j in range(BOILER_W))
+
+
+Q_BOILERPLATE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, {_boiler_gram_sql()} AS s
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - {BOILER_W - 1})) AS u FROM w)
+), boiler AS (
+  SELECT s FROM sh GROUP BY s HAVING COUNT(*) >= {BOILER_MIN_DOCS}
+)
+SELECT sh.doc_id, COUNT(*) AS n_boiler
+FROM sh JOIN boiler USING (s)
+GROUP BY sh.doc_id ORDER BY doc_id
+"""

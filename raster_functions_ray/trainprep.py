@@ -550,3 +550,114 @@ FROM documents
 ORDER BY skey, doc_id
 LIMIT {SHUFFLE_LIMIT}
 """
+
+
+# --------------------------------------- HyperLogLog cardinality sketch
+
+HLL_P = 8                 # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+HLL_W_BITS = 32 - HLL_P   # value bits per item after bucket extraction
+HLL_GRAM_W = 3            # shingle width whose cardinality is sketched
+
+
+def _poly31_u32(strings: np.ndarray) -> np.ndarray:
+    """Vectorized Horner polynomial hash ``acc = (acc*31 + codepoint) mod
+    2^32`` over every string at once (fixed-width UTF-32 view, one masked
+    Horner step per character column — no per-row Python).  Chosen because
+    the IDENTICAL recurrence is expressible in DuckDB
+    (``list_reduce(list_transform(string_split(s,''), c -> unicode(c)),
+    (a,b) -> (a*31+b) % 4294967296)``), giving register-level oracle
+    parity that library hashes (murmur etc.) cannot."""
+    arr = np.asarray(strings, dtype=str)
+    if arr.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    width = arr.dtype.itemsize // 4
+    cp = arr.view(np.uint32).reshape(arr.size, width).astype(np.uint64)
+    acc = np.zeros(arr.size, dtype=np.uint64)
+    mod = np.uint64(1 << 32)
+    for j in range(width):
+        c = cp[:, j]
+        live = c != 0
+        acc[live] = (acc[live] * np.uint64(31) + c[live]) % mod
+    return acc
+
+
+def hll_partial(grams: np.ndarray) -> np.ndarray:
+    """One block's HLL registers (length {HLL_M} uint8) over item strings."""
+    reg = np.zeros(HLL_M, dtype=np.uint8)
+    if grams.size == 0:
+        return reg
+    h = _poly31_u32(grams)
+    bucket = (h % np.uint64(HLL_M)).astype(np.int64)
+    w = (h >> np.uint64(HLL_P)).astype(np.int64)
+    # rho = leading zeros in the W_BITS-wide value + 1 = W_BITS+1 - bitlen(w);
+    # frexp exponent IS bitlen for w>0 and 0 for w==0, so one formula covers both
+    bitlen = np.frexp(w.astype(np.float64))[1]
+    rho = (HLL_W_BITS + 1 - bitlen).astype(np.uint8)
+    np.maximum.at(reg, bucket, rho)
+    return reg
+
+
+def hll_estimate(reg: np.ndarray) -> float:
+    """Raw HLL estimate alpha_m * m^2 / sum(2^-reg).  The sum of 256 exact
+    powers of two needs < 2^53 mantissa bits, so it is EXACT in float64
+    regardless of summation order — deterministic across cluster sizes."""
+    m = float(HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m / float(np.sum(np.ldexp(1.0, -reg.astype(np.int64))))
+
+
+def q_hll_distinct(sf_dir: str) -> pd.DataFrame:
+    """Distributed cardinality sketch: HyperLogLog registers over the
+    corpus's word-{HLL_GRAM_W}-gram shingle space — the planning statistic
+    a 100 TB dedup run needs ("how big is the shingle universe?") without
+    a COUNT DISTINCT shuffle.
+
+    Scale shape: each block reduces to a {HLL_M}-register partial
+    (max-associative, {HLL_M} bytes); a groupby-Max over register INDEX
+    (≤ {HLL_M} keys total) merges them.  Nothing corpus-sized ever moves:
+    the shuffle payload is O(blocks × {HLL_M}) bytes.  The register table
+    itself is the query output — integer-exact against a DuckDB oracle
+    that recomputes the identical hash/bucket/rho arithmetic in SQL —
+    making the gate stronger than comparing the (derived) scalar
+    estimate.  hll_estimate() turns the merged registers into the
+    cardinality figure; tests bound its error vs the true distinct count."""
+    from .textops import _word_ngrams_flat
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, grams = _word_ngrams_flat(b.to_pandas()["text"], HLL_GRAM_W)
+        reg = hll_partial(grams)
+        nz = np.flatnonzero(reg)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "reg": pa.array(reg[nz].astype(np.int64))})
+
+    from ray.data.aggregate import Max
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+           .groupby("bucket").aggregate(Max("reg", alias_name="reg"))
+           .to_pandas())
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def _hll_gram_sql() -> str:
+    return " || ' ' || ".join(
+        f"list_extract(l, CAST(u AS INT) + {j})" for j in range(HLL_GRAM_W))
+
+
+Q_HLL_DISTINCT_SQL = f"""
+WITH w AS (
+  SELECT string_split(text, ' ') AS l FROM documents
+), g AS (
+  SELECT {_hll_gram_sql()} AS s
+  FROM (SELECT l, unnest(generate_series(1, len(l) - {HLL_GRAM_W - 1})) AS u FROM w)
+), h AS (
+  SELECT list_reduce(list_transform(string_split(s, ''), c -> CAST(unicode(c) AS BIGINT)),
+                     (a, b) -> (a * 31 + b) % 4294967296) AS h32
+  FROM g
+)
+SELECT h32 % {HLL_M} AS bucket,
+       MAX(CASE WHEN h32 // {HLL_M} = 0 THEN {HLL_W_BITS + 1}
+                ELSE {HLL_W_BITS + 1} - length(bin(h32 // {HLL_M})) END) AS reg
+FROM h GROUP BY bucket ORDER BY bucket
+"""

@@ -211,3 +211,57 @@ class TestDomainCapRepetitionShuffle:
         assert (np.diff(a["skey"].to_numpy()) >= 0).all()
         # bijective key: no collisions on distinct ids
         assert a["skey"].is_unique
+
+
+class TestHllBoilerplate:
+    def test_poly31_matches_python(self):
+        strs = np.asarray(["abc", "a", "zz zz", "table value part"], dtype=object)
+        got = tp._poly31_u32(strs)
+        for s, g in zip(strs, got):
+            acc = 0
+            for ch in s:
+                acc = (acc * 31 + ord(ch)) % (1 << 32)
+            assert int(g) == acc
+
+    def test_hll_partials_max_associative(self):
+        rng = np.random.default_rng(11)
+        items = np.asarray([f"item {i} {rng.integers(1e9)}" for i in range(3000)],
+                           dtype=object)
+        whole = tp.hll_partial(items)
+        merged = np.maximum(tp.hll_partial(items[:1000]),
+                            np.maximum(tp.hll_partial(items[1000:2500]),
+                                       tp.hll_partial(items[2500:])))
+        np.testing.assert_array_equal(whole, merged)
+
+    def test_hll_estimate_error_bounded(self):
+        # standard error for m=256 is ~6.5%; allow 4 sigma
+        rng = np.random.default_rng(12)
+        n = 20_000
+        items = np.asarray([f"uniq {i} {rng.integers(1e12)}" for i in range(n)],
+                           dtype=object)
+        est = tp.hll_estimate(tp.hll_partial(items))
+        assert abs(est - n) / n < 0.26
+
+    def test_hll_query_registers_match_brute(self):
+        got = tp.q_hll_distinct("/root/testdata/sf0.001")
+        docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                               columns=["text"])
+        from raster_functions_ray.textops import _word_ngrams_flat
+        _, grams = _word_ngrams_flat(docs["text"], tp.HLL_GRAM_W)
+        reg = tp.hll_partial(grams)
+        nz = np.flatnonzero(reg)
+        np.testing.assert_array_equal(got["bucket"].to_numpy(), nz)
+        np.testing.assert_array_equal(got["reg"].to_numpy(), reg[nz])
+
+    def test_boilerplate_hand_corpus(self, tmp_path):
+        import pyarrow.parquet as pq
+        texts = ["the quick brown fox", "the quick brown dog",
+                 "the quick brown cat", "unrelated words entirely here"]
+        tab = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                        "text": pa.array(texts)})
+        pq.write_table(tab, tmp_path / "documents.parquet")
+        from raster_functions_ray.textops import q_boilerplate
+        got = q_boilerplate(str(tmp_path))
+        # "the quick brown" appears in 3 docs -> boilerplate; docs 0-2 have 1 hit
+        assert got["doc_id"].tolist() == [0, 1, 2]
+        assert got["n_boiler"].tolist() == [1, 1, 1]
