@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_order": trainprep.q_shuffle_order,
         "hll_distinct": trainprep.q_hll_distinct,
         "boilerplate": textops.q_boilerplate,
+        "adaptive_cover": spatial.q_adaptive_cover,
         "pattern_scrub": textops.q_pattern_scrub,
         "decontaminate": textops.q_decontaminate,
         # round-2 close: native outer/anti join lowerings + histogram-exact
@@ -275,6 +276,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_order": trainprep.Q_SHUFFLE_ORDER_SQL,
         "hll_distinct": trainprep.Q_HLL_DISTINCT_SQL,
         "boilerplate": textops.Q_BOILERPLATE_SQL,
+        "adaptive_cover": spatial.adaptive_cover_oracle_sql(0.01),
         "pattern_scrub": textops.Q_PATTERN_SCRUB_SQL,
         "decontaminate": textops.Q_DECONTAMINATE_SQL,
         "left_outer_join": rel.Q_LEFT_OUTER_JOIN_SQL,

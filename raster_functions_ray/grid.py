@@ -89,3 +89,66 @@ def neighbors(cell_id: int, ring: int = 1) -> np.ndarray:
             if 0 <= jy < n:
                 out.append(level * LEVEL_STRIDE + ((ix + dx) % n) * IX_STRIDE + jy)
     return np.asarray(sorted(set(out)), dtype=np.int64)
+
+
+def adaptive_covering(bboxes: np.ndarray, level_min: int = 3,
+                      level_max: int = 6):
+    """S2-RegionCoverer-style adaptive multi-level covering of closed
+    bboxes: cells fully inside the bbox are emitted at the coarsest level
+    where that holds; boundary cells subdivide until ``level_max``, where
+    every still-intersecting cell is emitted as a partial cell.
+
+    Fully vectorized ACROSS zones: one (zone, ix, iy) frontier array per
+    level, classified with the same IEEE-double predicates the DuckDB
+    recursive-CTE oracle evaluates (cell edges ``ix*(360/2^L)`` are exact
+    binary fractions, so equality cases agree bit-for-bit).
+
+    Returns (zone_idx, level, ix, iy, full) int64/bool arrays.
+    """
+    bboxes = np.asarray(bboxes, dtype=np.float64).reshape(-1, 4)
+    out = {k: [] for k in ("z", "lv", "ix", "iy", "full")}
+    n0 = float(2**level_min)
+    seeds_z, seeds_ix, seeds_iy = [], [], []
+    for i, (xmin, ymin, xmax, ymax) in enumerate(bboxes):
+        ix0 = int(np.floor(xmin / 360.0 * n0))
+        ix1 = int(np.floor(xmax / 360.0 * n0))
+        iy0 = int(np.floor((ymin + 90.0) / 180.0 * n0))
+        iy1 = int(np.floor((ymax + 90.0) / 180.0 * n0))
+        gx, gy = np.meshgrid(np.arange(ix0, ix1 + 1, dtype=np.int64),
+                             np.arange(iy0, iy1 + 1, dtype=np.int64),
+                             indexing="ij")
+        seeds_z.append(np.full(gx.size, i, dtype=np.int64))
+        seeds_ix.append(gx.ravel())
+        seeds_iy.append(gy.ravel())
+    if not seeds_z:
+        e = np.empty(0, np.int64)
+        return e, e, e, e, np.empty(0, bool)
+    z = np.concatenate(seeds_z)
+    ix = np.concatenate(seeds_ix)
+    iy = np.concatenate(seeds_iy)
+    for level in range(level_min, level_max + 1):
+        w = 360.0 / (2.0**level)
+        h = 180.0 / (2.0**level)
+        x0, x1 = ix * w, (ix + 1) * w
+        y0, y1 = iy * h - 90.0, (iy + 1) * h - 90.0
+        xmin, ymin = bboxes[z, 0], bboxes[z, 1]
+        xmax, ymax = bboxes[z, 2], bboxes[z, 3]
+        inside = (x0 >= xmin) & (x1 <= xmax) & (y0 >= ymin) & (y1 <= ymax)
+        inter = (x0 <= xmax) & (x1 >= xmin) & (y0 <= ymax) & (y1 >= ymin)
+        emit = inter if level == level_max else inside
+        out["z"].append(z[emit])
+        out["lv"].append(np.full(int(emit.sum()), level, dtype=np.int64))
+        out["ix"].append(ix[emit])
+        out["iy"].append(iy[emit])
+        out["full"].append(inside[emit])
+        if level == level_max:
+            break
+        sub = inter & ~inside
+        z = np.repeat(z[sub], 4)
+        dx = np.tile(np.array([0, 0, 1, 1], dtype=np.int64), int(sub.sum()))
+        dy = np.tile(np.array([0, 1, 0, 1], dtype=np.int64), int(sub.sum()))
+        ix = np.repeat(ix[sub] * 2, 4) + dx
+        iy = np.repeat(iy[sub] * 2, 4) + dy
+    return (np.concatenate(out["z"]), np.concatenate(out["lv"]),
+            np.concatenate(out["ix"]), np.concatenate(out["iy"]),
+            np.concatenate(out["full"]))

@@ -624,3 +624,103 @@ def q_knn_cell_ring(sf_dir: str) -> pd.DataFrame:
     out = pd.concat([results[qi] for qi in sorted(results)], ignore_index=True)
     out["rank"] = out.groupby("q_id").cumcount() + 1
     return out[["q_id", "event_id", "rank"]].reset_index(drop=True)
+
+
+# ------------------------------------------------ adaptive cell covering
+
+ADAPT_LMIN, ADAPT_LMAX = 3, 6
+
+
+def q_adaptive_cover(sf_dir: str) -> pd.DataFrame:
+    """S2-RegionCoverer-style adaptive covering of every rectangular zone:
+    interior cells emitted at the coarsest level where they are fully
+    inside, boundary cells refined down to level {ADAPT_LMAX} — the
+    mixed-level cell set a hierarchical spatial index hands to a
+    cell-keyed shuffle join (coarse cells prune whole subtrees, fine
+    cells bound the exact-test work to the boundary).
+
+    Scale shape: zones stream through one map_batches; the per-level BFS
+    inside the kernel is vectorized ACROSS all zones in the batch
+    (grid.adaptive_covering), so cost is O(output cells), not
+    O(zones × levels) Python.  Oracle: DuckDB recursive CTE subdividing
+    with the identical IEEE predicates."""
+    from . import synth
+    from .grid import IX_STRIDE, LEVEL_STRIDE, adaptive_covering
+    from .sources import read_zones
+
+    d = synth.synth_dir_for(sf_dir)
+
+    def cover(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[df["is_rect"]]
+        if df.empty:
+            return pa.table({"zone_id": pa.array([], pa.int64()),
+                             "level": pa.array([], pa.int64()),
+                             "cell_id": pa.array([], pa.int64()),
+                             "is_full": pa.array([], pa.bool_())})
+        bb = np.stack(df["bbox"].to_numpy())
+        z, lv, ix, iy, full = adaptive_covering(bb, ADAPT_LMIN, ADAPT_LMAX)
+        return pa.table({
+            "zone_id": pa.array(df["zone_id"].to_numpy(np.int64)[z]),
+            "level": pa.array(lv),
+            "cell_id": pa.array(lv * LEVEL_STRIDE + ix * IX_STRIDE + iy),
+            "is_full": pa.array(full)})
+
+    out = (read_zones(d).map_batches(cover, batch_format="pyarrow",
+                                     batch_size=4096).to_pandas())
+    return out.sort_values(["zone_id", "cell_id"]).reset_index(drop=True)
+
+
+def adaptive_cover_oracle_sql(sf: float = 0.01) -> str:
+    from . import synth
+    from .grid import IX_STRIDE, LEVEL_STRIDE
+
+    d = synth.synth_dir(sf)
+    n0 = float(2**ADAPT_LMIN)
+    return f"""
+WITH RECURSIVE z AS (
+  SELECT CAST(zone_id AS BIGINT) AS zone_id,
+         bbox[1] AS xmin, bbox[2] AS ymin, bbox[3] AS xmax, bbox[4] AS ymax
+  FROM read_parquet('{d}/zones.parquet') WHERE is_rect
+), seed AS (
+  SELECT zone_id, {ADAPT_LMIN} AS level, gx.ix, gy.iy, xmin, ymin, xmax, ymax
+  FROM z,
+       LATERAL (SELECT unnest(generate_series(
+           CAST(FLOOR(xmin / 360.0 * {n0}) AS BIGINT),
+           CAST(FLOOR(xmax / 360.0 * {n0}) AS BIGINT))) AS ix) gx,
+       LATERAL (SELECT unnest(generate_series(
+           CAST(FLOOR((ymin + 90.0) / 180.0 * {n0}) AS BIGINT),
+           CAST(FLOOR((ymax + 90.0) / 180.0 * {n0}) AS BIGINT))) AS iy) gy
+), walk AS (
+  SELECT * FROM seed
+  UNION ALL
+  SELECT zone_id, level + 1, 2 * ix + d.dx, 2 * iy + d.dy,
+         xmin, ymin, xmax, ymax
+  FROM walk, (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) AS d(dx, dy)
+  WHERE level < {ADAPT_LMAX}
+    AND ix * (360.0 / POWER(2, level)) <= xmax
+    AND (ix + 1) * (360.0 / POWER(2, level)) >= xmin
+    AND iy * (180.0 / POWER(2, level)) - 90.0 <= ymax
+    AND (iy + 1) * (180.0 / POWER(2, level)) - 90.0 >= ymin
+    AND NOT (ix * (360.0 / POWER(2, level)) >= xmin
+         AND (ix + 1) * (360.0 / POWER(2, level)) <= xmax
+         AND iy * (180.0 / POWER(2, level)) - 90.0 >= ymin
+         AND (iy + 1) * (180.0 / POWER(2, level)) - 90.0 <= ymax)
+), cls AS (
+  SELECT zone_id, level, ix, iy,
+         (ix * (360.0 / POWER(2, level)) >= xmin
+          AND (ix + 1) * (360.0 / POWER(2, level)) <= xmax
+          AND iy * (180.0 / POWER(2, level)) - 90.0 >= ymin
+          AND (iy + 1) * (180.0 / POWER(2, level)) - 90.0 <= ymax) AS is_full,
+         (ix * (360.0 / POWER(2, level)) <= xmax
+          AND (ix + 1) * (360.0 / POWER(2, level)) >= xmin
+          AND iy * (180.0 / POWER(2, level)) - 90.0 <= ymax
+          AND (iy + 1) * (180.0 / POWER(2, level)) - 90.0 >= ymin) AS inter
+  FROM walk
+)
+SELECT zone_id, level,
+       level * {LEVEL_STRIDE} + ix * {IX_STRIDE} + iy AS cell_id, is_full
+FROM cls
+WHERE is_full OR (level = {ADAPT_LMAX} AND inter)
+ORDER BY zone_id, cell_id
+"""

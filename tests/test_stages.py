@@ -87,3 +87,48 @@ def test_flagship_runs(synth_sf001):
     assert len(out) >= 1
     assert {"cell_id", "n_tiles", "mean_ndvi", "doc_refs"} <= set(out.columns)
     assert out["doc_refs"].sum() > 0
+
+
+class TestAdaptiveCovering:
+    def test_disjoint_and_covering(self):
+        from raster_functions_ray.grid import adaptive_covering
+        rng = np.random.default_rng(31)
+        boxes = []
+        for _ in range(12):
+            cx, cy = rng.uniform(20, 340), rng.uniform(-70, 70)
+            w, h = rng.uniform(2, 30), rng.uniform(2, 20)
+            boxes.append([cx, cy, cx + w, cy + h])
+        bb = np.asarray(boxes)
+        z, lv, ix, iy, full = adaptive_covering(bb, 3, 6)
+        assert (lv[~full] == 6).all()  # partial cells only at max level
+        for zi in range(len(boxes)):
+            m = z == zi
+            # pairwise disjoint: normalize to level-6 index ranges
+            s = 2 ** (6 - lv[m])
+            x0, x1 = ix[m] * s, (ix[m] + 1) * s
+            y0, y1 = iy[m] * s, (iy[m] + 1) * s
+            n = int(m.sum())
+            for a in range(n):
+                ov = ((x0 < x1[a]) & (x1 > x0[a])
+                      & (y0 < y1[a]) & (y1 > y0[a]))
+                assert ov.sum() == 1  # overlaps itself only
+            # coverage: interior sample points all land in exactly one cell
+            xmin, ymin, xmax, ymax = bb[zi]
+            px = rng.uniform(xmin + 1e-6, xmax - 1e-6, 200)
+            py = rng.uniform(ymin + 1e-6, ymax - 1e-6, 200)
+            w6, h6 = 360.0 / 2**6, 180.0 / 2**6
+            cellx, celly = np.floor(px / w6), np.floor((py + 90) / h6)
+            hits = ((cellx[:, None] >= x0[None, :]) & (cellx[:, None] < x1[None, :])
+                    & (celly[:, None] >= y0[None, :]) & (celly[:, None] < y1[None, :]))
+            assert (hits.sum(axis=1) == 1).all()
+
+    def test_full_cells_truly_inside(self):
+        from raster_functions_ray.grid import adaptive_covering
+        bb = np.asarray([[100.0, 10.0, 130.0, 40.0]])
+        z, lv, ix, iy, full = adaptive_covering(bb, 3, 6)
+        w = 360.0 / 2.0**lv
+        h = 180.0 / 2.0**lv
+        x0, x1 = ix * w, (ix + 1) * w
+        y0, y1 = iy * h - 90.0, (iy + 1) * h - 90.0
+        ins = (x0 >= 100) & (x1 <= 130) & (y0 >= 10) & (y1 <= 40)
+        np.testing.assert_array_equal(ins, full)

@@ -265,3 +265,20 @@ class TestHllBoilerplate:
         # "the quick brown" appears in 3 docs -> boilerplate; docs 0-2 have 1 hit
         assert got["doc_id"].tolist() == [0, 1, 2]
         assert got["n_boiler"].tolist() == [1, 1, 1]
+
+    def test_poly31_matches_duckdb_reduce(self):
+        # the oracle recomputes this hash in SQL; lock the parity on the
+        # printable-ASCII domain the corpus uses (codepoint semantics)
+        import duckdb
+        rng = np.random.default_rng(21)
+        alpha = np.array(list(
+            "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .,;!?"))
+        strs = ["".join(rng.choice(alpha, rng.integers(1, 40)))
+                for _ in range(200)]
+        got = tp._poly31_u32(np.asarray(strs, dtype=object))
+        con = duckdb.connect()
+        want = [con.execute(
+            "SELECT list_reduce(list_transform(string_split(?, ''), "
+            "c -> CAST(unicode(c) AS BIGINT)), (a,b) -> (a*31+b) % 4294967296)",
+            [s]).fetchone()[0] for s in strs]
+        np.testing.assert_array_equal(got.astype(np.int64), np.asarray(want))
