@@ -724,3 +724,78 @@ FROM cls
 WHERE is_full OR (level = {ADAPT_LMAX} AND inter)
 ORDER BY zone_id, cell_id
 """
+
+
+def q_doc_zone_join_adaptive(sf_dir: str) -> pd.DataFrame:
+    """The ADAPTIVE-COVERING lowering of the doc↔zone spatial join: the
+    zone side ships its mixed-level covering (q_adaptive_cover's cells —
+    O(perimeter) rows per zone instead of the single-level covering's
+    O(area)), the point side emits its ancestor cell at every level in
+    [{ADAPT_LMIN}, {ADAPT_LMAX}], and the hash join on cell_id
+    co-partitions them.  Cells marked full accept WITHOUT an exact test
+    (the covering guarantees containment); only boundary-cell matches run
+    the bbox predicate.  Per zone the covering cells are pairwise
+    disjoint, so each (span, zone) hit joins exactly once — identical row
+    multiplicity, and the identical row SET, as q_doc_zone_join_rect,
+    whose SQL oracle this query shares (third interchangeable lowering
+    after broadcast and single-level cellshuffle)."""
+    from . import synth
+    from .grid import IX_STRIDE, LEVEL_STRIDE, adaptive_covering
+    from .sources import read_documents, read_zones
+    from .stages import spans
+
+    d = synth.synth_dir_for(sf_dir)
+
+    def zcover(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[df["is_rect"]]
+        if df.empty:
+            return pa.table({"cell_id": pa.array([], pa.int64()),
+                             "zone_id": pa.array([], pa.int64()),
+                             "is_full": pa.array([], pa.bool_()),
+                             "xmin": pa.array([], pa.float64()),
+                             "ymin": pa.array([], pa.float64()),
+                             "xmax": pa.array([], pa.float64()),
+                             "ymax": pa.array([], pa.float64())})
+        bb = np.stack(df["bbox"].to_numpy())
+        z, lv, ix, iy, full = adaptive_covering(bb, ADAPT_LMIN, ADAPT_LMAX)
+        return pa.table({
+            "cell_id": pa.array(lv * LEVEL_STRIDE + ix * IX_STRIDE + iy),
+            "zone_id": pa.array(df["zone_id"].to_numpy(np.int64)[z]),
+            "is_full": pa.array(full),
+            "xmin": pa.array(bb[z, 0]), "ymin": pa.array(bb[z, 1]),
+            "xmax": pa.array(bb[z, 2]), "ymax": pa.array(bb[z, 3])})
+
+    zcells = read_zones(d).map_batches(zcover, batch_format="pyarrow",
+                                       batch_size=4096)
+
+    pts = spans.text_spans(spans.explode_spans(read_documents(d)))
+
+    def encode_points(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        doc_ids = np.asarray(b["doc_id"].to_pylist(), dtype=object)
+        pidx, x, y = wkt_parse_points(texts)
+        outs = []
+        for lvl in range(ADAPT_LMIN, ADAPT_LMAX + 1):
+            cells = grid.cell_encode(x, y, lvl)
+            outs.append(pa.table({
+                "cell_id": pa.array(cells, pa.int64()),
+                "doc_id": pa.array(list(doc_ids[pidx]), pa.string()),
+                "x": pa.array(x), "y": pa.array(y)}))
+        return pa.concat_tables(outs)
+
+    pcells = pts.map_batches(encode_points, batch_format="pyarrow",
+                             batch_size=8192)
+    joined = pcells.join(zcells, join_type="inner",
+                         num_partitions=join_partitions(), on=("cell_id",))
+
+    def contains(b: pa.Table) -> pa.Table:
+        x = np.asarray(b["x"]); y = np.asarray(b["y"])
+        full = np.asarray(b["is_full"])
+        hit = full | ((np.asarray(b["xmin"]) <= x) & (x < np.asarray(b["xmax"]))
+                      & (np.asarray(b["ymin"]) <= y) & (y < np.asarray(b["ymax"])))
+        return b.filter(pa.array(hit)).select(["doc_id", "zone_id"])
+
+    out = joined.map_batches(contains, batch_format="pyarrow").to_pandas()
+    out["zone_id"] = out["zone_id"].astype("int64")
+    return out.sort_values(["doc_id", "zone_id"]).reset_index(drop=True)
