@@ -543,16 +543,56 @@ def q_boilerplate(sf_dir: str) -> pd.DataFrame:
         p = pd.DataFrame({"d": d, "s": grams}).drop_duplicates()
         # Arrow block out: pandas blocks feeding a shuffle cost ~10x in
         # serialization (see ngram-jaccard lesson, commit bfbe665)
+        # explicit types: an EMPTY batch otherwise yields float64 doc_id
+        # (pandas empty-frame default) and schema-less blocks that crash the
+        # downstream hash join's Arrow kernel
         return pa.table({
-            "doc_id": pa.array(df["doc_id"].to_numpy()[p["d"].to_numpy()]),
+            "doc_id": pa.array(
+                df["doc_id"].to_numpy(dtype=np.int64, na_value=0)[p["d"].to_numpy()]
+                if len(df) else np.empty(0, np.int64), pa.int64()),
             "s": pa.array(p["s"].to_numpy(dtype=object), pa.string())})
 
+    # one task per storage block (batch_size=None): the gram explode is
+    # CPU-bound and embarrassingly parallel; a large batch_size would
+    # coalesce the read's blocks into a single task
     pair_ds = docs.map_batches(pairs, batch_format="pyarrow",
-                               batch_size=8192).materialize()
+                               batch_size=None).materialize()
     dfreq = pair_ds.groupby("s").aggregate(Count(alias_name="n"))
-    boiler = dfreq.filter(expr=f"n >= {BOILER_MIN_DOCS}")
-    hits = pair_ds.join(boiler, join_type="inner",
-                        num_partitions=join_partitions(), on=("s",))
+    # materialize the (gram-space-sized) boiler side: joining a LAZY
+    # aggregate while the join's other input pulls the same upstream makes
+    # the streaming executor interleave the two shuffles pathologically
+    # (118s vs 10s at sf0.1, measured)
+    def typed(b: pa.Table) -> pa.Table:
+        # zero-row blocks out of filter/aggregate can be SCHEMA-LESS, which
+        # the hash join's Arrow kernel rejects ("no match for key field");
+        # rebuild every block with the declared schema
+        if "s" not in b.column_names:
+            return pa.table({"s": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"s": b["s"].cast(pa.string()),
+                         "n": b["n"].cast(pa.int64())})
+
+    boiler = (dfreq.filter(expr=f"n >= {BOILER_MIN_DOCS}")
+              .map_batches(typed, batch_format="pyarrow").materialize())
+
+    nparts = join_partitions()
+    if boiler.count() < 64 * nparts:
+        # broadcast lowering for a small boiler set: one ray.put, map-side
+        # pc.is_in — also dodges Ray 2.49's empty-partition join crash (a
+        # hash partition with zero right-side rows builds a zero-column
+        # table that the Arrow join kernel rejects)
+        import ray as _ray
+
+        import pyarrow.compute as pc
+        bref = _ray.put(pa.array(boiler.to_pandas()["s"], pa.string()))
+
+        def mark(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b["s"], value_set=_ray.get(bref)))
+
+        hits = pair_ds.map_batches(mark, batch_format="pyarrow")
+    else:
+        hits = pair_ds.join(boiler, join_type="inner",
+                            num_partitions=nparts, on=("s",))
     out = (hits.groupby("doc_id").aggregate(Count(alias_name="n_boiler"))
            .to_pandas())
     out["n_boiler"] = out["n_boiler"].astype(np.int64)

@@ -634,7 +634,10 @@ def q_hll_distinct(sf_dir: str) -> pd.DataFrame:
                          "reg": pa.array(reg[nz].astype(np.int64))})
 
     from ray.data.aggregate import Max
-    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+    # batch_size=None: one task per storage block — the partial is 256 rows
+    # whatever the batch size, so smaller batches cost nothing downstream
+    # and keep every core busy (8192 would coalesce all blocks into ONE task)
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
            .groupby("bucket").aggregate(Max("reg", alias_name="reg"))
            .to_pandas())
     return out.sort_values("bucket").reset_index(drop=True)
