@@ -37,7 +37,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     returns a Dataset / pandas DataFrame / pyarrow Table. Name every
     computed/aggregate column so names match ``oracle_sql``.
     """
-    from raster_functions_ray import ann, bandmath, dedup, rasterqueries as rq
+    from raster_functions_ray import analytic, ann, bandmath, dedup
+    from raster_functions_ray import rasterqueries as rq
     from raster_functions_ray import relational as rel, spatial, synth, textops
     from raster_functions_ray import trainprep
 
@@ -46,6 +47,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     synth.synth_dir(0.01)
 
     return {
+        # SQL-exact raster gates over the closed-form analytic tile world
+        # (the rows-only pixel queries' exact complements — analytic.py)
+        "ndvi_exact": analytic.q_ndvi_exact,
+        "block_stats_exact": analytic.q_block_stats_exact,
+        "focal_tri_exact": analytic.q_focal_tri_exact,
+        "stack_sum_exact": analytic.q_stack_sum_exact,
+        "stack_second_max_exact": analytic.q_stack_second_max_exact,
         # relational (SURVEY.md §2 aggregate/join/filter/top-k shapes)
         "q1_pricing": rel.q1_pricing,
         "orders_by_segment": rel.q_orders_by_segment,
@@ -204,11 +212,17 @@ def oracle_sql() -> dict[str, str]:
     embeddings). Omit for non-SQL-expressible ops → driver records a
     weaker rows-only check.
     """
-    from raster_functions_ray import ann, bandmath, dedup, rasterqueries as rq
+    from raster_functions_ray import analytic, ann, bandmath, dedup
+    from raster_functions_ray import rasterqueries as rq
     from raster_functions_ray import relational as rel, spatial, textops
     from raster_functions_ray import trainprep
 
     return {
+        "ndvi_exact": analytic.ndvi_exact_oracle_sql(0.01),
+        "block_stats_exact": analytic.block_stats_exact_oracle_sql(0.01),
+        "focal_tri_exact": analytic.focal_tri_exact_oracle_sql(0.01),
+        "stack_sum_exact": analytic.stack_sum_exact_oracle_sql(0.01),
+        "stack_second_max_exact": analytic.stack_second_max_exact_oracle_sql(0.01),
         "q1_pricing": rel.Q1_SQL,
         "orders_by_segment": rel.Q_ORDERS_BY_SEGMENT_SQL,
         "top_parts": rel.Q_TOP_PARTS_SQL,

@@ -192,6 +192,74 @@ def build_tiles(p: SynthParams) -> pa.Table:
 
 # ------------------------------------------------------------- documents ----
 
+# ----------------------------------------------------- analytic tiles ----
+#
+# A second, CLOSED-FORM tile world for SQL-exact raster gates: every pixel
+# is an integer-valued affine function of (scene, epoch, row, col) that a
+# DuckDB oracle recomputes verbatim via generate_series.  Integer values in
+# f8 make every min/max/count — and sums below 2^53 — bit-exact regardless
+# of summation order, which is what upgrades pixel-stat queries from
+# rows-only to value-hash parity (noise-bearing tiles.parquet cannot be
+# reproduced in SQL).  scene_id = s*10 + epoch, s ∈ [0, A_SCENES),
+# epoch ∈ [0, A_EPOCHS); the epoch term uses the permutation (2e) mod 3 so
+# epoch ORDER is not value order (FindSecondMax is a real selection).
+
+A_SCENES = 2
+A_EPOCHS = 3
+
+
+def analytic_band0(s, e, gr, gc):
+    """Band 0 ("dem"/red): integer affine surface; np-broadcastable."""
+    return (100.0 + 10.0 * s) + (2.0 + s) * gc + (1.0 + s) * gr \
+        + (3.0 + 2.0 * s) * ((2 * e) % 3)
+
+
+def analytic_band1(s, e, gr, gc):
+    """Band 1 ("ir")."""
+    return (300.0 + 20.0 * s) + (5.0 + s) * gr + 2.0 * gc + 7.0 * ((2 * e) % 3)
+
+
+def build_analytic(p: SynthParams) -> pa.Table:
+    rows: dict[str, list] = {name: [] for name in TILE_SCHEMA.names}
+    n = p.tiles_per_side * p.tile_px
+    gr, gc = np.meshgrid(np.arange(n, dtype=np.float64),
+                         np.arange(n, dtype=np.float64), indexing="ij")
+    ones = np.ones((p.tile_px, p.tile_px), np.uint8).tobytes()
+    for s in range(A_SCENES):
+        for e in range(A_EPOCHS):
+            sid = s * 10 + e
+            arr = np.stack([analytic_band0(s, e, gr, gc),
+                            analytic_band1(s, e, gr, gc)])
+            acq = (np.datetime64("1990-01-01T00:00:00", "us")
+                   + np.timedelta64(e, "D"))
+            for ty in range(p.tiles_per_side):
+                for tx in range(p.tiles_per_side):
+                    t0x, t0y = tx * p.tile_px, ty * p.tile_px
+                    tile = arr[:, t0y:t0y + p.tile_px, t0x:t0x + p.tile_px]
+                    xmin = s * p.scene_span + tx * p.tile_px * CELL_SIZE_M
+                    ymin = ty * p.tile_px * CELL_SIZE_M
+                    rows["tile_id"].append(f"a{sid:03d}_{tx:03d}_{ty:03d}")
+                    rows["scene_id"].append(sid)
+                    rows["tx"].append(s * p.tiles_per_side + tx)
+                    rows["ty"].append(ty)
+                    rows["width"].append(p.tile_px)
+                    rows["height"].append(p.tile_px)
+                    rows["band_count"].append(2)
+                    rows["pixel_type"].append("f8")
+                    rows["pixels"].append(np.ascontiguousarray(tile).tobytes())
+                    rows["mask"].append(ones)
+                    rows["extent"].append(
+                        [xmin, ymin, xmin + p.tile_px * CELL_SIZE_M,
+                         ymin + p.tile_px * CELL_SIZE_M])
+                    rows["cell_size"].append([CELL_SIZE_M, CELL_SIZE_M])
+                    rows["srid"].append(3857)
+                    rows["nodata"].append(0.0)
+                    rows["acq_ts"].append(acq.astype("datetime64[us]").item())
+                    rows["sun_azimuth"].append(180.0)
+                    rows["sun_elevation"].append(45.0)
+    return pa.Table.from_pydict(rows, schema=TILE_SCHEMA)
+
+
 def build_documents(p: SynthParams, tile_ids: list[str]) -> pa.Table:
     rng = np.random.default_rng(SEED)
     n_tiles = len(tile_ids)
@@ -294,7 +362,7 @@ def synth_dir(sf: float) -> str:
     import uuid
 
     p = params_for(sf)
-    d = os.path.join(CACHE_ROOT, f"v5_sf{p.sf}")  # v5: bbox from rounded verts
+    d = os.path.join(CACHE_ROOT, f"v6_sf{p.sf}")  # v6: + analytic tile world
     marker = os.path.join(d, "_DONE")
     if os.path.exists(marker):
         return d
@@ -306,6 +374,8 @@ def synth_dir(sf: float) -> str:
     docs = build_documents(p, tiles["tile_id"].to_pylist())
     pq.write_table(docs, os.path.join(tmp, "documents.parquet"), row_group_size=4096)
     pq.write_table(build_zones(p), os.path.join(tmp, "zones.parquet"))
+    pq.write_table(build_analytic(p), os.path.join(tmp, "analytic.parquet"),
+                   row_group_size=4 * p.tiles_per_side)
     pq.write_table(build_training(), os.path.join(tmp, "training.parquet"))
     from .stages.media import synth_media
     pq.write_table(synth_media(n=max(64, int(2560 * p.sf))),

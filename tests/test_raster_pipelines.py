@@ -177,3 +177,72 @@ def test_zonal_remap_counts_runs(synth_sf001):
     assert len(out) > 0
     px_per_tile = out.groupby("tile_id")["n_px"].sum()
     assert (px_per_tile == 32 * 32).all()  # partition of every DEM tile
+
+
+class TestAnalyticExactGates:
+    """The closed-form analytic world (synth.build_analytic) and its
+    SQL-exact queries (analytic.py)."""
+
+    def test_bands_integer_valued(self):
+        from raster_functions_ray.synth import analytic_band0, analytic_band1
+        gr, gc = np.meshgrid(np.arange(128.0), np.arange(128.0), indexing="ij")
+        for s in range(2):
+            for e in range(3):
+                for f in (analytic_band0, analytic_band1):
+                    v = f(s, e, gr, gc)
+                    assert (v == np.round(v)).all() and v.max() < 2**40
+
+    def test_ndvi_exact_matches_brute(self):
+        from raster_functions_ray import analytic as an
+        from raster_functions_ray.synth import (analytic_band0, analytic_band1,
+                                                params_for)
+        got = an.q_ndvi_exact("/root/testdata/sf0.001")
+        p = params_for(0.001)
+        n = p.tiles_per_side * p.tile_px
+        gr, gc = np.meshgrid(np.arange(float(n)), np.arange(float(n)),
+                             indexing="ij")
+        for s in range(2):
+            red = analytic_band0(s, 0, gr, gc)
+            ir = analytic_band1(s, 0, gr, gc)
+            nd = (ir - red) / (ir + red)
+            for ty in range(p.tiles_per_side):
+                for tx in range(p.tiles_per_side):
+                    t = nd[ty * p.tile_px:(ty + 1) * p.tile_px,
+                           tx * p.tile_px:(tx + 1) * p.tile_px]
+                    row = got[got.tile_id == f"a{s*10:03d}_{tx:03d}_{ty:03d}"]
+                    assert len(row) == 1
+                    assert row.ndvi_min.iloc[0] == t.min()
+                    assert row.ndvi_max.iloc[0] == t.max()
+                    assert row.n_above.iloc[0] == int((t > an.NDVI_THRESH).sum())
+
+    def test_focal_tri_halo_equals_whole_scene(self):
+        # the engine's tile-wise halo path must equal one whole-scene pad
+        from raster_functions_ray import analytic as an
+        from raster_functions_ray.functions import focal as fc
+        from raster_functions_ray.synth import analytic_band0, params_for
+        got = an.q_focal_tri_exact("/root/testdata/sf0.001")
+        p = params_for(0.001)
+        n = p.tiles_per_side * p.tile_px
+        gr, gc = np.meshgrid(np.arange(float(n)), np.arange(float(n)),
+                             indexing="ij")
+        for s in range(2):
+            band = analytic_band0(s, 0, gr, gc)
+            padded = np.pad(band, 1, mode="edge")
+            fmin = fc.focal_min(padded, 3)
+            fmax = fc.focal_max(padded, 3)
+            tri = np.sqrt(np.abs(fmax * fmax - fmin * fmin))
+            for ty in range(p.tiles_per_side):
+                for tx in range(p.tiles_per_side):
+                    t = tri[ty * p.tile_px:(ty + 1) * p.tile_px,
+                            tx * p.tile_px:(tx + 1) * p.tile_px]
+                    row = got[got.tile_id == f"a{s*10:03d}_{tx:03d}_{ty:03d}"]
+                    assert row.tri_min.iloc[0] == t.min()
+                    assert row.tri_max.iloc[0] == t.max()
+
+    def test_second_max_is_permutation_not_last_epoch(self):
+        # epoch values are base + c*{0,2,1}: second max = epoch 2's value
+        from raster_functions_ray.functions import stack as st
+        base = np.full((2, 2), 10.0)
+        stack = np.stack([base + 0.0, base + 2.0, base + 1.0])
+        out = st.find_kth_max(stack, k=2, invalid_above=1e15)
+        np.testing.assert_array_equal(out, base + 1.0)
