@@ -315,3 +315,52 @@ v AS (
 SELECT tile_id, MIN(sv) AS s_min, MAX(sv) AS s_max
 FROM v GROUP BY tile_id ORDER BY tile_id
 """
+
+
+# ------------------------------------------------------------------ Remap
+
+REMAP_RANGES = (0.0, 500.0, 500.0, 1500.0, 1500.0, 3000.0, 3000.0, 1e9)
+REMAP_OUT = (1.0, 2.0, 3.0, 4.0)
+
+
+def q_remap_exact(sf_dir: str) -> pd.DataFrame:
+    """RemapFunction interval LUT (§2.5) over analytic band 0: per-tile
+    class histogram — pure integer comparisons and counts, so the CASE
+    chain in SQL reproduces every cell."""
+    from .functions import remap as rm
+    from .stages import tile_map
+
+    tiles = _read_analytic(sf_dir, epoch=0)
+
+    def kernel(p, m, meta):
+        return rm.remap(p[0], REMAP_RANGES, REMAP_OUT), m
+
+    out = tile_map.apply_kernel(tiles, kernel, out_pixel_type="f8")
+
+    def finish(b: pa.Table) -> pa.Table:
+        ids, cls, cnt = [], [], []
+        for i in range(b.num_rows):
+            arr = tilecodec.decode(b["pixels"][i].as_buffer(), "f8", 1,
+                                   b["height"][i].as_py(), b["width"][i].as_py())
+            v, c = np.unique(arr, return_counts=True)
+            ids += [b["tile_id"][i].as_py()] * v.size
+            cls += [int(x) for x in v]
+            cnt += [int(x) for x in c]
+        return pa.table({"tile_id": pa.array(ids, pa.string()),
+                         "class": pa.array(cls, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    df = out.map_batches(finish, batch_format="pyarrow", batch_size=32).to_pandas()
+    return df.sort_values(["tile_id", "class"]).reset_index(drop=True)
+
+
+def remap_exact_oracle_sql(sf: float = 0.01) -> str:
+    pairs = list(zip(REMAP_RANGES[0::2], REMAP_RANGES[1::2], REMAP_OUT))
+    case = "CASE " + " ".join(
+        f"WHEN {_B0} >= {lo} AND {_B0} < {hi} THEN {int(out)}"
+        for lo, hi, out in pairs) + " END"
+    return f"""
+WITH {_px_cte(sf, "scene_id % 10 = 0")}
+SELECT tile_id, {case} AS class, CAST(COUNT(*) AS BIGINT) AS n
+FROM px GROUP BY tile_id, class ORDER BY tile_id, class
+"""

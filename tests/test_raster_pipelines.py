@@ -246,3 +246,10 @@ class TestAnalyticExactGates:
         stack = np.stack([base + 0.0, base + 2.0, base + 1.0])
         out = st.find_kth_max(stack, k=2, invalid_above=1e15)
         np.testing.assert_array_equal(out, base + 1.0)
+
+    def test_remap_exact_classes_partition_tile(self):
+        from raster_functions_ray import analytic as an
+        got = an.q_remap_exact("/root/testdata/sf0.001")
+        per_tile = got.groupby("tile_id")["n"].sum()
+        assert (per_tile == 32 * 32).all()  # every pixel classified exactly once
+        assert set(got["class"]).issubset({1, 2, 3, 4})
