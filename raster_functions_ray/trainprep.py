@@ -45,12 +45,17 @@ def connected_components(edges: rd.Dataset, max_iters: int = 100,
     witness; iteration count is bounded by the component diameter (near-dup
     clusters are shallow — single digits in practice).
     """
-    nparts = num_partitions or join_partitions()
     sym = edges.map_batches(
         lambda b: pa.table({
             "src": pa.concat_arrays([b["u"].combine_chunks(), b["v"].combine_chunks()]),
             "dst": pa.concat_arrays([b["v"].combine_chunks(), b["u"].combine_chunks()]),
         }), batch_format="pyarrow").materialize()
+    # clamp partitions so every hash partition sees rows on both join sides:
+    # Ray 2.49 builds a ZERO-COLUMN table for a partition that received no
+    # shards and the Arrow join kernel rejects it ("no match for key field")
+    # — a 1-edge graph with 2 partitions crashes without this
+    nparts = max(1, min(num_partitions or join_partitions(),
+                        sym.count() // 64))
     labels = (sym.select_columns(["src"])
               .groupby("src").aggregate(Min("src", alias_name="label"))
               .map_batches(lambda b: b.rename_columns(["node", "label"]),

@@ -282,3 +282,16 @@ class TestHllBoilerplate:
             "c -> CAST(unicode(c) AS BIGINT)), (a,b) -> (a*31+b) % 4294967296)",
             [s]).fetchone()[0] for s in strs]
         np.testing.assert_array_equal(got.astype(np.int64), np.asarray(want))
+
+
+class TestTinyGraphCC:
+    def test_single_edge_graph(self):
+        # regression: Ray 2.49 hash-join crashes when a partition receives
+        # zero rows on one side; connected_components must clamp partitions
+        import pyarrow as pa
+        import ray.data as rd
+        edges = rd.from_arrow(pa.table({"u": pa.array([5], pa.int64()),
+                                        "v": pa.array([9], pa.int64())}))
+        out = tp.connected_components(edges, num_partitions=2)
+        assert out.to_dict("records") == [
+            {"node": 5, "label": 5}, {"node": 9, "label": 5}]
