@@ -39,7 +39,6 @@ import pyarrow as pa
 import ray.data as rd
 
 from . import synth, tilecodec
-from .synth import analytic_band0, analytic_band1
 
 NDVI_THRESH = 0.2
 TRI_THRESH = 8.0
@@ -103,14 +102,22 @@ t AS (
 )"""
 
 
-_B0 = ("((100.0 + 10.0*s) + (2.0 + s)*gc + (1.0 + s)*gr"
-       " + (3.0 + 2.0*s)*((2*e) % 3))")
-_B1 = "((300.0 + 20.0*s) + (5.0 + s)*gr + 2.0*gc + 7.0*((2*e) % 3))"
+def _b0_sql(s="s", e="e", gr="gr", gc="gc") -> str:
+    """SQL text of synth.analytic_band0 with pluggable coordinate
+    expressions (an f-string builder, NOT textual substitution — arbitrary
+    sub-expressions cannot corrupt the formula)."""
+    return (f"((100.0 + 10.0*({s})) + (2.0 + ({s}))*({gc})"
+            f" + (1.0 + ({s}))*({gr}) + (3.0 + 2.0*({s}))*((2*({e})) % 3))")
 
 
-def _b0_at(s_expr: str, e_expr: str, gr_expr: str, gc_expr: str) -> str:
-    return (_B0.replace("gr", f"({gr_expr})").replace("gc", f"({gc_expr})")
-            .replace("s)", f"{s_expr})").replace("2*e", f"2*({e_expr})"))
+def _b1_sql(s="s", e="e", gr="gr", gc="gc") -> str:
+    """SQL text of synth.analytic_band1."""
+    return (f"((300.0 + 20.0*({s})) + (5.0 + ({s}))*({gr})"
+            f" + 2.0*({gc}) + 7.0*((2*({e})) % 3))")
+
+
+_B0 = _b0_sql()
+_B1 = _b1_sql()
 
 
 # ------------------------------------------------------------------ NDVI
@@ -196,17 +203,11 @@ def q_focal_tri_exact(sf_dir: str) -> pd.DataFrame:
     from .functions import focal as fc
     from .stages import halo, tile_map
 
-    padded = halo.with_halo_from_parquet(_analytic_path(sf_dir), padding=1,
-                                         bands=2)
-    # analytic.parquet carries 3 epochs; keep epoch 0 only (Arrow-level
-    # filter: the binary pixel payloads are sliced, never decoded)
-    import pyarrow.compute as pc
-    epoch0 = pa.array([s * 10 for s in range(synth.A_SCENES)], pa.int32())
-
-    def keep0(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_in(b["scene_id"], value_set=epoch0))
-
-    padded = padded.map_batches(keep0, batch_format="pyarrow")
+    # pad ONLY the epoch-0 scenes — a post-hoc filter would decode, pad
+    # and ship all 3 epochs through the object store first
+    padded = halo.with_halo_from_parquet(
+        _analytic_path(sf_dir), padding=1, bands=2,
+        scene_ids=[s * 10 for s in range(synth.A_SCENES)])
 
     def kernel(p, m, meta):
         band = p[0] if p.ndim == 3 else p
@@ -230,7 +231,7 @@ def focal_tri_exact_oracle_sql(sf: float = 0.01) -> str:
     n = p.tiles_per_side * p.tile_px
     clamp = lambda ex: f"GREATEST(0, LEAST({n - 1}, {ex}))"  # noqa: E731
     nine = [
-        _b0_at("s", "e", clamp(f"gr + {dr}"), clamp(f"gc + {dc}"))
+        _b0_sql(gr=clamp(f"gr + {dr}"), gc=clamp(f"gc + {dc}"))
         for dr in (-1, 0, 1) for dc in (-1, 0, 1)
     ]
     fmin = "LEAST(" + ", ".join(nine) + ")"

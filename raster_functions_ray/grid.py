@@ -110,10 +110,13 @@ def adaptive_covering(bboxes: np.ndarray, level_min: int = 3,
     n0 = float(2**level_min)
     seeds_z, seeds_ix, seeds_iy = [], [], []
     for i, (xmin, ymin, xmax, ymax) in enumerate(bboxes):
-        ix0 = int(np.floor(xmin / 360.0 * n0))
-        ix1 = int(np.floor(xmax / 360.0 * n0))
-        iy0 = int(np.floor((ymin + 90.0) / 180.0 * n0))
-        iy1 = int(np.floor((ymax + 90.0) / 180.0 * n0))
+        # clamp into the 2^L grid (like covering()/cell_encode): a bbox
+        # touching lat 90 or lon 360 must not seed out-of-grid phantom cells
+        hi = int(n0) - 1
+        ix0 = max(0, min(hi, int(np.floor(xmin / 360.0 * n0))))
+        ix1 = max(0, min(hi, int(np.floor(xmax / 360.0 * n0))))
+        iy0 = max(0, min(hi, int(np.floor((ymin + 90.0) / 180.0 * n0))))
+        iy1 = max(0, min(hi, int(np.floor((ymax + 90.0) / 180.0 * n0))))
         gx, gy = np.meshgrid(np.arange(ix0, ix1 + 1, dtype=np.int64),
                              np.arange(iy0, iy1 + 1, dtype=np.int64),
                              indexing="ij")

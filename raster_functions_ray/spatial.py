@@ -686,11 +686,11 @@ WITH RECURSIVE z AS (
   SELECT zone_id, {ADAPT_LMIN} AS level, gx.ix, gy.iy, xmin, ymin, xmax, ymax
   FROM z,
        LATERAL (SELECT unnest(generate_series(
-           CAST(FLOOR(xmin / 360.0 * {n0}) AS BIGINT),
-           CAST(FLOOR(xmax / 360.0 * {n0}) AS BIGINT))) AS ix) gx,
+           GREATEST(0, LEAST({int(n0) - 1}, CAST(FLOOR(xmin / 360.0 * {n0}) AS BIGINT))),
+           GREATEST(0, LEAST({int(n0) - 1}, CAST(FLOOR(xmax / 360.0 * {n0}) AS BIGINT))))) AS ix) gx,
        LATERAL (SELECT unnest(generate_series(
-           CAST(FLOOR((ymin + 90.0) / 180.0 * {n0}) AS BIGINT),
-           CAST(FLOOR((ymax + 90.0) / 180.0 * {n0}) AS BIGINT))) AS iy) gy
+           GREATEST(0, LEAST({int(n0) - 1}, CAST(FLOOR((ymin + 90.0) / 180.0 * {n0}) AS BIGINT))),
+           GREATEST(0, LEAST({int(n0) - 1}, CAST(FLOOR((ymax + 90.0) / 180.0 * {n0}) AS BIGINT))))) AS iy) gy
 ), walk AS (
   SELECT * FROM seed
   UNION ALL

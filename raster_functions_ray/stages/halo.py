@@ -267,18 +267,26 @@ def _pad_scene_from_parquet(path: str, scene_id: int, padding: int,
 
 
 def with_halo_from_parquet(tiles_path: str, padding: int = 1, bands: int | None = None,
-                           chunks_per_scene: int = 4) -> rd.Dataset:
+                           chunks_per_scene: int = 4,
+                           scene_ids: list[int] | None = None) -> rd.Dataset:
     """Zero-shuffle halo: per-scene pruned parquet reads in parallel Ray
     tasks → padded-tile Dataset via from_arrow_refs (chunks never touch the
     driver).  Output identical to with_halo() (gate:
-    tests/test_raster_pipelines.py)."""
+    tests/test_raster_pipelines.py).
+
+    ``scene_ids`` restricts padding to those scenes — dropped scenes'
+    pixels are never read, decoded or padded (a post-hoc Dataset filter
+    would pay the full halo cost first)."""
     import ray
     import pyarrow.parquet as pq
 
     meta = pq.read_table(tiles_path, columns=["scene_id", "band_count"])
     pairs = {(int(s), int(b)) for s, b in zip(meta["scene_id"].to_pylist(),
                                               meta["band_count"].to_pylist())}
-    scene_ids = sorted(s for s, b in pairs if bands is None or b == bands)
+    want = None if scene_ids is None else set(scene_ids)
+    scene_ids = sorted(s for s, b in pairs
+                       if (bands is None or b == bands)
+                       and (want is None or s in want))
     task = ray.remote(num_returns=chunks_per_scene)(_pad_scene_from_parquet)
     refs: list = []
     for sid in scene_ids:

@@ -490,10 +490,16 @@ def q_decontaminate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def gram_sql(w: int) -> str:
+    """SQL word-w-gram expression over a token list ``l`` at offset ``u`` —
+    the one mirror of _word_ngrams_flat's gram format (space-joined
+    consecutive tokens); every oracle that shingles uses this."""
+    return " || ' ' || ".join(
+        f"list_extract(l, CAST(u AS INT) + {j})" for j in range(w))
+
+
 def _decon_gram_sql() -> str:
-    parts = " || ' ' || ".join(
-        f"list_extract(l, CAST(u AS INT) + {j})" for j in range(DECON_W))
-    return parts
+    return gram_sql(DECON_W)
 
 
 Q_DECONTAMINATE_SQL = f"""
@@ -582,8 +588,6 @@ def q_boilerplate(sf_dir: str) -> pd.DataFrame:
         # hash partition with zero right-side rows builds a zero-column
         # table that the Arrow join kernel rejects)
         import ray as _ray
-
-        import pyarrow.compute as pc
         bref = _ray.put(pa.array(boiler.to_pandas()["s"], pa.string()))
 
         def mark(b: pa.Table) -> pa.Table:
@@ -600,8 +604,7 @@ def q_boilerplate(sf_dir: str) -> pd.DataFrame:
 
 
 def _boiler_gram_sql() -> str:
-    return " || ' ' || ".join(
-        f"list_extract(l, CAST(u AS INT) + {j})" for j in range(BOILER_W))
+    return gram_sql(BOILER_W)
 
 
 Q_BOILERPLATE_SQL = f"""

@@ -50,16 +50,17 @@ def connected_components(edges: rd.Dataset, max_iters: int = 100,
             "src": pa.concat_arrays([b["u"].combine_chunks(), b["v"].combine_chunks()]),
             "dst": pa.concat_arrays([b["v"].combine_chunks(), b["u"].combine_chunks()]),
         }), batch_format="pyarrow").materialize()
-    # clamp partitions so every hash partition sees rows on both join sides:
-    # Ray 2.49 builds a ZERO-COLUMN table for a partition that received no
-    # shards and the Arrow join kernel rejects it ("no match for key field")
-    # — a 1-edge graph with 2 partitions crashes without this
-    nparts = max(1, min(num_partitions or join_partitions(),
-                        sym.count() // 64))
     labels = (sym.select_columns(["src"])
               .groupby("src").aggregate(Min("src", alias_name="label"))
               .map_batches(lambda b: b.rename_columns(["node", "label"]),
                            batch_format="pyarrow")).materialize()
+    # clamp partitions so every hash partition sees rows on both join sides:
+    # Ray 2.49 builds a ZERO-COLUMN table for a partition that received no
+    # shards and the Arrow join kernel rejects it ("no match for key field").
+    # The clamp must count DISTINCT KEYS (nodes), not rows — a dense cluster
+    # has many rows but few keys, and only keys populate partitions
+    nparts = max(1, min(num_partitions or join_partitions(),
+                        labels.count() // 64))
     prev_sum = None
     for _ in range(max_iters):
         as_src = labels.map_batches(lambda b: b.rename_columns(["src", "label"]),
@@ -500,8 +501,8 @@ def q_doc_repetition(sf_dir: str) -> pd.DataFrame:
 
 
 def _rep_gram_sql() -> str:
-    return " || ' ' || ".join(
-        f"list_extract(l, CAST(u AS INT) + {j})" for j in range(REP_W))
+    from .textops import gram_sql
+    return gram_sql(REP_W)
 
 
 Q_DOC_REPETITION_SQL = f"""
@@ -649,8 +650,8 @@ def q_hll_distinct(sf_dir: str) -> pd.DataFrame:
 
 
 def _hll_gram_sql() -> str:
-    return " || ' ' || ".join(
-        f"list_extract(l, CAST(u AS INT) + {j})" for j in range(HLL_GRAM_W))
+    from .textops import gram_sql
+    return gram_sql(HLL_GRAM_W)
 
 
 Q_HLL_DISTINCT_SQL = f"""

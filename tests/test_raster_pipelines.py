@@ -253,3 +253,38 @@ class TestAnalyticExactGates:
         per_tile = got.groupby("tile_id")["n"].sum()
         assert (per_tile == 32 * 32).all()  # every pixel classified exactly once
         assert set(got["class"]).issubset({1, 2, 3, 4})
+
+    def test_sql_formula_matches_python(self):
+        # _b0_sql/_b1_sql must stay in sync with synth.analytic_band0/1 —
+        # evaluate both on a grid of (s, e, gr, gc) and compare exactly
+        import duckdb
+        from raster_functions_ray import analytic as an
+        from raster_functions_ray.synth import analytic_band0, analytic_band1
+        con = duckdb.connect()
+        q = f"""
+        SELECT s, e, gr, gc, {an._b0_sql()} AS b0, {an._b1_sql()} AS b1
+        FROM (SELECT unnest(generate_series(0, 1)) AS s),
+             (SELECT unnest(generate_series(0, 2)) AS e),
+             (SELECT unnest(generate_series(0, 40, 7)) AS gr),
+             (SELECT unnest(generate_series(0, 40, 7)) AS gc)
+        """
+        df = con.execute(q).df()
+        want0 = analytic_band0(df.s.to_numpy(), df.e.to_numpy(),
+                               df.gr.to_numpy(float), df.gc.to_numpy(float))
+        want1 = analytic_band1(df.s.to_numpy(), df.e.to_numpy(),
+                               df.gr.to_numpy(float), df.gc.to_numpy(float))
+        np.testing.assert_array_equal(df.b0.to_numpy(), want0)
+        np.testing.assert_array_equal(df.b1.to_numpy(), want1)
+
+    def test_adaptive_covering_clamps_world_edges(self):
+        from raster_functions_ray.grid import adaptive_covering
+        z, lv, ix, iy, full = adaptive_covering(
+            np.asarray([[0.0, -90.0, 360.0, 90.0]]), 3, 4)
+        n3, n4 = 2**3, 2**4
+        m3, m4 = lv == 3, lv == 4
+        assert ix[m3].max() < n3 and iy[m3].max() < n3
+        assert (ix >= 0).all() and (iy >= 0).all()
+        if m4.any():
+            assert ix[m4].max() < n4 and iy[m4].max() < n4
+        # whole world at level 3: all 64 cells full
+        assert full[m3].all() and m3.sum() == 64
