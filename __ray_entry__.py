@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stack_sum_exact": analytic.q_stack_sum_exact,
         "stack_second_max_exact": analytic.q_stack_second_max_exact,
         "remap_exact": analytic.q_remap_exact,
+        "stretch_exact": analytic.q_stretch_exact,
+        "qa_exact": analytic.q_qa_exact,
         # relational (SURVEY.md §2 aggregate/join/filter/top-k shapes)
         "q1_pricing": rel.q1_pricing,
         "orders_by_segment": rel.q_orders_by_segment,
@@ -225,6 +227,8 @@ def oracle_sql() -> dict[str, str]:
         "stack_sum_exact": analytic.stack_sum_exact_oracle_sql(0.01),
         "stack_second_max_exact": analytic.stack_second_max_exact_oracle_sql(0.01),
         "remap_exact": analytic.remap_exact_oracle_sql(0.01),
+        "stretch_exact": analytic.stretch_exact_oracle_sql(0.01),
+        "qa_exact": analytic.qa_exact_oracle_sql(0.01),
         "q1_pricing": rel.Q1_SQL,
         "orders_by_segment": rel.Q_ORDERS_BY_SEGMENT_SQL,
         "top_parts": rel.Q_TOP_PARTS_SQL,

@@ -365,3 +365,88 @@ WITH {_px_cte(sf, "scene_id % 10 = 0")}
 SELECT tile_id, {case} AS class, CAST(COUNT(*) AS BIGINT) AS n
 FROM px GROUP BY tile_id, class ORDER BY tile_id, class
 """
+
+
+# ---------------------------------------------------------------- Stretch
+
+STRETCH_IN = (100.0, 3000.0)
+
+
+def q_stretch_exact(sf_dir: str) -> pd.DataFrame:
+    """StretchFunction min-max (§2.5) over analytic band 0 — every op in
+    the kernel ((v-lo)/(hi-lo), clip, ×255) is correctly-rounded IEEE, so
+    DuckDB reproduces each double exactly."""
+    from .functions import remap as rm
+    from .stages import tile_map
+
+    tiles = _read_analytic(sf_dir, epoch=0)
+    lo, hi = STRETCH_IN
+
+    def kernel(p, m, meta):
+        return rm.stretch_minmax(p[0], lo, hi), m
+
+    out = tile_map.apply_kernel(tiles, kernel, out_pixel_type="f8")
+
+    def stats(a):
+        return (float(a.min()), float(a.max()), int((a > 128.0).sum()))
+
+    return _exact_stats(out, stats, [("s_min", pa.float64()),
+                                     ("s_max", pa.float64()),
+                                     ("n_above", pa.int64())])
+
+
+def stretch_exact_oracle_sql(sf: float = 0.01) -> str:
+    lo, hi = STRETCH_IN
+    sv = (f"LEAST(GREATEST(({_B0} - {lo}) / ({hi} - {lo}), 0.0), 1.0)"
+          f" * (255.0 - 0.0) + 0.0")
+    return f"""
+WITH {_px_cte(sf, "scene_id % 10 = 0")}
+SELECT tile_id, MIN({sv}) AS s_min, MAX({sv}) AS s_max,
+       CAST(COUNT(*) FILTER ({sv} > 128.0) AS BIGINT) AS n_above
+FROM px GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+# ------------------------------------------------------------ LandsatC2QA
+
+QA_FLAGS = {"cloud": True, "shadow": True}  # bits 3 and 4 → mask 0b11000
+
+
+def q_qa_exact(sf_dir: str) -> pd.DataFrame:
+    """LandsatC2QA bitwise decode (functions/LandsatC2QA.py:109-127) over
+    analytic band 0 truncated to integer DNs — pure integer & — per-tile
+    flagged-pixel count."""
+    from .functions import pointwise as pw
+    from .stages import tile_map
+
+    tiles = _read_analytic(sf_dir, epoch=0)
+
+    def kernel(p, m, meta):
+        # band0 values are EXACT integers, so numpy's truncating astype and
+        # the oracle's round-half-even CAST(double AS BIGINT) agree; a
+        # fractional-valued formula would break this parity
+        qa = p[0].astype(np.uint16)
+        return pw.landsat_c2_qa(qa, **QA_FLAGS).astype(np.float64), m
+
+    out = tile_map.apply_kernel(tiles, kernel, out_pixel_type="f8")
+
+    def stats(a):
+        return (int(a.sum()),)
+
+    return _exact_stats(out, stats, [("n_flagged", pa.int64())])
+
+
+def qa_exact_oracle_sql(sf: float = 0.01) -> str:
+    from .functions.pointwise import QA_BIT_INDEX
+
+    mask = 0
+    for name, on in QA_FLAGS.items():
+        if on:
+            mask |= 1 << QA_BIT_INDEX[name]
+    return f"""
+WITH {_px_cte(sf, "scene_id % 10 = 0")}
+SELECT tile_id,
+       CAST(COUNT(*) FILTER ((CAST({_B0} AS BIGINT) & {mask}) <> 0)
+            AS BIGINT) AS n_flagged
+FROM px GROUP BY tile_id ORDER BY tile_id
+"""

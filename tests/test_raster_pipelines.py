@@ -288,3 +288,10 @@ class TestAnalyticExactGates:
             assert ix[m4].max() < n4 and iy[m4].max() < n4
         # whole world at level 3: all 64 cells full
         assert full[m3].all() and m3.sum() == 64
+
+    def test_stretch_and_qa_exact_sane(self):
+        from raster_functions_ray import analytic as an
+        st = an.q_stretch_exact("/root/testdata/sf0.001")
+        assert (st.s_min >= 0).all() and (st.s_max <= 255).all()
+        qa = an.q_qa_exact("/root/testdata/sf0.001")
+        assert (qa.n_flagged >= 0).all() and (qa.n_flagged <= 32 * 32).all()
