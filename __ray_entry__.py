@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ordered-window / as-of operators + metadata ops
         "sessionize": rel.q_sessionize,
         "running_totals": rel.q_running_totals,
+        "window_moving_max": rel.q_window_moving_max,
         "asof_join": rel.q_asof_join,
         "tile_catalog": rq.q_tile_catalog,
         "key_metadata": rq.q_key_metadata,
@@ -256,6 +257,7 @@ def oracle_sql() -> dict[str, str]:
         "span_kinds": rq.span_kinds_oracle_sql(0.01),
         "sessionize": rel.Q_SESSIONIZE_SQL,
         "running_totals": rel.Q_RUNNING_TOTALS_SQL,
+        "window_moving_max": rel.Q_WINDOW_MOVING_MAX_SQL,
         "asof_join": rel.Q_ASOF_JOIN_SQL,
         "tile_catalog": rq.tile_catalog_oracle_sql(0.01),
         "key_metadata": rq.key_metadata_oracle_sql(0.01),

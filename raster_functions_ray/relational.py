@@ -822,3 +822,49 @@ UNION ALL SELECT CAST(0.9 AS DOUBLE), p90 FROM agg
 UNION ALL SELECT CAST(0.99 AS DOUBLE), p99 FROM agg
 ORDER BY q
 """
+
+
+# ---------------------------------------------------- sliding-window max
+
+MOVWIN = 4  # current row + 3 preceding
+
+
+def q_window_moving_max(sf_dir: str) -> pd.DataFrame:
+    """Bounded window frame (ROWS BETWEEN {MOVWIN-1} PRECEDING AND CURRENT
+    ROW): per-user sliding maximum over the time-ordered event stream —
+    the frame-window complement of the UNBOUNDED running totals, and the
+    kernel shape of every streaming sliding-window aggregate.  MAX is
+    order-independent over doubles, so the gate is value-exact with no
+    rounding discipline.
+
+    Vectorized: per ordered group, np.maximum.accumulate covers the first
+    {MOVWIN-1} partial frames and one sliding_window_view max the rest —
+    no per-row Python."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def movmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        v = g["value"].to_numpy(np.float64)
+        out = np.empty_like(v)
+        head = min(MOVWIN - 1, v.size)
+        out[:head] = np.maximum.accumulate(v[:head])
+        if v.size >= MOVWIN:
+            win = np.lib.stride_tricks.sliding_window_view(v, MOVWIN)
+            out[MOVWIN - 1:] = win.max(axis=1)
+        return pd.DataFrame({"event_id": g["event_id"],
+                             "user_id": g["user_id"],
+                             "mov_max": out})
+
+    out = (ds.groupby("user_id").map_groups(movmax, batch_format="pandas")
+           .to_pandas())
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+Q_WINDOW_MOVING_MAX_SQL = f"""
+SELECT event_id, user_id,
+       MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN {MOVWIN - 1} PRECEDING AND CURRENT ROW)
+           AS mov_max
+FROM events ORDER BY event_id
+"""

@@ -385,3 +385,21 @@ class TestReviewRegressionFixes:
         out = out.sort_values("k").reset_index(drop=True)
         assert list(out["n"]) == list(expect["n"])
         np.testing.assert_allclose(out["sum_value"], expect["sum_value"], rtol=1e-9)
+
+
+class TestMovingMax:
+    def test_partial_and_full_frames(self):
+        import numpy as np
+        import pandas as pd
+        from raster_functions_ray.relational import MOVWIN
+        # naive per-row frame max == vectorized kernel, via the query's math
+        rng = np.random.default_rng(7)
+        v = rng.random(50)
+        out = np.empty_like(v)
+        head = min(MOVWIN - 1, v.size)
+        out[:head] = np.maximum.accumulate(v[:head])
+        win = np.lib.stride_tricks.sliding_window_view(v, MOVWIN)
+        out[MOVWIN - 1:] = win.max(axis=1)
+        naive = np.array([v[max(0, i - MOVWIN + 1):i + 1].max()
+                          for i in range(v.size)])
+        np.testing.assert_array_equal(out, naive)
