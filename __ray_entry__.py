@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_cap": trainprep.q_domain_cap,
         "doc_repetition": trainprep.q_doc_repetition,
         "shuffle_order": trainprep.q_shuffle_order,
+        "budget_select": trainprep.q_budget_select,
         "hll_distinct": trainprep.q_hll_distinct,
         "boilerplate": textops.q_boilerplate,
         "adaptive_cover": spatial.q_adaptive_cover,
@@ -298,6 +299,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": trainprep.Q_DOMAIN_CAP_SQL,
         "doc_repetition": trainprep.Q_DOC_REPETITION_SQL,
         "shuffle_order": trainprep.Q_SHUFFLE_ORDER_SQL,
+        "budget_select": trainprep.Q_BUDGET_SELECT_SQL,
         "hll_distinct": trainprep.Q_HLL_DISTINCT_SQL,
         "boilerplate": textops.Q_BOILERPLATE_SQL,
         "adaptive_cover": spatial.adaptive_cover_oracle_sql(0.01),

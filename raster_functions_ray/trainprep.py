@@ -670,3 +670,83 @@ SELECT h32 % {HLL_M} AS bucket,
                 ELSE {HLL_W_BITS + 1} - length(bin(h32 // {HLL_M})) END) AS reg
 FROM h GROUP BY bucket ORDER BY bucket
 """
+
+
+# ------------------------------------------- budgeted corpus selection
+
+SELECT_BUDGET = 12_000  # global token budget
+
+
+def q_budget_select(sf_dir: str) -> pd.DataFrame:
+    """Token-budget corpus selection: walk documents in priority order
+    (n_chars DESC, doc_id ASC) and keep while the GLOBAL running token
+    total stays within {SELECT_BUDGET} — the "best docs until the budget
+    is full" curation step.
+
+    The global ordered cumsum is computed WITHOUT a global sort: the
+    priority key's first component (n_chars) range-partitions the corpus,
+    so phase 1 is a tiny groupby (one row per distinct n_chars: bucket
+    token totals), phase 2 prefix-sums those ~hundreds of bucket totals on
+    the driver (O(distinct key values), not O(corpus)) and broadcasts each
+    bucket's starting offset, and phase 3 finishes the cumsum INSIDE each
+    bucket via groupby().map_groups — a classic distributed prefix sum
+    where buckets are the parallel unit.  All counts integer → the SQL
+    window oracle (SUM OVER ORDER BY ... QUALIFY) matches exactly."""
+    import ray
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def tokens(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        # RE2-\s token class, parity proven by q_token_stats
+        n = df["text"].str.findall(r"[^ \t\n\r\f]+").str.len().astype("int64")
+        return pa.table({"doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+                         "n_chars": pa.array(df["n_chars"].to_numpy(np.int64)),
+                         "n_tokens": pa.array(n.to_numpy(np.int64))})
+
+    toks = ds.map_batches(tokens, batch_format="pyarrow",
+                          batch_size=None).materialize()
+
+    # phase 1: per-bucket totals (bucket = n_chars value; DESC priority)
+    bucket_tot = (toks.groupby("n_chars")
+                  .aggregate(Sum("n_tokens", alias_name="tot")).to_pandas())
+    bucket_tot = bucket_tot.sort_values("n_chars", ascending=False)
+    # phase 2: offsets — cumsum over the TINY bucket table, shifted by one
+    offs = bucket_tot["tot"].cumsum().shift(fill_value=0).to_numpy(np.int64)
+    off_map = dict(zip(bucket_tot["n_chars"].to_numpy(np.int64), offs))
+    # buckets whose offset already exceeds the budget can be dropped before
+    # the shuffle — at scale this prunes most of the corpus at the metadata
+    live = {k for k, o in off_map.items() if o < SELECT_BUDGET}
+    off_ref = ray.put(off_map)
+
+    import pyarrow.compute as pc
+    live_arr = pa.array(sorted(live), pa.int64())
+    cand = toks.map_batches(
+        lambda b: b.filter(pc.is_in(b["n_chars"], value_set=live_arr)),
+        batch_format="pyarrow")
+
+    # phase 3: finish the cumsum inside each bucket (ordered by doc_id)
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        base = ray.get(off_ref)[int(g["n_chars"].iloc[0])]
+        g["cum_tokens"] = base + g["n_tokens"].cumsum().to_numpy(np.int64)
+        return g[g["cum_tokens"] <= SELECT_BUDGET][
+            ["doc_id", "n_tokens", "cum_tokens"]]
+
+    out = (cand.groupby("n_chars").map_groups(finish, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_BUDGET_SELECT_SQL = rf"""
+SELECT doc_id, n_tokens, cum_tokens FROM (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+             AS n_tokens,
+         CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')))
+              OVER (ORDER BY n_chars DESC, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM documents
+) WHERE cum_tokens <= {SELECT_BUDGET}
+ORDER BY doc_id
+"""

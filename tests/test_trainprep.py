@@ -295,3 +295,24 @@ class TestTinyGraphCC:
         out = tp.connected_components(edges, num_partitions=2)
         assert out.to_dict("records") == [
             {"node": 5, "label": 5}, {"node": 9, "label": 5}]
+
+
+class TestBudgetSelect:
+    def test_matches_pandas_window(self):
+        got = tp.q_budget_select(SF_DIR)
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                               columns=["doc_id", "text", "n_chars"])
+        docs["n_tokens"] = docs["text"].str.findall(
+            r"[^ \t\n\r\f]+").str.len().astype("int64")
+        docs = docs.sort_values(["n_chars", "doc_id"],
+                                ascending=[False, True])
+        docs["cum_tokens"] = docs["n_tokens"].cumsum()
+        want = (docs[docs["cum_tokens"] <= tp.SELECT_BUDGET]
+                [["doc_id", "n_tokens", "cum_tokens"]]
+                .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_budget_respected_and_greedy(self):
+        got = tp.q_budget_select(SF_DIR)
+        assert got["cum_tokens"].max() <= tp.SELECT_BUDGET
+        assert len(got) > 0
