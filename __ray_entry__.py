@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qa_exact": analytic.q_qa_exact,
         # relational (SURVEY.md §2 aggregate/join/filter/top-k shapes)
         "q1_pricing": rel.q1_pricing,
+        "q3_shipping": rel.q3_shipping,
         "orders_by_segment": rel.q_orders_by_segment,
         "top_parts": rel.q_top_parts,
         "distinct_brands": rel.q_distinct_brands,
@@ -232,6 +233,7 @@ def oracle_sql() -> dict[str, str]:
         "stretch_exact": analytic.stretch_exact_oracle_sql(0.01),
         "qa_exact": analytic.qa_exact_oracle_sql(0.01),
         "q1_pricing": rel.Q1_SQL,
+        "q3_shipping": rel.Q3_SHIPPING_SQL,
         "orders_by_segment": rel.Q_ORDERS_BY_SEGMENT_SQL,
         "top_parts": rel.Q_TOP_PARTS_SQL,
         "distinct_brands": rel.Q_DISTINCT_BRANDS_SQL,

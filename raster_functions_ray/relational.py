@@ -868,3 +868,99 @@ SELECT event_id, user_id,
            AS mov_max
 FROM events ORDER BY event_id
 """
+
+
+# --------------------------------------------------- TPC-H Q3 (3-way join)
+
+Q3_DATE = pd.Timestamp("1998-06-01")
+Q3_SEGMENT = "BUILDING"
+Q3_TOPK = 10
+
+
+def q3_shipping(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shape — the 3-way star join (customer ⋈ orders ⋈ lineitem)
+    with filter pushdown on every leg and pre-aggregation BEFORE the join:
+
+    - lineitem is reduced to one (orderkey, revenue) row per order by a
+      per-batch partial + groupby-Sum FIRST, so the join ships order-count
+      rows, never line items;
+    - the customer leg is a broadcast semi-join (segment-filtered keyset,
+      ray.put once) — the classic small-side reduction;
+    - the final top-{Q3_TOPK} is a per-batch partial top-k merged on the
+      driver (O(batches × k), no global sort).
+
+    Revenue rounds to 2dp on BOTH sides before ordering, the repo's float
+    discipline (q1_pricing)."""
+    import ray
+
+    # leg 1: lineitem → revenue per orderkey (pre-aggregated shuffle)
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount",
+                             "l_shipdate"])
+    ship_cut = pa.scalar(Q3_DATE, pa.timestamp("us"))
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["l_shipdate"], ship_cut))
+        df = b.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby("l_orderkey", sort=False)["revenue"].sum().reset_index()
+        return pa.table({"o_orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64)),
+                         "revenue": pa.array(g["revenue"].to_numpy(np.float64))})
+
+    # materialize: joining a LAZY aggregate interleaves the two shuffles
+    # pathologically (see q_boilerplate, measured 10x)
+    rev = (li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+           .groupby("o_orderkey").aggregate(Sum("revenue", alias_name="revenue"))
+           .materialize())
+
+    # leg 2: segment-filtered customer keyset, broadcast once
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    ckeys = (cust.filter(expr=f"c_mktsegment == '{Q3_SEGMENT}'")
+             .select_columns(["c_custkey"]).to_pandas()["c_custkey"]
+             .to_numpy(np.int64))
+    cref = ray.put(pa.array(ckeys, pa.int64()))
+
+    # leg 3: date-filtered orders, semi-joined to the broadcast keyset
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                 "o_orderpriority"])
+    date_cut = pa.scalar(Q3_DATE, pa.timestamp("us"))
+
+    def o_filter(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b["o_orderdate"], date_cut))
+        return b.filter(pc.is_in(b["o_custkey"], value_set=ray.get(cref)))
+
+    o = orders.map_batches(o_filter, batch_format="pyarrow", batch_size=65536)
+
+    from .sources import join_partitions
+    joined = rev.join(o, join_type="inner", num_partitions=join_partitions(),
+                      on=("o_orderkey",))
+
+    def topk(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        df["revenue"] = df["revenue"].round(2)
+        df = df.sort_values(["revenue", "o_orderdate", "o_orderkey"],
+                            ascending=[False, True, True])
+        return df.head(Q3_TOPK)[["o_orderkey", "revenue", "o_orderdate",
+                                 "o_orderpriority"]]
+
+    parts = joined.map_batches(topk, batch_format="pyarrow").to_pandas()
+    out = (parts.sort_values(["revenue", "o_orderdate", "o_orderkey"],
+                             ascending=[False, True, True]).head(Q3_TOPK)
+           .reset_index(drop=True))
+    return out
+
+
+Q3_SHIPPING_SQL = f"""
+SELECT o_orderkey,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < DATE '1998-06-01'
+  AND l_shipdate > DATE '1998-06-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, o_orderkey
+LIMIT {Q3_TOPK}
+"""
