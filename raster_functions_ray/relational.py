@@ -964,3 +964,76 @@ GROUP BY o_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderdate, o_orderkey
 LIMIT {Q3_TOPK}
 """
+
+
+# ------------------------------------- TPC-H Q17 (correlated subquery)
+
+Q17_BRAND = "Brand#1"
+
+
+def q17_small_quantity(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 shape — the correlated scalar subquery (per-part average
+    quantity) lowered to aggregate → broadcast → filter:
+
+    - the brand's part keys broadcast once (small side);
+    - per-part avg quantity comes from ONE pre-aggregated groupby over the
+      brand-filtered lineitems (sum+count partials; quantities are
+      integral so the threshold 0.2*(sum/cnt) is the identical double on
+      both sides);
+    - the final pass re-filters the same lineitems against the broadcast
+      threshold map — the correlated subquery never becomes a join."""
+    import ray
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    pkeys = (part.filter(expr=f"p_brand == '{Q17_BRAND}'")
+             .select_columns(["p_partkey"]).to_pandas()["p_partkey"]
+             .to_numpy(np.int64))
+    pref = ray.put(pa.array(pkeys, pa.int64()))
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def brand_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["l_partkey"], value_set=ray.get(pref)))
+
+    brand_li = li.map_batches(brand_only, batch_format="pyarrow",
+                              batch_size=65536).materialize()
+
+    def qty_partial(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return df.groupby("l_partkey", sort=False).agg(
+            sq=("l_quantity", "sum"), n=("l_quantity", "size")).reset_index()
+
+    agg = (brand_li.map_batches(qty_partial, batch_format="pyarrow",
+                                batch_size=65536)
+           .groupby("l_partkey")
+           .aggregate(Sum("sq", alias_name="sq"), Sum("n", alias_name="n"))
+           .to_pandas())
+    thr = dict(zip(agg["l_partkey"].to_numpy(np.int64),
+                   0.2 * (agg["sq"].to_numpy(np.float64)
+                          / agg["n"].to_numpy(np.float64))))
+    tref = ray.put(thr)
+
+    def below(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        t = df["l_partkey"].map(ray.get(tref)).to_numpy(np.float64)
+        keep = df["l_quantity"].to_numpy(np.float64) < t
+        d = df[keep]
+        return pd.DataFrame({"s": [d["l_extendedprice"].sum()],
+                             "n": [np.int64(len(d))]})
+
+    parts = brand_li.map_batches(below, batch_format="pyarrow",
+                                 batch_size=65536).to_pandas()
+    return pd.DataFrame({
+        "avg_yearly": [round(float(parts["s"].sum()) / 7.0, 2)],
+        "n": [np.int64(parts["n"].sum())]})
+
+
+Q17_SQL = f"""
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem l, part p
+WHERE p.p_partkey = l.l_partkey AND p.p_brand = '{Q17_BRAND}'
+  AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                      WHERE l2.l_partkey = p.p_partkey)
+"""
