@@ -52,9 +52,13 @@ def _read_analytic(sf_dir: str, epoch: int | None = None) -> rd.Dataset:
     import pyarrow.compute as pc
 
     # scene_id = s*10 + epoch; pushdown as an id list (Expression lacks %)
+    from .sources import cluster_cpus
+
     flt = None if epoch is None else pc.field("scene_id").isin(
         [s * 10 + epoch for s in range(synth.A_SCENES)])
-    return rd.read_parquet(_analytic_path(sf_dir), filter=flt)
+    # parallel row-group-ranged read (see sources.read_tiles)
+    return rd.read_parquet(_analytic_path(sf_dir), filter=flt,
+                           override_num_blocks=cluster_cpus())
 
 
 def _exact_stats(ds: rd.Dataset, stat_fn, out_cols) -> pd.DataFrame:

@@ -87,6 +87,11 @@ def read_tiles(synth_d: str, columns: list[str] | None = None,
     if scene_id is not None:
         f = pc.field("scene_id") == scene_id
         flt = f if flt is None else flt & f
+    # a single parquet file otherwise becomes ONE read task (Ray splits
+    # blocks only after the serial read — measured 6x slower on the
+    # binary-heavy tile payloads); override makes the read row-group-ranged
+    # and parallel across the cluster
+    kw.setdefault("override_num_blocks", cluster_cpus())
     return rd.read_parquet(os.path.join(synth_d, "tiles.parquet"),
                            columns=columns, filter=flt, **kw)
 
