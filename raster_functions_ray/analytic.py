@@ -428,8 +428,9 @@ def q_qa_exact(sf_dir: str) -> pd.DataFrame:
     def kernel(p, m, meta):
         # band0 values are EXACT integers, so numpy's truncating astype and
         # the oracle's round-half-even CAST(double AS BIGINT) agree; a
-        # fractional-valued formula would break this parity
-        qa = p[0].astype(np.uint16)
+        # fractional-valued formula would break this parity.  int64, not
+        # uint16: a larger analytic world would silently wrap DNs >= 2^16
+        qa = p[0].astype(np.int64)
         return pw.landsat_c2_qa(qa, **QA_FLAGS).astype(np.float64), m
 
     out = tile_map.apply_kernel(tiles, kernel, out_pixel_type="f8")

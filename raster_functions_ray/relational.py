@@ -829,6 +829,19 @@ ORDER BY q
 MOVWIN = 4  # current row + 3 preceding
 
 
+def _movmax(v: np.ndarray) -> np.ndarray:
+    """Sliding max with a {MOVWIN}-row frame: maximum.accumulate covers the
+    partial head frames, one sliding_window_view max the rest (shared by
+    q_window_moving_max and its parity test)."""
+    out = np.empty_like(v)
+    head = min(MOVWIN - 1, v.size)
+    out[:head] = np.maximum.accumulate(v[:head])
+    if v.size >= MOVWIN:
+        win = np.lib.stride_tricks.sliding_window_view(v, MOVWIN)
+        out[MOVWIN - 1:] = win.max(axis=1)
+    return out
+
+
 def q_window_moving_max(sf_dir: str) -> pd.DataFrame:
     """Bounded window frame (ROWS BETWEEN {MOVWIN-1} PRECEDING AND CURRENT
     ROW): per-user sliding maximum over the time-ordered event stream —
@@ -844,13 +857,7 @@ def q_window_moving_max(sf_dir: str) -> pd.DataFrame:
 
     def movmax(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        v = g["value"].to_numpy(np.float64)
-        out = np.empty_like(v)
-        head = min(MOVWIN - 1, v.size)
-        out[:head] = np.maximum.accumulate(v[:head])
-        if v.size >= MOVWIN:
-            win = np.lib.stride_tricks.sliding_window_view(v, MOVWIN)
-            out[MOVWIN - 1:] = win.max(axis=1)
+        out = _movmax(g["value"].to_numpy(np.float64))
         return pd.DataFrame({"event_id": g["event_id"],
                              "user_id": g["user_id"],
                              "mov_max": out})
@@ -913,12 +920,15 @@ def q3_shipping(sf_dir: str) -> pd.DataFrame:
            .groupby("o_orderkey").aggregate(Sum("revenue", alias_name="revenue"))
            .materialize())
 
-    # leg 2: segment-filtered customer keyset, broadcast once
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    ckeys = (cust.filter(expr=f"c_mktsegment == '{Q3_SEGMENT}'")
-             .select_columns(["c_custkey"]).to_pandas()["c_custkey"]
-             .to_numpy(np.int64))
-    cref = ray.put(pa.array(ckeys, pa.int64()))
+    # leg 2: segment-filtered customer keyset, broadcast once (driver-side
+    # pruned read — a distributed scan for a few hundred keys is overhead)
+    import pyarrow.compute as _pc
+
+    from .sources import read_table_filtered
+    ckeys = read_table_filtered(
+        sf_dir, "customer", ["c_custkey"],
+        _pc.field("c_mktsegment") == Q3_SEGMENT)["c_custkey"]
+    cref = ray.put(ckeys.combine_chunks().cast(pa.int64()))
 
     # leg 3: date-filtered orders, semi-joined to the broadcast keyset
     orders = read_table(sf_dir, "orders",
@@ -938,7 +948,10 @@ def q3_shipping(sf_dir: str) -> pd.DataFrame:
 
     def topk(b: pa.Table) -> pd.DataFrame:
         df = b.to_pandas()
-        df["revenue"] = df["revenue"].round(2)
+        # floor(x*100+0.5)/100 == DuckDB's half-AWAY ROUND for positives;
+        # pandas .round is half-even (running_totals discipline)
+        df["revenue"] = np.floor(df["revenue"].to_numpy(np.float64)
+                                 * 100.0 + 0.5) / 100.0
         df = df.sort_values(["revenue", "o_orderdate", "o_orderkey"],
                             ascending=[False, True, True])
         return df.head(Q3_TOPK)[["o_orderkey", "revenue", "o_orderdate",
@@ -953,7 +966,7 @@ def q3_shipping(sf_dir: str) -> pd.DataFrame:
 
 Q3_SHIPPING_SQL = f"""
 SELECT o_orderkey,
-       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       floor(SUM(l_extendedprice * (1.0 - l_discount)) * 100.0 + 0.5) / 100.0 AS revenue,
        o_orderdate, o_orderpriority
 FROM customer, orders, lineitem
 WHERE c_mktsegment = '{Q3_SEGMENT}'
@@ -984,11 +997,13 @@ def q17_small_quantity(sf_dir: str) -> pd.DataFrame:
       threshold map — the correlated subquery never becomes a join."""
     import ray
 
-    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
-    pkeys = (part.filter(expr=f"p_brand == '{Q17_BRAND}'")
-             .select_columns(["p_partkey"]).to_pandas()["p_partkey"]
-             .to_numpy(np.int64))
-    pref = ray.put(pa.array(pkeys, pa.int64()))
+    import pyarrow.compute as _pc
+
+    from .sources import read_table_filtered
+    pkeys = read_table_filtered(
+        sf_dir, "part", ["p_partkey"],
+        _pc.field("p_brand") == Q17_BRAND)["p_partkey"]
+    pref = ray.put(pkeys.combine_chunks().cast(pa.int64()))
 
     li = read_table(sf_dir, "lineitem",
                     columns=["l_partkey", "l_quantity", "l_extendedprice"])
@@ -1025,12 +1040,13 @@ def q17_small_quantity(sf_dir: str) -> pd.DataFrame:
     parts = brand_li.map_batches(below, batch_format="pyarrow",
                                  batch_size=65536).to_pandas()
     return pd.DataFrame({
-        "avg_yearly": [round(float(parts["s"].sum()) / 7.0, 2)],
+        "avg_yearly": [np.floor(float(parts["s"].sum()) / 7.0 * 100.0 + 0.5)
+                       / 100.0],
         "n": [np.int64(parts["n"].sum())]})
 
 
 Q17_SQL = f"""
-SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+SELECT floor(SUM(l_extendedprice) / 7.0 * 100.0 + 0.5) / 100.0 AS avg_yearly,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem l, part p
 WHERE p.p_partkey = l.l_partkey AND p.p_brand = '{Q17_BRAND}'

@@ -716,7 +716,9 @@ def q_budget_select(sf_dir: str) -> pd.DataFrame:
     off_map = dict(zip(bucket_tot["n_chars"].to_numpy(np.int64), offs))
     # buckets whose offset already exceeds the budget can be dropped before
     # the shuffle — at scale this prunes most of the corpus at the metadata
-    live = {k for k, o in off_map.items() if o < SELECT_BUDGET}
+    # <=, not <: a zero-token doc at the head of a bucket whose offset
+    # equals the budget exactly still qualifies (cum == budget)
+    live = {k for k, o in off_map.items() if o <= SELECT_BUDGET}
     off_ref = ray.put(off_map)
 
     import pyarrow.compute as pc

@@ -391,15 +391,11 @@ class TestMovingMax:
     def test_partial_and_full_frames(self):
         import numpy as np
         import pandas as pd
-        from raster_functions_ray.relational import MOVWIN
-        # naive per-row frame max == vectorized kernel, via the query's math
+        from raster_functions_ray.relational import MOVWIN, _movmax
+        # naive per-row frame max == the PRODUCTION kernel
         rng = np.random.default_rng(7)
-        v = rng.random(50)
-        out = np.empty_like(v)
-        head = min(MOVWIN - 1, v.size)
-        out[:head] = np.maximum.accumulate(v[:head])
-        win = np.lib.stride_tricks.sliding_window_view(v, MOVWIN)
-        out[MOVWIN - 1:] = win.max(axis=1)
-        naive = np.array([v[max(0, i - MOVWIN + 1):i + 1].max()
-                          for i in range(v.size)])
-        np.testing.assert_array_equal(out, naive)
+        for n in (0, 1, MOVWIN - 1, MOVWIN, 50):
+            v = rng.random(n)
+            naive = np.array([v[max(0, i - MOVWIN + 1):i + 1].max()
+                              for i in range(n)])
+            np.testing.assert_array_equal(_movmax(v), naive)
