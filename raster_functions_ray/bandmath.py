@@ -163,7 +163,6 @@ def q_fuzzy_mssmall_two_phase(sf_dir: str) -> pd.DataFrame:
     broadcasts the scalars into the map stage.  SQL oracle recomputes with
     AVG/STDDEV_POP."""
     import ray
-    from ray.data.aggregate import Count, Sum
 
     ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
 

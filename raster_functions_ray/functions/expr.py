@@ -15,7 +15,6 @@ end.  ``padding_required`` reports the halo the expression needs.
 
 from __future__ import annotations
 
-import math
 import re
 from dataclasses import dataclass
 

@@ -13,7 +13,7 @@ A chain is a list of ``Op``s lowered onto Ray Data stages by a tiny planner
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable
 
 import numpy as np

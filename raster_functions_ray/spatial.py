@@ -21,7 +21,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 from . import grid
 from .sources import join_partitions, read_table

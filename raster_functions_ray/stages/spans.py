@@ -70,7 +70,6 @@ def span_signature(batch: pa.Table) -> pa.Table:
 def reassemble_spans(exploded: pa.Table) -> pa.Table:
     """Group exploded spans back into documents, ordered by span_idx —
     the inverse of explode (used by the round-trip invariant test)."""
-    import pandas as pd
 
     df = exploded.to_pandas().sort_values(["doc_id", "span_idx"])
     out = (
