@@ -66,9 +66,13 @@ def covering(xmin: float, ymin: float, xmax: float, ymax: float, level: int) -> 
     inside (spatial.point_in_convex_batch) never loses a candidate to the
     coarse filter."""
     n = 2**level
-    ix0 = int(np.floor(xmin / 360.0 * n))
-    ix1 = int(np.floor(xmax / 360.0 * n)) if xmax > xmin else ix0
-    iy0 = max(0, int(np.floor((ymin + 90.0) / 180.0 * n)))
+    ix0 = max(0, min(n - 1, int(np.floor(xmin / 360.0 * n))))
+    ix1 = max(0, min(n - 1, int(np.floor(xmax / 360.0 * n)))) if xmax > xmin else ix0
+    # clamp BOTH ends into the grid: a bbox touching lat 90 (or lon 360)
+    # otherwise
+    # yields iy0 = n > iy1 = n-1 — an empty covering for a region that
+    # cell_encode (which clips at the pole) maps to real cells
+    iy0 = max(0, min(n - 1, int(np.floor((ymin + 90.0) / 180.0 * n))))
     iy1 = min(n - 1, int(np.floor((ymax + 90.0) / 180.0 * n)) if ymax > ymin else iy0)
     ix1 = max(ix0, ix1)
     ixs = np.arange(ix0, ix1 + 1, dtype=np.int64)
