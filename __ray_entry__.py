@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate": textops.q_boilerplate,
         "adaptive_cover": spatial.q_adaptive_cover,
         "doc_zone_join_adaptive": spatial.q_doc_zone_join_adaptive,
+        "adaptive_cover_convex": spatial.q_adaptive_cover_convex,
         "pattern_scrub": textops.q_pattern_scrub,
         "decontaminate": textops.q_decontaminate,
         # round-2 close: native outer/anti join lowerings + histogram-exact
@@ -290,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cell_ring": spatial.Q_KNN_SQL,
         "doc_zone_join_cellshuffle": spatial.doc_zone_join_rect_oracle_sql(0.01),
         "doc_zone_join_adaptive": spatial.doc_zone_join_rect_oracle_sql(0.01),
+        "adaptive_cover_convex": spatial.adaptive_cover_convex_oracle_sql(0.01),
         "segment_except": rel.Q_SEGMENT_EXCEPT_SQL,
         "nation_segment_rollup": rel.Q_NATION_SEGMENT_ROLLUP_SQL,
         "event_type_pivot": rel.Q_EVENT_TYPE_PIVOT_SQL,

@@ -799,3 +799,157 @@ def q_doc_zone_join_adaptive(sf_dir: str) -> pd.DataFrame:
     out = joined.map_batches(contains, batch_format="pyarrow").to_pandas()
     out["zone_id"] = out["zone_id"].astype("int64")
     return out.sort_values(["doc_id", "zone_id"]).reset_index(drop=True)
+
+
+def adaptive_covering_convex(zone_ids, bboxes, verts_list,
+                             level_min: int = ADAPT_LMIN,
+                             level_max: int = ADAPT_LMAX):
+    """Adaptive multi-level covering of CONVEX polygons: a cell is emitted
+    full at the coarsest level where ALL FOUR of its corners pass the
+    point_in_convex_batch test (convexity makes corner containment
+    equivalent to cell containment); refinement cells use the conservative
+    closed-bbox intersection predicate — over-approximate but IDENTICAL to
+    the oracle's, so the gate is exact.
+
+    Per-zone BFS (zones are the small side); within a zone every level's
+    frontier classifies all cells at once (4 vectorized corner tests)."""
+    out = {k: [] for k in ("z", "lv", "ix", "iy", "full")}
+    n0 = float(2**level_min)
+    hi0 = int(n0) - 1
+    for zid, bb, verts in zip(zone_ids, bboxes, verts_list):
+        xmin, ymin, xmax, ymax = (float(v) for v in bb)
+        v = np.asarray(verts, dtype=np.float64)
+        ix0 = max(0, min(hi0, int(np.floor(xmin / 360.0 * n0))))
+        ix1 = max(0, min(hi0, int(np.floor(xmax / 360.0 * n0))))
+        iy0 = max(0, min(hi0, int(np.floor((ymin + 90.0) / 180.0 * n0))))
+        iy1 = max(0, min(hi0, int(np.floor((ymax + 90.0) / 180.0 * n0))))
+        gx, gy = np.meshgrid(np.arange(ix0, ix1 + 1, dtype=np.int64),
+                             np.arange(iy0, iy1 + 1, dtype=np.int64),
+                             indexing="ij")
+        ix, iy = gx.ravel(), gy.ravel()
+        for level in range(level_min, level_max + 1):
+            w = 360.0 / (2.0**level)
+            h = 180.0 / (2.0**level)
+            x0, x1 = ix * w, (ix + 1) * w
+            y0, y1 = iy * h - 90.0, (iy + 1) * h - 90.0
+            inside = (point_in_convex_batch(x0, y0, v)
+                      & point_in_convex_batch(x1, y0, v)
+                      & point_in_convex_batch(x0, y1, v)
+                      & point_in_convex_batch(x1, y1, v))
+            inter = (x0 <= xmax) & (x1 >= xmin) & (y0 <= ymax) & (y1 >= ymin)
+            emit = inter if level == level_max else (inside & inter)
+            k = int(emit.sum())
+            out["z"].append(np.full(k, zid, dtype=np.int64))
+            out["lv"].append(np.full(k, level, dtype=np.int64))
+            out["ix"].append(ix[emit])
+            out["iy"].append(iy[emit])
+            out["full"].append(inside[emit])
+            if level == level_max:
+                break
+            sub = inter & ~inside
+            k = int(sub.sum())
+            ix = np.repeat(ix[sub] * 2, 4) + np.tile(
+                np.array([0, 0, 1, 1], dtype=np.int64), k)
+            iy = np.repeat(iy[sub] * 2, 4) + np.tile(
+                np.array([0, 1, 0, 1], dtype=np.int64), k)
+    if not out["z"]:
+        e = np.empty(0, np.int64)
+        return e, e, e, e, np.empty(0, bool)
+    return (np.concatenate(out["z"]), np.concatenate(out["lv"]),
+            np.concatenate(out["ix"]), np.concatenate(out["iy"]),
+            np.concatenate(out["full"]))
+
+
+def q_adaptive_cover_convex(sf_dir: str) -> pd.DataFrame:
+    """Adaptive covering of the CONVEX zones (the non-rectangular
+    complement of q_adaptive_cover): interior cells full at the coarsest
+    level where all four corners pass the exact convex containment test,
+    boundary refined to level {ADAPT_LMAX} under the conservative bbox
+    predicate.  Oracle: recursive CTE whose corner tests are the SAME
+    list-lambda cross-product expression as the doc↔zone join oracle —
+    bit-identical IEEE ops."""
+    from . import synth
+    from .grid import IX_STRIDE, LEVEL_STRIDE
+    from .sources import read_zones
+
+    d = synth.synth_dir_for(sf_dir)
+
+    def cover(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[~df["is_rect"]]
+        if df.empty:
+            return pa.table({"zone_id": pa.array([], pa.int64()),
+                             "level": pa.array([], pa.int64()),
+                             "cell_id": pa.array([], pa.int64()),
+                             "is_full": pa.array([], pa.bool_())})
+        z, lv, ix, iy, full = adaptive_covering_convex(
+            df["zone_id"].to_numpy(np.int64),
+            list(df["bbox"]), list(df["vertices"]))
+        return pa.table({
+            "zone_id": pa.array(z),
+            "level": pa.array(lv),
+            "cell_id": pa.array(lv * LEVEL_STRIDE + ix * IX_STRIDE + iy),
+            "is_full": pa.array(full)})
+
+    out = (read_zones(d).map_batches(cover, batch_format="pyarrow",
+                                     batch_size=4096).to_pandas())
+    return out.sort_values(["zone_id", "cell_id"]).reset_index(drop=True)
+
+
+def _sql_corner_inside(cx: str, cy: str) -> str:
+    """The doc_zone_join oracle's convex containment lambda with pluggable
+    corner-coordinate expressions."""
+    return f"""list_aggregate(list_transform(range(1, nv + 1), i ->
+      CASE WHEN (vertices[2*(i % nv)+1] - vertices[2*i-1]) * (({cy}) - vertices[2*i])
+              - (vertices[2*(i % nv)+2] - vertices[2*i]) * (({cx}) - vertices[2*i-1]) >= 0
+           THEN 1 ELSE 0 END), 'min') = 1"""
+
+
+def adaptive_cover_convex_oracle_sql(sf: float = 0.01) -> str:
+    from . import synth
+    from .grid import IX_STRIDE, LEVEL_STRIDE
+
+    d = synth.synth_dir(sf)
+    n0 = float(2**ADAPT_LMIN)
+    hi0 = int(n0) - 1
+    cx0 = "ix * (360.0 / POWER(2, level))"
+    cx1 = "(ix + 1) * (360.0 / POWER(2, level))"
+    cy0 = "iy * (180.0 / POWER(2, level)) - 90.0"
+    cy1 = "(iy + 1) * (180.0 / POWER(2, level)) - 90.0"
+    inside = " AND ".join([_sql_corner_inside(cx0, cy0),
+                           _sql_corner_inside(cx1, cy0),
+                           _sql_corner_inside(cx0, cy1),
+                           _sql_corner_inside(cx1, cy1)])
+    inter = (f"{cx0} <= xmax AND {cx1} >= xmin AND "
+             f"{cy0} <= ymax AND {cy1} >= ymin")
+    return f"""
+WITH RECURSIVE z AS (
+  SELECT CAST(zone_id AS BIGINT) AS zone_id, vertices,
+         len(vertices) // 2 AS nv,
+         bbox[1] AS xmin, bbox[2] AS ymin, bbox[3] AS xmax, bbox[4] AS ymax
+  FROM read_parquet('{d}/zones.parquet') WHERE NOT is_rect
+), seed AS (
+  SELECT zone_id, vertices, nv, {ADAPT_LMIN} AS level, gx.ix, gy.iy,
+         xmin, ymin, xmax, ymax
+  FROM z,
+       LATERAL (SELECT unnest(generate_series(
+           GREATEST(0, LEAST({hi0}, CAST(FLOOR(xmin / 360.0 * {n0}) AS BIGINT))),
+           GREATEST(0, LEAST({hi0}, CAST(FLOOR(xmax / 360.0 * {n0}) AS BIGINT))))) AS ix) gx,
+       LATERAL (SELECT unnest(generate_series(
+           GREATEST(0, LEAST({hi0}, CAST(FLOOR((ymin + 90.0) / 180.0 * {n0}) AS BIGINT))),
+           GREATEST(0, LEAST({hi0}, CAST(FLOOR((ymax + 90.0) / 180.0 * {n0}) AS BIGINT))))) AS iy) gy
+), walk AS (
+  SELECT * FROM seed
+  UNION ALL
+  SELECT zone_id, vertices, nv, level + 1, 2 * ix + d.dx, 2 * iy + d.dy,
+         xmin, ymin, xmax, ymax
+  FROM walk, (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) AS d(dx, dy)
+  WHERE level < {ADAPT_LMAX} AND ({inter}) AND NOT ({inside})
+)
+SELECT zone_id, level,
+       level * {LEVEL_STRIDE} + ix * {IX_STRIDE} + iy AS cell_id,
+       ({inside}) AS is_full
+FROM walk
+WHERE ({inside}) OR (level = {ADAPT_LMAX} AND ({inter}))
+ORDER BY zone_id, cell_id
+"""

@@ -132,3 +132,32 @@ class TestAdaptiveCovering:
         y0, y1 = iy * h - 90.0, (iy + 1) * h - 90.0
         ins = (x0 >= 100) & (x1 <= 130) & (y0 >= 10) & (y1 <= 40)
         np.testing.assert_array_equal(ins, full)
+
+    def test_convex_adaptive_covering_invariants(self):
+        from raster_functions_ray.spatial import (adaptive_covering_convex,
+                                                  point_in_convex_batch)
+        # CCW hexagon around (180, 0)
+        ang = np.linspace(0, 2 * np.pi, 7)[:-1]
+        verts = np.empty(12)
+        verts[0::2] = 180 + 20 * np.cos(ang)
+        verts[1::2] = 0 + 15 * np.sin(ang)
+        bb = [verts[0::2].min(), verts[1::2].min(),
+              verts[0::2].max(), verts[1::2].max()]
+        z, lv, ix, iy, full = adaptive_covering_convex([7], [bb], [verts], 3, 6)
+        assert (z == 7).all() and len(z) > 0
+        assert (lv[~full] == 6).all()
+        # every full cell's corners are truly inside the polygon
+        w = 360.0 / 2.0**lv
+        h = 180.0 / 2.0**lv
+        for m in np.flatnonzero(full):
+            for cx in (ix[m] * w[m], (ix[m] + 1) * w[m]):
+                for cy in (iy[m] * h[m] - 90.0, (iy[m] + 1) * h[m] - 90.0):
+                    assert point_in_convex_batch(
+                        np.asarray([cx]), np.asarray([cy]), verts)[0]
+        # no ancestor-descendant overlaps (normalize to level-6 ranges)
+        s = 2 ** (6 - lv)
+        x0, x1 = ix * s, (ix + 1) * s
+        y0, y1 = iy * s, (iy + 1) * s
+        for a in range(len(z)):
+            ov = (x0 < x1[a]) & (x1 > x0[a]) & (y0 < y1[a]) & (y1 > y0[a])
+            assert ov.sum() == 1
