@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adaptive_cover": spatial.q_adaptive_cover,
         "doc_zone_join_adaptive": spatial.q_doc_zone_join_adaptive,
         "adaptive_cover_convex": spatial.q_adaptive_cover_convex,
+        "doc_zone_join_adaptive_full": spatial.q_doc_zone_join_adaptive_full,
         "pattern_scrub": textops.q_pattern_scrub,
         "decontaminate": textops.q_decontaminate,
         # round-2 close: native outer/anti join lowerings + histogram-exact
@@ -292,6 +293,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_zone_join_cellshuffle": spatial.doc_zone_join_rect_oracle_sql(0.01),
         "doc_zone_join_adaptive": spatial.doc_zone_join_rect_oracle_sql(0.01),
         "adaptive_cover_convex": spatial.adaptive_cover_convex_oracle_sql(0.01),
+        "doc_zone_join_adaptive_full": spatial.doc_zone_join_oracle_sql(0.01),
         "segment_except": rel.Q_SEGMENT_EXCEPT_SQL,
         "nation_segment_rollup": rel.Q_NATION_SEGMENT_ROLLUP_SQL,
         "event_type_pivot": rel.Q_EVENT_TYPE_PIVOT_SQL,

@@ -953,3 +953,97 @@ FROM walk
 WHERE ({inside}) OR (level = {ADAPT_LMAX} AND ({inter}))
 ORDER BY zone_id, cell_id
 """
+
+
+def q_doc_zone_join_adaptive_full(sf_dir: str) -> pd.DataFrame:
+    """The FULL doc↔zone spatial join (rect AND convex zones) through
+    adaptive coverings — fourth interchangeable lowering, sharing the full
+    join's SQL oracle (doc_zone_join_oracle_sql):
+
+    - rect zones cover via grid.adaptive_covering, convex zones via
+      adaptive_covering_convex; both emit disjoint mixed-level cells, so
+      each (span, zone) hit joins exactly once;
+    - full cells accept with NO exact test (rects: closed cell ⊆ closed
+      bbox implies the half-open point test; convex: corner containment
+      implies cell containment);
+    - boundary matches run the exact per-zone predicate with zone geometry
+      from a ray.put broadcast (zones are the small side — the covering
+      rows carry only ids and flags through the shuffle, never geometry)."""
+    import ray
+
+    from . import synth
+    from .grid import IX_STRIDE, LEVEL_STRIDE, adaptive_covering
+    from .sources import read_documents, read_zones
+    from .stages import spans
+
+    d = synth.synth_dir_for(sf_dir)
+    zones = read_zones(d).to_pandas()
+
+    rect = zones[zones["is_rect"]]
+    conv = zones[~zones["is_rect"]]
+    parts = []
+    if len(rect):
+        bb = np.stack(rect["bbox"].to_numpy())
+        z, lv, ix, iy, full = adaptive_covering(bb, ADAPT_LMIN, ADAPT_LMAX)
+        parts.append(pa.table({
+            "cell_id": pa.array(lv * LEVEL_STRIDE + ix * IX_STRIDE + iy),
+            "zone_id": pa.array(rect["zone_id"].to_numpy(np.int64)[z]),
+            "is_full": pa.array(full)}))
+    if len(conv):
+        z, lv, ix, iy, full = adaptive_covering_convex(
+            conv["zone_id"].to_numpy(np.int64),
+            list(conv["bbox"]), list(conv["vertices"]),
+            ADAPT_LMIN, ADAPT_LMAX)
+        parts.append(pa.table({
+            "cell_id": pa.array(lv * LEVEL_STRIDE + ix * IX_STRIDE + iy),
+            "zone_id": pa.array(z),
+            "is_full": pa.array(full)}))
+    zcells = rd.from_arrow(pa.concat_tables(parts))
+
+    # broadcast zone geometry once for the boundary-cell exact tests
+    geo = {int(r.zone_id): (bool(r.is_rect),
+                            np.asarray(r.bbox, np.float64),
+                            np.asarray(r.vertices, np.float64))
+           for r in zones.itertuples()}
+    gref = ray.put(geo)
+
+    pts = spans.text_spans(spans.explode_spans(read_documents(d)))
+
+    def encode_points(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        doc_ids = np.asarray(b["doc_id"].to_pylist(), dtype=object)
+        pidx, x, y = wkt_parse_points(texts)
+        outs = []
+        for lvl in range(ADAPT_LMIN, ADAPT_LMAX + 1):
+            outs.append(pa.table({
+                "cell_id": pa.array(grid.cell_encode(x, y, lvl), pa.int64()),
+                "doc_id": pa.array(list(doc_ids[pidx]), pa.string()),
+                "x": pa.array(x), "y": pa.array(y)}))
+        return pa.concat_tables(outs)
+
+    pcells = pts.map_batches(encode_points, batch_format="pyarrow",
+                             batch_size=8192)
+    joined = pcells.join(zcells, join_type="inner",
+                         num_partitions=join_partitions(), on=("cell_id",))
+
+    def contains(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        keep = df["is_full"].to_numpy(bool).copy()
+        g = ray.get(gref)
+        x = df["x"].to_numpy(np.float64)
+        y = df["y"].to_numpy(np.float64)
+        for zid, sub in df[~df["is_full"]].groupby("zone_id", sort=False):
+            is_rect, bb, verts = g[int(zid)]
+            ii = sub.index.to_numpy()
+            if is_rect:
+                hit = ((bb[0] <= x[ii]) & (x[ii] < bb[2])
+                       & (bb[1] <= y[ii]) & (y[ii] < bb[3]))
+            else:
+                hit = point_in_convex_batch(x[ii], y[ii], verts)
+            keep[ii] = hit
+        out = df[keep]
+        return pa.table({"doc_id": pa.array(out["doc_id"], pa.string()),
+                         "zone_id": pa.array(out["zone_id"].to_numpy(np.int64))})
+
+    out = joined.map_batches(contains, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "zone_id"]).reset_index(drop=True)
