@@ -57,6 +57,27 @@ def cell_bounds(cell_id: int):
     return (ix[0] * w, iy[0] * h - 90.0, (ix[0] + 1) * w, (iy[0] + 1) * h - 90.0)
 
 
+def seed_range(xmin: float, ymin: float, xmax: float, ymax: float,
+               level: int) -> tuple[int, int, int, int]:
+    """Grid-index range [ix0, ix1] x [iy0, iy1] of cells whose rectangles
+    intersect the (closed) bbox at ``level`` — BOTH ends clamped into the
+    2^L grid (a bbox touching lat 90 / lon 360 must neither go out of grid
+    nor produce an empty range).  The ONE home of this arithmetic: covering,
+    adaptive_covering and the convex coverer all seed from it, and the SQL
+    oracles mirror it with GREATEST/LEAST."""
+    n = float(2**level)
+    hi = int(n) - 1
+
+    def cl(v: float) -> int:
+        return max(0, min(hi, int(np.floor(v))))
+
+    ix0 = cl(xmin / 360.0 * n)
+    ix1 = cl(xmax / 360.0 * n) if xmax > xmin else ix0
+    iy0 = cl((ymin + 90.0) / 180.0 * n)
+    iy1 = cl((ymax + 90.0) / 180.0 * n) if ymax > ymin else iy0
+    return ix0, max(ix0, ix1), iy0, max(iy0, iy1)
+
+
 def covering(xmin: float, ymin: float, xmax: float, ymax: float, level: int) -> np.ndarray:
     """All cell ids at ``level`` whose rectangle intersects the (closed) bbox.
 
@@ -65,16 +86,7 @@ def covering(xmin: float, ymin: float, xmax: float, ymax: float, level: int) -> 
     downstream exact containment test that counts the polygon boundary as
     inside (spatial.point_in_convex_batch) never loses a candidate to the
     coarse filter."""
-    n = 2**level
-    ix0 = max(0, min(n - 1, int(np.floor(xmin / 360.0 * n))))
-    ix1 = max(0, min(n - 1, int(np.floor(xmax / 360.0 * n)))) if xmax > xmin else ix0
-    # clamp BOTH ends into the grid: a bbox touching lat 90 (or lon 360)
-    # otherwise
-    # yields iy0 = n > iy1 = n-1 — an empty covering for a region that
-    # cell_encode (which clips at the pole) maps to real cells
-    iy0 = max(0, min(n - 1, int(np.floor((ymin + 90.0) / 180.0 * n))))
-    iy1 = min(n - 1, int(np.floor((ymax + 90.0) / 180.0 * n)) if ymax > ymin else iy0)
-    ix1 = max(ix0, ix1)
+    ix0, ix1, iy0, iy1 = seed_range(xmin, ymin, xmax, ymax, level)
     ixs = np.arange(ix0, ix1 + 1, dtype=np.int64)
     iys = np.arange(iy0, iy1 + 1, dtype=np.int64)
     gx, gy = np.meshgrid(ixs, iys, indexing="ij")
@@ -111,16 +123,9 @@ def adaptive_covering(bboxes: np.ndarray, level_min: int = 3,
     """
     bboxes = np.asarray(bboxes, dtype=np.float64).reshape(-1, 4)
     out = {k: [] for k in ("z", "lv", "ix", "iy", "full")}
-    n0 = float(2**level_min)
     seeds_z, seeds_ix, seeds_iy = [], [], []
     for i, (xmin, ymin, xmax, ymax) in enumerate(bboxes):
-        # clamp into the 2^L grid (like covering()/cell_encode): a bbox
-        # touching lat 90 or lon 360 must not seed out-of-grid phantom cells
-        hi = int(n0) - 1
-        ix0 = max(0, min(hi, int(np.floor(xmin / 360.0 * n0))))
-        ix1 = max(0, min(hi, int(np.floor(xmax / 360.0 * n0))))
-        iy0 = max(0, min(hi, int(np.floor((ymin + 90.0) / 180.0 * n0))))
-        iy1 = max(0, min(hi, int(np.floor((ymax + 90.0) / 180.0 * n0))))
+        ix0, ix1, iy0, iy1 = seed_range(xmin, ymin, xmax, ymax, level_min)
         gx, gy = np.meshgrid(np.arange(ix0, ix1 + 1, dtype=np.int64),
                              np.arange(iy0, iy1 + 1, dtype=np.int64),
                              indexing="ij")

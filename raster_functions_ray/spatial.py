@@ -726,6 +726,23 @@ ORDER BY zone_id, cell_id
 """
 
 
+def _encode_span_points(b: pa.Table, levels) -> pa.Table:
+    """WKT POINT spans → (cell_id, doc_id, x, y) rows at every level in
+    ``levels`` — the one point-side encoder all cell-keyed join lowerings
+    share (single-level for cellshuffle, the level range for the adaptive
+    coverings)."""
+    texts = b["text"].to_pylist()
+    doc_ids = np.asarray(b["doc_id"].to_pylist(), dtype=object)
+    pidx, x, y = wkt_parse_points(texts)
+    outs = []
+    for lvl in levels:
+        outs.append(pa.table({
+            "cell_id": pa.array(grid.cell_encode(x, y, lvl), pa.int64()),
+            "doc_id": pa.array(list(doc_ids[pidx]), pa.string()),
+            "x": pa.array(x), "y": pa.array(y)}))
+    return pa.concat_tables(outs)
+
+
 def q_doc_zone_join_adaptive(sf_dir: str) -> pd.DataFrame:
     """The ADAPTIVE-COVERING lowering of the doc↔zone spatial join: the
     zone side ships its mixed-level covering (q_adaptive_cover's cells —
@@ -772,17 +789,7 @@ def q_doc_zone_join_adaptive(sf_dir: str) -> pd.DataFrame:
     pts = spans.text_spans(spans.explode_spans(read_documents(d)))
 
     def encode_points(b: pa.Table) -> pa.Table:
-        texts = b["text"].to_pylist()
-        doc_ids = np.asarray(b["doc_id"].to_pylist(), dtype=object)
-        pidx, x, y = wkt_parse_points(texts)
-        outs = []
-        for lvl in range(ADAPT_LMIN, ADAPT_LMAX + 1):
-            cells = grid.cell_encode(x, y, lvl)
-            outs.append(pa.table({
-                "cell_id": pa.array(cells, pa.int64()),
-                "doc_id": pa.array(list(doc_ids[pidx]), pa.string()),
-                "x": pa.array(x), "y": pa.array(y)}))
-        return pa.concat_tables(outs)
+        return _encode_span_points(b, range(ADAPT_LMIN, ADAPT_LMAX + 1))
 
     pcells = pts.map_batches(encode_points, batch_format="pyarrow",
                              batch_size=8192)
@@ -813,16 +820,13 @@ def adaptive_covering_convex(zone_ids, bboxes, verts_list,
 
     Per-zone BFS (zones are the small side); within a zone every level's
     frontier classifies all cells at once (4 vectorized corner tests)."""
+    from .grid import seed_range
+
     out = {k: [] for k in ("z", "lv", "ix", "iy", "full")}
-    n0 = float(2**level_min)
-    hi0 = int(n0) - 1
     for zid, bb, verts in zip(zone_ids, bboxes, verts_list):
         xmin, ymin, xmax, ymax = (float(v) for v in bb)
         v = np.asarray(verts, dtype=np.float64)
-        ix0 = max(0, min(hi0, int(np.floor(xmin / 360.0 * n0))))
-        ix1 = max(0, min(hi0, int(np.floor(xmax / 360.0 * n0))))
-        iy0 = max(0, min(hi0, int(np.floor((ymin + 90.0) / 180.0 * n0))))
-        iy1 = max(0, min(hi0, int(np.floor((ymax + 90.0) / 180.0 * n0))))
+        ix0, ix1, iy0, iy1 = seed_range(xmin, ymin, xmax, ymax, level_min)
         gx, gy = np.meshgrid(np.arange(ix0, ix1 + 1, dtype=np.int64),
                              np.arange(iy0, iy1 + 1, dtype=np.int64),
                              indexing="ij")
@@ -998,6 +1002,10 @@ def q_doc_zone_join_adaptive_full(sf_dir: str) -> pd.DataFrame:
             "cell_id": pa.array(lv * LEVEL_STRIDE + ix * IX_STRIDE + iy),
             "zone_id": pa.array(z),
             "is_full": pa.array(full)}))
+    if not parts:  # zero zones: an empty join result, not a concat crash
+        parts = [pa.table({"cell_id": pa.array([], pa.int64()),
+                           "zone_id": pa.array([], pa.int64()),
+                           "is_full": pa.array([], pa.bool_())})]
     zcells = rd.from_arrow(pa.concat_tables(parts))
 
     # broadcast zone geometry once for the boundary-cell exact tests
@@ -1010,16 +1018,7 @@ def q_doc_zone_join_adaptive_full(sf_dir: str) -> pd.DataFrame:
     pts = spans.text_spans(spans.explode_spans(read_documents(d)))
 
     def encode_points(b: pa.Table) -> pa.Table:
-        texts = b["text"].to_pylist()
-        doc_ids = np.asarray(b["doc_id"].to_pylist(), dtype=object)
-        pidx, x, y = wkt_parse_points(texts)
-        outs = []
-        for lvl in range(ADAPT_LMIN, ADAPT_LMAX + 1):
-            outs.append(pa.table({
-                "cell_id": pa.array(grid.cell_encode(x, y, lvl), pa.int64()),
-                "doc_id": pa.array(list(doc_ids[pidx]), pa.string()),
-                "x": pa.array(x), "y": pa.array(y)}))
-        return pa.concat_tables(outs)
+        return _encode_span_points(b, range(ADAPT_LMIN, ADAPT_LMAX + 1))
 
     pcells = pts.map_batches(encode_points, batch_format="pyarrow",
                              batch_size=8192)
