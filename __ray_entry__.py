@@ -46,7 +46,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the driver runs either side
     synth.synth_dir(0.01)
 
+    # ORDER MATTERS: the driver records only the first 50 entries in
+    # CORRECTNESS_r{N}.json, so every SQL-oracle-backed query (see
+    # oracle_sql()) is registered BEFORE the rows-only ones. Keep new
+    # SQL-exact queries in the first section.
     return {
+        # ---- SQL-exact section (every key here has an oracle_sql entry) ----
         # SQL-exact raster gates over the closed-form analytic tile world
         # (the rows-only pixel queries' exact complements — analytic.py)
         "ndvi_exact": analytic.q_ndvi_exact,
@@ -57,6 +62,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remap_exact": analytic.q_remap_exact,
         "stretch_exact": analytic.q_stretch_exact,
         "qa_exact": analytic.q_qa_exact,
+        # spatial joins: cell encode, four interchangeable PIP lowerings,
+        # zonal, kNN (brute + cell-ring), adaptive coverings, NN classify
+        "cell_assign": spatial.q_cell_assign,
+        "pip_rect": spatial.q_pip_rect,
+        "zonal_value": spatial.q_zonal_value,
+        "zonal_value_salted": spatial.q_zonal_value_salted,
+        "knn": spatial.q_knn,
+        "knn_cell_ring": spatial.q_knn_cell_ring,
+        "nn_classify": spatial.q_nn_classify,
+        "doc_zone_join": rq.q_doc_zone_join,
+        "doc_zone_join_rect": spatial.q_doc_zone_join_rect,
+        "doc_zone_join_cellshuffle": spatial.q_doc_zone_join_cellshuffle,
+        "doc_zone_join_adaptive": spatial.q_doc_zone_join_adaptive,
+        "doc_zone_join_adaptive_full": spatial.q_doc_zone_join_adaptive_full,
+        "adaptive_cover": spatial.q_adaptive_cover,
+        "adaptive_cover_convex": spatial.q_adaptive_cover_convex,
+        "tile_cells": rq.q_tile_cells,
+        "tile_parent_cells": rq.q_tile_parent_cells,
         # relational (SURVEY.md §2 aggregate/join/filter/top-k shapes)
         "q1_pricing": rel.q1_pricing,
         "q3_shipping": rel.q3_shipping,
@@ -69,124 +92,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity": rel.q_user_activity,
         "orders_filter_join": rel.q_orders_filter_join,
         "lineitem_part_join": rel.q_lineitem_part_join,
-        # spatial: cell encode, point-in-polygon join, kNN, zonal
-        "cell_assign": spatial.q_cell_assign,
-        "pip_rect": spatial.q_pip_rect,
-        "zonal_value": spatial.q_zonal_value,
-        "knn": spatial.q_knn,
-        # text analysis
-        "token_stats": textops.q_token_stats,
-        "lang_profile": textops.q_lang_profile,
-        "doc_prefix_groups": textops.q_doc_prefix_groups,
-        # dedup
-        "exact_dedup": dedup.q_exact_dedup,
-        "minhash_dedup": dedup.q_minhash_dedup,
-        "simhash": dedup.q_simhash,
-        "ngram_jaccard": dedup.q_ngram_jaccard,
-        # similarity search
-        "ann_topk": ann.q_ann_topk,
-        "lsh_bucket_sizes": ann.q_lsh_bucket_sizes,
-        # raster pipelines over the synthetic tile world
-        "tile_cells": rq.q_tile_cells,
-        "ndvi_stats": rq.q_ndvi_stats,
-        "hillshade_stats": rq.q_hillshade_stats,
-        "hillshade_shuffle_halo": rq.q_hillshade_shuffle_halo_stats,
-        "aspect_slope_stats": rq.q_aspect_slope_stats,
-        "aggregate_mean_stats": rq.q_aggregate_mean_stats,
-        "median_composite_stats": rq.q_median_composite_stats,
-        "zonal_remap_counts": rq.q_zonal_remap_counts,
-        "doc_zone_join": rq.q_doc_zone_join,
-        # band algebra on columns (same kernels as the raster path, SQL-exact)
-        "windchill": bandmath.q_windchill,
-        "heat_index": bandmath.q_heat_index,
-        "fuzzy_linear": bandmath.q_fuzzy_linear,
-        "arithmetic_cols": bandmath.q_arithmetic_cols,
-        # chains, classifiers, two-phase + windowed composites
-        "tri_stats": rq.q_tri_stats,
-        "ndvi_colormap_chain": rq.q_ndvi_colormap_chain,
-        "composite_bands_stats": rq.q_composite_bands_stats,
-        "vector_field_stats": rq.q_vector_field_stats,
-        "knn_classify_stats": rq.q_knn_classify_stats,
-        "rf_classify_stats": rq.q_rf_classify_stats,
-        "percent_above_threshold": rq.q_percent_above_threshold,
-        "topographic_c": rq.q_topographic_c,
-        "convert_per_month": bandmath.q_convert_per_month,
-        # remaining §2 operators
-        "dnbr_stats": rq.q_dnbr_stats,
-        "landsat_qa_stats": rq.q_landsat_qa_stats,
-        "rank_filter_stats": rq.q_rank_filter_stats,
-        "block_statistics_stats": rq.q_block_statistics_stats,
-        "pixel_percentile_stats": rq.q_pixel_percentile_stats,
-        "find_second_max_stats": rq.q_find_second_max_stats,
-        "image_synthesis_stats": rq.q_image_synthesis_stats,
-        "latitude_corner": rq.q_latitude_corner,
-        "mask_replace_chain": rq.q_mask_replace_chain,
-        "vineyard_chain": rq.q_vineyard_chain,
-        "cti_stats": rq.q_cti_stats,
-        "inpaint_stats": rq.q_inpaint_stats,
-        "seasonal_forecast_stats": rq.q_seasonal_forecast_stats,
-        "doc_media_join": rq.q_doc_media_join,
-        "span_kinds": rq.q_span_kinds,
-        "merge_extract_stats": rq.q_merge_extract_stats,
-        "select_by_pixel_size": rq.q_select_by_pixel_size,
-        "random_source": rq.q_random_source,
-        "hexagon_stats": rq.q_hexagon_stats,
-        # ordered-window / as-of operators + metadata ops
-        "sessionize": rel.q_sessionize,
-        "running_totals": rel.q_running_totals,
-        "window_moving_max": rel.q_window_moving_max,
-        "asof_join": rel.q_asof_join,
-        "tile_catalog": rq.q_tile_catalog,
-        "key_metadata": rq.q_key_metadata,
-        # skew-safe + two-phase + scale-path variants
-        "zonal_value_salted": spatial.q_zonal_value_salted,
-        "fuzzy_mssmall_two_phase": bandmath.q_fuzzy_mssmall_two_phase,
-        "anti_join": rel.q_anti_join,
-        "ivf_search": ann.q_ivf_search,
-        "training_data_pipeline": textops.q_training_data_pipeline,
-        "heat_index_f8": bandmath.q_heat_index_f8,
-        "fish_habitat_f8": bandmath.q_fish_habitat_f8,
-        # round-2: template-gap ops + LinearSpectralUnmixing
-        "lsu_stats": rq.q_lsu_stats,
-        "ndsi_ndwi_stats": rq.q_ndsi_ndwi_stats,
-        "deviation_from_mean_stats": rq.q_deviation_from_mean_stats,
-        "multidirectional_hillshade_stats": rq.q_multidirectional_hillshade_stats,
-        "remove_nodata_stats": rq.q_remove_nodata_stats,
-        # round-2: new SQL-exact coverage (range join, windows, grouped
-        # top-k/median, WKT rect zonal join, cell hierarchy, dot-product ANN,
-        # quality counts, distributed dup-marking)
         "range_join": rel.q_range_join,
         "window_lag": rel.q_window_lag,
         "nation_top_customers": rel.q_nation_top_customers,
         "segment_median_price": rel.q_segment_median_price,
-        "doc_zone_join_rect": spatial.q_doc_zone_join_rect,
-        "tile_parent_cells": rq.q_tile_parent_cells,
-        "ann_dot_topk": ann.q_ann_dot_topk,
-        "quality_counts": textops.q_quality_counts,
-        "dedup_mark": textops.q_dedup_mark,
-        # multimodal plumbing (stub codec, deterministic)
-        "media_features": rq.q_media_features,
-        # embedding-cosine near-dup (top-1 neighbor per vector, SQL-exact)
-        "embedding_nn_dedup": dedup.q_embedding_nn_dedup,
-        # TableFunction category join + checkpoint/lineage/resume pipeline
-        "table_function_stats": rq.q_table_function_stats,
-        "resumable_hillshade": rq.q_resumable_hillshade,
-        # dedicated gates for formerly-partial ops
-        "chuck_close_stats": rq.q_chuck_close_stats,
-        "nn_neighbors_stats": rq.q_nn_neighbors_stats,
-        "rasterize_attributes_stats": rq.q_rasterize_attributes_stats,
-        "video_frame_plan": rq.q_video_frame_plan,
-        "audio_features": rq.q_audio_features,
-        # set ops / multi-level aggregate / pivot (all SQL-exact)
-        "doc_zone_join_cellshuffle": spatial.q_doc_zone_join_cellshuffle,
-        "knn_cell_ring": spatial.q_knn_cell_ring,
-        "stretch_stats": rq.q_stretch_stats,
-        "fuzzy_gaussian": bandmath.q_fuzzy_gaussian,
+        "sessionize": rel.q_sessionize,
+        "running_totals": rel.q_running_totals,
+        "window_moving_max": rel.q_window_moving_max,
+        "asof_join": rel.q_asof_join,
+        "anti_join": rel.q_anti_join,
+        "anti_join_shuffle": rel.q_anti_join_shuffle,
+        "left_outer_join": rel.q_left_outer_join,
+        "exact_percentiles": rel.q_exact_percentiles,
         "segment_except": rel.q_segment_except,
         "nation_segment_rollup": rel.q_nation_segment_rollup,
         "event_type_pivot": rel.q_event_type_pivot,
-        # round-2: post-dedup training-data prep (all SQL-exact; the two
-        # inherently iterative ones use recursive-CTE oracles)
+        # text analysis / dedup / training-data prep (SQL-exact)
+        "token_stats": textops.q_token_stats,
+        "lang_profile": textops.q_lang_profile,
+        "doc_prefix_groups": textops.q_doc_prefix_groups,
+        "quality_counts": textops.q_quality_counts,
+        "dedup_mark": textops.q_dedup_mark,
+        "training_data_pipeline": textops.q_training_data_pipeline,
+        "pattern_scrub": textops.q_pattern_scrub,
+        "decontaminate": textops.q_decontaminate,
+        "boilerplate": textops.q_boilerplate,
+        "exact_dedup": dedup.q_exact_dedup,
+        "ngram_jaccard": dedup.q_ngram_jaccard,
+        "embedding_nn_dedup": dedup.q_embedding_nn_dedup,
         "dup_clusters": trainprep.q_dup_clusters,
         "stratified_sample": trainprep.q_stratified_sample,
         "seq_packing": trainprep.q_seq_packing,
@@ -197,20 +130,76 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_order": trainprep.q_shuffle_order,
         "budget_select": trainprep.q_budget_select,
         "hll_distinct": trainprep.q_hll_distinct,
-        "boilerplate": textops.q_boilerplate,
-        "adaptive_cover": spatial.q_adaptive_cover,
-        "doc_zone_join_adaptive": spatial.q_doc_zone_join_adaptive,
-        "adaptive_cover_convex": spatial.q_adaptive_cover_convex,
-        "doc_zone_join_adaptive_full": spatial.q_doc_zone_join_adaptive_full,
-        "pattern_scrub": textops.q_pattern_scrub,
-        "decontaminate": textops.q_decontaminate,
-        # round-2 close: native outer/anti join lowerings + histogram-exact
-        # percentiles (all SQL-exact)
-        "left_outer_join": rel.q_left_outer_join,
-        "anti_join_shuffle": rel.q_anti_join_shuffle,
-        "exact_percentiles": rel.q_exact_percentiles,
-        # SQL-exact NN classification (broadcast landmark side)
-        "nn_classify": spatial.q_nn_classify,
+        # similarity search (SQL-exact)
+        "ann_topk": ann.q_ann_topk,
+        "ann_dot_topk": ann.q_ann_dot_topk,
+        "lsh_bucket_sizes": ann.q_lsh_bucket_sizes,
+        # band algebra on columns (same kernels as the raster path, SQL-exact)
+        "windchill": bandmath.q_windchill,
+        "fuzzy_linear": bandmath.q_fuzzy_linear,
+        "fuzzy_gaussian": bandmath.q_fuzzy_gaussian,
+        "fuzzy_mssmall_two_phase": bandmath.q_fuzzy_mssmall_two_phase,
+        "arithmetic_cols": bandmath.q_arithmetic_cols,
+        "convert_per_month": bandmath.q_convert_per_month,
+        "heat_index_f8": bandmath.q_heat_index_f8,
+        "fish_habitat_f8": bandmath.q_fish_habitat_f8,
+        # metadata / document-structure queries (SQL-exact)
+        "latitude_corner": rq.q_latitude_corner,
+        "doc_media_join": rq.q_doc_media_join,
+        "span_kinds": rq.q_span_kinds,
+        "tile_catalog": rq.q_tile_catalog,
+        "key_metadata": rq.q_key_metadata,
+        "video_frame_plan": rq.q_video_frame_plan,
+        # ---- rows-only section (no SQL oracle: RNG/pixel-payload/stub
+        # codec semantics; each is gated by the pytest golden suite) ----
+        "minhash_dedup": dedup.q_minhash_dedup,
+        "simhash": dedup.q_simhash,
+        "ivf_search": ann.q_ivf_search,
+        "ndvi_stats": rq.q_ndvi_stats,
+        "hillshade_stats": rq.q_hillshade_stats,
+        "hillshade_shuffle_halo": rq.q_hillshade_shuffle_halo_stats,
+        "aspect_slope_stats": rq.q_aspect_slope_stats,
+        "aggregate_mean_stats": rq.q_aggregate_mean_stats,
+        "median_composite_stats": rq.q_median_composite_stats,
+        "zonal_remap_counts": rq.q_zonal_remap_counts,
+        "heat_index": bandmath.q_heat_index,
+        "tri_stats": rq.q_tri_stats,
+        "ndvi_colormap_chain": rq.q_ndvi_colormap_chain,
+        "composite_bands_stats": rq.q_composite_bands_stats,
+        "vector_field_stats": rq.q_vector_field_stats,
+        "knn_classify_stats": rq.q_knn_classify_stats,
+        "rf_classify_stats": rq.q_rf_classify_stats,
+        "percent_above_threshold": rq.q_percent_above_threshold,
+        "topographic_c": rq.q_topographic_c,
+        "dnbr_stats": rq.q_dnbr_stats,
+        "landsat_qa_stats": rq.q_landsat_qa_stats,
+        "rank_filter_stats": rq.q_rank_filter_stats,
+        "block_statistics_stats": rq.q_block_statistics_stats,
+        "pixel_percentile_stats": rq.q_pixel_percentile_stats,
+        "find_second_max_stats": rq.q_find_second_max_stats,
+        "image_synthesis_stats": rq.q_image_synthesis_stats,
+        "mask_replace_chain": rq.q_mask_replace_chain,
+        "vineyard_chain": rq.q_vineyard_chain,
+        "cti_stats": rq.q_cti_stats,
+        "inpaint_stats": rq.q_inpaint_stats,
+        "seasonal_forecast_stats": rq.q_seasonal_forecast_stats,
+        "merge_extract_stats": rq.q_merge_extract_stats,
+        "select_by_pixel_size": rq.q_select_by_pixel_size,
+        "random_source": rq.q_random_source,
+        "hexagon_stats": rq.q_hexagon_stats,
+        "lsu_stats": rq.q_lsu_stats,
+        "ndsi_ndwi_stats": rq.q_ndsi_ndwi_stats,
+        "deviation_from_mean_stats": rq.q_deviation_from_mean_stats,
+        "multidirectional_hillshade_stats": rq.q_multidirectional_hillshade_stats,
+        "remove_nodata_stats": rq.q_remove_nodata_stats,
+        "media_features": rq.q_media_features,
+        "table_function_stats": rq.q_table_function_stats,
+        "resumable_hillshade": rq.q_resumable_hillshade,
+        "chuck_close_stats": rq.q_chuck_close_stats,
+        "nn_neighbors_stats": rq.q_nn_neighbors_stats,
+        "rasterize_attributes_stats": rq.q_rasterize_attributes_stats,
+        "audio_features": rq.q_audio_features,
+        "stretch_stats": rq.q_stretch_stats,
     }
 
 
