@@ -724,7 +724,10 @@ def q_left_outer_join(sf_dir: str) -> pd.DataFrame:
             "c_custkey": df["c_custkey"],
             "c_mktsegment": df["c_mktsegment"],
             "n_orders": df["n_orders"].fillna(0).astype("int64"),
-            "sum_price": np.round(df["sum_price"].fillna(0.0), 2),
+            # floor(x*100+0.5)/100 == DuckDB's half-AWAY ROUND for
+            # positives (np.round is half-even; see q3_shipping)
+            "sum_price": np.floor(df["sum_price"].fillna(0.0).to_numpy(np.float64)
+                                  * 100.0 + 0.5) / 100.0,
         })
 
     out = joined.map_batches(finish, batch_format="pyarrow").to_pandas()
@@ -734,7 +737,7 @@ def q_left_outer_join(sf_dir: str) -> pd.DataFrame:
 Q_LEFT_OUTER_JOIN_SQL = """
 SELECT c.c_custkey, c.c_mktsegment,
        COALESCE(o.n_orders, 0) AS n_orders,
-       ROUND(COALESCE(o.sum_price, 0), 2) AS sum_price
+       floor(COALESCE(o.sum_price, 0) * 100.0 + 0.5) / 100.0 AS sum_price
 FROM customer c
 LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders, SUM(o_totalprice) AS sum_price
            FROM orders GROUP BY o_custkey) o

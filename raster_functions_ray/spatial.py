@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
@@ -294,9 +295,18 @@ ORDER BY event_id, rank
 
 # ------------------------------------------- convex polygon PIP (engine path)
 
-def point_in_convex_batch(x: np.ndarray, y: np.ndarray, verts: np.ndarray) -> np.ndarray:
+def point_in_convex_batch(x: np.ndarray, y: np.ndarray, verts: np.ndarray,
+                          eps: float = 0.0) -> np.ndarray:
     """Vectorized point-in-convex-polygon: all cross products same sign
-    (CCW ring, boundary counts as inside)."""
+    (CCW ring, boundary counts as inside).
+
+    ``eps > 0`` demands a margin — used by the adaptive coverings to mark
+    a cell FULL only when its corners clear every edge by more than the
+    float rounding error of the cross product (|cross| terms are bounded
+    by ~1.3e5 here, so ~4 ulps ≈ 1.2e-10 ≪ CONVEX_FULL_EPS); a full cell's
+    interior points then provably pass the rounded >= 0 test the exact
+    path and the oracle evaluate (the cross product is affine in (x, y),
+    so its min over a cell is attained at a corner)."""
     n = len(verts) // 2
     vx, vy = verts[0::2], verts[1::2]
     inside = np.ones(x.shape, dtype=bool)
@@ -304,19 +314,38 @@ def point_in_convex_batch(x: np.ndarray, y: np.ndarray, verts: np.ndarray) -> np
         x1, y1 = vx[i], vy[i]
         x2, y2 = vx[(i + 1) % n], vy[(i + 1) % n]
         cross = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
-        inside &= cross >= 0
+        inside &= cross >= eps
     return inside
 
 
-def wkt_parse_points(texts: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Parse 'POINT (x y)' rows; returns (idx, x, y) of the point rows."""
-    idx, xs, ys = [], [], []
-    for i, t in enumerate(texts):
-        if t.startswith("POINT"):
-            body = t[t.index("(") + 1 : t.rindex(")")]
-            a, b = body.split()
-            idx.append(i); xs.append(float(a)); ys.append(float(b))
-    return (np.asarray(idx, np.int64), np.asarray(xs, np.float64), np.asarray(ys, np.float64))
+# margin for marking a convex covering cell FULL; well above cross-product
+# rounding error, well below any geometry feature scale
+CONVEX_FULL_EPS = 1e-6
+
+
+def wkt_parse_points(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Parse 'POINT (x y)' rows; returns (idx, x, y) of the point rows.
+
+    Fully vectorized in Arrow compute (RE2 extract + cast) — this runs on
+    every text span of the corpus inside ZoneJoiner.__call__ and the
+    cell-keyed join encoders, so a per-row Python loop here would dominate
+    the hot join path at scale. Accepts a pyarrow (Chunked)Array or a
+    plain list of strings."""
+    if isinstance(texts, list):
+        texts = pa.array(texts, pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    is_pt = pc.starts_with(texts, "POINT")
+    idx = np.flatnonzero(np.asarray(is_pt.fill_null(False)))
+    if idx.size == 0:
+        return (idx.astype(np.int64), np.empty(0, np.float64),
+                np.empty(0, np.float64))
+    body = pc.extract_regex(
+        texts.take(pa.array(idx, pa.int64())),
+        r"\(\s*(?P<x>[-+0-9.eE]+)\s+(?P<y>[-+0-9.eE]+)\s*\)")
+    x = np.asarray(pc.struct_field(body, "x").cast(pa.float64()))
+    y = np.asarray(pc.struct_field(body, "y").cast(pa.float64()))
+    return idx.astype(np.int64), x, y
 
 
 class ZoneJoiner:
@@ -340,13 +369,12 @@ class ZoneJoiner:
                 self.cell_to_zones.setdefault(int(c), []).append(i)
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        texts = b["text"].to_pylist()
-        doc_ids = np.asarray(b["doc_id"].to_pylist(), dtype=object)
-        pidx, x, y = wkt_parse_points(texts)
+        pidx, x, y = wkt_parse_points(b["text"])
         if x.size == 0:  # all-POLYGON batch: the [0]/[0] boundary slices
             # below would still index sc[0] on an empty array
             return pa.table({"doc_id": pa.array([], pa.string()),
                              "zone_id": pa.array([], pa.int32())})
+        doc_ids = b["doc_id"].take(pa.array(pidx)).to_numpy(zero_copy_only=False)
         cells = grid.cell_encode(x, y, CELL_LEVEL)
         # group points by cell (one stable sort), then run the VECTORIZED
         # containment test per (cell, candidate-zone) pair — no per-point
@@ -373,7 +401,7 @@ class ZoneJoiner:
                     hit = point_in_convex_batch(xx, yy, verts)
                 if hit.any():
                     took = idxs[hit]
-                    sel_docs.append(doc_ids[pidx[took]])
+                    sel_docs.append(doc_ids[took])
                     sel_zones.append(np.full(took.size, int(z["zone_id"][zi]), np.int32))
         if sel_docs:
             out_doc = np.concatenate(sel_docs)
@@ -492,12 +520,10 @@ def q_doc_zone_join_cellshuffle(sf_dir: str) -> pd.DataFrame:
     pts = spans.text_spans(spans.explode_spans(read_documents(d)))
 
     def encode_points(b: pa.Table) -> pa.Table:
-        texts = b["text"].to_pylist()
-        doc_ids = np.asarray(b["doc_id"].to_pylist(), dtype=object)
-        pidx, x, y = wkt_parse_points(texts)
+        pidx, x, y = wkt_parse_points(b["text"])
         cells = grid.cell_encode(x, y, CELL_LEVEL)
         return pa.table({"cell_id": pa.array(cells, pa.int64()),
-                         "doc_id": pa.array(list(doc_ids[pidx]), pa.string()),
+                         "doc_id": b["doc_id"].take(pa.array(pidx)).combine_chunks(),
                          "x": pa.array(x), "y": pa.array(y)})
 
     pcells = pts.map_batches(encode_points, batch_format="pyarrow", batch_size=8192)
@@ -731,14 +757,13 @@ def _encode_span_points(b: pa.Table, levels) -> pa.Table:
     ``levels`` — the one point-side encoder all cell-keyed join lowerings
     share (single-level for cellshuffle, the level range for the adaptive
     coverings)."""
-    texts = b["text"].to_pylist()
-    doc_ids = np.asarray(b["doc_id"].to_pylist(), dtype=object)
-    pidx, x, y = wkt_parse_points(texts)
+    pidx, x, y = wkt_parse_points(b["text"])
+    pt_docs = b["doc_id"].take(pa.array(pidx)).combine_chunks()
     outs = []
     for lvl in levels:
         outs.append(pa.table({
             "cell_id": pa.array(grid.cell_encode(x, y, lvl), pa.int64()),
-            "doc_id": pa.array(list(doc_ids[pidx]), pa.string()),
+            "doc_id": pt_docs,
             "x": pa.array(x), "y": pa.array(y)}))
     return pa.concat_tables(outs)
 
@@ -836,10 +861,10 @@ def adaptive_covering_convex(zone_ids, bboxes, verts_list,
             h = 180.0 / (2.0**level)
             x0, x1 = ix * w, (ix + 1) * w
             y0, y1 = iy * h - 90.0, (iy + 1) * h - 90.0
-            inside = (point_in_convex_batch(x0, y0, v)
-                      & point_in_convex_batch(x1, y0, v)
-                      & point_in_convex_batch(x0, y1, v)
-                      & point_in_convex_batch(x1, y1, v))
+            inside = (point_in_convex_batch(x0, y0, v, CONVEX_FULL_EPS)
+                      & point_in_convex_batch(x1, y0, v, CONVEX_FULL_EPS)
+                      & point_in_convex_batch(x0, y1, v, CONVEX_FULL_EPS)
+                      & point_in_convex_batch(x1, y1, v, CONVEX_FULL_EPS))
             inter = (x0 <= xmax) & (x1 >= xmin) & (y0 <= ymax) & (y1 >= ymin)
             emit = inter if level == level_max else (inside & inter)
             k = int(emit.sum())
@@ -900,12 +925,13 @@ def q_adaptive_cover_convex(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["zone_id", "cell_id"]).reset_index(drop=True)
 
 
-def _sql_corner_inside(cx: str, cy: str) -> str:
+def _sql_corner_inside(cx: str, cy: str, eps: str = "0") -> str:
     """The doc_zone_join oracle's convex containment lambda with pluggable
-    corner-coordinate expressions."""
+    corner-coordinate expressions; ``eps`` mirrors point_in_convex_batch's
+    full-cell margin (same double literal on both sides)."""
     return f"""list_aggregate(list_transform(range(1, nv + 1), i ->
       CASE WHEN (vertices[2*(i % nv)+1] - vertices[2*i-1]) * (({cy}) - vertices[2*i])
-              - (vertices[2*(i % nv)+2] - vertices[2*i]) * (({cx}) - vertices[2*i-1]) >= 0
+              - (vertices[2*(i % nv)+2] - vertices[2*i]) * (({cx}) - vertices[2*i-1]) >= {eps}
            THEN 1 ELSE 0 END), 'min') = 1"""
 
 
@@ -920,10 +946,11 @@ def adaptive_cover_convex_oracle_sql(sf: float = 0.01) -> str:
     cx1 = "(ix + 1) * (360.0 / POWER(2, level))"
     cy0 = "iy * (180.0 / POWER(2, level)) - 90.0"
     cy1 = "(iy + 1) * (180.0 / POWER(2, level)) - 90.0"
-    inside = " AND ".join([_sql_corner_inside(cx0, cy0),
-                           _sql_corner_inside(cx1, cy0),
-                           _sql_corner_inside(cx0, cy1),
-                           _sql_corner_inside(cx1, cy1)])
+    eps = repr(CONVEX_FULL_EPS)
+    inside = " AND ".join([_sql_corner_inside(cx0, cy0, eps),
+                           _sql_corner_inside(cx1, cy0, eps),
+                           _sql_corner_inside(cx0, cy1, eps),
+                           _sql_corner_inside(cx1, cy1, eps)])
     inter = (f"{cx0} <= xmax AND {cx1} >= xmin AND "
              f"{cy0} <= ymax AND {cy1} >= ymin")
     return f"""

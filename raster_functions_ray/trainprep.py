@@ -83,7 +83,7 @@ def connected_components(edges: rd.Dataset, max_iters: int = 100,
     return labels.to_pandas().sort_values("node").reset_index(drop=True)
 
 
-_HASH_MULT = 2654435761  # Knuth multiplicative hash; exact in int64 SQL for id < 2^31
+_HASH_MULT = 2654435761  # Knuth multiplicative hash (SQL sides use HUGEINT, exact for any id)
 
 
 def _split_hash(ids: np.ndarray, mod: int) -> np.ndarray:
@@ -141,7 +141,7 @@ WITH RECURSIVE pairs AS (
   SELECT e.u, w.label FROM edges e JOIN walk w ON w.u = e.v
 )
 SELECT u AS doc_id, MIN(label) AS cluster_id,
-       CASE WHEN ((MIN(label) * {_HASH_MULT}) % 4294967296) % 10 < 8
+       CASE WHEN ((CAST(MIN(label) AS HUGEINT) * {_HASH_MULT}) % 4294967296) % 10 < 8
             THEN 'train' ELSE 'holdout' END AS split
 FROM walk GROUP BY u ORDER BY doc_id
 """
@@ -179,9 +179,9 @@ def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
 
 Q_STRATIFIED_SAMPLE_SQL = f"""
 SELECT doc_id, lang,
-       ((doc_id * {_HASH_MULT}) % 4294967296) % 100 AS bucket
+       CAST(((CAST(doc_id AS HUGEINT) * {_HASH_MULT}) % 4294967296) % 100 AS BIGINT) AS bucket
 FROM documents
-WHERE ((doc_id * {_HASH_MULT}) % 4294967296) % 100
+WHERE ((CAST(doc_id AS HUGEINT) * {_HASH_MULT}) % 4294967296) % 100
       < CASE lang WHEN 'en' THEN {SAMPLE_RATES['en']} ELSE {SAMPLE_DEFAULT_RATE} END
 ORDER BY doc_id
 """
@@ -305,32 +305,29 @@ def q_bloom_anti_dedup(sf_dir: str) -> pd.DataFrame:
     Scale shape: the reference side is streamed once into per-block Bloom
     partials OR-ed to one {BLOOM_BITS}-bit broadcast filter; the corpus
     side drops Bloom-negatives vectorized in map_batches (no shuffle for
-    ~99% of rows) and only Bloom-POSITIVES go through the exact hash
-    semi-join.  The definite-drop id set is result-sized (true duplicates
-    only), so its broadcast is cheap by construction.  Equality is on the
-    64-bit content hash (injective on any real corpus; same convention as
-    exact_dedup's GROUP BY text oracle)."""
+    ~99% of rows).  Bloom POSITIVES (true dups + ~fpr·n false positives —
+    result-sized by filter construction) are then verified on the ACTUAL
+    TEXT, not the 64-bit content hash: at billions of docs, 64-bit
+    cross-text collisions become expected (~n²/2/2⁶⁴) and a hash-equality
+    verify would silently drop unique documents.  The verify is two
+    broadcast semi-joins over O(positives) texts: positive texts → filter
+    the reference stream → confirmed-duplicate texts → final drop set."""
     import pyarrow.compute as pc
     import ray
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def hash_rows(b: pa.Table) -> pa.Table:
-        h = _text_hash64(b["text"].to_pandas())
-        return pa.table({"doc_id": b["doc_id"], "h": pa.array(h.view(np.int64))})
-
-    # text is decoded exactly ONCE (this hash pass); the reference slice,
-    # Bloom partials, and exact verify all derive from the hash dataset
-    hashed = docs.map_batches(hash_rows, batch_format="pyarrow",
-                              batch_size=8192).materialize()
-
     def _is_ref(b: pa.Table) -> pa.Table:
         ids = np.asarray(b["doc_id"], dtype=np.int64)
         return b.filter(pa.array(ids % REF_MOD == 0))
 
-    ref_hashed = hashed.map_batches(_is_ref, batch_format="pyarrow")
-    partials = ref_hashed.map_batches(_bloom_partial, batch_format="pyarrow",
-                                      batch_size=8192).to_pandas()
+    def ref_partial(b: pa.Table) -> pa.Table:
+        r = _is_ref(b)
+        h = _text_hash64(r["text"].to_pandas())
+        return _bloom_partial(pa.table({"h": pa.array(h.view(np.int64))}))
+
+    partials = docs.map_batches(ref_partial, batch_format="pyarrow",
+                                batch_size=8192).to_pandas()
     bloom = np.zeros(BLOOM_BITS // 64, dtype=np.uint64)
     for raw in partials["bits"]:
         bloom |= np.frombuffer(raw, dtype=np.uint64)
@@ -338,24 +335,32 @@ def q_bloom_anti_dedup(sf_dir: str) -> pd.DataFrame:
 
     def bloom_positive(b: pa.Table) -> pa.Table:
         bits = ray.get(bloom_ref)
-        h = np.asarray(b["h"], dtype=np.int64).view(np.uint64)
+        h = _text_hash64(b["text"].to_pandas()).view(np.uint64)
         pos = _bloom_positions(h)
         hit = (bits[pos // 64] >> (pos % 64).astype(np.uint64)) & np.uint64(1)
         return b.filter(pa.array(hit.all(axis=1)))
 
-    positives = hashed.map_batches(bloom_positive, batch_format="pyarrow")
-    ref_h = (ref_hashed.select_columns(["h"])
-             .groupby("h").aggregate(Count(alias_name="n")))
-    drops = (positives.join(ref_h, join_type="inner",
-                            num_partitions=join_partitions(), on=("h",))
-             .select_columns(["doc_id"]).to_pandas())
-    drop_ref = ray.put(pa.array(drops["doc_id"].to_numpy(np.int64)))
+    # Bloom positives carry (doc_id, text) — result-sized, so collecting
+    # them is O(result), the same bound as the drop-id broadcast below
+    pos = docs.map_batches(bloom_positive, batch_format="pyarrow",
+                           batch_size=8192).to_pandas()
+    pos_texts_ref = ray.put(pa.array(pos["text"].unique(), pa.string()))
+
+    def confirm_ref(b: pa.Table) -> pa.Table:
+        r = _is_ref(b)
+        return r.select(["text"]).filter(
+            pc.is_in(r["text"], value_set=ray.get(pos_texts_ref)))
+
+    confirmed = set(docs.map_batches(confirm_ref, batch_format="pyarrow",
+                                     batch_size=8192).to_pandas()["text"])
+    drop_ids = pos.loc[pos["text"].isin(confirmed), "doc_id"]
+    drop_ref = ray.put(pa.array(drop_ids.to_numpy(np.int64)))
 
     def keep(b: pa.Table) -> pa.Table:
-        return b.filter(pc.invert(pc.is_in(b["doc_id"], value_set=ray.get(drop_ref))))
+        return b.select(["doc_id"]).filter(
+            pc.invert(pc.is_in(b["doc_id"], value_set=ray.get(drop_ref))))
 
-    out = hashed.select_columns(["doc_id"]).map_batches(
-        keep, batch_format="pyarrow").to_pandas()
+    out = docs.map_batches(keep, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -551,7 +556,7 @@ def q_shuffle_order(sf_dir: str) -> pd.DataFrame:
 
 
 Q_SHUFFLE_ORDER_SQL = f"""
-SELECT (doc_id * {_HASH_MULT}) % 4294967296 AS skey, doc_id
+SELECT CAST((CAST(doc_id AS HUGEINT) * {_HASH_MULT}) % 4294967296 AS BIGINT) AS skey, doc_id
 FROM documents
 ORDER BY skey, doc_id
 LIMIT {SHUFFLE_LIMIT}
