@@ -235,15 +235,39 @@ def minhash_batch(b: pa.Table) -> pa.Table:
     return _MINHASHER(b)
 
 
-def minhash_candidates(sf_dir: str, concurrency: int = 4) -> pd.DataFrame:
+PAIR_CAP = 256  # max bucket size that emits all-pairs candidates
+
+
+def _bucket_pairs(g: pd.DataFrame) -> pa.Table:
+    """Candidate pairs within one LSH bucket.  Buckets larger than
+    PAIR_CAP are star-paired to the min doc_id instead of all-pairs: one
+    viral duplicate (say 10⁶ copies of a page) would otherwise emit O(n²)
+    pairs from a single bucket.  The star keeps every member one verified
+    edge away from the bucket minimum — connected components downstream
+    (trainprep.connected_components) recovers the identical full cluster —
+    while the emitted pair count stays linear."""
+    ids = np.unique(g["doc_id"].to_numpy(np.int64))
+    if ids.size < 2:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
+    if ids.size <= PAIR_CAP:
+        ii, jj = np.triu_indices(ids.size, k=1)
+        return pa.table({"doc_a": pa.array(ids[ii]), "doc_b": pa.array(ids[jj])})
+    return pa.table({"doc_a": pa.array(np.full(ids.size - 1, ids[0])),
+                     "doc_b": pa.array(ids[1:])})
+
+
+def minhash_candidates(sf_dir: str, concurrency: int = 4):
     """LSH bucket join: (band, band_hash) buckets with ≥2 docs → candidate
-    pairs (doc_a < doc_b), deduplicated across bands.
+    pair Dataset (doc_a < doc_b), deduplicated across bands.
 
     Scale shape: almost every bucket is a singleton, so running a Python
     map_groups over every bucket is O(corpus) Python-call overhead.  Instead:
     native Count aggregate → tiny colliding-key set → broadcast semi-join
-    filter → pairs formed only from the (small) surviving rows."""
+    filter → distributed per-bucket pair formation (star-capped, see
+    _bucket_pairs) only over the (small) surviving rows."""
     import ray
+    import ray.data as rd
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     # driver docs ship in one row group → one read block; spread it so the
@@ -257,7 +281,8 @@ def minhash_candidates(sf_dir: str, concurrency: int = 4) -> pd.DataFrame:
     counts = banded.groupby("band_hash").aggregate(Count(alias_name="n"))
     hot = counts.filter(expr="n >= 2").to_pandas()  # collisions are rare → small
     if hot.empty:
-        return pd.DataFrame({"doc_a": [], "doc_b": []})
+        return rd.from_arrow(pa.table({"doc_a": pa.array([], pa.int64()),
+                                       "doc_b": pa.array([], pa.int64())}))
     # band index is folded into band_hash (MinHasher), so the single int64
     # key set suffices; filter is a vectorized Arrow is_in, not a Python loop
     hot_arr = pa.array(hot["band_hash"].to_numpy(), pa.int64())
@@ -267,15 +292,16 @@ def minhash_candidates(sf_dir: str, concurrency: int = 4) -> pd.DataFrame:
         import pyarrow.compute as pc
         return b.filter(pc.is_in(b["band_hash"], value_set=ray.get(keys_ref)))
 
-    survivors = banded.map_batches(keep_colliding, batch_format="pyarrow").to_pandas()
-    pairs = []
-    for _, grp in survivors.groupby(["band", "band_hash"]):
-        ids = sorted(grp["doc_id"].tolist())
-        pairs.extend((ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids)))
-    if not pairs:
-        return pd.DataFrame({"doc_a": [], "doc_b": []})
-    return (pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
-            .drop_duplicates().reset_index(drop=True))
+    survivors = banded.map_batches(keep_colliding, batch_format="pyarrow")
+    # pair formation runs DISTRIBUTED over the (small) colliding buckets —
+    # a map_groups per bucket, never a driver loop: a viral duplicate
+    # producing one million-row bucket streams through a worker, and the
+    # star cap bounds its pair fan-out linearly (see _bucket_pairs)
+    pairs = (survivors.groupby("band_hash")
+             .map_groups(_bucket_pairs, batch_format="pandas")
+             .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="nb"))
+             .select_columns(["doc_a", "doc_b"]))
+    return pairs.materialize()
 
 
 def jaccard(a: str, b: str, k: int = 3) -> float:
@@ -285,28 +311,100 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+_EMPTY_PAIRS = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+
+
+def _verify_pairs_distributed(pairs, sf_dir: str, *, kind: str,
+                              threshold: float) -> pd.DataFrame:
+    """Exact Jaccard verify of a candidate-pair Dataset, fully distributed:
+
+    - the distinct candidate DOC-ID set (8 bytes/row, result-sized) is the
+      only thing the driver holds; texts are pushdown-read for those ids
+      only (no corpus shuffle — predicate pushdown at the parquet read);
+    - candidate texts hash-join onto the pairs twice (doc_a then doc_b),
+      so pair rows — including a viral duplicate's million-pair stream —
+      flow through workers, never a driver dict/loop;
+    - Jaccard is computed inside map_batches with a per-batch shingle-set
+      cache (a hot doc's set is built once per batch, not once per pair).
+
+    ``kind``: 'char3' (shingles(), round-then-threshold — q_minhash_dedup
+    semantics) or 'word' (word_shingles(), threshold the unrounded ratio
+    exactly like the SQL WHERE — q_ngram_jaccard semantics)."""
+    import ray.data as rd
+
+    from .sources import join_partitions, read_table_filtered
+
+    pairs = pairs.materialize()  # consumed 3×: two id projections + join
+    ida = pairs.map_batches(lambda b: pa.table({"doc_id": b["doc_a"]}),
+                            batch_format="pyarrow")
+    idb = pairs.map_batches(lambda b: pa.table({"doc_id": b["doc_b"]}),
+                            batch_format="pyarrow")
+    need = (ida.union(idb).groupby("doc_id").aggregate(Count(alias_name="n"))
+            .select_columns(["doc_id"]).to_pandas()["doc_id"]
+            .to_numpy(np.int64))
+    if need.size == 0:
+        return _EMPTY_PAIRS.copy()
+    import pyarrow.compute as pc
+
+    texts = rd.from_arrow(read_table_filtered(
+        sf_dir, "documents", ["doc_id", "text"],
+        pc.field("doc_id").isin(need.tolist())))
+    ta = texts.map_batches(lambda b: b.rename_columns(["doc_a", "text_a"]),
+                           batch_format="pyarrow")
+    tb = texts.map_batches(lambda b: b.rename_columns(["doc_b", "text_b"]),
+                           batch_format="pyarrow")
+    nparts = join_partitions()
+    j = (pairs.join(ta, join_type="inner", num_partitions=nparts, on=("doc_a",))
+         .join(tb, join_type="inner", num_partitions=nparts, on=("doc_b",)))
+
+    def score(bt: pa.Table) -> pa.Table:
+        df = bt.to_pandas()
+        cache: dict[int, set] = {}
+
+        def sset(doc_id: int, text: str) -> set:
+            st = cache.get(doc_id)
+            if st is None:
+                st = shingles(text) if kind == "char3" else word_shingles(text)
+                cache[doc_id] = st
+            return st
+
+        jac = np.empty(len(df), np.float64)
+        rows = zip(df["doc_a"].to_numpy(np.int64), df["doc_b"].to_numpy(np.int64),
+                   df["text_a"], df["text_b"])
+        for i, (a, b, t_a, t_b) in enumerate(rows):
+            sa, sb = sset(int(a), t_a), sset(int(b), t_b)
+            if kind == "char3":
+                jac[i] = 1.0 if not sa and not sb else                     len(sa & sb) / len(sa | sb)
+            else:
+                inter = len(sa & sb)
+                union = len(sa) + len(sb) - inter
+                jac[i] = inter / max(union, 1)
+        jr = np.round(jac, 6)
+        keep = (jr >= threshold) if kind == "char3" else (jac >= threshold)
+        return pa.table({
+            "doc_a": pa.array(df["doc_a"].to_numpy(np.int64)[keep]),
+            "doc_b": pa.array(df["doc_b"].to_numpy(np.int64)[keep]),
+            "jaccard": pa.array(jr[keep])})
+
+    out = j.map_batches(score, batch_format="pyarrow", batch_size=8192).to_pandas()
+    if out.empty:
+        return _EMPTY_PAIRS.copy()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def q_minhash_dedup(sf_dir: str, threshold: float = 0.7) -> pd.DataFrame:
-    """Near-dup pipeline: LSH candidates → exact n-gram Jaccard verify.
+    """Near-dup pipeline: LSH candidates → exact char-3-shingle Jaccard
+    verify, every stage a Dataset op (distributed pair formation with the
+    PAIR_CAP star bound, distributed join-and-score verify — no driver
+    text dict or pair loop anywhere).
 
     Rows-only check (LSH not SQL-expressible); deterministic output sorted
     by (doc_a, doc_b)."""
     cand = minhash_candidates(sf_dir)
-    if cand.empty:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-    # fetch ONLY the candidate docs' texts (pushdown filter at the read) —
-    # verify cost scales with candidates, not corpus
-    import pyarrow.compute as pc
-
-    from .sources import read_table_filtered
-
-    need = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
-    docs = read_table_filtered(sf_dir, "documents", ["doc_id", "text"],
-                               pc.field("doc_id").isin(need))
-    text_of = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
-    sims = [jaccard(text_of[a], text_of[b]) for a, b in zip(cand["doc_a"], cand["doc_b"])]
-    cand = cand.assign(jaccard=np.round(sims, 6))
-    out = cand[cand["jaccard"] >= threshold].sort_values(["doc_a", "doc_b"])
-    return out.reset_index(drop=True)
+    return _verify_pairs_distributed(cand, sf_dir, kind="char3",
+                                     threshold=threshold)
 
 
 # ---------------------------------------------------------------- simhash
@@ -559,27 +657,14 @@ def q_ngram_jaccard(sf_dir: str, threshold: float = JACCARD_TAU) -> pd.DataFrame
     pairs = (left.join(right, join_type="inner",
                        num_partitions=join_partitions(), on=("s",))
              .map_batches(_pair_filter, batch_format="pyarrow", batch_size=65536))
-    cand = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="cnt")).to_pandas()
-    if cand.empty:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
-    need = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
-    from .sources import read_table_filtered
-
-    docs = read_table_filtered(sf_dir, "documents", ["doc_id", "text"],
-                               pc.field("doc_id").isin(need))
-    text_of = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
-    sets = {d: word_shingles(t) for d, t in text_of.items()}
-    inter = np.array([len(sets[a] & sets[b]) for a, b in zip(cand["doc_a"], cand["doc_b"])])
-    union = np.array([len(sets[a]) + len(sets[b]) for a, b in zip(cand["doc_a"], cand["doc_b"])]) - inter
-    # threshold on the UNROUNDED ratio exactly like the SQL WHERE clause;
-    # round only the reported value (integer ratios: fp division is
-    # deterministic and identical on both sides)
-    jac = inter / np.maximum(union, 1)
-    cand = cand.assign(jaccard=np.round(jac, 6))[jac >= threshold]
-    out = cand[["doc_a", "doc_b", "jaccard"]]
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    cand = (pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="cnt"))
+            .select_columns(["doc_a", "doc_b"]))
+    # exact string-shingle Jaccard on candidates only, distributed (texts
+    # pushdown-read and hash-joined onto the pairs; the unrounded ratio is
+    # thresholded exactly like the SQL WHERE clause — integer ratios make
+    # fp division deterministic and identical on both sides)
+    return _verify_pairs_distributed(cand, sf_dir, kind="word",
+                                     threshold=threshold)
 
 
 Q_NGRAM_JACCARD_SQL = f"""

@@ -202,3 +202,45 @@ class TestNgramJaccard:
                     expect.append((a, b, round(inter / union, 6)))
         got = list(out.itertuples(index=False, name=None))
         assert got == expect
+
+
+class TestHotDuplicateBucket:
+    """A viral duplicate (1,000 copies of one page) must stream through the
+    near-dup pipelines without a driver-side O(n²) pair blow-up: the LSH
+    bucket star-caps to n−1 pairs (dedup.PAIR_CAP) and the verify runs as
+    distributed joins, so the hot cluster resolves linearly."""
+
+    def test_minhash_star_caps_hot_bucket(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from raster_functions_ray import dedup
+
+        hot = "the viral page everyone mirrors " * 6
+        uniq = [f"unique document number {i} with its own words {i * 7}" for i in range(20)]
+        texts = [hot] * 1000 + uniq
+        ids = list(range(1, len(texts) + 1))
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string()),
+                      "lang": pa.array(["en"] * len(ids)),
+                      "source": pa.array(["t"] * len(ids)),
+                      "n_chars": pa.array([len(x) for x in texts], pa.int64())})
+        pq.write_table(t, tmp_path / "documents.parquet")
+
+        out = dedup.q_minhash_dedup(str(tmp_path))
+        # star pairing: every copy links to the min doc_id, all verified 1.0
+        hot_rows = out[out["doc_a"] == 1]
+        assert len(hot_rows) == 999
+        assert (hot_rows["doc_b"].to_numpy() == np.arange(2, 1001)).all()
+        assert (hot_rows["jaccard"] == 1.0).all()
+        # pair count stays LINEAR in the hot-cluster size, not quadratic
+        assert len(out) < 1100
+
+    def test_bucket_pairs_all_pairs_under_cap(self):
+        import pandas as pd
+
+        from raster_functions_ray import dedup
+
+        g = pd.DataFrame({"doc_id": [3, 1, 2, 2]})
+        out = dedup._bucket_pairs(g).to_pandas()
+        assert sorted(map(tuple, out.to_numpy())) == [(1, 2), (1, 3), (2, 3)]
