@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational (SURVEY.md §2 aggregate/join/filter/top-k shapes)
         "q1_pricing": rel.q1_pricing,
         "q3_shipping": rel.q3_shipping,
+        "q3_shipping_shuffle": rel.q3_shipping_shuffle,
         "q17_small_quantity": rel.q17_small_quantity,
         "orders_by_segment": rel.q_orders_by_segment,
         "top_parts": rel.q_top_parts,
@@ -226,6 +227,7 @@ def oracle_sql() -> dict[str, str]:
         "qa_exact": analytic.qa_exact_oracle_sql(0.01),
         "q1_pricing": rel.Q1_SQL,
         "q3_shipping": rel.Q3_SHIPPING_SQL,
+        "q3_shipping_shuffle": rel.Q3_SHIPPING_SQL,
         "q17_small_quantity": rel.Q17_SQL,
         "orders_by_segment": rel.Q_ORDERS_BY_SEGMENT_SQL,
         "top_parts": rel.Q_TOP_PARTS_SQL,

@@ -122,10 +122,22 @@ GROUP BY c_mktsegment
 
 
 def q_top_parts(sf_dir: str) -> pd.DataFrame:
-    """Top-k with deterministic tie-break: sort (retailprice desc, partkey asc) limit 10."""
+    """Top-k with deterministic tie-break: (retailprice desc, partkey asc)
+    limit 10 — per-batch PARTIAL top-k merged on the driver, not a global
+    ds.sort (an all-to-all range shuffle of the whole table is the wrong
+    shape for a 10-row answer; same pattern as q_nation_top_customers)."""
     ds = read_table(sf_dir, "part", columns=["p_partkey", "p_retailprice", "p_brand"])
-    out = ds.sort(["p_retailprice", "p_partkey"], descending=[True, False]).limit(10)
-    return out.to_pandas()
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return df.sort_values(["p_retailprice", "p_partkey"],
+                              ascending=[False, True]).head(10)
+
+    cand = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536).to_pandas()
+    out = cand.sort_values(["p_retailprice", "p_partkey"],
+                           ascending=[False, True]).head(10)
+    return out.reset_index(drop=True)
 
 
 Q_TOP_PARTS_SQL = """
@@ -980,6 +992,69 @@ GROUP BY o_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderdate, o_orderkey
 LIMIT {Q3_TOPK}
 """
+
+
+def q3_shipping_shuffle(sf_dir: str) -> pd.DataFrame:
+    """Q3 with the customer leg lowered onto the native SHUFFLE hash join
+    instead of the broadcast keyset — gated by the identical oracle
+    (Q3_SHIPPING_SQL), proving the two lowerings interchangeable.  This is
+    the lowering to pick when the dimension side grows with the corpus
+    (TPC-H customer scales linearly with SF, so at 100 TB the driver-side
+    keyset pull in q3_shipping stops being 'provably small'); the
+    broadcast variant remains the faster plan while the keyset fits."""
+    from .sources import join_partitions
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount",
+                             "l_shipdate"])
+    ship_cut = pa.scalar(Q3_DATE, pa.timestamp("us"))
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["l_shipdate"], ship_cut))
+        df = b.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby("l_orderkey", sort=False)["revenue"].sum().reset_index()
+        return pa.table({"o_orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64)),
+                         "revenue": pa.array(g["revenue"].to_numpy(np.float64))})
+
+    rev = (li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+           .groupby("o_orderkey").aggregate(Sum("revenue", alias_name="revenue"))
+           .materialize())
+
+    # customer leg: segment filter pushed into the scan, then a SHUFFLE
+    # semi-join (keys are unique per customer, so inner == semi)
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    ckeys = cust.map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], Q3_SEGMENT))
+                   .select(["c_custkey"]).rename_columns(["o_custkey"]),
+        batch_format="pyarrow")
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                 "o_orderpriority"])
+    date_cut = pa.scalar(Q3_DATE, pa.timestamp("us"))
+    o = orders.map_batches(
+        lambda b: b.filter(pc.less(b["o_orderdate"], date_cut)),
+        batch_format="pyarrow", batch_size=65536)
+    nparts = join_partitions()
+    o = o.join(ckeys, join_type="inner", num_partitions=nparts,
+               on=("o_custkey",)).materialize()
+    joined = rev.join(o, join_type="inner", num_partitions=nparts,
+                      on=("o_orderkey",))
+
+    def topk(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        df["revenue"] = np.floor(df["revenue"].to_numpy(np.float64)
+                                 * 100.0 + 0.5) / 100.0
+        df = df.sort_values(["revenue", "o_orderdate", "o_orderkey"],
+                            ascending=[False, True, True])
+        return df.head(Q3_TOPK)[["o_orderkey", "revenue", "o_orderdate",
+                                 "o_orderpriority"]]
+
+    parts = joined.map_batches(topk, batch_format="pyarrow").to_pandas()
+    out = (parts.sort_values(["revenue", "o_orderdate", "o_orderkey"],
+                             ascending=[False, True, True]).head(Q3_TOPK))
+    return out.reset_index(drop=True)
 
 
 # ------------------------------------- TPC-H Q17 (correlated subquery)
