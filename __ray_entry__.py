@@ -37,7 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     returns a Dataset / pandas DataFrame / pyarrow Table. Name every
     computed/aggregate column so names match ``oracle_sql``.
     """
-    from raster_functions_ray import analytic, ann, bandmath, dedup
+    from raster_functions_ray import analytic, analytic2, ann, bandmath, dedup
     from raster_functions_ray import rasterqueries as rq
     from raster_functions_ray import relational as rel, spatial, synth, textops
     from raster_functions_ray import trainprep
@@ -62,6 +62,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remap_exact": analytic.q_remap_exact,
         "stretch_exact": analytic.q_stretch_exact,
         "qa_exact": analytic.q_qa_exact,
+        # round-3: former rows-only pixel queries converted to exact gates
+        # over the analytic world (analytic2.py) — same engine stacks
+        # (storage-aligned stack reduces, parquet halo, chains, zonal)
+        "aggregate_mean_exact": analytic2.q_aggregate_mean_exact,
+        "median_composite_exact": analytic2.q_median_composite_exact,
+        "pixel_percentile_exact": analytic2.q_pixel_percentile_exact,
+        "image_synthesis_exact": analytic2.q_image_synthesis_exact,
+        "find_third_max_exact": analytic2.q_find_third_max_exact,
+        "percent_above_exact": analytic2.q_percent_above_exact,
+        "composite_bands_exact": analytic2.q_composite_bands_exact,
+        "deviation_exact": analytic2.q_deviation_exact,
+        "dnbr_exact": analytic2.q_dnbr_exact,
+        "ndsi_ndwi_exact": analytic2.q_ndsi_ndwi_exact,
+        "ndvi_colormap_exact": analytic2.q_ndvi_colormap_exact,
+        "mask_replace_exact": analytic2.q_mask_replace_exact,
+        "landsat_qa_exact": analytic2.q_landsat_qa_exact,
+        "select_by_pixel_size_exact": analytic2.q_select_by_pixel_size_exact,
+        "merge_extract_exact": analytic2.q_merge_extract_exact,
+        "vector_field_exact": analytic2.q_vector_field_exact,
+        "rank_filter_exact": analytic2.q_rank_filter_exact,
+        "aspect_slope_exact": analytic2.q_aspect_slope_exact,
+        "block_stats_minmax_exact": analytic2.q_block_stats_minmax_exact,
+        "zonal_remap_exact": analytic2.q_zonal_remap_exact,
+        "rasterize_attributes_exact": analytic2.q_rasterize_attributes_exact,
+        "hexagon_exact": analytic2.q_hexagon_exact,
+        "chuck_close_exact": analytic2.q_chuck_close_exact,
+        "table_function_exact": analytic2.q_table_function_exact,
         # spatial joins: cell encode, four interchangeable PIP lowerings,
         # zonal, kNN (brute + cell-ring), adaptive coverings, NN classify
         "cell_assign": spatial.q_cell_assign,
@@ -159,46 +186,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ndvi_stats": rq.q_ndvi_stats,
         "hillshade_stats": rq.q_hillshade_stats,
         "hillshade_shuffle_halo": rq.q_hillshade_shuffle_halo_stats,
-        "aspect_slope_stats": rq.q_aspect_slope_stats,
-        "aggregate_mean_stats": rq.q_aggregate_mean_stats,
-        "median_composite_stats": rq.q_median_composite_stats,
-        "zonal_remap_counts": rq.q_zonal_remap_counts,
         "heat_index": bandmath.q_heat_index,
         "tri_stats": rq.q_tri_stats,
-        "ndvi_colormap_chain": rq.q_ndvi_colormap_chain,
-        "composite_bands_stats": rq.q_composite_bands_stats,
-        "vector_field_stats": rq.q_vector_field_stats,
         "knn_classify_stats": rq.q_knn_classify_stats,
         "rf_classify_stats": rq.q_rf_classify_stats,
-        "percent_above_threshold": rq.q_percent_above_threshold,
         "topographic_c": rq.q_topographic_c,
-        "dnbr_stats": rq.q_dnbr_stats,
-        "landsat_qa_stats": rq.q_landsat_qa_stats,
-        "rank_filter_stats": rq.q_rank_filter_stats,
-        "block_statistics_stats": rq.q_block_statistics_stats,
-        "pixel_percentile_stats": rq.q_pixel_percentile_stats,
-        "find_second_max_stats": rq.q_find_second_max_stats,
-        "image_synthesis_stats": rq.q_image_synthesis_stats,
-        "mask_replace_chain": rq.q_mask_replace_chain,
         "vineyard_chain": rq.q_vineyard_chain,
         "cti_stats": rq.q_cti_stats,
         "inpaint_stats": rq.q_inpaint_stats,
         "seasonal_forecast_stats": rq.q_seasonal_forecast_stats,
-        "merge_extract_stats": rq.q_merge_extract_stats,
-        "select_by_pixel_size": rq.q_select_by_pixel_size,
         "random_source": rq.q_random_source,
-        "hexagon_stats": rq.q_hexagon_stats,
         "lsu_stats": rq.q_lsu_stats,
-        "ndsi_ndwi_stats": rq.q_ndsi_ndwi_stats,
-        "deviation_from_mean_stats": rq.q_deviation_from_mean_stats,
         "multidirectional_hillshade_stats": rq.q_multidirectional_hillshade_stats,
         "remove_nodata_stats": rq.q_remove_nodata_stats,
         "media_features": rq.q_media_features,
-        "table_function_stats": rq.q_table_function_stats,
         "resumable_hillshade": rq.q_resumable_hillshade,
-        "chuck_close_stats": rq.q_chuck_close_stats,
         "nn_neighbors_stats": rq.q_nn_neighbors_stats,
-        "rasterize_attributes_stats": rq.q_rasterize_attributes_stats,
         "audio_features": rq.q_audio_features,
         "stretch_stats": rq.q_stretch_stats,
     }
@@ -211,7 +214,7 @@ def oracle_sql() -> dict[str, str]:
     embeddings). Omit for non-SQL-expressible ops → driver records a
     weaker rows-only check.
     """
-    from raster_functions_ray import analytic, ann, bandmath, dedup
+    from raster_functions_ray import analytic, analytic2, ann, bandmath, dedup
     from raster_functions_ray import rasterqueries as rq
     from raster_functions_ray import relational as rel, spatial, textops
     from raster_functions_ray import trainprep
@@ -225,6 +228,30 @@ def oracle_sql() -> dict[str, str]:
         "remap_exact": analytic.remap_exact_oracle_sql(0.01),
         "stretch_exact": analytic.stretch_exact_oracle_sql(0.01),
         "qa_exact": analytic.qa_exact_oracle_sql(0.01),
+        "aggregate_mean_exact": analytic2.aggregate_mean_exact_oracle_sql(0.01),
+        "median_composite_exact": analytic2.median_composite_exact_oracle_sql(0.01),
+        "pixel_percentile_exact": analytic2.pixel_percentile_exact_oracle_sql(0.01),
+        "image_synthesis_exact": analytic2.image_synthesis_exact_oracle_sql(0.01),
+        "find_third_max_exact": analytic2.find_third_max_exact_oracle_sql(0.01),
+        "percent_above_exact": analytic2.percent_above_exact_oracle_sql(0.01),
+        "composite_bands_exact": analytic2.composite_bands_exact_oracle_sql(0.01),
+        "deviation_exact": analytic2.deviation_exact_oracle_sql(0.01),
+        "dnbr_exact": analytic2.dnbr_exact_oracle_sql(0.01),
+        "ndsi_ndwi_exact": analytic2.ndsi_ndwi_exact_oracle_sql(0.01),
+        "ndvi_colormap_exact": analytic2.ndvi_colormap_exact_oracle_sql(0.01),
+        "mask_replace_exact": analytic2.mask_replace_exact_oracle_sql(0.01),
+        "landsat_qa_exact": analytic2.landsat_qa_exact_oracle_sql(0.01),
+        "select_by_pixel_size_exact": analytic2.select_by_pixel_size_exact_oracle_sql(0.01),
+        "merge_extract_exact": analytic2.merge_extract_exact_oracle_sql(0.01),
+        "vector_field_exact": analytic2.vector_field_exact_oracle_sql(0.01),
+        "rank_filter_exact": analytic2.rank_filter_exact_oracle_sql(0.01),
+        "aspect_slope_exact": analytic2.aspect_slope_exact_oracle_sql(0.01),
+        "block_stats_minmax_exact": analytic2.block_stats_minmax_exact_oracle_sql(0.01),
+        "zonal_remap_exact": analytic2.zonal_remap_exact_oracle_sql(0.01),
+        "rasterize_attributes_exact": analytic2.rasterize_attributes_exact_oracle_sql(0.01),
+        "hexagon_exact": analytic2.hexagon_exact_oracle_sql(0.01),
+        "chuck_close_exact": analytic2.chuck_close_exact_oracle_sql(0.01),
+        "table_function_exact": analytic2.table_function_exact_oracle_sql(0.01),
         "q1_pricing": rel.Q1_SQL,
         "q3_shipping": rel.Q3_SHIPPING_SQL,
         "q3_shipping_shuffle": rel.Q3_SHIPPING_SQL,

@@ -1,0 +1,1061 @@
+"""Round-3 SQL-exact raster gates over the analytic tile world.
+
+Extends analytic.py's closed-form method to the operators whose driver
+gates were previously rows-only: the engine runs its REAL kernels/stacks
+(stack reduces, halo rank filters, aspect-slope, zonal remap, chains) over
+``analytic.parquet``, and a DuckDB oracle recomputes every pixel verbatim.
+
+Exactness disciplines used here (see analytic.py's header for the base
+rules):
+
+- integer-valued f8 pixels → MIN/MAX/COUNT and sums < 2^53 order-free;
+- float32 kernels (NDVI family) are mirrored with DuckDB FLOAT arithmetic,
+  which is true binary32 — verified bit-identical to NumPy f4 on this
+  platform (ratio, *100+100 chains);
+- divisions only where both sides perform the IDENTICAL single IEEE op
+  (ratios, /8, /cell_size, percentile interpolation);
+- np.arctan2 vs DuckDB atan2 differ by ≤2 ulp (measured) — used ONLY under
+  octant CLASSIFICATION, where a flip needs the true angle within 2 ulp of
+  a 22.5°-multiple boundary; the analytic surfaces are affine, so the
+  distinct (dx, dy) pairs are few and verified far from every boundary.
+
+QA-filtered composites (median/percentile/synthesis) use an analytic clear
+rule — band1 % 3 != 1 — passed to the real ``apply_qa_mask`` as an explicit
+clear-values list: every pixel has EXACTLY ONE non-clear epoch, so the
+nan-reduces exercise partial stacks while the oracle enumerates the three
+cases by ``band1(e=0) mod 3``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from . import synth, tilecodec
+from .analytic import (_analytic_path, _b0_sql, _b1_sql, _exact_stats,
+                       _px_cte, _read_analytic)
+
+_B0 = _b0_sql()
+_B1 = _b1_sql()
+_B0_E0 = _b0_sql(e="0")          # b0 at epoch 0 (the "B" of the closed forms)
+_B1_E0 = _b1_sql(e="0")
+_B0_E2 = _b0_sql(e="2")
+_B1_E2 = _b1_sql(e="2")
+_C = "(3.0 + 2.0*s)"             # b0's epoch step
+_A3 = f"(CAST({_B1_E0} AS BIGINT) % 3)"  # selects which epoch is non-clear
+
+
+def _epoch0_cte(sf: float) -> str:
+    return _px_cte(sf, "scene_id % 10 = 0")
+
+
+# ------------------------------------------------ stack reduces (epochs)
+
+def q_aggregate_mean_exact(sf_dir: str) -> pd.DataFrame:
+    """Aggregate 'mean' across the 3 epochs through the storage-aligned
+    stack reduce; mean = (3B + 3C)/3 = B + C exactly (integer sums)."""
+    from .stages import composite
+
+    out = composite.stack_reduce_from_parquet(
+        _analytic_path(sf_dir), composite.aggregate_reduce("mean"),
+        out_pixel_type="f8", bands=2)
+
+    def stats(a):
+        band = a[0] if a.ndim == 3 else a
+        return (float(band.min()), float(band.max()), float(band.sum()))
+
+    return _exact_stats(out, stats, [("m_min", pa.float64()),
+                                     ("m_max", pa.float64()),
+                                     ("m_sum", pa.float64())])
+
+
+def aggregate_mean_exact_oracle_sql(sf: float = 0.01) -> str:
+    return f"""
+WITH {_epoch0_cte(sf)},
+v AS (SELECT comp_id AS tile_id, {_B0_E0} + {_C} AS sv FROM px)
+SELECT tile_id, MIN(sv) AS m_min, MAX(sv) AS m_max, SUM(sv) AS m_sum
+FROM v GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+def _qa_mod3_reduce(stat: str):
+    """Clear-pixel reduce with the analytic clear rule band1 % 3 != 1,
+    running the REAL kernels: apply_qa_mask (explicit clear list) →
+    nanmedian_axis0 / nanpercentile_axis0 / np.nanmean — the exact
+    machinery of functions/LandsatMedianPixelComposite.py:130-196,
+    LandsatPixelPercentile.py:134-196, Landsat_Image_Synthesis.py:95-160."""
+    from .functions import stack as sf
+
+    vals = np.arange(0, 20000, dtype=np.int64)
+    clear_vals = vals[vals % 3 != 1]
+
+    def fn(stack, masks, g):
+        stack = np.asarray(stack)
+        sr = stack[:, :1, :, :].astype(np.float32)
+        qa = stack[:, 1, :, :]
+        filtered = sf.apply_qa_mask(sr, qa[:, None, :, :], clear_vals)
+        data = np.where(filtered == np.float32(sf.FILTER_VAL), np.nan, filtered)
+        if stat == "median":
+            out = sf.nanmedian_axis0(data)
+        elif stat == "p75":
+            out = sf.nanpercentile_axis0(data, 75.0)
+        else:
+            with np.errstate(invalid="ignore"):
+                out = np.nanmean(data, axis=0)
+        return out[0], np.ones(stack.shape[-2:], np.uint8)
+
+    return fn
+
+
+# closed forms by a3 = b1(e0) mod 3 (one non-clear epoch per pixel):
+#   a3=0 → clear {B, B+2C};  a3=1 → clear {B+C, B+2C};  a3=2 → clear {B, B+C}
+_MEDIAN_CASE = (f"CASE {_A3} WHEN 0 THEN {_B0_E0} + {_C}"
+                f" WHEN 1 THEN {_B0_E0} + 1.5*{_C}"
+                f" ELSE {_B0_E0} + 0.5*{_C} END")
+_P75_CASE = (f"CASE {_A3} WHEN 0 THEN {_B0_E0} + 1.5*{_C}"
+             f" WHEN 1 THEN {_B0_E0} + 1.75*{_C}"
+             f" ELSE {_B0_E0} + 0.75*{_C} END")
+
+
+def _stack_qa_query(sf_dir: str, stat: str) -> pd.DataFrame:
+    from .stages import composite
+
+    out = composite.stack_reduce_from_parquet(
+        _analytic_path(sf_dir), _qa_mod3_reduce(stat),
+        out_pixel_type="f8", bands=2)
+
+    def stats(a):
+        return (float(a.min()), float(a.max()), float(a.sum()))
+
+    return _exact_stats(out, stats, [("v_min", pa.float64()),
+                                     ("v_max", pa.float64()),
+                                     ("v_sum", pa.float64())])
+
+
+def q_median_composite_exact(sf_dir: str) -> pd.DataFrame:
+    """LandsatMedianPixelComposite over the analytic clear rule: per pixel
+    exactly two clear epochs, so nanmedian's two-middle mean is always the
+    live path ((a+b)/2 in f4 — exact: integer sums < 2^24)."""
+    return _stack_qa_query(sf_dir, "median")
+
+
+def median_composite_exact_oracle_sql(sf: float = 0.01) -> str:
+    return f"""
+WITH {_epoch0_cte(sf)},
+v AS (SELECT comp_id AS tile_id, {_MEDIAN_CASE} AS sv FROM px)
+SELECT tile_id, MIN(sv) AS v_min, MAX(sv) AS v_max, SUM(sv) AS v_sum
+FROM v GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+def q_pixel_percentile_exact(sf_dir: str) -> pd.DataFrame:
+    """LandsatPixelPercentile p75 over the analytic clear rule: two clear
+    obs per pixel → v_lo + 0.75·(v_hi − v_lo), linear interpolation exactly
+    as np.nanpercentile — every term dyadic-exact on both sides."""
+    return _stack_qa_query(sf_dir, "p75")
+
+
+def pixel_percentile_exact_oracle_sql(sf: float = 0.01) -> str:
+    return f"""
+WITH {_epoch0_cte(sf)},
+v AS (SELECT comp_id AS tile_id, {_P75_CASE} AS sv FROM px)
+SELECT tile_id, MIN(sv) AS v_min, MAX(sv) AS v_max, SUM(sv) AS v_sum
+FROM v GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+def q_image_synthesis_exact(sf_dir: str) -> pd.DataFrame:
+    """Landsat_Image_Synthesis clear-pixel mean over the analytic clear
+    rule (mean of the two clear epochs — integer sums halved, exact)."""
+    return _stack_qa_query(sf_dir, "mean")
+
+
+def image_synthesis_exact_oracle_sql(sf: float = 0.01) -> str:
+    # mean of two clear obs == their median here (same closed form)
+    return f"""
+WITH {_epoch0_cte(sf)},
+v AS (SELECT comp_id AS tile_id, {_MEDIAN_CASE} AS sv FROM px)
+SELECT tile_id, MIN(sv) AS v_min, MAX(sv) AS v_max, SUM(sv) AS v_sum
+FROM v GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+FIND3_INVALID_ABOVE = 500.0
+
+
+def q_find_third_max_exact(sf_dir: str) -> pd.DataFrame:
+    """FindThirdMax with the sentinel semantics actually exercised: values
+    above {FIND3_INVALID_ABOVE} → −1, so the third-largest is B where the
+    whole pixel column is valid and −1 anywhere any epoch overflows
+    (−1 sorts below every valid value)."""
+    from .stages import composite
+
+    out = composite.stack_reduce_from_parquet(
+        _analytic_path(sf_dir),
+        composite.find_kth_max_reduce(3, invalid_above=FIND3_INVALID_ABOVE),
+        out_pixel_type="f8", bands=2)
+
+    def stats(a):
+        band = a[0] if a.ndim == 3 else a
+        return (float(band.min()), float(band.max()), float(band.sum()),
+                int((band == -1).sum()))
+
+    return _exact_stats(out, stats, [("t_min", pa.float64()),
+                                     ("t_max", pa.float64()),
+                                     ("t_sum", pa.float64()),
+                                     ("n_invalid", pa.int64())])
+
+
+def find_third_max_exact_oracle_sql(sf: float = 0.01) -> str:
+    case = (f"CASE WHEN {_B0_E0} + 2.0*{_C} > {FIND3_INVALID_ABOVE}"
+            f" THEN -1.0 ELSE {_B0_E0} END")
+    return f"""
+WITH {_epoch0_cte(sf)},
+v AS (SELECT comp_id AS tile_id, {case} AS sv FROM px)
+SELECT tile_id, MIN(sv) AS t_min, MAX(sv) AS t_max, SUM(sv) AS t_sum,
+       CAST(COUNT(*) FILTER (sv = -1.0) AS BIGINT) AS n_invalid
+FROM v GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+PCT_THRESH = 800.0
+
+
+def q_percent_above_exact(sf_dir: str) -> pd.DataFrame:
+    """PercentAboveThreshold (the reference reduces ``<= threshold``,
+    functions/PercentAboveThreshold.py:140-143) per epoch-0 tile: one
+    integer-count ratio and one ×100 — identical IEEE ops both sides."""
+    from .functions import stack as sf
+
+    tiles = _read_analytic(sf_dir, epoch=0)
+
+    def finish(b: pa.Table) -> pa.Table:
+        ids, pcts = [], []
+        tid = b["tile_id"].to_pylist()
+        for i, pix, msk in tilecodec.iter_tiles(b):
+            band = pix if pix.ndim == 2 else pix[0]
+            pct, _ = sf.percent_above_threshold(band[None], PCT_THRESH)
+            ids.append(tid[i])
+            pcts.append(pct)
+        return pa.table({"tile_id": pa.array(ids, pa.string()),
+                         "pct": pa.array(pcts, pa.float64())})
+
+    out = tiles.map_batches(finish, batch_format="pyarrow", batch_size=32).to_pandas()
+    return out.sort_values("tile_id").reset_index(drop=True)
+
+
+def percent_above_exact_oracle_sql(sf: float = 0.01) -> str:
+    return f"""
+WITH {_epoch0_cte(sf)}
+SELECT tile_id,
+       (CAST(COUNT(*) FILTER ({_B0} <= {PCT_THRESH}) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE)) * 100.0 AS pct
+FROM px GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+def q_composite_bands_exact(sf_dir: str) -> pd.DataFrame:
+    """CompositeBands: zip the 3 epochs of each footprint into a 6-band
+    tile, band order = acq_ts order; stats of band 0 prove the ordering
+    (band 0 must be the EARLIEST epoch's band 0 = B, not B+C or B+2C)."""
+    from .stages import composite
+
+    def zip_bands(stack, masks, g):
+        bands = np.concatenate(list(stack), axis=0)
+        return bands, np.all(masks, axis=0).astype(np.uint8)
+
+    out = composite.stack_reduce_from_parquet(
+        _analytic_path(sf_dir), zip_bands, out_pixel_type="f8", bands=2)
+
+    def stats(a):
+        return (int(a.shape[0]), float(a[0].min()), float(a[0].max()),
+                float(a[0].sum()))
+
+    return _exact_stats(out, stats, [("n_bands", pa.int64()),
+                                     ("b_min", pa.float64()),
+                                     ("b_max", pa.float64()),
+                                     ("b_sum", pa.float64())])
+
+
+def composite_bands_exact_oracle_sql(sf: float = 0.01) -> str:
+    return f"""
+WITH {_epoch0_cte(sf)},
+v AS (SELECT comp_id AS tile_id, {_B0_E0} AS sv FROM px)
+SELECT tile_id, CAST(6 AS BIGINT) AS n_bands,
+       MIN(sv) AS b_min, MAX(sv) AS b_max, SUM(sv) AS b_sum
+FROM v GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+def q_deviation_exact(sf_dir: str) -> pd.DataFrame:
+    """DeviationFromMean: earliest epoch − stack mean = B − (B+C) = −C —
+    constant per scene, which is precisely the template's semantics on an
+    affine world; proves the two-phase compose picks the earliest epoch."""
+    from .stages import composite
+
+    def reduce_fn(stack, masks, g):
+        mean = np.asarray(stack, dtype=np.float64).mean(axis=0)
+        dev = np.asarray(stack[0], dtype=np.float64) - mean
+        return dev[0], np.all(masks, axis=0).astype(np.uint8)
+
+    out = composite.stack_reduce_from_parquet(
+        _analytic_path(sf_dir), reduce_fn, out_pixel_type="f8", bands=2)
+
+    def stats(a):
+        return (float(a.min()), float(a.max()), float(a.sum()))
+
+    return _exact_stats(out, stats, [("d_min", pa.float64()),
+                                     ("d_max", pa.float64()),
+                                     ("d_sum", pa.float64())])
+
+
+def deviation_exact_oracle_sql(sf: float = 0.01) -> str:
+    return f"""
+WITH {_epoch0_cte(sf)},
+v AS (SELECT comp_id AS tile_id, -{_C} AS sv FROM px)
+SELECT tile_id, MIN(sv) AS d_min, MAX(sv) AS d_max, SUM(sv) AS d_sum
+FROM v GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+def q_dnbr_exact(sf_dir: str) -> pd.DataFrame:
+    """DNBR before(e0) − after(e2) through the stack zip, running the real
+    f4 kernel (functions/pointwise.nbr_difference); DuckDB FLOAT arithmetic
+    is bit-identical binary32, so the ratios mirror exactly.  Sums of
+    arbitrary f4 ratios are order-dependent → min/max/count stats only."""
+    from .functions import pointwise as pw
+    from .stages import composite
+
+    def reduce_fn(stack, masks, g):
+        # g is acq_ts-sorted → stack[0] = epoch 0, stack[2] = epoch 2
+        out = pw.nbr_difference(stack[0, 1], stack[0, 0],
+                                stack[2, 1], stack[2, 0])
+        return out, np.all(masks, axis=0).astype(np.uint8)
+
+    out = composite.stack_reduce_from_parquet(
+        _analytic_path(sf_dir), reduce_fn, out_pixel_type="f8", bands=2)
+
+    def stats(a):
+        return (float(a.min()), float(a.max()), int((a > 0.0).sum()))
+
+    return _exact_stats(out, stats, [("d_min", pa.float64()),
+                                     ("d_max", pa.float64()),
+                                     ("n_burn", pa.int64())])
+
+
+def _f4(expr: str) -> str:
+    return f"CAST({expr} AS FLOAT)"
+
+
+def _f4_ratio(nir: str, swir: str) -> str:
+    """(nir − swir) / (swir + nir) with every op in binary32, mirroring
+    pointwise.nbr_difference / ndvi."""
+    return (f"(({_f4(nir)} - {_f4(swir)}) / ({_f4(swir)} + {_f4(nir)}))")
+
+
+def dnbr_exact_oracle_sql(sf: float = 0.01) -> str:
+    n1 = _f4_ratio(_B1_E0, _B0_E0)
+    n2 = _f4_ratio(_B1_E2, _B0_E2)
+    dn = f"({n1} - {n2})"
+    return f"""
+WITH {_epoch0_cte(sf)},
+v AS (SELECT comp_id AS tile_id, {dn} AS sv FROM px)
+SELECT tile_id, CAST(MIN(sv) AS DOUBLE) AS d_min, CAST(MAX(sv) AS DOUBLE) AS d_max,
+       CAST(COUNT(*) FILTER (sv > 0.0) AS BIGINT) AS n_burn
+FROM v GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+# --------------------------------------------- pointwise / chain gates
+
+def q_ndsi_ndwi_exact(sf_dir: str) -> pd.DataFrame:
+    """NDSI/NDWI band-binding twins of NDVI in the real f4 kernel; NDWI is
+    the negated ratio, proving the binding order matters."""
+    from .functions import pointwise as pw
+    from .stages import tile_map
+
+    tiles = _read_analytic(sf_dir, epoch=0)
+
+    def kernel(p, m, meta):
+        ndsi = pw.ndvi(p[1], p[0])   # (b0 − b1)/(b1 + b0)
+        ndwi = pw.ndvi(p[0], p[1])   # (b1 − b0)/(b0 + b1)
+        return np.stack([ndsi, ndwi]), m
+
+    out = tile_map.apply_kernel(tiles, kernel, out_pixel_type="f8")
+
+    def stats(a):
+        return (float(a[0].min()), float(a[0].max()),
+                float(a[1].min()), float(a[1].max()))
+
+    return _exact_stats(out, stats, [("ndsi_min", pa.float64()),
+                                     ("ndsi_max", pa.float64()),
+                                     ("ndwi_min", pa.float64()),
+                                     ("ndwi_max", pa.float64())])
+
+
+def ndsi_ndwi_exact_oracle_sql(sf: float = 0.01) -> str:
+    ndsi = _f4_ratio(_B0, _B1)
+    ndwi = _f4_ratio(_B1, _B0)
+    return f"""
+WITH {_epoch0_cte(sf)}
+SELECT tile_id,
+       CAST(MIN({ndsi}) AS DOUBLE) AS ndsi_min, CAST(MAX({ndsi}) AS DOUBLE) AS ndsi_max,
+       CAST(MIN({ndwi}) AS DOUBLE) AS ndwi_min, CAST(MAX({ndwi}) AS DOUBLE) AS ndwi_max
+FROM px GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+def q_ndvi_colormap_exact(sf_dir: str) -> pd.DataFrame:
+    """NDVI(Colormap mode, real f4 kernel) → u1 cast → Colormap LUT chain
+    (two fused Ops, ONE map_batches stage); per-tile RGB SUMS (integers —
+    exact in any order)."""
+    from .functions import pointwise as pw
+    from .functions.remap import colormap_lookup
+    from .pipelines.chain import Op, build_chain
+
+    vals = np.arange(0, 201, dtype=np.int64)
+    rgb = (np.clip(vals, 0, 255).astype(np.uint8),
+           np.clip(255 - vals, 0, 255).astype(np.uint8),
+           np.full(vals.size, 40, np.uint8))
+
+    def ndvi_op(p, m, meta):
+        return pw.ndvi(p[0], p[1], "Colormap"), m
+
+    def cmap_op(p, m, meta):
+        return colormap_lookup(np.clip(p, 0, 200).astype(np.uint8), vals, rgb), m
+
+    tiles = _read_analytic(sf_dir, epoch=0)
+    out = build_chain(tiles, [Op("ndvi", ndvi_op, out_pixel_type="u1"),
+                              Op("colormap", cmap_op, out_pixel_type="u1")])
+
+    def stats(a):
+        return (int(a[0].sum()), int(a[1].sum()), int(a[2].sum()))
+
+    return _exact_stats(out, stats, [("sum_r", pa.int64()),
+                                     ("sum_g", pa.int64()),
+                                     ("sum_b", pa.int64())])
+
+
+def ndvi_colormap_exact_oracle_sql(sf: float = 0.01) -> str:
+    # grayscale = (ratio f4 * 100f4) + 100f4; u1 cast truncates (positive)
+    g4 = (f"(({_f4_ratio(_B1, _B0)} * {_f4('100.0')}) + {_f4('100.0')})")
+    cls = f"CAST(TRUNC({g4}) AS BIGINT)"
+    return f"""
+WITH {_epoch0_cte(sf)},
+v AS (SELECT tile_id, {cls} AS cls FROM px)
+SELECT tile_id, CAST(SUM(cls) AS BIGINT) AS sum_r,
+       CAST(SUM(255 - cls) AS BIGINT) AS sum_g,
+       CAST(40 * COUNT(*) AS BIGINT) AS sum_b
+FROM v GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+MASKCHAIN_CUT = 1000.0
+MASKCHAIN_FILL = 7.0
+
+
+def q_mask_replace_exact(sf_dir: str) -> pd.DataFrame:
+    """Arithmetic(subtract) → MaskRaster → RemoveNoData chain: mask = where
+    (b0 − {MASKCHAIN_CUT}) > 0, masked-out pixels filled with
+    {MASKCHAIN_FILL} (b0 ≥ 100, so the fill never collides)."""
+    from .functions import pointwise as pw
+    from .stages import tile_map
+
+    tiles = _read_analytic(sf_dir, epoch=0)
+
+    def kernel(p, m, meta):
+        diff = pw.arithmetic(p[0], np.float32(MASKCHAIN_CUT), "Subtract")
+        _, m2 = pw.mask_raster(p[0], diff, m)
+        out, mfull = pw.remove_nodata(p[0], m2, MASKCHAIN_FILL)
+        return out, mfull
+
+    out = tile_map.apply_kernel(tiles, kernel, out_pixel_type="f8")
+
+    def stats(a):
+        return (float(a.min()), float(a.max()), float(a.sum()),
+                int((a == MASKCHAIN_FILL).sum()))
+
+    return _exact_stats(out, stats, [("v_min", pa.float64()),
+                                     ("v_max", pa.float64()),
+                                     ("v_sum", pa.float64()),
+                                     ("n_filled", pa.int64())])
+
+
+def mask_replace_exact_oracle_sql(sf: float = 0.01) -> str:
+    v = (f"CASE WHEN ({_f4(_B0)} - {_f4(MASKCHAIN_CUT)}) > 0.0"
+         f" THEN {_B0} ELSE {MASKCHAIN_FILL} END")
+    return f"""
+WITH {_epoch0_cte(sf)},
+v AS (SELECT tile_id, {v} AS sv FROM px)
+SELECT tile_id, MIN(sv) AS v_min, MAX(sv) AS v_max, SUM(sv) AS v_sum,
+       CAST(COUNT(*) FILTER (sv = {MASKCHAIN_FILL}) AS BIGINT) AS n_filled
+FROM v GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+QA2_FLAGS = {"water": True, "cirrus": True}  # bits 7 and 2 → mask 0b10000100
+
+
+def q_landsat_qa_exact(sf_dir: str) -> pd.DataFrame:
+    """LandsatC2QA with a different flag set than analytic.q_qa_exact
+    (water+cirrus), plus the per-tile flagged ratio."""
+    from .functions import pointwise as pw
+    from .stages import tile_map
+
+    tiles = _read_analytic(sf_dir, epoch=0)
+
+    def kernel(p, m, meta):
+        qa = p[0].astype(np.int64)
+        return pw.landsat_c2_qa(qa, **QA2_FLAGS).astype(np.float64), m
+
+    out = tile_map.apply_kernel(tiles, kernel, out_pixel_type="f8")
+
+    def stats(a):
+        return (int(a.sum()), int(a.size))
+
+    return _exact_stats(out, stats, [("n_flagged", pa.int64()),
+                                     ("n_px", pa.int64())])
+
+
+def landsat_qa_exact_oracle_sql(sf: float = 0.01) -> str:
+    from .functions.pointwise import QA_BIT_INDEX
+
+    mask = 0
+    for name, on in QA2_FLAGS.items():
+        if on:
+            mask |= 1 << QA_BIT_INDEX[name]
+    return f"""
+WITH {_epoch0_cte(sf)}
+SELECT tile_id,
+       CAST(COUNT(*) FILTER ((CAST({_B0} AS BIGINT) & {mask}) <> 0)
+            AS BIGINT) AS n_flagged,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM px GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+def q_select_by_pixel_size_exact(sf_dir: str) -> pd.DataFrame:
+    """SelectByPixelSize plan-time routing over the analytic world: 30 m
+    cells under the 60 m threshold pick the native input; the downsampled
+    branch is never read.  Gate = the native tile statistics."""
+    from .functions import focal as fc
+    from .functions import pointwise as pw
+    from .stages import tile_map
+
+    native = _read_analytic(sf_dir, epoch=0)
+    choice = pw.select_by_pixel_size(30.0, 60.0)
+    if choice == 0:
+        out = native
+    else:  # not taken here; kept for semantic completeness
+        def down(p, m, meta):
+            return fc.block_statistics(p[0], m, 2, "mean"), m[::2, ::2]
+        out = tile_map.apply_kernel(native, down, out_pixel_type="f8")
+
+    def stats(a):
+        band = a[0] if a.ndim == 3 else a
+        return (float(band.min()), float(band.max()), float(band.sum()))
+
+    return _exact_stats(out, stats, [("v_min", pa.float64()),
+                                     ("v_max", pa.float64()),
+                                     ("v_sum", pa.float64())])
+
+
+def select_by_pixel_size_exact_oracle_sql(sf: float = 0.01) -> str:
+    return f"""
+WITH {_epoch0_cte(sf)}
+SELECT tile_id, MIN({_B0}) AS v_min, MAX({_B0}) AS v_max, SUM({_B0}) AS v_sum
+FROM px GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+def q_merge_extract_exact(sf_dir: str) -> pd.DataFrame:
+    """MergeRasters (union of the scene-0 epoch-0 tiles with the band-0
+    extraction of ALL epoch-0 tiles — scene-0 tiles appear in both legs) +
+    ExtractBand; per-tile band-0 stats, duplicates preserved."""
+    import pyarrow.compute as pc
+
+    from .stages import tile_map
+
+    a = _read_analytic(sf_dir, epoch=0).filter(
+        expr="scene_id == 0")
+    b = _read_analytic(sf_dir, epoch=0)
+
+    def extract_band(p, m, meta):
+        return (p if p.ndim == 2 else p[0]), m
+
+    merged = a.union(tile_map.apply_kernel(b, extract_band, out_pixel_type="f8"))
+
+    def stats(arr):
+        band = arr[0] if arr.ndim == 3 else arr
+        return (float(band.min()), float(band.max()), float(band.sum()))
+
+    return _exact_stats(merged, stats, [("v_min", pa.float64()),
+                                        ("v_max", pa.float64()),
+                                        ("v_sum", pa.float64())])
+
+
+def merge_extract_exact_oracle_sql(sf: float = 0.01) -> str:
+    stats = f"MIN({_B0}) AS v_min, MAX({_B0}) AS v_max, SUM({_B0}) AS v_sum"
+    return f"""
+WITH {_epoch0_cte(sf)}
+SELECT tile_id, {stats} FROM px WHERE s = 0 GROUP BY tile_id
+UNION ALL
+SELECT tile_id, {stats} FROM px GROUP BY tile_id
+ORDER BY tile_id, v_min
+"""
+
+
+def q_vector_field_exact(sf_dir: str) -> pd.DataFrame:
+    """VectorField magnitude over (u=b0, v=b1): sqrt(u²+v²) is all
+    correctly-rounded IEEE.  Direction (atan2, ±2 ulp cross-library) stays
+    under the pytest golden gate; its SQL-exactable projection here is the
+    meteorological QUADRANT count (u,v > 0 sign tests — exact)."""
+    from .functions.expr import vector_field
+    from .stages import tile_map
+
+    tiles = _read_analytic(sf_dir, epoch=0)
+
+    def kernel(p, m, meta):
+        mag, direction = vector_field(p[0], p[1])
+        return np.stack([mag, direction]), m
+
+    out = tile_map.apply_kernel(tiles, kernel, out_pixel_type="f8")
+
+    def stats(a):
+        # u,v > 0 everywhere on the analytic world → direction in (0°,90°)
+        return (float(a[0].min()), float(a[0].max()),
+                int(((a[1] > 0.0) & (a[1] < 90.0)).sum()))
+
+    return _exact_stats(out, stats, [("mag_min", pa.float64()),
+                                     ("mag_max", pa.float64()),
+                                     ("n_q1", pa.int64())])
+
+
+def vector_field_exact_oracle_sql(sf: float = 0.01) -> str:
+    mag = f"SQRT({_B0}*{_B0} + {_B1}*{_B1})"
+    return f"""
+WITH {_epoch0_cte(sf)}
+SELECT tile_id, MIN({mag}) AS mag_min, MAX({mag}) AS mag_max,
+       CAST(COUNT(*) AS BIGINT) AS n_q1
+FROM px GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+# ----------------------------------------------- halo (focal) gates
+
+def q_rank_filter_exact(sf_dir: str) -> pd.DataFrame:
+    """RankFilter 3×3 MEDIAN through the real parquet halo: 9 integers per
+    window → the exact middle element on both sides (DuckDB list median of
+    the 9 scene-clamped neighbour expressions)."""
+    from .functions import focal as fc
+    from .stages import halo, tile_map
+
+    padded = halo.with_halo_from_parquet(
+        _analytic_path(sf_dir), padding=1, bands=2,
+        scene_ids=[s * 10 for s in range(synth.A_SCENES)])
+
+    def kernel(p, m, meta):
+        band = p[0] if p.ndim == 3 else p
+        return fc.rank_filter(band, 3, "median"), fc.erode_mask_3x3(m)
+
+    out = tile_map.apply_kernel(padded, kernel, out_pixel_type="f8")
+
+    def stats(a):
+        return (float(a.min()), float(a.max()), float(a.sum()))
+
+    return _exact_stats(out, stats, [("r_min", pa.float64()),
+                                     ("r_max", pa.float64()),
+                                     ("r_sum", pa.float64())])
+
+
+def rank_filter_exact_oracle_sql(sf: float = 0.01) -> str:
+    p = synth.params_for(sf)
+    n = p.tiles_per_side * p.tile_px
+    clamp = lambda ex: f"GREATEST(0, LEAST({n - 1}, {ex}))"  # noqa: E731
+    nine = ", ".join(
+        _b0_sql(gr=clamp(f"gr + {dr}"), gc=clamp(f"gc + {dc}"))
+        for dr in (-1, 0, 1) for dc in (-1, 0, 1))
+    med = f"list_aggregate([{nine}], 'median')"
+    return f"""
+WITH {_epoch0_cte(sf)},
+f AS (SELECT tile_id, {med} AS sv FROM px)
+SELECT tile_id, MIN(sv) AS r_min, MAX(sv) AS r_max, SUM(sv) AS r_sum
+FROM f GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+def q_aspect_slope_exact(sf_dir: str) -> pd.DataFrame:
+    """AspectSlope class codes (19–48) through the real halo, gated as a
+    per-tile class histogram.
+
+    Exactness: the slope leg is all correctly-rounded IEEE (integer
+    convolutions /8 /cellsize, x²+y², sqrt, ×100 — identical doubles both
+    sides).  The aspect leg uses atan2, where DuckDB and NumPy differ by
+    ≤2 ulp — harmless under CLASSIFICATION unless a true aspect sits
+    within 2 ulp of a 22.5°-multiple boundary; the analytic surfaces are
+    affine, so the distinct (Δx, Δy) pairs are few (scene interiors are
+    constant-gradient) and land far from every boundary."""
+    from .functions import focal as fc
+    from .stages import halo, tile_map
+
+    padded = halo.with_halo_from_parquet(
+        _analytic_path(sf_dir), padding=1, bands=2,
+        scene_ids=[s * 10 for s in range(synth.A_SCENES)])
+
+    def kernel(p, m, meta):
+        band = p[0] if p.ndim == 3 else p
+        out, m2 = fc.aspect_slope(band, m, meta["cell_size"], 1.0)
+        return out, m2
+
+    out = tile_map.apply_kernel(padded, kernel, out_pixel_type="f8")
+
+    def finish(b: pa.Table) -> pa.Table:
+        ids, cls, cnt = [], [], []
+        for i in range(b.num_rows):
+            arr = tilecodec.decode(b["pixels"][i].as_buffer(), "f8", 1,
+                                   b["height"][i].as_py(), b["width"][i].as_py())
+            v, c = np.unique(arr, return_counts=True)
+            ids += [b["tile_id"][i].as_py()] * v.size
+            cls += [int(x) for x in v]
+            cnt += [int(x) for x in c]
+        return pa.table({"tile_id": pa.array(ids, pa.string()),
+                         "class": pa.array(cls, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    df = out.map_batches(finish, batch_format="pyarrow", batch_size=32).to_pandas()
+    return df.sort_values(["tile_id", "class"]).reset_index(drop=True)
+
+
+def aspect_slope_exact_oracle_sql(sf: float = 0.01) -> str:
+    p = synth.params_for(sf)
+    n = p.tiles_per_side * p.tile_px
+    clamp = lambda ex: f"GREATEST(0, LEAST({n - 1}, {ex}))"  # noqa: E731
+    E = lambda dr, dc: _b0_sql(gr=clamp(f"gr + {dr}"), gc=clamp(f"gc + {dc}"))  # noqa: E731
+    # coefficient of neighbour (dr,dc) is K[1-dr, 1-dc] (convolution flip);
+    # ASPECT_X = -SOBEL_X, ASPECT_Y = -SOBEL_Y (functions/focal.py:20-24)
+    dx8 = (f"(({E(-1,-1)} - {E(-1,1)}) + 2.0*({E(0,-1)} - {E(0,1)})"
+           f" + ({E(1,-1)} - {E(1,1)}))")
+    dy8 = (f"(({E(-1,-1)} + 2.0*{E(-1,0)} + {E(-1,1)})"
+           f" - ({E(1,-1)} + 2.0*{E(1,0)} + {E(1,1)}))")
+    return f"""
+WITH {_epoch0_cte(sf)},
+g AS (
+  SELECT tile_id, {dx8} / 8.0 AS dxm, {dy8} / 8.0 AS dym FROM px
+), d AS (
+  SELECT tile_id, dxm, dym,
+         SQRT((dxm/30.0)*(dxm/30.0) + (dym/30.0)*(dym/30.0)) * 100.0 AS slope_pct
+  FROM g
+), a AS (
+  SELECT tile_id, slope_pct,
+         CASE WHEN slope_pct = 0.0 THEN -1.0
+              WHEN 57.29578 * atan2(dxm, -dym) < 0.0
+              THEN (360.0 - (90.0 - 57.29578 * atan2(dxm, -dym))) + 90.0
+              ELSE 57.29578 * atan2(dxm, -dym) END AS aspect
+  FROM d
+), c AS (
+  SELECT tile_id,
+         (CASE WHEN slope_pct < 5.0 THEN 10.0 WHEN slope_pct < 20.0 THEN 20.0
+               WHEN slope_pct < 40.0 THEN 30.0 ELSE 40.0 END)
+         + (CASE WHEN aspect <= 22.5 THEN 1.0 WHEN aspect <= 67.5 THEN 2.0
+                 WHEN aspect <= 112.5 THEN 3.0 WHEN aspect <= 157.5 THEN 4.0
+                 WHEN aspect <= 202.5 THEN 5.0 WHEN aspect <= 247.5 THEN 6.0
+                 WHEN aspect <= 292.5 THEN 7.0 WHEN aspect <= 337.5 THEN 8.0
+                 ELSE 1.0 END) AS f
+  FROM a
+)
+SELECT tile_id,
+       CAST(CASE WHEN f >= 11.0 AND f <= 18.0 THEN 19.0 ELSE f END AS BIGINT)
+         AS class,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM c GROUP BY tile_id, class ORDER BY tile_id, class
+"""
+
+
+def q_block_stats_minmax_exact(sf_dir: str) -> pd.DataFrame:
+    """BlockStatistics 'minimum' and 'maximum' measures (size 4) — min-of-
+    row-mins is the true block min, so both are pure integer selections."""
+    from .functions import focal as fc
+    from .stages import tile_map
+
+    tiles = _read_analytic(sf_dir, epoch=0)
+
+    def kernel(p, m, meta):
+        mins = fc.block_statistics(p[0], m, 4, "minimum")
+        maxs = fc.block_statistics(p[0], m, 4, "maximum")
+        return np.stack([mins, maxs]), m[::4, ::4]
+
+    out = tile_map.apply_kernel(tiles, kernel, out_pixel_type="f8")
+
+    def stats(a):
+        return (float(a[0].min()), float(a[0].sum()),
+                float(a[1].max()), float(a[1].sum()))
+
+    return _exact_stats(out, stats, [("bmin_min", pa.float64()),
+                                     ("bmin_sum", pa.float64()),
+                                     ("bmax_max", pa.float64()),
+                                     ("bmax_sum", pa.float64())])
+
+
+def block_stats_minmax_exact_oracle_sql(sf: float = 0.01) -> str:
+    return f"""
+WITH {_epoch0_cte(sf)},
+blk AS (
+  SELECT tile_id, gr // 4 AS br, gc // 4 AS bc,
+         MIN({_B0}) AS vmin, MAX({_B0}) AS vmax
+  FROM px GROUP BY tile_id, gr // 4, gc // 4
+)
+SELECT tile_id, MIN(vmin) AS bmin_min, SUM(vmin) AS bmin_sum,
+       MAX(vmax) AS bmax_max, SUM(vmax) AS bmax_sum
+FROM blk GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+# ------------------------------------------- zone-keyed raster gates
+
+ZONE_DIV = 16          # zone id changes every 16 px
+ZT_MAP = {1: [[200.0, 900.0, 11.0]],      # two-sided interval
+          2: [[None, 1200.0, 22.0]],      # one-sided (below)
+          3: [[700.0, None, None]]}       # one-sided (above), null target
+ATTR_MAP = {1: (5.0, 50.0), 2: (7.0, 70.0)}  # zone 3 → background
+
+
+def _zone_kernel_factory(sf_dir: str):
+    """Per-tile analytic zone raster z = 1 + ((gr//{ZONE_DIV} +
+    gc//{ZONE_DIV}) % 3), derived from the tile's grid position — the
+    trivially-SQL-shared zone ASSIGNMENT that lets the oracle focus on the
+    remap/burn kernels themselves."""
+    p = synth.params_for(synth.sf_from_dir(sf_dir))
+    G, T = p.tiles_per_side, p.tile_px
+
+    def zgrid(meta) -> np.ndarray:
+        s = int(meta["scene_id"]) // 10
+        lx = int(meta["tx"]) - s * G
+        gr = int(meta["ty"]) * T + np.arange(T, dtype=np.int64)[:, None]
+        gc = lx * T + np.arange(T, dtype=np.int64)[None, :]
+        return (1 + ((gr // ZONE_DIV + gc // ZONE_DIV) % 3)).astype(np.int32)
+
+    return zgrid
+
+
+_ZONE_SQL = f"(1 + ((gr // {ZONE_DIV} + gc // {ZONE_DIV}) % 3))"
+
+
+def q_zonal_remap_exact(sf_dir: str) -> pd.DataFrame:
+    """ZonalRemap through the real kernel (functions/remap.zonal_remap):
+    all three nullable-arm shapes + default-target + background, per-tile
+    class histogram."""
+    from .functions import remap as rm
+    from .stages import tile_map
+
+    tiles = _read_analytic(sf_dir, epoch=0)
+    zgrid = _zone_kernel_factory(sf_dir)
+
+    def kernel(p, m, meta):
+        z = zgrid(meta)
+        return rm.zonal_remap(p[0], z, ZT_MAP, background=0,
+                              default_target=255).astype(np.float64), m
+
+    out = tile_map.apply_kernel(tiles, kernel, out_pixel_type="f8")
+
+    def finish(b: pa.Table) -> pa.Table:
+        ids, zv, cnt = [], [], []
+        for i in range(b.num_rows):
+            arr = tilecodec.decode(b["pixels"][i].as_buffer(), "f8", 1,
+                                   b["height"][i].as_py(), b["width"][i].as_py())
+            v, c = np.unique(arr, return_counts=True)
+            ids += [b["tile_id"][i].as_py()] * v.size
+            zv += [int(x) for x in v]
+            cnt += [int(x) for x in c]
+        return pa.table({"tile_id": pa.array(ids, pa.string()),
+                         "zval": pa.array(zv, pa.int64()),
+                         "n_px": pa.array(cnt, pa.int64())})
+
+    df = out.map_batches(finish, batch_format="pyarrow", batch_size=32).to_pandas()
+    return df.sort_values(["tile_id", "zval"]).reset_index(drop=True)
+
+
+def zonal_remap_exact_oracle_sql(sf: float = 0.01) -> str:
+    # strict > / < arms exactly as remap.zonal_remap:70-77
+    case = (f"CASE WHEN {_ZONE_SQL} = 1 AND {_B0} > 200.0 AND {_B0} < 900.0 THEN 11"
+            f" WHEN {_ZONE_SQL} = 2 AND {_B0} < 1200.0 THEN 22"
+            f" WHEN {_ZONE_SQL} = 3 AND {_B0} > 700.0 THEN 255"
+            f" ELSE 0 END")
+    return f"""
+WITH {_epoch0_cte(sf)}
+SELECT tile_id, CAST({case} AS BIGINT) AS zval, CAST(COUNT(*) AS BIGINT) AS n_px
+FROM px GROUP BY tile_id, zval ORDER BY tile_id, zval
+"""
+
+
+def q_rasterize_attributes_exact(sf_dir: str) -> pd.DataFrame:
+    """RasterizeAttributes through the real kernel: 2 attribute bands
+    burned per zone (zone 3 absent from the table → background), gated by
+    per-tile attribute-band sums."""
+    from .functions import remap as rm
+    from .stages import tile_map
+
+    tiles = _read_analytic(sf_dir, epoch=0)
+    zgrid = _zone_kernel_factory(sf_dir)
+
+    def kernel(p, m, meta):
+        z = zgrid(meta)
+        return rm.rasterize_attributes(p[0], z, ATTR_MAP, n_attrs=2), m
+
+    out = tile_map.apply_kernel(tiles, kernel, out_pixel_type="f8")
+
+    def stats(a):
+        return (float(a[0].sum()), float(a[1].sum()), float(a[2].sum()))
+
+    return _exact_stats(out, stats, [("sum_v", pa.float64()),
+                                     ("sum_a1", pa.float64()),
+                                     ("sum_a2", pa.float64())])
+
+
+def rasterize_attributes_exact_oracle_sql(sf: float = 0.01) -> str:
+    a1 = f"CASE {_ZONE_SQL} WHEN 1 THEN 5.0 WHEN 2 THEN 7.0 ELSE 0.0 END"
+    a2 = f"CASE {_ZONE_SQL} WHEN 1 THEN 50.0 WHEN 2 THEN 70.0 ELSE 0.0 END"
+    return f"""
+WITH {_epoch0_cte(sf)}
+SELECT tile_id, SUM({_B0}) AS sum_v, SUM({a1}) AS sum_a1, SUM({a2}) AS sum_a2
+FROM px GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+# ------------------------------------------------- aesthetic renders
+
+def q_hexagon_exact(sf_dir: str) -> pd.DataFrame:
+    """HexagonPixels offset-block mean render: block pixel counts are 32 or
+    64 (powers of two), so every block mean is exact and so are the tile
+    sums of the rendered raster."""
+    from .functions import focal as fc
+    from .stages import tile_map
+
+    tiles = _read_analytic(sf_dir, epoch=0)
+
+    def kernel(p, m, meta):
+        return fc.hexagon_pixels(p[0], 8), m
+
+    out = tile_map.apply_kernel(tiles, kernel, out_pixel_type="f8")
+
+    def stats(a):
+        return (float(a.min()), float(a.max()), float(a.sum()))
+
+    return _exact_stats(out, stats, [("h_min", pa.float64()),
+                                     ("h_max", pa.float64()),
+                                     ("h_sum", pa.float64())])
+
+
+def hexagon_exact_oracle_sql(sf: float = 0.01) -> str:
+    p = synth.params_for(sf)
+    T = p.tile_px
+    # the second (offset) pass overwrites the first: block key is
+    # row-band (tile-local r // 8) × offset column band ((c + 4) // 8)
+    return f"""
+WITH {_epoch0_cte(sf)},
+blk AS (
+  SELECT tile_id, (gr % {T}) // 8 AS br, ((gc % {T}) + 4) // 8 AS bc,
+         AVG({_B0}) AS v, COUNT(*) AS cnt
+  FROM px GROUP BY tile_id, br, bc
+)
+SELECT tile_id, MIN(v) AS h_min, MAX(v) AS h_max, SUM(v * cnt) AS h_sum
+FROM blk GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+def q_chuck_close_exact(sf_dir: str) -> pd.DataFrame:
+    """BasicChuckClose block-mean → 8-tone quantize → expand render; the
+    quantize chain ((v−lo)/span·7.999, floor) is mirrored op-for-op."""
+    from .functions import focal as fc
+    from .stages import tile_map
+
+    tiles = _read_analytic(sf_dir, epoch=0)
+
+    def kernel(p, m, meta):
+        dem = p[0].astype(np.float64)
+        blocks = fc.block_statistics(dem, m, 8, "mean")
+        lo, hi = float(np.nanmin(blocks)), float(np.nanmax(blocks))
+        span = (hi - lo) or 1.0
+        classed = np.floor((blocks - lo) / span * 7.999)
+        full = np.repeat(np.repeat(classed, 8, axis=0), 8, axis=1)
+        return full, m
+
+    out = tile_map.apply_kernel(tiles, kernel, out_pixel_type="u1")
+
+    def stats(a):
+        return (int(a.min()), int(a.max()), int(a.astype(np.int64).sum()))
+
+    return _exact_stats(out, stats, [("c_min", pa.int64()),
+                                     ("c_max", pa.int64()),
+                                     ("c_sum", pa.int64())])
+
+
+def chuck_close_exact_oracle_sql(sf: float = 0.01) -> str:
+    return f"""
+WITH {_epoch0_cte(sf)},
+blk AS (
+  SELECT tile_id, gr // 8 AS br, gc // 8 AS bc, AVG({_B0}) AS v
+  FROM px GROUP BY tile_id, br, bc
+), rng AS (
+  SELECT tile_id, br, bc, v,
+         MIN(v) OVER (PARTITION BY tile_id) AS lo,
+         MAX(v) OVER (PARTITION BY tile_id) AS hi
+  FROM blk
+), cl AS (
+  SELECT tile_id,
+         CAST(FLOOR((v - lo) / (CASE WHEN hi - lo = 0.0 THEN 1.0
+                                     ELSE hi - lo END) * 7.999) AS BIGINT) AS c
+  FROM rng
+)
+SELECT tile_id, MIN(c) AS c_min, MAX(c) AS c_max,
+       CAST(SUM(c) * 64 AS BIGINT) AS c_sum
+FROM cl GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+TF_RANGES = (0.0, 600.0, 600.0, 800.0, 800.0, 1000.0, 1000.0, 1e9)
+TF_VALUES = (10.0, 20.0, 30.0, 40.0)
+TF_LABELS = {10: "lowland", 20: "upland", 30: "montane", 40: "alpine"}
+
+
+def q_table_function_exact(sf_dir: str) -> pd.DataFrame:
+    """TableFunction: Remap elevation classes joined to a broadcast
+    category-label table; per-(tile, label) pixel counts."""
+    import ray
+
+    from .functions import remap as rm
+
+    tiles = _read_analytic(sf_dir, epoch=0)
+    cref = ray.put((TF_LABELS, list(TF_RANGES), list(TF_VALUES)))
+
+    def kernel_batch(b: pa.Table) -> pd.DataFrame:
+        catmap, rngs, vals = ray.get(cref)
+        recs = []
+        tid = b["tile_id"].to_pylist()
+        for i, pix, msk in tilecodec.iter_tiles(b):
+            dem = pix if pix.ndim == 2 else pix[0]
+            classes = rm.remap(dem, rngs, vals, default=0)
+            uv, cnt = np.unique(classes[~np.isnan(classes)].astype(np.int64),
+                                return_counts=True)
+            for v, c in zip(uv, cnt):
+                recs.append((tid[i], catmap.get(int(v), "other"), int(c)))
+        return pd.DataFrame(recs, columns=["tile_id", "label", "n_px"])
+
+    out = tiles.map_batches(kernel_batch, batch_format="pyarrow", batch_size=32)
+    return (out.to_pandas().sort_values(["tile_id", "label"])
+            .reset_index(drop=True))
+
+
+def table_function_exact_oracle_sql(sf: float = 0.01) -> str:
+    pairs = list(zip(TF_RANGES[0::2], TF_RANGES[1::2], TF_VALUES))
+    case = "CASE " + " ".join(
+        f"WHEN {_B0} >= {lo} AND {_B0} < {hi} THEN '{TF_LABELS[int(v)]}'"
+        for lo, hi, v in pairs) + " ELSE 'other' END"
+    return f"""
+WITH {_epoch0_cte(sf)}
+SELECT tile_id, {case} AS label, CAST(COUNT(*) AS BIGINT) AS n_px
+FROM px GROUP BY tile_id, label ORDER BY tile_id, label
+"""
