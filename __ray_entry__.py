@@ -89,6 +89,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hexagon_exact": analytic2.q_hexagon_exact,
         "chuck_close_exact": analytic2.q_chuck_close_exact,
         "table_function_exact": analytic2.q_table_function_exact,
+        "vineyard_exact": analytic2.q_vineyard_exact,
+        "seasonal_forecast_exact": analytic2.q_seasonal_forecast_exact,
+        "tri_expr_exact": analytic2.q_tri_expr_exact,
+        "heat_index": bandmath.q_heat_index,
         # spatial joins: cell encode, four interchangeable PIP lowerings,
         # zonal, kNN (brute + cell-ring), adaptive coverings, NN classify
         "cell_assign": spatial.q_cell_assign,
@@ -186,15 +190,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ndvi_stats": rq.q_ndvi_stats,
         "hillshade_stats": rq.q_hillshade_stats,
         "hillshade_shuffle_halo": rq.q_hillshade_shuffle_halo_stats,
-        "heat_index": bandmath.q_heat_index,
-        "tri_stats": rq.q_tri_stats,
         "knn_classify_stats": rq.q_knn_classify_stats,
         "rf_classify_stats": rq.q_rf_classify_stats,
         "topographic_c": rq.q_topographic_c,
-        "vineyard_chain": rq.q_vineyard_chain,
         "cti_stats": rq.q_cti_stats,
         "inpaint_stats": rq.q_inpaint_stats,
-        "seasonal_forecast_stats": rq.q_seasonal_forecast_stats,
         "random_source": rq.q_random_source,
         "lsu_stats": rq.q_lsu_stats,
         "multidirectional_hillshade_stats": rq.q_multidirectional_hillshade_stats,
@@ -252,6 +252,10 @@ def oracle_sql() -> dict[str, str]:
         "hexagon_exact": analytic2.hexagon_exact_oracle_sql(0.01),
         "chuck_close_exact": analytic2.chuck_close_exact_oracle_sql(0.01),
         "table_function_exact": analytic2.table_function_exact_oracle_sql(0.01),
+        "vineyard_exact": analytic2.vineyard_exact_oracle_sql(0.01),
+        "seasonal_forecast_exact": analytic2.seasonal_forecast_exact_oracle_sql(0.01),
+        "tri_expr_exact": analytic2.tri_expr_exact_oracle_sql(0.01),
+        "heat_index": bandmath.Q_HEAT_INDEX_SQL,
         "q1_pricing": rel.Q1_SQL,
         "q3_shipping": rel.Q3_SHIPPING_SQL,
         "q3_shipping_shuffle": rel.Q3_SHIPPING_SQL,

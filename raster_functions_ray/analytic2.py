@@ -1059,3 +1059,179 @@ WITH {_epoch0_cte(sf)}
 SELECT tile_id, {case} AS label, CAST(COUNT(*) AS BIGINT) AS n_px
 FROM px GROUP BY tile_id, label ORDER BY tile_id, label
 """
+
+
+# ------------------------------------------ chain / forecast / expr gates
+
+def q_vineyard_exact(sf_dir: str) -> pd.DataFrame:
+    """VineyardAnalysis diamond DAG (one DEM → slope% + aspect + elevation
+    → 0–3 suitability) through the real halo, gated as a per-tile class
+    histogram.  Slope leg is pure IEEE; the aspect>0 arm is exact
+    (atan2(0, +x) = 0 in every implementation) and the <200° arm shares
+    the aspect-classification ulp argument of q_aspect_slope_exact."""
+    from .functions import focal as fc
+    from .functions import pointwise as pw
+    from .stages import halo, tile_map
+
+    padded = halo.with_halo_from_parquet(
+        _analytic_path(sf_dir), padding=1, bands=2,
+        scene_ids=[s * 10 for s in range(synth.A_SCENES)])
+
+    def kernel(p, m, meta):
+        dem = p[0] if p.ndim == 3 else p
+        cs = meta["cell_size"]
+        dxc = fc.convolve3x3(dem, fc.ASPECT_X) / 8.0
+        dyc = fc.convolve3x3(dem, fc.ASPECT_Y) / 8.0
+        slope_pct = np.sqrt((dxc / cs[0]) ** 2 + (dyc / cs[1]) ** 2) * 100.0
+        aspect = (57.29578 * np.arctan2(dxc, -dyc)) % 360.0
+        out = pw.vineyard_analysis(dem[1:-1, 1:-1], slope_pct[1:-1, 1:-1],
+                                   aspect[1:-1, 1:-1])
+        return out, fc.erode_mask_3x3(m)
+
+    out = tile_map.apply_kernel(padded, kernel, out_pixel_type="u1")
+
+    def finish(b: pa.Table) -> pa.Table:
+        ids, cls, cnt = [], [], []
+        for i in range(b.num_rows):
+            arr = tilecodec.decode(b["pixels"][i].as_buffer(), "u1", 1,
+                                   b["height"][i].as_py(), b["width"][i].as_py())
+            v, c = np.unique(arr, return_counts=True)
+            ids += [b["tile_id"][i].as_py()] * v.size
+            cls += [int(x) for x in v]
+            cnt += [int(x) for x in c]
+        return pa.table({"tile_id": pa.array(ids, pa.string()),
+                         "suitability": pa.array(cls, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    df = out.map_batches(finish, batch_format="pyarrow", batch_size=32).to_pandas()
+    return df.sort_values(["tile_id", "suitability"]).reset_index(drop=True)
+
+
+def vineyard_exact_oracle_sql(sf: float = 0.01) -> str:
+    p = synth.params_for(sf)
+    n = p.tiles_per_side * p.tile_px
+    clamp = lambda ex: f"GREATEST(0, LEAST({n - 1}, {ex}))"  # noqa: E731
+    E = lambda dr, dc: _b0_sql(gr=clamp(f"gr + {dr}"), gc=clamp(f"gc + {dc}"))  # noqa: E731
+    dx8 = (f"(({E(-1,-1)} - {E(-1,1)}) + 2.0*({E(0,-1)} - {E(0,1)})"
+           f" + ({E(1,-1)} - {E(1,1)}))")
+    dy8 = (f"(({E(-1,-1)} + 2.0*{E(-1,0)} + {E(-1,1)})"
+           f" - ({E(1,-1)} + 2.0*{E(1,0)} + {E(1,1)}))")
+    # np.mod keeps [0, 360): ((x % 360) + 360) % 360
+    return f"""
+WITH {_epoch0_cte(sf)},
+g AS (
+  SELECT tile_id, {_B0} AS elev, {dx8} / 8.0 AS dxm, {dy8} / 8.0 AS dym FROM px
+), d AS (
+  SELECT tile_id, elev,
+         SQRT((dxm/30.0)*(dxm/30.0) + (dym/30.0)*(dym/30.0)) * 100.0 AS slope_pct,
+         (((57.29578 * atan2(dxm, -dym)) % 360.0) + 360.0) % 360.0 AS aspect
+  FROM g
+), s AS (
+  SELECT tile_id,
+         (CASE WHEN CAST(elev AS FLOAT) > 30 AND CAST(elev AS FLOAT) < 400
+               THEN 1 ELSE 0 END)
+         + (CASE WHEN CAST(slope_pct AS FLOAT) > 5 AND CAST(slope_pct AS FLOAT) < 60
+                 THEN 1 ELSE 0 END)
+         + (CASE WHEN CAST(aspect AS FLOAT) > 0 AND CAST(aspect AS FLOAT) < 200
+                 THEN 1 ELSE 0 END) AS suit
+  FROM d
+)
+SELECT tile_id, CAST(suit AS BIGINT) AS suitability, CAST(COUNT(*) AS BIGINT) AS n
+FROM s GROUP BY tile_id, suitability ORDER BY tile_id, suitability
+"""
+
+
+def q_seasonal_forecast_exact(sf_dir: str) -> pd.DataFrame:
+    """Seasonal-naive forecast (the SARIMAX stand-in's plumbing gate):
+    season=3 over 3 acq_ts-ordered epochs → horizon-1 forecast = the
+    same-phase (earliest) observation, computed on an 8× pixel subsample
+    and expanded — proving the ordered-group + subsample wiring exactly."""
+    from .functions import stack as st
+    from .stages import composite
+
+    def reduce_fn(stack, masks, g):
+        series = stack[:, 0, ::8, ::8].astype(np.float64)
+        out = st.seasonal_naive_forecast_grid(series, season=3, horizon=1)[0]
+        full = np.repeat(np.repeat(out, 8, axis=0), 8, axis=1)
+        return full, np.ones(full.shape, np.uint8)
+
+    out = composite.stack_reduce_from_parquet(
+        _analytic_path(sf_dir), reduce_fn, out_pixel_type="f8", bands=2)
+
+    def stats(a):
+        return (float(a.min()), float(a.max()), float(a.sum()))
+
+    return _exact_stats(out, stats, [("f_min", pa.float64()),
+                                     ("f_max", pa.float64()),
+                                     ("f_sum", pa.float64())])
+
+
+def seasonal_forecast_exact_oracle_sql(sf: float = 0.01) -> str:
+    p = synth.params_for(sf)
+    T = p.tile_px
+    # forecast = epoch-0 value at the 8×-subsampled coordinate
+    b0_sub = _b0_sql(e="0",
+                     gr=f"(gr // {T}) * {T} + (((gr % {T}) // 8) * 8)",
+                     gc=f"(gc // {T}) * {T} + (((gc % {T}) // 8) * 8)")
+    return f"""
+WITH {_epoch0_cte(sf)},
+v AS (SELECT comp_id AS tile_id, {b0_sub} AS sv FROM px)
+SELECT tile_id, MIN(sv) AS f_min, MAX(sv) AS f_max, SUM(sv) AS f_sum
+FROM v GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+TRI_EXPR_THRESH = 8.0
+
+
+def q_tri_expr_exact(sf_dir: str) -> pd.DataFrame:
+    """The TRI template through the EXPRESSION LAYER (RasterCalculator
+    parser + padding inference + Focal_* built-ins — functions/expr.py),
+    not the direct focal calls of analytic.q_focal_tri_exact; f4 output
+    cast mirrored with a final CAST AS FLOAT."""
+    from .functions.expr import terrain_ruggedness_expression
+    from .functions.focal import erode_mask_3x3
+    from .pipelines.chain import Op, build_chain
+
+    expr = terrain_ruggedness_expression()
+
+    def kernel(p, m, meta):
+        dem = p[0] if p.ndim == 3 else p
+        out = expr.evaluate({"DEM": dem})
+        return out, erode_mask_3x3(m) if expr.padding_required == 1 else m
+
+    tiles = _read_analytic(sf_dir, epoch=0)
+    out = build_chain(tiles, [Op("tri", kernel, padding=expr.padding_required,
+                                 out_pixel_type="f4")],
+                      tiles_path=_analytic_path(sf_dir), bands=2,
+                      scene_ids=[s * 10 for s in range(synth.A_SCENES)])
+
+    def stats(a):
+        arr = (a[0] if a.ndim == 3 else a).astype(np.float64)
+        return (float(arr.min()), float(arr.max()),
+                int((arr > TRI_EXPR_THRESH).sum()))
+
+    return _exact_stats(out, stats, [("tri_min", pa.float64()),
+                                     ("tri_max", pa.float64()),
+                                     ("n_above", pa.int64())])
+
+
+def tri_expr_exact_oracle_sql(sf: float = 0.01) -> str:
+    p = synth.params_for(sf)
+    n = p.tiles_per_side * p.tile_px
+    clamp = lambda ex: f"GREATEST(0, LEAST({n - 1}, {ex}))"  # noqa: E731
+    nine = [
+        _b0_sql(gr=clamp(f"gr + {dr}"), gc=clamp(f"gc + {dc}"))
+        for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+    ]
+    fmin = "LEAST(" + ", ".join(nine) + ")"
+    fmax = "GREATEST(" + ", ".join(nine) + ")"
+    tri = f"CAST(SQRT(ABS({fmax}*{fmax} - {fmin}*{fmin})) AS FLOAT)"
+    return f"""
+WITH {_epoch0_cte(sf)},
+f AS (SELECT tile_id, {tri} AS tri FROM px)
+SELECT tile_id, CAST(MIN(tri) AS DOUBLE) AS tri_min,
+       CAST(MAX(tri) AS DOUBLE) AS tri_max,
+       CAST(COUNT(*) FILTER (tri > {TRI_EXPR_THRESH}) AS BIGINT) AS n_above
+FROM f GROUP BY tile_id ORDER BY tile_id
+"""

@@ -68,9 +68,12 @@ FROM d
 
 def q_heat_index(sf_dir: str) -> pd.DataFrame:
     """Rothfusz heat index incl. the reference's adjustment regions
-    (functions/deprecated/HeatIndex.py:73-117) over derived columns.
-    Uses the shared f4 kernel; rounded to 2 decimals (f4 → ~7 significant
-    digits; values < 1000 keep 2-decimal stability vs the f8 oracle)."""
+    (functions/deprecated/HeatIndex.py:73-117) over derived columns, in the
+    REAL f4 kernel.  SQL-exact: DuckDB FLOAT arithmetic is true binary32
+    (verified bit-identical to NumPy f4), constants enter via
+    CAST(CAST(c AS DOUBLE) AS FLOAT) to match Python's two-step literal
+    rounding, and the sqrt double-rounding is innocuous (binary64 carries
+    ≥ 2·24+2 bits)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "value"])
 
     def kern(b: pa.Table) -> pd.DataFrame:
@@ -78,13 +81,61 @@ def q_heat_index(sf_dir: str) -> pd.DataFrame:
         t = (df["t"].to_numpy() + 60.0)  # shift into HI-relevant range [40, 140)
         hi = pw.heat_index(t.astype(np.float32), df["rh"].to_numpy(np.float32))
         return pd.DataFrame({"event_id": df["event_id"],
-                             "hi": np.round(hi.astype(np.float64), 2)})
+                             "hi": hi.astype(np.float64)})
 
     return ds.map_batches(kern, batch_format="pyarrow", batch_size=65536).to_pandas()
 
 
-# float32 arithmetic is not reproducible in DuckDB doubles → rows-only check
-# (pixel-exactness of the kernel itself is gated in tests/test_kernels_pointwise.py)
+def _fl(c) -> str:
+    """A numeric literal as the IDENTICAL binary32 numpy would produce:
+    decimal → double (one rounding, = Python float literal) → float."""
+    return f"CAST(CAST({c!r} AS DOUBLE) AS FLOAT)"
+
+
+def _heat_index_f4_sql() -> str:
+    """Op-for-op FLOAT mirror of pointwise.heat_index (f4 path)."""
+    t, r = "t", "r"
+    H = (f"({_fl(0.5)} * (({t} + {_fl(61.0)})"
+         f" + ((({t} - {_fl(68.0)}) * {_fl(1.2)}) + ({r} * {_fl(0.094)}))))")
+    # left-fold the Rothfusz polynomial exactly like numpy's evaluation order
+    full = _fl(-42.379)
+    for op, coef, term in [("+", 2.04901523, t), ("+", 10.14333127, r),
+                           ("-", 0.22475541, "tr"), ("-", 6.83783e-3, "tt"),
+                           ("-", 5.481717e-2, "rr"), ("+", 1.22874e-3, "ttr"),
+                           ("+", 8.5282e-4, "trr"), ("-", 1.99e-6, "ttrr")]:
+        full = f"({full} {op} ({_fl(coef)} * {term}))"
+    adj1 = (f"((({_fl(13.0)} - {r}) / {_fl(4.0)})"
+            f" * CAST(SQRT(CAST((({_fl(17.0)} - ABS({t} - {_fl(95.0)}))"
+            f" / {_fl(17.0)}) AS DOUBLE)) AS FLOAT))")
+    adj2 = (f"((({t} - {_fl(85.0)}) / {_fl(10.0)})"
+            f" * (({_fl(87.0)} - {t}) / {_fl(5.0)}))")
+    assert full.count("(") == full.count(")")
+    return f"""
+WITH d AS ({_DERIVE_SQL}),
+base AS (
+  SELECT event_id, CAST(t + 60.0 AS FLOAT) AS t, CAST(rh AS FLOAT) AS r FROM d
+), prods AS (
+  SELECT event_id, t, r, (t * r) AS tr, (r * r) AS rr, (t * t) AS tt,
+         ((t * t) * r) AS ttr, (t * (r * r)) AS trr, (((t * t) * r) * r) AS ttrr,
+         {H} AS H
+  FROM base
+), adj AS (
+  SELECT event_id, t, r, H,
+         CASE WHEN r < 13 AND t >= {_fl(80.0)} AND t <= 112
+              THEN ({full} - {adj1})
+              WHEN r > 85 AND t >= {_fl(80.0)} AND t <= 87
+              THEN ({full} + {adj2})
+              ELSE {full} END AS fullv
+  FROM prods
+)
+SELECT event_id,
+       CAST(CASE WHEN ((H + t) / {_fl(2.0)}) > 80 THEN fullv ELSE H END
+            AS DOUBLE) AS hi
+FROM adj
+"""
+
+
+Q_HEAT_INDEX_SQL = _heat_index_f4_sql()
 
 
 def q_fuzzy_linear(sf_dir: str) -> pd.DataFrame:

@@ -85,7 +85,8 @@ def _fuse(ops: list[Op]) -> Callable:
 
 
 def build_chain(ds: rd.Dataset, ops: list[Op], tiles_path: str | None = None,
-                bands: int | None = None) -> rd.Dataset:
+                bands: int | None = None,
+                scene_ids: list[int] | None = None) -> rd.Dataset:
     """Lower a chain onto Dataset stages, fusing pointwise runs.
 
     When the chain STARTS with a padded op and ``tiles_path`` is given, the
@@ -115,7 +116,7 @@ def build_chain(ds: rd.Dataset, ops: list[Op], tiles_path: str | None = None,
         if op.padding > 0:
             if i == 0 and tiles_path is not None:
                 ds = halo.with_halo_from_parquet(tiles_path, padding=op.padding,
-                                                 bands=bands)
+                                                 bands=bands, scene_ids=scene_ids)
             else:
                 ds = halo.with_halo(ds, padding=op.padding)
             ds = tile_map.apply_kernel(ds, op.kernel, op.out_pixel_type,

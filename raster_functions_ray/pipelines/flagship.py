@@ -49,9 +49,9 @@ def media_ref_counts(docs: rd.Dataset, doc_rgs: int | None = None,
     media = spans.media_refs(exploded)
 
     def partial(b: pa.Table) -> pa.Table:
-        return pa.Table.from_pandas(
-            b.to_pandas().groupby("media_ref", sort=False).size().reset_index(name="n"),
-            preserve_index=False)
+        # native Arrow hash-count — no pandas round-trip per batch
+        g = b.group_by("media_ref").aggregate([([], "count_all")])
+        return g.rename_columns(["media_ref", "n"])
 
     partials = media.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     return partials.groupby("media_ref").aggregate(Sum("n", alias_name="ref_count"))
@@ -70,7 +70,11 @@ def run(sf_dir: str = "/root/testdata/sf0.001") -> rd.Dataset:
         read_documents(d),
         doc_rgs=md.num_row_groups if md else None,
         doc_rows=md.num_rows if md else None).to_pandas()
-    count_map_ref = ray.put(dict(zip(counts["media_ref"], counts["ref_count"])))
+    # sorted (keys, values) arrays: the per-batch lookup below is a
+    # vectorized searchsorted, not a per-row dict.get
+    _order = np.argsort(counts["media_ref"].to_numpy())
+    count_map_ref = ray.put((counts["media_ref"].to_numpy()[_order],
+                             counts["ref_count"].to_numpy(np.int64)[_order]))
 
     tiles = read_tiles(d, bands=2)
 
@@ -82,8 +86,8 @@ def run(sf_dir: str = "/root/testdata/sf0.001") -> rd.Dataset:
         already on the row feeds cell encoding — no second metadata read."""
         from .. import tilecodec
 
-        cmap = ray.get(count_map_ref)
-        tid = batch["tile_id"].to_pylist()
+        ckeys, cvals = ray.get(count_map_ref)
+        tid = np.asarray(batch["tile_id"].to_pylist(), dtype=object)
         ext = np.asarray(batch["extent"].to_pylist(), dtype=np.float64)
         means = np.empty(batch.num_rows)
         for i, pix, msk in tilecodec.iter_tiles(batch):
@@ -92,10 +96,13 @@ def run(sf_dir: str = "/root/testdata/sf0.001") -> rd.Dataset:
             means[i] = float(out[valid].astype(np.float64).mean()) if valid.any() else np.nan
         lon, lat = synth.world_to_lonlat((ext[:, 0] + ext[:, 2]) / 2,
                                          (ext[:, 1] + ext[:, 3]) / 2, p)
+        pos = np.clip(np.searchsorted(ckeys, tid), 0, max(len(ckeys) - 1, 0))
+        _rc = np.where(len(ckeys) and (ckeys[pos] == tid), cvals[pos], 0) \
+            if len(ckeys) else np.zeros(tid.size, np.int64)
         return pa.table({
             "tile_id": batch["tile_id"],
             "mean": pa.array(means, pa.float64()),
-            "ref_count": pa.array([int(cmap.get(t, 0)) for t in tid], pa.int64()),
+            "ref_count": pa.array(_rc, pa.int64()),
             "cell_id": pa.array(cellindex.point_cells_batch(lon, lat), pa.int64()),
         })
 
