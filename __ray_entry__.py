@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vineyard_exact": analytic2.q_vineyard_exact,
         "seasonal_forecast_exact": analytic2.q_seasonal_forecast_exact,
         "tri_expr_exact": analytic2.q_tri_expr_exact,
+        "stretch_range_exact": analytic2.q_stretch_range_exact,
         "heat_index": bandmath.q_heat_index,
         # spatial joins: cell encode, four interchangeable PIP lowerings,
         # zonal, kNN (brute + cell-ring), adaptive coverings, NN classify
@@ -203,7 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resumable_hillshade": rq.q_resumable_hillshade,
         "nn_neighbors_stats": rq.q_nn_neighbors_stats,
         "audio_features": rq.q_audio_features,
-        "stretch_stats": rq.q_stretch_stats,
+        "sarima_forecast": rq.q_sarima_forecast,
     }
 
 
@@ -255,6 +256,7 @@ def oracle_sql() -> dict[str, str]:
         "vineyard_exact": analytic2.vineyard_exact_oracle_sql(0.01),
         "seasonal_forecast_exact": analytic2.seasonal_forecast_exact_oracle_sql(0.01),
         "tri_expr_exact": analytic2.tri_expr_exact_oracle_sql(0.01),
+        "stretch_range_exact": analytic2.stretch_range_exact_oracle_sql(0.01),
         "heat_index": bandmath.Q_HEAT_INDEX_SQL,
         "q1_pricing": rel.Q1_SQL,
         "q3_shipping": rel.Q3_SHIPPING_SQL,

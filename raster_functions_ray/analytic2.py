@@ -1235,3 +1235,42 @@ SELECT tile_id, CAST(MIN(tri) AS DOUBLE) AS tri_min,
        CAST(COUNT(*) FILTER (tri > {TRI_EXPR_THRESH}) AS BIGINT) AS n_above
 FROM f GROUP BY tile_id ORDER BY tile_id
 """
+
+
+STRETCH2_IN = (200.0, 2500.0)
+STRETCH2_OUT = (10.0, 250.0)
+
+
+def q_stretch_range_exact(sf_dir: str) -> pd.DataFrame:
+    """StretchFunction with a non-default output range (out_min=10,
+    out_max=250) — exercises the out_min/out_max arms analytic.q_stretch_exact
+    leaves at their defaults; every op correctly-rounded IEEE."""
+    from .functions import remap as rm
+    from .stages import tile_map
+
+    tiles = _read_analytic(sf_dir, epoch=0)
+    (lo, hi), (olo, ohi) = STRETCH2_IN, STRETCH2_OUT
+
+    def kernel(p, m, meta):
+        return rm.stretch_minmax(p[0], lo, hi, olo, ohi), m
+
+    out = tile_map.apply_kernel(tiles, kernel, out_pixel_type="f8")
+
+    def stats(a):
+        return (float(a.min()), float(a.max()), int((a > 128.0).sum()))
+
+    return _exact_stats(out, stats, [("s_min", pa.float64()),
+                                     ("s_max", pa.float64()),
+                                     ("n_above", pa.int64())])
+
+
+def stretch_range_exact_oracle_sql(sf: float = 0.01) -> str:
+    (lo, hi), (olo, ohi) = STRETCH2_IN, STRETCH2_OUT
+    sv = (f"LEAST(GREATEST(({_B0} - {lo}) / ({hi} - {lo}), 0.0), 1.0)"
+          f" * ({ohi} - {olo}) + {olo}")
+    return f"""
+WITH {_epoch0_cte(sf)}
+SELECT tile_id, MIN({sv}) AS s_min, MAX({sv}) AS s_max,
+       CAST(COUNT(*) FILTER ({sv} > 128.0) AS BIGINT) AS n_above
+FROM px GROUP BY tile_id ORDER BY tile_id
+"""

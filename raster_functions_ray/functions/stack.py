@@ -239,3 +239,94 @@ def seasonal_naive_forecast_grid(series: np.ndarray, season: int, horizon: int) 
         with np.errstate(invalid="ignore"):
             out[h] = np.nanmean(vals, axis=0) if vals.shape[0] else np.nan
     return out
+
+
+# ---------------------------------------------------------------- SARIMA
+
+def css_sarima_fit(series: np.ndarray, s: int = 12):
+    """Conditional-sum-of-squares fit of SARIMA (1,0,0)×(0,1,1,s) with
+    constant trend — the model functions/SeasonalARIMA.py:199-207 fits via
+    statsmodels MLE (`order=(1,0,0), seasonal_order=(0,1,1,s), trend='c'`).
+    statsmodels is absent from this environment, so the engine fits the
+    SAME equations by CSS: after seasonal differencing w_t = y_t − y_{t−s},
+
+        w_t = c + φ·w_{t−1} + ε_t + Θ·ε_{t−s},   minimize Σ ε_t²
+
+    with zero presample conditioning.  For fixed Θ the residual is LINEAR
+    in (c, φ) through three recursions (ε_t = A_t − c·B_t − φ·C_t with
+    A_t = w_t − Θ·A_{t−s}, B_t = 1 − Θ·B_{t−s}, C_t = w_{t−1} − Θ·C_{t−s}),
+    so (c, φ) solve a closed-form 2×2 least squares and Θ is a 1-D
+    golden-section search — fully vectorized across pixels.
+
+    ``series``: (n, P) float64 (P pixel columns).  Returns (c, φ, Θ, w),
+    each (P,) except w (m, P) with m = n − s.
+    """
+    y = np.asarray(series, dtype=np.float64)
+    n, P = y.shape
+    if n <= s + 1:
+        raise ValueError(f"need > s+1={s + 1} observations, got {n}")
+    w = y[s:] - y[:-s]                       # (m, P)
+    m = w.shape[0]
+    w_lag = np.vstack([np.zeros((1, P)), w[:-1]])
+
+    def sse_and_params(theta: np.ndarray):
+        A = np.zeros((m, P)); B = np.zeros((m, P)); C = np.zeros((m, P))
+        for t in range(m):
+            Ap = A[t - s] if t >= s else 0.0
+            Bp = B[t - s] if t >= s else 0.0
+            Cp = C[t - s] if t >= s else 0.0
+            A[t] = w[t] - theta * Ap
+            B[t] = 1.0 - theta * Bp
+            C[t] = w_lag[t] - theta * Cp
+        # least squares for eps = A - c*B - phi*C over t
+        bb = (B * B).sum(0); bc = (B * C).sum(0); cc = (C * C).sum(0)
+        ab = (A * B).sum(0); ac = (A * C).sum(0)
+        det = bb * cc - bc * bc
+        safe = np.abs(det) > 1e-12
+        c = np.where(safe, (ab * cc - ac * bc) / np.where(safe, det, 1.0), 0.0)
+        phi = np.where(safe, (bb * ac - bc * ab) / np.where(safe, det, 1.0), 0.0)
+        eps = A - c * B - phi * C
+        return (eps * eps).sum(0), c, phi
+
+    # vectorized golden-section over Θ ∈ [-0.99, 0.99] per pixel
+    gr = (np.sqrt(5.0) - 1.0) / 2.0
+    a = np.full(P, -0.99); b = np.full(P, 0.99)
+    for _ in range(48):
+        x1 = b - gr * (b - a); x2 = a + gr * (b - a)
+        f1 = sse_and_params(x1)[0]; f2 = sse_and_params(x2)[0]
+        go_left = f1 < f2
+        b = np.where(go_left, x2, b)
+        a = np.where(go_left, a, x1)
+    theta = (a + b) / 2.0
+    _, c, phi = sse_and_params(theta)
+    return c, phi, theta, w
+
+
+def css_sarima_forecast(series: np.ndarray, s: int = 12, horizon: int = 1):
+    """Forecast ``horizon`` steps past the end of ``series`` from the CSS
+    fit: future ε = 0, in-sample ε from the fitted recursion, seasonal
+    difference inverted against the observed tail."""
+    y = np.asarray(series, dtype=np.float64)
+    n, P = y.shape
+    c, phi, theta, w = css_sarima_fit(y, s)
+    m = w.shape[0]
+    # in-sample residuals
+    eps = np.zeros((m, P))
+    w_lag = np.vstack([np.zeros((1, P)), w[:-1]])
+    for t in range(m):
+        ep = eps[t - s] if t >= s else 0.0
+        eps[t] = w[t] - c - phi * w_lag[t] - theta * ep
+    w_ext = list(w)
+    eps_ext = list(eps)
+    out = np.empty((horizon, P))
+    for h in range(horizon):
+        t = m + h
+        e_feed = eps_ext[t - s] if t - s < m else np.zeros(P)
+        w_prev = w_ext[t - 1]
+        w_new = c + phi * w_prev + theta * e_feed
+        w_ext.append(w_new)
+        eps_ext.append(np.zeros(P))
+        # y_{n+h} = w_new + y_{n+h-s}
+        y_base = y[n + h - s] if n + h - s < n else out[h - s]
+        out[h] = w_new + y_base
+    return out, (c, phi, theta)

@@ -812,6 +812,36 @@ def q_seasonal_forecast_stats(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("tile_id").reset_index(drop=True)
 
 
+def q_sarima_forecast(sf_dir: str) -> pd.DataFrame:
+    """SeasonalARIMA with the CSS-fit NumPy SARIMA (1,0,0)×(0,1,1,s) —
+    the reference's exact model equations (functions/SeasonalARIMA.py:
+    199-207: order=(1,0,0), seasonal_order=(0,1,1,s), trend='c') fitted by
+    conditional sum of squares instead of statsmodels MLE (absent here);
+    see functions/stack.css_sarima_fit.  Delta = ŷ(h=2) − ŷ(h=1) per
+    pixel, like the reference's predict-year − current-year delta.
+    Rows-only (iterative nonlinear fit is not SQL-expressible); the fit
+    math is gated by pytest (grid-optimality + parameter recovery)."""
+    from .functions import stack as st
+
+    d = synth.synth_dir_for(sf_dir)
+
+    def reduce_fn(stack, masks, g):
+        series = stack[:, 0, ::16, ::16].astype(np.float64)  # (epochs, h/16, w/16)
+        e, hh, ww = series.shape
+        flat = series.reshape(e, hh * ww)
+        fc, _ = st.css_sarima_forecast(flat, s=3, horizon=2)
+        delta = (fc[1] - fc[0]).reshape(hh, ww)
+        full = np.repeat(np.repeat(delta, 16, axis=0), 16, axis=1)
+        return full, np.ones(full.shape, np.uint8)
+
+    out = composite.stack_reduce_from_parquet(
+        os.path.join(d, "tiles.parquet"), reduce_fn, out_pixel_type="f4", bands=7)
+    df = tile_map.tile_stats(out).to_pandas()
+    for c in ("mean", "min", "max"):
+        df[c] = df[c].astype(float).round(4)
+    return df.sort_values("tile_id").reset_index(drop=True)
+
+
 def q_doc_media_join(sf_dir: str) -> pd.DataFrame:
     """Hash-partitioned LARGE-side join (Dataset.join): exploded media spans
     ⨝ tile metadata on tile_id → per-scene reference counts.  SQL oracle

@@ -58,42 +58,176 @@ def knn_neighbors(train_X: np.ndarray, X: np.ndarray, k: int) -> np.ndarray:
     return np.take_along_axis(part, order, axis=1)
 
 
-class _StumpEnsemble:
-    """Deterministic bagged-stump classifier (sklearn fallback): each seeded
-    round picks a feature + threshold minimizing gini on a bootstrap
-    sample; predict_proba = mean of stump votes."""
+class _CartTree:
+    """Exact CART (the split rule behind the reference's sklearn forest,
+    functions/RandomForestClassifier.py:71-120): exhaustive best-first
+    binary splits, thresholds at midpoints of consecutive sorted feature
+    values (``x <= thr`` goes left), deterministic tie-break (lowest
+    impurity, then lowest feature index, then lowest threshold).
 
-    def __init__(self, n_estimators: int = 50, random_state: int = 43):
+    ``criterion``: 'gini' (classification; leaf = P(y=1)) or 'mse'
+    (regression on a continuous target; leaf = mean) — the regression mode
+    is what gradient boosting fits to residuals."""
+
+    def __init__(self, max_depth: int | None = None, criterion: str = "gini",
+                 max_features: int | None = None, rng: np.random.Generator | None = None):
+        self.max_depth = max_depth
+        self.criterion = criterion
+        self.max_features = max_features
+        self.rng = rng
+
+    def _best_split(self, X: np.ndarray, y: np.ndarray):
+        n, d = X.shape
+        feats = np.arange(d)
+        if self.max_features is not None and self.max_features < d:
+            feats = np.sort(self.rng.choice(d, self.max_features, replace=False))
+        best = None  # (score, f, thr)
+        for f in feats:
+            order = np.argsort(X[:, f], kind="stable")
+            xs, ys = X[order, f], y[order]
+            cut = np.flatnonzero(np.diff(xs) > 0) + 1  # split positions
+            if cut.size == 0:
+                continue
+            csum = np.cumsum(ys)
+            csq = np.cumsum(ys * ys)
+            nl = cut.astype(np.float64)
+            nr = n - nl
+            sl, sr = csum[cut - 1], csum[-1] - csum[cut - 1]
+            if self.criterion == "gini":
+                # binary gini: n_l·p_l(1−p_l) + n_r·p_r(1−p_r)
+                pl, pr = sl / nl, sr / nr
+                score = nl * pl * (1 - pl) + nr * pr * (1 - pr)
+            else:
+                # weighted variance == sse_l + sse_r
+                ql, qr = csq[cut - 1], csq[-1] - csq[cut - 1]
+                score = (ql - sl * sl / nl) + (qr - sr * sr / nr)
+            i = int(np.argmin(score))  # first minimum → lowest threshold
+            thr = (xs[cut[i] - 1] + xs[cut[i]]) / 2.0
+            cand = (float(score[i]), int(f), float(thr))
+            if best is None or cand < best:
+                best = cand
+        return best
+
+    def _build(self, X, y, depth):
+        if (self.max_depth is not None and depth >= self.max_depth)                 or len(np.unique(y)) <= 1 or len(y) < 2:
+            return {"leaf": float(y.mean())}
+        split = self._best_split(X, y)
+        if split is None:
+            return {"leaf": float(y.mean())}
+        _, f, thr = split
+        left = X[:, f] <= thr
+        if not left.any() or left.all():
+            return {"leaf": float(y.mean())}
+        return {"f": f, "thr": thr,
+                "l": self._build(X[left], y[left], depth + 1),
+                "r": self._build(X[~left], y[~left], depth + 1)}
+
+    def fit(self, X: np.ndarray, y: np.ndarray):
+        self.root = self._build(np.asarray(X, np.float64),
+                                np.asarray(y, np.float64), 0)
+        return self
+
+    def predict_value(self, X: np.ndarray) -> np.ndarray:
+        X = np.asarray(X, np.float64)
+        out = np.empty(len(X))
+
+        def walk(node, idx):
+            if "leaf" in node:
+                out[idx] = node["leaf"]
+                return
+            go_l = X[idx, node["f"]] <= node["thr"]
+            walk(node["l"], idx[go_l])
+            walk(node["r"], idx[~go_l])
+
+        walk(self.root, np.arange(len(X)))
+        return out
+
+    def set_leaf_values(self, fn):
+        """Rewrite every leaf via fn(leaf_value) — the boosted Newton step."""
+
+        def walk(node):
+            if "leaf" in node:
+                node["leaf"] = fn(node["leaf"])
+            else:
+                walk(node["l"]); walk(node["r"])
+
+        walk(self.root)
+
+
+class _CartForest:
+    """Deterministic bagged CART forest (sklearn-fallback for the
+    reference's RandomForestClassifier): bootstrap per tree, sqrt-feature
+    subsampling per node, predict_proba = mean of per-tree leaf
+    probabilities (sklearn's soft-voting semantics)."""
+
+    def __init__(self, n_estimators: int = 50, max_depth: int | None = None,
+                 random_state: int = 43):
         self.n = n_estimators
+        self.max_depth = max_depth
         self.seed = random_state
 
     def fit(self, X: np.ndarray, y: np.ndarray):
-        rng = np.random.default_rng(self.seed)
-        self.stumps = []
+        X = np.asarray(X, np.float64); y = np.asarray(y, np.float64)
         n, d = X.shape
-        for _ in range(self.n):
+        mf = max(1, int(np.sqrt(d)))
+        self.trees = []
+        for i in range(self.n):
+            rng = np.random.default_rng(self.seed + i)
             idx = rng.integers(0, n, n)
-            Xi, yi = X[idx], y[idx]
-            best = None
-            for f in rng.choice(d, min(d, 3), replace=False):
-                for q in (25, 50, 75):
-                    t = np.percentile(Xi[:, f], q)
-                    left = yi[Xi[:, f] <= t]
-                    right = yi[Xi[:, f] > t]
-                    if left.size == 0 or right.size == 0:
-                        continue
-                    p_l, p_r = left.mean(), right.mean()
-                    gini = left.size * p_l * (1 - p_l) + right.size * p_r * (1 - p_r)
-                    if best is None or gini < best[0]:
-                        best = (gini, f, t, round(p_l), round(p_r))
-            self.stumps.append(best[1:] if best else (0, 0.0, 0, 1))
+            t = _CartTree(self.max_depth, "gini", mf, rng)
+            t.fit(X[idx], y[idx])
+            self.trees.append(t)
         return self
 
     def predict_proba(self, X: np.ndarray) -> np.ndarray:
-        votes = np.zeros(len(X))
-        for f, t, vl, vr in self.stumps:
-            votes += np.where(X[:, f] <= t, vl, vr)
-        p1 = votes / len(self.stumps)
+        p1 = np.mean([t.predict_value(X) for t in self.trees], axis=0)
+        return np.stack([1 - p1, p1], axis=1)
+
+
+class _BoostedCarts:
+    """Deterministic gradient boosting with depth-3 regression CARTs on
+    logistic loss (sklearn-fallback for GradientBoostingClassifier):
+    F0 = prior log-odds; each round fits residuals y − σ(F) and applies
+    the per-leaf Newton step Σr / Σp(1−p)."""
+
+    def __init__(self, n_estimators: int = 50, learning_rate: float = 0.1,
+                 max_depth: int = 3, random_state: int = 43):
+        self.n = n_estimators
+        self.lr = learning_rate
+        self.max_depth = max_depth
+        self.seed = random_state
+
+    def fit(self, X: np.ndarray, y: np.ndarray):
+        X = np.asarray(X, np.float64); y = np.asarray(y, np.float64)
+        p = np.clip(y.mean(), 1e-6, 1 - 1e-6)
+        self.f0 = float(np.log(p / (1 - p)))
+        F = np.full(len(y), self.f0)
+        self.trees = []
+        for _ in range(self.n):
+            prob = 1.0 / (1.0 + np.exp(-F))
+            resid = y - prob
+            t = _CartTree(self.max_depth, "mse").fit(X, resid)
+            # per-leaf Newton step: group samples by leaf, set value to
+            # Σr / Σp(1−p) (clipped), then shrink by the learning rate
+            leaf_of = t.predict_value(X)  # leaf MEAN doubles as a leaf key
+            hess = np.maximum(prob * (1 - prob), 1e-12)
+            vals = {}
+            for lv in np.unique(leaf_of):
+                sel = leaf_of == lv
+                vals[lv] = float(resid[sel].sum() / hess[sel].sum())
+            t.set_leaf_values(lambda v: vals[v])
+            F = F + self.lr * t.predict_value(X)
+            self.trees.append(t)
+        return self
+
+    def decision_function(self, X: np.ndarray) -> np.ndarray:
+        F = np.full(len(X), self.f0)
+        for t in self.trees:
+            F = F + self.lr * t.predict_value(X)
+        return F
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        p1 = 1.0 / (1.0 + np.exp(-self.decision_function(X)))
         return np.stack([1 - p1, p1], axis=1)
 
 
@@ -127,7 +261,8 @@ class TileClassifier:
                 cls = RandomForestClassifier if model == "rf" else GradientBoostingClassifier
                 self.model = cls(random_state=43).fit(self.X, self.y)
             else:
-                self.model = _StumpEnsemble(random_state=43).fit(self.X, self.y)
+                cls = _CartForest if model == "rf" else _BoostedCarts
+                self.model = cls(random_state=43).fit(self.X, self.y)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_pix, out_bc, out_pt = [], [], []

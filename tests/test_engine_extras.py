@@ -83,13 +83,13 @@ class TestClassifierKernels:
         nb = knn_neighbors(X, np.array([[1.9]]), k=3)
         assert nb[0].tolist() == [2, 0, 1]  # by distance: 2.0, 0.0, 5.0
 
-    def test_stump_ensemble_deterministic(self):
-        from raster_functions_ray.stages.classify import _StumpEnsemble
+    def test_cart_forest_deterministic(self):
+        from raster_functions_ray.stages.classify import _CartForest
         rng = np.random.default_rng(5)
         X = rng.normal(0, 1, (200, 3))
         y = (X[:, 0] > 0).astype(int)
-        m1 = _StumpEnsemble(20, 43).fit(X, y)
-        m2 = _StumpEnsemble(20, 43).fit(X, y)
+        m1 = _CartForest(20, random_state=43).fit(X, y)
+        m2 = _CartForest(20, random_state=43).fit(X, y)
         t = rng.normal(0, 1, (50, 3))
         np.testing.assert_array_equal(m1.predict_proba(t), m2.predict_proba(t))
         acc = ((m1.predict_proba(t)[:, 1] > 0.5) == (t[:, 0] > 0)).mean()

@@ -161,3 +161,120 @@ class TestAdaptiveCovering:
         for a in range(len(z)):
             ov = (x0 < x1[a]) & (x1 > x0[a]) & (y0 < y1[a]) & (y1 > y0[a])
             assert ov.sum() == 1
+
+
+class TestCartClassifiers:
+    """Exact-CART fallback for the reference's sklearn ensembles
+    (functions/RandomForestClassifier.py:71-120, GradientBoosted
+    Classifier.py:72-130): golden hand fixture, exactness on separable
+    data, determinism."""
+
+    def test_cart_hand_fixture(self):
+        from raster_functions_ray.stages.classify import _CartTree
+
+        X = np.array([[1.0], [2.0], [3.0], [4.0]])
+        y = np.array([0, 0, 1, 1])
+        t = _CartTree().fit(X, y)
+        # midpoint threshold convention, x <= thr goes left
+        assert t.root["f"] == 0 and t.root["thr"] == 2.5
+        assert t.predict_value(np.array([[2.4], [2.6]])).tolist() == [0.0, 1.0]
+
+    def test_cart_gini_tiebreak_lowest_feature(self):
+        from raster_functions_ray.stages.classify import _CartTree
+
+        # both features split perfectly — deterministic pick: feature 0
+        X = np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 2.0], [3.0, 3.0]])
+        y = np.array([0, 0, 1, 1])
+        t = _CartTree().fit(X, y)
+        assert t.root["f"] == 0
+
+    def test_forest_separable_and_deterministic(self):
+        from raster_functions_ray.stages.classify import _CartForest
+
+        rng = np.random.default_rng(3)
+        X = rng.normal(0, 1, (150, 6))
+        y = (X[:, 1] - X[:, 4] > 0).astype(int)
+        a = _CartForest(n_estimators=20).fit(X, y)
+        b = _CartForest(n_estimators=20).fit(X, y)
+        pa_, pb = a.predict_proba(X), b.predict_proba(X)
+        assert np.array_equal(pa_, pb)
+        assert ((pa_[:, 1] >= 0.5) == y).mean() >= 0.98
+        assert np.allclose(pa_.sum(axis=1), 1.0)
+
+    def test_boosted_logloss_decreases(self):
+        from raster_functions_ray.stages.classify import _BoostedCarts
+
+        rng = np.random.default_rng(5)
+        X = rng.normal(0, 1, (200, 4))
+        y = (X[:, 0] + 0.3 * rng.normal(size=200) > 0).astype(int)
+
+        def logloss(m):
+            p = np.clip(m.predict_proba(X)[:, 1], 1e-9, 1 - 1e-9)
+            return -(y * np.log(p) + (1 - y) * np.log(1 - p)).mean()
+
+        few = _BoostedCarts(n_estimators=5).fit(X, y)
+        many = _BoostedCarts(n_estimators=40).fit(X, y)
+        assert logloss(many) < logloss(few)
+
+
+class TestCssSarima:
+    """CSS fit of the reference's SARIMA (1,0,0)x(0,1,1,s) model equations
+    (functions/SeasonalARIMA.py:199-207) — grid-optimality and parameter
+    recovery gates."""
+
+    def _gen(self, c, phi, theta, s=12, n=240, P=2, seed=7):
+        rng = np.random.default_rng(seed)
+        eps = rng.normal(0, 0.3, (n, P))
+        w = np.zeros((n, P))
+        for t in range(1, n):
+            w[t] = c + phi * w[t - 1] + eps[t] + theta * (eps[t - s] if t >= s else 0)
+        y = np.zeros((n, P))
+        y[:s] = rng.normal(0, 1, (s, P))
+        for t in range(s, n):
+            y[t] = w[t] + y[t - s]
+        return y
+
+    def test_parameter_recovery(self):
+        from raster_functions_ray.functions.stack import css_sarima_fit
+
+        y = self._gen(0.5, 0.6, -0.4)
+        c, phi, theta, _ = css_sarima_fit(y, 12)
+        assert np.all(np.abs(c - 0.5) < 0.2)
+        assert np.all(np.abs(phi - 0.6) < 0.15)
+        assert np.all(np.abs(theta - (-0.4)) < 0.2)
+
+    def test_theta_is_global_css_optimum(self):
+        from raster_functions_ray.functions.stack import css_sarima_fit
+
+        s = 12
+        y = self._gen(0.2, 0.4, 0.3, s=s, P=2, seed=11)
+        c, phi, theta, w = css_sarima_fit(y, s)
+        m, P = w.shape
+        w_lag = np.vstack([np.zeros((1, P)), w[:-1]])
+
+        def sse(th):
+            A = np.zeros((m, P)); B = np.zeros((m, P)); C = np.zeros((m, P))
+            for t in range(m):
+                A[t] = w[t] - th * (A[t - s] if t >= s else 0)
+                B[t] = 1.0 - th * (B[t - s] if t >= s else 0)
+                C[t] = w_lag[t] - th * (C[t - s] if t >= s else 0)
+            bb = (B * B).sum(0); bc = (B * C).sum(0); cc = (C * C).sum(0)
+            ab = (A * B).sum(0); ac = (A * C).sum(0)
+            det = bb * cc - bc * bc
+            cst = (ab * cc - ac * bc) / det
+            ph = (bb * ac - bc * ab) / det
+            e = A - cst * B - ph * C
+            return (e * e).sum(0)
+
+        grid_best = np.min([sse(np.full(P, t))
+                            for t in np.linspace(-0.99, 0.99, 199)], axis=0)
+        fitted = sse(theta)
+        assert np.all(fitted <= grid_best + 1e-6 * np.abs(grid_best))
+
+    def test_forecast_shape_and_determinism(self):
+        from raster_functions_ray.functions.stack import css_sarima_forecast
+
+        y = self._gen(0.1, 0.5, -0.2, s=3, n=24, P=4, seed=2)
+        f1, _ = css_sarima_forecast(y, 3, horizon=2)
+        f2, _ = css_sarima_forecast(y, 3, horizon=2)
+        assert f1.shape == (2, 4) and np.array_equal(f1, f2)
