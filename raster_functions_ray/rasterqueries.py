@@ -191,12 +191,18 @@ def q_zonal_remap_counts(sf_dir: str) -> pd.DataFrame:
     d = synth.synth_dir_for(sf_dir)
     p = synth.params_for(synth.sf_from_dir(sf_dir))
     zones = read_zones(d).to_pandas()
-    # to_pandas turns null zmin/zmax/zval into NaN, and NaN `is not None`,
-    # so the kernel's nullable-arm dispatch would see a two-sided interval
-    # with a NaN bound (all-False) instead of the one-sided semantics
-    nn = lambda x: None if pd.isna(x) else float(x)  # noqa: E731
-    zt_map = {int(r["zone_id"]): [[nn(r["zmin"]), nn(r["zmax"]), nn(r["zval"])]]
-              for _, r in zones.iterrows()}
+    # zone attribute map through the feature-service-style loader (the
+    # reference's ZonalAttributesTable connection, functions/utils.py:
+    # 149-258 — WHERE/idList/envelope pushdown over a local parquet
+    # "service"); SQL NULL arms arrive as None, exactly the nullable-arm
+    # dispatch the kernel expects
+    from .state.feature_service import ZonalAttributesService
+
+    svc = ZonalAttributesService(os.path.join(d, "zones.parquet"),
+                                 id_field="zone_id",
+                                 attrib_list=["zmin", "zmax", "zval"])
+    zt_map = {(int(k) if k is not None else k): [list(t) for t in v]
+              for k, v in svc.query(id_list=zones["zone_id"].tolist()).items()}
     zones_ref = ray.put((zones, zt_map))
     tiles = read_tiles(d, bands=1)
 

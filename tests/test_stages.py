@@ -278,3 +278,60 @@ class TestCssSarima:
         f1, _ = css_sarima_forecast(y, 3, horizon=2)
         f2, _ = css_sarima_forecast(y, 3, horizon=2)
         assert f1.shape == (2, 4) and np.array_equal(f1, f2)
+
+
+class TestZonalAttributesService:
+    """Feature-service-style side-input loader (functions/utils.py:149-258
+    pushdown semantics) over a local parquet 'service'."""
+
+    def _make(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pa.table({
+            "zone_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "zmin": pa.array([10.0, None, 30.0, 40.0]),
+            "zmax": pa.array([100.0, 200.0, None, 400.0]),
+            "zval": pa.array([7.0, 8.0, 9.0, None]),
+            "bbox": pa.array([[0.0, 0.0, 10.0, 10.0], [20.0, 0.0, 30.0, 10.0],
+                              [0.0, 20.0, 10.0, 30.0], [50.0, 50.0, 60.0, 60.0]]),
+        })
+        path = str(tmp_path / "zones.parquet")
+        pq.write_table(t, path)
+        return path
+
+    def test_idlist_and_nullable_arms(self, tmp_path):
+        from raster_functions_ray.state.feature_service import ZonalAttributesService
+
+        svc = ZonalAttributesService(self._make(tmp_path), id_field="zone_id",
+                                     attrib_list=["zmin", "zmax", "zval"])
+        out = svc.query(id_list=[1, 3])
+        assert sorted(out) == [1, 3]
+        assert out[1] == [(10.0, 100.0, 7.0)]
+        assert out[3] == [(30.0, None, 9.0)]  # SQL NULL → None (one-sided arm)
+
+    def test_where_pushdown(self, tmp_path):
+        from raster_functions_ray.state.feature_service import ZonalAttributesService
+
+        svc = ZonalAttributesService(self._make(tmp_path), id_field="zone_id",
+                                     attrib_list=["zval"])
+        out = svc.query(where="zmin >= 30.0")
+        assert sorted(out) == [3, 4]
+        assert out[4] == [(None,)]
+
+    def test_envelope_intersects(self, tmp_path):
+        from raster_functions_ray.state.feature_service import ZonalAttributesService
+
+        svc = ZonalAttributesService(self._make(tmp_path), id_field="zone_id",
+                                     attrib_list=["zval"])
+        # request extent touching only the two left zones
+        out = svc.query(extent=(0.0, 0.0, 12.0, 25.0))
+        assert sorted(out) == [1, 3]
+
+    def test_unselected_slot_stays_none(self, tmp_path):
+        from raster_functions_ray.state.feature_service import ZonalAttributesService
+
+        svc = ZonalAttributesService(self._make(tmp_path), id_field="zone_id",
+                                     attrib_list=["zmin", "", "zval"])
+        out = svc.query(id_list=[2])
+        assert out[2] == [(None, None, 8.0)]  # empty attrib slot → None
