@@ -269,11 +269,16 @@ def minhash_candidates(sf_dir: str, concurrency: int = 4):
     import ray
     import ray.data as rd
 
+    from .sources import cluster_cpus
+
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     # driver docs ship in one row group → one read block; spread it so the
-    # signature tasks actually run in parallel (map_batches is per-block)
-    banded = (ds.repartition(32)
-              .map_batches(minhash_batch, batch_format="pyarrow", batch_size=256))
+    # signature tasks actually run in parallel (map_batches is per-block).
+    # 2×CPUs blocks / 512-doc batches: measured 2.2s vs 5.5s at 256 on the
+    # sf0.1 corpus (per-batch pandas+hash setup amortizes over more docs
+    # while the (64, 16384) permuted chunks stay cache-resident)
+    banded = (ds.repartition(2 * cluster_cpus())
+              .map_batches(minhash_batch, batch_format="pyarrow", batch_size=512))
     # consumed twice (count + filter); signatures are compact (~16 short
     # rows/doc) so pinning beats re-hashing the corpus
     banded = banded.materialize()
@@ -292,13 +297,19 @@ def minhash_candidates(sf_dir: str, concurrency: int = 4):
         import pyarrow.compute as pc
         return b.filter(pc.is_in(b["band_hash"], value_set=ray.get(keys_ref)))
 
-    survivors = banded.map_batches(keep_colliding, batch_format="pyarrow")
+    # survivors are COLLISION-sized (≪ corpus): coalesce to a few blocks
+    # so the bucket groupby and pair-distinct shuffles below pay per-block
+    # overhead proportional to the data, not to the corpus block count
+    nparts = max(2, min(8, len(hot) // 1024 + 2))
+    survivors = (banded.map_batches(keep_colliding, batch_format="pyarrow")
+                 .repartition(nparts))
     # pair formation runs DISTRIBUTED over the (small) colliding buckets —
     # a map_groups per bucket, never a driver loop: a viral duplicate
     # producing one million-row bucket streams through a worker, and the
     # star cap bounds its pair fan-out linearly (see _bucket_pairs)
     pairs = (survivors.groupby("band_hash")
              .map_groups(_bucket_pairs, batch_format="pandas")
+             .repartition(nparts)
              .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="nb"))
              .select_columns(["doc_a", "doc_b"]))
     return pairs.materialize()
@@ -317,7 +328,8 @@ _EMPTY_PAIRS = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
 
 
 def _verify_pairs_distributed(pairs, sf_dir: str, *, kind: str,
-                              threshold: float) -> pd.DataFrame:
+                              threshold: float,
+                              broadcast_limit: int = 2_000_000) -> pd.DataFrame:
     """Exact Jaccard verify of a candidate-pair Dataset, fully distributed:
 
     - the distinct candidate DOC-ID set (8 bytes/row, result-sized) is the
@@ -325,7 +337,10 @@ def _verify_pairs_distributed(pairs, sf_dir: str, *, kind: str,
       only (no corpus shuffle — predicate pushdown at the parquet read);
     - candidate texts hash-join onto the pairs twice (doc_a then doc_b),
       so pair rows — including a viral duplicate's million-pair stream —
-      flow through workers, never a driver dict/loop;
+      flow through workers, never a driver dict/loop; texts reach the
+      scorers via a ray.put broadcast while the candidate set fits
+      (result-sized, the common case) and via two hash joins beyond
+      ``broadcast_limit``;
     - Jaccard is computed inside map_batches with a per-batch shingle-set
       cache (a hot doc's set is built once per batch, not once per pair).
 
@@ -336,28 +351,64 @@ def _verify_pairs_distributed(pairs, sf_dir: str, *, kind: str,
 
     from .sources import join_partitions, read_table_filtered
 
-    pairs = pairs.materialize()  # consumed 3×: two id projections + join
-    ida = pairs.map_batches(lambda b: pa.table({"doc_id": b["doc_a"]}),
-                            batch_format="pyarrow")
-    idb = pairs.map_batches(lambda b: pa.table({"doc_id": b["doc_b"]}),
-                            batch_format="pyarrow")
-    need = (ida.union(idb).groupby("doc_id").aggregate(Count(alias_name="n"))
-            .select_columns(["doc_id"]).to_pandas()["doc_id"]
-            .to_numpy(np.int64))
-    if need.size == 0:
-        return _EMPTY_PAIRS.copy()
     import pyarrow.compute as pc
 
-    texts = rd.from_arrow(read_table_filtered(
+    pairs = pairs.materialize()  # consumed twice: id projection + join
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return _EMPTY_PAIRS.copy()
+
+    # distinct candidate ids: per-block unique inside map_batches, then a
+    # driver merge of the (already-unique, 8-byte) block results — the
+    # driver holds O(candidates) ids, never texts or pair lists
+    def block_ids(b: pa.Table) -> pa.Table:
+        both = pa.chunked_array([b["doc_a"], b["doc_b"]]).combine_chunks()
+        return pa.table({"doc_id": pc.unique(both)})
+
+    id_blocks = pairs.map_batches(block_ids, batch_format="pyarrow")
+    need = np.unique(np.concatenate(
+        [np.asarray(b["doc_id"], dtype=np.int64)
+         for b in id_blocks.iter_batches(batch_format="pyarrow")] or
+        [np.empty(0, np.int64)]))
+    if need.size == 0:
+        return _EMPTY_PAIRS.copy()
+
+    texts_tbl = read_table_filtered(
         sf_dir, "documents", ["doc_id", "text"],
-        pc.field("doc_id").isin(need.tolist())))
-    ta = texts.map_batches(lambda b: b.rename_columns(["doc_a", "text_a"]),
-                           batch_format="pyarrow")
-    tb = texts.map_batches(lambda b: b.rename_columns(["doc_b", "text_b"]),
-                           batch_format="pyarrow")
-    nparts = join_partitions()
-    j = (pairs.join(ta, join_type="inner", num_partitions=nparts, on=("doc_a",))
-         .join(tb, join_type="inner", num_partitions=nparts, on=("doc_b",)))
+        pc.field("doc_id").isin(need.tolist()))
+    if need.size <= broadcast_limit:
+        # broadcast lowering (the common case — candidates are
+        # result-sized): candidate texts go to the OBJECT STORE once and
+        # every scoring task reads them; no shuffle, no driver dict
+        import ray
+        texts_ref = ray.put(texts_tbl)
+
+        def attach(b: pa.Table) -> pa.Table:
+            t = ray.get(texts_ref)
+            lut = dict(zip(np.asarray(t["doc_id"], np.int64),
+                           t["text"].to_pylist()))
+            ta_ = [lut[int(x)] for x in b["doc_a"].to_pylist()]
+            tb_ = [lut[int(x)] for x in b["doc_b"].to_pylist()]
+            return pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"],
+                             "text_a": pa.array(ta_, pa.string()),
+                             "text_b": pa.array(tb_, pa.string())})
+
+        j = pairs.map_batches(attach, batch_format="pyarrow", batch_size=8192)
+    else:
+        # shuffle lowering: texts hash-join onto the pairs twice — the
+        # path for when the candidate set itself is too big to broadcast
+        texts = rd.from_arrow(texts_tbl)
+        ta = texts.map_batches(lambda b: b.rename_columns(["doc_a", "text_a"]),
+                               batch_format="pyarrow")
+        tb = texts.map_batches(lambda b: b.rename_columns(["doc_b", "text_b"]),
+                               batch_format="pyarrow")
+        # join width scales with the candidate count — a small verify must
+        # not pay a 64-partition hash-join spin-up
+        nparts = max(2, min(join_partitions(), n_pairs // 50_000 + 2))
+        j = (pairs.join(ta, join_type="inner", num_partitions=nparts,
+                        on=("doc_a",))
+             .join(tb, join_type="inner", num_partitions=nparts,
+                   on=("doc_b",)))
 
     def score(bt: pa.Table) -> pa.Table:
         df = bt.to_pandas()

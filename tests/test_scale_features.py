@@ -244,3 +244,15 @@ class TestHotDuplicateBucket:
         g = pd.DataFrame({"doc_id": [3, 1, 2, 2]})
         out = dedup._bucket_pairs(g).to_pandas()
         assert sorted(map(tuple, out.to_numpy())) == [(1, 2), (1, 3), (2, 3)]
+
+    def test_verify_lowerings_interchangeable(self):
+        """The broadcast and hash-join text-attach lowerings of the
+        distributed pair verify must be result-identical."""
+        from raster_functions_ray import dedup
+
+        sf = "/root/testdata/sf0.001"
+        cand = dedup.minhash_candidates(sf)
+        a = dedup._verify_pairs_distributed(cand, sf, kind="char3", threshold=0.7)
+        b = dedup._verify_pairs_distributed(cand, sf, kind="char3", threshold=0.7,
+                                            broadcast_limit=0)
+        assert a.equals(b)
