@@ -745,9 +745,10 @@ def q_cti_stats(sf_dir: str) -> pd.DataFrame:
 def q_inpaint_stats(sf_dir: str) -> pd.DataFrame:
     """Whole-image op (ProcessFullImage, functions/
     StepwiseLocalRadiometricAdjustment.py:50-149): per-SCENE groupby
-    assembles the full image, iterative mask-dilation inpainting fills NoData
-    holes from the local neighborhood mean (pure-numpy re-expression of the
-    OpenCV/numba original; cv2/numba absent in this environment)."""
+    assembles the full image, then the FAITHFUL stepwise radiometric
+    adjustment (functions/inpaint.py — iterative 5×5 mask dilation +
+    per-boundary-pixel nonzero-window radiometric transfer, pinned by a
+    literal-transcription pytest oracle; cv2/numba absent, same math)."""
     d = synth.synth_dir_for(sf_dir)
     tiles = read_tiles(d, bands=1)
 
@@ -767,25 +768,17 @@ def q_inpaint_stats(sf_dir: str) -> pd.DataFrame:
             y0, x0 = (tys[i] - gy0) * tp, (txs[i] - gx0) * tp
             scene[y0:y0 + tp, x0:x0 + tp] = pix
             valid[y0:y0 + tp, x0:x0 + tp] = msk.astype(bool)
-        # iterative boundary fill: each round, fill invalid pixels that have
-        # >=1 valid 3x3 neighbor with the local valid mean
-        filled = scene.copy()
-        v = valid.copy()
-        for _ in range(16):
-            if v.all():
-                break
-            pv = np.pad(v, 1); pf = np.pad(filled, 1)
-            nsum = np.zeros_like(filled); ncnt = np.zeros_like(filled)
-            for dy in (-1, 0, 1):
-                for dx in (-1, 0, 1):
-                    if dy == dx == 0:
-                        continue
-                    nv = pv[1 + dy:1 + dy + v.shape[0], 1 + dx:1 + dx + v.shape[1]]
-                    nf = pf[1 + dy:1 + dy + v.shape[0], 1 + dx:1 + dx + v.shape[1]]
-                    nsum += np.where(nv, nf, 0.0); ncnt += nv
-            fill_now = (~v) & (ncnt > 0)
-            filled[fill_now] = nsum[fill_now] / ncnt[fill_now]
-            v = v | fill_now
+        # faithful stepwise radiometric adjustment (functions/inpaint.py —
+        # literal-transcription-gated vs StepwiseLocalRadiometricAdjustment
+        # .py:67-234); the replacement acquisition is the vertically
+        # flipped scene (deterministic co-registered stand-in — the
+        # reference takes a second raster the 1-band world doesn't carry)
+        from .functions.inpaint import stepwise_radiometric_adjustment
+
+        cloud_mask = (~valid).astype(np.uint8)
+        filled = stepwise_radiometric_adjustment(
+            np.where(valid, scene, 0.0), np.flipud(scene), cloud_mask,
+            win_size=8, mask_dilate_iters=1)
         sid = int(g["scene_id"][0].as_py())
         return pd.DataFrame({"scene_id": [sid],
                              "filled_px": [int((~valid).sum())],

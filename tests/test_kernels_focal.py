@@ -237,3 +237,100 @@ class TestMultidirectionalHillshade:
         m = np.ones((8, 8), np.uint8)
         out, _ = fc.multidirectional_hillshade(dem, m, (30.0, 30.0))
         assert np.allclose(out, out[0, 0])
+
+
+class TestStepwiseInpaint:
+    """Literal-transcription oracle for StepwiseLocalRadiometricAdjustment
+    (reference functions/StepwiseLocalRadiometricAdjustment.py:67-234):
+    the oracle below transcribes the reference's updatePixels flow line by
+    line (zeroCrop, 10x 5x5 mask dilation, cycle counting, per-boundary-
+    pixel nonzero-window radiometric transfer), with an INDEPENDENT
+    convolution-based dilation standing in for cv2.dilate; the engine
+    kernel must reproduce it exactly."""
+
+    @staticmethod
+    def _dilate_conv(img, iterations=1):
+        # independent 5x5 binary dilation: window SUM > 0 (not the engine's
+        # shifted-maximum formulation)
+        out = np.asarray(img, dtype=np.int64)
+        for _ in range(iterations):
+            p = np.pad(out, 2)
+            acc = np.zeros_like(out)
+            h, w = out.shape
+            for dy in range(5):
+                for dx in range(5):
+                    acc = acc + p[dy:dy + h, dx:dx + w]
+            out = (acc > 0).astype(np.int64)
+        return out.astype(np.uint8)
+
+    @classmethod
+    def _oracle(cls, cloud_img, replace_img, mask, win, iters):
+        # transcription of updatePixels + computeRadiometricAdjustment
+        clouds = cls._dilate_conv(mask, iterations=iters)
+        targ = cloud_img * (1 - clouds)
+        repl = replace_img * clouds
+        image = 1 - clouds
+        cnt_cycles = 0
+        while np.any(image == 0):
+            image = cls._dilate_conv(image, 1)
+            cnt_cycles += 1
+        kr = win
+        h, w = targ.shape
+        test_targ = np.pad(targ, ((kr, kr), (kr, kr)), "constant", constant_values=(0,))
+        test_replace = np.pad(repl, ((kr, kr), (kr, kr)), "constant", constant_values=(0,))
+        test_clouds = np.pad(1 - clouds, ((kr, kr), (kr, kr)), "constant")
+
+        def crop_center(img2, cropx, cropy):
+            y, x = img2.shape
+            sx = x // 2 - (cropx // 2)
+            sy = y // 2 - (cropy // 2)
+            return img2[sy:sy + cropy, sx:sx + cropx]
+
+        for _ in range(cnt_cycles):
+            dil = cls._dilate_conv(test_clouds, 1)
+            boundary = np.pad(crop_center(dil.astype(np.int64)
+                                          - test_clouds.astype(np.int64), w, h),
+                              ((kr, kr), (kr, kr)), "constant", constant_values=(0,))
+            locs = np.where(boundary == 1)
+            new_targ = np.zeros((test_targ.shape[0], test_targ.shape[1]))
+            for x, y in zip(*locs):
+                ker_t = test_targ[x - kr:x + kr + 1, y - kr:y + kr + 1].ravel()
+                ker_r = test_replace[x - kr:x + kr + 1, y - kr:y + kr + 1].ravel()
+                kt, krr = ker_t[ker_t != 0], ker_r[ker_r != 0]
+                st, sr = kt.std(), krr.std()
+                mt, mr = kt.mean(), krr.mean()
+                new_targ[x, y] = ((st / sr) * test_replace[x, y]) + mt - ((st / sr) * mr)
+            test_clouds = dil
+            test_targ = test_targ + new_targ
+        return crop_center(test_targ, w, h)
+
+    def test_engine_matches_literal_transcription(self):
+        from raster_functions_ray.functions import inpaint
+
+        rng = np.random.default_rng(12)
+        img = rng.uniform(40.0, 160.0, (64, 64))
+        repl = img * 1.07 + rng.uniform(-2, 2, (64, 64))
+        mask = np.zeros((64, 64), np.uint8)
+        mask[20:30, 15:28] = 1
+        mask[45:50, 40:52] = 1
+        got = inpaint.stepwise_radiometric_adjustment(img, repl, mask,
+                                                      win_size=6,
+                                                      mask_dilate_iters=2)
+        want = self._oracle(img, repl, mask, win=6, iters=2)
+        assert np.array_equal(got, want)
+
+    def test_no_clouds_is_identity(self):
+        from raster_functions_ray.functions import inpaint
+
+        img = np.arange(100, dtype=np.float64).reshape(10, 10) + 1.0
+        out = inpaint.stepwise_radiometric_adjustment(
+            img, img * 2, np.zeros((10, 10), np.uint8), win_size=3,
+            mask_dilate_iters=1)
+        assert np.array_equal(out, img)
+
+    def test_dilate_matches_conv_formulation(self):
+        from raster_functions_ray.functions.inpaint import dilate5x5_binary
+
+        rng = np.random.default_rng(3)
+        m = (rng.random((40, 40)) < 0.05).astype(np.uint8)
+        assert np.array_equal(dilate5x5_binary(m, 3), self._dilate_conv(m, 3))
