@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": spatial.q_knn,
         "knn_cell_ring": spatial.q_knn_cell_ring,
         "nn_classify": spatial.q_nn_classify,
+        "knn_classify_vote": spatial.q_knn_classify_vote,
         "doc_zone_join": rq.q_doc_zone_join,
         "doc_zone_join_rect": spatial.q_doc_zone_join_rect,
         "doc_zone_join_cellshuffle": spatial.q_doc_zone_join_cellshuffle,
@@ -163,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_order": trainprep.q_shuffle_order,
         "budget_select": trainprep.q_budget_select,
         "hll_distinct": trainprep.q_hll_distinct,
+        "paragraph_dedup": trainprep.q_paragraph_dedup,
+        "mixture_rebalance": trainprep.q_mixture_rebalance,
         # similarity search (SQL-exact)
         "ann_topk": ann.q_ann_topk,
         "ann_dot_topk": ann.q_ann_dot_topk,
@@ -191,7 +194,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ndvi_stats": rq.q_ndvi_stats,
         "hillshade_stats": rq.q_hillshade_stats,
         "hillshade_shuffle_halo": rq.q_hillshade_shuffle_halo_stats,
-        "knn_classify_stats": rq.q_knn_classify_stats,
         "rf_classify_stats": rq.q_rf_classify_stats,
         "topographic_c": rq.q_topographic_c,
         "cti_stats": rq.q_cti_stats,
@@ -275,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_value": spatial.Q_ZONAL_VALUE_SQL,
         "knn": spatial.Q_KNN_SQL,
         "nn_classify": spatial.Q_NN_CLASSIFY_SQL,
+        "knn_classify_vote": spatial.Q_KNN_CLASSIFY_VOTE_SQL,
         "token_stats": textops.Q_TOKEN_STATS_SQL,
         "lang_profile": textops.Q_LANG_PROFILE_SQL,
         "doc_prefix_groups": textops.Q_DOC_PREFIX_GROUPS_SQL,
@@ -333,6 +336,8 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_order": trainprep.Q_SHUFFLE_ORDER_SQL,
         "budget_select": trainprep.Q_BUDGET_SELECT_SQL,
         "hll_distinct": trainprep.Q_HLL_DISTINCT_SQL,
+        "paragraph_dedup": trainprep.Q_PARAGRAPH_DEDUP_SQL,
+        "mixture_rebalance": trainprep.Q_MIXTURE_REBALANCE_SQL,
         "boilerplate": textops.Q_BOILERPLATE_SQL,
         "adaptive_cover": spatial.adaptive_cover_oracle_sql(0.01),
         "pattern_scrub": textops.Q_PATTERN_SCRUB_SQL,

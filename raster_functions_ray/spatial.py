@@ -275,6 +275,68 @@ def q_nn_classify(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_knn_classify_vote(sf_dir: str) -> pd.DataFrame:
+    """kNN CLASSIFICATION (majority vote over the k neighbor labels —
+    functions/KNearestNeighborsClassifier.py:81-128's predict mode), over
+    the same broadcast landmark side as q_nn_classify: per event point the
+    3 nearest suppliers vote; ties go to the SMALLEST label, exactly
+    stages/classify.knn_predict's argmax-over-sorted-classes rule and the
+    oracle's ORDER BY cnt DESC, label ASC."""
+    lm = (read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+          .to_pandas().sort_values("s_suppkey"))
+    sk = lm["s_suppkey"].to_numpy(np.int64)
+    lx = ((sk * 104729) % 36000).astype(np.float64) / 100.0
+    ly = ((sk * 7919) % 18000).astype(np.float64) / 100.0 - 90.0
+    lab = lm["s_nationkey"].to_numpy(np.int64)
+    lref = ray.put((lx, ly, lab))
+    pts = event_points(sf_dir, with_value=False)
+
+    def vote(b: pa.Table) -> pa.Table:
+        lx, ly, lab = ray.get(lref)
+        x = np.asarray(b["x"])[:, None]; y = np.asarray(b["y"])[:, None]
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        d2 = (x - lx[None, :]) ** 2 + (y - ly[None, :]) ** 2
+        k = min(NN_CLASSIFY_K, d2.shape[1])
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :k]
+        labels = lab[idx]                       # (n, k)
+        classes = np.unique(lab)
+        votes = np.stack([(labels == c).sum(1) for c in classes], axis=1)
+        pred = classes[np.argmax(votes, axis=1)]  # first max → smallest label
+        return pa.table({"event_id": pa.array(eid),
+                         "pred_label": pa.array(pred)})
+
+    out = pts.map_batches(vote, batch_format="pyarrow", batch_size=8192)
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+Q_KNN_CLASSIFY_VOTE_SQL = f"""
+WITH pts AS ({POINT_SQL}),
+     lm AS (
+       SELECT s_suppkey,
+              CAST((s_suppkey * 104729) % 36000 AS DOUBLE) / 100.0 AS lx,
+              CAST((s_suppkey * 7919) % 18000 AS DOUBLE) / 100.0 - 90.0 AS ly,
+              CAST(s_nationkey AS BIGINT) AS label
+       FROM supplier),
+     nn AS (
+       SELECT event_id, label FROM (
+         SELECT p.event_id, l.label,
+                ROW_NUMBER() OVER (PARTITION BY p.event_id
+                   ORDER BY (p.x - l.lx)*(p.x - l.lx) + (p.y - l.ly)*(p.y - l.ly),
+                            l.s_suppkey) AS rank
+         FROM pts p CROSS JOIN lm l)
+       WHERE rank <= {NN_CLASSIFY_K}),
+     cnt AS (
+       SELECT event_id, label, COUNT(*) AS c FROM nn GROUP BY event_id, label)
+SELECT event_id, CAST(label AS BIGINT) AS pred_label FROM (
+  SELECT event_id, label,
+         ROW_NUMBER() OVER (PARTITION BY event_id
+                            ORDER BY c DESC, label ASC) AS rk
+  FROM cnt)
+WHERE rk = 1
+ORDER BY event_id
+"""
+
+
 Q_NN_CLASSIFY_SQL = f"""
 WITH pts AS ({POINT_SQL}),
      lm AS (

@@ -757,3 +757,162 @@ SELECT doc_id, n_tokens, cum_tokens FROM (
 ) WHERE cum_tokens <= {SELECT_BUDGET}
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------- paragraph dedup
+
+PARA_W = 10        # words per paragraph chunk
+_PIDX_STRIDE = 1 << 20
+
+
+def q_paragraph_dedup(sf_dir: str) -> pd.DataFrame:
+    """Paragraph-level exact dedup: documents explode into non-overlapping
+    {PARA_W}-word chunks; chunks shared by ≥2 positions report their first
+    occurrence (min (doc_id, pidx)) and copy count.  The sub-document
+    complement of exact_dedup — boilerplate paragraphs repeat across
+    otherwise-unique pages, and a whole-doc hash never sees them.
+
+    Scale shape: chunk rows are corpus-sized but the groupby key is the
+    chunk text (hash-partitioned shuffle, same as exact dedup); output is
+    duplicate-sized."""
+    from ray.data.aggregate import Count, Min
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        keys, paras = [], []
+        for i, t in enumerate(b["text"].to_pylist()):
+            toks = t.split(" ")
+            for u in range(len(toks) // PARA_W):
+                keys.append(ids[i] * _PIDX_STRIDE + u)
+                paras.append(" ".join(toks[u * PARA_W:(u + 1) * PARA_W]))
+        return pa.table({"key": pa.array(keys, pa.int64()),
+                         "para": pa.array(paras, pa.string())})
+
+    out = (ds.map_batches(chunks, batch_format="pyarrow", batch_size=4096)
+           .groupby("para")
+           .aggregate(Min("key", alias_name="keep_key"),
+                      Count(alias_name="n_copies"))
+           .to_pandas())
+    out = out[out["n_copies"] >= 2]
+    res = pd.DataFrame({
+        "keep_doc_id": (out["keep_key"] // _PIDX_STRIDE).astype("int64"),
+        "keep_pidx": (out["keep_key"] % _PIDX_STRIDE).astype("int64"),
+        "n_copies": out["n_copies"].astype("int64"),
+    })
+    return (res.sort_values(["keep_doc_id", "keep_pidx"])
+            .reset_index(drop=True))
+
+
+Q_PARAGRAPH_DEDUP_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), p AS (
+  SELECT doc_id, u AS pidx,
+         array_to_string(l[(u * {PARA_W} + 1):(u * {PARA_W} + {PARA_W})], ' ') AS para
+  FROM (SELECT doc_id, l, unnest(generate_series(0, len(l) // {PARA_W} - 1)) AS u
+        FROM w)
+), g AS (
+  SELECT MIN(doc_id * {_PIDX_STRIDE} + pidx) AS keep_key, COUNT(*) AS n_copies
+  FROM p GROUP BY para HAVING COUNT(*) >= 2
+)
+SELECT CAST(keep_key // {_PIDX_STRIDE} AS BIGINT) AS keep_doc_id,
+       CAST(keep_key % {_PIDX_STRIDE} AS BIGINT) AS keep_pidx,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM g ORDER BY keep_doc_id, keep_pidx
+"""
+
+
+# ------------------------------------------------- mixture rebalancing
+
+MIX_BUDGET = 300                    # total docs the mixture may keep
+MIX_WEIGHTS = {"src0": 30, "src1": 20}  # percent; others share the rest evenly
+
+
+def _mix_budgets(counts: dict[str, int]) -> dict[str, int]:
+    """Per-source doc budgets from the target mixture weights — pure
+    integer arithmetic so engine and oracle agree exactly."""
+    named = {s: w for s, w in MIX_WEIGHTS.items() if s in counts}
+    rest = [s for s in sorted(counts) if s not in named]
+    rem_pct = 100 - sum(named.values())
+    out = {s: (MIX_BUDGET * w) // 100 for s, w in named.items()}
+    for i, s in enumerate(rest):
+        # even split of the remaining budget, remainder to the first sources
+        share = (MIX_BUDGET * rem_pct) // 100
+        out[s] = share // len(rest) + (1 if i < share % len(rest) else 0)
+    return out
+
+
+def q_mixture_rebalance(sf_dir: str) -> pd.DataFrame:
+    """Deterministic source-mixture rebalancing: given target proportions
+    per source and a total budget, each source keeps
+    ⌊budget_s · 2³² / count_s⌋-fraction of its docs by multiplicative-hash
+    bucket — the curriculum-mixing stage of a training-data pipeline,
+    reproducible across runs/workers/cluster sizes.
+
+    Two-phase plan: per-source counts (tiny groupby) → integer thresholds
+    on the driver → broadcast threshold map filtered vectorized in
+    map_batches.  All arithmetic integral (HUGEINT on the SQL side), so
+    engine and oracle select identical rows."""
+    import ray
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    counts = {r["source"]: int(r["count()"])
+              for r in ds.groupby("source").aggregate(Count()).take_all()}
+    budgets = _mix_budgets(counts)
+    thresholds = {s: min(1 << 32, (budgets.get(s, 0) << 32) // counts[s])
+                  for s in counts}
+    tref = ray.put(thresholds)
+
+    def keep(b: pa.Table) -> pa.Table:
+        th = ray.get(tref)
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        src = np.asarray(b["source"].to_pylist(), dtype=object)
+        h = (ids.astype(np.uint64) * np.uint64(_HASH_MULT)) % np.uint64(1 << 32)
+        lim = np.array([th[s] for s in src], dtype=np.uint64)
+        m = h < lim
+        return pa.table({"doc_id": pa.array(ids[m]),
+                         "source": pa.array(src[m].astype(str))})
+
+    out = ds.map_batches(keep, batch_format="pyarrow", batch_size=8192).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def mixture_rebalance_oracle_sql() -> str:
+    # the threshold arithmetic re-derived IN SQL from the same counts
+    named = sorted(MIX_WEIGHTS)
+    named_cases = " ".join(
+        f"WHEN c.source = '{s}' THEN {MIX_WEIGHTS[s]}" for s in named)
+    named_list = ", ".join(f"'{s}'" for s in named)
+    rem_pct = 100 - sum(MIX_WEIGHTS.values())
+    return f"""
+WITH cnt AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), rest AS (
+  SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS ri,
+         COUNT(*) OVER () AS nrest
+  FROM cnt WHERE source NOT IN ({named_list})
+), budget AS (
+  SELECT c.source AS source, c.n AS n,
+         CASE WHEN c.source IN ({named_list})
+              THEN (CASE {named_cases} END) * {MIX_BUDGET} // 100
+              ELSE ({MIX_BUDGET} * {rem_pct} // 100) // r.nrest
+                   + CASE WHEN r.ri < ({MIX_BUDGET} * {rem_pct} // 100) % r.nrest
+                          THEN 1 ELSE 0 END
+         END AS b
+  FROM cnt c LEFT JOIN rest r ON c.source = r.source
+), thr AS (
+  SELECT budget.source AS source,
+         LEAST(4294967296, (CAST(b AS HUGEINT) * 4294967296) // n) AS t
+  FROM budget
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN thr ON d.source = thr.source
+WHERE (CAST(d.doc_id AS HUGEINT) * {_HASH_MULT}) % 4294967296 < thr.t
+ORDER BY d.doc_id
+"""
+
+
+Q_MIXTURE_REBALANCE_SQL = mixture_rebalance_oracle_sql()
