@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hexagon_exact": analytic2.q_hexagon_exact,
         "chuck_close_exact": analytic2.q_chuck_close_exact,
         "table_function_exact": analytic2.q_table_function_exact,
+        "remove_nodata_exact": analytic2.q_remove_nodata_exact,
         "vineyard_exact": analytic2.q_vineyard_exact,
         "seasonal_forecast_exact": analytic2.q_seasonal_forecast_exact,
         "tri_expr_exact": analytic2.q_tri_expr_exact,
@@ -152,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": textops.q_decontaminate,
         "boilerplate": textops.q_boilerplate,
         "exact_dedup": dedup.q_exact_dedup,
+        "simhash_poly": dedup.q_simhash_poly,
         "ngram_jaccard": dedup.q_ngram_jaccard,
         "embedding_nn_dedup": dedup.q_embedding_nn_dedup,
         "dup_clusters": trainprep.q_dup_clusters,
@@ -201,7 +203,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_source": rq.q_random_source,
         "lsu_stats": rq.q_lsu_stats,
         "multidirectional_hillshade_stats": rq.q_multidirectional_hillshade_stats,
-        "remove_nodata_stats": rq.q_remove_nodata_stats,
         "media_features": rq.q_media_features,
         "resumable_hillshade": rq.q_resumable_hillshade,
         "nn_neighbors_stats": rq.q_nn_neighbors_stats,
@@ -255,6 +256,7 @@ def oracle_sql() -> dict[str, str]:
         "hexagon_exact": analytic2.hexagon_exact_oracle_sql(0.01),
         "chuck_close_exact": analytic2.chuck_close_exact_oracle_sql(0.01),
         "table_function_exact": analytic2.table_function_exact_oracle_sql(0.01),
+        "remove_nodata_exact": analytic2.remove_nodata_exact_oracle_sql(0.01),
         "vineyard_exact": analytic2.vineyard_exact_oracle_sql(0.01),
         "seasonal_forecast_exact": analytic2.seasonal_forecast_exact_oracle_sql(0.01),
         "tri_expr_exact": analytic2.tri_expr_exact_oracle_sql(0.01),
@@ -282,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_profile": textops.Q_LANG_PROFILE_SQL,
         "doc_prefix_groups": textops.Q_DOC_PREFIX_GROUPS_SQL,
         "exact_dedup": dedup.Q_EXACT_DEDUP_SQL,
+        "simhash_poly": dedup.Q_SIMHASH_POLY_SQL,
         "ann_topk": ann.Q_ANN_TOPK_SQL,
         "tile_cells": rq.tile_cells_oracle_sql(0.01),
         "windchill": bandmath.Q_WINDCHILL_SQL,

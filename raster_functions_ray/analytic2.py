@@ -1274,3 +1274,44 @@ SELECT tile_id, MIN({sv}) AS s_min, MAX({sv}) AS s_max,
        CAST(COUNT(*) FILTER ({sv} > 128.0) AS BIGINT) AS n_above
 FROM px GROUP BY tile_id ORDER BY tile_id
 """
+
+
+RMND_FILL = -5.0
+
+
+def q_remove_nodata_exact(sf_dir: str) -> pd.DataFrame:
+    """RemoveNoData (Con∘IsNull) with an analytically-derived NoData mask
+    (invalid ⟺ band1 ≡ 0 mod 7 — the analytic stand-in for the noise
+    world's NoData holes): masked pixels become {RMND_FILL}, the output
+    mask goes all-valid, per-tile stats + fill count."""
+    from .functions import pointwise as pw
+    from .stages import tile_map
+
+    tiles = _read_analytic(sf_dir, epoch=0)
+
+    def kernel(p, m, meta):
+        mask = (p[1].astype(np.int64) % 7 != 0).astype(np.uint8)
+        return pw.remove_nodata(p[0], mask, RMND_FILL)
+
+    out = tile_map.apply_kernel(tiles, kernel, out_pixel_type="f8")
+
+    def stats(a):
+        return (float(a.min()), float(a.max()), float(a.sum()),
+                int((a == RMND_FILL).sum()))
+
+    return _exact_stats(out, stats, [("v_min", pa.float64()),
+                                     ("v_max", pa.float64()),
+                                     ("v_sum", pa.float64()),
+                                     ("n_filled", pa.int64())])
+
+
+def remove_nodata_exact_oracle_sql(sf: float = 0.01) -> str:
+    v = (f"CASE WHEN CAST({_B1} AS BIGINT) % 7 = 0 THEN {RMND_FILL}"
+         f" ELSE {_B0} END")
+    return f"""
+WITH {_epoch0_cte(sf)},
+v AS (SELECT tile_id, {v} AS sv FROM px)
+SELECT tile_id, MIN(sv) AS v_min, MAX(sv) AS v_max, SUM(sv) AS v_sum,
+       CAST(COUNT(*) FILTER (sv = {RMND_FILL}) AS BIGINT) AS n_filled
+FROM v GROUP BY tile_id ORDER BY tile_id
+"""

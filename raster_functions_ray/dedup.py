@@ -500,28 +500,85 @@ def simhash_batch_u64(texts: pd.Series) -> np.ndarray:
     return ((acc > 0).astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
 
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash of one document (single-doc view of the batch path)."""
-    return int(simhash_batch_u64(pd.Series([text]))[0])
+def simhash32_poly_batch(texts: pd.Series) -> np.ndarray:
+    """32-bit SimHash over poly31 word hashes — the SQL-EXACT variant:
+    the token hash is trainprep._poly31_u32's Horner recurrence, which
+    DuckDB recomputes verbatim via list_reduce (the same discipline as the
+    HLL gate), so the per-bit vote sums and the sign rule (> 0) mirror
+    bit for bit.  Same reduceat vectorization as simhash_batch_u64."""
+    from .trainprep import _poly31_u32
 
-
-class SimHasher:
-    """Emits the 64-bit simhash as two int64-safe 32-bit halves (a raw u64
-    overflows Arrow int64)."""
-
-    def __call__(self, b: pa.Table) -> pd.DataFrame:
-        df = b.to_pandas()
-        hs = simhash_batch_u64(df["text"])
-        return pd.DataFrame({"doc_id": df["doc_id"],
-                             "simhash_hi": (hs >> np.uint64(32)).astype(np.int64),
-                             "simhash_lo": (hs & np.uint64(0xFFFFFFFF)).astype(np.int64)})
+    tok_lists = texts.str.split(" ").tolist()
+    lens = np.asarray([len(t) for t in tok_lists], dtype=np.int64)
+    n = lens.size
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists if t])         if lens.sum() else np.empty(0, dtype=object)
+    h = _poly31_u32(flat.astype(str)) if flat.size else np.empty(0, np.uint64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    shifts = np.arange(32, dtype=np.uint64)[None, :]
+    votes = (((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1)
+    seg_lens = lens.copy()
+    if (seg_lens == 0).any():
+        votes = np.insert(votes, starts[seg_lens == 0], 0, axis=0)
+        seg_lens = np.maximum(seg_lens, 1)
+    bounds = np.concatenate([[0], np.cumsum(seg_lens)[:-1]])
+    acc = np.add.reduceat(votes, bounds, axis=0)
+    if acc.shape[0] != n:  # all-empty batch edge
+        acc = np.zeros((n, 32), np.int64)
+    weights = (np.int64(1) << np.arange(32, dtype=np.int64))
+    return ((acc > 0).astype(np.int64) * weights[None, :]).sum(axis=1)
 
 
 def q_simhash(sf_dir: str, concurrency: int = 4) -> pd.DataFrame:
-    """Per-doc 64-bit simhash (rows-only check; deterministic values)."""
+    """Per-doc SimHash: the 32-bit poly31 fingerprint (SQL-exact — DuckDB
+    recomputes every token hash, per-bit vote sum and sign) alongside the
+    64-bit murmur halves (deterministic, pytest-gated)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(SimHasher, batch_format="pyarrow", batch_size=2048,
-                          concurrency=concurrency).to_pandas()
+
+    def kern(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        hs = simhash_batch_u64(df["text"])
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "simhash32": simhash32_poly_batch(df["text"]),
+            "simhash_hi": (hs >> np.uint64(32)).astype(np.int64),
+            "simhash_lo": (hs & np.uint64(0xFFFFFFFF)).astype(np.int64)})
+
+    out = ds.map_batches(kern, batch_format="pyarrow", batch_size=2048).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_simhash_poly(sf_dir: str) -> pd.DataFrame:
+    """The SQL-gated projection of q_simhash (poly31 32-bit fingerprint)."""
+    return q_simhash(sf_dir)[["doc_id", "simhash32"]]
+
+
+Q_SIMHASH_POLY_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), h AS (
+  SELECT doc_id,
+         list_reduce(list_transform(string_split(tok, ''),
+                                    c -> CAST(unicode(c) AS BIGINT)),
+                     (a, b) -> (a * 31 + b) % 4294967296) AS h32
+  FROM w
+), v AS (
+  SELECT doc_id, j.j AS j,
+         SUM(CASE WHEN (h32 // CAST(POWER(2, j.j) AS BIGINT)) % 2 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(generate_series(0, 31)) AS j) j
+  GROUP BY doc_id, j.j
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS simhash32
+FROM v GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash of one document (single-doc view of the batch path)."""
+    return int(simhash_batch_u64(pd.Series([text]))[0])
 
 
 def hamming64(a: int, b: int) -> int:
