@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chuck_close_exact": analytic2.q_chuck_close_exact,
         "table_function_exact": analytic2.q_table_function_exact,
         "remove_nodata_exact": analytic2.q_remove_nodata_exact,
+        "hillshade_exact": analytic2.q_hillshade_exact,
         "vineyard_exact": analytic2.q_vineyard_exact,
         "seasonal_forecast_exact": analytic2.q_seasonal_forecast_exact,
         "tri_expr_exact": analytic2.q_tri_expr_exact,
@@ -194,7 +195,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": dedup.q_simhash,
         "ivf_search": ann.q_ivf_search,
         "ndvi_stats": rq.q_ndvi_stats,
-        "hillshade_stats": rq.q_hillshade_stats,
         "hillshade_shuffle_halo": rq.q_hillshade_shuffle_halo_stats,
         "rf_classify_stats": rq.q_rf_classify_stats,
         "topographic_c": rq.q_topographic_c,
@@ -257,6 +257,7 @@ def oracle_sql() -> dict[str, str]:
         "chuck_close_exact": analytic2.chuck_close_exact_oracle_sql(0.01),
         "table_function_exact": analytic2.table_function_exact_oracle_sql(0.01),
         "remove_nodata_exact": analytic2.remove_nodata_exact_oracle_sql(0.01),
+        "hillshade_exact": analytic2.hillshade_exact_oracle_sql(0.01),
         "vineyard_exact": analytic2.vineyard_exact_oracle_sql(0.01),
         "seasonal_forecast_exact": analytic2.seasonal_forecast_exact_oracle_sql(0.01),
         "tri_expr_exact": analytic2.tri_expr_exact_oracle_sql(0.01),

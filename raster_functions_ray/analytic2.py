@@ -1315,3 +1315,76 @@ SELECT tile_id, MIN(sv) AS v_min, MAX(sv) AS v_max, SUM(sv) AS v_sum,
        CAST(COUNT(*) FILTER (sv = {RMND_FILL}) AS BIGINT) AS n_filled
 FROM v GROUP BY tile_id ORDER BY tile_id
 """
+
+
+def q_hillshade_exact(sf_dir: str) -> pd.DataFrame:
+    """Hillshade through the real parquet halo — SQL-exact: the kernel's
+    only transcendentals are SCALAR illumination constants (sin/cos of the
+    fixed zenith/azimuth, computed once in Python and inlined as the same
+    double literals into the oracle); the per-pixel math is integer Sobel
+    sums × a shared scalar, multiply/add/sqrt/divide/clip — all
+    correctly-rounded IEEE, identical in DuckDB.  (The noise-world
+    hillshade queries stay as the halo-lowering gates; this pins the
+    kernel itself to value-hash parity.)"""
+    from .functions import focal as fc
+    from .stages import halo, tile_map
+
+    padded = halo.with_halo_from_parquet(
+        _analytic_path(sf_dir), padding=1, bands=2,
+        scene_ids=[s * 10 for s in range(synth.A_SCENES)])
+
+    def kernel(p, m, meta):
+        band = p[0] if p.ndim == 3 else p
+        return fc.hillshade(band, m, meta["cell_size"])
+
+    out = tile_map.apply_kernel(padded, kernel, out_pixel_type="f8")
+
+    def stats(a):
+        return (float(a.min()), float(a.max()), int((a > 128.0).sum()))
+
+    return _exact_stats(out, stats, [("h_min", pa.float64()),
+                                     ("h_max", pa.float64()),
+                                     ("n_bright", pa.int64())])
+
+
+def hillshade_exact_oracle_sql(sf: float = 0.01) -> str:
+    import math
+
+    # the kernel's scalar constants, computed with the IDENTICAL Python ops
+    # (functions/focal.py:76-82) and inlined as double literals
+    z_factor, ce, cf, azimuth, elevation = 1.0, 0.664, 0.024, 315.0, 45.0
+    Z = (90.0 - elevation) * math.pi / 180.0
+    A = (90.0 - azimuth) * math.pi / 180.0
+    sinZ, cosZ = math.sin(Z), math.cos(Z)
+    sinZsinA, sinZcosA = sinZ * math.sin(A), sinZ * math.cos(A)
+    pcell = np.multiply([30.0, 30.0], 1.0)
+    xs, ys = (z_factor + (np.power(pcell, ce) * cf)) / (8 * pcell)
+
+    p = synth.params_for(sf)
+    n = p.tiles_per_side * p.tile_px
+    clamp = lambda ex: f"GREATEST(0, LEAST({n - 1}, {ex}))"  # noqa: E731
+    E = lambda dr, dc: _b0_sql(gr=clamp(f"gr + {dr}"), gc=clamp(f"gc + {dc}"))  # noqa: E731
+    # convolution coefficient of neighbour (dr,dc) is K[1-dr, 1-dc]
+    sx = (f"((({E(-1,1)} - {E(-1,-1)}) + 2.0*({E(0,1)} - {E(0,-1)})"
+          f" + ({E(1,1)} - {E(1,-1)})))")
+    sy = (f"((({E(1,-1)} + 2.0*{E(1,0)} + {E(1,1)})"
+          f" - ({E(-1,-1)} + 2.0*{E(-1,0)} + {E(-1,1)})))")
+    def dlit(v: float) -> str:
+        # shortest-repr decimal WITH an exponent so DuckDB types it DOUBLE
+        # (a bare 17-digit literal parses as DECIMAL and loses the value)
+        r = repr(float(v))
+        return r if "e" in r or "E" in r else r + "e0"
+
+    shade = (f"LEAST(GREATEST(255.0 * (({dlit(cosZ)} + (dy * {dlit(sinZsinA)}))"
+             f" - (dx * {dlit(sinZcosA)}))"
+             f" / SQRT(1.0 + ((dx * dx) + (dy * dy))), 0.0), 255.0)")
+    return f"""
+WITH {_epoch0_cte(sf)},
+g AS (
+  SELECT tile_id, {sx} * {dlit(xs)} AS dx, {sy} * {dlit(ys)} AS dy
+  FROM px
+), h AS (SELECT tile_id, {shade} AS shade FROM g)
+SELECT tile_id, MIN(shade) AS h_min, MAX(shade) AS h_max,
+       CAST(COUNT(*) FILTER (shade > 128.0) AS BIGINT) AS n_bright
+FROM h GROUP BY tile_id ORDER BY tile_id
+"""
