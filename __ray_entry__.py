@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate": textops.q_boilerplate,
         "exact_dedup": dedup.q_exact_dedup,
         "simhash_poly": dedup.q_simhash_poly,
+        "minhash_lsh_exact": dedup.q_minhash_lsh_exact,
         "ngram_jaccard": dedup.q_ngram_jaccard,
         "embedding_nn_dedup": dedup.q_embedding_nn_dedup,
         "dup_clusters": trainprep.q_dup_clusters,
@@ -173,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.q_ann_topk,
         "ann_dot_topk": ann.q_ann_dot_topk,
         "lsh_bucket_sizes": ann.q_lsh_bucket_sizes,
+        "ivf_sq_search": ann.q_ivf_sq_search,
         # band algebra on columns (same kernels as the raster path, SQL-exact)
         "windchill": bandmath.q_windchill,
         "fuzzy_linear": bandmath.q_fuzzy_linear,
@@ -286,6 +288,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_prefix_groups": textops.Q_DOC_PREFIX_GROUPS_SQL,
         "exact_dedup": dedup.Q_EXACT_DEDUP_SQL,
         "simhash_poly": dedup.Q_SIMHASH_POLY_SQL,
+        "minhash_lsh_exact": dedup.Q_MINHASH_LSH_SQL,
         "ann_topk": ann.Q_ANN_TOPK_SQL,
         "tile_cells": rq.tile_cells_oracle_sql(0.01),
         "windchill": bandmath.Q_WINDCHILL_SQL,
@@ -329,6 +332,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_segment_rollup": rel.Q_NATION_SEGMENT_ROLLUP_SQL,
         "event_type_pivot": rel.Q_EVENT_TYPE_PIVOT_SQL,
         "lsh_bucket_sizes": ann.lsh_bucket_sizes_oracle_sql(),
+        "ivf_sq_search": ann.ivf_sq_oracle_sql(),
         "ngram_jaccard": dedup.Q_NGRAM_JACCARD_SQL,
         "dup_clusters": trainprep.dup_clusters_oracle_sql(),
         "stratified_sample": trainprep.Q_STRATIFIED_SAMPLE_SQL,

@@ -387,3 +387,197 @@ SELECT q_id, vec_id, rank FROM (
   FROM cands c CROSS JOIN queries q)
 WHERE rank <= {TOP_K}
 """
+
+
+# --------------------------------- scalar-quantized IVF (SQL-exact gate)
+
+# q_ivf_search pins the IVF plumbing (list-partitioned index, path-pruned
+# probes) but its float kmeans centroids are not SQL-expressible, so its
+# driver gate is rows-only.  This variant pins the ENTIRE IVF mechanism —
+# coarse assignment, probe selection, candidate re-rank — with integer
+# arithmetic a DuckDB oracle recomputes verbatim:
+#   quantize   qv[i] = floor(e[i]·1024 + 0.5)   (1024 = 2^10: the float64
+#              scaling of a float32 value is EXACT, so both sides floor
+#              the identical number — the repo's half-away discipline)
+#   centroids  data-INdependent seeded integers (the same discipline as
+#              the LSH hyperplane gate) — scalar-quantized coarse
+#              assignment + exact re-rank is the production IVF-SQ shape
+#   distances  Σ(qv−c)² in int64 → argmin/rank ties broken by id.
+# All-integer ordering ⇒ hash-exact against the oracle by construction.
+
+SQ_SCALE = 1024
+SQ_K = 8          # inverted lists
+SQ_PROBE = 3      # lists probed per query
+SQ_CENT_LO, SQ_CENT_HI = -300, 301  # quantized-domain centroid range
+
+
+def _sq_centroids() -> np.ndarray:
+    rng = np.random.default_rng(20260819)
+    return rng.integers(SQ_CENT_LO, SQ_CENT_HI, (SQ_K, 64), dtype=np.int64)
+
+
+def _sq_quantize(mat: np.ndarray) -> np.ndarray:
+    return np.floor(mat * SQ_SCALE + 0.5).astype(np.int64)
+
+
+def _sq_assign(qv: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Nearest centroid by integer squared L2; ties → lowest list_id
+    (np.argmin's first-minimum rule)."""
+    d2 = ((qv**2).sum(1)[:, None] - 2 * qv @ cent.T
+          + (cent**2).sum(1)[None, :])
+    return np.argmin(d2, axis=1).astype(np.int64)
+
+
+def q_ivf_sq_search(sf_dir: str, concurrency: int = 4) -> pd.DataFrame:
+    """IVF-SQ ANN search, same scale shape as q_ivf_search: the quantized
+    index is written as list-partitioned parquet ONCE per corpus (cached),
+    search opens only the probed lists' partition directories, and the
+    re-rank streams those lists through map_batches with a broadcast
+    query matrix.  SQL-exact: integer distances end to end."""
+    import os
+    import uuid
+
+    cent = _sq_centroids()
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    index_dir = os.path.join(
+        "/tmp/rfr_ivf",
+        f"sq1_{os.path.basename(os.path.normpath(sf_dir))}_k{SQ_K}"
+        f"_{st.st_size}_{st.st_mtime_ns}")
+    if not os.path.exists(os.path.join(index_dir, "_DONE")):
+        cref = ray.put(cent)
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+        def assign_rows(b: pa.Table) -> pa.Table:
+            ids, mat = _embedding_matrix(b)
+            qv = _sq_quantize(mat)
+            lid = _sq_assign(qv, ray.get(cref))
+            return pa.table({"vec_id": pa.array(ids),
+                             "lid": pa.array(lid),
+                             "qv": pa.array(list(qv), pa.list_(pa.int64())),
+                             "list_id": pa.array(lid)})
+
+        tmp = f"{index_dir}.tmp-{uuid.uuid4().hex[:8]}"
+        (ds.map_batches(assign_rows, batch_format="pyarrow", batch_size=8192)
+         .write_parquet(os.path.join(tmp, "lists"), partition_cols=["list_id"]))
+        try:
+            os.replace(tmp, index_dir)
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+        with open(os.path.join(index_dir, "_DONE"), "w") as f:
+            f.write("ok")
+
+    # probe lists per query: quantized query vs centroids, ties → list_id
+    qids, qmat = load_queries(sf_dir)
+    qv = _sq_quantize(qmat)
+    d2 = ((qv**2).sum(1)[:, None] - 2 * qv @ cent.T + (cent**2).sum(1)[None, :])
+    order = np.argsort(d2, axis=1, kind="stable")[:, :SQ_PROBE]
+    probe_sets = [set(map(int, order[i])) for i in range(len(qids))]
+    union_lists = sorted(set().union(*probe_sets))
+    pref = ray.put((qv, probe_sets))
+
+    probe_paths = []
+    for l in union_lists:
+        pdir = os.path.join(index_dir, "lists", f"list_id={l}")
+        if not os.path.isdir(pdir):
+            continue
+        probe_paths += [os.path.join(pdir, f) for f in sorted(os.listdir(pdir))
+                        if f.endswith(".parquet")]
+    empty = pd.DataFrame({"q_id": pd.Series([], dtype="int64"),
+                          "vec_id": pd.Series([], dtype="int64"),
+                          "rank": pd.Series([], dtype="int64")})
+    if not probe_paths:
+        return empty
+    ds = rd.read_parquet(probe_paths, columns=["vec_id", "qv", "lid"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        qm, psets = ray.get(pref)
+        ids = np.asarray(b["vec_id"], dtype=np.int64)
+        lists = np.asarray(b["lid"], dtype=np.int64)
+        vq = np.asarray(b["qv"].combine_chunks().flatten(),
+                        dtype=np.int64).reshape(len(ids), -1) \
+            if len(ids) else np.empty((0, qm.shape[1]), np.int64)
+        keep = ids >= N_QUERIES
+        ids, vq, lists = ids[keep], vq[keep], lists[keep]
+        if ids.size == 0:
+            return pd.DataFrame({"q_id": pd.Series([], dtype="int64"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "d2": pd.Series([], dtype="int64")})
+        dd = ((vq**2).sum(1)[:, None] - 2 * vq @ qm.T
+              + (qm**2).sum(1)[None, :])  # (n, nq) int64
+        frames = []
+        for qi in range(qm.shape[0]):
+            in_probe = np.isin(lists, list(psets[qi]))
+            if not in_probe.any():
+                continue
+            cid, cd = ids[in_probe], dd[in_probe, qi]
+            k = min(TOP_K, cid.size)
+            idx = np.lexsort((cid, cd))[:k]
+            frames.append(pd.DataFrame({"q_id": qi, "vec_id": cid[idx],
+                                        "d2": cd[idx]}))
+        if not frames:
+            return pd.DataFrame({"q_id": pd.Series([], dtype="int64"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "d2": pd.Series([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+    cand = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=8192).to_pandas()
+    if cand.empty:
+        return empty
+    cand = cand.sort_values(["q_id", "d2", "vec_id"])
+    cand = cand.groupby("q_id").head(TOP_K)
+    cand["rank"] = cand.groupby("q_id").cumcount() + 1
+    return cand[["q_id", "vec_id", "rank"]].reset_index(drop=True)
+
+
+def _sq_centroid_values_sql() -> str:
+    cent = _sq_centroids()
+    return ", ".join(
+        f"({i}, [{', '.join(str(int(v)) for v in cent[i])}])"
+        for i in range(SQ_K))
+
+
+def ivf_sq_oracle_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {SQ_SCALE} + 0.5) AS BIGINT)) AS qe
+  FROM embeddings
+), c AS (
+  SELECT * FROM (VALUES {_sq_centroid_values_sql()}) AS t(list_id, ce)
+), d AS (
+  SELECT vec_id, list_id,
+         list_sum(list_transform(generate_series(1, 64),
+                  i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS d2
+  FROM base CROSS JOIN c
+), assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+    FROM d) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS q_id, list_id FROM (
+    SELECT vec_id, list_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+    FROM d WHERE vec_id < {N_QUERIES}) WHERE rn <= {SQ_PROBE}
+), cand AS (
+  SELECT p.q_id, a.vec_id FROM probes p JOIN assign a USING (list_id)
+  WHERE a.vec_id >= {N_QUERIES}
+), scored AS (
+  SELECT cand.q_id, cand.vec_id,
+         list_sum(list_transform(generate_series(1, 64),
+                  i -> (bq.qe[i] - bv.qe[i]) * (bq.qe[i] - bv.qe[i]))) AS d2
+  FROM cand
+  JOIN base bq ON bq.vec_id = cand.q_id
+  JOIN base bv ON bv.vec_id = cand.vec_id
+)
+SELECT q_id, vec_id, rank FROM (
+  SELECT q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}
+ORDER BY q_id, rank
+"""

@@ -799,3 +799,163 @@ JOIN counts cb ON cb.doc_id = i.doc_b
 WHERE CAST(i.shared AS DOUBLE) / (ca.n + cb.n - i.shared) >= {JACCARD_TAU}
 ORDER BY doc_a, doc_b
 """
+
+
+# ------------------------------------------- SQL-exact MinHash-LSH gate
+
+# The production near-dup pipeline (q_minhash_dedup) signs murmur-hashed
+# shingles — fast but not SQL-expressible, so its driver gate is
+# rows-only.  This variant pins the ENTIRE MinHash-LSH mechanism —
+# shingle hash, K linear permutations, per-doc minima, banded bucket
+# keys, within-bucket pair formation — against a DuckDB oracle that
+# recomputes every step in SQL, the same discipline as the HLL /
+# SimHash-poly31 gates.  All arithmetic is chosen BIGINT-safe so the
+# oracle needs no HUGEINT casts:
+#   gram hash   h32  = poly31(gram) mod 2^32                (< 2^32)
+#   perm hash   h'   = (a·h32 + b) mod 2^32, a odd < 2^20   (a·h32 < 2^52)
+#   band key    acc  = fold(acc·1000003 + m) mod 2^32       (< 2^53)
+# Reference semantics: same banding scheme as
+# /root/reference-adjacent MinHash-LSH literature (Broder; LSH banding as
+# in Mining of Massive Datasets §3.4) — b bands of r rows over a K-perm
+# signature; candidates = pairs agreeing on ANY band.
+
+MHX_W = 3            # word-gram shingle width (docs with < 3 words drop out)
+MHX_PERM = 16        # signature length
+MHX_R = 4            # rows per band → 4 bands
+MHX_MOD = 1 << 32
+
+
+def _mhx_params() -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(20260818)
+    a = rng.integers(1, 1 << 19, MHX_PERM, dtype=np.int64) * 2 + 1  # odd < 2^20
+    b = rng.integers(0, MHX_MOD, MHX_PERM, dtype=np.int64)
+    return a.astype(np.uint64), b.astype(np.uint64)
+
+
+MHX_A, MHX_B = _mhx_params()
+
+_MHX_EMPTY = pa.table({"doc_id": pa.array([], pa.int64()),
+                       "bk64": pa.array([], pa.int64())})
+
+
+def _mhx_band_rows(b: pa.Table) -> pa.Table:
+    """(doc_id, bk64) rows — one per (doc, band); bk64 = band·2^32 + band
+    key folds the band index into a single int64 so the bucket groupby
+    keys on one column (keys from different bands can never alias)."""
+    from .textops import _word_ngrams_flat
+    from .trainprep import _poly31_u32
+
+    df = b.to_pandas()
+    d, grams = _word_ngrams_flat(df["text"], MHX_W)
+    if grams.size == 0:
+        return _MHX_EMPTY
+    h = _poly31_u32(grams.astype(str))                    # uint64 < 2^32
+    n = len(df)
+    counts = np.bincount(d, minlength=n)
+    docs_with = np.flatnonzero(counts)
+    bounds = np.concatenate([[0], np.cumsum(counts[docs_with])[:-1]])
+    # (K, grams) permuted hashes → per-doc minima at doc boundaries; the
+    # intermediate is ≤ K × grams-per-batch × 8 B (a few MB at batch 512)
+    hp = (MHX_A[:, None] * h[None, :] + MHX_B[:, None]) % np.uint64(MHX_MOD)
+    sigs = np.minimum.reduceat(hp, bounds, axis=1)        # (K, n_docs)
+    nb = MHX_PERM // MHX_R
+    s = sigs.reshape(nb, MHX_R, -1)
+    acc = s[:, 0, :].copy()
+    for j in range(1, MHX_R):                             # fold in perm order
+        acc = (acc * np.uint64(1_000_003) + s[:, j, :]) % np.uint64(MHX_MOD)
+    doc_ids = df["doc_id"].to_numpy(np.int64)[docs_with]
+    bk64 = (np.arange(nb, dtype=np.uint64)[:, None] * np.uint64(MHX_MOD)
+            + acc).T.ravel().astype(np.int64)
+    return pa.table({"doc_id": pa.array(np.repeat(doc_ids, nb)),
+                     "bk64": pa.array(bk64, pa.int64())})
+
+
+def _bucket_pairs_all(g: pd.DataFrame) -> pa.Table:
+    """All-pairs within one bucket — the UNcapped form the SQL oracle
+    mirrors (q_minhash_dedup's production path star-caps at PAIR_CAP;
+    this gate must emit the exact pair set, and collisions here are
+    verified-small because exact duplicates dominate the buckets)."""
+    ids = np.unique(g["doc_id"].to_numpy(np.int64))
+    if ids.size < 2:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
+    ii, jj = np.triu_indices(ids.size, k=1)
+    return pa.table({"doc_a": pa.array(ids[ii]), "doc_b": pa.array(ids[jj])})
+
+
+def q_minhash_lsh_exact(sf_dir: str) -> pd.DataFrame:
+    """SQL-exact MinHash-LSH candidate generation: distinct candidate
+    pairs with the number of agreeing bands.  Same distributed shape as
+    minhash_candidates (Count aggregate → broadcast colliding-key filter
+    → per-bucket pair formation → pair-distinct groupby); the Count per
+    pair IS n_bands because each doc emits exactly one key per band."""
+    import ray
+
+    from .sources import cluster_cpus
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    banded = (ds.repartition(2 * cluster_cpus())
+              .map_batches(_mhx_band_rows, batch_format="pyarrow",
+                           batch_size=512)
+              .materialize())
+    counts = banded.groupby("bk64").aggregate(Count(alias_name="n"))
+    hot = counts.filter(expr="n >= 2").to_pandas()
+    if hot.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "n_bands": pd.Series([], dtype="int64")})
+    hot_arr = pa.array(hot["bk64"].to_numpy(), pa.int64())
+    keys_ref = ray.put(hot_arr)
+
+    def keep_colliding(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.filter(pc.is_in(b["bk64"], value_set=ray.get(keys_ref)))
+
+    nparts = max(2, min(8, len(hot) // 1024 + 2))
+    out = (banded.map_batches(keep_colliding, batch_format="pyarrow")
+           .repartition(nparts)
+           .groupby("bk64").map_groups(_bucket_pairs_all, batch_format="pandas")
+           .repartition(nparts)
+           .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+           .to_pandas())
+    return (out[["doc_a", "doc_b", "n_bands"]]
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+
+def _mhx_perm_values_sql() -> str:
+    return ", ".join(f"({i}, {int(MHX_A[i])}, {int(MHX_B[i])})"
+                     for i in range(MHX_PERM))
+
+
+Q_MINHASH_LSH_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), g AS (
+  SELECT doc_id,
+         list_extract(l, CAST(u AS INT)) || ' ' ||
+         list_extract(l, CAST(u AS INT) + 1) || ' ' ||
+         list_extract(l, CAST(u AS INT) + 2) AS s
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS u FROM w)
+), h AS (
+  SELECT doc_id,
+         list_reduce(list_transform(string_split(s, ''),
+                                    c -> CAST(unicode(c) AS BIGINT)),
+                     (a, b) -> (a * 31 + b) % 4294967296) AS h32
+  FROM g
+), p AS (
+  SELECT * FROM (VALUES {_mhx_perm_values_sql()}) AS t(perm, pa, pb)
+), m AS (
+  SELECT doc_id, perm, MIN((pa * h32 + pb) % 4294967296) AS mh
+  FROM h CROSS JOIN p GROUP BY doc_id, perm
+), bk AS (
+  SELECT doc_id, perm // {MHX_R} AS band,
+         list_reduce(list(mh ORDER BY perm),
+                     (x, y) -> (x * 1000003 + y) % 4294967296) AS bkey
+  FROM m GROUP BY doc_id, perm // {MHX_R}
+)
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_bands
+FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey
+                   AND x.doc_id < y.doc_id
+GROUP BY 1, 2
+ORDER BY doc_a, doc_b
+"""

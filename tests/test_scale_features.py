@@ -256,3 +256,52 @@ class TestHotDuplicateBucket:
         b = dedup._verify_pairs_distributed(cand, sf, kind="char3", threshold=0.7,
                                             broadcast_limit=0)
         assert a.equals(b)
+
+
+class TestSqlExactLshIvf:
+    """Round-3 gates: the full MinHash-LSH mechanism and the quantized
+    IVF mechanism pinned bit-for-bit against their DuckDB oracles."""
+
+    def test_minhash_lsh_exact_matches_oracle(self):
+        import duckdb
+        from raster_functions_ray import dedup
+        sf = "/root/testdata/sf0.001"
+        mine = dedup.q_minhash_lsh_exact(sf)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        oracle = con.execute(dedup.Q_MINHASH_LSH_SQL).df()
+        a = mine.reset_index(drop=True).astype("int64")
+        b = oracle.reset_index(drop=True).astype("int64")
+        assert a.equals(b)
+        # bands agree per pair, and exact duplicates collide on all bands
+        dups = con.execute(
+            "SELECT MIN(doc_id) a, MAX(doc_id) b FROM documents "
+            "GROUP BY text HAVING COUNT(*) > 1 AND len(string_split(text,' ')) >= 3"
+        ).df()
+        if len(dups):
+            pair = a.set_index(["doc_a", "doc_b"])["n_bands"]
+            for _, r in dups.iterrows():
+                assert pair.get((r["a"], r["b"]), 0) == dedup.MHX_PERM // dedup.MHX_R
+
+    def test_ivf_sq_matches_oracle(self):
+        import duckdb
+        from raster_functions_ray import ann
+        sf = "/root/testdata/sf0.001"
+        mine = ann.q_ivf_sq_search(sf)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"read_parquet('{sf}/embeddings.parquet')")
+        oracle = con.execute(ann.ivf_sq_oracle_sql()).df()
+        a = mine.reset_index(drop=True).astype("int64")
+        b = oracle.reset_index(drop=True).astype("int64")
+        assert a.equals(b)
+        assert len(a) > 0
+
+    def test_ivf_sq_probes_prune_reads(self, tmp_path):
+        # non-probed inverted lists must never be opened: the probe path
+        # list is built from partition directories only
+        from raster_functions_ray import ann
+        cent = ann._sq_centroids()
+        assert cent.shape == (ann.SQ_K, 64)
+        assert ann.SQ_PROBE < ann.SQ_K
