@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latitude_corner": rq.q_latitude_corner,
         "doc_media_join": rq.q_doc_media_join,
         "span_kinds": rq.q_span_kinds,
+        "span_sequence_fp": rq.q_span_sequence_fp,
         "tile_catalog": rq.q_tile_catalog,
         "key_metadata": rq.q_key_metadata,
         "video_frame_plan": rq.q_video_frame_plan,
@@ -296,6 +297,7 @@ def oracle_sql() -> dict[str, str]:
         "latitude_corner": rq.latitude_oracle_sql(0.01),
         "doc_media_join": rq.doc_media_join_oracle_sql(0.01),
         "span_kinds": rq.span_kinds_oracle_sql(0.01),
+        "span_sequence_fp": rq.span_sequence_fp_oracle_sql(0.01),
         "sessionize": rel.Q_SESSIONIZE_SQL,
         "running_totals": rel.Q_RUNNING_TOTALS_SQL,
         "window_moving_max": rel.Q_WINDOW_MOVING_MAX_SQL,

@@ -1415,3 +1415,101 @@ def q_stretch_stats(sf_dir: str) -> pd.DataFrame:
 
     out = tile_map.apply_kernel(tiles, kernel, out_pixel_type="u1")
     return _stats_df(out)
+
+
+# --------------------------- span-sequence equality invariant (north rule)
+
+# BASELINE.json input_hint pins a per-row invariant: span-sequence
+# equality (kind, text, media_ref, order).  span_signature/reassemble
+# round-trips gate it in pytest; this query puts it in the DRIVER's
+# graded window as a SQL-exact fingerprint.  The fingerprint is
+# order-SENSITIVE but addition-ASSOCIATIVE:
+#     fp(doc) = Σ_j  poly31(kind_j ␞ text_j ␞ media_ref_j) · W^j   (mod 2^32)
+# so it computes as per-batch partial sums + one groupby(doc_id) Sum —
+# no sort, no per-group Python dispatch, the 100 TB aggregate shape —
+# while any swap/drop/mutation of a span changes the value.
+
+SPAN_FP_W = 2654435761        # Knuth multiplicative constant, odd
+SPAN_FP_MOD = 1 << 32
+SPAN_FP_MAXIDX = 16           # synth docs carry ≤ 8 spans; hard guard
+
+
+def _span_fp_weights() -> np.ndarray:
+    w = np.empty(SPAN_FP_MAXIDX, np.uint64)
+    acc = 1
+    for i in range(SPAN_FP_MAXIDX):
+        w[i] = acc
+        acc = (acc * SPAN_FP_W) % SPAN_FP_MOD
+    return w
+
+
+_SPAN_FP_WEIGHTS = _span_fp_weights()
+
+
+def q_span_sequence_fp(sf_dir: str) -> pd.DataFrame:
+    """Per-document span-sequence fingerprint through the production
+    explode stage (stages/spans.py) — the driver-graded form of the
+    input_hint's span-sequence-equality invariant."""
+    from ray.data.aggregate import Sum
+
+    from .sources import read_documents
+    from .stages import spans as sp
+    from .trainprep import _poly31_u32
+
+    d = synth.synth_dir_for(sf_dir)
+    exploded = sp.explode_spans(read_documents(d))
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        s = (df["kind"] + "\x1e" + df["text"] + "\x1e"
+             + df["media_ref"]).to_numpy()
+        h = _poly31_u32(s.astype(str))
+        idx = df["span_idx"].to_numpy(np.int64)
+        if idx.size and idx.max() >= SPAN_FP_MAXIDX:
+            raise ValueError("span_idx exceeds fingerprint weight table")
+        contrib = (h * _SPAN_FP_WEIGHTS[idx]) % np.uint64(SPAN_FP_MOD)
+        part = (pd.DataFrame({"doc_id": df["doc_id"],
+                              "fp_part": contrib.astype(np.int64),
+                              "n_part": np.ones(len(df), np.int64)})
+                .groupby("doc_id", sort=False).sum().reset_index())
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    out = (exploded.map_batches(partial, batch_format="pyarrow",
+                                batch_size=8192)
+           .groupby("doc_id")
+           .aggregate(Sum("fp_part", alias_name="fp_sum"),
+                      Sum("n_part", alias_name="n_spans"))
+           .to_pandas())
+    out["span_fp"] = (out["fp_sum"].to_numpy(np.int64)
+                      % SPAN_FP_MOD).astype(np.int64)
+    out["n_spans"] = out["n_spans"].astype(np.int64)
+    return (out[["doc_id", "n_spans", "span_fp"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def span_sequence_fp_oracle_sql(sf: float = 0.01) -> str:
+    d = synth.synth_dir(sf)
+    weights = ", ".join(f"({i}, {int(_SPAN_FP_WEIGHTS[i])})"
+                        for i in range(SPAN_FP_MAXIDX))
+    return f"""
+WITH e AS (
+  SELECT doc_id, u - 1 AS idx,
+         spans[u].kind || chr(30) || spans[u]."text" || chr(30)
+           || spans[u].media_ref AS s
+  FROM (SELECT doc_id, spans, unnest(generate_series(1, len(spans))) AS u
+        FROM read_parquet('{d}/documents.parquet'))
+), h AS (
+  SELECT doc_id, idx,
+         list_reduce(list_transform(string_split(s, ''),
+                                    c -> CAST(unicode(c) AS BIGINT)),
+                     (a, b) -> (a * 31 + b) % 4294967296) AS h32
+  FROM e
+), wt AS (
+  SELECT * FROM (VALUES {weights}) AS t(idx, w)
+)
+SELECT doc_id, COUNT(*) AS n_spans,
+       CAST(SUM((CAST(h32 AS HUGEINT) * w) % 4294967296) % 4294967296
+            AS BIGINT) AS span_fp
+FROM h JOIN wt USING (idx)
+GROUP BY doc_id ORDER BY doc_id
+"""

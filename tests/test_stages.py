@@ -335,3 +335,23 @@ class TestZonalAttributesService:
                                      attrib_list=["zmin", "", "zval"])
         out = svc.query(id_list=[2])
         assert out[2] == [(None, None, 8.0)]  # empty attrib slot → None
+
+
+def test_span_sequence_fp_matches_oracle_and_detects_swaps(synth_sf001):
+    import duckdb
+    import numpy as np
+    from raster_functions_ray import rasterqueries as rq
+
+    eng = rq.q_span_sequence_fp("/root/testdata/sf0.001")
+    ora = duckdb.connect().execute(
+        rq.span_sequence_fp_oracle_sql(0.001)).df()
+    ora["n_spans"] = ora["n_spans"].astype("int64")
+    ora["span_fp"] = ora["span_fp"].astype("int64")
+    assert eng.reset_index(drop=True).equals(ora.reset_index(drop=True))
+    # order sensitivity: swapping two distinct spans must change the fp
+    from raster_functions_ray.trainprep import _poly31_u32
+    h = _poly31_u32(np.asarray(["text\x1ea\x1e", "media\x1e\x1et001"]))
+    w = rq._SPAN_FP_WEIGHTS
+    fp_fwd = int((h[0] * w[0] + h[1] * w[1]) % np.uint64(rq.SPAN_FP_MOD))
+    fp_rev = int((h[1] * w[0] + h[0] * w[1]) % np.uint64(rq.SPAN_FP_MOD))
+    assert fp_fwd != fp_rev
