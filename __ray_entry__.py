@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonal_forecast_exact": analytic2.q_seasonal_forecast_exact,
         "tri_expr_exact": analytic2.q_tri_expr_exact,
         "stretch_range_exact": analytic2.q_stretch_range_exact,
+        "topographic_c_exact": analytic2.q_topographic_c_exact,
         "heat_index": bandmath.q_heat_index,
         # spatial joins: cell encode, four interchangeable PIP lowerings,
         # zonal, kNN (brute + cell-ring), adaptive coverings, NN classify
@@ -265,6 +266,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_forecast_exact": analytic2.seasonal_forecast_exact_oracle_sql(0.01),
         "tri_expr_exact": analytic2.tri_expr_exact_oracle_sql(0.01),
         "stretch_range_exact": analytic2.stretch_range_exact_oracle_sql(0.01),
+        "topographic_c_exact": analytic2.topographic_c_exact_oracle_sql(0.01),
         "heat_index": bandmath.Q_HEAT_INDEX_SQL,
         "q1_pricing": rel.Q1_SQL,
         "q3_shipping": rel.Q3_SHIPPING_SQL,

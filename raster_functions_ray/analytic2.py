@@ -1388,3 +1388,154 @@ SELECT tile_id, MIN(shade) AS h_min, MAX(shade) AS h_max,
        CAST(COUNT(*) FILTER (shade > 128.0) AS BIGINT) AS n_bright
 FROM h GROUP BY tile_id ORDER BY tile_id
 """
+
+
+# ------------------------------------ TopographicCCorrection (two-phase)
+
+# The noise-world q_topographic_c stays the production gate for the trig
+# kernel (rows-only: per-pixel arctan/cos are not SQL-pinnable).  This
+# exact gate pins the DISTRIBUTED PLAN — per-tile partial regression
+# moments through the real parquet halo, Sum-combined per scene, C = b/m
+# on the driver (functions/TopographicCCorrection.py:88-154 two-phase
+# shape) — with an identity-form cos(i) kernel:
+#     cos(i) = (cosZ·cell + sinZ·sinA·dx − sinZ·cosA·dy) / √(cell²+dx²+dy²)
+# (slope/aspect trig eliminated algebraically: cos(atan(r/cell)) = cell/h,
+# the √(dx²+dy²) factors cancel).  Scalar transcendentals fold into three
+# double literals (the hillshade discipline); dx, dy are exact dyadic
+# rationals on the integer-affine surface; cos(i) is quantized
+# floor(·2^20 + .5) so the regression moments are INTEGERS and every sum
+# is order-free.  tests/test_raster_pipelines.py asserts the identity
+# form tracks the production trig kernel.
+
+TCX_Q = float(1 << 20)
+_TCX_AZ, _TCX_EL = 315.0, 45.0
+
+
+def _tcx_consts() -> tuple[float, float, float, float]:
+    sz = np.deg2rad(90.0 - _TCX_EL)
+    sa = np.deg2rad(_TCX_AZ)
+    cell = 30.0
+    # k0c folds cosZ·cell; k1/k2 multiply dx/dy; cell2 the radicand const
+    return (float(np.cos(sz) * cell), float(np.sin(sz) * np.sin(sa)),
+            float(-np.sin(sz) * np.cos(sa)), float(cell * cell))
+
+
+def tcx_cos_incidence_quantized(dem_padded: np.ndarray) -> np.ndarray:
+    """Identity-form cos(i) over a 1-padded DEM, quantized to int64.
+    Shared by the engine kernel and the parity test."""
+    from .functions import focal as fc
+
+    k0c, k1, k2, cell2 = _tcx_consts()
+    dx = fc.convolve3x3(dem_padded, fc.ASPECT_X) / 8.0
+    dy = fc.convolve3x3(dem_padded, fc.ASPECT_Y) / 8.0
+    dx, dy = dx[1:-1, 1:-1], dy[1:-1, 1:-1]
+    num = (k0c + k1 * dx) + k2 * dy
+    den = np.sqrt(cell2 + ((dx * dx) + (dy * dy)))
+    ci = num / den
+    return np.floor(ci * TCX_Q + 0.5).astype(np.int64), dx, dy
+
+
+def q_topographic_c_exact(sf_dir: str) -> pd.DataFrame:
+    """Per-scene C factor over the epoch-0 analytic scenes; same plan as
+    q_topographic_c (per-tile integer moments → groupby(scene) Sum →
+    driver C formula), SQL-exact end to end."""
+    from ray.data.aggregate import Sum
+
+    from .stages import halo
+
+    padded = halo.with_halo_from_parquet(
+        _analytic_path(sf_dir), padding=1, bands=2,
+        scene_ids=[s * 10 for s in range(synth.A_SCENES)])
+
+    def moments(b: pa.Table) -> pd.DataFrame:
+        recs = []
+        sids = b["scene_id"].to_pylist()
+        pads = b["padding"].to_pylist()
+        hh = b["height"].to_pylist()
+        ww = b["width"].to_pylist()
+        pts = b["pixel_type"].to_pylist()
+        bcs = b["band_count"].to_pylist()
+        for i in range(b.num_rows):
+            p2 = 2 * int(pads[i])
+            pix = tilecodec.decode(b["pixels"][i].as_buffer(), pts[i],
+                                   int(bcs[i]), int(hh[i]) + p2,
+                                   int(ww[i]) + p2)
+            dem = pix[0] if pix.ndim == 3 else pix
+            ciq, _, _ = tcx_cos_incidence_quantized(dem)
+            # y = dem² — the affine surface is point-symmetric per scene,
+            # which makes cov(ciq, dem) EXACTLY zero (ciq is symmetric,
+            # dem deviations are antisymmetric); squaring injects the even
+            # component the regression needs while staying integer-exact
+            y0 = dem[1:-1, 1:-1].astype(np.int64)
+            y = y0 * y0
+            recs.append((int(sids[i]), ciq.size, int(ciq.sum()),
+                         int(y.sum()), int((ciq * ciq).sum()),
+                         int((ciq * y).sum())))
+        return pd.DataFrame(recs, columns=["scene_id", "n", "sx", "sy",
+                                           "sxx", "sxy"])
+
+    agg = (padded.map_batches(moments, batch_format="pyarrow", batch_size=16)
+           .groupby("scene_id")
+           .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+                      Sum("sxy", alias_name="sxy"))
+           .to_pandas())
+    # the SQL expression tree, verbatim: every operand converts int→double
+    # identically on both sides, every op is one IEEE instruction
+    n = agg["n"].to_numpy(np.float64)
+    sx = agg["sx"].to_numpy(np.int64).astype(np.float64)
+    sy = agg["sy"].to_numpy(np.int64).astype(np.float64)
+    sxx = agg["sxx"].to_numpy(np.int64).astype(np.float64)
+    sxy = agg["sxy"].to_numpy(np.int64).astype(np.float64)
+    denom = sxx - (sx * sx) / n
+    slope = (sxy - (sx * sy) / n) / denom
+    intercept = sy / n - slope * (sx / n)
+    c = intercept / slope
+    out = pd.DataFrame({"scene_id": agg["scene_id"].to_numpy(np.int64),
+                        "c_factor": np.floor(c * 1e6 + 0.5) / 1e6})
+    return out.sort_values("scene_id").reset_index(drop=True)
+
+
+def topographic_c_exact_oracle_sql(sf: float = 0.01) -> str:
+    k0c, k1, k2, cell2 = _tcx_consts()
+
+    def dlit(v: float) -> str:
+        r = repr(float(v))
+        return r if "e" in r or "E" in r else r + "e0"
+
+    p = synth.params_for(sf)
+    n = p.tiles_per_side * p.tile_px
+    clamp = lambda ex: f"GREATEST(0, LEAST({n - 1}, {ex}))"  # noqa: E731
+    E = lambda dr, dc: _b0_sql(gr=clamp(f"gr + {dr}"), gc=clamp(f"gc + {dc}"))  # noqa: E731
+    # convolution coefficient of neighbour (dr,dc) is K[1-dr,1-dc];
+    # K = ASPECT_X = -SOBEL_X → east-minus-west NEGATED, ditto ASPECT_Y
+    cx = (f"((({E(-1,-1)} - {E(-1,1)}) + 2.0*({E(0,-1)} - {E(0,1)})"
+          f" + ({E(1,-1)} - {E(1,1)})))")
+    cy = (f"((({E(-1,-1)} + 2.0*{E(-1,0)} + {E(-1,1)})"
+          f" - ({E(1,-1)} + 2.0*{E(1,0)} + {E(1,1)})))")
+    ci = (f"((({dlit(k0c)} + {dlit(k1)} * dx) + {dlit(k2)} * dy)"
+          f" / SQRT({dlit(cell2)} + ((dx * dx) + (dy * dy))))")
+    return f"""
+WITH {_epoch0_cte(sf)},
+g AS (
+  SELECT s, {_B0} AS y0, {cx} / 8.0 AS dx, {cy} / 8.0 AS dy FROM px
+), q AS (
+  SELECT s, CAST(y0 AS BIGINT) * CAST(y0 AS BIGINT) AS y,
+         CAST(floor({ci} * {TCX_Q} + 0.5) AS BIGINT) AS ciq
+  FROM g
+), m AS (
+  SELECT s * 10 AS scene_id, COUNT(*) AS n,
+         SUM(ciq) AS sx, SUM(y) AS sy,
+         SUM(ciq * ciq) AS sxx, SUM(ciq * y) AS sxy
+  FROM q GROUP BY s
+)
+SELECT scene_id,
+       floor(((CAST(sy AS DOUBLE) / n
+               - ((CAST(sxy AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / n)
+                  / (CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / n))
+                 * (CAST(sx AS DOUBLE) / n))
+              / ((CAST(sxy AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / n)
+                 / (CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / n)))
+             * 1e6 + 0.5) / 1e6 AS c_factor
+FROM m ORDER BY scene_id
+"""

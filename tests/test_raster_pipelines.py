@@ -295,3 +295,33 @@ class TestAnalyticExactGates:
         assert (st.s_min >= 0).all() and (st.s_max <= 255).all()
         qa = an.q_qa_exact("/root/testdata/sf0.001")
         assert (qa.n_flagged >= 0).all() and (qa.n_flagged <= 32 * 32).all()
+
+
+class TestTopographicCExact:
+    def test_identity_form_tracks_production_trig(self):
+        """The exact gate's algebraic cos(i) must agree with the production
+        slope/aspect→cos_incidence chain (which uses the reference's
+        rounded 57.29578 deg constant) to ~1e-6."""
+        import numpy as np
+        from raster_functions_ray import analytic2 as a2
+        from raster_functions_ray.functions import focal as fc
+        from raster_functions_ray.functions import stack as st
+
+        rng = np.random.default_rng(7)
+        dem = rng.integers(0, 2000, (34, 34)).astype(np.float64)
+        ciq, dx, dy = a2.tcx_cos_incidence_quantized(dem)
+        cell = 30.0
+        slope_deg = np.degrees(np.arctan(np.sqrt(dx**2 + dy**2) / cell))
+        aspect_deg = (57.29578 * np.arctan2(dx, -dy)) % 360.0
+        ci_prod = st.cos_incidence(slope_deg, aspect_deg,
+                                   a2._TCX_AZ, a2._TCX_EL)
+        assert np.abs(ciq / a2.TCX_Q - ci_prod).max() < 1e-5
+
+    def test_matches_oracle(self, synth_sf001):
+        import duckdb
+        from raster_functions_ray import analytic2 as a2
+        eng = a2.q_topographic_c_exact("/root/testdata/sf0.001")
+        ora = duckdb.connect().execute(
+            a2.topographic_c_exact_oracle_sql(0.001)).df()
+        ora["scene_id"] = ora["scene_id"].astype("int64")
+        assert eng.reset_index(drop=True).equals(ora.reset_index(drop=True))
