@@ -963,6 +963,81 @@ def q_random_source(sf_dir: str) -> pd.DataFrame:
     return ds.map_batches(gen, batch_format="pyarrow", batch_size=16).to_pandas()
 
 
+# counter-based Random source: tile/pixel geometry and the two 32-bit mix
+# constants shared by the engine kernel, the SQL oracle and the pytest
+_RND_TILES = 64
+_RND_PX = 3 * 16 * 16  # bands × rows × cols per tile
+_RND_M1 = 2654435761   # Knuth multiplicative constant (same as trainprep)
+_RND_M2 = 2246822519   # xxhash PRIME32_2 — published public constant
+_RND_MOD = 1 << 32
+
+
+def _rnd_counter_values(ids: np.ndarray) -> np.ndarray:
+    """Counter-based pixel generator: value = mix(global pixel counter).
+
+    Two 32-bit multiply/xor-shift rounds over ``ctr = tile*px + i`` —
+    every pixel's value is a pure function of its global counter, so the
+    output is independent of block boundaries, batch size and task
+    placement (the property a 100 TB synthetic source needs; a stateful
+    per-tile RNG re-seeds per tile and couples output to the tiling).
+    All arithmetic stays < 2^63.1, exact in uint64 and in DuckDB UBIGINT.
+    """
+    ctr = (ids.astype(np.uint64)[:, None] * np.uint64(_RND_PX)
+           + np.arange(_RND_PX, dtype=np.uint64)[None, :])
+    h = (ctr * np.uint64(_RND_M1)) % np.uint64(_RND_MOD)
+    h = ((h ^ (h >> np.uint64(16))) * np.uint64(_RND_M2)) % np.uint64(_RND_MOD)
+    return (h % np.uint64(200)).astype(np.int64)  # u1-domain values 0..199
+
+
+def q_random_source_exact(sf_dir: str) -> pd.DataFrame:
+    """Random raster source re-expressed as a COUNTER-BASED generator
+    (functions/deprecated/Random.py:23-51 semantics: parameterless
+    synthetic 3-band u1 raster) — Philox-style stateless counter→value
+    map instead of a seeded sequential RNG, because at 100 TB the source
+    must produce identical pixels regardless of how Ray splits the range
+    into blocks.  SQL-exact: the mix is two multiply/xor-shift rounds in
+    32-bit integer arithmetic that DuckDB reproduces bit-for-bit.
+    """
+    import ray.data as rdm
+
+    ds = rdm.range(_RND_TILES, override_num_blocks=8)
+
+    def gen(b: pa.Table) -> pd.DataFrame:
+        ids = np.asarray(b["id"], dtype=np.int64)
+        v = _rnd_counter_values(ids)
+        s = v.sum(axis=1)
+        return pd.DataFrame({
+            "tile_idx": ids,
+            "sum_val": s,
+            "min_val": v.min(axis=1),
+            "max_val": v.max(axis=1),
+            "mean_val": s / float(_RND_PX),
+        })
+
+    out = ds.map_batches(gen, batch_format="pyarrow", batch_size=16)
+    return out.to_pandas().sort_values("tile_idx").reset_index(drop=True)
+
+
+RANDOM_SOURCE_EXACT_SQL = f"""
+WITH h AS (
+    SELECT range AS ctr,
+           (CAST(range AS UBIGINT) * {_RND_M1}) % {_RND_MOD} AS h1
+    FROM range(0, {_RND_TILES * _RND_PX})
+), v AS (
+    SELECT CAST(ctr // {_RND_PX} AS BIGINT) AS tile_idx,
+           CAST((xor(h1, h1 >> 16) * {_RND_M2}) % {_RND_MOD} % 200
+                AS BIGINT) AS val
+    FROM h
+)
+SELECT tile_idx,
+       CAST(SUM(val) AS BIGINT) AS sum_val,
+       MIN(val) AS min_val,
+       MAX(val) AS max_val,
+       SUM(val) / {float(_RND_PX)} AS mean_val
+FROM v GROUP BY tile_idx ORDER BY tile_idx
+"""
+
+
 def q_hexagon_stats(sf_dir: str) -> pd.DataFrame:
     """HexagonPixels aesthetic render (functions/HexagonPixels.py:39-83)."""
     from .functions import focal as fc

@@ -305,3 +305,41 @@ class TestSqlExactLshIvf:
         cent = ann._sq_centroids()
         assert cent.shape == (ann.SQ_K, 64)
         assert ann.SQ_PROBE < ann.SQ_K
+
+
+class TestCounterRandomSource:
+    """The counter-based Random source must be partitioning-independent:
+    identical pixels no matter how Ray splits the range into blocks —
+    the property that lets a 100 TB synthetic source re-run any subset
+    of its partitions (resume, retry) without changing output."""
+
+    def test_partition_independent_and_sql_exact(self):
+        import duckdb
+        import numpy as np
+        import ray.data as rdm
+
+        from raster_functions_ray import rasterqueries as rq
+
+        base = rq.q_random_source_exact("/root/testdata/sf0.001")
+        # re-run with a very different block split
+        ids = np.arange(rq._RND_TILES, dtype=np.int64)
+        v = rq._rnd_counter_values(ids)
+        assert np.array_equal(base["sum_val"].to_numpy(), v.sum(axis=1))
+
+        alt = (
+            rdm.range(rq._RND_TILES, override_num_blocks=32)
+            .map_batches(
+                lambda b: {
+                    "tile_idx": np.asarray(b["id"], dtype=np.int64),
+                    "sum_val": rq._rnd_counter_values(
+                        np.asarray(b["id"], dtype=np.int64)).sum(axis=1),
+                },
+                batch_format="pyarrow", batch_size=2)
+            .to_pandas().sort_values("tile_idx").reset_index(drop=True)
+        )
+        assert np.array_equal(alt["sum_val"].to_numpy(),
+                              base["sum_val"].to_numpy())
+
+        ora = duckdb.sql(rq.RANDOM_SOURCE_EXACT_SQL).df()
+        for c in ("tile_idx", "sum_val", "min_val", "max_val", "mean_val"):
+            assert np.array_equal(base[c].to_numpy(), ora[c].to_numpy()), c
