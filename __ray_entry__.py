@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_function_exact": analytic2.q_table_function_exact,
         "remove_nodata_exact": analytic2.q_remove_nodata_exact,
         "hillshade_exact": analytic2.q_hillshade_exact,
+        "multidirectional_hillshade_exact":
+            analytic2.q_multidirectional_hillshade_exact,
         "vineyard_exact": analytic2.q_vineyard_exact,
         "seasonal_forecast_exact": analytic2.q_seasonal_forecast_exact,
         "tri_expr_exact": analytic2.q_tri_expr_exact,
@@ -263,6 +265,8 @@ def oracle_sql() -> dict[str, str]:
         "table_function_exact": analytic2.table_function_exact_oracle_sql(0.01),
         "remove_nodata_exact": analytic2.remove_nodata_exact_oracle_sql(0.01),
         "hillshade_exact": analytic2.hillshade_exact_oracle_sql(0.01),
+        "multidirectional_hillshade_exact":
+            analytic2.multidirectional_hillshade_exact_oracle_sql(0.01),
         "vineyard_exact": analytic2.vineyard_exact_oracle_sql(0.01),
         "seasonal_forecast_exact": analytic2.seasonal_forecast_exact_oracle_sql(0.01),
         "tri_expr_exact": analytic2.tri_expr_exact_oracle_sql(0.01),

@@ -1390,6 +1390,96 @@ FROM h GROUP BY tile_id ORDER BY tile_id
 """
 
 
+def q_multidirectional_hillshade_exact(sf_dir: str) -> pd.DataFrame:
+    """MultidirectionalHillshade through the real parquet halo — SQL-exact:
+    the kernel's per-pixel weight is the ALGEBRAIC identity
+    sin²(aspect−θ) = (dyr·cosθ + dxr·sinθ)²/(dxr²+dyr²) (focal.py), so the
+    only transcendentals are the scalar trig of the four fixed azimuths,
+    inlined as double literals; the per-pixel blend is mul/add/div/sqrt/
+    clip — all correctly-rounded IEEE, identical in DuckDB."""
+    from .functions import focal as fc
+    from .stages import halo, tile_map
+
+    padded = halo.with_halo_from_parquet(
+        _analytic_path(sf_dir), padding=1, bands=2,
+        scene_ids=[s * 10 for s in range(synth.A_SCENES)])
+
+    def kernel(p, m, meta):
+        band = p[0] if p.ndim == 3 else p
+        return fc.multidirectional_hillshade(band, m, meta["cell_size"])
+
+    out = tile_map.apply_kernel(padded, kernel, out_pixel_type="f8")
+
+    def stats(a):
+        return (float(a.min()), float(a.max()), int((a > 128.0).sum()))
+
+    return _exact_stats(out, stats, [("h_min", pa.float64()),
+                                     ("h_max", pa.float64()),
+                                     ("n_bright", pa.int64())])
+
+
+def multidirectional_hillshade_exact_oracle_sql(sf: float = 0.01) -> str:
+    import math
+
+    # the kernel's scalar constants, computed with the IDENTICAL Python
+    # ops (functions/focal.py multidirectional_hillshade) and inlined
+    z_factor, elevation = 1.0, 60.0
+    Z = (90.0 - elevation) * math.pi / 180.0
+    sinZ, cosZ = math.sin(Z), math.cos(Z)
+    pcell = np.multiply([30.0, 30.0], 1.0)
+    xs, ys = (z_factor + (np.power(pcell, 0.664) * 0.024)) / (8 * pcell)
+
+    p = synth.params_for(sf)
+    n = p.tiles_per_side * p.tile_px
+    clamp = lambda ex: f"GREATEST(0, LEAST({n - 1}, {ex}))"  # noqa: E731
+    E = lambda dr, dc: _b0_sql(gr=clamp(f"gr + {dr}"), gc=clamp(f"gc + {dc}"))  # noqa: E731
+    sx = (f"((({E(-1,1)} - {E(-1,-1)}) + 2.0*({E(0,1)} - {E(0,-1)})"
+          f" + ({E(1,1)} - {E(1,-1)})))")
+    sy = (f"((({E(1,-1)} + 2.0*{E(1,0)} + {E(1,1)})"
+          f" - ({E(-1,-1)} + 2.0*{E(-1,0)} + {E(-1,1)})))")
+
+    def dlit(v: float) -> str:
+        r = repr(float(v))
+        return r if "e" in r or "E" in r else r + "e0"
+
+    num_terms, den_terms = [], []
+    for az in (225.0, 270.0, 315.0, 360.0):
+        A = (90.0 - az) * math.pi / 180.0
+        sinZsinA, sinZcosA = sinZ * math.sin(A), sinZ * math.cos(A)
+        cosT = math.cos(math.radians(az))
+        sinT = math.sin(math.radians(az))
+        wn = f"((syr * {dlit(cosT)}) + (sxr * {dlit(sinT)}))"
+        w = (f"(CASE WHEN r2 = 0.0 THEN {dlit(sinT * sinT)}"
+             f" ELSE ({wn} * {wn}) / r2 END)")
+        shade = (f"LEAST(GREATEST(255.0 * (({dlit(cosZ)}"
+                 f" + (dyv * {dlit(sinZsinA)}))"
+                 f" - (dxv * {dlit(sinZcosA)})) / rad, 0.0), 255.0)")
+        num_terms.append(f"{w} * {shade}")
+        den_terms.append(w)
+    num = " + ".join(num_terms)
+    den = " + ".join(den_terms)
+    blend = (f"LEAST(GREATEST(({num}) / (CASE WHEN ({den}) = 0.0 THEN 1.0"
+             f" ELSE ({den}) END), 0.0), 255.0)")
+    return f"""
+WITH {_epoch0_cte(sf)},
+g AS (
+  SELECT tile_id, {sx} AS sxr, {sy} AS syr FROM px
+), g2 AS (
+  SELECT tile_id, sxr, syr,
+         sxr * {dlit(xs)} AS dxv, syr * {dlit(ys)} AS dyv,
+         (sxr * sxr) + (syr * syr) AS r2
+  FROM g
+), g3 AS (
+  SELECT tile_id, sxr, syr, dxv, dyv, r2,
+         SQRT(1.0 + ((dxv * dxv) + (dyv * dyv))) AS rad
+  FROM g2
+), h AS (SELECT tile_id, {blend} AS shade FROM g3)
+SELECT tile_id, MIN(shade) AS h_min, MAX(shade) AS h_max,
+       CAST(COUNT(*) FILTER (shade > 128.0) AS BIGINT) AS n_bright
+FROM h GROUP BY tile_id ORDER BY tile_id
+"""
+
+
 # ------------------------------------ TopographicCCorrection (two-phase)
 
 # The noise-world q_topographic_c stays the production gate for the trig

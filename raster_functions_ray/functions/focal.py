@@ -97,21 +97,41 @@ def multidirectional_hillshade(dem_padded: np.ndarray, mask_padded: np.ndarray,
     weighted by sin²(aspect − azimuth), plus overhead fill — re-expressed
     here as a weighted combination of the single-direction kernel above,
     with aspect from the same Sobel gradients.  Returns (f8 block 0-255,
-    eroded mask)."""
+    eroded mask).
+
+    The weight is computed in ALGEBRAIC form: with aspect = atan2(dyr,
+    −dxr), sin²(aspect − θ) ≡ (dyr·cosθ + dxr·sinθ)² / (dxr² + dyr²)
+    (and sin²θ on flat pixels, where atan2(0, −0) = π).  This removes the
+    per-pixel arctan2/sin transcendentals — only scalar trig of the four
+    fixed azimuths remains — and makes every per-pixel op a single
+    correctly-rounded IEEE mul/add/div/sqrt, so the analytic-world gate
+    can reproduce the kernel bit-for-bit in SQL."""
     v = np.asarray(dem_padded, dtype=np.float64)
     dxr = convolve3x3(v, SOBEL_X)
     dyr = convolve3x3(v, SOBEL_Y)
-    aspect = np.arctan2(dyr, -dxr)
+    p = np.multiply(cell_size, DEG_TO_M if is_geographic else 1.0)
+    xs, ys = (z_factor + (np.power(p, 0.664) * 0.024)) / (8 * p)
+    dx = dxr * xs
+    dy = dyr * ys
+    r2 = (dxr * dxr) + (dyr * dyr)
+    safe_r2 = np.where(r2 == 0.0, 1.0, r2)
+    rad = np.sqrt(1.0 + ((dx * dx) + (dy * dy)))
+    Z = (90.0 - 60.0) * math.pi / 180.0
+    sinZ, cosZ = math.sin(Z), math.cos(Z)
     num = np.zeros_like(v)
     den = np.zeros_like(v)
     for az in (225.0, 270.0, 315.0, 360.0):
-        w = np.sin(aspect - math.radians(az)) ** 2
-        shade, _ = hillshade(v, mask_padded, cell_size, z_factor=z_factor,
-                             azimuth=az, elevation=60.0,
-                             is_geographic=is_geographic)
-        num[1:-1, 1:-1] += w[1:-1, 1:-1] * shade
+        A = (90.0 - az) * math.pi / 180.0
+        sinZsinA, sinZcosA = sinZ * math.sin(A), sinZ * math.cos(A)
+        cosT, sinT = math.cos(math.radians(az)), math.sin(math.radians(az))
+        wn = (dyr * cosT) + (dxr * sinT)
+        w = np.where(r2 == 0.0, sinT * sinT, (wn * wn) / safe_r2)
+        shade = np.clip(255 * ((cosZ + (dy * sinZsinA)) - (dx * sinZcosA))
+                        / rad, 0.0, 255.0)
+        num += w * shade
         den += w
-    out = num[1:-1, 1:-1] / np.where(den[1:-1, 1:-1] == 0, 1.0, den[1:-1, 1:-1])
+    out = num[1:-1, 1:-1] / np.where(den[1:-1, 1:-1] == 0, 1.0,
+                                     den[1:-1, 1:-1])
     return np.clip(out, 0.0, 255.0), erode_mask_3x3(np.asarray(mask_padded))
 
 

@@ -238,6 +238,24 @@ class TestMultidirectionalHillshade:
         out, _ = fc.multidirectional_hillshade(dem, m, (30.0, 30.0))
         assert np.allclose(out, out[0, 0])
 
+    def test_algebraic_weight_matches_trig(self):
+        # the kernel's sin^2(aspect - az) is computed algebraically;
+        # pin the identity against the literal trig form
+        import math
+        rng = np.random.default_rng(11)
+        v = rng.uniform(0, 500, (10, 10))
+        dxr = fc.convolve3x3(v, fc.SOBEL_X)
+        dyr = fc.convolve3x3(v, fc.SOBEL_Y)
+        aspect = np.arctan2(dyr, -dxr)
+        r2 = (dxr * dxr) + (dyr * dyr)
+        for az in (225.0, 270.0, 315.0, 360.0):
+            trig = np.sin(aspect - math.radians(az)) ** 2
+            cosT, sinT = math.cos(math.radians(az)), math.sin(math.radians(az))
+            wn = (dyr * cosT) + (dxr * sinT)
+            alg = np.where(r2 == 0.0, sinT * sinT,
+                           (wn * wn) / np.where(r2 == 0.0, 1.0, r2))
+            np.testing.assert_allclose(alg, trig, atol=1e-14)
+
 
 class TestStepwiseInpaint:
     """Literal-transcription oracle for StepwiseLocalRadiometricAdjustment
