@@ -1629,3 +1629,90 @@ SELECT scene_id,
              * 1e6 + 0.5) / 1e6 AS c_factor
 FROM m ORDER BY scene_id
 """
+
+
+# ------------------------------------ LinearSpectralUnmixing (normal form)
+
+# The noise-world q_lsu_stats stays the production gate for the lstsq
+# kernel (rows-only: LAPACK's SVD path is not SQL-pinnable).  This exact
+# gate pins the unmixing APPLICATION — per-pixel abundance = G·y where
+# G = (AᵀA)⁻¹Aᵀ is the normal-equations pseudoinverse of the endmember
+# matrix, computed ONCE in Python and inlined as double literals on both
+# sides (the LSH-hyperplane/CART-literal discipline).  The 3-band feature
+# vector [b0, b1, b0·b1] is full-rank on the analytic surface (the
+# product term escapes the affine span), abundances are quantized
+# floor(·2^20 + .5) so per-tile sums are order-free integers.
+# tests/test_raster_pipelines.py asserts G·y tracks np.linalg.lstsq.
+
+LSUX_Q = float(1 << 20)
+# two endmember signatures over the [b0, b1, b0·b1] feature bands
+LSUX_A = np.array([[1.0, 0.2],
+                   [0.3, 1.0],
+                   [0.5, 0.4]], dtype=np.float64)
+
+
+def _lsux_g() -> np.ndarray:
+    """G = (AᵀA)⁻¹Aᵀ — 2×3 double constants shared by engine and oracle."""
+    a = LSUX_A
+    return np.linalg.inv(a.T @ a) @ a.T
+
+
+def lsux_abundance_quantized(b0: np.ndarray, b1: np.ndarray) -> np.ndarray:
+    """Normal-form abundances over [b0, b1, b0·b1], quantized to int64.
+    Arithmetic order matches the oracle SQL expression exactly."""
+    g = _lsux_g()
+    y2 = b0 * b1
+    out = []
+    for j in range(2):
+        aj = ((b0 * g[j, 0]) + (b1 * g[j, 1])) + (y2 * g[j, 2])
+        out.append(np.floor(aj * LSUX_Q + 0.5).astype(np.int64))
+    return np.stack(out)
+
+
+def q_lsu_exact(sf_dir: str) -> pd.DataFrame:
+    """Per-tile abundance sums/extrema through the real tile pipeline."""
+    from .stages import tile_map
+
+    tiles = _read_analytic(sf_dir, epoch=0)
+
+    def kernel(p, m, meta):
+        q = lsux_abundance_quantized(p[0].astype(np.float64),
+                                     p[1].astype(np.float64))
+        return q.astype(np.float64), m
+
+    out = tile_map.apply_kernel(tiles, kernel, out_pixel_type="f8")
+
+    def stats(a):
+        q0, q1 = a[0].astype(np.int64), a[1].astype(np.int64)
+        return (int(q0.sum()), int(q1.sum()), int(q0.min()), int(q0.max()))
+
+    return _exact_stats(out, stats, [("a0_sum", pa.int64()),
+                                     ("a1_sum", pa.int64()),
+                                     ("a0_min", pa.int64()),
+                                     ("a0_max", pa.int64())])
+
+
+def lsu_exact_oracle_sql(sf: float = 0.01) -> str:
+    g = _lsux_g()
+
+    def dlit(v: float) -> str:
+        r = repr(float(v))
+        return r if "e" in r or "E" in r else r + "e0"
+
+    ab = [(f"(((y0 * {dlit(g[j, 0])}) + (y1 * {dlit(g[j, 1])}))"
+           f" + (y2 * {dlit(g[j, 2])}))") for j in range(2)]
+    q = [f"CAST(floor({a} * {LSUX_Q} + 0.5) AS BIGINT)" for a in ab]
+    return f"""
+WITH {_epoch0_cte(sf)},
+g AS (
+  SELECT tile_id, {_B0_E0} AS y0, {_B1_E0} AS y1,
+         ({_B0_E0}) * ({_B1_E0}) AS y2
+  FROM px
+), q AS (
+  SELECT tile_id, {q[0]} AS q0, {q[1]} AS q1 FROM g
+)
+SELECT tile_id,
+       CAST(SUM(q0) AS BIGINT) AS a0_sum, CAST(SUM(q1) AS BIGINT) AS a1_sum,
+       MIN(q0) AS a0_min, MAX(q0) AS a0_max
+FROM q GROUP BY tile_id ORDER BY tile_id
+"""

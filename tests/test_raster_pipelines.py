@@ -325,3 +325,32 @@ class TestTopographicCExact:
             a2.topographic_c_exact_oracle_sql(0.001)).df()
         ora["scene_id"] = ora["scene_id"].astype("int64")
         assert eng.reset_index(drop=True).equals(ora.reset_index(drop=True))
+
+
+class TestLsuNormalForm:
+    """The analytic LSU gate's normal-equations application G·y must
+    track np.linalg.lstsq (the production kernel's solver) on the same
+    full-rank system."""
+
+    def test_normal_form_matches_lstsq(self):
+        from raster_functions_ray import analytic2 as a2
+
+        rng = np.random.default_rng(5)
+        b0 = rng.uniform(100, 5000, (16, 16))
+        b1 = rng.uniform(300, 3000, (16, 16))
+        q = a2.lsux_abundance_quantized(b0, b1)
+        y = np.stack([b0, b1, b0 * b1]).reshape(3, -1)
+        ref = np.linalg.lstsq(a2.LSUX_A, y, rcond=None)[0]
+        np.testing.assert_allclose(q / a2.LSUX_Q,
+                                   ref.reshape(2, 16, 16), rtol=1e-9)
+
+    def test_quantized_values_fit_exactly(self):
+        from raster_functions_ray import analytic2 as a2
+
+        # analytic-domain magnitudes: aj*2^20 must stay < 2^53 and the
+        # per-tile sum < 2^63 so both sides are order-free integers
+        b0 = np.full((64, 64), 6000.0)
+        b1 = np.full((64, 64), 4000.0)
+        q = a2.lsux_abundance_quantized(b0, b1)
+        assert np.abs(q).max() < 2**53
+        assert np.abs(q.sum(axis=(1, 2))).max() < 2**62
