@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hillshade_exact": analytic2.q_hillshade_exact,
         "multidirectional_hillshade_exact":
             analytic2.q_multidirectional_hillshade_exact,
+        "lsu_exact": analytic2.q_lsu_exact,
         "vineyard_exact": analytic2.q_vineyard_exact,
         "seasonal_forecast_exact": analytic2.q_seasonal_forecast_exact,
         "tri_expr_exact": analytic2.q_tri_expr_exact,
@@ -267,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
         "hillshade_exact": analytic2.hillshade_exact_oracle_sql(0.01),
         "multidirectional_hillshade_exact":
             analytic2.multidirectional_hillshade_exact_oracle_sql(0.01),
+        "lsu_exact": analytic2.lsu_exact_oracle_sql(0.01),
         "vineyard_exact": analytic2.vineyard_exact_oracle_sql(0.01),
         "seasonal_forecast_exact": analytic2.seasonal_forecast_exact_oracle_sql(0.01),
         "tri_expr_exact": analytic2.tri_expr_exact_oracle_sql(0.01),
