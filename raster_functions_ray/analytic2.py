@@ -1716,3 +1716,107 @@ SELECT tile_id,
        MIN(q0) AS a0_min, MAX(q0) AS a0_max
 FROM q GROUP BY tile_id ORDER BY tile_id
 """
+
+
+# ------------------------------------ RandomForest (tree-literal form)
+
+# The noise-world q_rf_classify_stats stays the production gate for the
+# 6-feature DN-domain classifier.  This exact gate pins the CLASSIFIER
+# APPLICATION — the real TileClassifier actor pool (fit once per actor in
+# __init__, functions/RandomForestClassifier.py:71-120 semantics) over a
+# 3-feature analytic tile — by exporting the deterministically-fitted
+# CART forest (seed 43, bootstrap + sqrt-feature subsampling) as nested
+# CASE literals, the same discipline as the LSH-hyperplane and
+# pseudoinverse literals: Python owns the fit, SQL re-verifies every
+# per-pixel tree traversal, vote mean, threshold and float32 cast.
+
+RFX_Q = 1048576.0  # 2^20 — p1 is in [0,1], f4 exact under this scale
+
+
+def rfx_training() -> pd.DataFrame:
+    """64-row deterministic analytic-domain training table (features
+    pred_1..3 = [b0, b1, b0·b1] at lattice points picked by the Knuth
+    multiplicative hash; labels from a fixed parity rule).  Shared by the
+    engine gate and the oracle generator — the fit is Python-side on both,
+    only the APPLICATION is re-verified in SQL."""
+    idx = np.arange(64, dtype=np.int64)
+    h = (idx.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+    gr = (h % np.uint64(512)).astype(np.float64)
+    gc = ((h >> np.uint64(9)) % np.uint64(512)).astype(np.float64)
+    s = (idx % 2).astype(np.float64)
+    b0 = (100.0 + 10.0 * s) + (2.0 + s) * gc + (1.0 + s) * gr
+    b1 = (300.0 + 20.0 * s) + (5.0 + s) * gr + 2.0 * gc
+    y = ((idx * 3 + (idx // 7) * 5) % 2).astype(np.int64)
+    return pd.DataFrame({"pred_1": b0, "pred_2": b1, "pred_3": b0 * b1,
+                         "VarToPredict": y})
+
+
+def q_rf_exact(sf_dir: str) -> pd.DataFrame:
+    """CART-forest classification through the real actor-pool stage."""
+    from .stages import tile_map
+    from .stages.classify import classify_tiles
+
+    tiles = _read_analytic(sf_dir, epoch=0)
+
+    def feat_kernel(p, m, meta):
+        b0, b1 = p[0], p[1]
+        return np.stack([b0, b1, b0 * b1]), m
+
+    feats = tile_map.apply_kernel(tiles, feat_kernel, out_pixel_type="f8")
+    out = classify_tiles(feats, rfx_training(), model="rf", n_features=3)
+
+    def stats(a):
+        pred, p1 = a[0], a[2]
+        q = np.floor(p1.astype(np.float64) * RFX_Q + 0.5).astype(np.int64)
+        return (int(pred.sum()), int(q.sum()), int(q.min()), int(q.max()))
+
+    return _exact_stats(out, stats, [("n_pred1", pa.int64()),
+                                     ("q1_sum", pa.int64()),
+                                     ("q1_min", pa.int64()),
+                                     ("q1_max", pa.int64())])
+
+
+def _rfx_tree_sql(node: dict, dlit) -> str:
+    if "leaf" in node:
+        return dlit(node["leaf"])
+    return (f"CASE WHEN f{node['f']} <= {dlit(node['thr'])}"
+            f" THEN {_rfx_tree_sql(node['l'], dlit)}"
+            f" ELSE {_rfx_tree_sql(node['r'], dlit)} END")
+
+
+def rf_exact_oracle_sql(sf: float = 0.01) -> str:
+    from .stages.classify import _CartForest
+
+    def dlit(v: float) -> str:
+        r = repr(float(v))
+        return r if "e" in r or "E" in r else r + "e0"
+
+    df = rfx_training()
+    forest = _CartForest(random_state=43).fit(
+        df[["pred_1", "pred_2", "pred_3"]].to_numpy(np.float64),
+        df["VarToPredict"].to_numpy(np.float64))
+    texprs = [_rfx_tree_sql(t.root, dlit) for t in forest.trees]
+    tsel = ",\n         ".join(f"{t} AS t{i}" for i, t in enumerate(texprs))
+    psum = " + ".join(f"t{i}" for i in range(len(texprs)))
+    return f"""
+WITH {_epoch0_cte(sf)},
+rffeat AS (
+  SELECT tile_id, {_B0_E0} AS f0, {_B1_E0} AS f1,
+         ({_B0_E0}) * ({_B1_E0}) AS f2
+  FROM px
+), rft AS (
+  SELECT tile_id, {tsel} FROM rffeat
+), rfp AS (
+  SELECT tile_id, ({psum}) / {float(len(texprs))} AS p1 FROM rft
+), rfq AS (
+  SELECT tile_id,
+         CASE WHEN p1 >= 0.5 THEN 1 ELSE 0 END AS pred,
+         CAST(floor(CAST(CAST(p1 AS FLOAT) AS DOUBLE) * {RFX_Q} + 0.5)
+              AS BIGINT) AS q1
+  FROM rfp
+)
+SELECT tile_id, CAST(SUM(pred) AS BIGINT) AS n_pred1,
+       CAST(SUM(q1) AS BIGINT) AS q1_sum,
+       MIN(q1) AS q1_min, MAX(q1) AS q1_max
+FROM rfq GROUP BY tile_id ORDER BY tile_id
+"""

@@ -354,3 +354,45 @@ class TestLsuNormalForm:
         q = a2.lsux_abundance_quantized(b0, b1)
         assert np.abs(q).max() < 2**53
         assert np.abs(q.sum(axis=(1, 2))).max() < 2**62
+
+
+class TestRfTreeLiteralGate:
+    """The RF exact gate's CASE-literal export must reproduce the fitted
+    forest's predict_proba exactly (tree traversal, vote mean, f4 cast)."""
+
+    def test_tree_sql_roundtrip(self):
+        import duckdb
+
+        from raster_functions_ray import analytic2 as a2
+        from raster_functions_ray.stages.classify import _CartForest
+
+        df = a2.rfx_training()
+        X = df[["pred_1", "pred_2", "pred_3"]].to_numpy(np.float64)
+        y = df["VarToPredict"].to_numpy(np.float64)
+        forest = _CartForest(random_state=43).fit(X, y)
+
+        rng = np.random.default_rng(2)
+        b0 = np.floor(rng.uniform(100, 2700, 500))
+        b1 = np.floor(rng.uniform(300, 4400, 500))
+        feats = np.stack([b0, b1, b0 * b1], axis=1)
+        p1 = forest.predict_proba(feats)[:, 1]
+        q_eng = np.floor(p1.astype(np.float32).astype(np.float64)
+                         * a2.RFX_Q + 0.5).astype(np.int64)
+
+        def dlit(v):
+            r = repr(float(v))
+            return r if "e" in r or "E" in r else r + "e0"
+
+        texprs = [a2._rfx_tree_sql(t.root, dlit) for t in forest.trees]
+        con = duckdb.connect()
+        con.register("pxf", pd.DataFrame(
+            {"rid": np.arange(500), "f0": b0, "f1": b1, "f2": b0 * b1}))
+        tsel = ", ".join(f"{t} AS t{i}" for i, t in enumerate(texprs))
+        psum = " + ".join(f"t{i}" for i in range(len(texprs)))
+        out = con.sql(
+            f"""WITH rft AS (SELECT rid, {tsel} FROM pxf),
+rfp AS (SELECT rid, ({psum}) / {float(len(texprs))} AS p1 FROM rft)
+SELECT CAST(floor(CAST(CAST(p1 AS FLOAT) AS DOUBLE) * {a2.RFX_Q} + 0.5)
+            AS BIGINT) AS q
+FROM rfp ORDER BY rid""").df()
+        assert np.array_equal(q_eng, out["q"].to_numpy())
