@@ -581,3 +581,170 @@ SELECT q_id, vec_id, rank FROM (
 WHERE rank <= {TOP_K}
 ORDER BY q_id, rank
 """
+
+
+# ------------------------------------------------------------ k-means ----
+
+# Distributed Lloyd's k-means over the embedding corpus — the semantic-
+# clustering primitive behind embedding-based dedup, mixture balancing
+# and IVF coarse training.  Iterative-algorithm-as-Dataset-passes shape:
+# each round is ONE streaming pass (quantize → broadcast-centroid argmin
+# assignment → per-batch partial (count, per-dim sum) rows → an 8-key
+# groupby Sum), with the 8×64 centroid update on the driver and re-
+# broadcast via ray.put — the only driver-side state is O(K·dim),
+# independent of corpus size.  SQL-exact end to end by the IVF-SQ
+# discipline: vectors quantized floor(e·1024 + .5) so assignment distances
+# are int64 (ties → lowest cluster id), and the centroid update
+# floor(sum/count) is a single identical IEEE division + floor per
+# dimension on both sides.  Init = the K quantized vectors of the K
+# smallest vec_ids (gathered by per-batch partial top-k, no sort).
+
+KM_K = 8
+KM_ITERS = 2
+KM_DIM = 64
+
+
+def _km_assign(qv: np.ndarray, cent: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(cluster, squared distance) per row — integer-exact, ties → lowest
+    cluster id (np.argmin first-minimum rule)."""
+    d2 = ((qv ** 2).sum(1)[:, None] - 2 * qv @ cent.T
+          + (cent ** 2).sum(1)[None, :])
+    a = np.argmin(d2, axis=1)
+    return a.astype(np.int64), d2[np.arange(len(a)), a]
+
+
+def q_kmeans_embed(sf_dir: str) -> pd.DataFrame:
+    """KM_ITERS Lloyd rounds, then per-cluster size / SSE / representative."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    # ---- init: quantized vectors of the KM_K smallest vec_ids ----------
+    def smallest(b: pa.Table) -> pd.DataFrame:
+        ids, mat = _embedding_matrix(b)
+        if ids.size == 0:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 **{f"d{i}": pd.Series([], dtype="int64")
+                                    for i in range(KM_DIM)}})
+        take = np.argsort(ids)[:KM_K]
+        qv = _sq_quantize(mat[take])
+        out = {"vec_id": ids[take]}
+        out.update({f"d{i}": qv[:, i] for i in range(KM_DIM)})
+        return pd.DataFrame(out)
+
+    seed = (ds.map_batches(smallest, batch_format="pyarrow", batch_size=8192)
+            .to_pandas().sort_values("vec_id").head(KM_K))
+    cent = seed[[f"d{i}" for i in range(KM_DIM)]].to_numpy(np.int64)
+
+    # ---- Lloyd rounds ---------------------------------------------------
+    sum_cols = [f"s{i}" for i in range(KM_DIM)]
+    for _ in range(KM_ITERS):
+        cref = ray.put(cent)
+
+        def partials(b: pa.Table) -> pd.DataFrame:
+            c = ray.get(cref)
+            ids, mat = _embedding_matrix(b)
+            if ids.size == 0:
+                return pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                                     "cnt": pd.Series([], dtype="int64"),
+                                     **{sc: pd.Series([], dtype="int64")
+                                        for sc in sum_cols}})
+            qv = _sq_quantize(mat)
+            a, _ = _km_assign(qv, c)
+            rows = []
+            for k in np.unique(a):
+                sel = qv[a == k]
+                rows.append((int(k), len(sel), *sel.sum(axis=0).tolist()))
+            return pd.DataFrame(rows, columns=["k", "cnt"] + sum_cols)
+
+        agg = (ds.map_batches(partials, batch_format="pyarrow", batch_size=8192)
+               .groupby("k")
+               .aggregate(Sum("cnt", alias_name="cnt"),
+                          *[Sum(sc, alias_name=sc) for sc in sum_cols])
+               .to_pandas())
+        new = cent.copy()  # empty clusters keep their previous centroid
+        for _, r in agg.iterrows():
+            k = int(r["k"])
+            cnt = float(r["cnt"])
+            new[k] = np.floor(
+                r[sum_cols].to_numpy(np.int64).astype(np.float64) / cnt
+            ).astype(np.int64)
+        cent = new
+
+    # ---- final assignment + per-cluster reduce --------------------------
+    cref = ray.put(cent)
+
+    def assign(b: pa.Table) -> pd.DataFrame:
+        c = ray.get(cref)
+        ids, mat = _embedding_matrix(b)
+        if ids.size == 0:
+            return pd.DataFrame({"cluster_id": pd.Series([], dtype="int64"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "d2": pd.Series([], dtype="int64")})
+        a, d2 = _km_assign(_sq_quantize(mat), c)
+        return pd.DataFrame({"cluster_id": a, "vec_id": ids,
+                             "d2": d2.astype(np.int64)})
+
+    out = (ds.map_batches(assign, batch_format="pyarrow", batch_size=8192)
+           .groupby("cluster_id")
+           .aggregate(Count(alias_name="size"), Sum("d2", alias_name="sse"),
+                      Min("vec_id", alias_name="rep_id"))
+           .to_pandas())
+    out = out.astype({"cluster_id": "int64", "size": "int64",
+                      "sse": "int64", "rep_id": "int64"})
+    return out.sort_values("cluster_id").reset_index(drop=True)
+
+
+def kmeans_oracle_sql() -> str:
+    d2 = ("list_sum(list_transform(generate_series(1, 64),"
+          " i -> (qe[i] - ce[i]) * (qe[i] - ce[i])))")
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {SQ_SCALE} + 0.5) AS BIGINT)) AS qe
+  FROM embeddings
+), c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS k, qe AS ce
+  FROM (SELECT vec_id, qe FROM base ORDER BY vec_id LIMIT {KM_K})
+), a0 AS (
+  SELECT vec_id, k FROM (
+    SELECT b.vec_id, c0.k,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY {d2.replace('qe', 'b.qe').replace('ce', 'c0.ce')}, c0.k) AS rn
+    FROM base b CROSS JOIN c0) WHERE rn = 1
+), m1 AS (
+  SELECT a0.k, t.i,
+         CAST(floor(CAST(SUM(b.qe[t.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+  FROM a0 JOIN base b USING (vec_id),
+       UNNEST(generate_series(1, 64)) AS t(i)
+  GROUP BY a0.k, t.i
+), c1 AS (
+  SELECT c0.k, COALESCE(u.ce, c0.ce) AS ce
+  FROM c0 LEFT JOIN (
+    SELECT k, array_agg(v ORDER BY i) AS ce FROM m1 GROUP BY k) u USING (k)
+), a1 AS (
+  SELECT vec_id, k FROM (
+    SELECT b.vec_id, c1.k,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY {d2.replace('qe', 'b.qe').replace('ce', 'c1.ce')}, c1.k) AS rn
+    FROM base b CROSS JOIN c1) WHERE rn = 1
+), m2 AS (
+  SELECT a1.k, t.i,
+         CAST(floor(CAST(SUM(b.qe[t.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+  FROM a1 JOIN base b USING (vec_id),
+       UNNEST(generate_series(1, 64)) AS t(i)
+  GROUP BY a1.k, t.i
+), c2 AS (
+  SELECT c1.k, COALESCE(u.ce, c1.ce) AS ce
+  FROM c1 LEFT JOIN (
+    SELECT k, array_agg(v ORDER BY i) AS ce FROM m2 GROUP BY k) u USING (k)
+), afin AS (
+  SELECT vec_id, k, dd AS d2 FROM (
+    SELECT b.vec_id, c2.k,
+           {d2.replace('qe', 'b.qe').replace('ce', 'c2.ce')} AS dd,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY {d2.replace('qe', 'b.qe').replace('ce', 'c2.ce')}, c2.k) AS rn
+    FROM base b CROSS JOIN c2) WHERE rn = 1
+)
+SELECT k AS cluster_id, CAST(COUNT(*) AS BIGINT) AS size,
+       CAST(SUM(d2) AS BIGINT) AS sse, MIN(vec_id) AS rep_id
+FROM afin GROUP BY k ORDER BY cluster_id
+"""

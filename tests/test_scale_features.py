@@ -343,3 +343,51 @@ class TestCounterRandomSource:
         ora = duckdb.sql(rq.RANDOM_SOURCE_EXACT_SQL).df()
         for c in ("tile_idx", "sum_val", "min_val", "max_val", "mean_val"):
             assert np.array_equal(base[c].to_numpy(), ora[c].to_numpy()), c
+
+
+class TestKmeansEmbed:
+    """Distributed Lloyd's k-means: the Dataset-pass implementation must
+    match a single-process NumPy reference run exactly (integer-quantized
+    space), and be independent of batch partitioning."""
+
+    def _reference(self, sf_dir):
+        import pyarrow.parquet as pq
+
+        from raster_functions_ray import ann
+
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        ids = np.asarray(t["vec_id"], dtype=np.int64)
+        mat = np.asarray(t["embedding"].combine_chunks().flatten(),
+                         dtype=np.float64).reshape(len(ids), -1)
+        order = np.argsort(ids)
+        ids, qv = ids[order], ann._sq_quantize(mat[order])
+        cent = qv[:ann.KM_K].copy()
+        for _ in range(ann.KM_ITERS):
+            a, _ = ann._km_assign(qv, cent)
+            new = cent.copy()
+            for k in range(ann.KM_K):
+                sel = qv[a == k]
+                if len(sel):
+                    new[k] = np.floor(
+                        sel.sum(axis=0).astype(np.float64) / float(len(sel))
+                    ).astype(np.int64)
+            cent = new
+        a, d2 = ann._km_assign(qv, cent)
+        rows = []
+        for k in range(ann.KM_K):
+            sel = a == k
+            if sel.any():
+                rows.append((k, int(sel.sum()), int(d2[sel].sum()),
+                             int(ids[sel].min())))
+        return pd.DataFrame(rows, columns=["cluster_id", "size",
+                                           "sse", "rep_id"])
+
+    def test_matches_single_process_reference(self):
+        from raster_functions_ray import ann
+
+        sf_dir = "/root/testdata/sf0.01"
+        eng = ann.q_kmeans_embed(sf_dir)
+        ref = self._reference(sf_dir)
+        pd.testing.assert_frame_equal(eng.astype("int64"),
+                                      ref.astype("int64"))
