@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_bucket_sizes": ann.q_lsh_bucket_sizes,
         "ivf_sq_search": ann.q_ivf_sq_search,
         "kmeans_embed": ann.q_kmeans_embed,
+        "semantic_dedup_kmeans": ann.q_semantic_dedup_kmeans,
         # band algebra on columns (same kernels as the raster path, SQL-exact)
         "windchill": bandmath.q_windchill,
         "fuzzy_linear": bandmath.q_fuzzy_linear,
@@ -349,6 +350,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_bucket_sizes": ann.lsh_bucket_sizes_oracle_sql(),
         "ivf_sq_search": ann.ivf_sq_oracle_sql(),
         "kmeans_embed": ann.kmeans_oracle_sql(),
+        "semantic_dedup_kmeans": ann.semantic_dedup_oracle_sql(),
         "ngram_jaccard": dedup.Q_NGRAM_JACCARD_SQL,
         "dup_clusters": trainprep.dup_clusters_oracle_sql(),
         "stratified_sample": trainprep.Q_STRATIFIED_SAMPLE_SQL,

@@ -613,11 +613,11 @@ def _km_assign(qv: np.ndarray, cent: np.ndarray) -> tuple[np.ndarray, np.ndarray
     return a.astype(np.int64), d2[np.arange(len(a)), a]
 
 
-def q_kmeans_embed(sf_dir: str) -> pd.DataFrame:
-    """KM_ITERS Lloyd rounds, then per-cluster size / SSE / representative."""
-    from ray.data.aggregate import Count, Min, Sum
-
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+def _km_fit(ds) -> np.ndarray:
+    """Init + KM_ITERS Lloyd rounds over a (vec_id, embedding) Dataset;
+    returns the final KM_K×KM_DIM int64 centroids.  Shared by the k-means
+    gate and the cluster-bucketed semantic dedup."""
+    from ray.data.aggregate import Sum
 
     # ---- init: quantized vectors of the KM_K smallest vec_ids ----------
     def smallest(b: pa.Table) -> pd.DataFrame:
@@ -670,6 +670,15 @@ def q_kmeans_embed(sf_dir: str) -> pd.DataFrame:
                 r[sum_cols].to_numpy(np.int64).astype(np.float64) / cnt
             ).astype(np.int64)
         cent = new
+    return cent
+
+
+def q_kmeans_embed(sf_dir: str) -> pd.DataFrame:
+    """KM_ITERS Lloyd rounds, then per-cluster size / SSE / representative."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = _km_fit(ds)
 
     # ---- final assignment + per-cluster reduce --------------------------
     cref = ray.put(cent)
@@ -696,10 +705,21 @@ def q_kmeans_embed(sf_dir: str) -> pd.DataFrame:
 
 
 def kmeans_oracle_sql() -> str:
+    return f"""
+WITH {_kmeans_cte_prefix()}
+SELECT k AS cluster_id, CAST(COUNT(*) AS BIGINT) AS size,
+       CAST(SUM(d2) AS BIGINT) AS sse, MIN(vec_id) AS rep_id
+FROM afin GROUP BY k ORDER BY cluster_id
+"""
+
+
+def _kmeans_cte_prefix() -> str:
+    """The shared k-means CTE chain (quantize → init → 2 Lloyd rounds →
+    final assignment ``afin(vec_id, k, d2)``), reused by the k-means gate
+    and the cluster-bucketed semantic dedup oracle."""
     d2 = ("list_sum(list_transform(generate_series(1, 64),"
           " i -> (qe[i] - ce[i]) * (qe[i] - ce[i])))")
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT vec_id,
          list_transform(embedding,
              x -> CAST(floor(CAST(x AS DOUBLE) * {SQ_SCALE} + 0.5) AS BIGINT)) AS qe
@@ -743,8 +763,75 @@ WITH base AS (
            {d2.replace('qe', 'b.qe').replace('ce', 'c2.ce')} AS dd,
            ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY {d2.replace('qe', 'b.qe').replace('ce', 'c2.ce')}, c2.k) AS rn
     FROM base b CROSS JOIN c2) WHERE rn = 1
+)"""
+
+
+# ---------------------------------- cluster-bucketed semantic dedup ----
+
+# SemDeDup-style embedding near-dup removal WITHOUT broadcasting the
+# corpus matrix (the scale fix for q_embedding_nn_dedup's documented
+# exact-semantics pin): k-means buckets the corpus, the pairwise check
+# runs only WITHIN each cluster (groupby(cluster).map_groups — per-group
+# O(m²) bounded by cluster size; hot clusters would be salted/split by
+# the stages/salt machinery).  A vector is dropped when a SMALLER-id
+# vector in the same cluster lies within KM_DEDUP_T squared quantized
+# distance — deterministic, order-free, and SQL-exact end to end through
+# the same k-means CTE chain.
+
+KM_DEDUP_T = 1_200_000  # quantized d² threshold (corpus min pair ≈ 1.02e6)
+
+
+def q_semantic_dedup_kmeans(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = _km_fit(ds)
+    cref = ray.put(cent)
+
+    def assign(b: pa.Table) -> pd.DataFrame:
+        c = ray.get(cref)
+        ids, mat = _embedding_matrix(b)
+        if ids.size == 0:
+            return pd.DataFrame({"cluster_id": pd.Series([], dtype="int64"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "qv": pd.Series([], dtype="object")})
+        qv = _sq_quantize(mat)
+        a, _ = _km_assign(qv, c)
+        return pd.DataFrame({"cluster_id": a, "vec_id": ids,
+                             "qv": list(qv)})
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow",
+                              batch_size=8192)
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy(np.int64)
+        qv = np.stack([np.asarray(v, dtype=np.int64) for v in g["qv"]])
+        d2 = ((qv ** 2).sum(1)[:, None] - 2 * qv @ qv.T
+              + (qv ** 2).sum(1)[None, :])
+        tri = np.tri(len(ids), k=-1, dtype=bool)  # j < i in id order
+        dropped = ((d2 <= KM_DEDUP_T) & tri).any(axis=1)
+        return pd.DataFrame({"vec_id": ids,
+                             "cluster_id": g["cluster_id"].to_numpy(np.int64),
+                             "kept": (~dropped).astype(np.int64)})
+
+    out = assigned.groupby("cluster_id").map_groups(dedup_group).to_pandas()
+    return (out[["vec_id", "cluster_id", "kept"]]
+            .sort_values("vec_id").reset_index(drop=True))
+
+
+def semantic_dedup_oracle_sql() -> str:
+    pair_d2 = ("list_sum(list_transform(generate_series(1, 64),"
+               " i -> (ba.qe[i] - bb.qe[i]) * (ba.qe[i] - bb.qe[i])))")
+    return f"""
+WITH {_kmeans_cte_prefix()},
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM afin a JOIN afin b ON a.k = b.k AND b.vec_id < a.vec_id
+  JOIN base ba ON ba.vec_id = a.vec_id
+  JOIN base bb ON bb.vec_id = b.vec_id
+  WHERE {pair_d2} <= {KM_DEDUP_T}
 )
-SELECT k AS cluster_id, CAST(COUNT(*) AS BIGINT) AS size,
-       CAST(SUM(d2) AS BIGINT) AS sse, MIN(vec_id) AS rep_id
-FROM afin GROUP BY k ORDER BY cluster_id
+SELECT f.vec_id, f.k AS cluster_id,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM afin f LEFT JOIN dropped d ON d.vec_id = f.vec_id
+ORDER BY f.vec_id
 """

