@@ -801,14 +801,23 @@ def q_semantic_dedup_kmeans(sf_dir: str) -> pd.DataFrame:
     assigned = ds.map_batches(assign, batch_format="pyarrow",
                               batch_size=8192)
 
-    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+    def dedup_group(g: pd.DataFrame, block: int = 1024) -> pd.DataFrame:
+        # row-blocked pairwise check: the O(m²) comparison count is
+        # inherent to the semantics, but memory stays O(block·m) — a hot
+        # cluster streams through in 1024-row stripes instead of
+        # materializing the full m×m distance matrix
         g = g.sort_values("vec_id")
         ids = g["vec_id"].to_numpy(np.int64)
         qv = np.stack([np.asarray(v, dtype=np.int64) for v in g["qv"]])
-        d2 = ((qv ** 2).sum(1)[:, None] - 2 * qv @ qv.T
-              + (qv ** 2).sum(1)[None, :])
-        tri = np.tri(len(ids), k=-1, dtype=bool)  # j < i in id order
-        dropped = ((d2 <= KM_DEDUP_T) & tri).any(axis=1)
+        n2 = (qv ** 2).sum(1)
+        m = len(ids)
+        dropped = np.zeros(m, dtype=bool)
+        for lo in range(0, m, block):
+            hi = min(lo + block, m)
+            d2 = (n2[lo:hi, None] - 2 * qv[lo:hi] @ qv.T + n2[None, :])
+            # j < i in id order: columns strictly left of the row index
+            tri = np.arange(m)[None, :] < np.arange(lo, hi)[:, None]
+            dropped[lo:hi] = ((d2 <= KM_DEDUP_T) & tri).any(axis=1)
         return pd.DataFrame({"vec_id": ids,
                              "cluster_id": g["cluster_id"].to_numpy(np.int64),
                              "kept": (~dropped).astype(np.int64)})
