@@ -39,6 +39,14 @@ from . import synth, tilecodec
 from .analytic import (_analytic_path, _b0_sql, _b1_sql, _exact_stats,
                        _px_cte, _read_analytic)
 
+def _dlit(v: float) -> str:
+    """Shortest-repr double literal WITH an exponent so DuckDB types it
+    DOUBLE (a bare 17-digit literal parses as DECIMAL and loses the
+    value).  Shared by every oracle that inlines scalar constants."""
+    r = repr(float(v))
+    return r if "e" in r or "E" in r else r + "e0"
+
+
 _B0 = _b0_sql()
 _B1 = _b1_sql()
 _B0_E0 = _b0_sql(e="0")          # b0 at epoch 0 (the "B" of the closed forms)
@@ -1369,19 +1377,13 @@ def hillshade_exact_oracle_sql(sf: float = 0.01) -> str:
           f" + ({E(1,1)} - {E(1,-1)})))")
     sy = (f"((({E(1,-1)} + 2.0*{E(1,0)} + {E(1,1)})"
           f" - ({E(-1,-1)} + 2.0*{E(-1,0)} + {E(-1,1)})))")
-    def dlit(v: float) -> str:
-        # shortest-repr decimal WITH an exponent so DuckDB types it DOUBLE
-        # (a bare 17-digit literal parses as DECIMAL and loses the value)
-        r = repr(float(v))
-        return r if "e" in r or "E" in r else r + "e0"
-
-    shade = (f"LEAST(GREATEST(255.0 * (({dlit(cosZ)} + (dy * {dlit(sinZsinA)}))"
-             f" - (dx * {dlit(sinZcosA)}))"
+    shade = (f"LEAST(GREATEST(255.0 * (({_dlit(cosZ)} + (dy * {_dlit(sinZsinA)}))"
+             f" - (dx * {_dlit(sinZcosA)}))"
              f" / SQRT(1.0 + ((dx * dx) + (dy * dy))), 0.0), 255.0)")
     return f"""
 WITH {_epoch0_cte(sf)},
 g AS (
-  SELECT tile_id, {sx} * {dlit(xs)} AS dx, {sy} * {dlit(ys)} AS dy
+  SELECT tile_id, {sx} * {_dlit(xs)} AS dx, {sy} * {_dlit(ys)} AS dy
   FROM px
 ), h AS (SELECT tile_id, {shade} AS shade FROM g)
 SELECT tile_id, MIN(shade) AS h_min, MAX(shade) AS h_max,
@@ -1438,22 +1440,18 @@ def multidirectional_hillshade_exact_oracle_sql(sf: float = 0.01) -> str:
     sy = (f"((({E(1,-1)} + 2.0*{E(1,0)} + {E(1,1)})"
           f" - ({E(-1,-1)} + 2.0*{E(-1,0)} + {E(-1,1)})))")
 
-    def dlit(v: float) -> str:
-        r = repr(float(v))
-        return r if "e" in r or "E" in r else r + "e0"
-
     num_terms, den_terms = [], []
     for az in (225.0, 270.0, 315.0, 360.0):
         A = (90.0 - az) * math.pi / 180.0
         sinZsinA, sinZcosA = sinZ * math.sin(A), sinZ * math.cos(A)
         cosT = math.cos(math.radians(az))
         sinT = math.sin(math.radians(az))
-        wn = f"((syr * {dlit(cosT)}) + (sxr * {dlit(sinT)}))"
-        w = (f"(CASE WHEN r2 = 0.0 THEN {dlit(sinT * sinT)}"
+        wn = f"((syr * {_dlit(cosT)}) + (sxr * {_dlit(sinT)}))"
+        w = (f"(CASE WHEN r2 = 0.0 THEN {_dlit(sinT * sinT)}"
              f" ELSE ({wn} * {wn}) / r2 END)")
-        shade = (f"LEAST(GREATEST(255.0 * (({dlit(cosZ)}"
-                 f" + (dyv * {dlit(sinZsinA)}))"
-                 f" - (dxv * {dlit(sinZcosA)})) / rad, 0.0), 255.0)")
+        shade = (f"LEAST(GREATEST(255.0 * (({_dlit(cosZ)}"
+                 f" + (dyv * {_dlit(sinZsinA)}))"
+                 f" - (dxv * {_dlit(sinZcosA)})) / rad, 0.0), 255.0)")
         num_terms.append(f"{w} * {shade}")
         den_terms.append(w)
     num = " + ".join(num_terms)
@@ -1466,7 +1464,7 @@ g AS (
   SELECT tile_id, {sx} AS sxr, {sy} AS syr FROM px
 ), g2 AS (
   SELECT tile_id, sxr, syr,
-         sxr * {dlit(xs)} AS dxv, syr * {dlit(ys)} AS dyv,
+         sxr * {_dlit(xs)} AS dxv, syr * {_dlit(ys)} AS dyv,
          (sxr * sxr) + (syr * syr) AS r2
   FROM g
 ), g3 AS (
@@ -1589,10 +1587,6 @@ def q_topographic_c_exact(sf_dir: str) -> pd.DataFrame:
 def topographic_c_exact_oracle_sql(sf: float = 0.01) -> str:
     k0c, k1, k2, cell2 = _tcx_consts()
 
-    def dlit(v: float) -> str:
-        r = repr(float(v))
-        return r if "e" in r or "E" in r else r + "e0"
-
     p = synth.params_for(sf)
     n = p.tiles_per_side * p.tile_px
     clamp = lambda ex: f"GREATEST(0, LEAST({n - 1}, {ex}))"  # noqa: E731
@@ -1603,8 +1597,8 @@ def topographic_c_exact_oracle_sql(sf: float = 0.01) -> str:
           f" + ({E(1,-1)} - {E(1,1)})))")
     cy = (f"((({E(-1,-1)} + 2.0*{E(-1,0)} + {E(-1,1)})"
           f" - ({E(1,-1)} + 2.0*{E(1,0)} + {E(1,1)})))")
-    ci = (f"((({dlit(k0c)} + {dlit(k1)} * dx) + {dlit(k2)} * dy)"
-          f" / SQRT({dlit(cell2)} + ((dx * dx) + (dy * dy))))")
+    ci = (f"((({_dlit(k0c)} + {_dlit(k1)} * dx) + {_dlit(k2)} * dy)"
+          f" / SQRT({_dlit(cell2)} + ((dx * dx) + (dy * dy))))")
     return f"""
 WITH {_epoch0_cte(sf)},
 g AS (
@@ -1695,12 +1689,8 @@ def q_lsu_exact(sf_dir: str) -> pd.DataFrame:
 def lsu_exact_oracle_sql(sf: float = 0.01) -> str:
     g = _lsux_g()
 
-    def dlit(v: float) -> str:
-        r = repr(float(v))
-        return r if "e" in r or "E" in r else r + "e0"
-
-    ab = [(f"(((y0 * {dlit(g[j, 0])}) + (y1 * {dlit(g[j, 1])}))"
-           f" + (y2 * {dlit(g[j, 2])}))") for j in range(2)]
+    ab = [(f"(((y0 * {_dlit(g[j, 0])}) + (y1 * {_dlit(g[j, 1])}))"
+           f" + (y2 * {_dlit(g[j, 2])}))") for j in range(2)]
     q = [f"CAST(floor({a} * {LSUX_Q} + 0.5) AS BIGINT)" for a in ab]
     return f"""
 WITH {_epoch0_cte(sf)},
@@ -1763,7 +1753,10 @@ def q_rf_exact(sf_dir: str) -> pd.DataFrame:
         return np.stack([b0, b1, b0 * b1]), m
 
     feats = tile_map.apply_kernel(tiles, feat_kernel, out_pixel_type="f8")
-    out = classify_tiles(feats, rfx_training(), model="rf", n_features=3)
+    # force_cart: the oracle exports _CartForest's tree literals, so the
+    # engine must use that model regardless of whether sklearn is present
+    out = classify_tiles(feats, rfx_training(), model="rf", n_features=3,
+                         force_cart=True)
 
     def stats(a):
         pred, p1 = a[0], a[2]
@@ -1776,26 +1769,22 @@ def q_rf_exact(sf_dir: str) -> pd.DataFrame:
                                      ("q1_max", pa.int64())])
 
 
-def _rfx_tree_sql(node: dict, dlit) -> str:
+def _rfx_tree_sql(node: dict) -> str:
     if "leaf" in node:
-        return dlit(node["leaf"])
-    return (f"CASE WHEN f{node['f']} <= {dlit(node['thr'])}"
-            f" THEN {_rfx_tree_sql(node['l'], dlit)}"
-            f" ELSE {_rfx_tree_sql(node['r'], dlit)} END")
+        return _dlit(node["leaf"])
+    return (f"CASE WHEN f{node['f']} <= {_dlit(node['thr'])}"
+            f" THEN {_rfx_tree_sql(node['l'])}"
+            f" ELSE {_rfx_tree_sql(node['r'])} END")
 
 
 def rf_exact_oracle_sql(sf: float = 0.01) -> str:
     from .stages.classify import _CartForest
 
-    def dlit(v: float) -> str:
-        r = repr(float(v))
-        return r if "e" in r or "E" in r else r + "e0"
-
     df = rfx_training()
     forest = _CartForest(random_state=43).fit(
         df[["pred_1", "pred_2", "pred_3"]].to_numpy(np.float64),
         df["VarToPredict"].to_numpy(np.float64))
-    texprs = [_rfx_tree_sql(t.root, dlit) for t in forest.trees]
+    texprs = [_rfx_tree_sql(t.root) for t in forest.trees]
     tsel = ",\n         ".join(f"{t} AS t{i}" for i, t in enumerate(texprs))
     psum = " + ".join(f"t{i}" for i in range(len(texprs)))
     return f"""

@@ -613,6 +613,34 @@ def _km_assign(qv: np.ndarray, cent: np.ndarray) -> tuple[np.ndarray, np.ndarray
     return a.astype(np.int64), d2[np.arange(len(a)), a]
 
 
+def _km_assign_batch_fn(cref, emit: str):
+    """Broadcast-centroid assignment closure shared by the k-means gate
+    and the semantic dedup — one implementation so tie-breaks and
+    quantization can never drift apart.  ``emit``: 'd2' adds the squared
+    distance to the assigned centroid; 'qv' carries the quantized vector
+    through the shuffle (for in-cluster pairwise work)."""
+
+    def assign(b: pa.Table) -> pd.DataFrame:
+        c = ray.get(cref)
+        ids, mat = _embedding_matrix(b)
+        if ids.size == 0:
+            extra = ("d2", pd.Series([], dtype="int64")) if emit == "d2" \
+                else ("qv", pd.Series([], dtype="object"))
+            return pd.DataFrame({"cluster_id": pd.Series([], dtype="int64"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 extra[0]: extra[1]})
+        qv = _sq_quantize(mat)
+        a, d2 = _km_assign(qv, c)
+        out = {"cluster_id": a, "vec_id": ids}
+        if emit == "d2":
+            out["d2"] = d2.astype(np.int64)
+        else:
+            out["qv"] = list(qv)
+        return pd.DataFrame(out)
+
+    return assign
+
+
 def _km_fit(ds) -> np.ndarray:
     """Init + KM_ITERS Lloyd rounds over a (vec_id, embedding) Dataset;
     returns the final KM_K×KM_DIM int64 centroids.  Shared by the k-means
@@ -682,17 +710,7 @@ def q_kmeans_embed(sf_dir: str) -> pd.DataFrame:
 
     # ---- final assignment + per-cluster reduce --------------------------
     cref = ray.put(cent)
-
-    def assign(b: pa.Table) -> pd.DataFrame:
-        c = ray.get(cref)
-        ids, mat = _embedding_matrix(b)
-        if ids.size == 0:
-            return pd.DataFrame({"cluster_id": pd.Series([], dtype="int64"),
-                                 "vec_id": pd.Series([], dtype="int64"),
-                                 "d2": pd.Series([], dtype="int64")})
-        a, d2 = _km_assign(_sq_quantize(mat), c)
-        return pd.DataFrame({"cluster_id": a, "vec_id": ids,
-                             "d2": d2.astype(np.int64)})
+    assign = _km_assign_batch_fn(cref, emit="d2")
 
     out = (ds.map_batches(assign, batch_format="pyarrow", batch_size=8192)
            .groupby("cluster_id")
@@ -717,7 +735,7 @@ def _kmeans_cte_prefix() -> str:
     """The shared k-means CTE chain (quantize → init → 2 Lloyd rounds →
     final assignment ``afin(vec_id, k, d2)``), reused by the k-means gate
     and the cluster-bucketed semantic dedup oracle."""
-    d2 = ("list_sum(list_transform(generate_series(1, 64),"
+    d2 = (f"list_sum(list_transform(generate_series(1, {KM_DIM}),"
           " i -> (qe[i] - ce[i]) * (qe[i] - ce[i])))")
     return f"""base AS (
   SELECT vec_id,
@@ -736,7 +754,7 @@ def _kmeans_cte_prefix() -> str:
   SELECT a0.k, t.i,
          CAST(floor(CAST(SUM(b.qe[t.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
   FROM a0 JOIN base b USING (vec_id),
-       UNNEST(generate_series(1, 64)) AS t(i)
+       UNNEST(generate_series(1, {KM_DIM})) AS t(i)
   GROUP BY a0.k, t.i
 ), c1 AS (
   SELECT c0.k, COALESCE(u.ce, c0.ce) AS ce
@@ -751,7 +769,7 @@ def _kmeans_cte_prefix() -> str:
   SELECT a1.k, t.i,
          CAST(floor(CAST(SUM(b.qe[t.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
   FROM a1 JOIN base b USING (vec_id),
-       UNNEST(generate_series(1, 64)) AS t(i)
+       UNNEST(generate_series(1, {KM_DIM})) AS t(i)
   GROUP BY a1.k, t.i
 ), c2 AS (
   SELECT c1.k, COALESCE(u.ce, c1.ce) AS ce
@@ -785,21 +803,8 @@ def q_semantic_dedup_kmeans(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     cent = _km_fit(ds)
     cref = ray.put(cent)
-
-    def assign(b: pa.Table) -> pd.DataFrame:
-        c = ray.get(cref)
-        ids, mat = _embedding_matrix(b)
-        if ids.size == 0:
-            return pd.DataFrame({"cluster_id": pd.Series([], dtype="int64"),
-                                 "vec_id": pd.Series([], dtype="int64"),
-                                 "qv": pd.Series([], dtype="object")})
-        qv = _sq_quantize(mat)
-        a, _ = _km_assign(qv, c)
-        return pd.DataFrame({"cluster_id": a, "vec_id": ids,
-                             "qv": list(qv)})
-
-    assigned = ds.map_batches(assign, batch_format="pyarrow",
-                              batch_size=8192)
+    assigned = ds.map_batches(_km_assign_batch_fn(cref, emit="qv"),
+                              batch_format="pyarrow", batch_size=8192)
 
     def dedup_group(g: pd.DataFrame, block: int = 1024) -> pd.DataFrame:
         # row-blocked pairwise check: the O(m²) comparison count is
@@ -828,7 +833,7 @@ def q_semantic_dedup_kmeans(sf_dir: str) -> pd.DataFrame:
 
 
 def semantic_dedup_oracle_sql() -> str:
-    pair_d2 = ("list_sum(list_transform(generate_series(1, 64),"
+    pair_d2 = (f"list_sum(list_transform(generate_series(1, {KM_DIM}),"
                " i -> (ba.qe[i] - bb.qe[i]) * (ba.qe[i] - bb.qe[i])))")
     return f"""
 WITH {_kmeans_cte_prefix()},

@@ -241,7 +241,7 @@ class TileClassifier:
 
     def __init__(self, training_ref, model: str = "knn", k: int = 5,
                  n_features: int = 6, prob_threshold: float = 0.5,
-                 subsample: int = 1):
+                 subsample: int = 1, force_cart: bool = False):
         # subsample > 1: classify every s-th pixel and nearest-fill the rest
         # (the per-pixel neighbor search is the acknowledged cost bound —
         # the reference refits per BLOCK, functions/KNearestNeighbors
@@ -257,7 +257,11 @@ class TileClassifier:
         self.k = k
         self.thresh = prob_threshold
         if model in ("rf", "gbt"):
-            if HAVE_SKLEARN:  # pragma: no cover
+            # force_cart pins the deterministic in-repo CART ensemble even
+            # when sklearn is importable — the SQL-exact gate exports THAT
+            # model's tree literals, so its engine side must never switch
+            # implementations with the environment
+            if HAVE_SKLEARN and not force_cart:  # pragma: no cover
                 cls = RandomForestClassifier if model == "rf" else GradientBoostingClassifier
                 self.model = cls(random_state=43).fit(self.X, self.y)
             else:
@@ -314,12 +318,14 @@ class TileClassifier:
 def classify_tiles(tiles: rd.Dataset, training: pd.DataFrame, model: str = "knn",
                    k: int = 5, concurrency: int = 4, batch_size: int = 8,
                    subsample: int = 1, n_features: int = 6,
-                   prob_threshold: float = 0.5) -> rd.Dataset:
+                   prob_threshold: float = 0.5,
+                   force_cart: bool = False) -> rd.Dataset:
     tref = ray.put(training)
     return tiles.map_batches(TileClassifier,
                              fn_constructor_kwargs={"training_ref": tref, "model": model,
                                                     "k": k, "subsample": subsample,
                                                     "n_features": n_features,
-                                                    "prob_threshold": prob_threshold},
+                                                    "prob_threshold": prob_threshold,
+                                                    "force_cart": force_cart},
                              batch_format="pyarrow", batch_size=batch_size,
                              concurrency=concurrency)

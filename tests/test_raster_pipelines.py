@@ -379,11 +379,7 @@ class TestRfTreeLiteralGate:
         q_eng = np.floor(p1.astype(np.float32).astype(np.float64)
                          * a2.RFX_Q + 0.5).astype(np.int64)
 
-        def dlit(v):
-            r = repr(float(v))
-            return r if "e" in r or "E" in r else r + "e0"
-
-        texprs = [a2._rfx_tree_sql(t.root, dlit) for t in forest.trees]
+        texprs = [a2._rfx_tree_sql(t.root) for t in forest.trees]
         con = duckdb.connect()
         con.register("pxf", pd.DataFrame(
             {"rid": np.arange(500), "f0": b0, "f1": b1, "f2": b0 * b1}))

@@ -392,18 +392,35 @@ class TestKmeansEmbed:
         pd.testing.assert_frame_equal(eng.astype("int64"),
                                       ref.astype("int64"))
 
-    def test_semantic_dedup_drops_within_cluster_only(self):
+    def test_semantic_dedup_matches_numpy_invariant(self):
+        import pyarrow.parquet as pq
+
         from raster_functions_ray import ann
 
-        out = ann.q_semantic_dedup_kmeans("/root/testdata/sf0.01")
+        sf_dir = "/root/testdata/sf0.01"
+        out = ann.q_semantic_dedup_kmeans(sf_dir)
         assert len(out) == 500
-        dropped = out[out["kept"] == 0]
-        assert len(dropped) > 0
-        # every dropped vector must have a smaller-id same-cluster
-        # neighbor within the threshold (re-verified in numpy)
-        ref = self._reference("/root/testdata/sf0.01")
-        assert set(out["cluster_id"].unique()) <= set(
-            ref["cluster_id"].unique())
-        # kept ids with lowest id per cluster are never dropped
+        assert (out[out["kept"] == 0]).shape[0] > 0
+
+        # independent numpy recomputation of the full invariant:
+        # dropped(v) ⇔ ∃ u in same cluster, u.vec_id < v.vec_id,
+        #              ||qv(u) − qv(v)||² ≤ KM_DEDUP_T
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        ids = np.asarray(t["vec_id"], dtype=np.int64)
+        mat = np.asarray(t["embedding"].combine_chunks().flatten(),
+                         dtype=np.float64).reshape(len(ids), -1)
+        order = np.argsort(ids)
+        ids, qv = ids[order], ann._sq_quantize(mat[order])
+        cl = (out.sort_values("vec_id")["cluster_id"]
+              .to_numpy(np.int64))
+        d2 = ((qv ** 2).sum(1)[:, None] - 2 * qv @ qv.T
+              + (qv ** 2).sum(1)[None, :])
+        same = cl[:, None] == cl[None, :]
+        smaller = ids[None, :] < ids[:, None]
+        expect_dropped = ((d2 <= ann.KM_DEDUP_T) & same & smaller).any(axis=1)
+        got = out.sort_values("vec_id")["kept"].to_numpy(np.int64)
+        assert np.array_equal(got, (~expect_dropped).astype(np.int64))
+        # the lowest id per cluster is never dropped
         first = out.sort_values("vec_id").groupby("cluster_id").head(1)
         assert (first["kept"] == 1).all()
