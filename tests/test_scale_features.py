@@ -424,3 +424,37 @@ class TestKmeansEmbed:
         # the lowest id per cluster is never dropped
         first = out.sort_values("vec_id").groupby("cluster_id").head(1)
         assert (first["kept"] == 1).all()
+
+    def test_semantic_dedup_hot_cluster(self, tmp_path):
+        """A viral near-duplicate (1,000 copies of one embedding) lands in
+        one cluster; the row-blocked pairwise check must finish with
+        bounded memory and keep EXACTLY the smallest-id copy."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from raster_functions_ray import ann
+
+        rng = np.random.default_rng(17)
+        base = rng.standard_normal(64).astype(np.float32)
+        hot = np.tile(base, (1000, 1))
+        hot += rng.uniform(-1e-4, 1e-4, hot.shape).astype(np.float32)
+        cold = rng.standard_normal((200, 64)).astype(np.float32) * 5.0
+        mat = np.vstack([hot, cold])
+        ids = np.arange(len(mat), dtype=np.int64)
+        tbl = pa.table({
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                  pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(len(ids), np.int32)),
+        })
+        d = tmp_path / "hot"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "embeddings.parquet"))
+
+        out = ann.q_semantic_dedup_kmeans(str(d))
+        assert len(out) == 1200
+        hot_rows = out[out["vec_id"] < 1000]
+        # all 1000 copies share a cluster; only vec_id 0 survives
+        assert hot_rows["cluster_id"].nunique() == 1
+        assert int(hot_rows["kept"].sum()) == 1
+        assert int(hot_rows.loc[hot_rows["kept"] == 1, "vec_id"].iloc[0]) == 0
