@@ -1809,3 +1809,69 @@ SELECT tile_id, CAST(SUM(pred) AS BIGINT) AS n_pred1,
        MIN(q1) AS q1_min, MAX(q1) AS q1_max
 FROM rfq GROUP BY tile_id ORDER BY tile_id
 """
+
+
+# ----------------------------------- resumable hillshade (exact resume)
+
+def q_resumable_hillshade_exact(sf_dir: str) -> pd.DataFrame:
+    """Resume correctness pinned SQL-exact: the per-scene partitioned
+    hillshade runs over the analytic world in TWO passes — pass 1 computes
+    only half the scenes (a simulated mid-job failure), pass 2 resumes and
+    must skip the finished half via the checkpoint store — and the
+    assembled partitioned output is read back and reduced to the SAME
+    per-tile stats as ``q_hillshade_exact``, against the SAME oracle.
+    Resume therefore has to be bit-identical to a one-shot run to pass."""
+    import shutil
+    import uuid
+
+    from .functions import focal as fc
+    from .stages import halo, tile_map
+    from .state.checkpoint import CheckpointStore, input_fingerprint
+
+    path = _analytic_path(sf_dir)
+    scene_ids = [s * 10 for s in range(synth.A_SCENES)]
+    half = scene_ids[: max(1, len(scene_ids) // 2)]
+
+    def scene_table(sid: int) -> pa.Table:
+        padded = halo.with_halo_from_parquet(path, padding=1, bands=2,
+                                             scene_ids=[sid])
+
+        def kernel(p, m, meta):
+            band = p[0] if p.ndim == 3 else p
+            return fc.hillshade(band, m, meta["cell_size"])
+
+        out = tile_map.apply_kernel(padded, kernel, out_pixel_type="f8")
+        batches = list(out.iter_batches(batch_size=64, batch_format="pyarrow"))
+        return pa.concat_tables(batches)
+
+    root = f"/tmp/rfr_ckpt_exact/{uuid.uuid4().hex[:8]}"
+    try:
+        store = CheckpointStore(root)
+        fp = input_fingerprint([path])
+        # pass 1: "job dies" after the first half of the scenes
+        for sid in half:
+            store.write_partition("hsx", f"scene={sid}", scene_table(sid), fp)
+        # pass 2: resume over the full scene list
+        done = store.finished_keys("hsx", input_hash=fp)
+        resumed_skips = [s for s in scene_ids if f"scene={s}" in done]
+        if sorted(resumed_skips) != sorted(half):
+            raise RuntimeError(
+                f"resume filter failed: expected to skip {half}, "
+                f"skipped {resumed_skips}")
+        for sid in scene_ids:
+            if f"scene={sid}" in done:
+                continue
+            store.write_partition("hsx", f"scene={sid}", scene_table(sid), fp)
+        # read the assembled partitioned output back and reduce
+        parts = [os.path.join(store.partition_dir("hsx", f"scene={s}"),
+                              "part.parquet") for s in scene_ids]
+        out_ds = rd.read_parquet(parts)
+
+        def stats(a):
+            return (float(a.min()), float(a.max()), int((a > 128.0).sum()))
+
+        return _exact_stats(out_ds, stats, [("h_min", pa.float64()),
+                                            ("h_max", pa.float64()),
+                                            ("n_bright", pa.int64())])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
