@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsu_exact": analytic2.q_lsu_exact,
         "rf_exact": analytic2.q_rf_exact,
         "resumable_hillshade_exact": analytic2.q_resumable_hillshade_exact,
+        "nn_neighbors_exact": analytic2.q_nn_neighbors_exact,
         "vineyard_exact": analytic2.q_vineyard_exact,
         "seasonal_forecast_exact": analytic2.q_seasonal_forecast_exact,
         "tri_expr_exact": analytic2.q_tri_expr_exact,
@@ -276,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
         "rf_exact": analytic2.rf_exact_oracle_sql(0.01),
         # resume must be bit-identical to a one-shot run: SAME oracle
         "resumable_hillshade_exact": analytic2.hillshade_exact_oracle_sql(0.01),
+        "nn_neighbors_exact": analytic2.nn_neighbors_exact_oracle_sql(0.01),
         "vineyard_exact": analytic2.vineyard_exact_oracle_sql(0.01),
         "seasonal_forecast_exact": analytic2.seasonal_forecast_exact_oracle_sql(0.01),
         "tri_expr_exact": analytic2.tri_expr_exact_oracle_sql(0.01),

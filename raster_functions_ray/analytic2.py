@@ -1875,3 +1875,99 @@ def q_resumable_hillshade_exact(sf_dir: str) -> pd.DataFrame:
                                             ("n_bright", pa.int64())])
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ------------------------------ NearestNeighbors k-label bands (exact)
+
+# The noise-world q_nn_neighbors_stats stays the production gate for the
+# f4-matmul kernel (BLAS summation order is not SQL-pinnable).  This gate
+# pins the OPERATOR SHAPE of functions/NearestNeighborsClassifier.py:
+# 90-166 — k neighbor LABELS per pixel from a training table held in
+# actor state — with integer-exact distances: features are the integer-
+# valued analytic triple [b0, b1, b0·b1], d² is int64, and the neighbor
+# order (d², train_idx) is deterministic on both sides.
+
+NNX_K = 3
+NNX_STRIDE = 8  # pixel subsample, matching the production stage's cost bound
+
+
+class _NnxLabels:
+    """Actor-pool stage: training matrix built once per actor."""
+
+    def __init__(self, train_X: np.ndarray, train_y: np.ndarray):
+        self.X = train_X  # (m, 3) int64
+        self.y = train_y  # (m,) int64
+
+    def __call__(self, b: pa.Table) -> pd.DataFrame:
+        s = NNX_STRIDE
+        recs = []
+        tid = b["tile_id"].to_pylist()
+        for i in range(b.num_rows):
+            pix = tilecodec.decode(
+                b["pixels"][i].as_buffer(), b["pixel_type"][i].as_py(),
+                b["band_count"][i].as_py(), b["height"][i].as_py(),
+                b["width"][i].as_py())
+            b0 = pix[0][::s, ::s].astype(np.int64)
+            b1 = pix[1][::s, ::s].astype(np.int64)
+            f = np.stack([b0, b1, b0 * b1], axis=-1).reshape(-1, 3)
+            rr, cc = np.meshgrid(np.arange(0, pix.shape[1], s),
+                                 np.arange(0, pix.shape[2], s), indexing="ij")
+            d2 = ((f[:, None, :] - self.X[None, :, :]) ** 2).sum(-1)
+            # neighbor order: (d², train_idx) — np.lexsort is stable
+            tidx = np.arange(len(self.X))
+            for j in range(f.shape[0]):
+                order = np.lexsort((tidx, d2[j]))[:NNX_K]
+                recs.append((tid[i], int(rr.ravel()[j]), int(cc.ravel()[j]),
+                             *self.y[order].tolist()))
+        cols = ["tile_id", "pr", "pc"] + [f"n{k + 1}" for k in range(NNX_K)]
+        return pd.DataFrame(recs, columns=cols)
+
+
+def q_nn_neighbors_exact(sf_dir: str) -> pd.DataFrame:
+    df = rfx_training()
+    tx = df[["pred_1", "pred_2", "pred_3"]].to_numpy(np.float64)
+    train_X = np.floor(tx + 0.5).astype(np.int64)  # integer-valued by construction
+    train_y = df["VarToPredict"].to_numpy(np.int64)
+
+    tiles = _read_analytic(sf_dir, epoch=0)
+    out = tiles.map_batches(
+        _NnxLabels, fn_constructor_kwargs={"train_X": train_X,
+                                           "train_y": train_y},
+        batch_format="pyarrow", batch_size=16, concurrency=4).to_pandas()
+    return (out.sort_values(["tile_id", "pr", "pc"])
+            .reset_index(drop=True))
+
+
+def nn_neighbors_exact_oracle_sql(sf: float = 0.01) -> str:
+    p = synth.params_for(sf)
+    T = p.tile_px
+    df = rfx_training()
+    tx = np.floor(df[["pred_1", "pred_2", "pred_3"]].to_numpy(np.float64)
+                  + 0.5).astype(np.int64)
+    ty_ = df["VarToPredict"].to_numpy(np.int64)
+    vals = ", ".join(f"({i}, {tx[i,0]}, {tx[i,1]}, {tx[i,2]}, {ty_[i]})"
+                     for i in range(len(tx)))
+    return f"""
+WITH {_epoch0_cte(sf)},
+train AS (SELECT * FROM (VALUES {vals}) AS t(tidx, t0, t1, t2, ty)),
+feat AS (
+  SELECT tile_id, (gr % {T}) AS pr, (gc % {T}) AS pc,
+         CAST({_B0_E0} AS BIGINT) AS f0, CAST({_B1_E0} AS BIGINT) AS f1,
+         CAST({_B0_E0} AS BIGINT) * CAST({_B1_E0} AS BIGINT) AS f2
+  FROM px
+  WHERE (gr % {T}) % {NNX_STRIDE} = 0 AND (gc % {T}) % {NNX_STRIDE} = 0
+), ranked AS (
+  SELECT tile_id, pr, pc, ty,
+         ROW_NUMBER() OVER (
+             PARTITION BY tile_id, pr, pc
+             ORDER BY (f0 - t0) * (f0 - t0) + (f1 - t1) * (f1 - t1)
+                    + (f2 - t2) * (f2 - t2), tidx) AS rn
+  FROM feat CROSS JOIN train
+)
+SELECT tile_id, CAST(pr AS BIGINT) AS pr, CAST(pc AS BIGINT) AS pc,
+       CAST(MAX(CASE WHEN rn = 1 THEN ty END) AS BIGINT) AS n1,
+       CAST(MAX(CASE WHEN rn = 2 THEN ty END) AS BIGINT) AS n2,
+       CAST(MAX(CASE WHEN rn = 3 THEN ty END) AS BIGINT) AS n3
+FROM ranked WHERE rn <= {NNX_K}
+GROUP BY tile_id, pr, pc ORDER BY tile_id, pr, pc
+"""
