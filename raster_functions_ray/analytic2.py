@@ -1846,22 +1846,24 @@ def q_resumable_hillshade_exact(sf_dir: str) -> pd.DataFrame:
 
     root = f"/tmp/rfr_ckpt_exact/{uuid.uuid4().hex[:8]}"
     try:
+        from .state.checkpoint import run_partitioned
+
         store = CheckpointStore(root)
         fp = input_fingerprint([path])
+        factory = lambda key: scene_table(int(key.split("=")[1]))  # noqa: E731
         # pass 1: "job dies" after the first half of the scenes
-        for sid in half:
-            store.write_partition("hsx", f"scene={sid}", scene_table(sid), fp)
-        # pass 2: resume over the full scene list
-        done = store.finished_keys("hsx", input_hash=fp)
-        resumed_skips = [s for s in scene_ids if f"scene={s}" in done]
-        if sorted(resumed_skips) != sorted(half):
+        run_partitioned(factory, [f"scene={s}" for s in half], "hsx",
+                        store, input_hash=fp)
+        # pass 2: resume over the full scene list — the shared resume
+        # runner must skip exactly the finished half
+        written = run_partitioned(factory, [f"scene={s}" for s in scene_ids],
+                                  "hsx", store, input_hash=fp)
+        expect = {f"scene={s}" for s in scene_ids} - {f"scene={s}"
+                                                      for s in half}
+        if set(written) != expect:
             raise RuntimeError(
-                f"resume filter failed: expected to skip {half}, "
-                f"skipped {resumed_skips}")
-        for sid in scene_ids:
-            if f"scene={sid}" in done:
-                continue
-            store.write_partition("hsx", f"scene={sid}", scene_table(sid), fp)
+                f"resume filter failed: expected to compute {sorted(expect)},"
+                f" computed {sorted(written)}")
         # read the assembled partitioned output back and reduce
         parts = [os.path.join(store.partition_dir("hsx", f"scene={s}"),
                               "part.parquet") for s in scene_ids]
@@ -1947,6 +1949,9 @@ def nn_neighbors_exact_oracle_sql(sf: float = 0.01) -> str:
     ty_ = df["VarToPredict"].to_numpy(np.int64)
     vals = ", ".join(f"({i}, {tx[i,0]}, {tx[i,1]}, {tx[i,2]}, {ty_[i]})"
                      for i in range(len(tx)))
+    arms = ",\n       ".join(
+        f"CAST(MAX(CASE WHEN rn = {k + 1} THEN ty END) AS BIGINT) AS n{k + 1}"
+        for k in range(NNX_K))
     return f"""
 WITH {_epoch0_cte(sf)},
 train AS (SELECT * FROM (VALUES {vals}) AS t(tidx, t0, t1, t2, ty)),
@@ -1965,9 +1970,7 @@ feat AS (
   FROM feat CROSS JOIN train
 )
 SELECT tile_id, CAST(pr AS BIGINT) AS pr, CAST(pc AS BIGINT) AS pc,
-       CAST(MAX(CASE WHEN rn = 1 THEN ty END) AS BIGINT) AS n1,
-       CAST(MAX(CASE WHEN rn = 2 THEN ty END) AS BIGINT) AS n2,
-       CAST(MAX(CASE WHEN rn = 3 THEN ty END) AS BIGINT) AS n3
+       {arms}
 FROM ranked WHERE rn <= {NNX_K}
 GROUP BY tile_id, pr, pc ORDER BY tile_id, pr, pc
 """

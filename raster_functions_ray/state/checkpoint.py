@@ -139,9 +139,11 @@ def run_partitioned(ds_factory, keys: list[str], stage: str, store: CheckpointSt
 
     ``ds_factory(key)`` returns the pyarrow Table for one partition.
     Driver-side loop over PARTITIONS (not rows) — each partition's compute
-    is a Ray Data pipeline internally.
+    is a Ray Data pipeline internally.  When ``input_hash`` is given, only
+    partitions finished against the SAME input count as done (the
+    changed-input-recomputes contract documented on ``finished_keys``).
     """
-    done = store.finished_keys(stage)
+    done = store.finished_keys(stage, input_hash=input_hash or None)
     written = []
     for key in keys:
         if key in done:
