@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rf_exact": analytic2.q_rf_exact,
         "resumable_hillshade_exact": analytic2.q_resumable_hillshade_exact,
         "nn_neighbors_exact": analytic2.q_nn_neighbors_exact,
+        "rft_vineyard_exact": analytic2.q_rft_vineyard_exact,
         "vineyard_exact": analytic2.q_vineyard_exact,
         "seasonal_forecast_exact": analytic2.q_seasonal_forecast_exact,
         "tri_expr_exact": analytic2.q_tri_expr_exact,
@@ -278,6 +279,9 @@ def oracle_sql() -> dict[str, str]:
         # resume must be bit-identical to a one-shot run: SAME oracle
         "resumable_hillshade_exact": analytic2.hillshade_exact_oracle_sql(0.01),
         "nn_neighbors_exact": analytic2.nn_neighbors_exact_oracle_sql(0.01),
+        # the loaded reference template must match the hand-built chain's
+        # oracle bit-for-bit
+        "rft_vineyard_exact": analytic2.vineyard_exact_oracle_sql(0.01),
         "vineyard_exact": analytic2.vineyard_exact_oracle_sql(0.01),
         "seasonal_forecast_exact": analytic2.seasonal_forecast_exact_oracle_sql(0.01),
         "tri_expr_exact": analytic2.tri_expr_exact_oracle_sql(0.01),

@@ -1974,3 +1974,50 @@ SELECT tile_id, CAST(pr AS BIGINT) AS pr, CAST(pc AS BIGINT) AS pc,
 FROM ranked WHERE rn <= {NNX_K}
 GROUP BY tile_id, pr, pc ORDER BY tile_id, pr, pc
 """
+
+
+# ------------------------------------------- .rft.xml template loading
+
+RFT_VINEYARD = "/root/reference/functions/VineyardAnalysis.rft.xml"
+
+
+def q_rft_vineyard_exact(sf_dir: str) -> pd.DataFrame:
+    """The reference user's ACTUAL template file, loaded and run: parse
+    functions/VineyardAnalysis.rft.xml (diamond DAG — one Raster variable
+    feeds Slope + Aspect built-ins and the elevation input of the Python
+    adapter), lower it onto the engine's fused tile kernel
+    (pipelines/rft.py), and gate the result against the SAME oracle as
+    the hand-built q_vineyard_exact — template loading must be
+    bit-identical to native composition to pass."""
+    import os as _os
+
+    from .pipelines import rft
+    from .stages import halo, tile_map
+
+    if not _os.path.exists(RFT_VINEYARD):
+        raise FileNotFoundError(
+            f"reference template not available: {RFT_VINEYARD}")
+    kernel = rft.template_kernel(rft.parse_rft(RFT_VINEYARD))
+
+    padded = halo.with_halo_from_parquet(
+        _analytic_path(sf_dir), padding=1, bands=2,
+        scene_ids=[s * 10 for s in range(synth.A_SCENES)])
+    out = tile_map.apply_kernel(padded, kernel, out_pixel_type="u1")
+
+    def finish(b: pa.Table) -> pa.Table:
+        ids, cls, cnt = [], [], []
+        for i in range(b.num_rows):
+            arr = tilecodec.decode(b["pixels"][i].as_buffer(), "u1", 1,
+                                   b["height"][i].as_py(),
+                                   b["width"][i].as_py())
+            v, c = np.unique(arr, return_counts=True)
+            ids += [b["tile_id"][i].as_py()] * v.size
+            cls += [int(x) for x in v]
+            cnt += [int(x) for x in c]
+        return pa.table({"tile_id": pa.array(ids, pa.string()),
+                         "suitability": pa.array(cls, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    df = (out.map_batches(finish, batch_format="pyarrow", batch_size=32)
+          .to_pandas())
+    return df.sort_values(["tile_id", "suitability"]).reset_index(drop=True)

@@ -1,0 +1,110 @@
+"""The .rft.xml template loader must reproduce hand-built kernel chains
+bit-for-bit (pipelines/rft.py — the reference user's switch-over surface)."""
+
+import numpy as np
+import pytest
+
+from raster_functions_ray.functions import focal as fc
+from raster_functions_ray.functions import pointwise as pw
+from raster_functions_ray.pipelines import rft
+
+REF = "/root/reference/functions"
+
+
+class TestParse:
+    def test_vineyard_diamond(self):
+        t = rft.parse_rft(f"{REF}/VineyardAnalysis.rft.xml")
+        assert t.fn == "PythonAdapterFunction"
+        assert t.args["ClassName"] == "VineyardAnalysis"
+        # the diamond: one Raster variable feeds elevation + both nested
+        # built-ins (functions/VineyardAnalysis.rft.xml:27-115)
+        assert rft.dataset_vars(t) == ["Raster"]
+        assert t.args["slope"].fn == "SlopeFunction"
+        assert t.args["aspect"].fn == "AspectFunction"
+        assert float(t.args["slope"].args["ZFactor"]) == 1.0
+
+    def test_subtract_enum(self):
+        t = rft.parse_rft(f"{REF}/deprecated/Subtract.rft.xml")
+        assert t.fn == "ArithmeticFunction"
+        assert int(t.args["Operation"]) == 2
+        assert rft.dataset_vars(t) == ["Raster1", "Raster2"]
+
+    def test_unsupported_type_refuses(self):
+        t = rft.parse_rft(f"{REF}/TerrainRuggednessIndex-Riley-Colormap.rft.xml")
+        assert t.fn == "TableFunction"
+        with pytest.raises(NotImplementedError):
+            rft.template_kernel(t)(np.zeros((1, 8, 8)),
+                                   np.ones((8, 8), np.uint8),
+                                   {"cell_size": (30.0, 30.0),
+                                    "width": 8, "height": 8})
+
+
+class TestLoweredKernels:
+    META = {"cell_size": (30.0, 30.0), "width": 16, "height": 16}
+
+    def test_vineyard_matches_hand_built(self):
+        rng = np.random.default_rng(5)
+        dem = rng.uniform(0, 400, (18, 18))
+        m = np.ones((18, 18), np.uint8)
+        k = rft.template_kernel(rft.parse_rft(f"{REF}/VineyardAnalysis.rft.xml"))
+        out, om = k(dem, m, self.META)
+        dxc = fc.convolve3x3(dem, fc.ASPECT_X) / 8.0
+        dyc = fc.convolve3x3(dem, fc.ASPECT_Y) / 8.0
+        slope = np.sqrt((dxc / 30.0) ** 2 + (dyc / 30.0) ** 2) * 100.0
+        aspect = (57.29578 * np.arctan2(dxc, -dyc)) % 360.0
+        ref = pw.vineyard_analysis(dem[1:-1, 1:-1], slope[1:-1, 1:-1],
+                                   aspect[1:-1, 1:-1])
+        assert np.array_equal(out, ref)
+        assert np.array_equal(om, fc.erode_mask_3x3(m))
+
+    def test_subtract_matches_arithmetic(self):
+        rng = np.random.default_rng(6)
+        r = rng.uniform(0, 100, (2, 8, 8))
+        m = np.ones((8, 8), np.uint8)
+        k = rft.template_kernel(rft.parse_rft(f"{REF}/deprecated/Subtract.rft.xml"))
+        out, _ = k(r, m, {"cell_size": (30.0, 30.0), "width": 8, "height": 8})
+        assert np.array_equal(out, pw.arithmetic(r[0], r[1], "Subtract"))
+
+    def test_mask_raster_replaces_mask(self):
+        rng = np.random.default_rng(7)
+        r = rng.uniform(-50, 100, (2, 8, 8))
+        m = np.ones((8, 8), np.uint8)
+        k = rft.template_kernel(rft.parse_rft(f"{REF}/MaskRaster.rft.xml"))
+        out, om = k(r, m, {"cell_size": (30.0, 30.0), "width": 8, "height": 8})
+        e_out, e_m = pw.mask_raster(r[0], r[1], m)
+        assert np.array_equal(out, e_out)
+        assert np.array_equal(om, e_m)
+        assert om.min() == 0  # negatives in the mask raster knock pixels out
+
+    def test_calculator_focal_expression(self):
+        # the TRI template's nested RasterCalculator node, evaluated via
+        # the expression layer with Focal_* padding inference
+        t = rft.parse_rft(f"{REF}/TerrainRuggednessIndex-Riley-Colormap.rft.xml")
+
+        def find_calc(node):
+            if isinstance(node, rft.Template):
+                if node.fn == "RasterCalculatorFunction":
+                    return node
+                for v in node.args.values():
+                    got = find_calc(v)
+                    if got is not None:
+                        return got
+            if isinstance(node, list):
+                for v in node:
+                    got = find_calc(v)
+                    if got is not None:
+                        return got
+            return None
+
+        calc = find_calc(t)
+        assert calc is not None
+        expr_src = calc.args["Expression"]
+        assert "Focal_Max" in expr_src
+        rng = np.random.default_rng(8)
+        dem = rng.uniform(0, 400, (18, 18))
+        m = np.ones((18, 18), np.uint8)
+        out, om = rft.template_kernel(calc)(dem, m, self.META)
+        from raster_functions_ray.functions.expr import Expression
+
+        ref = Expression(expr_src).evaluate({"DEM": dem})
+        assert np.array_equal(out, ref)
