@@ -88,6 +88,9 @@ def _parse_value(el):
             return [_parse_value(a) for a in v]
         if vt == "ArrayOfString":
             return [(s.text or "") for s in v]
+        if vt in ("ArrayOfDouble", "ArrayOfInt"):
+            cast = float if vt == "ArrayOfDouble" else int
+            return [cast((s.text or "0").strip()) for s in v]
         if vt == "":
             return None
         return _typed_text(v)
@@ -202,6 +205,23 @@ def _eval(node, env: dict, meta: dict):
         r1, r2 = _align2(r1, s1, r2, s2)
         op = _ARITH_OPS[int(a.get("Operation", 1))]
         return pw.arithmetic(r1, r2, op), max(s1, s2), None
+
+    if fn == "RemapFunction":
+        from ..functions import remap as rm
+
+        v, s, _ = _eval(a["Raster"], env, meta)
+        mapped = rm.remap(v, a["InputRanges"], a["OutputValues"],
+                          a.get("NoDataRanges") or ())
+        if a.get("AllowUnmatched"):
+            mapped = np.where(np.isnan(mapped), v, mapped)
+        return mapped, s, None
+
+    if fn == "TableFunction":
+        # label/color category table — attribute metadata over unchanged
+        # pixels (the host renders the table; the engine's analog keeps the
+        # class codes and carries the table as dataset metadata)
+        v, s, msk = _eval(a["Raster"], env, meta)
+        return v, s, msk
 
     if fn == "RasterCalculatorFunction":
         rasters = a.get("Rasters") or []

@@ -30,8 +30,8 @@ class TestParse:
         assert rft.dataset_vars(t) == ["Raster1", "Raster2"]
 
     def test_unsupported_type_refuses(self):
-        t = rft.parse_rft(f"{REF}/TerrainRuggednessIndex-Riley-Colormap.rft.xml")
-        assert t.fn == "TableFunction"
+        t = rft.Template(name="x", fn="TrendFunction",
+                         args={"Raster": rft.Var("Raster")})
         with pytest.raises(NotImplementedError):
             rft.template_kernel(t)(np.zeros((1, 8, 8)),
                                    np.ones((8, 8), np.uint8),
@@ -108,3 +108,30 @@ class TestLoweredKernels:
 
         ref = Expression(expr_src).evaluate({"DEM": dem})
         assert np.array_equal(out, ref)
+
+
+class TestFullTriTemplate:
+    def test_tri_template_end_to_end(self):
+        """The COMPLETE TerrainRuggednessIndex template — TableFunction ∘
+        Remap ∘ RasterCalculator(Focal_*) — loaded and evaluated, equals
+        the hand-composed expression + interval remap."""
+        from raster_functions_ray.functions import remap as rm
+        from raster_functions_ray.functions.expr import Expression
+
+        t = rft.parse_rft(f"{REF}/TerrainRuggednessIndex-Riley-Colormap.rft.xml")
+        rng = np.random.default_rng(9)
+        # flat west half (TRI≈0 → class 1), rough east half (high classes)
+        yy, xx = np.meshgrid(np.arange(18), np.arange(18), indexing="ij")
+        dem = np.where(xx < 9, 100.0, rng.uniform(0, 500, (18, 18)))
+        m = np.ones((18, 18), np.uint8)
+        out, _ = rft.template_kernel(t)(
+            dem, m, {"cell_size": (30.0, 30.0), "width": 16, "height": 16})
+        tri = Expression(
+            "SquareRoot(Abs((Square(Focal_Max(DEM,3,3))"
+            " - Square(Focal_Min(DEM,3,3)))))").evaluate({"DEM": dem})
+        ir = [0, 80, 81, 116, 117, 161, 162, 239, 240, 497, 498, 958,
+              959, 5000]
+        ref = rm.remap(tri, ir, [1, 2, 3, 4, 5, 6, 7])
+        assert np.array_equal(out, ref, equal_nan=True)
+        got = np.unique(out[~np.isnan(out)])
+        assert got.size >= 2  # the remap actually discriminates classes
