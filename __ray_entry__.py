@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nn_neighbors_stats": rq.q_nn_neighbors_stats,
         "audio_features": rq.q_audio_features,
         "sarima_forecast": rq.q_sarima_forecast,
+        "rft_radiation_stats": rq.q_rft_radiation_stats,
     }
 
 

@@ -232,6 +232,17 @@ def _eval(node, env: dict, meta: dict):
             arr, s, _ = _eval(rnode, env, meta)
             env2[nm] = arr
             shr = max(shr, s)
+        for nm in names[len(rasters):]:
+            # an input with NO raster binding: the host supplies it — the
+            # only observed case is a latitude plane ('Annual Direct
+            # Incident Radiation.rft.xml' third calculator), which the
+            # engine derives from the tile georeference like the Latitude
+            # operator (functions/Latitude.py:45-83)
+            if "lat" in nm.lower() and "__lat__" in env:
+                env2[nm] = env["__lat__"]
+            else:
+                raise NotImplementedError(
+                    f"calculator input {nm!r} has no raster binding")
         if shr:
             env2 = {k: v for k, v in env2.items()}  # already aligned: all s==shr
         out = expr.evaluate(env2)
@@ -273,6 +284,14 @@ def template_kernel(tmpl: Template):
                 f"({names}), tile has {pix.shape[0]} band(s)")
         env = {nm: pix[i].astype(np.float64) for i, nm in enumerate(names)}
         env["__mask__"] = m
+        if meta.get("extent") is not None and meta.get("cell_size") is not None:
+            from ..functions.pointwise import latitude_block
+
+            pad0 = (pix.shape[-1] - meta["width"]) // 2
+            ext = list(meta["extent"])
+            ext[3] = ext[3] + meta["cell_size"][1] * pad0  # padded top edge
+            env["__lat__"] = latitude_block(ext, meta["cell_size"],
+                                            pix.shape[-2:])
         out, shrink, explicit = _eval(tmpl, env, meta)
         pad = (pix.shape[-1] - meta["width"]) // 2
         out = _trim(out, pad - shrink)

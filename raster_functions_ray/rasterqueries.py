@@ -1588,3 +1588,22 @@ SELECT doc_id, COUNT(*) AS n_spans,
 FROM h JOIN wt USING (idx)
 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def q_rft_radiation_stats(sf_dir: str) -> pd.DataFrame:
+    """'Annual Direct Incident Radiation.rft.xml' — the reference corpus's
+    most complex template (three nested RasterCalculators over Aspect and
+    Slope built-ins plus a host-supplied latitude plane, with per-pixel
+    Cos/Sin) — loaded by pipelines/rft.py and run over the real noise-world
+    DEM tiles through the parquet halo.  Rows-only (trig per pixel); the
+    loader itself is pinned exact by rft_vineyard_exact and the pytest
+    hand-composition suite (tests/test_rft_loader.py)."""
+    from .pipelines import rft
+
+    path = "/root/reference/functions/Annual Direct Incident Radiation.rft.xml"
+    kernel = rft.template_kernel(rft.parse_rft(path))
+    d = synth.synth_dir_for(sf_dir)
+    padded = halo.with_halo_from_parquet(os.path.join(d, "tiles.parquet"),
+                                         padding=1, bands=1)
+    out = tile_map.apply_kernel(padded, kernel, out_pixel_type="f8")
+    return _stats_df(out)

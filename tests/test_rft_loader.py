@@ -135,3 +135,37 @@ class TestFullTriTemplate:
         assert np.array_equal(out, ref, equal_nan=True)
         got = np.unique(out[~np.isnan(out)])
         assert got.size >= 2  # the remap actually discriminates classes
+
+
+class TestRadiationTemplate:
+    def test_nested_calculators_with_host_latitude(self):
+        """'Annual Direct Incident Radiation.rft.xml' — the corpus's most
+        complex template (three nested RasterCalculators over Aspect and
+        Slope plus a host-supplied latitude plane) — loads and equals the
+        hand-composed expression chain."""
+        from raster_functions_ray.functions.expr import Expression
+        from raster_functions_ray.functions.pointwise import latitude_block
+
+        t = rft.parse_rft(f"{REF}/Annual Direct Incident Radiation.rft.xml")
+        rng = np.random.default_rng(10)
+        dem = rng.uniform(0, 800, (18, 18))
+        m = np.ones((18, 18), np.uint8)
+        meta = {"cell_size": (30.0, 30.0), "width": 16, "height": 16,
+                "extent": (0.0, 0.0, 480.0, 480.0)}
+        out, _ = rft.template_kernel(t)(dem, m, meta)
+
+        dxc = fc.convolve3x3(dem, fc.ASPECT_X) / 8.0
+        dyc = fc.convolve3x3(dem, fc.ASPECT_Y) / 8.0
+        aspect = (57.29578 * np.arctan2(dxc, -dyc)) % 360.0
+        slope = np.sqrt((dxc / 30.0) ** 2 + (dyc / 30.0) ** 2) * 100.0
+        to_r = "latitude*3.141592/180"
+        fas_r = Expression(to_r).evaluate(
+            {"latitude": Expression("Abs( 180-Abs( ras-225 ))")
+             .evaluate({"ras": aspect})})
+        slo_r = Expression(to_r).evaluate({"latitude": slope})
+        ext = [0.0, 0.0, 480.0, 480.0 + 30.0]
+        lat_r = Expression(to_r).evaluate(
+            {"latitude": latitude_block(ext, (30.0, 30.0), (18, 18))})
+        ref = Expression(t.args["Expression"]).evaluate(
+            {"fas_rads": fas_r, "slo_rads": slo_r, "lat_rads": lat_r})
+        assert np.array_equal(out, ref[1:-1, 1:-1])
