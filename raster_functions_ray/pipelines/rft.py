@@ -69,11 +69,31 @@ def _typed_text(el):
     return txt  # string / untyped
 
 
+_IDS: dict = {}  # id → element map of the template being parsed
+
+
+def _deref(el):
+    """Resolve an ``href='IDn'`` reference — the schema's shared-node DAG
+    encoding (functions/RemoveNoData.rft.xml reuses one dataset node in
+    two branches via id/href)."""
+    ref = el.get("href")
+    return _IDS.get(ref, el) if ref else el
+
+
 def _parse_value(el):
+    el = _deref(el)
     t = _xsi(el)
     if t == "RasterFunctionTemplate":
         return _parse_template(el)
     if t in ("RasterFunctionVariable", ""):
+        v0 = el.find("Value")
+        if v0 is not None and _xsi(v0) == "Scalar":
+            # a constant raster (Con's replacement value,
+            # functions/RemoveNoData.rft.xml Const node)
+            return _typed_text(v0.find("Value"))
+        if v0 is not None and _xsi(v0) == "RasterDatasetName":
+            # a file-bound dataset → a named raster input of the template
+            return Var(el.findtext("Name") or "")
         if (el.findtext("IsDataset") or "").strip().lower() == "true":
             return Var(el.findtext("Name") or "")
         v = el.find("Value")
@@ -113,7 +133,13 @@ def _parse_template(el) -> Template:
 
 
 def parse_rft(path: str) -> Template:
-    return _parse_template(ET.parse(path).getroot())
+    root = ET.parse(path).getroot()
+    _IDS.clear()
+    _IDS.update({e.get("id"): e for e in root.iter() if e.get("id")})
+    try:
+        return _parse_template(root)
+    finally:
+        _IDS.clear()
 
 
 def dataset_vars(tmpl: Template) -> list[str]:
@@ -157,6 +183,8 @@ def _eval(node, env: dict, meta: dict):
 
     if isinstance(node, Var):
         return env[node.name], 0, None
+    if isinstance(node, (int, float)):
+        return float(node), 0, None  # constant raster (Scalar node)
     if not isinstance(node, Template):
         raise NotImplementedError(f"cannot evaluate leaf {node!r}")
     fn, a = node.fn, node.args
@@ -206,6 +234,36 @@ def _eval(node, env: dict, meta: dict):
         op = _ARITH_OPS[int(a.get("Operation", 1))]
         return pw.arithmetic(r1, r2, op), max(s1, s2), None
 
+    if fn == "LocalFunction":
+        # op codes observed in functions/RemoveNoData.rft.xml: the node
+        # NAMED 'Is Null' carries Operation=31, the node NAMED 'Con'
+        # carries Operation=78
+        op = int(a.get("Operation", 0))
+        ins = a.get("Rasters") or []
+        if op == 31:  # IsNull: 1 where the mask is invalid
+            _, s, _ = _eval(ins[0], env, meta)
+            msk = _trim(env["__mask__"], s)
+            return (np.asarray(msk) == 0).astype(np.float64), s, None
+        if op == 78:  # Con(cond, true_val, false_val)
+            cond, s1, _ = _eval(ins[0], env, meta)
+            tv, s2, _ = _eval(ins[1], env, meta)
+            fv, s3, _ = _eval(ins[2], env, meta)
+            s = max(s1, s2, s3)
+            cond = _trim(cond, s - s1)
+            tv, fv = _trim(tv, s - s2), _trim(fv, s - s3)
+            out = np.where(np.asarray(cond) != 0, tv, fv)
+            # Con over IsNull fills NoData: the result is defined
+            # everywhere (pw.remove_nodata's forced-valid mask)
+            return out, s, np.ones(out.shape[-2:], np.uint8)
+        raise NotImplementedError(f"LocalFunction Operation={op}")
+
+    if fn == "VectorFieldFunction":
+        u, s1, _ = _eval(a["Raster1"], env, meta)
+        v, s2, _ = _eval(a["Raster2"], env, meta)
+        u, v = _align2(u, s1, v, s2)
+        mag, direction = ex.vector_field(u, v)
+        return np.stack([mag, direction]), max(s1, s2), None
+
     if fn == "RemapFunction":
         from ..functions import remap as rm
 
@@ -253,9 +311,9 @@ def _eval(node, env: dict, meta: dict):
 
 
 def _trim(arr, k: int):
-    if arr is None or k <= 0:
+    if arr is None or k <= 0 or np.isscalar(arr):
         return arr
-    return arr[k:-k, k:-k]
+    return arr[..., k:-k, k:-k]
 
 
 def _align2(a, sa, b, sb):

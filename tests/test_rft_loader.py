@@ -169,3 +169,32 @@ class TestRadiationTemplate:
         ref = Expression(t.args["Expression"]).evaluate(
             {"fas_rads": fas_r, "slo_rads": slo_r, "lat_rads": lat_r})
         assert np.array_equal(out, ref[1:-1, 1:-1])
+
+
+class TestLocalAndVectorField:
+    def test_remove_nodata_con_isnull(self):
+        """functions/RemoveNoData.rft.xml: Con(IsNull(R), 0, R) through the
+        id/href shared-node DAG and Scalar constant — equals the engine's
+        fused remove_nodata kernel."""
+        t = rft.parse_rft(f"{REF}/RemoveNoData.rft.xml")
+        assert t.fn == "LocalFunction"
+        rng = np.random.default_rng(11)
+        r = rng.uniform(1, 100, (8, 8))
+        m = (rng.uniform(0, 1, (8, 8)) > 0.3).astype(np.uint8)
+        out, om = rft.template_kernel(t)(
+            r, m, {"cell_size": (30.0, 30.0), "width": 8, "height": 8})
+        ref, refm = pw.remove_nodata(r, m, 0.0)
+        assert np.array_equal(out, ref)
+        assert np.array_equal(om, refm)
+
+    def test_vector_field(self):
+        from raster_functions_ray.functions.expr import vector_field
+
+        t = rft.parse_rft(f"{REF}/VF.rft.xml")
+        rng = np.random.default_rng(12)
+        uv = rng.uniform(-10, 10, (2, 8, 8))
+        out, _ = rft.template_kernel(t)(
+            uv, np.ones((8, 8), np.uint8),
+            {"cell_size": (30.0, 30.0), "width": 8, "height": 8})
+        mag, di = vector_field(uv[0], uv[1])
+        assert np.array_equal(out, np.stack([mag, di]))
