@@ -51,6 +51,7 @@ class Template:
     name: str
     fn: str                     # xsi function type, e.g. 'SlopeFunction'
     args: dict = field(default_factory=dict)
+    fn_name: str = ""           # the Function element's display name
 
 
 def _xsi(el) -> str:
@@ -121,15 +122,17 @@ def _parse_template(el) -> Template:
     fn = el.find("Function")
     args_el = el.find("Arguments")
     names_el = args_el.find("Names")
+    fn_name = (fn.findtext("Name") or "").strip()
     if names_el is None:
         # Arguments can be a single RasterFunctionVariable — the one-input
         # shorthand (functions/VineyardAnalysis.rft.xml:97-102, Aspect)
         return Template(name=el.findtext("Name") or "", fn=_xsi(fn),
-                        args={"Raster": _parse_value(args_el)})
+                        args={"Raster": _parse_value(args_el)},
+                        fn_name=fn_name)
     names = [(s.text or "") for s in names_el]
     values = [_parse_value(v) for v in args_el.find("Values")]
     return Template(name=el.findtext("Name") or "", fn=_xsi(fn),
-                    args=dict(zip(names, values)))
+                    args=dict(zip(names, values)), fn_name=fn_name)
 
 
 def parse_rft(path: str) -> Template:
@@ -190,7 +193,16 @@ def _eval(node, env: dict, meta: dict):
     fn, a = node.fn, node.args
 
     if fn == "PythonAdapterFunction":
-        cls = a.get("ClassName")
+        # ClassName argument when present, else the Function element's
+        # Name (the NDVI templates omit ClassName and name the function)
+        cls = a.get("ClassName") or node.fn_name
+        if cls == "NDVI":
+            _, s, _ = _eval(a["raster"], env, meta)
+            bands = _trim(env["__bands__"], s)
+            out = pw.ndvi(bands[int(a.get("red", 0))],
+                          bands[int(a.get("ir", 1))],
+                          str(a.get("method") or "Raw"))
+            return out, s, None
         if cls == "MaskRaster":
             r, s1, _ = _eval(a["r"], env, meta)
             m, s2, _ = _eval(a["m"], env, meta)
@@ -342,6 +354,7 @@ def template_kernel(tmpl: Template):
                 f"({names}), tile has {pix.shape[0]} band(s)")
         env = {nm: pix[i].astype(np.float64) for i, nm in enumerate(names)}
         env["__mask__"] = m
+        env["__bands__"] = pix  # band-indexed adapters (NDVI red/ir)
         if meta.get("extent") is not None and meta.get("cell_size") is not None:
             from ..functions.pointwise import latitude_block
 

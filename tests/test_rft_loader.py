@@ -198,3 +198,22 @@ class TestLocalAndVectorField:
             {"cell_size": (30.0, 30.0), "width": 8, "height": 8})
         mag, di = vector_field(uv[0], uv[1])
         assert np.array_equal(out, np.stack([mag, di]))
+
+
+class TestNdviTemplates:
+    def test_all_three_ndvi_variants(self):
+        """NDVI / NDVI-Grayscale / NDVI-Colormap templates (ClassName
+        omitted — the adapter resolves by Function display name; red/ir
+        are Landsat band indices 3/4) equal the engine's f4 NDVI kernel."""
+        rng = np.random.default_rng(13)
+        p = rng.uniform(1, 255, (7, 8, 8))
+        m = np.ones((8, 8), np.uint8)
+        meta = {"cell_size": (30.0, 30.0), "width": 8, "height": 8}
+        for f, meth in (("NDVI.rft.xml", "Raw"),
+                        ("NDVI-Grayscale.rft.xml", "Grayscale"),
+                        ("NDVI-Colormap.rft.xml", "Colormap")):
+            t = rft.parse_rft(f"{REF}/deprecated/{f}")
+            out, _ = rft.template_kernel(t)(p, m, meta)
+            assert str(t.args["method"]) == meth
+            ref = pw.ndvi(p[int(t.args["red"])], p[int(t.args["ir"])], meth)
+            assert np.array_equal(out, ref), f
