@@ -276,6 +276,14 @@ def _eval(node, env: dict, meta: dict):
         mag, direction = ex.vector_field(u, v)
         return np.stack([mag, direction]), max(s1, s2), None
 
+    if fn == "ExtractBandFunction":
+        # functions/deprecated/LinearSpectralUnmixing.rft.xml: Raster +
+        # BandIDs → band subset (multiband in, multiband out)
+        _, s, _ = _eval(a["Raster"], env, meta)
+        bands = _trim(env["__bands__"], s)
+        ids = [int(i) for i in (a.get("BandIDs") or [])]
+        return bands[ids].astype(np.float64), s, None
+
     if fn == "RemapFunction":
         from ..functions import remap as rm
 

@@ -217,3 +217,17 @@ class TestNdviTemplates:
             assert str(t.args["method"]) == meth
             ref = pw.ndvi(p[int(t.args["red"])], p[int(t.args["ir"])], meth)
             assert np.array_equal(out, ref), f
+
+
+    def test_extract_band(self):
+        from raster_functions_ray.pipelines.rft import Template, Var, \
+            template_kernel
+
+        tmpl = Template(name="x", fn="ExtractBandFunction",
+                        args={"Raster": Var("Raster"), "BandIDs": [3, 1]})
+        rng = np.random.default_rng(14)
+        p = rng.uniform(0, 100, (5, 8, 8))
+        out, _ = template_kernel(tmpl)(
+            p, np.ones((8, 8), np.uint8),
+            {"cell_size": (30.0, 30.0), "width": 8, "height": 8})
+        assert np.array_equal(out, p[[3, 1]])
