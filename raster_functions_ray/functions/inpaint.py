@@ -77,8 +77,13 @@ def stepwise_radiometric_adjustment(cloud_img: np.ndarray,
     targ = cloud_img * (1 - clouds)
     repl = replace_img * clouds
 
-    # cycle count: dilations of the known region until everything is known
+    # cycle count: dilations of the known region until everything is known.
+    # A fully-clouded block has no known seeds — dilation would never
+    # grow it (infinite loop); there is nothing to transfer from, so the
+    # fill is the replacement scene verbatim.
     image = (1 - clouds).astype(np.uint8)
+    if not np.any(image):
+        return replace_img
     num_cycles = 0
     while np.any(image == 0):
         image = dilate5x5_binary(image, 1)
