@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "budget_select": trainprep.q_budget_select,
         "hll_distinct": trainprep.q_hll_distinct,
         "paragraph_dedup": trainprep.q_paragraph_dedup,
+        "substring_dedup": dedup.q_substring_dedup,
         "mixture_rebalance": trainprep.q_mixture_rebalance,
         # similarity search (SQL-exact)
         "ann_topk": ann.q_ann_topk,
@@ -313,6 +314,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": dedup.Q_EXACT_DEDUP_SQL,
         "simhash_poly": dedup.Q_SIMHASH_POLY_SQL,
         "minhash_lsh_exact": dedup.Q_MINHASH_LSH_SQL,
+        "substring_dedup": dedup.Q_SUBSTRING_DEDUP_SQL,
         "ann_topk": ann.Q_ANN_TOPK_SQL,
         "tile_cells": rq.tile_cells_oracle_sql(0.01),
         "windchill": bandmath.Q_WINDCHILL_SQL,

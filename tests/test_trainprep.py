@@ -316,3 +316,74 @@ class TestBudgetSelect:
         got = tp.q_budget_select(SF_DIR)
         assert got["cum_tokens"].max() <= tp.SELECT_BUDGET
         assert len(got) > 0
+
+
+class TestSubstringDedup:
+    """q_substring_dedup: exact duplicated-substring spans (window SUB_L)."""
+
+    def _write(self, tmp_path, texts):
+        import pyarrow.parquet as pq
+        tab = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                        "text": pa.array(texts)})
+        pq.write_table(tab, tmp_path / "documents.parquet")
+        return str(tmp_path)
+
+    def _brute(self, texts, L):
+        """Literal-definition oracle: mark every offset whose L-window
+        occurs >= 2 times corpus-wide, merge overlapping/adjacent."""
+        from collections import Counter
+        cnt = Counter(t[o:o + L] for t in texts
+                      for o in range(len(t) - L + 1))
+        spans = []
+        for d, t in enumerate(texts):
+            offs = [o for o in range(len(t) - L + 1)
+                    if cnt[t[o:o + L]] >= 2]
+            cur = None
+            for o in offs:
+                if cur and o - cur[1] <= L:
+                    cur[1] = o
+                else:
+                    if cur:
+                        spans.append((d, cur[0], cur[1] + L))
+                    cur = [o, o]
+            if cur:
+                spans.append((d, cur[0], cur[1] + L))
+        return sorted(spans)
+
+    def test_hand_corpus_matches_brute(self, tmp_path):
+        from raster_functions_ray.dedup import SUB_L, q_substring_dedup
+        lic = "x" * 0 + "Copyright (c) 2026 Example Corp. All rights reserved!!"
+        assert len(lic) > SUB_L
+        texts = [
+            "A" * 30 + lic + "unique tail one " * 5,
+            "totally different head material here " * 3 + lic,
+            "no duplicated content in this document at all " * 4,
+            ("intra-doc repeat " * 6) + "ZQW" + ("intra-doc repeat " * 6),
+        ]
+        got = q_substring_dedup(self._write(tmp_path, texts))
+        exp = self._brute(texts, SUB_L)
+        assert list(map(tuple, got[["doc_id", "span_start", "span_end"]]
+                        .itertuples(index=False))) == exp
+        assert (got["span_len"] == got["span_end"] - got["span_start"]).all()
+
+    def test_viral_duplicate_no_blowup(self, tmp_path):
+        # 400 copies of one page: occurrence count is 400x but the span
+        # output stays one row per copy and the run completes quickly
+        from raster_functions_ray.dedup import SUB_L, q_substring_dedup
+        page = "viral boilerplate page body " * 4
+        assert len(page) >= SUB_L
+        # the tail doc must not be internally periodic below the window
+        # length, or its own windows legitimately duplicate
+        texts = [page] * 400 + [
+            "singular document alpha beta gamma delta epsilon zeta eta "
+            "theta iota kappa lambda mu nu xi omicron pi rho sigma tau"]
+        got = q_substring_dedup(self._write(tmp_path, texts))
+        assert len(got) == 400
+        assert set(got["doc_id"]) == set(range(400))
+        assert (got["span_start"] == 0).all()
+        assert (got["span_end"] == len(page)).all()
+
+    def test_short_docs_skipped(self, tmp_path):
+        from raster_functions_ray.dedup import q_substring_dedup
+        got = q_substring_dedup(self._write(tmp_path, ["tiny", "tiny"]))
+        assert len(got) == 0
