@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_metadata": rq.q_key_metadata,
         "video_frame_plan": rq.q_video_frame_plan,
         "random_source_exact": rq.q_random_source_exact,
+        "d8_flow_exact": rq.q_d8_flow_exact,
         # ---- rows-only section (no SQL oracle: RNG/pixel-payload/stub
         # codec semantics; each is gated by the pytest golden suite) ----
         "minhash_dedup": dedup.q_minhash_dedup,
@@ -330,6 +331,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_catalog": rq.tile_catalog_oracle_sql(0.01),
         "key_metadata": rq.key_metadata_oracle_sql(0.01),
         "random_source_exact": rq.RANDOM_SOURCE_EXACT_SQL,
+        "d8_flow_exact": rq.D8_FLOW_EXACT_SQL,
         "zonal_value_salted": spatial.Q_ZONAL_VALUE_SQL,
         "fuzzy_mssmall_two_phase": bandmath.Q_FUZZY_MSSMALL_SQL,
         "anti_join": rel.Q_ANTI_JOIN_SQL,

@@ -672,6 +672,24 @@ def q_vineyard_chain(sf_dir: str) -> pd.DataFrame:
     return _stats_df(out)
 
 
+D8_OFFS = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+
+
+def d8_directions(dem: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Steepest-descent D8 direction per pixel: (best direction index into
+    D8_OFFS, has_down mask).  Drops evaluate against edge-CLAMPED
+    neighbours (pad mode="edge"); ties resolve to the lowest direction
+    index (np.argmax first-max)."""
+    h, w = dem.shape
+    pad = np.pad(dem, 1, mode="edge")
+    drops = np.full((8, h, w), -np.inf)
+    for k, (dy, dx) in enumerate(D8_OFFS):
+        nb = pad[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+        dist = np.sqrt(dy * dy + dx * dx)
+        drops[k] = (dem - nb) / dist
+    return np.argmax(drops, axis=0), np.max(drops, axis=0) > 0
+
+
 def d8_flow_accumulation(dem: np.ndarray, max_iters: int | None = None) -> np.ndarray:
     """Per-tile D8 flow accumulation (pure numpy, no scipy): steepest-descent
     direction per pixel, then iterative upstream-count propagation to a fixed
@@ -679,15 +697,8 @@ def d8_flow_accumulation(dem: np.ndarray, max_iters: int | None = None) -> np.nd
     (functions/CompoundTopographicIndex_64bitScipy.py:80-149 — which solves
     the same linear system with spsolve)."""
     h, w = dem.shape
-    offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
-    pad = np.pad(dem, 1, mode="edge")
-    drops = np.full((8, h, w), -np.inf)
-    for k, (dy, dx) in enumerate(offs):
-        nb = pad[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
-        dist = np.sqrt(dy * dy + dx * dx)
-        drops[k] = (dem - nb) / dist
-    best = np.argmax(drops, axis=0)
-    has_down = np.max(drops, axis=0) > 0
+    offs = D8_OFFS
+    best, has_down = d8_directions(dem)
     # hoist loop-invariant padded views out of the fixed-point iteration
     # (the per-iteration pads dominated both runtime and allocator churn)
     bestp = np.pad(best, 1, mode="constant", constant_values=-1)
@@ -1035,6 +1046,107 @@ SELECT tile_idx,
        MAX(val) AS max_val,
        SUM(val) / {float(_RND_PX)} AS mean_val
 FROM v GROUP BY tile_idx ORDER BY tile_idx
+"""
+
+
+# ---------------------------------------------- D8 hydrology exact gate
+
+_D8_TILES = 32
+_D8_N = 16  # grid side
+
+
+def _d8_dem(tile_ids: np.ndarray) -> np.ndarray:
+    """Counter-based integer pseudo-DEM (tiles, N, N): value =
+    ((s*131071 + r*37 + c*17) * 2654435761) % 4096 — int64-exact in both
+    numpy and DuckDB BIGINT (max product ~1.1e16 < 2^63)."""
+    s = tile_ids[:, None, None].astype(np.int64)
+    r = np.arange(_D8_N, dtype=np.int64)[None, :, None]
+    c = np.arange(_D8_N, dtype=np.int64)[None, None, :]
+    return (((s * 131071 + r * 37 + c * 17) * 2654435761) % 4096).astype(np.float64)
+
+
+def q_d8_flow_exact(sf_dir: str) -> pd.DataFrame:
+    """D8 flow accumulation run to TRUE fixed point over a counter-based
+    integer DEM — the SQL-exact gate for the engine's iterative hydrology
+    core (d8_flow_accumulation, the piece of CompoundTopographicIndex_
+    64bitScipy.py:80-149 that was previously rows-only: cti_stats runs the
+    same kernel over noise tiles).  The oracle replays the ENTIRE
+    definition in SQL: steepest-drop direction with edge-clamped
+    neighbours and first-max tie-break (ROW_NUMBER ORDER BY drop DESC, k),
+    then accumulation as path-walk reachability counts via a recursive
+    CTE — valid because a positive drop strictly decreases elevation, so
+    flow paths are cycle-free.  All compared quantities are integer counts;
+    the only float op is the shared /sqrt(2), a correctly-rounded IEEE
+    division identical in numpy and DuckDB.
+
+    Scale shape: pure map_batches over a counter range — no shuffle; the
+    fixed-point iteration is per-tile in-worker state, tiles never
+    communicate (the reference's in-block semantics)."""
+    import ray.data as rdm
+
+    ds = rdm.range(_D8_TILES, override_num_blocks=8)
+
+    def gen(b: pa.Table) -> pd.DataFrame:
+        ids = np.asarray(b["id"], dtype=np.int64)
+        dems = _d8_dem(ids)
+        rows = []
+        for i, s in enumerate(ids):
+            acc = d8_flow_accumulation(dems[i], max_iters=_D8_N * _D8_N)
+            _, has_down = d8_directions(dems[i])
+            rows.append((int(s), int(acc.sum()), int(acc.max()),
+                         int((~has_down).sum())))
+        out = pd.DataFrame(rows, columns=["tile_idx", "sum_acc", "max_acc",
+                                          "n_sinks"])
+        return out.astype("int64")
+
+    out = ds.map_batches(gen, batch_format="pyarrow", batch_size=8)
+    return out.to_pandas().sort_values("tile_idx").reset_index(drop=True)
+
+
+D8_FLOW_EXACT_SQL = f"""
+WITH RECURSIVE
+grid AS (SELECT unnest(generate_series(0, {_D8_N - 1})) AS i),
+cells AS (
+  SELECT s.range AS s, r.i AS r, c.i AS c,
+         ((s.range * 131071 + r.i * 37 + c.i * 17) * 2654435761) % 4096 AS z
+  FROM range(0, {_D8_TILES}) s, grid r, grid c
+),
+nb(k, dy, dx) AS (
+  SELECT * FROM (VALUES (0,-1,-1),(1,-1,0),(2,-1,1),(3,0,-1),
+                        (4,0,1),(5,1,-1),(6,1,0),(7,1,1)) t
+),
+drops AS (
+  SELECT a.s, a.r, a.c, n.k, n.dy, n.dx,
+         CAST(a.z - b.z AS DOUBLE) /
+           (CASE WHEN n.dy <> 0 AND n.dx <> 0 THEN sqrt(2.0) ELSE 1.0 END) AS dr
+  FROM cells a
+  JOIN nb n ON TRUE
+  JOIN cells b
+    ON b.s = a.s
+   AND b.r = LEAST(GREATEST(a.r + n.dy, 0), {_D8_N - 1})
+   AND b.c = LEAST(GREATEST(a.c + n.dx, 0), {_D8_N - 1})
+),
+best AS (
+  SELECT s, r, c, dy, dx, dr,
+         ROW_NUMBER() OVER (PARTITION BY s, r, c ORDER BY dr DESC, k) AS rn
+  FROM drops
+),
+down AS (SELECT s, r, c, r + dy AS nr, c + dx AS nc, dr FROM best WHERE rn = 1),
+walk AS (
+  SELECT s, r AS sr, c AS sc, r, c FROM cells
+  UNION ALL
+  SELECT w.s, w.sr, w.sc, d.nr, d.nc
+  FROM walk w JOIN down d ON d.s = w.s AND d.r = w.r AND d.c = w.c
+  WHERE d.dr > 0
+    AND d.nr BETWEEN 0 AND {_D8_N - 1} AND d.nc BETWEEN 0 AND {_D8_N - 1}
+),
+acc AS (SELECT s, r, c, COUNT(*) AS a FROM walk GROUP BY s, r, c)
+SELECT CAST(acc.s AS BIGINT) AS tile_idx,
+       CAST(SUM(a) AS BIGINT) AS sum_acc,
+       CAST(MAX(a) AS BIGINT) AS max_acc,
+       CAST((SELECT COUNT(*) FROM down dn
+             WHERE dn.s = acc.s AND dn.dr <= 0) AS BIGINT) AS n_sinks
+FROM acc GROUP BY acc.s ORDER BY tile_idx
 """
 
 

@@ -352,3 +352,39 @@ class TestStepwiseInpaint:
         rng = np.random.default_rng(3)
         m = (rng.random((40, 40)) < 0.05).astype(np.uint8)
         assert np.array_equal(dilate5x5_binary(m, 3), self._dilate_conv(m, 3))
+
+
+class TestD8FlowAccumulation:
+    def _brute(self, dem):
+        """Path-walk oracle: acc(c) = number of cells whose flow path
+        passes through c (the recursive-CTE oracle's definition)."""
+        from raster_functions_ray.rasterqueries import D8_OFFS, d8_directions
+        h, w = dem.shape
+        best, down = d8_directions(dem)
+        acc = np.zeros((h, w))
+        for r in range(h):
+            for c in range(w):
+                y, x = r, c
+                while True:
+                    acc[y, x] += 1
+                    if not down[y, x]:
+                        break
+                    dy, dx = D8_OFFS[best[y, x]]
+                    y, x = y + dy, x + dx
+                    if not (0 <= y < h and 0 <= x < w):
+                        break
+        return acc
+
+    def test_fixed_point_equals_path_walk(self):
+        from raster_functions_ray.rasterqueries import d8_flow_accumulation
+        rng = np.random.default_rng(11)
+        for _ in range(3):
+            dem = rng.integers(0, 500, (12, 12)).astype(np.float64)
+            got = d8_flow_accumulation(dem, max_iters=144)
+            np.testing.assert_array_equal(got, self._brute(dem))
+
+    def test_counter_dem_matches_sql_formula(self):
+        from raster_functions_ray.rasterqueries import _D8_N, _d8_dem
+        dem = _d8_dem(np.array([3], dtype=np.int64))[0]
+        assert dem.shape == (_D8_N, _D8_N)
+        assert dem[2, 5] == ((3 * 131071 + 2 * 37 + 5 * 17) * 2654435761) % 4096
