@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": trainprep.q_hll_distinct,
         "paragraph_dedup": trainprep.q_paragraph_dedup,
         "substring_dedup": dedup.q_substring_dedup,
+        "importance_mass": trainprep.q_importance_mass,
         "mixture_rebalance": trainprep.q_mixture_rebalance,
         # similarity search (SQL-exact)
         "ann_topk": ann.q_ann_topk,
@@ -316,6 +317,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_poly": dedup.Q_SIMHASH_POLY_SQL,
         "minhash_lsh_exact": dedup.Q_MINHASH_LSH_SQL,
         "substring_dedup": dedup.Q_SUBSTRING_DEDUP_SQL,
+        "importance_mass": trainprep.Q_IMPORTANCE_MASS_SQL,
         "ann_topk": ann.Q_ANN_TOPK_SQL,
         "tile_cells": rq.tile_cells_oracle_sql(0.01),
         "windchill": bandmath.Q_WINDCHILL_SQL,

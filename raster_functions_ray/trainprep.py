@@ -916,3 +916,139 @@ ORDER BY d.doc_id
 
 
 Q_MIXTURE_REBALANCE_SQL = mixture_rebalance_oracle_sql()
+
+
+# ------------------------------------- DSIR-style importance weighting
+
+DSIR_B = 65536  # hashed-bigram feature buckets (Xie et al. 2023 use 10^4-10^5)
+_DSIR_SHARDS = 32
+
+
+def _dsir_buckets(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_idx, bucket) for every word-bigram occurrence, via the
+    oracle-mirrored poly31 hash (see _poly31_u32) mod DSIR_B."""
+    from .textops import _word_ngrams_flat
+
+    doc_idx, grams = _word_ngrams_flat(texts, 2)
+    if grams.size == 0:
+        return doc_idx.astype(np.int64), np.empty(0, np.int64)
+    return doc_idx.astype(np.int64), (_poly31_u32(grams.astype(str))
+                                      % DSIR_B).astype(np.int64)
+
+
+def _dsir_is_target(source: pd.Series) -> np.ndarray:
+    """Target-domain predicate: numeric source suffix divisible by 5
+    (srcN tables; scale-factor-independent, unlike a literal name list)."""
+    return (source.str.slice(3).astype(np.int64) % 5 == 0).to_numpy()
+
+
+def q_importance_mass(sf_dir: str) -> pd.DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    re-expressed integer-exact: documents are scored by how much
+    target-domain vs source-domain probability mass their hashed-bigram
+    features carry.  DSIR's log-ratio weight log p_tgt(doc) − log p_src(doc)
+    is a monotone function of these masses at fixed n_bigrams; the gate
+    compares the integer numerators (occurrence counts per feature bucket)
+    rather than transcendental logs, so the oracle is hash-exact.
+
+    Plan: (1) feature pass — word bigrams → poly31 % {DSIR_B} buckets,
+    per-block np.bincount partials per domain; (2) sharded vectorized
+    groupby-sum → global (bucket, tgt_n, src_n) model, ≤ {DSIR_B} rows by
+    construction (THE DSIR trick: the hash projection bounds model size
+    at any corpus scale, so it broadcasts); (3) scoring pass — per-doc
+    mass via one np.bincount over the broadcast model arrays.
+    Two corpus reads, zero corpus-sized shuffles."""
+    import ray
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        d, bkt = _dsir_buckets(df["text"])
+        if bkt.size == 0:
+            z = np.empty(0, np.int64)
+            return pa.table({"bkt": pa.array(z), "tgt_n": pa.array(z),
+                             "src_n": pa.array(z), "shard": pa.array(z)})
+        tgt = _dsir_is_target(df["source"])[d]
+        t = np.bincount(bkt[tgt], minlength=DSIR_B).astype(np.int64)
+        s = np.bincount(bkt[~tgt], minlength=DSIR_B).astype(np.int64)
+        nz = np.flatnonzero(t | s)
+        return pa.table({"bkt": pa.array(nz), "tgt_n": pa.array(t[nz]),
+                         "src_n": pa.array(s[nz]),
+                         "shard": pa.array(nz % _DSIR_SHARDS)})
+
+    def shard_sum(g: pd.DataFrame) -> pd.DataFrame:
+        u, inv = np.unique(g["bkt"].to_numpy(np.int64), return_inverse=True)
+        return pd.DataFrame({
+            "bkt": u,
+            "tgt_n": np.bincount(inv, weights=g["tgt_n"].to_numpy(np.float64))
+                       .astype(np.int64),
+            "src_n": np.bincount(inv, weights=g["src_n"].to_numpy(np.float64))
+                       .astype(np.int64)})
+
+    model = (docs.map_batches(partials, batch_format="pyarrow", batch_size=2048)
+             .groupby("shard").map_groups(shard_sum, batch_format="pandas")
+             .to_pandas())
+    tgt_arr = np.zeros(DSIR_B, np.int64)
+    src_arr = np.zeros(DSIR_B, np.int64)
+    tgt_arr[model["bkt"].to_numpy()] = model["tgt_n"].to_numpy()
+    src_arr[model["bkt"].to_numpy()] = model["src_n"].to_numpy()
+    model_ref = ray.put((tgt_arr, src_arr))
+
+    def score(b: pa.Table) -> pd.DataFrame:
+        ta, sa = ray.get(model_ref)
+        df = b.to_pandas()
+        d, bkt = _dsir_buckets(df["text"])
+        if bkt.size == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_bigrams": pd.Series([], dtype="int64"),
+                                 "tgt_mass": pd.Series([], dtype="int64"),
+                                 "src_mass": pd.Series([], dtype="int64")})
+        nd = len(df)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_bigrams": np.bincount(d, minlength=nd).astype(np.int64),
+            "tgt_mass": np.bincount(d, weights=ta[bkt].astype(np.float64),
+                                    minlength=nd).astype(np.int64),
+            "src_mass": np.bincount(d, weights=sa[bkt].astype(np.float64),
+                                    minlength=nd).astype(np.int64),
+        }).loc[lambda x: x["n_bigrams"] > 0]
+
+    out = docs.map_batches(score, batch_format="pyarrow", batch_size=2048).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_DSIR_POLY31_SQL = ("list_reduce(list_transform(string_split(s, ''), "
+                    "c -> CAST(unicode(c) AS BIGINT)), "
+                    "(a, b) -> (a * 31 + b) % 4294967296)")
+
+
+def importance_mass_oracle_sql() -> str:
+    from .textops import gram_sql
+    return f"""
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
+), g AS (
+  SELECT doc_id, source, {gram_sql(2)} AS s
+  FROM (SELECT doc_id, source, l,
+               unnest(generate_series(1, len(l) - 1)) AS u FROM w)
+), b AS (
+  SELECT doc_id, source, {_DSIR_POLY31_SQL} % {DSIR_B} AS bkt FROM g
+), m AS (
+  SELECT bkt,
+         SUM(CASE WHEN CAST(substring(source, 4) AS BIGINT) % 5 = 0
+                  THEN 1 ELSE 0 END) AS tgt_n,
+         SUM(CASE WHEN CAST(substring(source, 4) AS BIGINT) % 5 = 0
+                  THEN 0 ELSE 1 END) AS src_n
+  FROM b GROUP BY bkt
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(m.tgt_n) AS BIGINT) AS tgt_mass,
+       CAST(SUM(m.src_n) AS BIGINT) AS src_mass
+FROM b JOIN m USING (bkt)
+GROUP BY b.doc_id ORDER BY doc_id
+"""
+
+
+Q_IMPORTANCE_MASS_SQL = importance_mass_oracle_sql()

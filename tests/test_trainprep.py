@@ -387,3 +387,27 @@ class TestSubstringDedup:
         from raster_functions_ray.dedup import q_substring_dedup
         got = q_substring_dedup(self._write(tmp_path, ["tiny", "tiny"]))
         assert len(got) == 0
+
+
+class TestImportanceMass:
+    def test_hand_corpus_masses(self, tmp_path):
+        import pyarrow.parquet as pq
+        from raster_functions_ray.trainprep import q_importance_mass
+        texts = ["alpha beta gamma delta", "alpha beta gamma delta",
+                 "omega psi chi phi", "alpha beta omega psi"]
+        srcs = ["src0", "src5", "src1", "src2"]  # suffix%5==0 -> target
+        tab = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                        "text": pa.array(texts),
+                        "source": pa.array(srcs)})
+        pq.write_table(tab, tmp_path / "documents.parquet")
+        got = q_importance_mass(str(tmp_path)).set_index("doc_id")
+        # doc 0: bigrams {alpha beta, beta gamma, gamma delta}; each occurs
+        # twice in target (docs 0+1); 'alpha beta' also once in src doc 3
+        assert got.loc[0, "n_bigrams"] == 3
+        assert got.loc[0, "tgt_mass"] == 6 and got.loc[0, "src_mass"] == 1
+        # doc 2 (source): 'omega psi' twice in src (docs 2+3), others once
+        assert got.loc[2, "tgt_mass"] == 0 and got.loc[2, "src_mass"] == 4
+        # doc 3 (source): 'alpha beta' 2×tgt+1×src(self), 'beta omega'
+        # 1×src(self), 'omega psi' 2×src (docs 2+3)
+        assert got.loc[3, "tgt_mass"] == 2
+        assert got.loc[3, "src_mass"] == 4
