@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": trainprep.q_paragraph_dedup,
         "substring_dedup": dedup.q_substring_dedup,
         "importance_mass": trainprep.q_importance_mass,
+        "heavy_hitters": trainprep.q_heavy_hitters,
         "mixture_rebalance": trainprep.q_mixture_rebalance,
         # similarity search (SQL-exact)
         "ann_topk": ann.q_ann_topk,
@@ -318,6 +319,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_exact": dedup.Q_MINHASH_LSH_SQL,
         "substring_dedup": dedup.Q_SUBSTRING_DEDUP_SQL,
         "importance_mass": trainprep.Q_IMPORTANCE_MASS_SQL,
+        "heavy_hitters": trainprep.Q_HEAVY_HITTERS_SQL,
         "ann_topk": ann.Q_ANN_TOPK_SQL,
         "tile_cells": rq.tile_cells_oracle_sql(0.01),
         "windchill": bandmath.Q_WINDCHILL_SQL,

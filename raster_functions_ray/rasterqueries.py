@@ -1356,11 +1356,12 @@ FROM read_parquet('{d}/tiles.parquet')
 
 
 def q_media_features(sf_dir: str) -> pd.DataFrame:
-    """Multimodal pipeline (stages/media.py): media TABLE (opaque binary
-    payload + typed metadata, synth media.parquet) → image rows → actor-pool
-    decode (STUB codec — container has no image libs; plumbing/schema real)
-    → resize → feature extraction.  Deterministic (payload-hash-seeded
-    stub), rows-only check."""
+    """Multimodal pipeline (stages/media.py): media TABLE (binary payload
+    + typed metadata, synth media.parquet) → image rows → actor-pool
+    decode — REAL pure-numpy BMP parsing (bottom-up BGR scanlines, row
+    padding); PIL dispatch for compressed formats when present — → resize
+    → feature extraction.  Deterministic, rows-only check (binary
+    container parsing is not SQL-expressible)."""
     import pyarrow.compute as pc
 
     from .stages import media
@@ -1569,9 +1570,10 @@ def q_rasterize_attributes_stats(sf_dir: str) -> pd.DataFrame:
 
 
 def q_audio_features(sf_dir: str) -> pd.DataFrame:
-    """Audio rows of the media table → actor-pool decode (stub codec) →
-    waveform features (stages/media.AudioFeatures).  Deterministic
-    (payload-hash-seeded stub), rows-only check."""
+    """Audio rows of the media table → actor-pool decode — REAL pure-numpy
+    PCM16 RIFF/WAVE chunk-walk parsing — → waveform features
+    (stages/media.AudioFeatures).  Deterministic, rows-only check (binary
+    container parsing is not SQL-expressible)."""
     import pyarrow.compute as pc
 
     from .stages.media import AudioFeatures

@@ -1,14 +1,20 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 Decode / feature-extract / resize / frame-sample are actor-pool
-``map_batches`` stages.  The actual codec libraries (Pillow/OpenCV/ffmpeg)
-are NOT in this container, so the decode step is STUBBED:
+``map_batches`` stages.  Decode is REAL for the self-describing
+uncompressed container formats — they are header + raw array, so pure
+numpy decodes them with no codec library:
 
-- ``DecodeImage`` tries ``PIL``; absent → a clearly-marked deterministic
-  fake decoder (seeded from the payload hash) with the REAL schema, batch
-  sizing, actor signature and output layout;
-- everything downstream (resize, feature extraction, frame sampling) is
-  real NumPy and runs identically once a real decoder is swapped in.
+- BMP (24bpp BITMAPINFOHEADER: bottom-up scanlines, BGR order, rows
+  padded to 4 bytes) via ``decode_bmp`` / ``encode_bmp``;
+- WAV (RIFF PCM16: chunk walk for fmt/data) via ``decode_wav`` /
+  ``encode_wav``.
+
+Compressed formats (PNG/JPEG/MP3/H.264) dispatch to PIL/ffmpeg behind an
+import-try; those wheels are NOT in this container, so unknown payloads
+fall back to a clearly-marked deterministic stub.  Video stays stubbed
+(no standard uncompressed video container without a codec); the
+frame-sampling PLAN is real and SQL-gated (q_video_frame_plan).
 
 Schema: media rows are (media_id:string, kind:string, payload:binary,
 width:int32, height:int32, n_frames:int32, sample_rate:int32).
@@ -41,11 +47,87 @@ MEDIA_SCHEMA = pa.schema([
 
 
 def _fake_decode(payload: bytes, h: int, w: int) -> np.ndarray:
-    """STUB decoder (no image libs in this environment): deterministic RGB
+    """STUB decoder for formats with no available codec: deterministic RGB
     array seeded by the payload hash — replace with PIL/cv2 in production."""
     seed = int.from_bytes(hashlib.blake2b(payload, digest_size=4).digest(), "big")
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+# --------------------------------------------- pure-numpy container codecs
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """24bpp uncompressed BMP (BITMAPFILEHEADER + BITMAPINFOHEADER): RGB
+    (h, w, 3) uint8 in → standard file bytes out.  Scanlines bottom-up,
+    BGR channel order, each row zero-padded to a 4-byte boundary."""
+    import struct
+    h, w, _ = arr.shape
+    row_len = (w * 3 + 3) & ~3
+    img_size = row_len * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    rows = np.zeros((h, row_len), dtype=np.uint8)
+    rows[:, :w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode a 24bpp uncompressed BMP into RGB (h, w, 3) uint8 — pure
+    numpy, no codec library."""
+    import struct
+    magic, _, _, _, off = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    hdr_sz, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_len = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, np.uint8, count=row_len * h,
+                         offset=off).reshape(h, row_len)
+    img = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return img[::-1] if bottom_up else img
+
+
+def encode_wav(wave: np.ndarray, sample_rate: int) -> bytes:
+    """PCM16 mono RIFF/WAVE: float32 waveform in [-1, 1] in → standard
+    file bytes out."""
+    import struct
+    pcm = np.clip(np.round(np.asarray(wave, np.float64) * 32767.0),
+                  -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM16 RIFF/WAVE payload (chunk walk, mono or first
+    channel) into (float32 waveform in [-1, 1], sample_rate)."""
+    import struct
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, sr, channels, data = 12, None, 1, None
+    while pos + 8 <= len(payload):
+        cid, sz = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt_tag, channels, sr = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt_tag != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (fmt={fmt_tag}, bits={bits})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if sr is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    pcm = np.frombuffer(data, "<i2")
+    if channels > 1:
+        pcm = pcm[::channels]
+    return (pcm.astype(np.float32) / 32768.0), int(sr)
 
 
 class DecodeImage:
@@ -62,7 +144,9 @@ class DecodeImage:
         hs = b["height"].to_pylist()
         ws = b["width"].to_pylist()
         for i in range(b.num_rows):
-            if HAVE_PIL:  # pragma: no cover
+            if payloads[i][:2] == b"BM":
+                arr = decode_bmp(payloads[i])  # real decode, pure numpy
+            elif HAVE_PIL:  # pragma: no cover
                 import io
                 arr = np.asarray(Image.open(io.BytesIO(payloads[i])).convert("RGB"))
             else:
@@ -127,16 +211,34 @@ def decode_and_featurize(media: rd.Dataset, target: tuple[int, int] | None = Non
 
 
 def synth_media(n: int = 256, seed: int = 42) -> pa.Table:
-    """Deterministic fake media table for tests/benches."""
+    """Deterministic media table for tests/benches.  Image and audio rows
+    carry REAL container payloads (24bpp BMP / PCM16 WAV) so the decode
+    stages exercise genuine format parsing; video payloads stay opaque
+    (no codec-free standard container) — the frame plan is the real part."""
     rng = np.random.default_rng(seed)
     rows = {k: [] for k in MEDIA_SCHEMA.names}
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
         rows["media_id"].append(f"m{i:06d}")
         rows["kind"].append(kind)
-        rows["payload"].append(rng.bytes(128))
-        rows["width"].append(int(rng.integers(32, 128)))
-        rows["height"].append(int(rng.integers(32, 128)))
+        w = int(rng.integers(32, 128))
+        h = int(rng.integers(32, 128))
+        if kind == "image":
+            yy, xx = np.mgrid[0:h, 0:w]
+            arr = np.stack([(xx * 255 // max(w - 1, 1)),
+                            (yy * 255 // max(h - 1, 1)),
+                            rng.integers(0, 256, (h, w))], axis=-1).astype(np.uint8)
+            rows["payload"].append(encode_bmp(arr))
+        elif kind == "audio":
+            ns = 2048 + 1024 * int(rng.integers(0, 4))
+            t = np.arange(ns, dtype=np.float64)
+            f0 = float(rng.uniform(0.002, 0.05))
+            wav = np.sin(2 * np.pi * f0 * t) * 0.5 + rng.normal(0, 0.1, ns)
+            rows["payload"].append(encode_wav(np.clip(wav, -1, 1), 16000))
+        else:
+            rows["payload"].append(rng.bytes(128))
+        rows["width"].append(w)
+        rows["height"].append(h)
         rows["n_frames"].append(int(rng.integers(1, 300)) if kind == "video" else 1)
         rows["sample_rate"].append(16000 if kind == "audio" else 0)
     return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
@@ -166,7 +268,10 @@ class AudioFeatures:
         mids = b["media_id"].to_pylist()
         srs = b["sample_rate"].to_pylist()
         for i in range(b.num_rows):
-            w = _fake_decode_audio(payloads[i])
+            if payloads[i][:4] == b"RIFF":
+                w, _ = decode_wav(payloads[i])  # real decode, pure numpy
+            else:
+                w = _fake_decode_audio(payloads[i])
             rms = float(np.sqrt(np.mean(w**2)))
             zcr = float((np.diff(np.signbit(w)) != 0).mean())
             spec = np.abs(np.fft.rfft(w.astype(np.float64)))

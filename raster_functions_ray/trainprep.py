@@ -1052,3 +1052,106 @@ GROUP BY b.doc_id ORDER BY doc_id
 
 
 Q_IMPORTANCE_MASS_SQL = importance_mass_oracle_sql()
+
+
+# ---------------------------------- heavy hitters (Misra-Gries + confirm)
+
+HH_K = 256      # per-block summary capacity (global error <= n / (K+1))
+HH_FRAC = 100   # heavy = count >= total_tokens // HH_FRAC
+
+
+def _mg_prune(u: np.ndarray, c: np.ndarray, k: int):
+    """Misra-Gries capacity prune: the minimal uniform decrement ``d``
+    leaving <= k positive counters (d = (k+1)-th largest count)."""
+    if u.size <= k:
+        return u, c.astype(np.int64)
+    d = np.partition(c, u.size - k - 1)[u.size - k - 1]
+    keep = c > d
+    return u[keep], (c[keep] - d).astype(np.int64)
+
+
+def _mg_block_summary(tokens: np.ndarray, k: int = HH_K):
+    """Misra-Gries summary of one block from its exact counts (Agarwal
+    et al., "Mergeable Summaries": per-block decrement <= block_n/(k+1);
+    summing counters across summaries then re-pruning to capacity k keeps
+    the TOTAL underestimate <= n/(k+1) regardless of merge tree, so any
+    token with true count >= n/(k+1) keeps a positive counter)."""
+    u, c = np.unique(tokens, return_counts=True)
+    return _mg_prune(u, c, k)
+
+
+def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """EXACT corpus heavy hitters (tokens with count >= total // {HH_FRAC})
+    via the sketch-prefilter + exact-confirm shape: per-block Misra-Gries
+    summaries (capacity {HH_K}) merge into a candidate set that PROVABLY
+    contains every true heavy hitter (summed decrements < n/(K+1) <
+    threshold n/{HH_FRAC}), then one broadcast-filtered counting pass
+    computes exact counts for candidates only.  Unlike the sharded-count
+    ops, NO corpus-cardinality key ever shuffles: blocks emit <= {HH_K}
+    summary rows each, and the confirm pass moves candidate-sized data.
+
+    Merging is a driver reduce over tiny summaries (<= K rows x blocks);
+    at cluster scale the same merge is associative, so it tree-reduces.
+    The SQL oracle is definitionally simple (GROUP BY HAVING) — the gate
+    therefore tests the sketch's superset guarantee end-to-end: a sketch
+    bug that dropped a true heavy hitter would hash-mismatch."""
+    import ray
+
+    from .textops import _word_ngrams_flat
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def summaries(b: pa.Table) -> pa.Table:
+        _, toks = _word_ngrams_flat(pd.Series(b["text"].to_pandas()), 1)
+        u, c = _mg_block_summary(toks)
+        # block token total rides on the first summary row only, so the
+        # driver-side sum over ALL rows is the exact corpus token count
+        bt = np.zeros(u.size, np.int64)
+        if u.size:
+            bt[0] = toks.size
+        return pa.table({"token": pa.array(u, pa.string()),
+                         "n_hat": pa.array(c, pa.int64()),
+                         "block_total": pa.array(bt, pa.int64())})
+
+    sm = docs.map_batches(summaries, batch_format="pyarrow",
+                          batch_size=1024).to_pandas()
+    if sm.empty:
+        return pd.DataFrame({"token": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
+    n_total = int(sm["block_total"].sum())
+    thresh = max(n_total // HH_FRAC, 1)
+    # merge = sum counters per token, then re-prune to capacity K: the
+    # candidate broadcast stays <= K rows at ANY block count (without the
+    # prune it grows as K x blocks), and the mergeable-summaries bound
+    # still guarantees every true heavy hitter survives
+    merged = sm.groupby("token", sort=False)["n_hat"].sum()
+    cand, _ = _mg_prune(merged.index.to_numpy(dtype=object),
+                        merged.to_numpy(np.int64), HH_K)
+    cand_ref = ray.put(pa.array(cand, pa.string()))
+
+    def count_candidates(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        _, toks = _word_ngrams_flat(pd.Series(b["text"].to_pandas()), 1)
+        arr = pa.array(toks, pa.string())
+        hit = arr.filter(pc.is_in(arr, value_set=ray.get(cand_ref)))
+        u, c = np.unique(np.asarray(hit, dtype=object), return_counts=True)
+        return pa.table({"token": pa.array(u, pa.string()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    parts = (docs.map_batches(count_candidates, batch_format="pyarrow",
+                              batch_size=1024).to_pandas())
+    totals = parts.groupby("token", sort=False)["n"].sum().reset_index()
+    out = totals[totals["n"] >= thresh]
+    return (out.sort_values("token").reset_index(drop=True)
+            .astype({"n": "int64"}))
+
+
+Q_HEAVY_HITTERS_SQL = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), tot AS (SELECT COUNT(*) AS n_total FROM tok)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM tok GROUP BY token
+HAVING COUNT(*) >= GREATEST((SELECT n_total FROM tot) // {HH_FRAC}, 1)
+ORDER BY token
+"""

@@ -2,6 +2,7 @@
 invariants, flagship end-to-end."""
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -355,3 +356,63 @@ def test_span_sequence_fp_matches_oracle_and_detects_swaps(synth_sf001):
     fp_fwd = int((h[0] * w[0] + h[1] * w[1]) % np.uint64(rq.SPAN_FP_MOD))
     fp_rev = int((h[1] * w[0] + h[0] * w[1]) % np.uint64(rq.SPAN_FP_MOD))
     assert fp_fwd != fp_rev
+
+
+class TestMediaCodecs:
+    """Pure-numpy BMP/WAV container codecs: the decode path is REAL for
+    uncompressed formats (header + raw array), not a stub."""
+
+    def test_bmp_roundtrip_exact(self):
+        from raster_functions_ray.stages.media import decode_bmp, encode_bmp
+        rng = np.random.default_rng(4)
+        for h, w in [(1, 1), (5, 3), (33, 31), (64, 127)]:  # odd widths: padding
+            arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            np.testing.assert_array_equal(decode_bmp(encode_bmp(arr)), arr)
+
+    def test_bmp_header_is_standard(self):
+        from raster_functions_ray.stages.media import encode_bmp
+        b = encode_bmp(np.zeros((2, 2, 3), np.uint8))
+        assert b[:2] == b"BM"
+        import struct
+        assert struct.unpack_from("<I", b, 10)[0] == 54     # pixel offset
+        assert struct.unpack_from("<H", b, 28)[0] == 24     # bpp
+        assert len(b) == 54 + 2 * 8                          # 2 rows of 8 (padded)
+
+    def test_wav_roundtrip_quantized(self):
+        from raster_functions_ray.stages.media import decode_wav, encode_wav
+        rng = np.random.default_rng(5)
+        wav = np.clip(rng.normal(0, 0.3, 3000), -1, 1).astype(np.float32)
+        out, sr = decode_wav(encode_wav(wav, 22050))
+        assert sr == 22050 and out.dtype == np.float32
+        # error bound: |x|/32768 scale mismatch + 0.5/32768 rounding
+        np.testing.assert_allclose(out, wav, atol=1.5 / 32768)
+
+    def test_decode_image_stage_returns_real_pixels(self):
+        from raster_functions_ray.stages.media import (DecodeImage, decode_bmp,
+                                                       synth_media)
+        tab = synth_media(n=6)
+        img_rows = tab.filter(pa.compute.equal(tab["kind"], "image"))
+        out = DecodeImage()(img_rows)
+        for i in range(out.num_rows):
+            exp = decode_bmp(img_rows["payload"][i].as_py())
+            got = np.frombuffer(out["pixels"][i].as_py(), np.uint8).reshape(
+                out["height"][i].as_py(), out["width"][i].as_py(), 3)
+            np.testing.assert_array_equal(got, exp)
+            # dims come from the BMP header and match the metadata columns
+            assert out["height"][i].as_py() == img_rows["height"][i].as_py()
+
+    def test_audio_features_use_decoded_waveform(self):
+        from raster_functions_ray.stages.media import (AudioFeatures,
+                                                       decode_wav, synth_media)
+        tab = synth_media(n=6)
+        au = tab.filter(pa.compute.equal(tab["kind"], "audio"))
+        feats = AudioFeatures()(au)
+        w, _ = decode_wav(au["payload"][0].as_py())
+        assert abs(feats["rms"].iloc[0] - float(np.sqrt(np.mean(w**2)))) < 1e-5
+
+    def test_malformed_payloads_refuse(self):
+        from raster_functions_ray.stages.media import decode_bmp, decode_wav
+        with pytest.raises(ValueError):
+            decode_bmp(b"PNG\x00notabmp" * 10)
+        with pytest.raises(ValueError):
+            decode_wav(b"OggS" + b"\x00" * 50)

@@ -411,3 +411,42 @@ class TestImportanceMass:
         # 1×src(self), 'omega psi' 2×src (docs 2+3)
         assert got.loc[3, "tgt_mass"] == 2
         assert got.loc[3, "src_mass"] == 4
+
+
+class TestHeavyHitters:
+    def test_mg_summary_superset_and_error_bound(self):
+        rng = np.random.default_rng(13)
+        # zipf-ish stream: heavy tokens + long tail
+        toks = np.asarray(
+            ["hh%d" % i for i in range(8) for _ in range(500 - 50 * i)]
+            + ["tail%d" % i for i in rng.integers(0, 20000, 12000)],
+            dtype=object)
+        rng.shuffle(toks)
+        u, c = tp._mg_block_summary(toks, k=256)
+        assert u.size <= 256
+        exact = pd.Series(toks).value_counts()
+        # decrement bound: summary counter underestimates by <= n/(k+1)
+        err = toks.size / 257
+        for t, n_hat in zip(u, c):
+            assert 0 < n_hat <= exact[t]
+            assert exact[t] - n_hat <= err
+        # superset: every token with count >= n/(k+1) survives
+        for t, n in exact.items():
+            if n >= err:
+                assert t in set(u)
+
+    def test_query_matches_brute(self, tmp_path):
+        import pyarrow.parquet as pq
+        rng = np.random.default_rng(7)
+        texts = [" ".join(
+            ["common"] * int(rng.integers(1, 4))
+            + ["w%d" % x for x in rng.integers(0, 3000, 40)])
+            for _ in range(300)]
+        tab = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                        "text": pa.array(texts)})
+        pq.write_table(tab, tmp_path / "documents.parquet")
+        got = tp.q_heavy_hitters(str(tmp_path))
+        toks = pd.Series(" ".join(texts).split(" "))
+        cnt = toks.value_counts()
+        want = cnt[cnt >= max(len(toks) // tp.HH_FRAC, 1)]
+        assert dict(zip(got["token"], got["n"])) == want.to_dict()
