@@ -1115,6 +1115,11 @@ def q_substring_dedup(sf_dir: str) -> pd.DataFrame:
     spans = (surv.groupby("shard").map_groups(confirm_shard, batch_format="pandas")
              .groupby("dshard").map_groups(_merge_spans_shard, batch_format="pandas")
              .to_pandas())
+    if spans.empty:  # every hot hash was a pure 64-bit collision
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "span_start": pd.Series([], dtype="int64"),
+                             "span_end": pd.Series([], dtype="int64"),
+                             "span_len": pd.Series([], dtype="int64")})
     return (spans.astype("int64").sort_values(["doc_id", "span_start"])
             .reset_index(drop=True))
 

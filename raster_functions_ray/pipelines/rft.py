@@ -416,16 +416,13 @@ def _eval(node, env: dict, meta: dict):
             # counter-based stateless generator (same mix constants as the
             # SQL-exact random_source_exact gate) — output independent of
             # tiling/placement, unlike Random.py's per-request seeded RNG
-            from ..rasterqueries import _RND_M1, _RND_M2, _RND_MOD
+            from ..rasterqueries import _rnd_mix
 
             shp = np.asarray(env["__bands__"]).shape
             n = int(np.prod(shp))
             ctr = (np.uint64(int(meta.get("tile_id", 0))) * np.uint64(n)
                    + np.arange(n, dtype=np.uint64))
-            h = (ctr * np.uint64(_RND_M1)) % np.uint64(_RND_MOD)
-            h = ((h ^ (h >> np.uint64(16))) * np.uint64(_RND_M2)) \
-                % np.uint64(_RND_MOD)
-            vals = (h % np.uint64(200)).astype(np.float64).reshape(shp)
+            vals = _rnd_mix(ctr).astype(np.float64).reshape(shp)
             return vals, 0, None
         if cls == "ZonalRemap":
             from ..functions import remap as rm
@@ -561,26 +558,14 @@ def _eval(node, env: dict, meta: dict):
     if fn == "CompositeBandFunction":
         # CompositeBands-4Bands-Ordered.rft.xml binds an ordered Raster
         # list; deprecated/CompositeBands.rft.xml binds the mosaic (None)
-        nodes = a.get("Raster") or a.get("Rasters") or []
-        if not nodes:
-            return np.asarray(env["__bands__"], dtype=np.float64), 0, None
-        evs = [_eval(r, env, meta) for r in nodes]
-        s = max(e[1] for e in evs)
-        return (np.stack([np.asarray(_trim(e[0], s - e[1]), np.float64)
-                          for e in evs]), s, None)
+        stk, s = _mosaic("Raster", "Rasters")
+        return np.asarray(stk, np.float64), s, None
 
     if fn == "MergeRastersFunction":
         # the Merge built-in mosaics inputs: first finite pixel in scene
         # order wins, later scenes fill the holes
-        nodes = a.get("Rasters") or []
-        if nodes:
-            evs = [_eval(r, env, meta) for r in nodes]
-            s = max(e[1] for e in evs)
-            stk = np.stack([np.asarray(_trim(e[0], s - e[1]), np.float64)
-                            for e in evs])
-        else:
-            stk = np.asarray(env["__bands__"], dtype=np.float64)
-            s = 0
+        stk, s = _mosaic("Rasters")
+        stk = np.asarray(stk, np.float64)
         out = stk[0].copy()
         for nxt in stk[1:]:
             hole = ~np.isfinite(out)
@@ -600,8 +585,10 @@ def _eval(node, env: dict, meta: dict):
         e = ex.Expression(str(a["BandIndexes"]))
         env2 = {}
         for nm in e.variables:
+            if not (nm.startswith("B") and nm[1:].isdigit()):
+                raise NotImplementedError(f"band variable {nm!r}")
             idx = int(nm[1:]) - 1  # B3 → band 2
-            if not (nm.startswith("B") and 0 <= idx < bands.shape[0]):
+            if not 0 <= idx < bands.shape[0]:
                 raise NotImplementedError(f"band variable {nm!r}")
             env2[nm] = bands[idx]
         return e.evaluate(env2), s + e.padding_required, None
@@ -628,8 +615,11 @@ def _eval(node, env: dict, meta: dict):
             nsd = float(a.get("NumberOfStandardDeviation") or 2.0)
             mu, sd = float(valid.mean()), float(valid.std())
             lo, hi = mu - nsd * sd, mu + nsd * sd
-        else:  # 5 = MinMax: per-request extremes, like the host's renderer
+        elif st_type == 5:  # MinMax: per-request extremes, host-renderer style
             lo, hi = float(valid.min()), float(valid.max())
+        else:  # 1/2/4/8 = StdDevFromParams/Histogram/HistEq/PercentMinmax
+            raise NotImplementedError(
+                f"StretchType={st_type} (only 0/3/5/6 appear in the corpus)")
         from ..functions import remap as rm
 
         return (rm.stretch_minmax(arr, lo, hi,

@@ -995,9 +995,16 @@ def _rnd_counter_values(ids: np.ndarray) -> np.ndarray:
     """
     ctr = (ids.astype(np.uint64)[:, None] * np.uint64(_RND_PX)
            + np.arange(_RND_PX, dtype=np.uint64)[None, :])
+    return _rnd_mix(ctr).astype(np.int64)
+
+
+def _rnd_mix(ctr: np.ndarray) -> np.ndarray:
+    """The two multiply/xor-shift rounds of the counter mix (uint64 in,
+    u1-domain values 0..199 out) — shared by q_random_source_exact and the
+    rft loader's Random adapter so the two can never desynchronize."""
     h = (ctr * np.uint64(_RND_M1)) % np.uint64(_RND_MOD)
     h = ((h ^ (h >> np.uint64(16))) * np.uint64(_RND_M2)) % np.uint64(_RND_MOD)
-    return (h % np.uint64(200)).astype(np.int64)  # u1-domain values 0..199
+    return h % np.uint64(200)
 
 
 def q_random_source_exact(sf_dir: str) -> pd.DataFrame:

@@ -267,10 +267,15 @@ class AudioFeatures:
         payloads = b["payload"].to_pylist()
         mids = b["media_id"].to_pylist()
         srs = b["sample_rate"].to_pylist()
+        import struct
         for i in range(b.num_rows):
-            if payloads[i][:4] == b"RIFF":
-                w, _ = decode_wav(payloads[i])  # real decode, pure numpy
-            else:
+            w = None
+            if payloads[i][:4] == b"RIFF" and payloads[i][8:12] == b"WAVE":
+                try:
+                    w, _ = decode_wav(payloads[i])  # real decode, pure numpy
+                except (ValueError, struct.error):
+                    w = None  # non-PCM16 / truncated: fall through to stub
+            if w is None:
                 w = _fake_decode_audio(payloads[i])
             rms = float(np.sqrt(np.mean(w**2)))
             zcr = float((np.diff(np.signbit(w)) != 0).mean())

@@ -1104,14 +1104,16 @@ def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     def summaries(b: pa.Table) -> pa.Table:
         _, toks = _word_ngrams_flat(pd.Series(b["text"].to_pandas()), 1)
         u, c = _mg_block_summary(toks)
-        # block token total rides on the first summary row only, so the
-        # driver-side sum over ALL rows is the exact corpus token count
-        bt = np.zeros(u.size, np.int64)
-        if u.size:
-            bt[0] = toks.size
-        return pa.table({"token": pa.array(u, pa.string()),
-                         "n_hat": pa.array(c, pa.int64()),
-                         "block_total": pa.array(bt, pa.int64())})
+        # the block token total rides on a dedicated NULL-token row — never
+        # on a summary row: the prune can return an EMPTY summary (>= K+1
+        # tokens tied at the block max), and a lost block total would lower
+        # the threshold below the oracle's
+        return pa.table({
+            "token": pa.array(np.concatenate([u, [None]]), pa.string()),
+            "n_hat": pa.array(np.concatenate([c, [0]]), pa.int64()),
+            "block_total": pa.array(
+                np.concatenate([np.zeros(u.size, np.int64), [toks.size]]),
+                pa.int64())})
 
     sm = docs.map_batches(summaries, batch_format="pyarrow",
                           batch_size=1024).to_pandas()
@@ -1120,6 +1122,10 @@ def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
                              "n": pd.Series([], dtype="int64")})
     n_total = int(sm["block_total"].sum())
     thresh = max(n_total // HH_FRAC, 1)
+    sm = sm[sm["token"].notna()]
+    if sm.empty:
+        return pd.DataFrame({"token": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
     # merge = sum counters per token, then re-prune to capacity K: the
     # candidate broadcast stays <= K rows at ANY block count (without the
     # prune it grows as K x blocks), and the mergeable-summaries bound

@@ -450,3 +450,19 @@ class TestHeavyHitters:
         cnt = toks.value_counts()
         want = cnt[cnt >= max(len(toks) // tp.HH_FRAC, 1)]
         assert dict(zip(got["token"], got["n"])) == want.to_dict()
+
+    def test_all_distinct_block_total_still_counted(self, tmp_path):
+        # regression: a block whose tokens are ALL distinct produces an
+        # EMPTY MG summary (every count ties at 1); its token total must
+        # still reach n_total or the threshold drops below the oracle's
+        import pyarrow.parquet as pq
+        texts = ["u%d" % i for i in range(1100)]          # 1100 singleton tokens
+        texts += ["hot " * 40] * 2                         # 160 'hot' occurrences
+        tab = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                        "text": pa.array(texts)})
+        pq.write_table(tab, tmp_path / "documents.parquet")
+        got = tp.q_heavy_hitters(str(tmp_path))
+        toks = pd.Series(" ".join(texts).split(" "))
+        cnt = toks.value_counts()
+        want = cnt[cnt >= max(len(toks) // tp.HH_FRAC, 1)]
+        assert dict(zip(got["token"], got["n"])) == want.to_dict()
