@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_top_customers": rel.q_nation_top_customers,
         "segment_median_price": rel.q_segment_median_price,
         "sessionize": rel.q_sessionize,
+        "event_funnel": rel.q_event_funnel,
         "running_totals": rel.q_running_totals,
         "window_moving_max": rel.q_window_moving_max,
         "asof_join": rel.q_asof_join,
@@ -329,6 +330,7 @@ def oracle_sql() -> dict[str, str]:
         "span_kinds": rq.span_kinds_oracle_sql(0.01),
         "span_sequence_fp": rq.span_sequence_fp_oracle_sql(0.01),
         "sessionize": rel.Q_SESSIONIZE_SQL,
+        "event_funnel": rel.Q_EVENT_FUNNEL_SQL,
         "running_totals": rel.Q_RUNNING_TOTALS_SQL,
         "window_moving_max": rel.Q_WINDOW_MOVING_MAX_SQL,
         "asof_join": rel.Q_ASOF_JOIN_SQL,

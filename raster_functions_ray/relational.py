@@ -1131,3 +1131,75 @@ WHERE p.p_partkey = l.l_partkey AND p.p_brand = '{Q17_BRAND}'
   AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
                       WHERE l2.l_partkey = p.p_partkey)
 """
+
+
+# ------------------------------------------------------- event funnel
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+_FUNNEL_SHARDS = 32
+
+
+def q_event_funnel(sf_dir: str) -> pd.DataFrame:
+    """Strict-order event funnel (the product-analytics classic): per
+    user, stage 1 = first 'view', stage 2 = first 'click' STRICTLY after
+    it, stage 3 = first 'purchase' strictly after that; report how deep
+    each user got.  First-occurrence chaining — a click before the first
+    view does not count.
+
+    Scale shape: events hash-shard by user (one shuffle of the 3 funnel
+    event types only — other types are dropped before the exchange), and
+    each shard resolves ALL its users with vectorized pandas min/merge
+    chains — one Python call per shard, not per user (millions of users =
+    {_FUNNEL_SHARDS} group calls)."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b["event_type"],
+                              value_set=pa.array(list(FUNNEL_STAGES))))
+        uid = np.asarray(t["user_id"], dtype=np.int64)
+        return t.append_column("shard",
+                               pa.array(uid % _FUNNEL_SHARDS, pa.int64()))
+
+    def funnel_shard(g: pd.DataFrame) -> pd.DataFrame:
+        t1 = (g[g["event_type"] == "view"].groupby("user_id")["ts"].min()
+              .rename("ts1"))
+        b = g[g["event_type"] == "click"].merge(t1, on="user_id")
+        t2 = (b[b["ts"] > b["ts1"]].groupby("user_id")["ts"].min()
+              .rename("ts2"))
+        c = g[g["event_type"] == "purchase"].merge(t2, on="user_id")
+        t3 = c[c["ts"] > c["ts2"]].groupby("user_id")["ts"].min()
+        out = t1.reset_index()
+        out["reached"] = (1 + out["user_id"].isin(t2.index).astype(np.int64)
+                          + out["user_id"].isin(t3.index).astype(np.int64))
+        out["user_id"] = out["user_id"].astype("int64")
+        return out[["user_id", "ts1", "reached"]]
+
+    out = (ds.map_batches(pick, batch_format="pyarrow", batch_size=8192)
+           .groupby("shard").map_groups(funnel_shard, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+Q_EVENT_FUNNEL_SQL = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS ts1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS ts2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS ts3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY e.user_id
+)
+SELECT t1.user_id, t1.ts1,
+       CAST(1 + CAST(t2.user_id IS NOT NULL AS INT)
+              + CAST(t3.user_id IS NOT NULL AS INT) AS BIGINT) AS reached
+FROM t1
+LEFT JOIN t2 ON t1.user_id = t2.user_id
+LEFT JOIN t3 ON t1.user_id = t3.user_id
+ORDER BY t1.user_id
+"""

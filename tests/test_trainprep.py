@@ -466,3 +466,29 @@ class TestHeavyHitters:
         cnt = toks.value_counts()
         want = cnt[cnt >= max(len(toks) // tp.HH_FRAC, 1)]
         assert dict(zip(got["token"], got["n"])) == want.to_dict()
+
+
+class TestEventFunnel:
+    def test_strict_order_semantics(self, tmp_path):
+        import pyarrow.parquet as pq
+        from raster_functions_ray.relational import q_event_funnel
+        ts = pd.to_datetime([
+            "2024-01-01 10:00", "2024-01-01 11:00", "2024-01-01 12:00",  # u1 full
+            "2024-01-02 09:00", "2024-01-02 08:00",  # u2: click BEFORE view
+            "2024-01-03 09:00",                       # u3: view only
+            "2024-01-04 09:00",                       # u4: purchase only -> absent
+        ])
+        tab = pa.table({
+            "event_id": pa.array(range(7), pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2, 2, 3, 4], pa.int64()),
+            "event_type": pa.array(["view", "click", "purchase",
+                                    "view", "click", "view", "purchase"]),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array([0.0] * 7, pa.float64()),
+        })
+        pq.write_table(tab, tmp_path / "events.parquet")
+        got = q_event_funnel(str(tmp_path)).set_index("user_id")
+        assert got.loc[1, "reached"] == 3
+        assert got.loc[2, "reached"] == 1   # click preceded first view
+        assert got.loc[3, "reached"] == 1
+        assert 4 not in got.index           # never entered the funnel
