@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_dot_topk": ann.q_ann_dot_topk,
         "lsh_bucket_sizes": ann.q_lsh_bucket_sizes,
         "ivf_sq_search": ann.q_ivf_sq_search,
+        "pq_adc_topk": ann.q_pq_adc_topk,
         "kmeans_embed": ann.q_kmeans_embed,
         "semantic_dedup_kmeans": ann.q_semantic_dedup_kmeans,
         # band algebra on columns (same kernels as the raster path, SQL-exact)
@@ -369,6 +370,7 @@ def oracle_sql() -> dict[str, str]:
         "event_type_pivot": rel.Q_EVENT_TYPE_PIVOT_SQL,
         "lsh_bucket_sizes": ann.lsh_bucket_sizes_oracle_sql(),
         "ivf_sq_search": ann.ivf_sq_oracle_sql(),
+        "pq_adc_topk": ann.Q_PQ_ADC_SQL,
         "kmeans_embed": ann.kmeans_oracle_sql(),
         "semantic_dedup_kmeans": ann.semantic_dedup_oracle_sql(),
         "ngram_jaccard": dedup.Q_NGRAM_JACCARD_SQL,

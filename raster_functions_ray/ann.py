@@ -849,3 +849,125 @@ SELECT f.vec_id, f.k AS cluster_id,
 FROM afin f LEFT JOIN dropped d ON d.vec_id = f.vec_id
 ORDER BY f.vec_id
 """
+
+
+# ------------------------------------------ product quantization (ADC)
+
+PQ_M = 4                  # subspaces
+PQ_K = 16                 # centroids per subspace codebook
+PQ_SUB = KM_DIM // PQ_M   # dims per subspace
+PQ_TOPK = 10
+
+
+def _pq_codebook(sf_dir: str) -> np.ndarray:
+    """Deterministic PQ codebook (M, K, SUB) int64: the quantized
+    subvectors of the PQ_K smallest DATABASE vec_ids.  Init-only by
+    design — the Lloyd codebook optimizer is proven separately by
+    q_kmeans_embed's 2-round CTE gate; this gate pins the PQ ENCODE and
+    ADC mechanics (Jégou et al. 2011, "Product Quantization for Nearest
+    Neighbor Search") with integer-exact arithmetic."""
+    import pyarrow.compute as pc
+
+    tab = (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"],
+                           filter=(pc.field("vec_id") >= N_QUERIES)
+                                  & (pc.field("vec_id") < N_QUERIES + PQ_K))
+           .to_pandas().sort_values("vec_id"))
+    mat = np.stack(tab["embedding"].to_numpy())
+    return _sq_quantize(mat).reshape(PQ_K, PQ_M, PQ_SUB).transpose(1, 0, 2)
+
+
+def q_pq_adc_topk(sf_dir: str) -> pd.DataFrame:
+    """PQ asymmetric-distance top-{PQ_TOPK} per query: database vectors
+    compress to {PQ_M} sub-codes (argmin over each subspace codebook,
+    first-min tie-break), queries keep full precision and score candidates
+    through a per-query (M x K) lookup table — the classic memory/compute
+    trade of billion-scale ANN ({PQ_M} bytes/vector here vs 256 raw).
+
+    Scale shape: codebook broadcasts (ray.put once), encode+score fuse
+    into ONE streaming map_batches pass emitting per-block partial top-k —
+    no shuffle, no index materialization; the driver merge is
+    (blocks x K x queries) rows.  SQL-exact: quantized int64 arithmetic
+    end to end, ADC distances compared exactly."""
+    cb = _pq_codebook(sf_dir)
+    qids, qmat = load_queries(sf_dir)
+    qs = _sq_quantize(qmat).reshape(len(qids), PQ_M, PQ_SUB)
+    # lut[qi, m, c] = integer squared L2 of query subvector vs centroid
+    lut = ((qs[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(-1)
+    bref = ray.put((cb, lut))
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        cbk, qlut = ray.get(bref)
+        ids, mat = _embedding_matrix(b)
+        keep = ids >= N_QUERIES
+        ids, mat = ids[keep], mat[keep]
+        if ids.size == 0:
+            return pd.DataFrame({"q_id": pd.Series([], dtype="int64"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "adc_d2": pd.Series([], dtype="int64")})
+        v = _sq_quantize(mat).reshape(ids.size, PQ_M, PQ_SUB)
+        # encode: (n, M, K) subspace distances -> first-min code per (n, m)
+        d = ((v[:, :, None, :] - cbk[None, :, :, :]) ** 2).sum(-1)
+        codes = d.argmin(axis=2)
+        k = min(PQ_TOPK, ids.size)
+        frames = []
+        for qi in range(qlut.shape[0]):
+            adc = qlut[qi][np.arange(PQ_M)[:, None], codes.T].sum(axis=0)
+            idx = np.lexsort((ids, adc))[:k]
+            frames.append(pd.DataFrame({"q_id": qi, "vec_id": ids[idx],
+                                        "adc_d2": adc[idx]}))
+        return pd.concat(frames, ignore_index=True)
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cand = ds.map_batches(partial, batch_format="pyarrow", batch_size=8192).to_pandas()
+    cand = cand.sort_values(["q_id", "adc_d2", "vec_id"])
+    cand = cand.groupby("q_id").head(PQ_TOPK)
+    cand["rank"] = (cand.groupby("q_id").cumcount() + 1).astype("int64")
+    out = cand[["q_id", "vec_id", "rank", "adc_d2"]].reset_index(drop=True)
+    return out.astype({"q_id": "int64", "vec_id": "int64", "adc_d2": "int64"})
+
+
+def pq_adc_oracle_sql() -> str:
+    subd_parts = []
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUB + 1, (m + 1) * PQ_SUB
+        subd_parts.append(f"""
+  SELECT b.vec_id, {m} AS m, cb.c,
+         list_sum(list_transform(generate_series({lo}, {hi}),
+             i -> (b.qe[i] - cb.ce[i]) * (b.qe[i] - cb.ce[i]))) AS d
+  FROM base b CROSS JOIN cb""")
+    subd = " UNION ALL ".join(subd_parts)
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {SQ_SCALE} + 0.5) AS BIGINT)) AS qe
+  FROM embeddings
+), cb AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c, qe AS ce
+  FROM (SELECT vec_id, qe FROM base
+        WHERE vec_id >= {N_QUERIES} ORDER BY vec_id LIMIT {PQ_K})
+), subd AS ({subd}
+), codes AS (
+  SELECT vec_id, m, c FROM (
+    SELECT vec_id, m, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+    FROM subd WHERE vec_id >= {N_QUERIES}) WHERE rn = 1
+), adc AS (
+  SELECT q.vec_id AS q_id, co.vec_id AS vec_id, SUM(q.d) AS adc_d2
+  FROM codes co JOIN subd q ON q.m = co.m AND q.c = co.c
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY 1, 2
+)
+SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank,
+       CAST(adc_d2 AS BIGINT) AS adc_d2
+FROM (SELECT q_id, vec_id, adc_d2,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY adc_d2, vec_id) AS rank
+      FROM adc)
+WHERE rank <= {PQ_TOPK}
+ORDER BY q_id, rank
+"""
+
+
+Q_PQ_ADC_SQL = pq_adc_oracle_sql()

@@ -492,3 +492,46 @@ class TestEventFunnel:
         assert got.loc[2, "reached"] == 1   # click preceded first view
         assert got.loc[3, "reached"] == 1
         assert 4 not in got.index           # never entered the funnel
+
+
+class TestPqAdc:
+    def test_centroid_vectors_encode_to_themselves(self):
+        from raster_functions_ray import ann
+        rng = np.random.default_rng(3)
+        cb = rng.integers(-500, 500, (ann.PQ_M, ann.PQ_K, ann.PQ_SUB))
+        v = np.concatenate([cb[m, 7] for m in range(ann.PQ_M)])[None, :]
+        d = (((v.reshape(1, ann.PQ_M, 1, ann.PQ_SUB)
+               - cb[None, :, :, :]) ** 2).sum(-1))
+        codes = d.argmin(axis=2)
+        assert (codes == 7).all()
+        assert d[0, np.arange(ann.PQ_M), codes[0]].sum() == 0
+
+    def test_pq_retrieves_planted_neighbours(self, tmp_path):
+        # on CLUSTERED data (PQ's design regime — uniform random vectors
+        # are its degenerate worst case: quantization error swamps the
+        # concentrated distances, recall ~0 by construction) a near-copy
+        # of each query must rank first
+        import pyarrow.parquet as pq_
+        from raster_functions_ray import ann
+        rng = np.random.default_rng(17)
+        nq, k = ann.N_QUERIES, ann.PQ_K
+        # codebook rows (ids nq..nq+k-1): spread-out anchor points
+        anchors = rng.normal(0, 1, (k, 64)).astype(np.float32) * 8
+        # each query lives in anchor qi's cluster; a planted near-copy of
+        # each query; far-away noise
+        queries = anchors[:nq] + rng.normal(0, 0.05, (nq, 64)).astype(np.float32)
+        planted = queries + rng.normal(0, 0.01, (nq, 64)).astype(np.float32)
+        noise = rng.normal(0, 1, (40, 64)).astype(np.float32) + 40
+        mat = np.concatenate([queries, anchors, planted, noise])
+        tab = pa.table({
+            "vec_id": pa.array(range(len(mat)), pa.int64()),
+            "embedding": pa.array([v for v in mat.astype(np.float32)],
+                                  pa.list_(pa.float32()))})
+        pq_.write_table(tab, tmp_path / "embeddings.parquet")
+        got = ann.q_pq_adc_topk(str(tmp_path))
+        for qi in range(nq):
+            # anchor qi and planted qi share the minimal ADC codes (ADC
+            # cannot see within-cell displacement); tie -> lower vec_id,
+            # so they occupy ranks 1-2 in id order
+            top2 = got[(got["q_id"] == qi) & (got["rank"] <= 2)]
+            assert set(top2["vec_id"]) == {nq + qi, nq + k + qi}
