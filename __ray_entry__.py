@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pattern_scrub": textops.q_pattern_scrub,
         "decontaminate": textops.q_decontaminate,
         "boilerplate": textops.q_boilerplate,
+        "csv_source": textops.q_csv_source,
+        "json_source": textops.q_json_source,
         "exact_dedup": dedup.q_exact_dedup,
         "simhash_poly": dedup.q_simhash_poly,
         "minhash_lsh_exact": dedup.q_minhash_lsh_exact,
@@ -384,7 +386,9 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_order": trainprep.Q_SHUFFLE_ORDER_SQL,
         "budget_select": trainprep.Q_BUDGET_SELECT_SQL,
         "hll_distinct": trainprep.Q_HLL_DISTINCT_SQL,
-        "paragraph_dedup": trainprep.Q_PARAGRAPH_DEDUP_SQL,
+        "boilerplate": textops.Q_BOILERPLATE_SQL,
+        "csv_source": textops.Q_SOURCE_PROFILE_SQL,
+        "json_source": textops.Q_SOURCE_PROFILE_SQL,
         "mixture_rebalance": trainprep.Q_MIXTURE_REBALANCE_SQL,
         "boilerplate": textops.Q_BOILERPLATE_SQL,
         "adaptive_cover": spatial.adaptive_cover_oracle_sql(0.01),

@@ -129,3 +129,43 @@ def join_partitions(factor: int = 2, cap: int = 64) -> int:
     (each partition spins an aggregator actor in Ray 2.49 — a hardcoded 16
     oversubscribes small sessions and undersubscribes big ones)."""
     return max(2, min(cap, cluster_cpus() // factor))
+
+
+# -------------------------------------------- CSV / JSONL source formats
+
+def text_format_cache(sf_dir: str, fmt: str) -> str:
+    """Deterministic CSV / JSONL mirror of the documents table (cached
+    under /tmp keyed by source file identity) — the fixture for the
+    non-parquet source-path gates: ray.data.read_csv / read_json must
+    deliver the SAME rows the parquet reader does, including text columns
+    that need quoting/escaping to survive the format."""
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    d = os.path.join("/tmp/rfr_srcfmt",
+                     f"{fmt}_{os.path.basename(os.path.normpath(sf_dir))}"
+                     f"_{st.st_size}_{st.st_mtime_ns}")
+    out = os.path.join(d, f"documents.{'csv' if fmt == 'csv' else 'jsonl'}")
+    if os.path.exists(os.path.join(d, "_DONE")):
+        return out
+    os.makedirs(d, exist_ok=True)
+    tab = pq.read_table(src)
+    if fmt == "csv":
+        import pyarrow.csv as pacsv
+        pacsv.write_csv(tab, out)
+    else:
+        tab.to_pandas().to_json(out, orient="records", lines=True)
+    with open(os.path.join(d, "_DONE"), "w") as f:
+        f.write("ok")
+    return out
+
+
+def read_documents_as(sf_dir: str, fmt: str) -> rd.Dataset:
+    """documents table through the CSV or JSONL reader (vs the default
+    parquet path) — formats without column projection read everything; the
+    gates prove row/text fidelity, not pruning."""
+    path = text_format_cache(sf_dir, fmt)
+    if fmt == "csv":
+        return rd.read_csv(path)
+    return rd.read_json(path)

@@ -620,3 +620,68 @@ SELECT sh.doc_id, COUNT(*) AS n_boiler
 FROM sh JOIN boiler USING (s)
 GROUP BY sh.doc_id ORDER BY doc_id
 """
+
+
+# --------------------------------------------- non-parquet source gates
+
+def _source_format_profile(ds) -> pd.DataFrame:
+    """Shared aggregate for the source-format gates: per-source doc count,
+    char sum, token sum and a text-integrity fingerprint (sum of poly31
+    over the raw text — any quoting/escaping corruption in the format
+    roundtrip shifts it)."""
+    from .trainprep import _poly31_u32
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        toks = df["text"].str.findall(r"[^ \t\n\r\f]+").str.len()
+        fp = _poly31_u32(df["text"].to_numpy(dtype=object).astype(str))
+        g = pd.DataFrame({
+            "source": df["source"], "n": 1,
+            "chars": df["n_chars"].astype("int64"),
+            "toks": toks.astype("int64"),
+            "fp": fp.astype(np.int64)}).groupby("source", sort=False).sum()
+        g = g.reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+           .groupby("source")
+           .aggregate(Sum("n", alias_name="n_docs"),
+                      Sum("chars", alias_name="sum_chars"),
+                      Sum("toks", alias_name="sum_tokens"),
+                      Sum("fp", alias_name="text_fp"))
+           .to_pandas())
+    out = out.astype({"n_docs": "int64", "sum_chars": "int64",
+                      "sum_tokens": "int64", "text_fp": "int64"})
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def q_csv_source(sf_dir: str) -> pd.DataFrame:
+    """The documents table through ``ray.data.read_csv`` (deterministic
+    CSV mirror, quoting included) — the oracle reads the PARQUET view, so
+    equality proves the CSV source path delivers identical rows and
+    byte-identical text."""
+    from .sources import read_documents_as
+
+    return _source_format_profile(read_documents_as(sf_dir, "csv"))
+
+
+def q_json_source(sf_dir: str) -> pd.DataFrame:
+    """The documents table through ``ray.data.read_json`` (JSONL mirror)
+    — same parquet-view oracle as q_csv_source."""
+    from .sources import read_documents_as
+
+    return _source_format_profile(read_documents_as(sf_dir, "jsonl"))
+
+
+Q_SOURCE_PROFILE_SQL = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS sum_tokens,
+       CAST(SUM(list_reduce(list_transform(string_split(text, ''),
+                c -> CAST(unicode(c) AS BIGINT)),
+            (a, b) -> (a * 31 + b) % 4294967296)) AS BIGINT) AS text_fp
+FROM documents GROUP BY source ORDER BY source
+"""
