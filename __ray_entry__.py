@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsu_stats": rq.q_lsu_stats,
         "multidirectional_hillshade_stats": rq.q_multidirectional_hillshade_stats,
         "media_features": rq.q_media_features,
+        "video_features": rq.q_video_features,
         "resumable_hillshade": rq.q_resumable_hillshade,
         "nn_neighbors_stats": rq.q_nn_neighbors_stats,
         "audio_features": rq.q_audio_features,

@@ -1404,6 +1404,25 @@ def q_video_frame_plan(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def q_video_features(sf_dir: str) -> pd.DataFrame:
+    """Video rows → actor-pool decode — REAL pure-numpy YUV4MPEG2 (y4m)
+    stream parsing — → frame-sampling plan → per-sampled-frame luma stats
+    + a motion score (stages/media.VideoFrameFeatures).  Deterministic,
+    rows-only check (binary container parsing is not SQL-expressible; the
+    frame-sampling PLAN half is SQL-gated by q_video_frame_plan)."""
+    import pyarrow.compute as pc
+
+    from .stages.media import VideoFrameFeatures
+
+    d = synth.synth_dir_for(sf_dir)
+    ds = rd.read_parquet(os.path.join(d, "media.parquet"),
+                         columns=["media_id", "kind", "payload"],
+                         filter=pc.field("kind") == "video")
+    out = ds.map_batches(VideoFrameFeatures, batch_format="pyarrow",
+                         batch_size=32, concurrency=2)
+    return out.to_pandas().sort_values("media_id").reset_index(drop=True)
+
+
 def video_frame_plan_oracle_sql(sf: float = 0.01) -> str:
     d = synth.synth_dir(sf)
     return f"""

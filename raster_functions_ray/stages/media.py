@@ -8,13 +8,14 @@ numpy decodes them with no codec library:
 - BMP (24bpp BITMAPINFOHEADER: bottom-up scanlines, BGR order, rows
   padded to 4 bytes) via ``decode_bmp`` / ``encode_bmp``;
 - WAV (RIFF PCM16: chunk walk for fmt/data) via ``decode_wav`` /
-  ``encode_wav``.
+  ``encode_wav``;
+- y4m / YUV4MPEG2 (C444: plain-text stream header + FRAME markers + raw
+  planes) via ``decode_y4m`` / ``encode_y4m`` — real video decode +
+  frame sampling, no ffmpeg.
 
 Compressed formats (PNG/JPEG/MP3/H.264) dispatch to PIL/ffmpeg behind an
 import-try; those wheels are NOT in this container, so unknown payloads
-fall back to a clearly-marked deterministic stub.  Video stays stubbed
-(no standard uncompressed video container without a codec); the
-frame-sampling PLAN is real and SQL-gated (q_video_frame_plan).
+fall back to a clearly-marked deterministic stub (video: refuse).
 
 Schema: media rows are (media_id:string, kind:string, payload:binary,
 width:int32, height:int32, n_frames:int32, sample_rate:int32).
@@ -223,6 +224,7 @@ def synth_media(n: int = 256, seed: int = 42) -> pa.Table:
         rows["kind"].append(kind)
         w = int(rng.integers(32, 128))
         h = int(rng.integers(32, 128))
+        nf = 1
         if kind == "image":
             yy, xx = np.mgrid[0:h, 0:w]
             arr = np.stack([(xx * 255 // max(w - 1, 1)),
@@ -236,10 +238,18 @@ def synth_media(n: int = 256, seed: int = 42) -> pa.Table:
             wav = np.sin(2 * np.pi * f0 * t) * 0.5 + rng.normal(0, 0.1, ns)
             rows["payload"].append(encode_wav(np.clip(wav, -1, 1), 16000))
         else:
-            rows["payload"].append(rng.bytes(128))
+            # real y4m clip: a moving diagonal gradient, small frames so
+            # payload stays a few hundred KB across the table
+            nf = int(rng.integers(4, 25))
+            w, h = 32, 24
+            yy, xx = np.mgrid[0:h, 0:w]
+            fr = np.stack([((xx + yy + 7 * f) % 256) for f in range(nf)])
+            frames = np.stack([fr, np.full_like(fr, 128),
+                               np.full_like(fr, 128)], axis=-1).astype(np.uint8)
+            rows["payload"].append(encode_y4m(frames, fps=25))
         rows["width"].append(w)
         rows["height"].append(h)
-        rows["n_frames"].append(int(rng.integers(1, 300)) if kind == "video" else 1)
+        rows["n_frames"].append(nf)
         rows["sample_rate"].append(16000 if kind == "audio" else 0)
     return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
 
@@ -286,3 +296,82 @@ class AudioFeatures:
                          dom_bin, round(centroid, 4)))
         return pd.DataFrame(recs, columns=["media_id", "sample_rate", "rms",
                                            "zcr", "dom_bin", "centroid"])
+
+
+# ------------------------------------------- y4m video container codec
+
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """YUV4MPEG2 (y4m) uncompressed video: (n, h, w, 3) uint8 YUV444
+    frames in → standard stream bytes out (plain-text stream header +
+    FRAME markers + raw planes; what ffmpeg/mplayer call y4m)."""
+    n, h, w, _ = frames.shape
+    head = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C444\n".encode()
+    parts = [head]
+    for i in range(n):
+        # planar: full Y plane, then U, then V
+        parts.append(b"FRAME\n")
+        parts.append(frames[i].transpose(2, 0, 1).tobytes())
+    return b"".join(parts)
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a C444 y4m stream into ((n, h, w, 3) uint8 YUV frames, fps)
+    — pure numpy, no codec library."""
+    nl = payload.index(b"\n")
+    head = payload[:nl].decode("ascii", "strict")
+    if not head.startswith("YUV4MPEG2"):
+        raise ValueError("not a y4m payload")
+    w = h = fps = None
+    for tok in head.split(" ")[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("F"):
+            fps = int(tok[1:].split(":")[0])
+        elif tok.startswith("C") and tok not in ("C444",):
+            raise ValueError(f"unsupported y4m chroma {tok}")
+    if not (w and h):
+        raise ValueError("y4m header missing W/H")
+    frame_bytes = 3 * h * w
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("y4m stream corrupt (missing FRAME marker)")
+        pos = fnl + 1
+        planes = np.frombuffer(payload, np.uint8, count=frame_bytes,
+                               offset=pos).reshape(3, h, w)
+        frames.append(planes.transpose(1, 2, 0))
+        pos += frame_bytes
+    return np.stack(frames) if frames else np.empty((0, h, w, 3), np.uint8), \
+        int(fps or 25)
+
+
+class VideoFrameFeatures:
+    """Actor-pool stage: y4m video payload → REAL container decode →
+    frame-sampling plan (sample_frames) → per-sampled-frame luma stats
+    reduced to one feature row per video.  Non-y4m payloads refuse with a
+    clear error (compressed video needs ffmpeg, absent here)."""
+
+    def __init__(self, every: int = 4):
+        self.every = every
+
+    def __call__(self, b: pa.Table) -> pd.DataFrame:
+        recs = []
+        payloads = b["payload"].to_pylist()
+        mids = b["media_id"].to_pylist()
+        for i in range(b.num_rows):
+            frames, fps = decode_y4m(payloads[i])
+            take = sample_frames(frames.shape[0], self.every)
+            luma = frames[take, :, :, 0].astype(np.float64)
+            recs.append((mids[i], int(frames.shape[0]), int(take.size), fps,
+                         round(float(luma.mean()), 4),
+                         round(float(luma.std()), 4),
+                         round(float(np.abs(np.diff(
+                             luma.mean(axis=(1, 2)))).mean())
+                             if take.size > 1 else 0.0, 4)))
+        return pd.DataFrame(recs, columns=[
+            "media_id", "n_frames", "n_sampled", "fps",
+            "luma_mean", "luma_std", "motion"])

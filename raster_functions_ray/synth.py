@@ -362,7 +362,7 @@ def synth_dir(sf: float) -> str:
     import uuid
 
     p = params_for(sf)
-    d = os.path.join(CACHE_ROOT, f"v7_sf{p.sf}")  # v7: real BMP/WAV media payloads
+    d = os.path.join(CACHE_ROOT, f"v8_sf{p.sf}")  # v8: real BMP/WAV/y4m media payloads
     marker = os.path.join(d, "_DONE")
     if os.path.exists(marker):
         return d

@@ -416,3 +416,38 @@ class TestMediaCodecs:
             decode_bmp(b"PNG\x00notabmp" * 10)
         with pytest.raises(ValueError):
             decode_wav(b"OggS" + b"\x00" * 50)
+
+
+class TestY4mCodec:
+    def test_roundtrip_exact(self):
+        from raster_functions_ray.stages.media import decode_y4m, encode_y4m
+        rng = np.random.default_rng(6)
+        frames = rng.integers(0, 256, (5, 24, 32, 3), dtype=np.uint8)
+        out, fps = decode_y4m(encode_y4m(frames, fps=30))
+        assert fps == 30
+        np.testing.assert_array_equal(out, frames)
+
+    def test_header_is_standard(self):
+        from raster_functions_ray.stages.media import encode_y4m
+        b = encode_y4m(np.zeros((2, 4, 6, 3), np.uint8), fps=25)
+        assert b.startswith(b"YUV4MPEG2 W6 H4 F25:1 Ip A1:1 C444\n")
+        assert b.count(b"FRAME\n") == 2
+        # stream length: header + 2 * (marker + 3 planes)
+        assert len(b) == 35 + 2 * (6 + 3 * 4 * 6)
+
+    def test_video_stage_decodes_real_frames(self):
+        from raster_functions_ray.stages.media import (VideoFrameFeatures,
+                                                       decode_y4m, synth_media)
+        tab = synth_media(n=9)
+        vids = tab.filter(pa.compute.equal(tab["kind"], "video"))
+        feats = VideoFrameFeatures(every=4)(vids)
+        f0, _ = decode_y4m(vids["payload"][0].as_py())
+        assert feats["n_frames"].iloc[0] == f0.shape[0]
+        take = np.arange(0, f0.shape[0], 4)
+        exp = f0[take, :, :, 0].astype(np.float64).mean()
+        assert abs(feats["luma_mean"].iloc[0] - exp) < 1e-3
+
+    def test_non_y4m_refuses(self):
+        from raster_functions_ray.stages.media import decode_y4m
+        with pytest.raises(ValueError):
+            decode_y4m(b"RIFF....AVI LIST" + b"\x00" * 40 + b"\n")
