@@ -387,7 +387,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_order": trainprep.Q_SHUFFLE_ORDER_SQL,
         "budget_select": trainprep.Q_BUDGET_SELECT_SQL,
         "hll_distinct": trainprep.Q_HLL_DISTINCT_SQL,
-        "boilerplate": textops.Q_BOILERPLATE_SQL,
+        "paragraph_dedup": trainprep.Q_PARAGRAPH_DEDUP_SQL,
         "csv_source": textops.Q_SOURCE_PROFILE_SQL,
         "json_source": textops.Q_SOURCE_PROFILE_SQL,
         "mixture_rebalance": trainprep.Q_MIXTURE_REBALANCE_SQL,

@@ -2,7 +2,9 @@
 compare against oracle_sql() via DuckDB (row count + sorted-column schema +
 order-insensitive value hash), mirroring CORRECTNESS_r{N}.json.
 
-Usage: python scripts/verify_queries.py [name ...]
+Usage: python scripts/verify_queries.py [--sf-dir DIR] [name ...]
+(--sf-dir: run the comparison over another scale factor, e.g.
+/root/testdata/sf0.1 — the 10x scale spot-check)
 """
 
 from __future__ import annotations
@@ -15,6 +17,10 @@ import duckdb
 import pandas as pd
 
 SF_DIR = "/root/testdata/sf0.01"
+if "--sf-dir" in sys.argv:
+    i = sys.argv.index("--sf-dir")
+    SF_DIR = sys.argv[i + 1]
+    del sys.argv[i:i + 2]
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
