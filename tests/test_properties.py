@@ -114,3 +114,87 @@ def test_windchill_mask_and_formula_property():
     wc, m = windchill(t, ws)
     assert m.all()
     assert (np.diff(wc[0]) < 0).all()
+
+
+# ------------------------- container-codec properties (stages/media.py)
+# The media path's correctness rests on these pure-numpy codecs being
+# lossless (BMP/y4m) or boundedly lossy (PCM16 WAV); the unit tests pin
+# single examples, these pin the full input space.
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 13), st.integers(1, 13))
+def test_bmp_roundtrip_any_shape(seed, h, w):
+    """decode(encode(img)) == img for every (h, w) incl. odd widths whose
+    scanlines need 4-byte padding, and the size field matches the bytes."""
+    from raster_functions_ray.stages.media import decode_bmp, encode_bmp
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    b = encode_bmp(img)
+    assert int.from_bytes(b[2:6], "little") == len(b)
+    np.testing.assert_array_equal(decode_bmp(b), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(2, 9), st.integers(2, 9))
+def test_bmp_topdown_variant_decodes(seed, h, w):
+    """A top-down BMP (negative biHeight, rows not flipped) decodes to the
+    same image — the decoder honors the sign convention, not our encoder."""
+    import struct
+    from raster_functions_ray.stages.media import decode_bmp, encode_bmp
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    b = bytearray(encode_bmp(img))
+    struct.pack_into("<i", b, 22, -h)           # biHeight < 0 → top-down
+    row_len = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_len), dtype=np.uint8)
+    rows[:, :w * 3] = img[:, :, ::-1].reshape(h, w * 3)   # natural order, BGR
+    np.testing.assert_array_equal(decode_bmp(bytes(b[:54]) + rows.tobytes()), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 5000),
+       st.sampled_from([8000, 11025, 22050, 44100, 48000]))
+def test_wav_roundtrip_bounded_error(seed, n, sr):
+    """PCM16 roundtrip: sample_rate exact, waveform within 1.5 quantization
+    steps (encode scales by 32767, decode by 1/32768: error ≤ |x|/32768 +
+    0.5/32768) for any length, and the RIFF size field is consistent."""
+    from raster_functions_ray.stages.media import decode_wav, encode_wav
+    rng = np.random.default_rng(seed)
+    wav = np.clip(rng.normal(0, 0.4, n), -1, 1).astype(np.float32)
+    b = encode_wav(wav, sr)
+    assert int.from_bytes(b[4:8], "little") == len(b) - 8
+    out, sr2 = decode_wav(b)
+    assert sr2 == sr and out.shape == wav.shape
+    np.testing.assert_allclose(out, wav, atol=1.5 / 32768 + 1e-7)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 99))
+def test_wav_chunk_walk_skips_junk(seed, junk_len):
+    """The decoder walks RIFF chunks: a LIST chunk of any (incl. odd) size
+    injected before fmt/data is skipped via word-aligned advance."""
+    import struct
+    from raster_functions_ray.stages.media import decode_wav, encode_wav
+    rng = np.random.default_rng(seed)
+    wav = np.clip(rng.normal(0, 0.4, 100), -1, 1).astype(np.float32)
+    b = encode_wav(wav, 16000)
+    junk = b"LIST" + struct.pack("<I", junk_len) + bytes(junk_len + (junk_len & 1))
+    patched = b[:12] + junk + b[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    out, sr = decode_wav(patched)
+    assert sr == 16000
+    np.testing.assert_allclose(out, wav, atol=1.5 / 32768 + 1e-7)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(0, 5), st.integers(1, 9),
+       st.integers(1, 9), st.integers(1, 60))
+def test_y4m_roundtrip_any_shape(seed, n, h, w, fps):
+    """decode(encode(frames)) is exact for any frame count (incl. 0),
+    any geometry, and preserves fps."""
+    from raster_functions_ray.stages.media import decode_y4m, encode_y4m
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+    out, fps2 = decode_y4m(encode_y4m(frames, fps=fps))
+    assert fps2 == fps
+    np.testing.assert_array_equal(out, frames)
