@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate": textops.q_boilerplate,
         "csv_source": textops.q_csv_source,
         "json_source": textops.q_json_source,
+        "inverted_index": textops.q_inverted_index,
         "exact_dedup": dedup.q_exact_dedup,
         "simhash_poly": dedup.q_simhash_poly,
         "minhash_lsh_exact": dedup.q_minhash_lsh_exact,
@@ -192,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_adc_topk": ann.q_pq_adc_topk,
         "kmeans_embed": ann.q_kmeans_embed,
         "semantic_dedup_kmeans": ann.q_semantic_dedup_kmeans,
+        "embedding_decontam": ann.q_embedding_decontam,
         # band algebra on columns (same kernels as the raster path, SQL-exact)
         "windchill": bandmath.q_windchill,
         "fuzzy_linear": bandmath.q_fuzzy_linear,
@@ -372,6 +374,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_segment_rollup": rel.Q_NATION_SEGMENT_ROLLUP_SQL,
         "event_type_pivot": rel.Q_EVENT_TYPE_PIVOT_SQL,
         "lsh_bucket_sizes": ann.lsh_bucket_sizes_oracle_sql(),
+        "embedding_decontam": ann.Q_EMBEDDING_DECONTAM_SQL,
         "ivf_sq_search": ann.ivf_sq_oracle_sql(),
         "pq_adc_topk": ann.Q_PQ_ADC_SQL,
         "kmeans_embed": ann.kmeans_oracle_sql(),
@@ -390,6 +393,7 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": trainprep.Q_PARAGRAPH_DEDUP_SQL,
         "csv_source": textops.Q_SOURCE_PROFILE_SQL,
         "json_source": textops.Q_SOURCE_PROFILE_SQL,
+        "inverted_index": textops.Q_INVERTED_INDEX_SQL,
         "mixture_rebalance": trainprep.Q_MIXTURE_REBALANCE_SQL,
         "boilerplate": textops.Q_BOILERPLATE_SQL,
         "adaptive_cover": spatial.adaptive_cover_oracle_sql(0.01),

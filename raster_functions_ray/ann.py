@@ -971,3 +971,74 @@ ORDER BY q_id, rank
 
 
 Q_PQ_ADC_SQL = pq_adc_oracle_sql()
+
+
+# ------------------------------------- embedding-based decontamination
+
+N_EVAL = 16       # eval set = embeddings with vec_id < N_EVAL
+DECONTAM_TAU = 0.35
+# measured min |cos - TAU| across eval×train pairs: 1.5e-4 (sf0.001),
+# 5.4e-4 (sf0.01), 4.1e-5 (sf0.1) — ≥4e-5, ~11 orders above the fp
+# summation-order noise between numpy matmul and DuckDB
+# list_cosine_similarity on 64-dim doubles (same discipline as the LSH
+# sign margin, lsh_bucket_sizes_oracle_sql).
+
+
+def q_embedding_decontam(sf_dir: str) -> pd.DataFrame:
+    """Embedding-space eval-set decontamination: flag every train vector
+    whose cosine similarity to ANY eval vector exceeds {DECONTAM_TAU} —
+    the semantic complement of textops.q_decontaminate's exact n-gram
+    overlap (near-paraphrases of benchmark items that share no 4-gram).
+
+    Scale shape: the eval side is small BY NATURE → broadcast the
+    normalized eval matrix once (ray.put), stream the corpus through one
+    vectorized map_batches matmul, no shuffle at all; output is one narrow
+    row per train vector.  Same shape as _brute_force_topk but cheaper
+    (hit counting, no top-k state)."""
+    import pyarrow.compute as pc
+
+    from .sources import read_table_filtered
+
+    t = read_table_filtered(sf_dir, "embeddings", ["vec_id", "embedding"],
+                            pc.field("vec_id") < N_EVAL)
+    _, emat = _embedding_matrix(t)
+    emat = emat / np.linalg.norm(emat, axis=1, keepdims=True)
+    eref = ray.put(emat)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def hits(b: pa.Table) -> pd.DataFrame:
+        em = ray.get(eref)
+        ids, mat = _embedding_matrix(b)
+        keep = ids >= N_EVAL
+        ids, mat = ids[keep], mat[keep]
+        if ids.size == 0:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "n_hits": pd.Series([], dtype="int64"),
+                                 "contaminated": pd.Series([], dtype="int32")})
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = (mat / np.where(norms == 0, 1.0, norms)) @ em.T
+        over = sims > DECONTAM_TAU
+        return pd.DataFrame({"vec_id": ids,
+                             "n_hits": over.sum(axis=1).astype(np.int64),
+                             "contaminated": over.any(axis=1).astype(np.int32)})
+
+    out = ds.map_batches(hits, batch_format="pyarrow", batch_size=8192).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+Q_EMBEDDING_DECONTAM_SQL = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), ev AS (
+  SELECT e AS ee FROM base WHERE vec_id < {N_EVAL}
+), tr AS (
+  SELECT vec_id, e FROM base WHERE vec_id >= {N_EVAL}
+)
+SELECT t.vec_id,
+       CAST(SUM(CASE WHEN list_cosine_similarity(t.e, v.ee) > {DECONTAM_TAU}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(MAX(CASE WHEN list_cosine_similarity(t.e, v.ee) > {DECONTAM_TAU}
+                THEN 1 ELSE 0 END) AS INT) AS contaminated
+FROM tr t CROSS JOIN ev v
+GROUP BY t.vec_id ORDER BY t.vec_id
+"""

@@ -685,3 +685,72 @@ SELECT source,
             (a, b) -> (a * 31 + b) % 4294967296)) AS BIGINT) AS text_fp
 FROM documents GROUP BY source ORDER BY source
 """
+
+
+# --------------------------------------------------- inverted-index build
+
+INDEX_HEAD_K = 8  # posting-list head kept exactly per term
+
+
+def q_inverted_index(sf_dir: str) -> pd.DataFrame:
+    """Distributed inverted-index build: term → (document frequency,
+    postings checksum, first {INDEX_HEAD_K} postings) over whitespace
+    tokens — the retrieval-index shape of the corpus (cf. the reference's
+    attribute→zone lookup tables, functions/ZonalRemap semantics inverted).
+
+    Scale shape: each block reduces its (doc, term) pairs to ONE partial
+    row per term it contains — df / postings_sum are additive because a
+    doc lives in exactly one block, and the head-K merge is associative
+    (K smallest of per-block K-smallest == global K smallest).  The
+    groupby(term) therefore ships O(vocab × blocks) narrow rows, never
+    the postings themselves: a stopword appearing in every document of a
+    100 TB corpus still contributes one row per block.  No salting needed
+    — the hot key's group is bounded by block count, not corpus size.
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        toks = df["text"].str.findall(r"[^ \t\n\r\f]+")
+        pairs = pd.DataFrame({
+            "doc_id": df["doc_id"].repeat(toks.str.len().to_numpy()),
+            "term": np.concatenate([np.asarray(t, dtype=object) for t in toks])
+            if len(df) else np.empty(0, dtype=object),
+        }).drop_duplicates()
+        g = pairs.sort_values("doc_id").groupby("term", sort=False)["doc_id"]
+        sizes = g.size()
+        return pd.DataFrame({
+            "term": sizes.index.astype(str).to_numpy(),
+            "df": sizes.to_numpy(np.int64),
+            "postings_sum": g.sum().reindex(sizes.index).to_numpy(np.int64),
+            # per-block head: the K smallest doc_ids of this block
+            "head": g.apply(lambda s: s.head(INDEX_HEAD_K).tolist())
+                     .reindex(sizes.index).to_numpy(),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        heads = np.sort(np.concatenate(g["head"].to_list()))[:INDEX_HEAD_K]
+        return pd.DataFrame({
+            "term": [g["term"].iloc[0]],
+            "df": [int(g["df"].sum())],
+            "postings_sum": [int(g["postings_sum"].sum())],
+            "head_postings": [",".join(str(int(d)) for d in heads)],
+        })
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+           .groupby("term").map_groups(merge, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("term").reset_index(drop=True)
+
+
+Q_INVERTED_INDEX_SQL = rf"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term
+  FROM documents
+), toks AS (SELECT DISTINCT doc_id, term FROM raw)
+SELECT term, COUNT(*) AS df, CAST(SUM(doc_id) AS BIGINT) AS postings_sum,
+       array_to_string(list_slice(list_sort(list(doc_id)), 1, {INDEX_HEAD_K}),
+                       ',') AS head_postings
+FROM toks GROUP BY term ORDER BY term
+"""

@@ -399,3 +399,50 @@ class TestMovingMax:
             naive = np.array([v[max(0, i - MOVWIN + 1):i + 1].max()
                               for i in range(n)])
             np.testing.assert_array_equal(_movmax(v), naive)
+
+
+SF001 = "/root/testdata/sf0.001"
+
+
+class TestInvertedIndex:
+    def test_matches_oracle_and_head_semantics(self):
+        import duckdb
+        import pyarrow.parquet as pq
+        from raster_functions_ray import textops
+
+        got = textops.q_inverted_index(SF001)
+        con = duckdb.connect()
+        con.register("documents", pq.read_table(f"{SF001}/documents.parquet"))
+        exp = con.execute(textops.Q_INVERTED_INDEX_SQL).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # head postings are genuinely the K smallest doc_ids per term
+        for _, r in got.head(5).iterrows():
+            head = [int(x) for x in r["head_postings"].split(",")]
+            assert head == sorted(head) and len(head) == min(r["df"], 8)
+
+    def test_head_merge_associative(self):
+        # K smallest of per-block K-smallest == global K smallest — the
+        # invariant that lets each block pre-reduce before the groupby
+        rng = np.random.default_rng(7)
+        ids = rng.choice(100000, 500, replace=False)
+        blocks = np.array_split(ids, 7)
+        merged = np.sort(np.concatenate([np.sort(b)[:8] for b in blocks]))[:8]
+        np.testing.assert_array_equal(merged, np.sort(ids)[:8])
+
+
+class TestEmbeddingDecontam:
+    def test_flags_match_hits_and_oracle_margin(self):
+        import pyarrow.parquet as pq
+        from raster_functions_ray import ann
+
+        got = ann.q_embedding_decontam(SF001)
+        assert (got["contaminated"] == (got["n_hits"] > 0).astype(int)).all()
+        assert got["contaminated"].sum() > 0  # the gate actually fires
+        # fp-margin discipline: no eval×train cosine sits within 2e-5 of
+        # the threshold, so numpy-vs-DuckDB summation order cannot flip a row
+        t = pq.read_table(f"{SF001}/embeddings.parquet")
+        ids = t["vec_id"].to_numpy()
+        mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat[ids >= ann.N_EVAL] @ mat[ids < ann.N_EVAL].T
+        assert np.abs(sims - ann.DECONTAM_TAU).min() > 2e-5
