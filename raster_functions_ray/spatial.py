@@ -1135,3 +1135,110 @@ def q_doc_zone_join_adaptive_full(sf_dir: str) -> pd.DataFrame:
 
     out = joined.map_batches(contains, batch_format="pyarrow").to_pandas()
     return out.sort_values(["doc_id", "zone_id"]).reset_index(drop=True)
+
+
+# --------------------------------------- large x large rect-overlap join
+
+OVERLAP_CELL = 10.0  # co-partition grid pitch; > max rect extent (6 x 4.5)
+
+
+def _event_rects(b: pa.Table) -> pa.Table:
+    """Derive a deterministic box per event from its point (closed-form,
+    duplicated verbatim in the SQL oracle): width 2+(id%5), height
+    1.5+0.5*(id%7) — every arithmetic step is the identical IEEE double
+    op on both sides, so the boxes (and overlap areas) are bit-exact."""
+    p = derive_points(b)
+    eid = np.asarray(p["event_id"], dtype=np.int64)
+    x1 = np.asarray(p["x"])
+    y1 = np.asarray(p["y"])
+    return pa.table({
+        "id": pa.array(eid),
+        "x1": pa.array(x1), "x2": pa.array(x1 + (2 + eid % 5)),
+        "y1": pa.array(y1), "y2": pa.array(y1 + (1.5 + (eid % 7) * 0.5)),
+    })
+
+
+def q_rect_overlap_join(sf_dir: str) -> pd.DataFrame:
+    """Large×large 2-D interval-overlap self-join: every pair of event
+    boxes with positive-area intersection, plus the exact overlap area —
+    the join class PIP/range-join don't cover (BOTH sides corpus-sized,
+    so neither can broadcast).
+
+    Scale shape: each box is flat-mapped to the ≤4 grid cells it touches
+    (pitch {OVERLAP_CELL} > the max box extent), pairs form INSIDE a
+    groupby(cell) — O(per-cell density²), never O(corpus²) — and each
+    pair is emitted exactly once globally by the report-once rule: only
+    the cell containing the intersection's min corner reports it (that
+    corner lies in both boxes, hence in a cell both cover).  Group size
+    is bounded by geometric density, not corpus size; a skewed hot cell
+    would split by halving the pitch there (stages/salt.py pattern).
+    """
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+    rects = ds.map_batches(_event_rects, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def to_cells(b: pa.Table) -> pa.Table:
+        t = {k: np.asarray(b[k]) for k in b.column_names}
+        cx_lo = np.floor(t["x1"] / OVERLAP_CELL).astype(np.int64)
+        cx_hi = np.floor(t["x2"] / OVERLAP_CELL).astype(np.int64)
+        cy_lo = np.floor((t["y1"] + 90.0) / OVERLAP_CELL).astype(np.int64)
+        cy_hi = np.floor((t["y2"] + 90.0) / OVERLAP_CELL).astype(np.int64)
+        parts = []
+        for dx in (0, 1):
+            for dy in (0, 1):
+                keep = (cx_lo + dx <= cx_hi) & (cy_lo + dy <= cy_hi)
+                if not keep.any():
+                    continue
+                parts.append(pa.table({
+                    "cell": pa.array((cx_lo[keep] + dx) * 64 + cy_lo[keep] + dy),
+                    **{k: pa.array(v[keep]) for k, v in t.items()},
+                }))
+        return pa.concat_tables(parts) if parts else pa.table(
+            {"cell": pa.array([], pa.int64()),
+             **{k: pa.array([], pa.int64() if k == "id" else pa.float64())
+                for k in t}})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        cell = int(g["cell"].iloc[0])
+        ids = g["id"].to_numpy(np.int64)
+        x1, x2 = g["x1"].to_numpy(), g["x2"].to_numpy()
+        y1, y2 = g["y1"].to_numpy(), g["y2"].to_numpy()
+        lt = ids[:, None] < ids[None, :]
+        ox1 = np.maximum(x1[:, None], x1[None, :])
+        ox2 = np.minimum(x2[:, None], x2[None, :])
+        oy1 = np.maximum(y1[:, None], y1[None, :])
+        oy2 = np.minimum(y2[:, None], y2[None, :])
+        hit = lt & (ox1 < ox2) & (oy1 < oy2)
+        # report-once: this cell owns the pair iff it contains the
+        # intersection's min corner
+        own = (np.floor(ox1 / OVERLAP_CELL).astype(np.int64) * 64
+               + np.floor((oy1 + 90.0) / OVERLAP_CELL).astype(np.int64)) == cell
+        i, j = np.nonzero(hit & own)
+        return pd.DataFrame({"a_id": ids[i], "b_id": ids[j],
+                             "area": (ox2[i, j] - ox1[i, j]) * (oy2[i, j] - oy1[i, j])})
+
+    out = (rects.map_batches(to_cells, batch_format="pyarrow")
+           .groupby("cell").map_groups(pairs, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
+Q_RECT_OVERLAP_JOIN_SQL = """
+WITH pts AS (
+  SELECT event_id,
+         CAST((event_id * 7919) % 36000 AS DOUBLE) / 100.0 AS x,
+         CAST((event_id * 104729) % 18000 AS DOUBLE) / 100.0 - 90.0 AS y
+  FROM events
+), rects AS (
+  SELECT event_id AS id, x AS x1, x + (2 + event_id % 5) AS x2,
+         y AS y1, y + (1.5 + (event_id % 7) * 0.5) AS y2
+  FROM pts
+)
+SELECT a.id AS a_id, b.id AS b_id,
+       (LEAST(a.x2, b.x2) - GREATEST(a.x1, b.x1))
+     * (LEAST(a.y2, b.y2) - GREATEST(a.y1, b.y1)) AS area
+FROM rects a JOIN rects b
+  ON a.id < b.id AND a.x1 < b.x2 AND b.x1 < a.x2
+ AND a.y1 < b.y2 AND b.y1 < a.y2
+ORDER BY a_id, b_id
+"""

@@ -446,3 +446,19 @@ class TestEmbeddingDecontam:
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         sims = mat[ids >= ann.N_EVAL] @ mat[ids < ann.N_EVAL].T
         assert np.abs(sims - ann.DECONTAM_TAU).min() > 2e-5
+
+
+class TestRectOverlapJoin:
+    def test_matches_oracle_and_report_once(self):
+        import duckdb
+        import pyarrow.parquet as pq
+        from raster_functions_ray import spatial
+
+        got = spatial.q_rect_overlap_join(SF001)
+        # report-once rule held: no pair appears twice
+        assert not got.duplicated(["a_id", "b_id"]).any()
+        con = duckdb.connect()
+        con.register("events", pq.read_table(f"{SF001}/events.parquet"))
+        exp = con.execute(spatial.Q_RECT_OVERLAP_JOIN_SQL).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        assert len(got) > 0 and (got["area"] > 0).all()
