@@ -702,12 +702,16 @@ def q_inverted_index(sf_dir: str) -> pd.DataFrame:
     row per term it contains — df / postings_sum are additive because a
     doc lives in exactly one block, and the head-K merge is associative
     (K smallest of per-block K-smallest == global K smallest).  The
-    groupby(term) therefore ships O(vocab × blocks) narrow rows, never
-    the postings themselves: a stopword appearing in every document of a
-    100 TB corpus still contributes one row per block.  No salting needed
-    — the hot key's group is bounded by block count, not corpus size.
+    exchange therefore ships O(vocab × blocks) narrow rows, never the
+    postings themselves: a stopword appearing in every document of a
+    100 TB corpus still contributes one row per block.  The merge groups
+    by HASH SHARD, not by term — one vectorized pandas call per shard
+    instead of one Python call per vocabulary entry (the substring-dedup
+    lesson: per-gram map_groups measured 30× slower than sharded
+    vectorized merges at sf0.1).
     """
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_shards = 64
 
     def partial(b: pa.Table) -> pd.DataFrame:
         df = b.to_pandas()
@@ -719,8 +723,11 @@ def q_inverted_index(sf_dir: str) -> pd.DataFrame:
         }).drop_duplicates()
         g = pairs.sort_values("doc_id").groupby("term", sort=False)["doc_id"]
         sizes = g.size()
+        terms = sizes.index.astype(str).to_numpy()
         return pd.DataFrame({
-            "term": sizes.index.astype(str).to_numpy(),
+            "shard": (pd.util.hash_array(terms.astype(object)) % n_shards)
+                     .astype(np.int64),
+            "term": terms,
             "df": sizes.to_numpy(np.int64),
             "postings_sum": g.sum().reindex(sizes.index).to_numpy(np.int64),
             # per-block head: the K smallest doc_ids of this block
@@ -728,17 +735,20 @@ def q_inverted_index(sf_dir: str) -> pd.DataFrame:
                      .reindex(sizes.index).to_numpy(),
         })
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        heads = np.sort(np.concatenate(g["head"].to_list()))[:INDEX_HEAD_K]
-        return pd.DataFrame({
-            "term": [g["term"].iloc[0]],
-            "df": [int(g["df"].sum())],
-            "postings_sum": [int(g["postings_sum"].sum())],
-            "head_postings": [",".join(str(int(d)) for d in heads)],
-        })
+    def merge_shard(g: pd.DataFrame) -> pd.DataFrame:
+        sums = g.groupby("term", sort=True).agg(
+            df=("df", "sum"), postings_sum=("postings_sum", "sum"))
+        ex = pd.DataFrame({
+            "term": g["term"].to_numpy().repeat(g["head"].str.len().to_numpy()),
+            "doc": np.concatenate(g["head"].to_list()).astype(np.int64),
+        }).sort_values(["term", "doc"], kind="mergesort")
+        ex = ex[ex.groupby("term", sort=False).cumcount() < INDEX_HEAD_K]
+        heads = ex["doc"].astype(str).groupby(ex["term"]).agg(",".join)
+        return (sums.join(heads.rename("head_postings"))
+                .reset_index()[["term", "df", "postings_sum", "head_postings"]])
 
     out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
-           .groupby("term").map_groups(merge, batch_format="pandas")
+           .groupby("shard").map_groups(merge_shard, batch_format="pandas")
            .to_pandas())
     return out.sort_values("term").reset_index(drop=True)
 

@@ -462,3 +462,13 @@ class TestRectOverlapJoin:
         exp = con.execute(spatial.Q_RECT_OVERLAP_JOIN_SQL).df()
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
         assert len(got) > 0 and (got["area"] > 0).all()
+
+    def test_pitch_independent(self, monkeypatch):
+        # the report-once rule must make the output invariant to the
+        # co-partition pitch (any pitch > the max box extent is legal)
+        from raster_functions_ray import spatial
+
+        base = spatial.q_rect_overlap_join(SF001)
+        monkeypatch.setattr(spatial, "OVERLAP_CELL", 20.0)
+        wide = spatial.q_rect_overlap_join(SF001)
+        pd.testing.assert_frame_equal(base, wide)
