@@ -472,3 +472,13 @@ class TestRectOverlapJoin:
         monkeypatch.setattr(spatial, "OVERLAP_CELL", 20.0)
         wide = spatial.q_rect_overlap_join(SF001)
         pd.testing.assert_frame_equal(base, wide)
+
+    def test_hot_cell_split_equals_unsplit(self):
+        # every regime: full split (hot_limit=1), mixed, no split — the
+        # level-aware report-once owner keeps the row set identical
+        from raster_functions_ray import spatial
+
+        base = spatial.q_rect_overlap_join(SF001)
+        for hl in (1, 10, 10**9):
+            pd.testing.assert_frame_equal(
+                base, spatial.q_rect_overlap_join_split(SF001, hot_limit=hl))
