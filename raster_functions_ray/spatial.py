@@ -1158,6 +1158,35 @@ def _event_rects(b: pa.Table) -> pa.Table:
     })
 
 
+def _coarse_span(t: dict, pitch: float):
+    """Inclusive cell-index span each box touches at ``pitch``."""
+    return (np.floor(t["x1"] / pitch).astype(np.int64),
+            np.floor(t["x2"] / pitch).astype(np.int64),
+            np.floor((t["y1"] + 90.0) / pitch).astype(np.int64),
+            np.floor((t["y2"] + 90.0) / pitch).astype(np.int64))
+
+
+def _overlap_pairs_kernel(g: pd.DataFrame, owner_key) -> pd.DataFrame:
+    """Shared per-cell pair kernel: vectorized O(n²) overlap test with the
+    report-once rule — emit (a, b, area) only when ``owner_key(ox1, oy1,
+    key)`` of the intersection's min corner equals this group's key (the
+    corner lies in both boxes, hence in a cell both cover, so exactly one
+    group worldwide passes the test for each overlapping pair)."""
+    key = int(g["key"].iloc[0])
+    ids = g["id"].to_numpy(np.int64)
+    x1, x2 = g["x1"].to_numpy(), g["x2"].to_numpy()
+    y1, y2 = g["y1"].to_numpy(), g["y2"].to_numpy()
+    lt = ids[:, None] < ids[None, :]
+    ox1 = np.maximum(x1[:, None], x1[None, :])
+    ox2 = np.minimum(x2[:, None], x2[None, :])
+    oy1 = np.maximum(y1[:, None], y1[None, :])
+    oy2 = np.minimum(y2[:, None], y2[None, :])
+    hit = lt & (ox1 < ox2) & (oy1 < oy2)
+    i, j = np.nonzero(hit & (owner_key(ox1, oy1, key) == key))
+    return pd.DataFrame({"a_id": ids[i], "b_id": ids[j],
+                         "area": (ox2[i, j] - ox1[i, j]) * (oy2[i, j] - oy1[i, j])})
+
+
 def q_rect_overlap_join(sf_dir: str) -> pd.DataFrame:
     """Large×large 2-D interval-overlap self-join: every pair of event
     boxes with positive-area intersection, plus the exact overlap area —
@@ -1167,11 +1196,10 @@ def q_rect_overlap_join(sf_dir: str) -> pd.DataFrame:
     Scale shape: each box is flat-mapped to the ≤4 grid cells it touches
     (pitch {OVERLAP_CELL} > the max box extent), pairs form INSIDE a
     groupby(cell) — O(per-cell density²), never O(corpus²) — and each
-    pair is emitted exactly once globally by the report-once rule: only
-    the cell containing the intersection's min corner reports it (that
-    corner lies in both boxes, hence in a cell both cover).  Group size
-    is bounded by geometric density, not corpus size; a skewed hot cell
-    would split by halving the pitch there (stages/salt.py pattern).
+    pair is emitted exactly once globally by the report-once rule
+    (_overlap_pairs_kernel).  Group size is bounded by geometric density,
+    not corpus size; a skewed hot cell splits explicitly via
+    q_rect_overlap_join_split (same oracle).
     """
     ds = read_table(sf_dir, "events", columns=["event_id"])
     rects = ds.map_batches(_event_rects, batch_format="pyarrow",
@@ -1179,10 +1207,7 @@ def q_rect_overlap_join(sf_dir: str) -> pd.DataFrame:
 
     def to_cells(b: pa.Table) -> pa.Table:
         t = {k: np.asarray(b[k]) for k in b.column_names}
-        cx_lo = np.floor(t["x1"] / OVERLAP_CELL).astype(np.int64)
-        cx_hi = np.floor(t["x2"] / OVERLAP_CELL).astype(np.int64)
-        cy_lo = np.floor((t["y1"] + 90.0) / OVERLAP_CELL).astype(np.int64)
-        cy_hi = np.floor((t["y2"] + 90.0) / OVERLAP_CELL).astype(np.int64)
+        cx_lo, cx_hi, cy_lo, cy_hi = _coarse_span(t, OVERLAP_CELL)
         parts = []
         for dx in (0, 1):
             for dy in (0, 1):
@@ -1190,35 +1215,22 @@ def q_rect_overlap_join(sf_dir: str) -> pd.DataFrame:
                 if not keep.any():
                     continue
                 parts.append(pa.table({
-                    "cell": pa.array((cx_lo[keep] + dx) * 64 + cy_lo[keep] + dy),
+                    "key": pa.array((cx_lo[keep] + dx) * 64 + cy_lo[keep] + dy),
                     **{k: pa.array(v[keep]) for k, v in t.items()},
                 }))
         return pa.concat_tables(parts) if parts else pa.table(
-            {"cell": pa.array([], pa.int64()),
+            {"key": pa.array([], pa.int64()),
              **{k: pa.array([], pa.int64() if k == "id" else pa.float64())
                 for k in t}})
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        cell = int(g["cell"].iloc[0])
-        ids = g["id"].to_numpy(np.int64)
-        x1, x2 = g["x1"].to_numpy(), g["x2"].to_numpy()
-        y1, y2 = g["y1"].to_numpy(), g["y2"].to_numpy()
-        lt = ids[:, None] < ids[None, :]
-        ox1 = np.maximum(x1[:, None], x1[None, :])
-        ox2 = np.minimum(x2[:, None], x2[None, :])
-        oy1 = np.maximum(y1[:, None], y1[None, :])
-        oy2 = np.minimum(y2[:, None], y2[None, :])
-        hit = lt & (ox1 < ox2) & (oy1 < oy2)
-        # report-once: this cell owns the pair iff it contains the
-        # intersection's min corner
-        own = (np.floor(ox1 / OVERLAP_CELL).astype(np.int64) * 64
-               + np.floor((oy1 + 90.0) / OVERLAP_CELL).astype(np.int64)) == cell
-        i, j = np.nonzero(hit & own)
-        return pd.DataFrame({"a_id": ids[i], "b_id": ids[j],
-                             "area": (ox2[i, j] - ox1[i, j]) * (oy2[i, j] - oy1[i, j])})
+    def owner(ox1, oy1, key):
+        return (np.floor(ox1 / OVERLAP_CELL).astype(np.int64) * 64
+                + np.floor((oy1 + 90.0) / OVERLAP_CELL).astype(np.int64))
 
     out = (rects.map_batches(to_cells, batch_format="pyarrow")
-           .groupby("cell").map_groups(pairs, batch_format="pandas")
+           .groupby("key")
+           .map_groups(lambda g: _overlap_pairs_kernel(g, owner),
+                       batch_format="pandas")
            .to_pandas())
     return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
 
@@ -1254,15 +1266,17 @@ def q_rect_overlap_join_split(sf_dir: str, hot_limit: int = 64) -> pd.DataFrame:
     O(cells) driver state); cells above ``hot_limit`` are broadcast as a
     hot set.  Phase 2 re-emits each box's incidences: cold cells keep the
     coarse key, hot cells expand to the half-pitch subcells the box
-    touches WITHIN that cell — a dense urban cell's O(n²) pair work
-    drops ~4× per split level while cold cells pay nothing.  The
-    report-once owner rule moves with the key's level (the intersection
-    min corner's cell AT THAT LEVEL), so output is identical to the
-    unsplit lowering — gated by the SAME SQL oracle.
+    touches WITHIN that cell — a ONE-LEVEL mitigation cutting a dense
+    cell's O(n²) pair work ~4× while cold cells pay nothing (an extreme
+    cell still above budget after one split would need the same rule
+    reapplied recursively; the level field already carries the pitch).
+    The report-once owner rule moves with the key's level (the
+    intersection min corner's cell AT THAT LEVEL), so output is identical
+    to the unsplit lowering — gated by the SAME SQL oracle.
 
-    ``hot_limit`` is the per-cell pair budget (production: the worker's
-    O(n²) comfort bound, e.g. 4096); the default 64 makes the driver's
-    sf0.01 gate run genuinely MIXED — roughly half the cells split.
+    The default hot_limit=64 makes the driver's sf0.01 gate run genuinely
+    MIXED — roughly half the cells split; production would set it to the
+    worker's O(n²) comfort bound (e.g. 4096).
     """
     import ray
     from ray.data.aggregate import Count
@@ -1270,14 +1284,11 @@ def q_rect_overlap_join_split(sf_dir: str, hot_limit: int = 64) -> pd.DataFrame:
     fine = OVERLAP_CELL / 2.0
     ds = read_table(sf_dir, "events", columns=["event_id"])
     rects = ds.map_batches(_event_rects, batch_format="pyarrow",
-                           zero_copy_batch=True).materialize()
+                           zero_copy_batch=True)
 
     def coarse_cells(b: pa.Table) -> pa.Table:
         t = {k: np.asarray(b[k]) for k in b.column_names}
-        cx_lo = np.floor(t["x1"] / OVERLAP_CELL).astype(np.int64)
-        cx_hi = np.floor(t["x2"] / OVERLAP_CELL).astype(np.int64)
-        cy_lo = np.floor((t["y1"] + 90.0) / OVERLAP_CELL).astype(np.int64)
-        cy_hi = np.floor((t["y2"] + 90.0) / OVERLAP_CELL).astype(np.int64)
+        cx_lo, cx_hi, cy_lo, cy_hi = _coarse_span(t, OVERLAP_CELL)
         parts = []
         for dx in (0, 1):
             for dy in (0, 1):
@@ -1292,6 +1303,8 @@ def q_rect_overlap_join_split(sf_dir: str, hot_limit: int = 64) -> pd.DataFrame:
              **{k: pa.array([], pa.int64() if k == "id" else pa.float64())
                 for k in t}})
 
+    # materialized because it is consumed twice: the cell-cardinality
+    # count and the keyed re-emission below
     incid = rects.map_batches(coarse_cells, batch_format="pyarrow").materialize()
     counts = (incid.map_batches(
         lambda b: pa.table({"cell": pa.compute.add(
@@ -1315,10 +1328,11 @@ def q_rect_overlap_join_split(sf_dir: str, hot_limit: int = 64) -> pd.DataFrame:
                 **{k: pa.array(t[k][cold]) for k in cols}}))
         if is_hot.any():
             h = {k: t[k][is_hot] for k in t}
-            fx_lo = np.maximum(np.floor(h["x1"] / fine).astype(np.int64), h["ccx"] * 2)
-            fx_hi = np.minimum(np.floor(h["x2"] / fine).astype(np.int64), h["ccx"] * 2 + 1)
-            fy_lo = np.maximum(np.floor((h["y1"] + 90.0) / fine).astype(np.int64), h["ccy"] * 2)
-            fy_hi = np.minimum(np.floor((h["y2"] + 90.0) / fine).astype(np.int64), h["ccy"] * 2 + 1)
+            fx_lo, fx_hi, fy_lo, fy_hi = _coarse_span(h, fine)
+            fx_lo = np.maximum(fx_lo, h["ccx"] * 2)
+            fx_hi = np.minimum(fx_hi, h["ccx"] * 2 + 1)
+            fy_lo = np.maximum(fy_lo, h["ccy"] * 2)
+            fy_hi = np.minimum(fy_hi, h["ccy"] * 2 + 1)
             for dx in (0, 1):
                 for dy in (0, 1):
                     keep = (fx_lo + dx <= fx_hi) & (fy_lo + dy <= fy_hi)
@@ -1333,33 +1347,19 @@ def q_rect_overlap_join_split(sf_dir: str, hot_limit: int = 64) -> pd.DataFrame:
              **{k: pa.array([], pa.int64() if k == "id" else pa.float64())
                 for k in cols}})
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        key = int(g["key"].iloc[0])
+    def owner(ox1, oy1, key):
+        # a fine group only exists under a hot coarse cell, and a pair
+        # found in a fine subcell of H has its corner in H itself (corner
+        # ∈ subcell ⊆ H), so level-aware key equality alone is sufficient
         level = key >> 50
         pitch = OVERLAP_CELL / (2.0 ** level)
-        ids = g["id"].to_numpy(np.int64)
-        x1, x2 = g["x1"].to_numpy(), g["x2"].to_numpy()
-        y1, y2 = g["y1"].to_numpy(), g["y2"].to_numpy()
-        lt = ids[:, None] < ids[None, :]
-        ox1 = np.maximum(x1[:, None], x1[None, :])
-        ox2 = np.minimum(x2[:, None], x2[None, :])
-        oy1 = np.maximum(y1[:, None], y1[None, :])
-        oy2 = np.minimum(y2[:, None], y2[None, :])
-        hit = lt & (ox1 < ox2) & (oy1 < oy2)
-        ckey = ((level << 50)
+        return ((level << 50)
                 | (np.floor(ox1 / pitch).astype(np.int64) << 20)
                 | np.floor((oy1 + 90.0) / pitch).astype(np.int64))
-        # fine groups own a pair only if the corner's COARSE cell is hot
-        # (else the coarse cell is the owner); coarse groups vice versa —
-        # but group membership already encodes that: a fine group only
-        # exists under a hot coarse cell, and the corner's coarse cell for
-        # a pair found in a fine subcell of H is H itself (corner ∈ subcell
-        # ⊆ H), so key equality alone is sufficient on both levels
-        i, j = np.nonzero(hit & (ckey == key))
-        return pd.DataFrame({"a_id": ids[i], "b_id": ids[j],
-                             "area": (ox2[i, j] - ox1[i, j]) * (oy2[i, j] - oy1[i, j])})
 
     out = (incid.map_batches(keyed, batch_format="pyarrow")
-           .groupby("key").map_groups(pairs, batch_format="pandas")
+           .groupby("key")
+           .map_groups(lambda g: _overlap_pairs_kernel(g, owner),
+                       batch_format="pandas")
            .to_pandas())
     return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
