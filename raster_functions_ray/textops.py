@@ -711,59 +711,65 @@ def q_inverted_index(sf_dir: str) -> pd.DataFrame:
     vectorized merges at sf0.1).
     """
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    n_shards = 64
-
-    hcols = [f"h{i}" for i in range(INDEX_HEAD_K)]
-
-    def partial(b: pa.Table) -> pd.DataFrame:
-        df = b.to_pandas()
-        toks = df["text"].str.findall(r"[^ \t\n\r\f]+")
-        pairs = pd.DataFrame({
-            "doc_id": df["doc_id"].repeat(toks.str.len().to_numpy()),
-            "term": np.concatenate([np.asarray(t, dtype=object) for t in toks])
-            if len(df) else np.empty(0, dtype=object),
-        }).drop_duplicates().sort_values(["term", "doc_id"], kind="mergesort")
-        t_arr = pairs["term"].to_numpy()
-        d_arr = pairs["doc_id"].to_numpy(np.int64)
-        is_new = np.concatenate([[True], t_arr[1:] != t_arr[:-1]]) \
-            if t_arr.size else np.empty(0, bool)
-        starts = np.flatnonzero(is_new)
-        gidx = np.cumsum(is_new) - 1  # group index per (term, doc) row
-        # per-block head as K fixed int64 columns (sentinel -1), filled by
-        # in-group rank — no per-term Python call, no object-list column
-        rank = np.arange(t_arr.size) - starts[gidx] if t_arr.size else gidx
-        mat = np.full((starts.size, INDEX_HEAD_K), -1, np.int64)
-        sel = rank < INDEX_HEAD_K
-        mat[gidx[sel], rank[sel]] = d_arr[sel]
-        terms = t_arr[is_new].astype(str)
-        return pd.DataFrame({
-            "shard": (pd.util.hash_array(terms.astype(object)) % n_shards)
-                     .astype(np.int64),
-            "term": terms,
-            "df": np.diff(np.append(starts, t_arr.size)).astype(np.int64),
-            "postings_sum": np.add.reduceat(d_arr, starts).astype(np.int64)
-            if t_arr.size else np.empty(0, np.int64),
-            **{c: mat[:, i] for i, c in enumerate(hcols)},
-        })
-
-    def merge_shard(g: pd.DataFrame) -> pd.DataFrame:
-        sums = g.groupby("term", sort=True).agg(
-            df=("df", "sum"), postings_sum=("postings_sum", "sum"))
-        docs = g[hcols].to_numpy().ravel()
-        keep = docs >= 0
-        ex = pd.DataFrame({
-            "term": g["term"].to_numpy().repeat(INDEX_HEAD_K)[keep],
-            "doc": docs[keep],
-        }).sort_values(["term", "doc"], kind="mergesort")
-        ex = ex[ex.groupby("term", sort=False).cumcount() < INDEX_HEAD_K]
-        heads = ex["doc"].astype(str).groupby(ex["term"]).agg(",".join)
-        return (sums.join(heads.rename("head_postings"))
-                .reset_index()[["term", "df", "postings_sum", "head_postings"]])
-
-    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
-           .groupby("shard").map_groups(merge_shard, batch_format="pandas")
+    out = (ds.map_batches(index_partial, batch_format="pyarrow", batch_size=8192)
+           .groupby("shard").map_groups(index_merge_shard, batch_format="pandas")
            .to_pandas())
     return out.sort_values("term").reset_index(drop=True)
+
+
+_INDEX_SHARDS = 64
+_HCOLS = [f"h{i}" for i in range(INDEX_HEAD_K)]
+
+
+def index_partial(b: pa.Table) -> pd.DataFrame:
+    """Per-block index partial: one row per term present in the block —
+    (shard, term, df, postings_sum, h0..h{K-1} head columns, -1 padded)."""
+    df = b.to_pandas()
+    toks = df["text"].str.findall(r"[^ \t\n\r\f]+")
+    pairs = pd.DataFrame({
+        "doc_id": df["doc_id"].repeat(toks.str.len().to_numpy()),
+        "term": np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        if len(df) else np.empty(0, dtype=object),
+    }).drop_duplicates().sort_values(["term", "doc_id"], kind="mergesort")
+    t_arr = pairs["term"].to_numpy()
+    d_arr = pairs["doc_id"].to_numpy(np.int64)
+    is_new = np.concatenate([[True], t_arr[1:] != t_arr[:-1]]) \
+        if t_arr.size else np.empty(0, bool)
+    starts = np.flatnonzero(is_new)
+    gidx = np.cumsum(is_new) - 1  # group index per (term, doc) row
+    # per-block head as K fixed int64 columns (sentinel -1), filled by
+    # in-group rank — no per-term Python call, no object-list column
+    rank = np.arange(t_arr.size) - starts[gidx] if t_arr.size else gidx
+    mat = np.full((starts.size, INDEX_HEAD_K), -1, np.int64)
+    sel = rank < INDEX_HEAD_K
+    mat[gidx[sel], rank[sel]] = d_arr[sel]
+    terms = t_arr[is_new].astype(str)
+    return pd.DataFrame({
+        "shard": (pd.util.hash_array(terms.astype(object)) % _INDEX_SHARDS)
+                 .astype(np.int64),
+        "term": terms,
+        "df": np.diff(np.append(starts, t_arr.size)).astype(np.int64),
+        "postings_sum": np.add.reduceat(d_arr, starts).astype(np.int64)
+        if t_arr.size else np.empty(0, np.int64),
+        **{c: mat[:, i] for i, c in enumerate(_HCOLS)},
+    })
+
+def index_merge_shard(g: pd.DataFrame) -> pd.DataFrame:
+    """Associative shard merge: df/postings_sum sum; head-K = K smallest of
+    the concatenated per-partial heads — so indexes over disjoint corpus
+    slices merge into the whole-corpus index (incremental maintenance)."""
+    sums = g.groupby("term", sort=True).agg(
+        df=("df", "sum"), postings_sum=("postings_sum", "sum"))
+    docs = g[_HCOLS].to_numpy().ravel()
+    keep = docs >= 0
+    ex = pd.DataFrame({
+        "term": g["term"].to_numpy().repeat(INDEX_HEAD_K)[keep],
+        "doc": docs[keep],
+    }).sort_values(["term", "doc"], kind="mergesort")
+    ex = ex[ex.groupby("term", sort=False).cumcount() < INDEX_HEAD_K]
+    heads = ex["doc"].astype(str).groupby(ex["term"]).agg(",".join)
+    return (sums.join(heads.rename("head_postings"))
+            .reset_index()[["term", "df", "postings_sum", "head_postings"]])
 
 
 Q_INVERTED_INDEX_SQL = rf"""

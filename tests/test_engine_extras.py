@@ -482,3 +482,23 @@ class TestRectOverlapJoin:
         for hl in (1, 10, 10**9):
             pd.testing.assert_frame_equal(
                 base, spatial.q_rect_overlap_join_split(SF001, hot_limit=hl))
+
+
+class TestIncrementalIndex:
+    def test_partials_from_disjoint_slices_merge_to_full(self):
+        # the incremental-ingest story: index(old ∪ new) ==
+        # merge(partials(old), partials(new)) — no recompute of old slices
+        import pyarrow.parquet as pq
+        from raster_functions_ray import textops
+
+        t = pq.read_table(f"{SF001}/documents.parquet",
+                          columns=["doc_id", "text"])
+        half = t.num_rows // 2
+        p = pd.concat([textops.index_partial(t.slice(0, half)),
+                       textops.index_partial(t.slice(half))])
+        merged = (p.groupby("shard", group_keys=False)
+                  .apply(textops.index_merge_shard)
+                  .sort_values("term").reset_index(drop=True))
+        full = textops.q_inverted_index(SF001)
+        pd.testing.assert_frame_equal(
+            merged[full.columns.tolist()], full, check_dtype=False)
