@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_source": textops.q_csv_source,
         "json_source": textops.q_json_source,
         "inverted_index": textops.q_inverted_index,
+        "doc_chunking": trainprep.q_doc_chunking,
         "exact_dedup": dedup.q_exact_dedup,
         "simhash_poly": dedup.q_simhash_poly,
         "minhash_lsh_exact": dedup.q_minhash_lsh_exact,
@@ -398,6 +399,7 @@ def oracle_sql() -> dict[str, str]:
         "csv_source": textops.Q_SOURCE_PROFILE_SQL,
         "json_source": textops.Q_SOURCE_PROFILE_SQL,
         "inverted_index": textops.Q_INVERTED_INDEX_SQL,
+        "doc_chunking": trainprep.Q_DOC_CHUNKING_SQL,
         "mixture_rebalance": trainprep.Q_MIXTURE_REBALANCE_SQL,
         "boilerplate": textops.Q_BOILERPLATE_SQL,
         "adaptive_cover": spatial.adaptive_cover_oracle_sql(0.01),

@@ -1161,3 +1161,67 @@ FROM tok GROUP BY token
 HAVING COUNT(*) >= GREATEST((SELECT n_total FROM tot) // {HH_FRAC}, 1)
 ORDER BY token
 """
+
+
+# ----------------------------------------------------- document chunking
+
+CHUNK_SIZE = 120   # characters per training chunk
+CHUNK_STRIDE = 100  # overlap = CHUNK_SIZE - CHUNK_STRIDE
+
+
+def q_doc_chunking(sf_dir: str) -> pd.DataFrame:
+    """Overlapping fixed-window document chunking — the context-window
+    prep step between cleaning and sequence packing: every document
+    becomes ⌈(len−{CHUNK_SIZE})/{CHUNK_STRIDE}⌉+1 chunks of ≤{CHUNK_SIZE}
+    chars starting every {CHUNK_STRIDE} (so consecutive chunks share
+    {CHUNK_SIZE}-{CHUNK_STRIDE} chars of context; short docs yield one).
+
+    Scale shape: pure map — no shuffle, no state; the per-batch loop is
+    over CHUNK POSITIONS (bounded by the longest doc in the batch, each
+    iteration a vectorized .str.slice over every doc still long enough),
+    never over rows."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        L = df["text"].str.len().to_numpy(np.int64)
+        n_chunks = np.where(
+            L <= CHUNK_SIZE, 1,
+            (L - CHUNK_SIZE + CHUNK_STRIDE - 1) // CHUNK_STRIDE + 1)
+        frames = []
+        for i in range(int(n_chunks.max()) if len(df) else 0):
+            m = n_chunks > i
+            txt = df.loc[m, "text"].str.slice(
+                i * CHUNK_STRIDE, i * CHUNK_STRIDE + CHUNK_SIZE)
+            frames.append(pd.DataFrame({
+                "doc_id": df.loc[m, "doc_id"].to_numpy(np.int64),
+                "chunk_idx": np.int64(i),
+                "chunk_text": txt.to_numpy(),
+                "chunk_chars": txt.str.len().to_numpy(np.int64),
+            }))
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "chunk_idx": pd.Series([], dtype="int64"),
+             "chunk_text": pd.Series([], dtype="object"),
+             "chunk_chars": pd.Series([], dtype="int64")})
+
+    out = ds.map_batches(chunks, batch_format="pyarrow", batch_size=8192).to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+Q_DOC_CHUNKING_SQL = f"""
+WITH n AS (
+  SELECT doc_id, text,
+         CASE WHEN LENGTH(text) <= {CHUNK_SIZE} THEN 1
+              ELSE (LENGTH(text) - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1)
+                   // {CHUNK_STRIDE} + 1 END AS n_chunks
+  FROM documents
+)
+SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+       substring(text, CAST(u.i * {CHUNK_STRIDE} + 1 AS INT), {CHUNK_SIZE})
+         AS chunk_text,
+       LENGTH(substring(text, CAST(u.i * {CHUNK_STRIDE} + 1 AS INT),
+                        {CHUNK_SIZE})) AS chunk_chars
+FROM n, unnest(range(n.n_chunks)) AS u(i)
+ORDER BY doc_id, chunk_idx
+"""

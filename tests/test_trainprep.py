@@ -535,3 +535,23 @@ class TestPqAdc:
             # so they occupy ranks 1-2 in id order
             top2 = got[(got["q_id"] == qi) & (got["rank"] <= 2)]
             assert set(top2["vec_id"]) == {nq + qi, nq + k + qi}
+
+
+class TestDocChunking:
+    def test_overlap_and_coverage_invariants(self):
+        from raster_functions_ray import trainprep as tp
+
+        out = tp.q_doc_chunking("/root/testdata/sf0.001")
+        g = out.groupby("doc_id")
+        # consecutive chunks overlap by SIZE-STRIDE chars; reassembling
+        # chunk[i][:STRIDE] + last chunk reconstructs the document
+        for doc_id, sub in list(g)[:5]:
+            chunks = sub.sort_values("chunk_idx")["chunk_text"].tolist()
+            rebuilt = "".join(c[:tp.CHUNK_STRIDE] for c in chunks[:-1]) + chunks[-1]
+            for a, b in zip(chunks, chunks[1:]):
+                assert a[tp.CHUNK_STRIDE:] == b[:tp.CHUNK_SIZE - tp.CHUNK_STRIDE]
+            assert len(rebuilt) >= len(chunks[-1])
+        # every non-final chunk is exactly CHUNK_SIZE chars
+        last = g["chunk_idx"].transform("max")
+        assert (out.loc[out["chunk_idx"] < last, "chunk_chars"]
+                == tp.CHUNK_SIZE).all()
