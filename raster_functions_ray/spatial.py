@@ -1256,32 +1256,35 @@ ORDER BY a_id, b_id
 """
 
 
-def q_rect_overlap_join_split(sf_dir: str, hot_limit: int = 64) -> pd.DataFrame:
+def q_rect_overlap_join_split(sf_dir: str, hot_limit: int = 64,
+                              max_level: int = 3) -> pd.DataFrame:
     """The overlap join with EXPLICIT hot-cell splitting (north-rule
     'skewed cells are salted and split explicitly', here for a JOIN where
     salting doesn't apply — pair formation is not algebraic, so a dense
     cell must be geometrically subdivided instead).
 
     Phase 1 counts boxes per coarse cell (a cell-cardinality aggregate,
-    O(cells) driver state); cells above ``hot_limit`` are broadcast as a
-    hot set.  Phase 2 re-emits each box's incidences: cold cells keep the
-    coarse key, hot cells expand to the half-pitch subcells the box
-    touches WITHIN that cell — a ONE-LEVEL mitigation cutting a dense
-    cell's O(n²) pair work ~4× while cold cells pay nothing (an extreme
-    cell still above budget after one split would need the same rule
-    reapplied recursively; the level field already carries the pitch).
-    The report-once owner rule moves with the key's level (the
-    intersection min corner's cell AT THAT LEVEL), so output is identical
-    to the unsplit lowering — gated by the SAME SQL oracle.
+    O(cells) driver state) and assigns each cell a SPLIT LEVEL
+    ``ceil(log4(n / hot_limit))`` (clamped to ``max_level``): under the
+    uniform-density-within-a-cell assumption each 4-way split quarters
+    the per-group pair work, so the chosen level lands every group near
+    the ``hot_limit`` budget — cold cells stay at level 0 and pay
+    nothing.  Phase 2 re-emits each box's incidences at its cell's level
+    (subcell enumeration clipped to the coarse cell, one vectorized pass
+    per (dx, dy) offset).  The report-once owner rule moves with the
+    key's level (the intersection min corner's subcell at that level), so
+    output is identical to the unsplit lowering — gated by the SAME SQL
+    oracle.  Intra-cell skew beyond the uniform assumption would need the
+    count pass re-run per level; at that point the adaptive covering
+    (grid.adaptive_covering) is the right tool.
 
     The default hot_limit=64 makes the driver's sf0.01 gate run genuinely
-    MIXED — roughly half the cells split; production would set it to the
+    MIXED — multiple levels live at once; production would set it to the
     worker's O(n²) comfort bound (e.g. 4096).
     """
     import ray
     from ray.data.aggregate import Count
 
-    fine = OVERLAP_CELL / 2.0
     ds = read_table(sf_dir, "events", columns=["event_id"])
     rects = ds.map_batches(_event_rects, batch_format="pyarrow",
                            zero_copy_batch=True)
@@ -1311,34 +1314,51 @@ def q_rect_overlap_join_split(sf_dir: str, hot_limit: int = 64) -> pd.DataFrame:
             pa.compute.multiply(b["ccx"], 64), b["ccy"])}),
         batch_format="pyarrow")
         .groupby("cell").aggregate(Count(alias_name="n")).to_pandas())
-    hot = set(counts.loc[counts["n"] > hot_limit, "cell"].tolist())
-    hot_ref = ray.put(np.asarray(sorted(hot), np.int64))
+    n = counts["n"].to_numpy(np.float64)
+    lvl = np.zeros(len(counts), np.int64)
+    over = n > hot_limit
+    lvl[over] = np.minimum(
+        np.ceil(np.log(n[over] / hot_limit) / np.log(4.0)).astype(np.int64),
+        max_level)
+    split_cells = counts["cell"].to_numpy(np.int64)[lvl > 0]
+    order = np.argsort(split_cells)
+    lvl_ref = ray.put((split_cells[order], lvl[lvl > 0][order]))
 
     def keyed(b: pa.Table) -> pa.Table:
-        hot_arr = ray.get(hot_ref)
+        cells_sorted, levels_sorted = ray.get(lvl_ref)
         t = {k: np.asarray(b[k]) for k in b.column_names}
         coarse = t["ccx"] * 64 + t["ccy"]
-        is_hot = np.isin(coarse, hot_arr)
+        pos = np.searchsorted(cells_sorted, coarse)
+        pos = np.minimum(pos, max(len(cells_sorted) - 1, 0))
+        level = np.zeros(coarse.size, np.int64)
+        if len(cells_sorted):
+            found = cells_sorted[pos] == coarse
+            level[found] = levels_sorted[pos[found]]
         cols = ["id", "x1", "x2", "y1", "y2"]
         parts = []
-        cold = ~is_hot
-        if cold.any():
-            parts.append(pa.table({
-                "key": pa.array((0 << 50) | (t["ccx"][cold] << 20) | t["ccy"][cold]),
-                **{k: pa.array(t[k][cold]) for k in cols}}))
-        if is_hot.any():
-            h = {k: t[k][is_hot] for k in t}
-            fx_lo, fx_hi, fy_lo, fy_hi = _coarse_span(h, fine)
-            fx_lo = np.maximum(fx_lo, h["ccx"] * 2)
-            fx_hi = np.minimum(fx_hi, h["ccx"] * 2 + 1)
-            fy_lo = np.maximum(fy_lo, h["ccy"] * 2)
-            fy_hi = np.minimum(fy_hi, h["ccy"] * 2 + 1)
-            for dx in (0, 1):
-                for dy in (0, 1):
+        for lv in np.unique(level):
+            m = level == lv
+            h = {k: t[k][m] for k in t}
+            if lv == 0:
+                parts.append(pa.table({
+                    "key": pa.array((0 << 50) | (h["ccx"] << 20) | h["ccy"]),
+                    **{k: pa.array(h[k]) for k in cols}}))
+                continue
+            pitch = OVERLAP_CELL / (2.0 ** lv)
+            f = 1 << lv  # subcells per coarse cell per axis
+            fx_lo, fx_hi, fy_lo, fy_hi = _coarse_span(h, pitch)
+            fx_lo = np.maximum(fx_lo, h["ccx"] * f)
+            fx_hi = np.minimum(fx_hi, h["ccx"] * f + f - 1)
+            fy_lo = np.maximum(fy_lo, h["ccy"] * f)
+            fy_hi = np.minimum(fy_hi, h["ccy"] * f + f - 1)
+            max_dx = int((fx_hi - fx_lo).max()) if fx_lo.size else -1
+            max_dy = int((fy_hi - fy_lo).max()) if fy_lo.size else -1
+            for dx in range(max_dx + 1):
+                for dy in range(max_dy + 1):
                     keep = (fx_lo + dx <= fx_hi) & (fy_lo + dy <= fy_hi)
                     if keep.any():
                         parts.append(pa.table({
-                            "key": pa.array((1 << 50)
+                            "key": pa.array((int(lv) << 50)
                                             | ((fx_lo[keep] + dx) << 20)
                                             | (fy_lo[keep] + dy)),
                             **{k: pa.array(h[k][keep]) for k in cols}}))
@@ -1348,9 +1368,10 @@ def q_rect_overlap_join_split(sf_dir: str, hot_limit: int = 64) -> pd.DataFrame:
                 for k in cols}})
 
     def owner(ox1, oy1, key):
-        # a fine group only exists under a hot coarse cell, and a pair
-        # found in a fine subcell of H has its corner in H itself (corner
-        # ∈ subcell ⊆ H), so level-aware key equality alone is sufficient
+        # a level-L group only exists under a coarse cell assigned level L,
+        # and a pair found in a subcell of H has its corner in H itself
+        # (corner ∈ subcell ⊆ H), so the corner's level IS the group's —
+        # level-aware key equality alone is sufficient
         level = key >> 50
         pitch = OVERLAP_CELL / (2.0 ** level)
         return ((level << 50)
