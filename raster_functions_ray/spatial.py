@@ -1384,3 +1384,76 @@ def q_rect_overlap_join_split(sf_dir: str, hot_limit: int = 64,
                        batch_format="pandas")
            .to_pandas())
     return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
+# ------------------------------------------------ radius (distance) join
+
+RADIUS = 3.0  # join radius; OVERLAP_CELL (10) >= RADIUS so one ring suffices
+
+
+def q_radius_join(sf_dir: str) -> pd.DataFrame:
+    """Large×large radius self-join: every pair of event points within
+    euclidean distance {RADIUS}, plus the exact squared distance — the
+    METRIC sibling of the interval-overlap join (DBSCAN neighborhoods,
+    proximity analytics), both sides corpus-sized.
+
+    Scale shape (grid method): each point emits its cell and the 8
+    neighbors (pitch ≥ radius, so any within-radius partner shares at
+    least the point's own cell among its 9), pairs form inside
+    groupby(cell), and the report-once owner is the LOWER-ID point's own
+    cell — that cell is in both points' emission sets, so each pair is
+    emitted exactly once globally.  Density bounds group size; a hot
+    cell splits exactly as in q_rect_overlap_join_split."""
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+    pts = ds.map_batches(derive_points, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def to_cells(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        x = np.asarray(b["x"])
+        y = np.asarray(b["y"])
+        cx = np.floor(x / OVERLAP_CELL).astype(np.int64)
+        cy = np.floor((y + 90.0) / OVERLAP_CELL).astype(np.int64)
+        parts = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                parts.append(pa.table({
+                    "key": pa.array((cx + dx) * 1024 + cy + dy),
+                    "own": pa.array(np.full(eid.size, dx == 0 and dy == 0)),
+                    "id": pa.array(eid), "x": pa.array(x), "y": pa.array(y)}))
+        return pa.concat_tables(parts)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["id"].to_numpy(np.int64)
+        x = g["x"].to_numpy()
+        y = g["y"].to_numpy()
+        own = g["own"].to_numpy(bool)
+        dx = x[:, None] - x[None, :]
+        dy = y[:, None] - y[None, :]
+        d2 = dx * dx + dy * dy
+        # report-once: the lower-id point must be in its OWN cell here
+        hit = (ids[:, None] < ids[None, :]) & (d2 < RADIUS * RADIUS) & own[:, None]
+        i, j = np.nonzero(hit)
+        return pd.DataFrame({"a_id": ids[i], "b_id": ids[j], "d2": d2[i, j]})
+
+    out = (pts.map_batches(to_cells, batch_format="pyarrow")
+           .groupby("key").map_groups(pairs, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
+Q_RADIUS_JOIN_SQL = f"""
+WITH pts AS (
+  SELECT event_id AS id,
+         CAST((event_id * 7919) % 36000 AS DOUBLE) / 100.0 AS x,
+         CAST((event_id * 104729) % 18000 AS DOUBLE) / 100.0 - 90.0 AS y
+  FROM events
+)
+SELECT a.id AS a_id, b.id AS b_id,
+       (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+FROM pts a JOIN pts b
+  ON a.id < b.id
+ AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+     < {RADIUS * RADIUS}
+ORDER BY a_id, b_id
+"""

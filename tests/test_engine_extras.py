@@ -502,3 +502,18 @@ class TestIncrementalIndex:
         full = textops.q_inverted_index(SF001)
         pd.testing.assert_frame_equal(
             merged[full.columns.tolist()], full, check_dtype=False)
+
+
+class TestRadiusJoin:
+    def test_matches_oracle_and_symmetric_coverage(self):
+        import duckdb
+        import pyarrow.parquet as pq
+        from raster_functions_ray import spatial
+
+        got = spatial.q_radius_join(SF001)
+        assert not got.duplicated(["a_id", "b_id"]).any()
+        assert len(got) > 0 and (got["d2"] < spatial.RADIUS ** 2).all()
+        con = duckdb.connect()
+        con.register("events", pq.read_table(f"{SF001}/events.parquet"))
+        exp = con.execute(spatial.Q_RADIUS_JOIN_SQL).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
