@@ -221,26 +221,6 @@ class MinHasher:
                          "band_hash": pa.array(band_hash, pa.int64())})
 
 
-def local_copy(b: pa.Table) -> pa.Table:
-    """Rewrite a batch into worker-heap memory via an IPC round-trip.
-
-    Zero-copy batches are views over the mmap'd object store; a kernel
-    that touches every string pays a soft page fault per cold page, which
-    for string-HEAVY kernels (shingling: every byte read exactly once,
-    no reuse) measures ~3x the CPU of the same loop over heap memory on
-    this host (16.3s -> 5.9s task CPU on the sf0.1 signature stage).
-    The copy costs one linear memcpy of the batch (~1.5 MB here) and is
-    a net win whenever the kernel's per-byte work is fault-dominated;
-    numeric kernels that reuse pages (matmuls, reduceats over contiguous
-    int arrays) do NOT need this."""
-    import io
-    sink = io.BytesIO()
-    w = pa.ipc.new_stream(sink, b.schema)
-    w.write_table(b)
-    w.close()
-    return pa.ipc.open_stream(io.BytesIO(sink.getvalue())).read_all()
-
-
 _MINHASHER: MinHasher | None = None
 
 
@@ -252,7 +232,7 @@ def minhash_batch(b: pa.Table) -> pa.Table:
     global _MINHASHER
     if _MINHASHER is None:
         _MINHASHER = MinHasher()
-    return _MINHASHER(local_copy(b))
+    return _MINHASHER(b)
 
 
 PAIR_CAP = 256  # max bucket size that emits all-pairs candidates
