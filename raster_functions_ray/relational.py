@@ -1203,3 +1203,93 @@ LEFT JOIN t2 ON t1.user_id = t2.user_id
 LEFT JOIN t3 ON t1.user_id = t3.user_id
 ORDER BY t1.user_id
 """
+
+
+# -------------------------------- exact median via histogram quickselect
+
+MEDIAN_BUCKETS = 4096
+MEDIAN_PULL_LIMIT = 4096  # candidates pulled for the final exact select
+
+
+def q_median_select(sf_dir: str) -> pd.DataFrame:
+    """EXACT order statistic (the discrete median, quantile_disc 0.5) of
+    an UNBOUNDED double column with NO global sort: multi-pass histogram
+    quickselect — the continuous-domain generalization of
+    q_exact_percentiles' bounded-int bincount trick.
+
+    Each pass streams the column once, bincounting the surviving
+    candidates into {MEDIAN_BUCKETS} buckets (per-batch partials,
+    O(B × blocks) driver merge — bytes, not rows); the bucket containing
+    the k-th value becomes the next candidate set.  Candidates shrink
+    ×{MEDIAN_BUCKETS} per pass, so n≤10¹² isolates ≤{MEDIAN_PULL_LIMIT}
+    in ≤3 passes; the final exact select pulls only those.  Membership
+    is a CONSTRAINT CHAIN of clipped bucket-index equalities — every
+    pass partitions the previous bucket's exact population with the
+    identical float expression, so boundary ulps can neither drop nor
+    double-count a value — and the answer is an ELEMENT of the column,
+    so the SQL comparison is hash-exact on the double.  Degenerate tie
+    mass (≥{MEDIAN_PULL_LIMIT} copies of one value) stops shrinking and
+    is pulled directly — bounded by the duplicate count of a single
+    double, the one distribution where selection is trivial anyway."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_extendedprice"]).materialize()
+    n = ds.count()
+    k = (n - 1) // 2 + 1  # 1-indexed discrete-median rank (DuckDB quantile_disc)
+    lo = ds.min("l_extendedprice")
+    hi = ds.max("l_extendedprice")
+
+    def bidx(v: np.ndarray, lo_: float, hi_: float) -> np.ndarray:
+        return np.clip(((v - lo_) / (hi_ - lo_) * MEDIAN_BUCKETS).astype(np.int64),
+                       0, MEDIAN_BUCKETS - 1)
+
+    def member(v: np.ndarray, chain) -> np.ndarray:
+        m = np.ones(v.size, bool)
+        for lo_, hi_, t_ in chain:
+            m &= bidx(v, lo_, hi_) == t_
+        return m
+
+    chain: list = []   # (lo_i, hi_i, t_i) — frozen float constraints
+    below = 0          # values ranked before the current candidate set
+    cur_lo, cur_hi = lo, hi
+    for _ in range(4):  # 4096⁴ ≈ 2.8e14 > any corpus this engine targets
+        if cur_hi <= cur_lo:
+            break  # range collapsed to one double — pull directly
+        c_lo, c_hi, c_chain = cur_lo, cur_hi, list(chain)
+
+        def f(b: pa.Table) -> pd.DataFrame:
+            v = np.asarray(b["l_extendedprice"])
+            vm = v[member(v, c_chain)]
+            c = np.bincount(bidx(vm, c_lo, c_hi), minlength=MEDIAN_BUCKETS)
+            return pd.DataFrame({"bucket": np.arange(MEDIAN_BUCKETS, dtype=np.int64),
+                                 "c": c})
+
+        counts = (ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
+                  .to_pandas().groupby("bucket")["c"].sum().to_numpy())
+        if int(counts.sum()) <= MEDIAN_PULL_LIMIT:
+            break
+        cum = np.cumsum(counts)
+        t = int(np.searchsorted(cum, k - below))
+        below += int(cum[t - 1]) if t else 0
+        chain.append((c_lo, c_hi, t))
+        width = c_hi - c_lo
+        cur_lo = c_lo + t * width / MEDIAN_BUCKETS
+        cur_hi = c_hi if t == MEDIAN_BUCKETS - 1 else c_lo + (t + 1) * width / MEDIAN_BUCKETS
+
+    final_chain = list(chain)
+
+    def pull(b: pa.Table) -> pd.DataFrame:
+        v = np.asarray(b["l_extendedprice"])
+        return pd.DataFrame({"l_extendedprice": v[member(v, final_chain)]})
+
+    cand = (ds.map_batches(pull, batch_format="pyarrow", batch_size=65536)
+            .to_pandas()["l_extendedprice"].to_numpy())
+    v = np.partition(cand, k - below - 1)[k - below - 1]
+    return pd.DataFrame({"n": [np.int64(n)], "median_price": [float(v)]})
+
+
+Q_MEDIAN_SELECT_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       quantile_disc(l_extendedprice, 0.5) AS median_price
+FROM lineitem
+"""

@@ -517,3 +517,20 @@ class TestRadiusJoin:
         con.register("events", pq.read_table(f"{SF001}/events.parquet"))
         exp = con.execute(spatial.Q_RADIUS_JOIN_SQL).df()
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+class TestMedianSelect:
+    def test_constraint_chain_exercised_and_exact(self, monkeypatch):
+        # force a tiny pull limit so the sf0.001 gate walks >=2 histogram
+        # passes (constraint chain depth >= 2), and verify exactness
+        import numpy as np
+        import pyarrow.parquet as pq
+        from raster_functions_ray import relational as rel
+
+        monkeypatch.setattr(rel, "MEDIAN_PULL_LIMIT", 16)
+        got = rel.q_median_select(SF001)
+        v = np.sort(pq.read_table(f"{SF001}/lineitem.parquet",
+                                  columns=["l_extendedprice"])
+                    ["l_extendedprice"].to_numpy())
+        n = v.size
+        assert got["median_price"].iloc[0] == v[(n - 1) // 2]
