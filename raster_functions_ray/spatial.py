@@ -1166,25 +1166,40 @@ def _coarse_span(t: dict, pitch: float):
             np.floor((t["y2"] + 90.0) / pitch).astype(np.int64))
 
 
+_PAIR_STRIPE = 512  # row-block height: pair matrices stay O(stripe × n)
+
+
 def _overlap_pairs_kernel(g: pd.DataFrame, owner_key) -> pd.DataFrame:
-    """Shared per-cell pair kernel: vectorized O(n²) overlap test with the
+    """Shared per-cell pair kernel: vectorized overlap test with the
     report-once rule — emit (a, b, area) only when ``owner_key(ox1, oy1,
     key)`` of the intersection's min corner equals this group's key (the
     corner lies in both boxes, hence in a cell both cover, so exactly one
-    group worldwide passes the test for each overlapping pair)."""
+    group worldwide passes the test for each overlapping pair).  Rows are
+    processed in {_PAIR_STRIPE}-high stripes so the intermediate matrices
+    are O(stripe × n), not O(n²) — the semantic-dedup row-blocking
+    pattern; a group at the production hot_limit (4096) peaks at ~17 MB
+    instead of ~800 MB."""
     key = int(g["key"].iloc[0])
     ids = g["id"].to_numpy(np.int64)
     x1, x2 = g["x1"].to_numpy(), g["x2"].to_numpy()
     y1, y2 = g["y1"].to_numpy(), g["y2"].to_numpy()
-    lt = ids[:, None] < ids[None, :]
-    ox1 = np.maximum(x1[:, None], x1[None, :])
-    ox2 = np.minimum(x2[:, None], x2[None, :])
-    oy1 = np.maximum(y1[:, None], y1[None, :])
-    oy2 = np.minimum(y2[:, None], y2[None, :])
-    hit = lt & (ox1 < ox2) & (oy1 < oy2)
-    i, j = np.nonzero(hit & (owner_key(ox1, oy1, key) == key))
-    return pd.DataFrame({"a_id": ids[i], "b_id": ids[j],
-                         "area": (ox2[i, j] - ox1[i, j]) * (oy2[i, j] - oy1[i, j])})
+    out = []
+    for s in range(0, ids.size, _PAIR_STRIPE):
+        e = min(s + _PAIR_STRIPE, ids.size)
+        lt = ids[s:e, None] < ids[None, :]
+        ox1 = np.maximum(x1[s:e, None], x1[None, :])
+        ox2 = np.minimum(x2[s:e, None], x2[None, :])
+        oy1 = np.maximum(y1[s:e, None], y1[None, :])
+        oy2 = np.minimum(y2[s:e, None], y2[None, :])
+        hit = lt & (ox1 < ox2) & (oy1 < oy2)
+        i, j = np.nonzero(hit & (owner_key(ox1, oy1, key) == key))
+        out.append(pd.DataFrame({
+            "a_id": ids[s:e][i], "b_id": ids[j],
+            "area": (ox2[i, j] - ox1[i, j]) * (oy2[i, j] - oy1[i, j])}))
+    return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+        {"a_id": pd.Series([], dtype="int64"),
+         "b_id": pd.Series([], dtype="int64"),
+         "area": pd.Series([], dtype="float64")})
 
 
 def q_rect_overlap_join(sf_dir: str) -> pd.DataFrame:
@@ -1428,13 +1443,23 @@ def q_radius_join(sf_dir: str) -> pd.DataFrame:
         x = g["x"].to_numpy()
         y = g["y"].to_numpy()
         own = g["own"].to_numpy(bool)
-        dx = x[:, None] - x[None, :]
-        dy = y[:, None] - y[None, :]
-        d2 = dx * dx + dy * dy
-        # report-once: the lower-id point must be in its OWN cell here
-        hit = (ids[:, None] < ids[None, :]) & (d2 < RADIUS * RADIUS) & own[:, None]
-        i, j = np.nonzero(hit)
-        return pd.DataFrame({"a_id": ids[i], "b_id": ids[j], "d2": d2[i, j]})
+        out = []
+        # row-blocked stripes: matrices O(stripe × n), never O(n²)
+        for s in range(0, ids.size, _PAIR_STRIPE):
+            e = min(s + _PAIR_STRIPE, ids.size)
+            dx = x[s:e, None] - x[None, :]
+            dy = y[s:e, None] - y[None, :]
+            d2 = dx * dx + dy * dy
+            # report-once: the lower-id point must be in its OWN cell here
+            hit = ((ids[s:e, None] < ids[None, :]) & (d2 < RADIUS * RADIUS)
+                   & own[s:e, None])
+            i, j = np.nonzero(hit)
+            out.append(pd.DataFrame({"a_id": ids[s:e][i], "b_id": ids[j],
+                                     "d2": d2[i, j]}))
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {"a_id": pd.Series([], dtype="int64"),
+             "b_id": pd.Series([], dtype="int64"),
+             "d2": pd.Series([], dtype="float64")})
 
     out = (pts.map_batches(to_cells, batch_format="pyarrow")
            .groupby("key").map_groups(pairs, batch_format="pandas")
