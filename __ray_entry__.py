@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rect_overlap_join_split": spatial.q_rect_overlap_join_split,
         "radius_join": spatial.q_radius_join,
         "median_select": rel.q_median_select,
+        "p99_select": rel.q_p99_select,
         # band algebra on columns (same kernels as the raster path, SQL-exact)
         "windchill": bandmath.q_windchill,
         "fuzzy_linear": bandmath.q_fuzzy_linear,
@@ -384,6 +385,7 @@ def oracle_sql() -> dict[str, str]:
         "rect_overlap_join_split": spatial.Q_RECT_OVERLAP_JOIN_SQL,
         "radius_join": spatial.Q_RADIUS_JOIN_SQL,
         "median_select": rel.Q_MEDIAN_SELECT_SQL,
+        "p99_select": rel.Q_P99_SELECT_SQL,
         "ivf_sq_search": ann.ivf_sq_oracle_sql(),
         "pq_adc_topk": ann.Q_PQ_ADC_SQL,
         "kmeans_embed": ann.kmeans_oracle_sql(),

@@ -1231,11 +1231,23 @@ def q_median_select(sf_dir: str) -> pd.DataFrame:
     mass (≥{MEDIAN_PULL_LIMIT} copies of one value) stops shrinking and
     is pulled directly — bounded by the duplicate count of a single
     double, the one distribution where selection is trivial anyway."""
+    return _quantile_select(sf_dir, 0.5, "median_price")
+
+
+def q_p99_select(sf_dir: str) -> pd.DataFrame:
+    """quantile_disc(0.99) through the same histogram-quickselect
+    machinery — the tail-latency-style order statistic; proves the
+    constraint-chain select is rank-agnostic, not a median special
+    case."""
+    return _quantile_select(sf_dir, 0.99, "p99_price")
+
+
+def _quantile_select(sf_dir: str, q: float, out_col: str) -> pd.DataFrame:
     import pyarrow.compute as pc
 
     ds = read_table(sf_dir, "lineitem", columns=["l_extendedprice"]).materialize()
     n = ds.count()
-    k = (n - 1) // 2 + 1  # 1-indexed discrete-median rank (DuckDB quantile_disc)
+    k = int(np.floor(q * (n - 1))) + 1  # DuckDB quantile_disc rank (1-indexed)
     lo = ds.min("l_extendedprice")
     hi = ds.max("l_extendedprice")
 
@@ -1285,11 +1297,18 @@ def q_median_select(sf_dir: str) -> pd.DataFrame:
     cand = (ds.map_batches(pull, batch_format="pyarrow", batch_size=65536)
             .to_pandas()["l_extendedprice"].to_numpy())
     v = np.partition(cand, k - below - 1)[k - below - 1]
-    return pd.DataFrame({"n": [np.int64(n)], "median_price": [float(v)]})
+    return pd.DataFrame({"n": [np.int64(n)], out_col: [float(v)]})
 
 
 Q_MEDIAN_SELECT_SQL = """
 SELECT CAST(COUNT(*) AS BIGINT) AS n,
        quantile_disc(l_extendedprice, 0.5) AS median_price
+FROM lineitem
+"""
+
+
+Q_P99_SELECT_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       quantile_disc(l_extendedprice, 0.99) AS p99_price
 FROM lineitem
 """
