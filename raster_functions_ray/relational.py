@@ -1242,62 +1242,79 @@ def q_p99_select(sf_dir: str) -> pd.DataFrame:
     return _quantile_select(sf_dir, 0.99, "p99_price")
 
 
-def _quantile_select(sf_dir: str, q: float, out_col: str) -> pd.DataFrame:
-    import pyarrow.compute as pc
+def quickselect_bidx(v: np.ndarray, lo_: float, hi_: float) -> np.ndarray:
+    """The ONE bucket-index float expression every pass shares — chain
+    membership and histograms must use this verbatim so boundary ulps
+    can neither drop nor double-count a value."""
+    return np.clip(((v - lo_) / (hi_ - lo_) * MEDIAN_BUCKETS).astype(np.int64),
+                   0, MEDIAN_BUCKETS - 1)
 
-    ds = read_table(sf_dir, "lineitem", columns=["l_extendedprice"]).materialize()
-    n = ds.count()
-    k = int(np.floor(q * (n - 1))) + 1  # DuckDB quantile_disc rank (1-indexed)
-    lo = ds.min("l_extendedprice")
-    hi = ds.max("l_extendedprice")
 
-    def bidx(v: np.ndarray, lo_: float, hi_: float) -> np.ndarray:
-        return np.clip(((v - lo_) / (hi_ - lo_) * MEDIAN_BUCKETS).astype(np.int64),
-                       0, MEDIAN_BUCKETS - 1)
+def quickselect_member(v: np.ndarray, chain) -> np.ndarray:
+    m = np.ones(v.size, bool)
+    for lo_, hi_, t_ in chain:
+        m &= quickselect_bidx(v, lo_, hi_) == t_
+    return m
 
-    def member(v: np.ndarray, chain) -> np.ndarray:
-        m = np.ones(v.size, bool)
-        for lo_, hi_, t_ in chain:
-            m &= bidx(v, lo_, hi_) == t_
-        return m
 
+def quickselect_rank(k: int, lo: float, hi: float, hist_of, pull_of,
+                     pull_limit: int | None = None) -> float:
+    """Pure driver algorithm for the k-th (1-indexed) smallest value via
+    histogram quickselect.  ``hist_of(chain, lo, hi)`` must return the
+    {MEDIAN_BUCKETS}-bucket counts of values passing the chain, bucketed
+    by quickselect_bidx over [lo, hi]; ``pull_of(chain)`` must return the
+    passing values as an ndarray.  Factored out of the Dataset plumbing
+    so adversarial distributions (boundary ties, collapsed ranges,
+    denormal spans) are property-testable without Ray."""
+    limit = MEDIAN_PULL_LIMIT if pull_limit is None else pull_limit
     chain: list = []   # (lo_i, hi_i, t_i) — frozen float constraints
     below = 0          # values ranked before the current candidate set
     cur_lo, cur_hi = lo, hi
     for _ in range(4):  # 4096⁴ ≈ 2.8e14 > any corpus this engine targets
         if cur_hi <= cur_lo:
             break  # range collapsed to one double — pull directly
-        c_lo, c_hi, c_chain = cur_lo, cur_hi, list(chain)
-
-        def f(b: pa.Table) -> pd.DataFrame:
-            v = np.asarray(b["l_extendedprice"])
-            vm = v[member(v, c_chain)]
-            c = np.bincount(bidx(vm, c_lo, c_hi), minlength=MEDIAN_BUCKETS)
-            return pd.DataFrame({"bucket": np.arange(MEDIAN_BUCKETS, dtype=np.int64),
-                                 "c": c})
-
-        counts = (ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
-                  .to_pandas().groupby("bucket")["c"].sum().to_numpy())
-        if int(counts.sum()) <= MEDIAN_PULL_LIMIT:
+        counts = hist_of(list(chain), cur_lo, cur_hi)
+        if int(counts.sum()) <= limit:
             break
         cum = np.cumsum(counts)
         t = int(np.searchsorted(cum, k - below))
         below += int(cum[t - 1]) if t else 0
-        chain.append((c_lo, c_hi, t))
-        width = c_hi - c_lo
-        cur_lo = c_lo + t * width / MEDIAN_BUCKETS
-        cur_hi = c_hi if t == MEDIAN_BUCKETS - 1 else c_lo + (t + 1) * width / MEDIAN_BUCKETS
+        chain.append((cur_lo, cur_hi, t))
+        width = cur_hi - cur_lo
+        new_lo = cur_lo + t * width / MEDIAN_BUCKETS
+        new_hi = cur_hi if t == MEDIAN_BUCKETS - 1 else             cur_lo + (t + 1) * width / MEDIAN_BUCKETS
+        cur_lo, cur_hi = new_lo, new_hi
+    cand = pull_of(list(chain))
+    return float(np.partition(cand, k - below - 1)[k - below - 1])
 
-    final_chain = list(chain)
 
-    def pull(b: pa.Table) -> pd.DataFrame:
-        v = np.asarray(b["l_extendedprice"])
-        return pd.DataFrame({"l_extendedprice": v[member(v, final_chain)]})
+def _quantile_select(sf_dir: str, q: float, out_col: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "lineitem", columns=["l_extendedprice"]).materialize()
+    n = ds.count()
+    k = int(np.floor(q * (n - 1))) + 1  # DuckDB quantile_disc rank (1-indexed)
+    lo = ds.min("l_extendedprice")
+    hi = ds.max("l_extendedprice")
 
-    cand = (ds.map_batches(pull, batch_format="pyarrow", batch_size=65536)
-            .to_pandas()["l_extendedprice"].to_numpy())
-    v = np.partition(cand, k - below - 1)[k - below - 1]
-    return pd.DataFrame({"n": [np.int64(n)], out_col: [float(v)]})
+    def hist_of(chain, lo_, hi_):
+        def f(b: pa.Table) -> pd.DataFrame:
+            v = np.asarray(b["l_extendedprice"])
+            vm = v[quickselect_member(v, chain)]
+            c = np.bincount(quickselect_bidx(vm, lo_, hi_),
+                            minlength=MEDIAN_BUCKETS)
+            return pd.DataFrame({"bucket": np.arange(MEDIAN_BUCKETS, dtype=np.int64),
+                                 "c": c})
+        return (ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
+                .to_pandas().groupby("bucket")["c"].sum().to_numpy())
+
+    def pull_of(chain):
+        def f(b: pa.Table) -> pd.DataFrame:
+            v = np.asarray(b["l_extendedprice"])
+            return pd.DataFrame({"l_extendedprice": v[quickselect_member(v, chain)]})
+        return (ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
+                .to_pandas()["l_extendedprice"].to_numpy())
+
+    v = quickselect_rank(k, lo, hi, hist_of, pull_of)
+    return pd.DataFrame({"n": [np.int64(n)], out_col: [v]})
 
 
 Q_MEDIAN_SELECT_SQL = """

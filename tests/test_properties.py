@@ -198,3 +198,43 @@ def test_y4m_roundtrip_any_shape(seed, n, h, w, fps):
     out, fps2 = decode_y4m(encode_y4m(frames, fps=fps))
     assert fps2 == fps
     np.testing.assert_array_equal(out, frames)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**31 - 1),
+       st.sampled_from(["uniform", "ties", "boundary", "tight", "mixed"]),
+       st.integers(1, 400), st.floats(0.0, 1.0))
+def test_quickselect_rank_adversarial(seed, shape, n, q):
+    """quickselect_rank == numpy sort on adversarial distributions:
+    heavy ties, values ON bucket boundaries, near-collapsed ranges —
+    pull limit forced tiny so the constraint chain actually walks."""
+    from raster_functions_ray.relational import (MEDIAN_BUCKETS,
+                                                 quickselect_bidx,
+                                                 quickselect_member,
+                                                 quickselect_rank)
+    rng = np.random.default_rng(seed)
+    if shape == "uniform":
+        v = rng.uniform(-1e6, 1e6, n)
+    elif shape == "ties":
+        v = rng.choice([1.0, 2.0, 2.0000001, 3.0], n)
+    elif shape == "boundary":
+        lo_, hi_ = 0.0, 1.0  # values exactly on bucket edges
+        v = rng.integers(0, MEDIAN_BUCKETS + 1, n) / MEDIAN_BUCKETS
+    elif shape == "tight":
+        v = 1e9 + rng.uniform(0, 1e-6, n)  # near-collapsed float range
+    else:
+        v = np.concatenate([rng.uniform(-1, 1, n),
+                            np.full(n, 0.5), np.full(n, -0.5)])
+    k = int(np.floor(q * (v.size - 1))) + 1
+
+    def hist_of(chain, lo_, hi_):
+        vm = v[quickselect_member(v, chain)]
+        return np.bincount(quickselect_bidx(vm, lo_, hi_),
+                           minlength=MEDIAN_BUCKETS)
+
+    def pull_of(chain):
+        return v[quickselect_member(v, chain)]
+
+    got = quickselect_rank(k, float(v.min()), float(v.max()),
+                           hist_of, pull_of, pull_limit=3)
+    assert got == np.sort(v)[k - 1]
