@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate": textops.q_boilerplate,
         "csv_source": textops.q_csv_source,
         "json_source": textops.q_json_source,
+        "feather_source": textops.q_feather_source,
         "inverted_index": textops.q_inverted_index,
         "doc_chunking": trainprep.q_doc_chunking,
         "exact_dedup": dedup.q_exact_dedup,
@@ -408,6 +409,7 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": trainprep.Q_PARAGRAPH_DEDUP_SQL,
         "csv_source": textops.Q_SOURCE_PROFILE_SQL,
         "json_source": textops.Q_SOURCE_PROFILE_SQL,
+        "feather_source": textops.Q_SOURCE_PROFILE_SQL,
         "inverted_index": textops.Q_INVERTED_INDEX_SQL,
         "doc_chunking": trainprep.Q_DOC_CHUNKING_SQL,
         "mixture_rebalance": trainprep.Q_MIXTURE_REBALANCE_SQL,

@@ -146,7 +146,8 @@ def text_format_cache(sf_dir: str, fmt: str) -> str:
     d = os.path.join("/tmp/rfr_srcfmt",
                      f"{fmt}_{os.path.basename(os.path.normpath(sf_dir))}"
                      f"_{st.st_size}_{st.st_mtime_ns}")
-    out = os.path.join(d, f"documents.{'csv' if fmt == 'csv' else 'jsonl'}")
+    ext = {"csv": "csv", "feather": "feather_dir"}.get(fmt, "jsonl")
+    out = os.path.join(d, f"documents.{ext}")
     if os.path.exists(os.path.join(d, "_DONE")):
         return out
     os.makedirs(d, exist_ok=True)
@@ -154,6 +155,18 @@ def text_format_cache(sf_dir: str, fmt: str) -> str:
     if fmt == "csv":
         import pyarrow.csv as pacsv
         pacsv.write_csv(tab, out)
+    elif fmt == "feather":
+        # SHARDED Arrow-IPC mirror: one .feather file per shard so the
+        # binary-file read parallelizes like any other multi-file source
+        os.makedirs(out, exist_ok=True)
+        shards = 8
+        per = (tab.num_rows + shards - 1) // shards
+        for s in range(shards):
+            sl = tab.slice(s * per, per)
+            if sl.num_rows:
+                import pyarrow.feather as pafe
+                pafe.write_feather(sl, os.path.join(out, f"part-{s}.feather"),
+                                   compression="uncompressed")
     else:
         tab.to_pandas().to_json(out, orient="records", lines=True)
     with open(os.path.join(d, "_DONE"), "w") as f:
@@ -168,4 +181,18 @@ def read_documents_as(sf_dir: str, fmt: str) -> rd.Dataset:
     path = text_format_cache(sf_dir, fmt)
     if fmt == "csv":
         return rd.read_csv(path)
+    if fmt == "feather":
+        # no native Arrow-IPC reader in ray.data — the bring-any-format
+        # path: read_binary_files (one row per shard file, streamed) + a
+        # vectorized decode stage; shards decode in parallel like blocks
+        import pyarrow as pa
+
+        def decode(b: pa.Table) -> pa.Table:
+            import pyarrow.feather as pafe
+            tabs = [pafe.read_table(pa.BufferReader(buf.as_py()))
+                    for buf in b["bytes"]]
+            return pa.concat_tables(tabs)
+
+        return (rd.read_binary_files(path)
+                .map_batches(decode, batch_format="pyarrow"))
     return rd.read_json(path)

@@ -675,6 +675,17 @@ def q_json_source(sf_dir: str) -> pd.DataFrame:
     return _source_format_profile(read_documents_as(sf_dir, "jsonl"))
 
 
+def q_feather_source(sf_dir: str) -> pd.DataFrame:
+    """The documents table through Arrow-IPC shard files — ray.data has
+    no native IPC reader, so this exercises the bring-any-format path:
+    read_binary_files (streamed, one row per shard) + a vectorized decode
+    map_batches — the same plumbing a 100 TB custom container format
+    would use.  Same parquet-view oracle as q_csv_source."""
+    from .sources import read_documents_as
+
+    return _source_format_profile(read_documents_as(sf_dir, "feather"))
+
+
 Q_SOURCE_PROFILE_SQL = """
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
