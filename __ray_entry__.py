@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_source": textops.q_csv_source,
         "json_source": textops.q_json_source,
         "feather_source": textops.q_feather_source,
+        "sink_roundtrip": textops.q_sink_roundtrip,
         "inverted_index": textops.q_inverted_index,
         "doc_chunking": trainprep.q_doc_chunking,
         "exact_dedup": dedup.q_exact_dedup,
@@ -410,6 +411,7 @@ def oracle_sql() -> dict[str, str]:
         "csv_source": textops.Q_SOURCE_PROFILE_SQL,
         "json_source": textops.Q_SOURCE_PROFILE_SQL,
         "feather_source": textops.Q_SOURCE_PROFILE_SQL,
+        "sink_roundtrip": textops.Q_SOURCE_PROFILE_SQL,
         "inverted_index": textops.Q_INVERTED_INDEX_SQL,
         "doc_chunking": trainprep.Q_DOC_CHUNKING_SQL,
         "mixture_rebalance": trainprep.Q_MIXTURE_REBALANCE_SQL,

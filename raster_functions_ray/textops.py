@@ -794,3 +794,25 @@ SELECT term, COUNT(*) AS df, CAST(SUM(doc_id) AS BIGINT) AS postings_sum,
                        ',') AS head_postings
 FROM toks GROUP BY term ORDER BY term
 """
+
+
+def q_sink_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Partitioned-parquet SINK fidelity: documents stream through
+    ``write_parquet(partition_cols=['source'])`` — the engine's resumable
+    output layout (one directory per partition key, what a failed run
+    skips on retry) — then read back through the hive-partitioned reader
+    and profiled under the SAME oracle as the source-format gates.  Any
+    row, text byte or partition-routing corruption in the write→read
+    round-trip shifts the poly31 fingerprint."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from .sources import read_table
+
+    out = os.path.join("/tmp/rfr_sink",
+                       os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(out, ignore_errors=True)
+    read_table(sf_dir, "documents").write_parquet(out, partition_cols=["source"])
+    return _source_format_profile(rd.read_parquet(out))
