@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embed": ann.q_kmeans_embed,
         "semantic_dedup_kmeans": ann.q_semantic_dedup_kmeans,
         "embedding_decontam": ann.q_embedding_decontam,
+        "hard_negatives": ann.q_hard_negatives,
         "zonal_value_salted": spatial.q_zonal_value_salted,
         "rect_overlap_join_split": spatial.q_rect_overlap_join_split,
         "radius_join": spatial.q_radius_join,
@@ -387,6 +388,7 @@ def oracle_sql() -> dict[str, str]:
         "event_type_pivot": rel.Q_EVENT_TYPE_PIVOT_SQL,
         "lsh_bucket_sizes": ann.lsh_bucket_sizes_oracle_sql(),
         "embedding_decontam": ann.Q_EMBEDDING_DECONTAM_SQL,
+        "hard_negatives": ann.Q_HARD_NEGATIVES_SQL,
         "rect_overlap_join": spatial.Q_RECT_OVERLAP_JOIN_SQL,
         "rect_overlap_join_split": spatial.Q_RECT_OVERLAP_JOIN_SQL,
         "radius_join": spatial.Q_RADIUS_JOIN_SQL,

@@ -1042,3 +1042,79 @@ SELECT t.vec_id,
 FROM tr t CROSS JOIN ev v
 GROUP BY t.vec_id ORDER BY t.vec_id
 """
+
+
+# ------------------------------------------------- hard-negative mining
+
+def q_hard_negatives(sf_dir: str) -> pd.DataFrame:
+    """Hard-negative mining for retrieval training: per anchor (the query
+    vectors), the top-{TOP_K} most cosine-similar candidates whose LABEL
+    DIFFERS from the anchor's — the near-misses a contrastive loss learns
+    most from.
+
+    Scale shape: identical to _brute_force_topk (broadcast anchor matrix
+    + labels, per-batch matmul, per-block partial top-k, driver merges
+    O(anchors × k × blocks) rows) with a vectorized label-mask before the
+    partial top-k — no extra shuffle over the similarity path."""
+    import pyarrow.compute as pc
+
+    from .sources import read_table_filtered
+
+    qt = read_table_filtered(sf_dir, "embeddings",
+                             ["vec_id", "embedding", "label"],
+                             pc.field("vec_id") < N_QUERIES)
+    order = np.argsort(np.asarray(qt["vec_id"], dtype=np.int64))
+    _, qmat = _embedding_matrix(qt)
+    qmat = qmat[order] / np.linalg.norm(qmat[order], axis=1, keepdims=True)
+    qlabels = np.asarray(qt["label"], dtype=np.int64)[order]
+    qref = ray.put((qmat, qlabels))
+    ds = read_table(sf_dir, "embeddings",
+                    columns=["vec_id", "embedding", "label"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        qm, ql = ray.get(qref)
+        ids, mat = _embedding_matrix(b)
+        labels = np.asarray(b["label"], dtype=np.int64)
+        keep = ids >= N_QUERIES
+        ids, mat, labels = ids[keep], mat[keep], labels[keep]
+        if ids.size == 0:
+            return pd.DataFrame(_EMPTY_PARTIAL)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(norms == 0, 1.0, norms)
+        sims = mat @ qm.T  # (n, nq)
+        frames = []
+        for qi in range(qm.shape[0]):
+            neg = labels != ql[qi]          # hard-NEGATIVE: different label
+            if not neg.any():
+                continue
+            cand_ids, cand_sims = ids[neg], sims[neg, qi]
+            k = min(TOP_K, cand_ids.size)
+            idx = np.lexsort((cand_ids, -cand_sims))[:k]
+            frames.append(pd.DataFrame({"q_id": qi, "vec_id": cand_ids[idx],
+                                        "sim": cand_sims[idx]}))
+        return pd.concat(frames, ignore_index=True) if frames \
+            else pd.DataFrame(_EMPTY_PARTIAL)
+
+    cand = ds.map_batches(partial, batch_format="pyarrow", batch_size=8192).to_pandas()
+    cand = cand.sort_values(["q_id", "sim", "vec_id"], ascending=[True, False, True])
+    cand = cand.groupby("q_id").head(TOP_K)
+    cand["rank"] = cand.groupby("q_id").cumcount() + 1
+    return cand[["q_id", "vec_id", "rank"]].reset_index(drop=True)
+
+
+Q_HARD_NEGATIVES_SQL = f"""
+WITH base AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), queries AS (
+  SELECT vec_id AS q_id, label AS ql, e AS qe FROM base WHERE vec_id < {N_QUERIES}
+), cands AS (
+  SELECT vec_id, label, e FROM base WHERE vec_id >= {N_QUERIES}
+)
+SELECT q_id, vec_id, rank FROM (
+  SELECT q.q_id, c.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.q_id
+                            ORDER BY list_cosine_similarity(c.e, q.qe) DESC,
+                                     c.vec_id) AS rank
+  FROM cands c JOIN queries q ON c.label <> q.ql)
+WHERE rank <= {TOP_K}
+"""

@@ -534,3 +534,19 @@ class TestMedianSelect:
                     ["l_extendedprice"].to_numpy())
         n = v.size
         assert got["median_price"].iloc[0] == v[(n - 1) // 2]
+
+
+class TestHardNegatives:
+    def test_negatives_only_and_rank_contiguous(self):
+        import pyarrow.parquet as pq
+        from raster_functions_ray import ann
+
+        out = ann.q_hard_negatives(SF001)
+        t = pq.read_table(f"{SF001}/embeddings.parquet",
+                          columns=["vec_id", "label"]).to_pandas()
+        lbl = dict(zip(t["vec_id"], t["label"]))
+        # every mined row really is a different-label candidate
+        assert all(lbl[r.vec_id] != lbl[r.q_id] for r in out.itertuples())
+        # ranks are 1..k per anchor
+        assert (out.groupby("q_id")["rank"].apply(
+            lambda s: list(s) == list(range(1, len(s) + 1)))).all()
