@@ -1169,6 +1169,17 @@ def _coarse_span(t: dict, pitch: float):
 _PAIR_STRIPE = 512  # row-block height: pair matrices stay O(stripe × n)
 
 
+def _striped_pair_frames(n_rows: int, build, empty_cols: dict) -> pd.DataFrame:
+    """Shared scaffold for row-blocked pair formation: iterate
+    {_PAIR_STRIPE}-high stripes, collect the per-stripe frames ``build(s,
+    e)`` returns, concat (or a typed empty frame).  Keeps the stripe loop
+    and empty-schema handling in ONE place for every pair kernel."""
+    out = [build(s, min(s + _PAIR_STRIPE, n_rows))
+           for s in range(0, n_rows, _PAIR_STRIPE)]
+    return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+        {c: pd.Series([], dtype=t) for c, t in empty_cols.items()})
+
+
 def _overlap_pairs_kernel(g: pd.DataFrame, owner_key) -> pd.DataFrame:
     """Shared per-cell pair kernel: vectorized overlap test with the
     report-once rule — emit (a, b, area) only when ``owner_key(ox1, oy1,
@@ -1183,9 +1194,8 @@ def _overlap_pairs_kernel(g: pd.DataFrame, owner_key) -> pd.DataFrame:
     ids = g["id"].to_numpy(np.int64)
     x1, x2 = g["x1"].to_numpy(), g["x2"].to_numpy()
     y1, y2 = g["y1"].to_numpy(), g["y2"].to_numpy()
-    out = []
-    for s in range(0, ids.size, _PAIR_STRIPE):
-        e = min(s + _PAIR_STRIPE, ids.size)
+
+    def build(s: int, e: int) -> pd.DataFrame:
         lt = ids[s:e, None] < ids[None, :]
         ox1 = np.maximum(x1[s:e, None], x1[None, :])
         ox2 = np.minimum(x2[s:e, None], x2[None, :])
@@ -1193,13 +1203,13 @@ def _overlap_pairs_kernel(g: pd.DataFrame, owner_key) -> pd.DataFrame:
         oy2 = np.minimum(y2[s:e, None], y2[None, :])
         hit = lt & (ox1 < ox2) & (oy1 < oy2)
         i, j = np.nonzero(hit & (owner_key(ox1, oy1, key) == key))
-        out.append(pd.DataFrame({
+        return pd.DataFrame({
             "a_id": ids[s:e][i], "b_id": ids[j],
-            "area": (ox2[i, j] - ox1[i, j]) * (oy2[i, j] - oy1[i, j])}))
-    return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
-        {"a_id": pd.Series([], dtype="int64"),
-         "b_id": pd.Series([], dtype="int64"),
-         "area": pd.Series([], dtype="float64")})
+            "area": (ox2[i, j] - ox1[i, j]) * (oy2[i, j] - oy1[i, j])})
+
+    return _striped_pair_frames(ids.size, build,
+                                {"a_id": "int64", "b_id": "int64",
+                                 "area": "float64"})
 
 
 def q_rect_overlap_join(sf_dir: str) -> pd.DataFrame:
@@ -1417,8 +1427,10 @@ def q_radius_join(sf_dir: str) -> pd.DataFrame:
     least the point's own cell among its 9), pairs form inside
     groupby(cell), and the report-once owner is the LOWER-ID point's own
     cell — that cell is in both points' emission sets, so each pair is
-    emitted exactly once globally.  Density bounds group size; a hot
-    cell splits exactly as in q_rect_overlap_join_split."""
+    emitted exactly once globally.  Density bounds group size; this
+    lowering does NOT yet split hot cells — a skewed pile-up would need
+    the density-adapted level scheme q_rect_overlap_join_split
+    demonstrates (same owner-moves-with-level rule applies to points)."""
     ds = read_table(sf_dir, "events", columns=["event_id"])
     pts = ds.map_batches(derive_points, batch_format="pyarrow",
                          zero_copy_batch=True)
@@ -1443,10 +1455,8 @@ def q_radius_join(sf_dir: str) -> pd.DataFrame:
         x = g["x"].to_numpy()
         y = g["y"].to_numpy()
         own = g["own"].to_numpy(bool)
-        out = []
-        # row-blocked stripes: matrices O(stripe × n), never O(n²)
-        for s in range(0, ids.size, _PAIR_STRIPE):
-            e = min(s + _PAIR_STRIPE, ids.size)
+
+        def build(s: int, e: int) -> pd.DataFrame:
             dx = x[s:e, None] - x[None, :]
             dy = y[s:e, None] - y[None, :]
             d2 = dx * dx + dy * dy
@@ -1454,12 +1464,12 @@ def q_radius_join(sf_dir: str) -> pd.DataFrame:
             hit = ((ids[s:e, None] < ids[None, :]) & (d2 < RADIUS * RADIUS)
                    & own[s:e, None])
             i, j = np.nonzero(hit)
-            out.append(pd.DataFrame({"a_id": ids[s:e][i], "b_id": ids[j],
-                                     "d2": d2[i, j]}))
-        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
-            {"a_id": pd.Series([], dtype="int64"),
-             "b_id": pd.Series([], dtype="int64"),
-             "d2": pd.Series([], dtype="float64")})
+            return pd.DataFrame({"a_id": ids[s:e][i], "b_id": ids[j],
+                                 "d2": d2[i, j]})
+
+        return _striped_pair_frames(ids.size, build,
+                                    {"a_id": "int64", "b_id": "int64",
+                                     "d2": "float64"})
 
     out = (pts.map_batches(to_cells, batch_format="pyarrow")
            .groupby("key").map_groups(pairs, batch_format="pandas")

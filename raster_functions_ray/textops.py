@@ -804,15 +804,14 @@ def q_sink_roundtrip(sf_dir: str) -> pd.DataFrame:
     and profiled under the SAME oracle as the source-format gates.  Any
     row, text byte or partition-routing corruption in the write→read
     round-trip shifts the poly31 fingerprint."""
-    import os
-    import shutil
+    import tempfile
 
     import ray.data as rd
 
     from .sources import read_table
 
-    out = os.path.join("/tmp/rfr_sink",
-                       os.path.basename(os.path.normpath(sf_dir)))
-    shutil.rmtree(out, ignore_errors=True)
+    # process-unique dir: concurrent runs (pytest alongside verify) must
+    # not rmtree each other mid write/read
+    out = tempfile.mkdtemp(prefix="rfr_sink_")
     read_table(sf_dir, "documents").write_parquet(out, partition_cols=["source"])
     return _source_format_profile(rd.read_parquet(out))

@@ -218,7 +218,7 @@ def test_quickselect_rank_adversarial(seed, shape, n, q):
     elif shape == "ties":
         v = rng.choice([1.0, 2.0, 2.0000001, 3.0], n)
     elif shape == "boundary":
-        lo_, hi_ = 0.0, 1.0  # values exactly on bucket edges
+        # values exactly on bucket edges
         v = rng.integers(0, MEDIAN_BUCKETS + 1, n) / MEDIAN_BUCKETS
     elif shape == "tight":
         v = 1e9 + rng.uniform(0, 1e-6, n)  # near-collapsed float range
@@ -238,3 +238,22 @@ def test_quickselect_rank_adversarial(seed, shape, n, q):
     got = quickselect_rank(k, float(v.min()), float(v.max()),
                            hist_of, pull_of, pull_limit=3)
     assert got == np.sort(v)[k - 1]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(2, 3000),
+       st.sampled_from([0.5, 0.9, 0.95, 0.99, 0.25]))
+def test_quantile_rank_matches_duckdb_disc(seed, n, q):
+    """The engine's rank formula ceil(q·n) == DuckDB quantile_disc at
+    ARBITRARY row counts — the fixture counts (0.99·n integral) masked a
+    floor(q·(n−1))+1 off-by-one at ~98% of other n."""
+    import math
+
+    import duckdb
+    rng = np.random.default_rng(seed)
+    v = np.sort(rng.normal(0, 1, n))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest($1::DOUBLE[]) AS x", [list(v)])
+    want = con.execute(f"SELECT quantile_disc(x, {q}) FROM t").fetchone()[0]
+    k = max(1, int(math.ceil(q * n)))
+    assert v[k - 1] == want
