@@ -1002,7 +1002,10 @@ def q_embedding_decontam(sf_dir: str) -> pd.DataFrame:
     t = read_table_filtered(sf_dir, "embeddings", ["vec_id", "embedding"],
                             pc.field("vec_id") < N_EVAL)
     _, emat = _embedding_matrix(t)
-    emat = emat / np.linalg.norm(emat, axis=1, keepdims=True)
+    # same zero-norm guard as the streaming side: a zero eval vector must
+    # yield 0-similarity (no hits), not a NaN column that swallows them
+    enorm = np.linalg.norm(emat, axis=1, keepdims=True)
+    emat = emat / np.where(enorm == 0, 1.0, enorm)
     eref = ray.put(emat)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
@@ -1065,7 +1068,8 @@ def q_hard_negatives(sf_dir: str) -> pd.DataFrame:
                              pc.field("vec_id") < N_QUERIES)
     order = np.argsort(np.asarray(qt["vec_id"], dtype=np.int64))
     _, qmat = _embedding_matrix(qt)
-    qmat = qmat[order] / np.linalg.norm(qmat[order], axis=1, keepdims=True)
+    qnorm = np.linalg.norm(qmat[order], axis=1, keepdims=True)
+    qmat = qmat[order] / np.where(qnorm == 0, 1.0, qnorm)
     qlabels = np.asarray(qt["label"], dtype=np.int64)[order]
     qref = ray.put((qmat, qlabels))
     ds = read_table(sf_dir, "embeddings",

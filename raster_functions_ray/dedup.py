@@ -223,6 +223,24 @@ class MinHasher:
 
 _MINHASHER: MinHasher | None = None
 
+_BROADCAST_CACHE: dict = {}
+
+
+def _worker_broadcast(ref):
+    """Resolve a ``ray.put`` broadcast once per WORKER process (keyed on
+    the object ref), so per-batch map functions don't pay a ray.get +
+    deserialize per batch — actor-__init__ semantics for task-pool
+    stages, same rationale as the _MINHASHER cache above."""
+    import ray
+    key = ref.hex()
+    val = _BROADCAST_CACHE.get(key)
+    if val is None:
+        if len(_BROADCAST_CACHE) > 8:  # stale refs from finished queries
+            _BROADCAST_CACHE.clear()
+        val = ray.get(ref)
+        _BROADCAST_CACHE[key] = val
+    return val
+
 
 def minhash_batch(b: pa.Table) -> pa.Table:
     """Stateless-task lowering of MinHasher with a per-WORKER state cache:
@@ -378,20 +396,28 @@ def _verify_pairs_distributed(pairs, sf_dir: str, *, kind: str,
         pc.field("doc_id").isin(need.tolist()))
     if need.size <= broadcast_limit:
         # broadcast lowering (the common case — candidates are
-        # result-sized): candidate texts go to the OBJECT STORE once and
-        # every scoring task reads them; no shuffle, no driver dict
+        # result-sized): candidate texts go to the OBJECT STORE once,
+        # pre-sorted by doc_id, and every scoring task reads them; the
+        # per-batch attach is a vectorized searchsorted + Arrow take —
+        # no per-batch dict build, no Python string hop (texts stay an
+        # Arrow column end to end), and the sorted-id array is resolved
+        # once per WORKER via the module cache (the _MINHASHER pattern)
         import ray
-        texts_ref = ray.put(texts_tbl)
+        import pyarrow.compute as _pc
+        sorted_tbl = texts_tbl.sort_by("doc_id")
+        texts_ref = ray.put((
+            np.asarray(sorted_tbl["doc_id"], dtype=np.int64),
+            sorted_tbl["text"].combine_chunks()))
 
         def attach(b: pa.Table) -> pa.Table:
-            t = ray.get(texts_ref)
-            lut = dict(zip(np.asarray(t["doc_id"], np.int64),
-                           t["text"].to_pylist()))
-            ta_ = [lut[int(x)] for x in b["doc_a"].to_pylist()]
-            tb_ = [lut[int(x)] for x in b["doc_b"].to_pylist()]
+            ids_sorted, text_col = _worker_broadcast(texts_ref)
+            pa_pos = np.searchsorted(
+                ids_sorted, np.asarray(b["doc_a"], dtype=np.int64))
+            pb_pos = np.searchsorted(
+                ids_sorted, np.asarray(b["doc_b"], dtype=np.int64))
             return pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"],
-                             "text_a": pa.array(ta_, pa.string()),
-                             "text_b": pa.array(tb_, pa.string())})
+                             "text_a": _pc.take(text_col, pa.array(pa_pos)),
+                             "text_b": _pc.take(text_col, pa.array(pb_pos))})
 
         j = pairs.map_batches(attach, batch_format="pyarrow", batch_size=8192)
     else:

@@ -1441,13 +1441,33 @@ def q_radius_join(sf_dir: str) -> pd.DataFrame:
         y = np.asarray(b["y"])
         cx = np.floor(x / OVERLAP_CELL).astype(np.int64)
         cy = np.floor((y + 90.0) / OVERLAP_CELL).astype(np.int64)
+        r2 = RADIUS * RADIUS
         parts = []
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    keep = np.ones(eid.size, bool)
+                else:
+                    # emit to a neighbor cell only when its box lies within
+                    # RADIUS of the point: a partner pair's owner cell (the
+                    # lower-id point's own cell) contains that point, so the
+                    # box distance is <= the pair distance < RADIUS — the
+                    # emission needed for report-once always survives, while
+                    # with pitch >> RADIUS most of the 8 neighbor rows are
+                    # pure shuffle inflation (clamp/square/sum are fp-
+                    # monotone, so the <= holds for the computed doubles too)
+                    xlo = (cx + dx) * OVERLAP_CELL
+                    ylo = (cy + dy) * OVERLAP_CELL - 90.0
+                    ddx = np.maximum(np.maximum(xlo - x, x - (xlo + OVERLAP_CELL)), 0.0)
+                    ddy = np.maximum(np.maximum(ylo - y, y - (ylo + OVERLAP_CELL)), 0.0)
+                    keep = ddx * ddx + ddy * ddy < r2
+                if not keep.any():
+                    continue
                 parts.append(pa.table({
-                    "key": pa.array((cx + dx) * 1024 + cy + dy),
-                    "own": pa.array(np.full(eid.size, dx == 0 and dy == 0)),
-                    "id": pa.array(eid), "x": pa.array(x), "y": pa.array(y)}))
+                    "key": pa.array((cx[keep] + dx) * 1024 + cy[keep] + dy),
+                    "own": pa.array(np.full(int(keep.sum()), dx == 0 and dy == 0)),
+                    "id": pa.array(eid[keep]), "x": pa.array(x[keep]),
+                    "y": pa.array(y[keep])}))
         return pa.concat_tables(parts)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:

@@ -804,6 +804,7 @@ def q_sink_roundtrip(sf_dir: str) -> pd.DataFrame:
     and profiled under the SAME oracle as the source-format gates.  Any
     row, text byte or partition-routing corruption in the write→read
     round-trip shifts the poly31 fingerprint."""
+    import shutil
     import tempfile
 
     import ray.data as rd
@@ -811,7 +812,12 @@ def q_sink_roundtrip(sf_dir: str) -> pd.DataFrame:
     from .sources import read_table
 
     # process-unique dir: concurrent runs (pytest alongside verify) must
-    # not rmtree each other mid write/read
+    # not rmtree each other mid write/read; removed once the profile is
+    # materialized so repeated bench/verify runs don't accumulate a full
+    # partitioned copy of the documents table in /tmp per invocation
     out = tempfile.mkdtemp(prefix="rfr_sink_")
-    read_table(sf_dir, "documents").write_parquet(out, partition_cols=["source"])
-    return _source_format_profile(rd.read_parquet(out))
+    try:
+        read_table(sf_dir, "documents").write_parquet(out, partition_cols=["source"])
+        return _source_format_profile(rd.read_parquet(out))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -550,3 +550,31 @@ class TestHardNegatives:
         # ranks are 1..k per anchor
         assert (out.groupby("q_id")["rank"].apply(
             lambda s: list(s) == list(range(1, len(s) + 1)))).all()
+
+    def test_topk_boundary_margin_exceeds_fp_noise(self):
+        # same discipline as TestEmbeddingDecontam's oracle margin: the
+        # hash-exact gate vs DuckDB only holds if no two adjacent-rank
+        # candidate similarities around the top-K window sit within the
+        # numpy-matmul vs list_cosine_similarity summation-order noise
+        # (~1e-15 relative on 64-dim doubles; 2e-5 is the conservative
+        # bound used across the registry). Exact ties are fine — both
+        # sides break them by vec_id deterministically.
+        import pyarrow.parquet as pq
+        from raster_functions_ray import ann
+
+        t = pq.read_table(f"{SF001}/embeddings.parquet")
+        ids = t["vec_id"].to_numpy()
+        labels = t["label"].to_numpy()
+        mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(norms == 0, 1.0, norms)
+        qsel = ids < ann.N_QUERIES
+        csel = ~qsel
+        sims = mat[csel] @ mat[qsel].T  # (n_cand, n_q)
+        qlab, clab = labels[qsel], labels[csel]
+        for qi in range(sims.shape[1]):
+            s = np.sort(sims[clab != qlab[qi], qi])[::-1]
+            window = s[:ann.TOP_K + 1]
+            gaps = np.abs(np.diff(window))
+            gaps = gaps[gaps > 0]  # exact ties break by vec_id on both sides
+            assert gaps.size == 0 or gaps.min() > 2e-5
