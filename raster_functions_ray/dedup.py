@@ -255,6 +255,54 @@ def minhash_batch(b: pa.Table) -> pa.Table:
 
 PAIR_CAP = 256  # max bucket size that emits all-pairs candidates
 
+# survivor-row count below which per-bucket pair formation runs vectorized
+# on the DRIVER (collision rows are 16 bytes each → 32 MB at the limit;
+# the exact survivor size is known from the Count aggregate BEFORE the
+# dispatch, so the scale path is never guessed).  Saves the two
+# collision-sized exchanges (bucket groupby + pair-distinct groupby) that
+# cost ~1s each of fixed Ray machinery regardless of data size.
+DRIVER_PAIR_LIMIT = 2_000_000
+
+
+def _driver_bucket_pairs(keys: np.ndarray, docs: np.ndarray,
+                         cap: int | None) -> tuple[np.ndarray, np.ndarray]:
+    """Per-bucket pair formation over COLLISION-sized survivor rows on the
+    driver: one lexsort, then a loop over the (few) colliding buckets —
+    the loop count is the HOT-BUCKET count, never the corpus.  Identical
+    semantics to _bucket_pairs/_bucket_pairs_all: unique doc ids per
+    bucket, all-pairs up to ``cap``, star-to-min beyond it (cap=None
+    disables the star cap — the SQL-exact uncapped form)."""
+    order = np.lexsort((docs, keys))
+    k, d = keys[order], docs[order]
+    first = np.ones(k.size, bool)
+    first[1:] = (k[1:] != k[:-1]) | (d[1:] != d[:-1])
+    k, d = k[first], d[first]
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) if k.size else \
+        np.empty(0, np.int64)
+    ends = np.r_[starts[1:], k.size] if k.size else np.empty(0, np.int64)
+    a_parts, b_parts = [], []
+    for s, e in zip(starts, ends):
+        n = int(e - s)
+        if n < 2:
+            continue
+        ids = d[s:e]
+        if cap is not None and n > cap:
+            a_parts.append(np.full(n - 1, ids[0], np.int64))
+            b_parts.append(ids[1:])
+        else:
+            ii, jj = np.triu_indices(n, k=1)
+            a_parts.append(ids[ii])
+            b_parts.append(ids[jj])
+    if not a_parts:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(a_parts), np.concatenate(b_parts)
+
+
+def _pair_struct(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    pr = np.empty(a.size, dtype=[("a", np.int64), ("b", np.int64)])
+    pr["a"], pr["b"] = a, b
+    return pr
+
 
 def _bucket_pairs(g: pd.DataFrame) -> pa.Table:
     """Candidate pairs within one LSH bucket.  Buckets larger than
@@ -315,20 +363,33 @@ def minhash_candidates(sf_dir: str, concurrency: int = 4):
         import pyarrow.compute as pc
         return b.filter(pc.is_in(b["band_hash"], value_set=ray.get(keys_ref)))
 
-    # survivors are COLLISION-sized (≪ corpus): coalesce to a few blocks
-    # so the bucket groupby and pair-distinct shuffles below pay per-block
-    # overhead proportional to the data, not to the corpus block count
+    survivors = banded.map_batches(keep_colliding, batch_format="pyarrow")
+    n_surv = int(hot["n"].sum())  # exact survivor size, known pre-dispatch
+    if n_surv <= DRIVER_PAIR_LIMIT:
+        # fast path: survivor rows are collision-sized (16 B each, ≤32 MB
+        # at the limit) — pull them and form pairs vectorized on the
+        # driver, saving the two collision-sized exchanges whose ~1s/ea
+        # fixed machinery cost dominates at any data size
+        ks, ds_ = [], []
+        for blk in survivors.iter_batches(batch_format="pyarrow"):
+            ks.append(np.asarray(blk["band_hash"], np.int64))
+            ds_.append(np.asarray(blk["doc_id"], np.int64))
+        a, b = _driver_bucket_pairs(np.concatenate(ks), np.concatenate(ds_),
+                                    cap=PAIR_CAP)
+        uq = np.unique(_pair_struct(a, b))
+        return rd.from_arrow(pa.table({"doc_a": pa.array(uq["a"]),
+                                       "doc_b": pa.array(uq["b"])}))
+    # scale path: pair formation runs DISTRIBUTED over the colliding
+    # buckets — a map_groups per bucket, never a driver loop: a viral
+    # duplicate producing one million-row bucket streams through a
+    # worker, and the star cap bounds its pair fan-out linearly (see
+    # _bucket_pairs).  Hash groupby with explicit num_partitions replaces
+    # the former repartition→groupby chains (half the exchanges).
     nparts = max(2, min(8, len(hot) // 1024 + 2))
-    survivors = (banded.map_batches(keep_colliding, batch_format="pyarrow")
-                 .repartition(nparts))
-    # pair formation runs DISTRIBUTED over the (small) colliding buckets —
-    # a map_groups per bucket, never a driver loop: a viral duplicate
-    # producing one million-row bucket streams through a worker, and the
-    # star cap bounds its pair fan-out linearly (see _bucket_pairs)
-    pairs = (survivors.groupby("band_hash")
+    pairs = (survivors.groupby("band_hash", num_partitions=nparts)
              .map_groups(_bucket_pairs, batch_format="pandas")
-             .repartition(nparts)
-             .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="nb"))
+             .groupby(["doc_a", "doc_b"], num_partitions=nparts)
+             .aggregate(Count(alias_name="nb"))
              .select_columns(["doc_a", "doc_b"]))
     return pairs.materialize()
 
@@ -937,12 +998,28 @@ def q_minhash_lsh_exact(sf_dir: str) -> pd.DataFrame:
         import pyarrow.compute as pc
         return b.filter(pc.is_in(b["bk64"], value_set=ray.get(keys_ref)))
 
+    survivors = banded.map_batches(keep_colliding, batch_format="pyarrow")
+    n_surv = int(hot["n"].sum())
+    if n_surv <= DRIVER_PAIR_LIMIT:
+        # size-dispatched driver pair formation (see minhash_candidates):
+        # each pair appears once per agreeing band, so the per-pair
+        # multiplicity after the uncapped all-pairs IS n_bands
+        ks, ds_ = [], []
+        for blk in survivors.iter_batches(batch_format="pyarrow"):
+            ks.append(np.asarray(blk["bk64"], np.int64))
+            ds_.append(np.asarray(blk["doc_id"], np.int64))
+        a, b = _driver_bucket_pairs(np.concatenate(ks), np.concatenate(ds_),
+                                    cap=None)
+        uq, nb = np.unique(_pair_struct(a, b), return_counts=True)
+        return (pd.DataFrame({"doc_a": uq["a"], "doc_b": uq["b"],
+                              "n_bands": nb.astype(np.int64)})
+                .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
     nparts = max(2, min(8, len(hot) // 1024 + 2))
-    out = (banded.map_batches(keep_colliding, batch_format="pyarrow")
-           .repartition(nparts)
-           .groupby("bk64").map_groups(_bucket_pairs_all, batch_format="pandas")
-           .repartition(nparts)
-           .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+    out = (survivors
+           .groupby("bk64", num_partitions=nparts)
+           .map_groups(_bucket_pairs_all, batch_format="pandas")
+           .groupby(["doc_a", "doc_b"], num_partitions=nparts)
+           .aggregate(Count(alias_name="n_bands"))
            .to_pandas())
     return (out[["doc_a", "doc_b", "n_bands"]]
             .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))

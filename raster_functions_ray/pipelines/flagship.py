@@ -108,13 +108,13 @@ def run(sf_dir: str = "/root/testdata/sf0.001") -> rd.Dataset:
 
     stats = tiles.map_batches(ndvi_cell_stats, batch_format="pyarrow",
                               batch_size=32, zero_copy_batch=True)
-    # coalesce the per-tile scalar rows before the shuffle: groupby emits one
-    # reduce partition per input block, and 50 near-empty partitions cost
-    # ~3s of pure scheduling here (measured via ds.stats at sf0.1)
+    # hash groupby with an explicit partition count replaces the former
+    # repartition→sort-groupby pair (the repartition coalesced near-empty
+    # reduce partitions; hash shuffle sizes them directly) — one exchange
+    # instead of two over the per-tile scalar rows
     from ..sources import join_partitions
 
-    return (stats.repartition(join_partitions())
-            .groupby("cell_id")
+    return (stats.groupby("cell_id", num_partitions=join_partitions())
             .aggregate(Count(alias_name="n_tiles"),
                        Mean("mean", alias_name="mean_ndvi"),
                        Sum("ref_count", alias_name="doc_refs")))

@@ -257,6 +257,28 @@ class TestHotDuplicateBucket:
                                             broadcast_limit=0)
         assert a.equals(b)
 
+    def test_pair_formation_lowerings_interchangeable(self, monkeypatch):
+        """The size-dispatched driver-vectorized pair formation and the
+        distributed hash-groupby pair formation must be pair-set
+        identical — for both the star-capped production path and the
+        uncapped SQL-exact path (n_bands counts included)."""
+        import pandas as pd
+
+        from raster_functions_ray import dedup
+
+        sf = "/root/testdata/sf0.001"
+        drv = dedup.minhash_candidates(sf).to_pandas() \
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        drv_lsh = dedup.q_minhash_lsh_exact(sf)
+        monkeypatch.setattr(dedup, "DRIVER_PAIR_LIMIT", -1)
+        dist = dedup.minhash_candidates(sf).to_pandas() \
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        dist_lsh = dedup.q_minhash_lsh_exact(sf)
+        assert len(drv) > 0
+        pd.testing.assert_frame_equal(drv, dist[drv.columns.tolist()],
+                                      check_dtype=False)
+        pd.testing.assert_frame_equal(drv_lsh, dist_lsh, check_dtype=False)
+
 
 class TestSqlExactLshIvf:
     """Round-3 gates: the full MinHash-LSH mechanism and the quantized
