@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_exact": dedup.q_minhash_lsh_exact,
         "ngram_jaccard": dedup.q_ngram_jaccard,
         "embedding_nn_dedup": dedup.q_embedding_nn_dedup,
+        "embedding_nn_dedup_clustered": ann.exact_nn_clustered,
         "dup_clusters": trainprep.q_dup_clusters,
         "stratified_sample": trainprep.q_stratified_sample,
         "seq_packing": trainprep.q_seq_packing,
@@ -376,6 +377,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_mark": textops.Q_DEDUP_MARK_SQL,
         "training_data_pipeline": textops.Q_TRAINING_DATA_PIPELINE_SQL,
         "embedding_nn_dedup": dedup.Q_EMBEDDING_NN_DEDUP_SQL,
+        # the k-means ball-pruned lowering shares the broadcast pin's exact
+        # oracle (interchangeable-lowerings discipline)
+        "embedding_nn_dedup_clustered": dedup.Q_EMBEDDING_NN_DEDUP_SQL,
         "video_frame_plan": rq.video_frame_plan_oracle_sql(0.01),
         "doc_zone_join": spatial.doc_zone_join_oracle_sql(0.01),
         "knn_cell_ring": spatial.Q_KNN_SQL,

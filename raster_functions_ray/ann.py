@@ -851,6 +851,216 @@ ORDER BY f.vec_id
 """
 
 
+# ------------------------- exact NN via k-means ball pruning -----------
+
+# fp slack added to angular radii/bounds: arccos near 1 is ill-conditioned
+# (~1e-8 absolute error), so the bound gets 1e-6 of slack — slack only
+# ADDS probes; it can never prune a cluster holding the true neighbor
+NN_ANGLE_SLACK = 1e-6
+NN_MERGE_DRIVER_LIMIT = 2_000_000
+
+
+def exact_nn_clustered(sf_dir: str,
+                       merge_driver_limit: int | None = None) -> pd.DataFrame:
+    """EXACT global cosine nearest neighbor with NO corpus broadcast — the
+    scale lowering of dedup.q_embedding_nn_dedup (same output, same SQL
+    oracle).  K-means ball pruning:
+
+    1. `_km_fit` centroids (deterministic, quantized — ANY deterministic
+       partition works; exactness comes from the bound, not the buckets);
+    2. one pass computes each vector's cluster + its angle to the
+       centroid; per-cluster max angle (the ball radius) reduces to
+       K driver floats via per-block partials;
+    3. in-cluster NN per `groupby(cluster).map_groups` (striped matmul,
+       memory O(block·m) like the semantic-dedup kernel);
+    4. triangle inequality on the sphere: angle(q,u) >= angle(q,c_j) - r_j
+       for u in cluster j, so cos(max(0, ang_qc - r_j)) upper-bounds any
+       member's similarity — q probes ONLY clusters whose bound can beat
+       its in-cluster best (ties probe too: an equal-sim smaller id must
+       win the tie-break);
+    5. probes shuffle to their target clusters (bounded fan-out), each
+       returns lex-max(carried best, best member); a final per-vec lex
+       merge (driver-vectorized below `merge_driver_limit`, hash-groupby
+       beyond) yields the unique global argmax with min-id tie-break.
+
+    Every exchange is cluster- or probe-sized; the only driver state is
+    K centroids + K radii."""
+    if merge_driver_limit is None:
+        merge_driver_limit = NN_MERGE_DRIVER_LIMIT
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = _km_fit(ds)
+    cf = cent.astype(np.float64)
+    cn = np.linalg.norm(cf, axis=1, keepdims=True)
+    cf = cf / np.where(cn == 0, 1.0, cn)
+    cref = ray.put((cent, cf))
+
+    def assign_emb(b: pa.Table) -> pd.DataFrame:
+        cq, cfl = ray.get(cref)
+        ids, mat = _embedding_matrix(b)
+        if ids.size == 0:
+            return pd.DataFrame({"cluster_id": pd.Series([], dtype="int64"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "e": pd.Series([], dtype="object"),
+                                 "ang": pd.Series([], dtype="float64")})
+        a, _ = _km_assign(_sq_quantize(mat), cq)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        bn = mat / np.where(norms == 0, 1.0, norms)
+        ang = np.arccos(np.clip((bn * cfl[a]).sum(1), -1.0, 1.0))
+        return pd.DataFrame({"cluster_id": a, "vec_id": ids,
+                             "e": list(bn), "ang": ang})
+
+    assigned = ds.map_batches(assign_emb, batch_format="pyarrow",
+                              batch_size=8192).materialize()
+
+    # ---- ball radii: per-block partial maxima → K driver floats ---------
+    def rad_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("cluster_id")["ang"].max().reset_index()
+        return g.rename(columns={"ang": "r"})
+
+    radii = np.full(KM_K, -1.0)  # -1 marks an empty cluster (never probed)
+    for blk in (assigned.select_columns(["cluster_id", "ang"])
+                .map_batches(rad_partial, batch_format="pandas")
+                .iter_batches(batch_format="pandas")):
+        for k, r in zip(blk["cluster_id"].to_numpy(np.int64),
+                        blk["r"].to_numpy()):
+            radii[k] = max(radii[k], r)
+
+    # ---- phase 3: in-cluster NN (carry the normalized embedding) --------
+    def nn_group(g: pd.DataFrame, block: int = 2048) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy(np.int64)
+        m = ids.size
+        if m == 1:
+            return pd.DataFrame({"vec_id": ids,
+                                 "cluster_id": g["cluster_id"].to_numpy(np.int64),
+                                 "e": g["e"].to_numpy(),
+                                 "best_sim": np.full(1, -2.0),
+                                 "best_id": np.full(1, -1, np.int64)})
+        bn = np.stack(g["e"].to_numpy())
+        best_sim = np.empty(m)
+        best_id = np.empty(m, np.int64)
+        for lo in range(0, m, block):
+            hi = min(lo + block, m)
+            sims = bn[lo:hi] @ bn.T
+            sims[np.arange(hi - lo), np.arange(lo, hi)] = -np.inf
+            # ids ascend, argmax returns the FIRST max → min-id tie-break
+            nnx = sims.argmax(axis=1)
+            best_sim[lo:hi] = sims[np.arange(hi - lo), nnx]
+            best_id[lo:hi] = ids[nnx]
+        return pd.DataFrame({"vec_id": ids,
+                             "cluster_id": g["cluster_id"].to_numpy(np.int64),
+                             "e": g["e"].to_numpy(),
+                             "best_sim": best_sim, "best_id": best_id})
+
+    phase3 = (assigned.groupby("cluster_id")
+              .map_groups(nn_group, batch_format="pandas")
+              .materialize())
+
+    rref = ray.put(radii)
+
+    # ---- phase 4: emit member rows + pruned probe rows + final rows -----
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(rref)
+        cfl = ray.get(cref)[1]
+        n = len(b)
+        bn = np.stack(b["e"].to_numpy())
+        own = b["cluster_id"].to_numpy(np.int64)
+        vid = b["vec_id"].to_numpy(np.int64)
+        bs = b["best_sim"].to_numpy()
+        bi = b["best_id"].to_numpy(np.int64)
+        ang = np.arccos(np.clip(bn @ cfl.T, -1.0, 1.0))       # (n, K)
+        bound = np.cos(np.maximum(ang - (r + NN_ANGLE_SLACK)[None, :], 0.0))
+        bound[:, r < 0] = -np.inf                              # empty
+        bound[np.arange(n), own] = -np.inf                     # done in ph.3
+        probe = bound >= (bs - 1e-9)[:, None]
+        pi, pj = np.nonzero(probe)
+        has_probe = probe.any(axis=1)
+        fsel = ~has_probe
+        frames = [
+            # member rows (role 0): the probe targets' comparison set
+            pd.DataFrame({"key": own, "role": 0, "vec_id": vid,
+                          "e": b["e"].to_numpy(),
+                          "sim": np.zeros(n), "nn_id": np.zeros(n, np.int64)}),
+            # probe rows (role 1) carry the current best as the floor
+            pd.DataFrame({"key": pj.astype(np.int64), "role": 1,
+                          "vec_id": vid[pi], "e": b["e"].to_numpy()[pi],
+                          "sim": bs[pi], "nn_id": bi[pi]}),
+            # no-probe vecs are FINAL (role 2, key -1): straight to merge
+            pd.DataFrame({"key": np.full(int(fsel.sum()), -1, np.int64),
+                          "role": 2, "vec_id": vid[fsel],
+                          "e": [None] * int(fsel.sum()),
+                          "sim": bs[fsel], "nn_id": bi[fsel]}),
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    emitted = (phase3.map_batches(emit, batch_format="pandas",
+                                  batch_size=8192).materialize())
+    finals = emitted.filter(expr="role == 2").select_columns(
+        ["vec_id", "sim", "nn_id"])
+
+    # ---- phase 5: probes vs members inside their target cluster ---------
+    def probe_group(g: pd.DataFrame, block: int = 2048) -> pd.DataFrame:
+        pr = g[g["role"] == 1]
+        if pr.empty:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "sim": pd.Series([], dtype="float64"),
+                                 "nn_id": pd.Series([], dtype="int64")})
+        mem = g[g["role"] == 0]
+        mids = mem["vec_id"].to_numpy(np.int64)
+        order = np.argsort(mids)
+        mids = mids[order]
+        mmat = np.stack(mem["e"].to_numpy())[order]
+        pids = pr["vec_id"].to_numpy(np.int64)
+        pmat = np.stack(pr["e"].to_numpy())
+        out_sim = pr["sim"].to_numpy().copy()
+        out_id = pr["nn_id"].to_numpy(np.int64).copy()
+        for lo in range(0, pids.size, block):
+            hi = min(lo + block, pids.size)
+            sims = pmat[lo:hi] @ mmat.T   # probes are never members here
+            nnx = sims.argmax(axis=1)
+            s = sims[np.arange(hi - lo), nnx]
+            i = mids[nnx]
+            cs, ci = out_sim[lo:hi], out_id[lo:hi]
+            upd = (s > cs) | ((s == cs) & (i < ci))
+            cs[upd] = s[upd]
+            ci[upd] = i[upd]
+            out_sim[lo:hi], out_id[lo:hi] = cs, ci
+        return pd.DataFrame({"vec_id": pids, "sim": out_sim, "nn_id": out_id})
+
+    probed = (emitted.filter(expr="role <= 1")
+              .groupby("key")
+              .map_groups(probe_group, batch_format="pandas"))
+
+    cand = probed.union(finals).materialize()
+
+    # ---- final per-vec lex-max merge (size-dispatched) -------------------
+    def lex_first(vid, sim, nid):
+        order = np.lexsort((nid, -sim, vid))
+        v, s, i = vid[order], sim[order], nid[order]
+        first = np.r_[True, v[1:] != v[:-1]]
+        return pd.DataFrame({"vec_id": v[first], "nn_vec_id": i[first]})
+
+    if cand.count() <= merge_driver_limit:
+        vs, ss, ns = [], [], []
+        for blk in cand.iter_batches(batch_format="pandas"):
+            vs.append(blk["vec_id"].to_numpy(np.int64))
+            ss.append(blk["sim"].to_numpy())
+            ns.append(blk["nn_id"].to_numpy(np.int64))
+        out = lex_first(np.concatenate(vs), np.concatenate(ss),
+                        np.concatenate(ns))
+    else:
+        # scale path: candidate rows per vec are few (1 + probes), so the
+        # hash groupby keeps groups tiny; a per-block partial lex_first
+        # before it would bound the shuffle further if fan-out grew
+        out = (cand.groupby("vec_id", num_partitions=8)
+               .map_groups(lambda g: lex_first(
+                   g["vec_id"].to_numpy(np.int64), g["sim"].to_numpy(),
+                   g["nn_id"].to_numpy(np.int64)), batch_format="pandas")
+               .to_pandas())
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 # ------------------------------------------ product quantization (ADC)
 
 PQ_M = 4                  # subspaces

@@ -255,6 +255,12 @@ def minhash_batch(b: pa.Table) -> pa.Table:
 
 PAIR_CAP = 256  # max bucket size that emits all-pairs candidates
 
+# corpus rows above which q_embedding_nn_dedup dispatches from the exact
+# broadcast-matmul pin to ann.exact_nn_clustered (same output, same SQL
+# oracle — k-means ball pruning, no corpus broadcast); 200k rows of
+# 64-dim f8 ≈ 100 MB, the sensible ray.put ceiling for a per-task side
+NN_BROADCAST_LIMIT = 200_000
+
 # survivor-row count below which per-bucket pair formation runs vectorized
 # on the DRIVER (collision rows are 16 bytes each → 32 MB at the limit;
 # the exact survivor size is known from the Count aggregate BEFORE the
@@ -685,12 +691,25 @@ def q_embedding_nn_dedup(sf_dir: str) -> pd.DataFrame:
     IS the small side; at 100 TB the broadcast is replaced by the
     list-partitioned IVF self-join (ann.ivf_build: co-probe same-list
     vectors only) — this query pins the exact semantics that approximation
-    is measured against (ann tests assert IVF recall)."""
+    is measured against (ann tests assert IVF recall).
+
+    Above NN_BROADCAST_LIMIT corpus rows the SAME query dispatches to
+    ann.exact_nn_clustered — k-means ball pruning, identical output,
+    shared SQL oracle (the interchangeable-lowerings discipline) — so no
+    unconditional corpus broadcast remains at any scale."""
+    import os
+
+    import pyarrow.parquet as pqm
     import ray
 
     from raster_functions_ray import ann
 
     from .sources import read_table, read_table_arrow
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    n_corpus = pqm.read_metadata(path).num_rows if os.path.exists(path) else 0
+    if n_corpus > NN_BROADCAST_LIMIT:
+        return ann.exact_nn_clustered(sf_dir)
 
     # same dispatch as the probe-side scan: corpus and probes must come
     # from the same dataset

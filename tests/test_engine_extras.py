@@ -448,6 +448,54 @@ class TestEmbeddingDecontam:
         assert np.abs(sims - ann.DECONTAM_TAU).min() > 2e-5
 
 
+class TestExactNnClustered:
+    def test_matches_broadcast_pin_and_dispatch(self, monkeypatch):
+        # the k-means ball-pruned lowering must equal the exact broadcast
+        # pin row-for-row (same argmax, same min-id tie-break), and the
+        # production query must dispatch to it above the corpus limit
+        import pandas as pd
+        from raster_functions_ray import ann, dedup
+
+        pin = dedup.q_embedding_nn_dedup(SF001)
+        clustered = ann.exact_nn_clustered(SF001)
+        pd.testing.assert_frame_equal(pin, clustered[pin.columns.tolist()],
+                                      check_dtype=False)
+        monkeypatch.setattr(dedup, "NN_BROADCAST_LIMIT", 0)
+        via_dispatch = dedup.q_embedding_nn_dedup(SF001)
+        pd.testing.assert_frame_equal(pin, via_dispatch, check_dtype=False)
+
+    def test_distributed_merge_path_identical(self):
+        # force the hash-groupby final merge (the >limit scale path)
+        from raster_functions_ray import ann
+
+        a = ann.exact_nn_clustered(SF001)
+        b = ann.exact_nn_clustered(SF001, merge_driver_limit=0)
+        import pandas as pd
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_pruning_bound_is_conservative(self):
+        # adversarial micro-world: three tight clusters of unit vectors;
+        # for every vector the ball bound must upper-bound the true max
+        # similarity achievable in each cluster
+        rng = np.random.default_rng(5)
+        centers = rng.normal(size=(3, 8))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        pts, lab = [], []
+        for k in range(3):
+            v = centers[k] + 0.05 * rng.normal(size=(40, 8))
+            pts.append(v / np.linalg.norm(v, axis=1, keepdims=True))
+            lab.append(np.full(40, k))
+        mat, lab = np.vstack(pts), np.concatenate(lab)
+        ang_pc = np.arccos(np.clip(mat @ centers.T, -1, 1))
+        radii = np.array([ang_pc[lab == k, k].max() for k in range(3)])
+        from raster_functions_ray.ann import NN_ANGLE_SLACK
+        for k in range(3):
+            bound = np.cos(np.maximum(
+                ang_pc[:, k] - (radii[k] + NN_ANGLE_SLACK), 0.0))
+            true_max = (mat @ mat[lab == k].T).max(axis=1)
+            assert (bound >= true_max - 1e-12).all()
+
+
 class TestRectOverlapJoin:
     def test_matches_oracle_and_report_once(self):
         import duckdb
