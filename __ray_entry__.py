@@ -96,6 +96,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsu_exact": analytic2.q_lsu_exact,
         "rf_exact": analytic2.q_rf_exact,
         "resumable_hillshade_exact": analytic2.q_resumable_hillshade_exact,
+        # text sibling: checkpointed per-source scoring, resumed mid-job,
+        # same oracle as the one-shot training pipeline
+        "resumable_training_exact": textops.q_resumable_training_exact,
         "nn_neighbors_exact": analytic2.q_nn_neighbors_exact,
         "rft_vineyard_exact": analytic2.q_rft_vineyard_exact,
         "vineyard_exact": analytic2.q_vineyard_exact,
@@ -108,12 +111,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # zonal, kNN (brute + cell-ring), adaptive coverings, NN classify
         "cell_assign": spatial.q_cell_assign,
         "pip_rect": spatial.q_pip_rect,
-        "zonal_value": spatial.q_zonal_value,
         # rect_overlap_join sits inside the driver's 50-entry graded
-        # window (large×large join = the north-star class); the salted
-        # zonal lowering it displaced is still pytest-equality-gated and
-        # verified by scripts/verify_queries.py below slot 50
+        # window (large×large join = the north-star class); zonal_value
+        # moved just below slot 50 when resumable_training_exact joined
+        # the window — still SQL-oracle-verified by
+        # scripts/verify_queries.py, just not driver-recorded
         "rect_overlap_join": spatial.q_rect_overlap_join,
+        "zonal_value": spatial.q_zonal_value,
         "knn": spatial.q_knn,
         "knn_cell_ring": spatial.q_knn_cell_ring,
         "nn_classify": spatial.q_nn_classify,
@@ -304,6 +308,7 @@ def oracle_sql() -> dict[str, str]:
         "rf_exact": analytic2.rf_exact_oracle_sql(0.01),
         # resume must be bit-identical to a one-shot run: SAME oracle
         "resumable_hillshade_exact": analytic2.hillshade_exact_oracle_sql(0.01),
+        "resumable_training_exact": textops.Q_TRAINING_DATA_PIPELINE_SQL,
         "nn_neighbors_exact": analytic2.nn_neighbors_exact_oracle_sql(0.01),
         # the loaded reference template must match the hand-built chain's
         # oracle bit-for-bit

@@ -242,6 +242,17 @@ def q_training_data_pipeline(sf_dir: str) -> pd.DataFrame:
     # consumed twice (survivor aggregate + join probe); rows are 5 narrow
     # scalars/doc, so pinning beats re-reading + re-scoring the corpus
     scored = scored.repartition(16).materialize()
+    return _training_tail(scored)
+
+
+def _training_tail(scored) -> pd.DataFrame:
+    """Survivor-join + final aggregate of the training pipeline — ONE
+    implementation shared by the one-shot query and the resumable gate so
+    the two can never drift semantically.  ``scored`` must be a
+    (doc_id, h, pred_lang, stop_ratio, alpha_ratio) Dataset, already
+    materialized if re-reading it would be expensive."""
+    from ray.data.aggregate import Min, Sum
+
     survivors = scored.groupby("h").aggregate(Min("doc_id", alias_name="keep_doc_id"))
     from .sources import join_partitions
     marked = scored.join(survivors, join_type="inner",
@@ -265,6 +276,69 @@ def q_training_data_pipeline(sf_dir: str) -> pd.DataFrame:
     out = out.drop(columns=["sum_stop"])
     out["n_docs"] = out["n_docs"].astype("int64")
     return out.sort_values(["pred_lang", "kept"]).reset_index(drop=True)
+
+
+def q_resumable_training_exact(sf_dir: str) -> pd.DataFrame:
+    """Resume correctness for the TRAINING-DATA path, pinned SQL-exact
+    (the text sibling of q_resumable_hillshade_exact): the fused scoring
+    stage runs partitioned BY SOURCE through the checkpoint store in two
+    passes — pass 1 scores only half the sources (a simulated mid-job
+    failure), pass 2 resumes the full source list and must skip exactly
+    the finished half — then the assembled partitioned scores feed the
+    SAME survivor-join + aggregate tail (_training_tail) and the SAME
+    oracle as q_training_data_pipeline.  Resume therefore has to be
+    bit-identical to a one-shot run to pass.
+
+    The survivor join is deliberately OUTSIDE the partition boundary:
+    dup-marking is global (min doc_id per content hash across sources),
+    so the checkpointable unit is the expensive per-shard scoring pass,
+    exactly where a 100 TB job would restart."""
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow.compute as pc
+
+    from .sources import read_table_filtered
+    from .state.checkpoint import (CheckpointStore, input_fingerprint,
+                                   run_partitioned)
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    src_tbl = read_table_filtered(sf_dir, "documents", ["source"], None)
+    sources = sorted(np.unique(np.asarray(src_tbl["source"])).tolist())
+    half = sources[: max(1, len(sources) // 2)]
+
+    def score_source(src: str) -> pa.Table:
+        t = read_table_filtered(sf_dir, "documents", ["doc_id", "text"],
+                                pc.field("source") == src)
+        out = rd.from_arrow(t).map_batches(
+            DocScorer, batch_format="pyarrow", batch_size=4096, concurrency=1)
+        batches = list(out.iter_batches(batch_format="pyarrow", batch_size=8192))
+        return pa.concat_tables(batches) if batches else pa.table({})
+
+    root = f"/tmp/rfr_ckpt_training/{uuid.uuid4().hex[:8]}"
+    try:
+        store = CheckpointStore(root)
+        fp = input_fingerprint([doc_path])
+        factory = lambda key: score_source(key.split("=", 1)[1])  # noqa: E731
+        # pass 1: "job dies" after the first half of the sources
+        run_partitioned(factory, [f"source={s}" for s in half], "trainscore",
+                        store, input_hash=fp)
+        # pass 2: resume over the full source list
+        written = run_partitioned(factory, [f"source={s}" for s in sources],
+                                  "trainscore", store, input_hash=fp)
+        expect = {f"source={s}" for s in sources} - {f"source={s}"
+                                                     for s in half}
+        if set(written) != expect:
+            raise RuntimeError(
+                f"resume filter failed: expected to compute {sorted(expect)},"
+                f" computed {sorted(written)}")
+        parts = [os.path.join(store.partition_dir("trainscore", f"source={s}"),
+                              "part.parquet") for s in sources]
+        scored = rd.read_parquet(parts).materialize()
+        return _training_tail(scored)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def q_quality_counts(sf_dir: str) -> pd.DataFrame:

@@ -156,6 +156,17 @@ class TestOraclePairsAtSf0001:
         assert a["n_docs"].tolist() == b["n_docs"].tolist()
         assert a["avg_stop_ratio"].tolist() == b["avg_stop_ratio"].tolist()
 
+    def test_resumable_training_equals_one_shot(self, synth_sf001):
+        # checkpointed per-source scoring, simulated mid-job failure,
+        # resumed — must be bit-identical to the one-shot pipeline (the
+        # skip-exactly-the-finished-half assertion lives inside the query)
+        import pandas as pd
+        from raster_functions_ray import textops
+        sf = "/root/testdata/sf0.001"
+        one = textops.q_training_data_pipeline(sf)
+        res = textops.q_resumable_training_exact(sf)
+        pd.testing.assert_frame_equal(one, res, check_dtype=False)
+
     def test_doc_zone_join_matches_oracle(self, synth_sf001):
         import duckdb
         from raster_functions_ray import rasterqueries as rq, spatial
