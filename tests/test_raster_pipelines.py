@@ -392,3 +392,26 @@ SELECT CAST(floor(CAST(CAST(p1 AS FLOAT) AS DOUBLE) * {a2.RFX_Q} + 0.5)
             AS BIGINT) AS q
 FROM rfp ORDER BY rid""").df()
         assert np.array_equal(q_eng, out["q"].to_numpy())
+
+
+class TestDeregisteredNoiseWorldQueries:
+    """Round-4 registry prune: these noise-world stat queries left the
+    driver registry (their analytic-world _exact complements carry the
+    SQL gates) but remain production code paths — this smoke gate keeps
+    every one of them running end to end over the noise world."""
+
+    def test_all_run_and_produce_rows(self, synth_sf001):
+        from raster_functions_ray import rasterqueries as rq
+
+        sf = "/root/testdata/sf0.001"
+        for fn in (rq.q_ndvi_stats, rq.q_hillshade_shuffle_halo_stats,
+                   rq.q_rf_classify_stats, rq.q_topographic_c,
+                   rq.q_cti_stats, rq.q_random_source, rq.q_lsu_stats,
+                   rq.q_multidirectional_hillshade_stats,
+                   rq.q_resumable_hillshade, rq.q_nn_neighbors_stats):
+            out = fn(sf)
+            df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+            assert len(df) > 0, fn.__name__
+            num = df.select_dtypes("number")
+            assert num.shape[1] > 0 and np.isfinite(
+                num.to_numpy(np.float64)).all(), fn.__name__
