@@ -20,6 +20,29 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+# All-to-all exchange count per benched pipeline (groupby / repartition /
+# hash-join / sort over Dataset blocks — the ops whose ~1s fixed machinery
+# cost dominates the suite envelope; audited from the pipeline code after
+# the round-4 exchange collapse).  Broadcast side-inputs (ray.put) and
+# storage-aligned halo/stack reads move no blocks and count 0.
+EXCHANGES = {
+    "flagship": 1,          # cell_id groupby (counts phase driver-merged)
+    "q1_pricing": 1,        # groupby over pre-aggregated partials
+    "pip_rect": 1,          # zone_id groupby over partials (join broadcast)
+    "knn": 0,               # broadcast queries + per-block partial top-k
+    "cell_assign_tiles": 0,
+    "ndvi": 0,
+    "hillshade": 0,         # storage-aligned parquet halo
+    "median_composite": 0,  # storage-aligned stack reduce
+    "zonal_remap": 0,       # feature-service actor state + map
+    "doc_zone_join": 0,     # broadcast zone index, task-pool map
+    "exact_dedup": 2,       # block-split repartition + groupby(h)
+    "minhash_dedup": 2,     # signature repartition + LSH Count groupby
+                            # (pair formation + verify: driver/broadcast)
+    "token_stats": 1,       # lang groupby over partials
+    "ann_topk": 0,          # broadcast query matrix + partial top-k
+}
+
 
 def run_bench() -> dict:
     import ray
@@ -93,6 +116,8 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "docs_per_sec": round(n_span_docs / max(times["flagship"], 1e-9), 1),
         "tiles_per_sec": round(n_tiles / max(times["hillshade"], 1e-9), 1),
+        "exchanges": EXCHANGES,
+        "exchanges_total": sum(EXCHANGES.values()),
     }
     ray.shutdown()
     return result

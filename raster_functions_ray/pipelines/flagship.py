@@ -19,6 +19,7 @@ over per-tile scalar rows — pixel payloads never shuffle.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
@@ -30,10 +31,20 @@ from ..sources import read_documents, read_tiles
 from ..stages import cellindex, spans
 
 
+# distinct-media_ref count below which the final merge of per-block count
+# partials runs on the driver (partial rows ≤ blocks × distinct refs of
+# ~20 B each) instead of paying a groupby exchange whose ~1.2 s fixed
+# machinery dwarfs the data (measured: map-only 0.33 s vs 1.6 s with the
+# Sum groupby on 23k partial rows at sf0.1)
+REF_MERGE_DRIVER_LIMIT = 5_000_000
+
+
 def media_ref_counts(docs: rd.Dataset, doc_rgs: int | None = None,
-                     doc_rows: int | None = None) -> rd.Dataset:
-    """Per-tile media reference counts, pre-aggregated inside map_batches
-    before the (small) groupby shuffle.
+                     doc_rows: int | None = None,
+                     n_refs_hint: int | None = None):
+    """Per-tile media reference counts, pre-aggregated inside map_batches.
+    Returns a pandas DataFrame (driver merge) when the ref domain is known
+    small, else a Dataset behind the groupby shuffle.
 
     Repartition ONLY when the storage layout actually starves parallelism
     (one fat row group of many rows): the v4 synth writer emits many row
@@ -54,6 +65,14 @@ def media_ref_counts(docs: rd.Dataset, doc_rgs: int | None = None,
         return g.rename_columns(["media_ref", "n"])
 
     partials = media.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    if n_refs_hint is not None and n_refs_hint <= REF_MERGE_DRIVER_LIMIT:
+        frames = [blk.to_pandas()
+                  for blk in partials.iter_batches(batch_format="pyarrow")]
+        allp = pd.concat(frames, ignore_index=True) if frames else \
+            pd.DataFrame({"media_ref": [], "n": []})
+        out = (allp.groupby("media_ref", sort=False)["n"].sum()
+               .rename("ref_count").reset_index())
+        return out
     return partials.groupby("media_ref").aggregate(Sum("n", alias_name="ref_count"))
 
 
@@ -66,10 +85,18 @@ def run(sf_dir: str = "/root/testdata/sf0.001") -> rd.Dataset:
     import pyarrow.parquet as pq
     doc_path = os.path.join(d, "documents.parquet")
     md = pq.read_metadata(doc_path) if os.path.exists(doc_path) else None
+    tiles_path = os.path.join(d, "tiles.parquet")
+    # the media_ref domain IS the tile id set — its size is free from
+    # parquet metadata and drives the merge dispatch
+    n_tiles = pq.read_metadata(tiles_path).num_rows \
+        if os.path.exists(tiles_path) else None
     counts = media_ref_counts(
         read_documents(d),
         doc_rgs=md.num_row_groups if md else None,
-        doc_rows=md.num_rows if md else None).to_pandas()
+        doc_rows=md.num_rows if md else None,
+        n_refs_hint=n_tiles)
+    if not isinstance(counts, pd.DataFrame):
+        counts = counts.to_pandas()
     # sorted (keys, values) arrays: the per-batch lookup below is a
     # vectorized searchsorted, not a per-row dict.get
     _order = np.argsort(counts["media_ref"].to_numpy())
