@@ -36,9 +36,10 @@ EXCHANGES = {
     "median_composite": 0,  # storage-aligned stack reduce
     "zonal_remap": 0,       # feature-service actor state + map
     "doc_zone_join": 0,     # broadcast zone index, task-pool map
-    "exact_dedup": 2,       # block-split repartition + groupby(h)
-    "minhash_dedup": 2,     # signature repartition + LSH Count groupby
-                            # (pair formation + verify: driver/broadcast)
+    "exact_dedup": 2,       # measured block coalesce + groupby(h)
+    "minhash_dedup": 2,     # signature-row coalesce (narrow rows, not
+                            # text) + LSH Count groupby; pair formation
+                            # + verify are driver/broadcast lowerings
     "token_stats": 1,       # lang groupby over partials
     "ann_topk": 0,          # broadcast query matrix + partial top-k
 }

@@ -43,9 +43,11 @@ def q_exact_dedup(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     add_hash = content_hash_rows
 
-    # small corpora arrive as one block — split it so the sort-based
-    # aggregate parallelizes (no-op data movement at scale, where the read
-    # already yields many blocks)
+    # the repartition(16) is MEASURED block coalescing, not a redundant
+    # exchange: the read auto-splits into ~2×CPUs small blocks, and the
+    # sort-aggregate over 16 coalesced blocks runs 0.42s vs 0.78s over 64
+    # (also vs 0.78s for hash-groupby num_partitions=16 — the win is the
+    # coalesce, not the shuffle strategy; A/B'd at sf0.1, round 4)
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192).repartition(16)
     out = (hashed.groupby("h")
            .aggregate(Min("doc_id", alias_name="keep_doc_id"),
@@ -341,19 +343,21 @@ def minhash_candidates(sf_dir: str, concurrency: int = 4):
     import ray
     import ray.data as rd
 
-    from .sources import cluster_cpus
-
+    # the read auto-splits its single-row-group output into ~2×CPUs blocks
+    # (ReadParquet→SplitBlocks, a LOCAL split — measured 64 blocks at 32
+    # CPUs), so the signature tasks parallelize with no repartition pass;
+    # the former explicit repartition was a redundant all-to-all.
+    # 512-doc batches: measured 2.2s vs 5.5s at 256 on the sf0.1 corpus
+    # (per-batch pandas+hash setup amortizes over more docs while the
+    # (64, 16384) permuted chunks stay cache-resident)
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    # driver docs ship in one row group → one read block; spread it so the
-    # signature tasks actually run in parallel (map_batches is per-block).
-    # 2×CPUs blocks / 512-doc batches: measured 2.2s vs 5.5s at 256 on the
-    # sf0.1 corpus (per-batch pandas+hash setup amortizes over more docs
-    # while the (64, 16384) permuted chunks stay cache-resident)
-    banded = (ds.repartition(2 * cluster_cpus())
-              .map_batches(minhash_batch, batch_format="pyarrow", batch_size=512))
+    banded = ds.map_batches(minhash_batch, batch_format="pyarrow", batch_size=512)
     # consumed twice (count + filter); signatures are compact (~16 short
-    # rows/doc) so pinning beats re-hashing the corpus
-    banded = banded.materialize()
+    # rows/doc) so pinning beats re-hashing the corpus.  Coalescing the
+    # NARROW signature rows (not the text — the former repartition moved
+    # the corpus payload) before the Count groupby is a measured win:
+    # 1.6s vs 1.9s at sf0.1 (64 near-empty sort-aggregate blocks vs 16)
+    banded = banded.repartition(16).materialize()
 
     counts = banded.groupby("band_hash").aggregate(Count(alias_name="n"))
     hot = counts.filter(expr="n >= 2").to_pandas()  # collisions are rare → small
@@ -997,13 +1001,12 @@ def q_minhash_lsh_exact(sf_dir: str) -> pd.DataFrame:
     pair IS n_bands because each doc emits exactly one key per band."""
     import ray
 
-    from .sources import cluster_cpus
-
+    # read auto-splits to ~2×CPUs blocks; signature rows coalesced before
+    # the Count groupby (see minhash_candidates — measured 64→16 win)
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    banded = (ds.repartition(2 * cluster_cpus())
-              .map_batches(_mhx_band_rows, batch_format="pyarrow",
-                           batch_size=512)
-              .materialize())
+    banded = (ds.map_batches(_mhx_band_rows, batch_format="pyarrow",
+                             batch_size=512)
+              .repartition(16).materialize())
     counts = banded.groupby("bk64").aggregate(Count(alias_name="n"))
     hot = counts.filter(expr="n >= 2").to_pandas()
     if hot.empty:
@@ -1182,10 +1185,8 @@ def q_substring_dedup(sf_dir: str) -> pd.DataFrame:
     (<= block count), never by its occurrence count."""
     import ray
 
-    from .sources import cluster_cpus
-
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    ds = ds.repartition(2 * cluster_cpus()).materialize()
+    # read auto-splits to ~2×CPUs blocks (see minhash_candidates)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
 
     def gram_partials(df: pd.DataFrame) -> pa.Table:
         # per-block pre-aggregation; Arrow out (pandas blocks put Ray's
