@@ -40,7 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from raster_functions_ray import analytic, analytic2, ann, bandmath, dedup
     from raster_functions_ray import rasterqueries as rq
     from raster_functions_ray import relational as rel, spatial, synth, textops
-    from raster_functions_ray import trainprep
+    from raster_functions_ray import trainprep, windows
 
     # raster oracles read the synthetic parquet — make sure it exists before
     # the driver runs either side
@@ -198,6 +198,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": trainprep.q_heavy_hitters,
         "mixture_rebalance": trainprep.q_mixture_rebalance,
         # similarity search (SQL-exact)
+        # temporal windows + LM scoring (round 4, windows.py)
+        "hopping_window": windows.q_hopping_window,
+        "unigram_logprob": windows.q_unigram_logprob,
+        "event_debounce": windows.q_event_debounce,
+        # similarity search (SQL-exact)
         "ann_topk": ann.q_ann_topk,
         "ann_dot_topk": ann.q_ann_dot_topk,
         "lsh_bucket_sizes": ann.q_lsh_bucket_sizes,
@@ -263,7 +268,7 @@ def oracle_sql() -> dict[str, str]:
     from raster_functions_ray import analytic, analytic2, ann, bandmath, dedup
     from raster_functions_ray import rasterqueries as rq
     from raster_functions_ray import relational as rel, spatial, textops
-    from raster_functions_ray import trainprep
+    from raster_functions_ray import trainprep, windows
 
     return {
         "ndvi_exact": analytic.ndvi_exact_oracle_sql(0.01),
@@ -345,6 +350,9 @@ def oracle_sql() -> dict[str, str]:
         "importance_mass": trainprep.Q_IMPORTANCE_MASS_SQL,
         "heavy_hitters": trainprep.Q_HEAVY_HITTERS_SQL,
         "ann_topk": ann.Q_ANN_TOPK_SQL,
+        "hopping_window": windows.Q_HOPPING_WINDOW_SQL,
+        "unigram_logprob": windows.Q_UNIGRAM_LOGPROB_SQL,
+        "event_debounce": windows.Q_EVENT_DEBOUNCE_SQL,
         "tile_cells": rq.tile_cells_oracle_sql(0.01),
         "windchill": bandmath.Q_WINDCHILL_SQL,
         "convert_per_month": bandmath.Q_CONVERT_PER_MONTH_SQL,

@@ -1,0 +1,286 @@
+"""Temporal-window + language-model-scoring operators (round 4).
+
+Three pipeline shapes a 100 TB training-data/analytics stack needs that
+the round-3 registry lacked, each SQL-exact:
+
+- ``q_hopping_window``: hopping (sliding) window aggregate over the
+  events stream — every event lands in W/H overlapping windows, counts
+  and integer-quantized value sums per (window_start, event_type).
+  The tumbling complement of events_daily (relational.py).
+- ``q_unigram_logprob``: unigram-LM surprisal scoring — the shape of a
+  perplexity filter for data selection (train token counts once,
+  broadcast the quantized log-prob table, score every doc in one
+  streaming pass).  Log-probs are quantized to integer micro-nats so
+  the per-doc sum is order-free and the DuckDB oracle (same ln, same
+  quantization) is bit-exact; a pytest pins the quantization-boundary
+  margin against libm noise.
+- ``q_event_debounce``: per-(user, event_type) debounce — keep an event
+  iff the previous event of the same key is more than DEBOUNCE_US older
+  (the streaming rate-limit / dedup-within-window shape).  Hash-sharded
+  and vectorized per shard like relational.q_event_funnel; the oracle
+  is a plain LAG window.
+
+Scale notes: the hopping emission is a bounded W/H fan-out of NARROW
+rows pre-aggregated in-batch before one small groupby; the LM vocabulary
+is bounded by the language (top-V truncation here), so the broadcast is
+O(V) regardless of corpus size; the debounce shuffle is keyed on a user
+hash shard, so skew is bounded by the hottest user (saltable with
+stages/salt if ever needed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from .sources import read_table
+
+# ---------------------------------------------- hopping window aggregate
+
+WINDOW_US = 3_600_000_000   # 1 h window
+HOP_US = 900_000_000        # 15 min hop → every event is in 4 windows
+
+
+def q_hopping_window(sf_dir: str) -> pd.DataFrame:
+    """Per (window_start, event_type): event count + value sum in integer
+    cents over hopping 1h/15min windows.  Each event emits W/H = 4 narrow
+    rows, pre-aggregated per batch (Arrow hash-count) before one small
+    groupby — the shuffle moves O(windows × types × batches) counters,
+    never events."""
+    from ray.data.aggregate import Sum
+
+    k = WINDOW_US // HOP_US
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy()        # epoch µs
+        # cents quantized per ROW (floor(v*100+0.5) on the double), so the
+        # aggregate is an order-free int64 sum on both sides
+        cents = np.floor(b["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        w0 = (ts // HOP_US) * HOP_US
+        parts = []
+        for j in range(k):
+            parts.append(pa.table({
+                "window_start": pa.array(w0 - j * HOP_US),
+                "event_type": pa.array(et),
+                "n": pa.array(np.ones(ts.size, np.int64)),
+                "cents": pa.array(cents)}))
+        t = pa.concat_tables(parts)
+        g = t.group_by(["window_start", "event_type"]).aggregate(
+            [("n", "sum"), ("cents", "sum")])
+        return g.rename_columns(["window_start", "event_type", "n", "cents"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby(["window_start", "event_type"])
+           .aggregate(Sum("n", alias_name="n_events"),
+                      Sum("cents", alias_name="sum_cents"))
+           .to_pandas())
+    out = out.astype({"window_start": "int64", "n_events": "int64",
+                      "sum_cents": "int64"})
+    return (out[["window_start", "event_type", "n_events", "sum_cents"]]
+            .sort_values(["window_start", "event_type"])
+            .reset_index(drop=True))
+
+
+Q_HOPPING_WINDOW_SQL = f"""
+WITH e AS (
+  SELECT epoch_us(ts) AS us, event_type,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+), w AS (
+  SELECT ((us // {HOP_US}) - t.j) * {HOP_US} AS window_start,
+         event_type, cents
+  FROM e, UNNEST(generate_series(0, {WINDOW_US // HOP_US - 1})) AS t(j)
+)
+SELECT window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM w GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
+# ------------------------------------- unigram-LM surprisal (perplexity)
+
+LM_VOCAB = 2048          # top-V tokens by (count DESC, token ASC)
+LM_QUANT = 1_000_000     # micro-nats: qlp = floor(ln(total/c)*1e6 + 0.5)
+
+
+def _lm_counts(sf_dir: str) -> pd.DataFrame:
+    """Distributed token counts: per-batch Arrow hash-count partials →
+    gram-keyed groupby — the counts table is vocabulary-sized (bounded by
+    the language, not the corpus)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = (pd.Series(b["text"].to_pandas()).str.lower()
+                .str.findall(r"[a-z]+").explode().dropna())
+        if toks.empty:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        vc = toks.value_counts()
+        return pa.table({"token": pa.array(vc.index.to_numpy(dtype=object),
+                                           pa.string()),
+                         "c": pa.array(vc.to_numpy(np.int64))})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+           .groupby("token").aggregate(Sum("c", alias_name="c"))
+           .to_pandas())
+    return out.astype({"c": "int64"})
+
+
+def q_unigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Per-doc unigram surprisal: sum over tokens of the quantized
+    negative log-prob under the corpus's own top-{LM_VOCAB} unigram LM
+    (OOV tokens score ln(2·total), i.e. count ½) — the data-selection /
+    perplexity-filter shape.  Integer micro-nat quantization makes the
+    per-doc sum order-free, so numpy ln and DuckDB ln must only agree to
+    <0.5 µnat of the rounding boundary (pytest-pinned margin).
+
+    Engine shape: ONE distributed count pass → O(V) broadcast → ONE
+    streaming scoring pass (vectorized searchsorted lookup, reduceat
+    sums) — no shuffle touches document text twice."""
+    counts = _lm_counts(sf_dir)
+    total = int(counts["c"].sum())
+    top = counts.sort_values(["c", "token"], ascending=[False, True],
+                             kind="mergesort").head(LM_VOCAB)
+    vocab = top["token"].to_numpy(dtype=object).astype(str)
+    qlp = np.floor(np.log(total / top["c"].to_numpy(np.float64))
+                   * LM_QUANT + 0.5).astype(np.int64)
+    order = np.argsort(vocab)
+    vocab, qlp = vocab[order], qlp[order]
+    oov = int(np.floor(np.log(2.0 * total) * LM_QUANT + 0.5))
+    lm_ref = ray.put((vocab, qlp))
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(b: pa.Table) -> pd.DataFrame:
+        v, q = ray.get(lm_ref)
+        df = b.to_pandas()
+        toks = df["text"].str.lower().str.findall(r"[a-z]+")
+        lens = toks.str.len().to_numpy(np.int64)
+        flat = toks.explode().dropna()
+        if flat.empty:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_tokens": lens, "n_oov": np.zeros(len(df), np.int64),
+                "surprisal_unat": np.zeros(len(df), np.int64)})
+        arr = flat.to_numpy(dtype=object).astype(str)
+        pos = np.searchsorted(v, arr)
+        pos = np.minimum(pos, max(v.size - 1, 0))
+        hit = v[pos] == arr if v.size else np.zeros(arr.size, bool)
+        per_tok = np.where(hit, q[pos] if v.size else 0, oov)
+        # explode preserves the batch's RangeIndex row label = row position
+        doc_idx = flat.index.to_numpy(np.int64)
+        surp = np.zeros(len(df), np.int64)
+        np.add.at(surp, doc_idx, per_tok)
+        novv = np.zeros(len(df), np.int64)
+        np.add.at(novv, doc_idx, (~hit).astype(np.int64))
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "n_tokens": lens, "n_oov": novv,
+                             "surprisal_unat": surp})
+
+    out = ds.map_batches(score, batch_format="pyarrow",
+                         batch_size=4096).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def unigram_logprob_oracle_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+), cnt AS (
+  SELECT token, COUNT(*) AS c FROM toks GROUP BY token
+), tot AS (SELECT SUM(c) AS total FROM cnt),
+vocab AS (
+  SELECT token,
+         CAST(floor(ln(CAST(total AS DOUBLE) / c) * {LM_QUANT} + 0.5)
+              AS BIGINT) AS qlp
+  FROM cnt, tot
+  QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, token) <= {LM_VOCAB}
+), scored AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_tok,
+         SUM(CASE WHEN v.qlp IS NULL THEN 1 ELSE 0 END) AS n_oov,
+         SUM(COALESCE(v.qlp,
+             (SELECT CAST(floor(ln(2.0 * CAST(total AS DOUBLE)) * {LM_QUANT}
+                                + 0.5) AS BIGINT) FROM tot))) AS surp
+  FROM toks t LEFT JOIN vocab v USING (token)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_tok, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(s.n_oov, 0) AS BIGINT) AS n_oov,
+       CAST(COALESCE(s.surp, 0) AS BIGINT) AS surprisal_unat
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+Q_UNIGRAM_LOGPROB_SQL = unigram_logprob_oracle_sql()
+
+
+# ------------------------------------------------- per-user-type debounce
+
+DEBOUNCE_US = 600_000_000  # 10 min
+DEBOUNCE_SHARDS = 32
+
+
+def q_event_debounce(sf_dir: str) -> pd.DataFrame:
+    """Keep an event iff the PREVIOUS event of the same (user_id,
+    event_type) — ordered by (ts, event_id) — is more than DEBOUNCE_US
+    older, or absent.  The streaming rate-limit / within-window-dedup
+    shape.  Hash-sharded on user_id (relational.q_event_funnel pattern):
+    each shard sorts once and vectorizes the LAG diff — no per-user
+    Python group calls, no global sort."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
+
+    def to_shard(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy()
+        return b.append_column(
+            "shard", pa.array((u * 2654435761 % 2**31) % DEBOUNCE_SHARDS))
+
+    def debounce_shard(g: pd.DataFrame) -> pd.DataFrame:
+        eid = g["event_id"].to_numpy(np.int64)
+        ts = g["ts"].astype("int64").to_numpy()          # epoch µs
+        u = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, et, u))
+        eid, ts, u, et = eid[order], ts[order], u[order], et[order]
+        same = np.zeros(eid.size, bool)
+        if eid.size > 1:
+            same[1:] = (u[1:] == u[:-1]) & (et[1:] == et[:-1])
+        gap = np.empty(eid.size, np.int64)
+        gap[0] = DEBOUNCE_US + 1
+        if eid.size > 1:
+            gap[1:] = ts[1:] - ts[:-1]
+        kept = ~same | (gap > DEBOUNCE_US)
+        return pd.DataFrame({"event_id": eid,
+                             "kept": kept.astype(np.int64)})
+
+    out = (ds.map_batches(to_shard, batch_format="pyarrow")
+           .groupby("shard")
+           .map_groups(debounce_shard, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+Q_EVENT_DEBOUNCE_SQL = f"""
+SELECT event_id,
+       CAST(CASE WHEN prev_us IS NULL
+                 OR epoch_us(ts) - prev_us > {DEBOUNCE_US}
+            THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM (
+  SELECT event_id, ts,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM events)
+ORDER BY event_id
+"""

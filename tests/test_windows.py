@@ -1,0 +1,83 @@
+"""Round-4 window/LM operators: oracle equality + quantization margins."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _con(tables=("events",)):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF001}/{t}.parquet')")
+    return con
+
+
+class TestHoppingWindow:
+    def test_matches_oracle_and_fanout(self):
+        from raster_functions_ray import windows as w
+
+        got = w.q_hopping_window(SF001)
+        exp = _con().execute(w.Q_HOPPING_WINDOW_SQL).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # every event contributes to exactly W/H windows
+        n_events = pq.read_metadata(f"{SF001}/events.parquet").num_rows
+        assert got["n_events"].sum() == n_events * (w.WINDOW_US // w.HOP_US)
+
+
+class TestUnigramLogprob:
+    def test_matches_oracle(self):
+        from raster_functions_ray import windows as w
+
+        got = w.q_unigram_logprob(SF001)
+        exp = _con(("documents",)).execute(w.Q_UNIGRAM_LOGPROB_SQL).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        assert (got["surprisal_unat"] > 0).any()
+        assert (got["n_oov"] <= got["n_tokens"]).all()
+
+    def test_quantization_boundary_margin(self):
+        # numpy ln vs DuckDB ln agree to <1 ulp; the hash-exact gate only
+        # holds if no ln(total/c)*1e6 + 0.5 sits within libm noise of an
+        # integer rounding boundary — pin the margin over the REAL corpus
+        from raster_functions_ray import windows as w
+
+        counts = w._lm_counts(SF001)
+        total = counts["c"].sum()
+        d = np.log(total / counts["c"].to_numpy(np.float64)) * w.LM_QUANT + 0.5
+        margin = np.abs(d - np.round(d)).min()
+        doov = np.log(2.0 * total) * w.LM_QUANT + 0.5
+        assert margin > 1e-6 and abs(doov - round(doov)) > 1e-6
+
+    def test_lm_is_top_v_by_count_then_token(self):
+        from raster_functions_ray import windows as w
+
+        counts = w._lm_counts(SF001)
+        top = counts.sort_values(["c", "token"], ascending=[False, True],
+                                 kind="mergesort").head(w.LM_VOCAB)
+        if len(counts) > w.LM_VOCAB:
+            cut = top["c"].iloc[-1]
+            rest = counts[~counts["token"].isin(top["token"])]
+            assert (rest["c"] <= cut).all()
+
+
+class TestEventDebounce:
+    def test_matches_oracle_and_semantics(self):
+        from raster_functions_ray import windows as w
+
+        got = w.q_event_debounce(SF001)
+        exp = _con().execute(w.Q_EVENT_DEBOUNCE_SQL).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # both kept and suppressed events exist at this sf, else the gate
+        # is vacuous
+        assert 0 < got["kept"].sum() < len(got)
+
+    def test_shard_count_invariant(self, monkeypatch):
+        from raster_functions_ray import windows as w
+
+        base = w.q_event_debounce(SF001)
+        monkeypatch.setattr(w, "DEBOUNCE_SHARDS", 3)
+        pd.testing.assert_frame_equal(base, w.q_event_debounce(SF001))
