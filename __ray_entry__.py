@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_bucket_sizes": ann.q_lsh_bucket_sizes,
         "ivf_sq_search": ann.q_ivf_sq_search,
         "pq_adc_topk": ann.q_pq_adc_topk,
+        "ivfpq_search": ann.q_ivfpq_search,
         "kmeans_embed": ann.q_kmeans_embed,
         "semantic_dedup_kmeans": ann.q_semantic_dedup_kmeans,
         "embedding_decontam": ann.q_embedding_decontam,
@@ -411,6 +412,7 @@ def oracle_sql() -> dict[str, str]:
         "p99_select": rel.Q_P99_SELECT_SQL,
         "ivf_sq_search": ann.ivf_sq_oracle_sql(),
         "pq_adc_topk": ann.Q_PQ_ADC_SQL,
+        "ivfpq_search": ann.Q_IVFPQ_SQL,
         "kmeans_embed": ann.kmeans_oracle_sql(),
         "semantic_dedup_kmeans": ann.semantic_dedup_oracle_sql(),
         "ngram_jaccard": dedup.Q_NGRAM_JACCARD_SQL,

@@ -1183,6 +1183,200 @@ ORDER BY q_id, rank
 Q_PQ_ADC_SQL = pq_adc_oracle_sql()
 
 
+# ----------------------------------------------- IVF-PQ fused search
+
+def q_ivfpq_search(sf_dir: str) -> pd.DataFrame:
+    """The billion-scale ANN combo (Jégou et al. 2011 §V: IVFADC): the
+    inverted-file index stores {PQ_M}-byte PQ CODES instead of vectors —
+    coarse quantizer routes each database vector to a list, search probes
+    {SQ_PROBE} lists per query and scores ONLY those lists' codes through
+    the per-query ADC lookup table.
+
+    Scale shape: the index is list-partitioned parquet holding codes
+    (built once per corpus, cached); search opens only the probed lists'
+    partition directories (path pruning — untouched lists never leave
+    storage), the codebook+LUT broadcast once, scoring is one streaming
+    map_batches pass with per-block partial top-k.  At 10⁹ vectors the
+    probed fraction is {SQ_PROBE}/{SQ_K} of 4-byte codes, not 256-byte
+    vectors.  SQL-exact: integer coarse distances, integer ADC, both
+    tie-broken (d², id)."""
+    import os
+    import uuid
+
+    cent = _sq_centroids()
+    cb = _pq_codebook(sf_dir)
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    index_dir = os.path.join(
+        "/tmp/rfr_ivf",
+        f"ivfpq1_{os.path.basename(os.path.normpath(sf_dir))}_k{SQ_K}"
+        f"m{PQ_M}_{st.st_size}_{st.st_mtime_ns}")
+    if not os.path.exists(os.path.join(index_dir, "_DONE")):
+        bref = ray.put((cent, cb))
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+        def encode_rows(b: pa.Table) -> pa.Table:
+            cnt, cbk = ray.get(bref)
+            ids, mat = _embedding_matrix(b)
+            qv = _sq_quantize(mat)
+            lid = _sq_assign(qv, cnt)
+            v = qv.reshape(ids.size, PQ_M, PQ_SUB)
+            d = ((v[:, :, None, :] - cbk[None, :, :, :]) ** 2).sum(-1)
+            codes = d.argmin(axis=2).astype(np.int64)  # first-min tie-break
+            return pa.table({"vec_id": pa.array(ids),
+                             "lid": pa.array(lid),
+                             "codes": pa.array(list(codes),
+                                               pa.list_(pa.int64())),
+                             "list_id": pa.array(lid)})
+
+        tmp = f"{index_dir}.tmp-{uuid.uuid4().hex[:8]}"
+        (ds.map_batches(encode_rows, batch_format="pyarrow", batch_size=8192)
+         .write_parquet(os.path.join(tmp, "lists"), partition_cols=["list_id"]))
+        try:
+            os.replace(tmp, index_dir)
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+        with open(os.path.join(index_dir, "_DONE"), "w") as f:
+            f.write("ok")
+
+    # probe lists per query (identical rule to q_ivf_sq_search)
+    qids, qmat = load_queries(sf_dir)
+    qv = _sq_quantize(qmat)
+    d2 = ((qv**2).sum(1)[:, None] - 2 * qv @ cent.T + (cent**2).sum(1)[None, :])
+    order = np.argsort(d2, axis=1, kind="stable")[:, :SQ_PROBE]
+    probe_sets = [set(map(int, order[i])) for i in range(len(qids))]
+    union_lists = sorted(set().union(*probe_sets))
+    qs = qv.reshape(len(qids), PQ_M, PQ_SUB)
+    lut = ((qs[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(-1)
+    pref = ray.put((lut, probe_sets))
+
+    probe_paths = []
+    for l in union_lists:
+        pdir = os.path.join(index_dir, "lists", f"list_id={l}")
+        if not os.path.isdir(pdir):
+            continue
+        probe_paths += [os.path.join(pdir, f) for f in sorted(os.listdir(pdir))
+                        if f.endswith(".parquet")]
+    empty = pd.DataFrame({"q_id": pd.Series([], dtype="int64"),
+                          "vec_id": pd.Series([], dtype="int64"),
+                          "rank": pd.Series([], dtype="int64"),
+                          "adc_d2": pd.Series([], dtype="int64")})
+    if not probe_paths:
+        return empty
+    ds = rd.read_parquet(probe_paths, columns=["vec_id", "codes", "lid"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        qlut, psets = ray.get(pref)
+        ids = np.asarray(b["vec_id"], dtype=np.int64)
+        lists = np.asarray(b["lid"], dtype=np.int64)
+        codes = np.asarray(b["codes"].combine_chunks().flatten(),
+                           dtype=np.int64).reshape(len(ids), -1) \
+            if len(ids) else np.empty((0, PQ_M), np.int64)
+        keep = ids >= N_QUERIES
+        ids, codes, lists = ids[keep], codes[keep], lists[keep]
+        if ids.size == 0:
+            return pd.DataFrame({"q_id": pd.Series([], dtype="int64"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "adc_d2": pd.Series([], dtype="int64")})
+        frames = []
+        for qi in range(qlut.shape[0]):
+            in_probe = np.isin(lists, list(psets[qi]))
+            if not in_probe.any():
+                continue
+            cid = ids[in_probe]
+            adc = qlut[qi][np.arange(PQ_M)[:, None],
+                           codes[in_probe].T].sum(axis=0)
+            k = min(PQ_TOPK, cid.size)
+            idx = np.lexsort((cid, adc))[:k]
+            frames.append(pd.DataFrame({"q_id": qi, "vec_id": cid[idx],
+                                        "adc_d2": adc[idx]}))
+        if not frames:
+            return pd.DataFrame({"q_id": pd.Series([], dtype="int64"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "adc_d2": pd.Series([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+    cand = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=8192).to_pandas()
+    if cand.empty:
+        return empty
+    cand = cand.sort_values(["q_id", "adc_d2", "vec_id"])
+    cand = cand.groupby("q_id").head(PQ_TOPK)
+    cand["rank"] = (cand.groupby("q_id").cumcount() + 1).astype("int64")
+    out = cand[["q_id", "vec_id", "rank", "adc_d2"]].reset_index(drop=True)
+    return out.astype({"q_id": "int64", "vec_id": "int64", "adc_d2": "int64"})
+
+
+def ivfpq_oracle_sql() -> str:
+    """IVF coarse routing (VALUES-literal centroids) composed with the PQ
+    encode/ADC CTEs — candidates are probe-list members only."""
+    subd_parts = []
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUB + 1, (m + 1) * PQ_SUB
+        subd_parts.append(f"""
+  SELECT b.vec_id, {m} AS m, cbk.c,
+         list_sum(list_transform(generate_series({lo}, {hi}),
+             i -> (b.qe[i] - cbk.ce[i]) * (b.qe[i] - cbk.ce[i]))) AS d
+  FROM base b CROSS JOIN cbk""")
+    subd = " UNION ALL ".join(subd_parts)
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {SQ_SCALE} + 0.5) AS BIGINT)) AS qe
+  FROM embeddings
+), c AS (
+  SELECT * FROM (VALUES {_sq_centroid_values_sql()}) AS t(list_id, ce)
+), dcoarse AS (
+  SELECT vec_id, list_id,
+         list_sum(list_transform(generate_series(1, 64),
+                  i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS d2
+  FROM base CROSS JOIN c
+), assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+    FROM dcoarse) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS q_id, list_id FROM (
+    SELECT vec_id, list_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+    FROM dcoarse WHERE vec_id < {N_QUERIES}) WHERE rn <= {SQ_PROBE}
+), cbk AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c, qe AS ce
+  FROM (SELECT vec_id, qe FROM base
+        WHERE vec_id >= {N_QUERIES} ORDER BY vec_id LIMIT {PQ_K})
+), subd AS ({subd}
+), codes AS (
+  SELECT vec_id, m, c FROM (
+    SELECT vec_id, m, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+    FROM subd WHERE vec_id >= {N_QUERIES}) WHERE rn = 1
+), cand AS (
+  SELECT p.q_id, a.vec_id FROM probes p JOIN assign a USING (list_id)
+  WHERE a.vec_id >= {N_QUERIES}
+), adc AS (
+  SELECT cd.q_id, cd.vec_id, SUM(q.d) AS adc_d2
+  FROM cand cd
+  JOIN codes co ON co.vec_id = cd.vec_id
+  JOIN subd q ON q.vec_id = cd.q_id AND q.m = co.m AND q.c = co.c
+  GROUP BY 1, 2
+)
+SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank,
+       CAST(adc_d2 AS BIGINT) AS adc_d2
+FROM (SELECT q_id, vec_id, adc_d2,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY adc_d2, vec_id) AS rank
+      FROM adc)
+WHERE rank <= {PQ_TOPK}
+ORDER BY q_id, rank
+"""
+
+
+Q_IVFPQ_SQL = ivfpq_oracle_sql()
+
+
 # ------------------------------------- embedding-based decontamination
 
 N_EVAL = 16       # eval set = embeddings with vec_id < N_EVAL

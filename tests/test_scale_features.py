@@ -317,6 +317,25 @@ class TestSqlExactLshIvf:
             for _, r in dups.iterrows():
                 assert pair.get((r["a"], r["b"]), 0) == dedup.MHX_PERM // dedup.MHX_R
 
+    def test_ivfpq_matches_oracle_and_subsets_pq(self):
+        import duckdb
+        from raster_functions_ray import ann
+        sf = "/root/testdata/sf0.001"
+        mine = ann.q_ivfpq_search(sf)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"read_parquet('{sf}/embeddings.parquet')")
+        oracle = con.execute(ann.Q_IVFPQ_SQL).df()
+        pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
+        assert len(mine) > 0
+        # every IVF-PQ hit carries the SAME ADC distance the full PQ scan
+        # assigns that (q, vec) pair — probing changes the candidate set,
+        # never the scoring
+        full = ann.q_pq_adc_topk(sf)
+        merged = mine.merge(full, on=["q_id", "vec_id"],
+                            suffixes=("_ivf", "_full"))
+        assert (merged["adc_d2_ivf"] == merged["adc_d2_full"]).all()
+
     def test_ivf_sq_matches_oracle(self):
         import duckdb
         from raster_functions_ray import ann
