@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_value_salted": spatial.q_zonal_value_salted,
         "rect_overlap_join_split": spatial.q_rect_overlap_join_split,
         "radius_join": spatial.q_radius_join,
+        "knn_join": spatial.q_knn_join,
         "median_select": rel.q_median_select,
         "p99_select": rel.q_p99_select,
         # band algebra on columns (same kernels as the raster path, SQL-exact)
@@ -408,6 +409,7 @@ def oracle_sql() -> dict[str, str]:
         "rect_overlap_join": spatial.Q_RECT_OVERLAP_JOIN_SQL,
         "rect_overlap_join_split": spatial.Q_RECT_OVERLAP_JOIN_SQL,
         "radius_join": spatial.Q_RADIUS_JOIN_SQL,
+        "knn_join": spatial.Q_KNN_JOIN_SQL,
         "median_select": rel.Q_MEDIAN_SELECT_SQL,
         "p99_select": rel.Q_P99_SELECT_SQL,
         "ivf_sq_search": ann.ivf_sq_oracle_sql(),

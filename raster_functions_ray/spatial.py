@@ -1531,3 +1531,155 @@ FROM pts a JOIN pts b
      < {RADIUS * RADIUS}
 ORDER BY a_id, b_id
 """
+
+
+# ------------------------------------------- bounded kNN self-join
+
+KNN_JOIN_K = 4                 # neighbors per point
+KNN_JOIN_MERGE_LIMIT = 20_000_000  # candidate rows mergeable on the driver
+
+
+def q_knn_join(sf_dir: str) -> pd.DataFrame:
+    """Bounded kNN SELF-join: for EVERY event point, its {KNN_JOIN_K}
+    nearest neighbors within euclidean distance {RADIUS} (ties broken by
+    neighbor id) — the batch kNN-join of the north star with BOTH sides
+    corpus-sized (q_knn answers 3 broadcast queries; this answers one per
+    corpus point).  The radius bound is what keeps a 10¹²-point join
+    tractable AND SQL-provable: the oracle is a range-predicate self-join
+    + window rank, never a cross join.
+
+    Scale shape (grid method, pitch ≥ radius): every point is a MEMBER of
+    its own cell and a PROBE in its own cell plus each neighbor cell whose
+    box lies within {RADIUS} (the same provably-lossless emission filter
+    as q_radius_join); per cell, probes score members in row-blocked
+    stripes and keep a per-(probe, cell) partial top-k; a final per-point
+    lex merge (driver-vectorized below {KNN_JOIN_MERGE_LIMIT} candidate
+    rows — ≤ 9·k narrow rows per point — hash-groupby beyond) yields the
+    global top-k.  Pair arithmetic is identical in every path, so ranks
+    are deterministic (d², id)."""
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+    pts = ds.map_batches(derive_points, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    r2 = RADIUS * RADIUS
+
+    def to_cells(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        x = np.asarray(b["x"])
+        y = np.asarray(b["y"])
+        cx = np.floor(x / OVERLAP_CELL).astype(np.int64)
+        cy = np.floor((y + 90.0) / OVERLAP_CELL).astype(np.int64)
+        parts = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    keep = np.ones(eid.size, bool)
+                else:
+                    xlo = (cx + dx) * OVERLAP_CELL
+                    ylo = (cy + dy) * OVERLAP_CELL - 90.0
+                    ddx = np.maximum(np.maximum(xlo - x, x - (xlo + OVERLAP_CELL)), 0.0)
+                    ddy = np.maximum(np.maximum(ylo - y, y - (ylo + OVERLAP_CELL)), 0.0)
+                    keep = ddx * ddx + ddy * ddy < r2
+                if not keep.any():
+                    continue
+                parts.append(pa.table({
+                    "key": pa.array((cx[keep] + dx) * 1024 + cy[keep] + dy),
+                    "own": pa.array(np.full(int(keep.sum()), dx == 0 and dy == 0)),
+                    "id": pa.array(eid[keep]), "x": pa.array(x[keep]),
+                    "y": pa.array(y[keep])}))
+        return pa.concat_tables(parts)
+
+    def cell_topk(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["id"].to_numpy(np.int64)
+        x = g["x"].to_numpy()
+        y = g["y"].to_numpy()
+        own = g["own"].to_numpy(bool)
+        mid, mx, my = ids[own], x[own], y[own]
+        if mid.size == 0:
+            return pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
+                                 "b_id": pd.Series([], dtype="int64"),
+                                 "d2": pd.Series([], dtype="float64")})
+        morder = np.argsort(mid)  # ascending member ids → stable ties
+        mid, mx, my = mid[morder], mx[morder], my[morder]
+
+        def build(s: int, e: int) -> pd.DataFrame:
+            dx = x[s:e, None] - mx[None, :]
+            dy = y[s:e, None] - my[None, :]
+            d2 = dx * dx + dy * dy
+            d2[ids[s:e, None] == mid[None, :]] = np.inf   # exclude self
+            d2[d2 >= r2] = np.inf
+            k = min(KNN_JOIN_K, mid.size)
+            # per-probe k smallest; argsort(axis=1) is stable → within
+            # equal d2, lower member INDEX = lower member id wins
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :k]
+            rows = np.repeat(np.arange(e - s), k)
+            cand_d2 = d2[rows, idx.ravel()]
+            fin = np.isfinite(cand_d2)
+            return pd.DataFrame({"a_id": ids[s:e][rows[fin]],
+                                 "b_id": mid[idx.ravel()[fin]],
+                                 "d2": cand_d2[fin]})
+
+        return _striped_pair_frames(ids.size, build,
+                                    {"a_id": "int64", "b_id": "int64",
+                                     "d2": "float64"})
+
+    cand = (pts.map_batches(to_cells, batch_format="pyarrow")
+            .groupby("key").map_groups(cell_topk, batch_format="pandas")
+            .materialize())
+
+    def lex_topk(aid, bid, d2):
+        order = np.lexsort((bid, d2, aid))
+        aid, bid, d2 = aid[order], bid[order], d2[order]
+        first = np.r_[True, aid[1:] != aid[:-1]]
+        grp = np.cumsum(first) - 1
+        pos = np.arange(aid.size) - np.searchsorted(grp, grp, side="left")
+        keep = pos < KNN_JOIN_K
+        return pd.DataFrame({"a_id": aid[keep], "b_id": bid[keep],
+                             "rank": (pos[keep] + 1).astype(np.int64),
+                             "d2": d2[keep]})
+
+    if cand.count() <= KNN_JOIN_MERGE_LIMIT:
+        cols = {"a_id": [], "b_id": [], "d2": []}
+        for blk in cand.iter_batches(batch_format="pyarrow"):
+            for c in cols:
+                cols[c].append(np.asarray(blk[c]))
+        if not cols["a_id"]:
+            return pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
+                                 "b_id": pd.Series([], dtype="int64"),
+                                 "rank": pd.Series([], dtype="int64"),
+                                 "d2": pd.Series([], dtype="float64")})
+        out = lex_topk(np.concatenate(cols["a_id"]),
+                       np.concatenate(cols["b_id"]),
+                       np.concatenate(cols["d2"]))
+    else:
+        # scale path: ≤ 9·k candidate rows per point → tiny hash groups
+        out = (cand.groupby("a_id", num_partitions=8)
+               .map_groups(lambda g: lex_topk(
+                   g["a_id"].to_numpy(np.int64), g["b_id"].to_numpy(np.int64),
+                   g["d2"].to_numpy()), batch_format="pandas")
+               .to_pandas())
+    return out.sort_values(["a_id", "rank"]).reset_index(drop=True)
+
+
+Q_KNN_JOIN_SQL = f"""
+WITH pts AS (
+  SELECT event_id AS id,
+         CAST((event_id * 7919) % 36000 AS DOUBLE) / 100.0 AS x,
+         CAST((event_id * 104729) % 18000 AS DOUBLE) / 100.0 - 90.0 AS y
+  FROM events
+), pairs AS (
+  SELECT a.id AS a_id, b.id AS b_id,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM pts a JOIN pts b
+    ON a.id <> b.id
+   AND b.x > a.x - {RADIUS} AND b.x < a.x + {RADIUS}
+   AND b.y > a.y - {RADIUS} AND b.y < a.y + {RADIUS}
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       < {RADIUS * RADIUS}
+)
+SELECT a_id, b_id, CAST(rank AS BIGINT) AS rank, d2 FROM (
+  SELECT a_id, b_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY d2, b_id) AS rank
+  FROM pairs)
+WHERE rank <= {KNN_JOIN_K}
+ORDER BY a_id, rank
+"""

@@ -567,6 +567,32 @@ class TestRadiusJoin:
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+class TestKnnJoin:
+    def test_matches_oracle_and_brute_force(self):
+        import duckdb
+        import pyarrow.parquet as pq
+        from raster_functions_ray import spatial
+
+        got = spatial.q_knn_join(SF001)
+        con = duckdb.connect()
+        con.register("events", pq.read_table(f"{SF001}/events.parquet"))
+        exp = con.execute(spatial.Q_KNN_JOIN_SQL).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        assert len(got) > 0
+        assert (got["d2"] < spatial.RADIUS ** 2).all()
+        # ranks are 1..k' per point, k' <= K
+        per = got.groupby("a_id")["rank"]
+        assert (per.max() <= spatial.KNN_JOIN_K).all()
+        assert (per.apply(lambda s: list(s) == list(range(1, len(s) + 1)))).all()
+
+    def test_merge_lowerings_identical(self, monkeypatch):
+        from raster_functions_ray import spatial
+
+        base = spatial.q_knn_join(SF001)
+        monkeypatch.setattr(spatial, "KNN_JOIN_MERGE_LIMIT", 0)
+        pd.testing.assert_frame_equal(base, spatial.q_knn_join(SF001))
+
+
 class TestMedianSelect:
     def test_constraint_chain_exercised_and_exact(self, monkeypatch):
         # force a tiny pull limit so the sf0.001 gate walks >=2 histogram
