@@ -510,3 +510,43 @@ class TestKmeansEmbed:
         assert hot_rows["cluster_id"].nunique() == 1
         assert int(hot_rows["kept"].sum()) == 1
         assert int(hot_rows.loc[hot_rows["kept"] == 1, "vec_id"].iloc[0]) == 0
+
+
+class TestWorkerCrashRetry:
+    def test_task_level_retry_yields_exact_result(self, tmp_path):
+        """Streaming fault tolerance BELOW the checkpoint layer: one map
+        task hard-kills its worker process mid-pipeline (os._exit — no
+        Python cleanup, the real preemption shape); Ray's task retry must
+        re-run the lost block elsewhere and the result must be
+        bit-identical to an undisturbed run.  The sentinel file is
+        created with O_EXCL so exactly ONE task dies regardless of
+        scheduling order or retries."""
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        marker = str(tmp_path / "killed_once")
+
+        def run(kill: bool) -> pd.DataFrame:
+            ds = rd.range(20000, override_num_blocks=16)
+
+            def fn(b):
+                import os
+                v = b["id"]
+                if kill:
+                    try:
+                        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                        os.close(fd)
+                        os._exit(1)  # hard worker death, one task only
+                    except FileExistsError:
+                        pass
+                return {"k": v % 7, "v": v * 3 + 1}
+
+            return (ds.map_batches(fn, batch_format="numpy")
+                    .groupby("k").aggregate(Sum("v", alias_name="s"))
+                    .to_pandas().sort_values("k").reset_index(drop=True))
+
+        clean = run(kill=False)
+        survived = run(kill=True)
+        import os as _os
+        assert _os.path.exists(marker)  # the kill really happened
+        pd.testing.assert_frame_equal(clean, survived)
