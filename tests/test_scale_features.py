@@ -550,3 +550,38 @@ class TestWorkerCrashRetry:
         import os as _os
         assert _os.path.exists(marker)  # the kill really happened
         pd.testing.assert_frame_equal(clean, survived)
+
+
+class TestRunJobSurface:
+    def test_run_job_streams_parquet_and_reports_metrics(self, tmp_path,
+                                                         synth_sf001):
+        """The `ray job submit` entry point end to end in a subprocess:
+        exit 0, one-line JSON metrics on stdout, partitioned parquet
+        output readable and matching the in-process query result."""
+        import json
+        import os
+        import subprocess
+        import sys
+
+        import pyarrow.parquet as pq
+
+        out_dir = str(tmp_path / "job_out")
+        env = dict(os.environ)
+        env.pop("RAY_ADDRESS", None)  # force a fresh local session
+        r = subprocess.run(
+            [sys.executable, "scripts/run_job.py", "--query", "token_stats",
+             "--sf-dir", "/root/testdata/sf0.001", "--output", out_dir],
+            capture_output=True, text=True, cwd="/root/repo", env=env,
+            timeout=240)
+        assert r.returncode == 0, r.stderr[-2000:]
+        metrics = json.loads(r.stdout.strip().splitlines()[-1])
+        assert metrics["query"] == "token_stats" and metrics["wall_s"] > 0
+        files = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+        assert files
+        written = pq.read_table(out_dir).to_pandas()
+        from raster_functions_ray import textops
+        expect = textops.q_token_stats("/root/testdata/sf0.001")
+        pd.testing.assert_frame_equal(
+            written.sort_values(written.columns.tolist()).reset_index(drop=True),
+            expect.sort_values(expect.columns.tolist()).reset_index(drop=True),
+            check_dtype=False)
