@@ -884,7 +884,14 @@ def exact_nn_clustered(sf_dir: str,
        beyond) yields the unique global argmax with min-id tie-break.
 
     Every exchange is cluster- or probe-sized; the only driver state is
-    K centroids + K radii."""
+    K centroids + K radii.
+
+    Pruning effectiveness depends on the data being genuinely clustered
+    (what real text/image encoders emit — pytest pins <20% probes on a
+    clustered micro-world): on near-uniform random high-dim vectors the
+    radii approach 90 deg and the bound legitimately degrades to
+    probe-everything, which stays EXACT (equivalent work to a striped
+    self-join) — correctness never depends on the clustering quality."""
     if merge_driver_limit is None:
         merge_driver_limit = NN_MERGE_DRIVER_LIMIT
 

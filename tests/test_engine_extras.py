@@ -473,6 +473,36 @@ class TestExactNnClustered:
         import pandas as pd
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
+    def test_pruning_effective_on_clustered_data(self):
+        # On CLUSTERED embeddings (what real text/image encoders emit)
+        # the ball bound must do real work: most foreign clusters prune.
+        # On the near-uniform synthetic corpus it legitimately degrades
+        # to all-probe (random high-dim vectors give ~90 deg radii — the
+        # curse of dimensionality), which stays EXACT, just not cheaper;
+        # that behavior is documented on exact_nn_clustered itself.
+        from raster_functions_ray.ann import NN_ANGLE_SLACK
+
+        rng = np.random.default_rng(17)
+        K, per, dim = 6, 50, 32
+        centers = rng.normal(size=(K, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        pts, lab = [], []
+        for k in range(K):
+            v = centers[k] + 0.08 * rng.normal(size=(per, dim))
+            pts.append(v / np.linalg.norm(v, axis=1, keepdims=True))
+            lab.append(np.full(per, k))
+        bn, a = np.vstack(pts), np.concatenate(lab)
+        ang = np.arccos(np.clip(bn @ centers.T, -1.0, 1.0))
+        radii = np.array([ang[a == k, k].max() for k in range(K)])
+        sims = bn @ bn.T
+        np.fill_diagonal(sims, -np.inf)
+        best = np.array([sims[i, a == a[i]].max() for i in range(len(a))])
+        bound = np.cos(np.maximum(ang - (radii + NN_ANGLE_SLACK)[None, :], 0.0))
+        bound[np.arange(len(a)), a] = -np.inf
+        probes = (bound >= (best - 1e-9)[:, None]).sum()
+        foreign = len(a) * (K - 1)
+        assert probes < 0.2 * foreign, (probes, foreign)
+
     def test_pruning_bound_is_conservative(self):
         # adversarial micro-world: three tight clusters of unit vectors;
         # for every vector the ball bound must upper-bound the true max
