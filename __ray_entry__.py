@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feather_source": textops.q_feather_source,
         "sink_roundtrip": textops.q_sink_roundtrip,
         "inverted_index": textops.q_inverted_index,
+        "bm25_topk": textops.q_bm25_topk,
         "doc_chunking": trainprep.q_doc_chunking,
         "exact_dedup": dedup.q_exact_dedup,
         "simhash_poly": dedup.q_simhash_poly,
@@ -434,6 +435,7 @@ def oracle_sql() -> dict[str, str]:
         "feather_source": textops.Q_SOURCE_PROFILE_SQL,
         "sink_roundtrip": textops.Q_SOURCE_PROFILE_SQL,
         "inverted_index": textops.Q_INVERTED_INDEX_SQL,
+        "bm25_topk": textops.Q_BM25_SQL,
         "doc_chunking": trainprep.Q_DOC_CHUNKING_SQL,
         "mixture_rebalance": trainprep.Q_MIXTURE_REBALANCE_SQL,
         "boilerplate": textops.Q_BOILERPLATE_SQL,

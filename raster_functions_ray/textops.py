@@ -895,3 +895,178 @@ def q_sink_roundtrip(sf_dir: str) -> pd.DataFrame:
         return _source_format_profile(rd.read_parquet(out))
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# ------------------------------------------------- BM25 top-k retrieval
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+BM25_QUANT = 1_000_000  # idf quantized to integer micro-nats (margin-tested)
+# query set: three 2-term queries built from the corpus's df ranking
+# (ranks 10..15 by df DESC, token ASC) — deterministic on both sides, and
+# EXACTLY two terms per query so the per-doc score is a single IEEE
+# addition (a+b == b+a): no summation-order freedom anywhere
+BM25_RANK_LO, BM25_RANK_HI = 10, 15
+
+
+def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-{BM25_TOPK} retrieval over the documents table — the
+    classic sparse-retrieval scorer (Robertson et al.), SQL-exact:
+
+    - idf = ln((N - df + 0.5)/(df + 0.5) + 1) quantized to integer
+      micro-nats (floor(·1e6 + .5); numpy ln vs DuckDB ln boundary margin
+      is pytest-pinned, the unigram-LM discipline);
+    - the tf normalization ``tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``
+      is written with IDENTICAL parenthesization on both sides, so every
+      (term, doc) contribution is the same IEEE double bit for bit;
+    - scores rank (DESC, doc_id) — deterministic because the doubles are
+      bit-identical, never because gaps are large.
+
+    Engine shape: ONE distributed pass builds the df table (unique
+    (doc, term) partials → vocab-sized groupby — bounded by the language,
+    not the corpus) and the global (N, Σdl); the driver derives the
+    2-term query set + quantized idfs (O(queries) state) and broadcasts;
+    ONE streaming scoring pass computes tf vectorized per batch and emits
+    per-block partial top-k — document text crosses the wire exactly
+    twice, postings never shuffle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        t = pd.Series(b["text"].to_pandas()).str.lower().str.findall(r"[a-z]+")
+        dl = t.str.len().astype("int64").sum()
+        flat = t.explode().dropna()
+        if flat.empty:
+            return pa.table({"token": pa.array(["\x00dl"], pa.string()),
+                             "df": pa.array([0], pa.int64()),
+                             "dl": pa.array([int(dl)], pa.int64())})
+        pairs = pd.DataFrame({"d": flat.index.to_numpy(), "t": flat.to_numpy()})
+        per = pairs.drop_duplicates().groupby("t", sort=False).size()
+        out = pa.table({
+            "token": pa.array(list(per.index) + ["\x00dl"], pa.string()),
+            "df": pa.array(list(per.to_numpy(np.int64)) + [0], pa.int64()),
+            "dl": pa.array([0] * len(per) + [int(dl)], pa.int64())})
+        return out
+
+    agg = (ds.map_batches(df_partial, batch_format="pyarrow", batch_size=4096)
+           .groupby("token")
+           .aggregate(Sum("df", alias_name="df"), Sum("dl", alias_name="dl"))
+           .to_pandas())
+    sum_dl = int(agg.loc[agg["token"] == "\x00dl", "dl"].sum())
+    dfs = agg[agg["token"] != "\x00dl"][["token", "df"]].copy()
+    import os
+
+    import pyarrow.parquet as pqm
+    n_docs = pqm.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    avgdl = float(sum_dl) / float(n_docs)
+
+    dfs = dfs.sort_values(["df", "token"], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+    sel = dfs.iloc[BM25_RANK_LO - 1:BM25_RANK_HI]  # ranks 10..15
+    qterms = sel["token"].to_numpy(dtype=object).astype(str)
+    qdf = sel["df"].to_numpy(np.float64)
+    qidf = np.floor(np.log((float(n_docs) - qdf + 0.5) / (qdf + 0.5) + 1.0)
+                    * BM25_QUANT + 0.5).astype(np.int64)
+    q_of_term = (np.arange(qterms.size) // 2).astype(np.int64)
+    bref = ray.put((qterms, qidf, q_of_term, avgdl))
+
+    def score(b: pa.Table) -> pd.DataFrame:
+        qt, qi, qq, ad = ray.get(bref)
+        df_ = b.to_pandas()
+        toks = df_["text"].str.lower().str.findall(r"[a-z]+")
+        dl = toks.str.len().to_numpy(np.int64)
+        flat = toks.explode().dropna()
+        n = len(df_)
+        tf = np.zeros((n, qt.size), np.int64)
+        if not flat.empty:
+            arr = flat.to_numpy(dtype=object).astype(str)
+            didx = flat.index.to_numpy(np.int64)
+            for ti, term in enumerate(qt):
+                hit = arr == term
+                if hit.any():
+                    np.add.at(tf[:, ti], didx[hit], 1)
+        # contribution per (doc, term): EXACT expression mirrored in SQL
+        denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl[:, None] / ad)
+        contrib = qi[None, :] * (tf * (BM25_K1 + 1.0)) / denom
+        contrib[tf == 0] = 0.0
+        frames = []
+        for q in range(int(qq.max()) + 1 if qq.size else 0):
+            cols = np.flatnonzero(qq == q)
+            s = contrib[:, cols[0]] + contrib[:, cols[1]]  # exactly 2 terms
+            keep = s > 0
+            if not keep.any():
+                continue
+            ids = df_["doc_id"].to_numpy(np.int64)[keep]
+            sv = s[keep]
+            k = min(BM25_TOPK, ids.size)
+            idx = np.lexsort((ids, -sv))[:k]
+            frames.append(pd.DataFrame({"q_id": q, "doc_id": ids[idx],
+                                        "score": sv[idx]}))
+        if not frames:
+            return pd.DataFrame({"q_id": pd.Series([], dtype="int64"),
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        return pd.concat(frames, ignore_index=True)
+
+    cand = ds.map_batches(score, batch_format="pyarrow",
+                          batch_size=4096).to_pandas()
+    cand = cand.sort_values(["q_id", "score", "doc_id"],
+                            ascending=[True, False, True])
+    cand = cand.groupby("q_id").head(BM25_TOPK)
+    cand["rank"] = (cand.groupby("q_id").cumcount() + 1).astype("int64")
+    return (cand[["q_id", "doc_id", "rank", "score"]]
+            .reset_index(drop=True)
+            .astype({"q_id": "int64", "doc_id": "int64"}))
+
+
+Q_BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+), dft AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY token
+), stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS sum_dl
+), qterms AS (
+  SELECT CAST((r - {BM25_RANK_LO}) // 2 AS BIGINT) AS q_id, token,
+         CAST(floor(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)
+                       + 1.0) * {BM25_QUANT} + 0.5) AS BIGINT) AS qidf
+  FROM (SELECT token, df,
+               ROW_NUMBER() OVER (ORDER BY df DESC, token) AS r
+        FROM dft), stats
+  WHERE r BETWEEN {BM25_RANK_LO} AND {BM25_RANK_HI}
+), tf AS (
+  SELECT t.doc_id, q.q_id, q.token, q.qidf, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks t JOIN qterms q USING (token)
+  GROUP BY 1, 2, 3, 4
+), contrib AS (
+  -- every float literal CAST to DOUBLE: DuckDB parses bare 1.2 as
+  -- DECIMAL, whose exact arithmetic diverges from the engine's IEEE
+  -- doubles by an ulp (found via tf*(1.2+1.0): decimal 6.6 vs binary
+  -- 6.6000000000000005)
+  SELECT tf.q_id, tf.doc_id,
+         tf.qidf * (tf.tf * (CAST({BM25_K1} AS DOUBLE) + 1.0))
+           / (tf.tf + CAST({BM25_K1} AS DOUBLE)
+                      * (1.0 - CAST({BM25_B} AS DOUBLE)
+                         + CAST({BM25_B} AS DOUBLE) * dl.dl
+                           / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+           AS c
+  FROM tf JOIN dl USING (doc_id), stats s
+), scored AS (
+  SELECT q_id, doc_id, SUM(c) AS score
+  FROM contrib GROUP BY q_id, doc_id
+)
+SELECT q_id, doc_id, CAST(rank AS BIGINT) AS rank, score FROM (
+  SELECT q_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored)
+WHERE rank <= {BM25_TOPK}
+ORDER BY q_id, rank
+"""

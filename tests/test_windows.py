@@ -81,3 +81,40 @@ class TestEventDebounce:
         base = w.q_event_debounce(SF001)
         monkeypatch.setattr(w, "DEBOUNCE_SHARDS", 3)
         pd.testing.assert_frame_equal(base, w.q_event_debounce(SF001))
+
+
+class TestBm25:
+    def test_matches_oracle_at_sf0001(self):
+        from raster_functions_ray import textops as t
+
+        got = t.q_bm25_topk(SF001)
+        exp = _con(("documents",)).execute(t.Q_BM25_SQL).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        assert len(got) > 0
+        per = got.groupby("q_id")["rank"]
+        assert (per.apply(lambda s: list(s) == list(range(1, len(s) + 1)))).all()
+        # scores strictly positive and non-increasing within each query
+        assert (got["score"] > 0).all()
+        assert (got.groupby("q_id")["score"].apply(
+            lambda s: (s.diff().dropna() <= 0).all())).all()
+
+    def test_idf_quantization_boundary_margin(self):
+        # numpy ln vs DuckDB ln agree to <1 ulp; the only fp freedom in
+        # the gate is the idf FLOOR — pin the rounding-boundary margin
+        # over every candidate query term's df at this corpus
+        import duckdb
+        from raster_functions_ray import textops as t
+
+        con = _con(("documents",))
+        df = con.execute("""
+            WITH toks AS (SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text),'[a-z]+')) AS token
+                 FROM documents)
+            SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM toks GROUP BY token""").df()
+        n_docs = con.execute("SELECT COUNT(*) n FROM documents").df().n[0]
+        x = np.log((float(n_docs) - df["df"].to_numpy(np.float64) + 0.5)
+                   / (df["df"].to_numpy(np.float64) + 0.5) + 1.0) \
+            * t.BM25_QUANT + 0.5
+        margin = np.abs(x - np.round(x)).min()
+        assert margin > 1e-6
