@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": windows.q_hopping_window,
         "unigram_logprob": windows.q_unigram_logprob,
         "event_debounce": windows.q_event_debounce,
+        "trailing_rate": windows.q_trailing_rate,
         # similarity search (SQL-exact)
         "ann_topk": ann.q_ann_topk,
         "ann_dot_topk": ann.q_ann_dot_topk,
@@ -356,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
         "hopping_window": windows.Q_HOPPING_WINDOW_SQL,
         "unigram_logprob": windows.Q_UNIGRAM_LOGPROB_SQL,
         "event_debounce": windows.Q_EVENT_DEBOUNCE_SQL,
+        "trailing_rate": windows.Q_TRAILING_RATE_SQL,
         "tile_cells": rq.tile_cells_oracle_sql(0.01),
         "windchill": bandmath.Q_WINDCHILL_SQL,
         "convert_per_month": bandmath.Q_CONVERT_PER_MONTH_SQL,

@@ -284,3 +284,69 @@ FROM (
   FROM events)
 ORDER BY event_id
 """
+
+
+# ------------------------------------- trailing-window event rate
+
+TRAIL_US = 1_800_000_000  # 30 min trailing window
+
+
+def q_trailing_rate(sf_dir: str) -> pd.DataFrame:
+    """Per event: how many of the SAME USER's events fall in the trailing
+    {TRAIL_US}-µs window (current row included) — the sliding-window rate
+    behind throttling / burst detection, per-row rather than per-bucket
+    (the hopping aggregate's complement).
+
+    Engine shape: user-hash shards (q_event_debounce pattern), one
+    lexsort per shard, then a vectorized two-pointer: counts =
+    row_position − searchsorted(ts, ts − T within the user's run) — no
+    per-user Python, no per-row loop.  The oracle is a RANGE window
+    frame."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def to_shard(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy()
+        return b.append_column(
+            "shard", pa.array((u * 2654435761 % 2**31) % DEBOUNCE_SHARDS))
+
+    def rate_shard(g: pd.DataFrame) -> pd.DataFrame:
+        eid = g["event_id"].to_numpy(np.int64)
+        ts = g["ts"].astype("int64").to_numpy()
+        u = g["user_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        eid, ts, u = eid[order], ts[order], u[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], u.size]
+        # ts is sorted only WITHIN each user's run, so a single global
+        # searchsorted needs a surrogate that is globally increasing:
+        # rebase each run to zero and lift run r by r·STEP, STEP wider
+        # than any run's span + the window — runs then occupy disjoint
+        # value ranges and one vectorized searchsorted answers every
+        # within-run window-start query (no per-user Python loop)
+        span = ts[ends - 1] - ts[starts]
+        step = int(span.max()) + TRAIL_US + 2 if span.size else 1
+        run_idx = np.cumsum(np.r_[False, u[1:] != u[:-1]]).astype(np.int64)
+        base = np.repeat(ts[starts], ends - starts)
+        adj = (ts - base) + run_idx * step
+        lo = np.searchsorted(adj, adj - TRAIL_US, side="left")
+        # RANGE ... CURRENT ROW frames include PEERS (same-ts rows sorted
+        # after the current one), so the frame end is the last same-ts row
+        hi = np.searchsorted(adj, adj, side="right")
+        n_window = (hi - lo).astype(np.int64)
+        return pd.DataFrame({"event_id": eid, "n_window": n_window})
+
+    out = (ds.map_batches(to_shard, batch_format="pyarrow")
+           .groupby("shard")
+           .map_groups(rate_shard, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+Q_TRAILING_RATE_SQL = f"""
+SELECT event_id,
+       CAST(COUNT(*) OVER (
+            PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN {TRAIL_US} PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_window
+FROM events ORDER BY event_id
+"""

@@ -118,3 +118,42 @@ class TestBm25:
             * t.BM25_QUANT + 0.5
         margin = np.abs(x - np.round(x)).min()
         assert margin > 1e-6
+
+
+class TestTrailingRate:
+    def test_matches_oracle_and_shard_invariant(self, monkeypatch):
+        from raster_functions_ray import windows as w
+
+        got = w.q_trailing_rate(SF001)
+        exp = _con().execute(w.Q_TRAILING_RATE_SQL).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        assert (got["n_window"] >= 1).all()
+        assert (got["n_window"] > 1).any()  # windows actually overlap
+        monkeypatch.setattr(w, "DEBOUNCE_SHARDS", 5)
+        pd.testing.assert_frame_equal(got, w.q_trailing_rate(SF001))
+
+    def test_peers_counted_like_range_frame(self, tmp_path):
+        # hand corpus with duplicate timestamps + multiple users: RANGE
+        # CURRENT ROW frames include same-ts peers sorted after the
+        # current row — run the ENGINE on it (written as an events table)
+        # and compare to the oracle
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from raster_functions_ray import windows as w
+
+        eid = np.array([1, 2, 3, 4, 5, 6], np.int64)
+        ts = np.array([100, 100, 100 + w.TRAIL_US, 2 * w.TRAIL_US + 200,
+                       100, 150], np.int64)
+        u = np.array([0, 0, 0, 0, 7, 7], np.int64)
+        t = pa.table({"event_id": pa.array(eid),
+                      "ts": pa.array(ts).cast(pa.timestamp("us")),
+                      "user_id": pa.array(u)})
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        got = w.q_trailing_rate(str(tmp_path))
+        con = duckdb.connect()
+        con.register("events", t)
+        exp = con.execute(w.Q_TRAILING_RATE_SQL).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # peers: events 1 and 2 share ts → both count 2
+        assert got.loc[got.event_id.isin([1, 2]), "n_window"].tolist() == [2, 2]
