@@ -40,7 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from raster_functions_ray import analytic, analytic2, ann, bandmath, dedup
     from raster_functions_ray import rasterqueries as rq
     from raster_functions_ray import relational as rel, spatial, synth, textops
-    from raster_functions_ray import trainprep, windows
+    from raster_functions_ray import regions, trainprep, windows
 
     # raster oracles read the synthetic parquet — make sure it exists before
     # the driver runs either side
@@ -219,6 +219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rect_overlap_join_split": spatial.q_rect_overlap_join_split,
         "radius_join": spatial.q_radius_join,
         "knn_join": spatial.q_knn_join,
+        # raster region analysis (round 4, regions.py)
+        "region_label": regions.q_region_label,
         "median_select": rel.q_median_select,
         "p99_select": rel.q_p99_select,
         # band algebra on columns (same kernels as the raster path, SQL-exact)
@@ -272,7 +274,7 @@ def oracle_sql() -> dict[str, str]:
     from raster_functions_ray import analytic, analytic2, ann, bandmath, dedup
     from raster_functions_ray import rasterqueries as rq
     from raster_functions_ray import relational as rel, spatial, textops
-    from raster_functions_ray import trainprep, windows
+    from raster_functions_ray import regions, trainprep, windows
 
     return {
         "ndvi_exact": analytic.ndvi_exact_oracle_sql(0.01),
@@ -413,6 +415,7 @@ def oracle_sql() -> dict[str, str]:
         "rect_overlap_join_split": spatial.Q_RECT_OVERLAP_JOIN_SQL,
         "radius_join": spatial.Q_RADIUS_JOIN_SQL,
         "knn_join": spatial.Q_KNN_JOIN_SQL,
+        "region_label": regions.Q_REGION_LABEL_SQL,
         "median_select": rel.Q_MEDIAN_SELECT_SQL,
         "p99_select": rel.Q_P99_SELECT_SQL,
         "ivf_sq_search": ann.ivf_sq_oracle_sql(),

@@ -1,0 +1,281 @@
+"""Raster region analysis: connected-component labeling and zonal geometry.
+
+Re-expresses the reference's region-oriented raster semantics (the zone
+machinery behind ZonalRemap / RasterizeAttributes, functions/ZonalRemap.py,
+and the "region group" family every raster calculator exposes) as Ray Data
+stages over a tiled grid:
+
+- **q_region_label** — distributed connected-component labeling (ArcGIS
+  "Region Group" shape): each tile labels its own pixels locally (vectorized
+  min-propagation in numpy), emits one row per LOCAL region plus boundary
+  handshake rows keyed on the shared tile edge; a groupby on the edge key
+  pairs the two sides into a region-graph edge list (edge-sized, tiny vs the
+  raster), and the existing distributed min-label propagation
+  (trainprep.connected_components) resolves global components.  No pixel
+  ever crosses the wire twice: the shuffle carries only per-region partials
+  and boundary handshakes — at 100 TB the exchange is O(regions + tile
+  perimeter), not O(pixels).
+
+The masked world is a counter-based percolation field (the
+rasterqueries._rnd_mix discipline — multiply/xor-shift rounds, SQL-exact in
+DuckDB UBIGINT) at density 0.45, subcritical for 4-connected site
+percolation (p_c ≈ 0.5927), so components stay small (max ~200 px at 512²)
+and the recursive-CTE oracle floods O(Σ s²) ≈ 2.7 M rows.
+
+Oracle: DuckDB recursive CTE — min-label flood over the 4-adjacency edge
+list of the identical mask, then per-component COUNT/MIN/MAX (all
+order-independent, integer-exact).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min
+
+# shared with rasterqueries._rnd_mix: two multiply/xor-shift rounds over a
+# global pixel counter — tiling-independent, block-independent, SQL-exact
+_M1 = 2654435761  # Knuth multiplicative constant
+_M2 = 2246822519  # xxhash PRIME32_2 (published public constant)
+_MOD = 1 << 32
+
+# fixed-size gate world (like the D8 / random-source gates): 8×8 tiles of
+# 64×64 px → 512×512 grid, ~118 k masked px, ~23 k components
+GRID_TILES = 8
+TILE_PX = 64
+GRID_W = GRID_TILES * TILE_PX
+MASK_DENSITY = 450  # of 1000 — subcritical
+
+
+def mask_values(ids: np.ndarray) -> np.ndarray:
+    """Counter mix → [0, 1000) — the mask field (uint64 in/out, exact)."""
+    h = (ids.astype(np.uint64) * np.uint64(_M1)) % np.uint64(_MOD)
+    return ((h ^ (h >> np.uint64(16))) * np.uint64(_M2)) % np.uint64(_MOD) % np.uint64(1000)
+
+
+def percolation_mask(r0: int, c0: int, h: int, w: int, grid_w: int = GRID_W) -> np.ndarray:
+    """Boolean mask for the (h, w) window at global offset (r0, c0)."""
+    rr = (np.arange(r0, r0 + h, dtype=np.uint64)[:, None] * np.uint64(grid_w))
+    cc = np.arange(c0, c0 + w, dtype=np.uint64)[None, :]
+    return mask_values(rr + cc) < MASK_DENSITY
+
+
+def label_min_propagation(mask: np.ndarray, base_ids: np.ndarray) -> np.ndarray:
+    """Connected-component labels (4-connectivity) for a boolean mask;
+    label = min of ``base_ids`` over the component, -1 where unmasked.
+
+    Vectorized min-propagation: each sweep takes the elementwise min with
+    all four shifted neighbours until fixpoint.  Iteration count is the max
+    component diameter — bounded and small for the subcritical field (43 at
+    512²); work per sweep is O(pixels) in pure numpy.
+    """
+    lab = np.where(mask, base_ids, np.int64(-1))
+    while True:
+        new = lab.copy()
+        m = (new[1:, :] >= 0) & (lab[:-1, :] >= 0)
+        new[1:, :][m] = np.minimum(new[1:, :], lab[:-1, :])[m]
+        m = (new[:-1, :] >= 0) & (new[1:, :] >= 0)
+        new[:-1, :][m] = np.minimum(new[:-1, :], new[1:, :])[m]
+        m = (new[:, 1:] >= 0) & (new[:, :-1] >= 0)
+        new[:, 1:][m] = np.minimum(new[:, 1:], new[:, :-1])[m]
+        m = (new[:, :-1] >= 0) & (new[:, 1:] >= 0)
+        new[:, :-1][m] = np.minimum(new[:, :-1], new[:, 1:])[m]
+        if np.array_equal(new, lab):
+            return lab
+        lab = new
+
+
+def _tile_partials(b: pa.Table) -> pa.Table:
+    """Per-tile local labeling → region partial rows + boundary handshakes.
+
+    Region rows: kind=0, key=local region id (min global px id in tile),
+    px_count/min_r/min_c/max_r/max_c partials.
+    Handshake rows: kind=1, key=edge id (2·px_id [+1 for vertical]), val=
+    the emitting side's local region id; the groupby pairs the two sides.
+    """
+    out_kind, out_key, out_val = [], [], []
+    out_cnt, out_minr, out_minc, out_maxr, out_maxc = [], [], [], [], []
+    for tid in np.asarray(b["id"], dtype=np.int64):
+        ty, tx = divmod(int(tid), GRID_TILES)
+        r0, c0 = ty * TILE_PX, tx * TILE_PX
+        mask = percolation_mask(r0, c0, TILE_PX, TILE_PX)
+        gids = ((np.arange(r0, r0 + TILE_PX, dtype=np.int64)[:, None] * GRID_W)
+                + np.arange(c0, c0 + TILE_PX, dtype=np.int64)[None, :])
+        lab = label_min_propagation(mask, gids)
+        flat_lab, flat_ids = lab.ravel(), gids.ravel()
+        sel = flat_lab >= 0
+        keys, inv = np.unique(flat_lab[sel], return_inverse=True)
+        n = len(keys)
+        if n:
+            rs, cs = flat_ids[sel] // GRID_W, flat_ids[sel] % GRID_W
+            cnt = np.bincount(inv, minlength=n)
+            minr = np.full(n, np.iinfo(np.int64).max); np.minimum.at(minr, inv, rs)
+            maxr = np.full(n, -1, np.int64); np.maximum.at(maxr, inv, rs)
+            minc = np.full(n, np.iinfo(np.int64).max); np.minimum.at(minc, inv, cs)
+            maxc = np.full(n, -1, np.int64); np.maximum.at(maxc, inv, cs)
+            out_kind.append(np.zeros(n, np.int64)); out_key.append(keys)
+            out_val.append(keys)
+            out_cnt.append(cnt.astype(np.int64))
+            out_minr.append(minr); out_minc.append(minc)
+            out_maxr.append(maxr); out_maxc.append(maxc)
+        # boundary handshakes: east edge (horizontal adjacency) and south
+        # edge (vertical); the neighbour's mask bit is recomputable from the
+        # counter field, so only genuinely-connected edges are emitted
+        for vert, (edge_lab, edge_ids, nbr_off) in {
+            False: (lab[:, -1], gids[:, -1], 1),
+            True: (lab[-1, :], gids[-1, :], GRID_W),
+        }.items():
+            if (not vert and tx == GRID_TILES - 1) or (vert and ty == GRID_TILES - 1):
+                continue
+            live = edge_lab >= 0
+            nbr_masked = mask_values(edge_ids[live].astype(np.uint64)
+                                     + np.uint64(nbr_off)) < MASK_DENSITY
+            pick = np.flatnonzero(live)[nbr_masked]
+            if len(pick):
+                ek = 2 * edge_ids[pick] + (1 if vert else 0)
+                m = len(ek)
+                out_kind.append(np.ones(m, np.int64)); out_key.append(ek)
+                out_val.append(edge_lab[pick])
+                z = np.zeros(m, np.int64)
+                out_cnt.append(z); out_minr.append(z); out_minc.append(z)
+                out_maxr.append(z); out_maxc.append(z)
+        # the west/north sides of interior edges are emitted by the
+        # NEIGHBOUR tile's east/south pass — every interior edge key gets
+        # exactly two rows, one per side
+        for vert, (edge_lab, edge_ids, own_off) in {
+            False: (lab[:, 0], gids[:, 0], 1),
+            True: (lab[0, :], gids[0, :], GRID_W),
+        }.items():
+            if (not vert and tx == 0) or (vert and ty == 0):
+                continue
+            live = edge_lab >= 0
+            pick = np.flatnonzero(live)
+            if len(pick):
+                ek = 2 * (edge_ids[pick] - own_off) + (1 if vert else 0)
+                m = len(ek)
+                out_kind.append(np.ones(m, np.int64)); out_key.append(ek)
+                out_val.append(edge_lab[pick])
+                z = np.zeros(m, np.int64)
+                out_cnt.append(z); out_minr.append(z); out_minc.append(z)
+                out_maxr.append(z); out_maxc.append(z)
+    if not out_kind:
+        e = pa.array([], pa.int64())
+        return pa.table({c: e for c in ("kind", "key", "val", "px_count",
+                                        "min_r", "min_c", "max_r", "max_c")})
+    return pa.table({
+        "kind": pa.array(np.concatenate(out_kind)),
+        "key": pa.array(np.concatenate(out_key)),
+        "val": pa.array(np.concatenate(out_val)),
+        "px_count": pa.array(np.concatenate(out_cnt)),
+        "min_r": pa.array(np.concatenate(out_minr)),
+        "min_c": pa.array(np.concatenate(out_minc)),
+        "max_r": pa.array(np.concatenate(out_maxr)),
+        "max_c": pa.array(np.concatenate(out_maxc)),
+    })
+
+
+def union_find_labels(u: np.ndarray, v: np.ndarray) -> pd.DataFrame:
+    """Driver-side union-find over a RESULT-SIZED edge array → node/label
+    frame (label = min node id per component).  Used below the size
+    threshold where the distributed propagation's fixed per-exchange cost
+    (~1 s/round) dwarfs the actual work; trainprep.connected_components is
+    the unbounded-scale path."""
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    parent = np.arange(len(nodes))
+
+    def find(i: int) -> int:
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:  # path compression
+            parent[i], i = root, parent[i]
+        return root
+
+    half = len(u)
+    for a, b in zip(inv[:half], inv[half:]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min node id keeps the canonical-label invariant
+            if nodes[ra] < nodes[rb]:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    roots = np.array([find(i) for i in range(len(nodes))])
+    return pd.DataFrame({"node": nodes, "label": nodes[roots]})
+
+
+# edge counts below this resolve on the driver; above, distribute
+CC_DRIVER_MAX_EDGES = 2_000_000
+
+
+def q_region_label(sf_dir: str) -> pd.DataFrame:
+    """Distributed raster connected-component labeling over the percolation
+    field: per-component region_id (min global pixel id), pixel count and
+    bounding box.  See module docstring for the exchange plan.
+    """
+    from .trainprep import connected_components
+
+    parts = rd.range(GRID_TILES * GRID_TILES, override_num_blocks=8).map_batches(
+        _tile_partials, batch_format="pyarrow", batch_size=16).materialize()
+
+    regions = parts.filter(expr="kind == 0")
+    # boundary handshakes → region-graph edges: each interior edge key has
+    # one row per side; Min/Max over the two vals forms the (u, v) pair
+    hands = (parts.filter(expr="kind == 1")
+             .groupby("key")
+             .aggregate(Count(alias_name="n"),
+                        Min("val", alias_name="u"), Max("val", alias_name="v")))
+    edge_df = hands.filter(expr="n == 2").select_columns(["u", "v"]).to_pandas()
+    edge_df = edge_df[edge_df.u != edge_df.v].drop_duplicates()
+
+    reg = regions.select_columns(
+        ["key", "px_count", "min_r", "min_c", "max_r", "max_c"]).to_pandas()
+    if edge_df.empty:
+        lab = reg[["key"]].copy(); lab["label"] = lab["key"]
+    else:
+        if len(edge_df) <= CC_DRIVER_MAX_EDGES:
+            cc = union_find_labels(edge_df["u"].to_numpy(np.int64),
+                                   edge_df["v"].to_numpy(np.int64))
+        else:
+            cc = connected_components(rd.from_pandas(edge_df),
+                                      num_partitions=4)
+        lab = reg[["key"]].merge(cc.rename(columns={"node": "key"}),
+                                 on="key", how="left")
+        lab["label"] = lab["label"].fillna(lab["key"]).astype(np.int64)
+    # final component rollup — region partials are result-sized (≪ pixels),
+    # so a driver-side merge is the cheap, shuffle-free finish
+    reg = reg.assign(region_id=lab["label"].to_numpy())
+    out = (reg.groupby("region_id", as_index=False)
+           .agg(px_count=("px_count", "sum"), min_r=("min_r", "min"),
+                min_c=("min_c", "min"), max_r=("max_r", "max"),
+                max_c=("max_c", "max")))
+    return out.sort_values("region_id").reset_index(drop=True)
+
+
+Q_REGION_LABEL_SQL = f"""
+WITH RECURSIVE px AS (
+  SELECT CAST(range AS BIGINT) AS id,
+         CAST(range AS BIGINT) // {GRID_W} AS r, CAST(range AS BIGINT) % {GRID_W} AS c
+  FROM range(0, {GRID_W * GRID_W})
+  WHERE CAST((xor((CAST(range AS UBIGINT) * {_M1}) % {_MOD},
+                  ((CAST(range AS UBIGINT) * {_M1}) % {_MOD}) >> 16)
+              * {_M2}) % {_MOD} % 1000 AS BIGINT) < {MASK_DENSITY}
+), e AS (
+  SELECT a.id AS u, b.id AS v FROM px a JOIN px b ON b.id = a.id + 1
+  WHERE a.c < {GRID_W - 1}
+  UNION ALL
+  SELECT a.id, b.id FROM px a JOIN px b ON b.id = a.id + {GRID_W}
+), sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+lbl AS (
+  SELECT id, id AS l FROM px
+  UNION
+  SELECT s.v AS id, lbl.l FROM lbl JOIN sym s ON s.u = lbl.id WHERE lbl.l < s.v
+), comp AS (SELECT id, MIN(l) AS label FROM lbl GROUP BY id)
+SELECT comp.label AS region_id, COUNT(*) AS px_count,
+       MIN(px.r) AS min_r, MIN(px.c) AS min_c,
+       MAX(px.r) AS max_r, MAX(px.c) AS max_c
+FROM comp JOIN px ON px.id = comp.id
+GROUP BY comp.label
+"""

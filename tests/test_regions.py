@@ -1,0 +1,72 @@
+"""Region labeling: distributed tile-merge result == whole-grid labeling."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from raster_functions_ray import regions
+
+
+def _whole_grid_reference() -> pd.DataFrame:
+    """Single-array labeling of the full grid — no tiling, no merge."""
+    W = regions.GRID_W
+    mask = regions.percolation_mask(0, 0, W, W)
+    ids = np.arange(W * W, dtype=np.int64).reshape(W, W)
+    lab = regions.label_min_propagation(mask, ids)
+    flat_lab, flat_ids = lab.ravel(), ids.ravel()
+    sel = flat_lab >= 0
+    df = pd.DataFrame({
+        "region_id": flat_lab[sel],
+        "r": flat_ids[sel] // W,
+        "c": flat_ids[sel] % W,
+    })
+    out = (df.groupby("region_id", as_index=False)
+           .agg(px_count=("r", "size"), min_r=("r", "min"), min_c=("c", "min"),
+                max_r=("r", "max"), max_c=("c", "max")))
+    return out.sort_values("region_id").reset_index(drop=True)
+
+
+def test_region_label_matches_whole_grid(ray_session):
+    got = regions.q_region_label("/root/testdata/sf0.001")
+    ref = _whole_grid_reference()
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), ref[got.columns].astype("int64"))
+
+
+@settings(max_examples=50, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), h=st.integers(2, 24), w=st.integers(2, 24))
+def test_union_find_agrees_with_propagation(seed, h, w):
+    """Driver union-find and vectorized min-propagation give the same
+    components on random masks (adversarial shapes incl. snakes/rings)."""
+    rng = np.random.default_rng(seed)
+    mask = rng.random((h, w)) < 0.55
+    ids = np.arange(h * w, dtype=np.int64).reshape(h, w)
+    lab = regions.label_min_propagation(mask, ids)
+    # build the 4-adjacency edge list over masked pixels
+    pairs = []
+    m = mask
+    right = m[:, :-1] & m[:, 1:]
+    down = m[:-1, :] & m[1:, :]
+    for sel, (a, b) in ((right, (ids[:, :-1], ids[:, 1:])),
+                        (down, (ids[:-1, :], ids[1:, :]))):
+        pairs.append(np.stack([a[sel], b[sel]], axis=1))
+    e = np.concatenate(pairs) if pairs else np.empty((0, 2), np.int64)
+    if len(e) == 0:
+        # every masked pixel is its own component
+        assert np.array_equal(lab[mask], ids[mask])
+        return
+    uf = regions.union_find_labels(e[:, 0], e[:, 1])
+    lut = dict(zip(uf["node"], uf["label"]))
+    expect = np.array([lut.get(i, i) for i in ids[mask]])
+    assert np.array_equal(lab[mask], expect)
+
+
+def test_mask_is_subcritical():
+    """The gate world must stay oracle-friendly: bounded component size."""
+    ref = _whole_grid_reference()
+    assert ref["px_count"].max() < 1000
+    assert len(ref) > 10000
