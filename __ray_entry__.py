@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join": spatial.q_knn_join,
         # raster region analysis (round 4, regions.py)
         "region_label": regions.q_region_label,
+        "los_viewshed": regions.q_los_viewshed,
         "median_select": rel.q_median_select,
         "p99_select": rel.q_p99_select,
         # band algebra on columns (same kernels as the raster path, SQL-exact)
@@ -416,6 +417,7 @@ def oracle_sql() -> dict[str, str]:
         "radius_join": spatial.Q_RADIUS_JOIN_SQL,
         "knn_join": spatial.Q_KNN_JOIN_SQL,
         "region_label": regions.Q_REGION_LABEL_SQL,
+        "los_viewshed": regions.Q_LOS_VIEWSHED_SQL,
         "median_select": rel.Q_MEDIAN_SELECT_SQL,
         "p99_select": rel.Q_P99_SELECT_SQL,
         "ivf_sq_search": ann.ivf_sq_oracle_sql(),

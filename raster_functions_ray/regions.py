@@ -254,6 +254,129 @@ def q_region_label(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("region_id").reset_index(drop=True)
 
 
+# --------------------------------------------------------- LOS viewshed
+
+# integer pseudo-DEM (the D8-gate discipline): z = ((r·37 + c·17 + 11)·M1)
+# % 4096 — exact in int64 and DuckDB BIGINT (max product ~7.3e13 < 2^63)
+_DEM_MOD = 4096
+
+
+def los_dem(r: np.ndarray, c: np.ndarray) -> np.ndarray:
+    return ((r.astype(np.int64) * 37 + c.astype(np.int64) * 17 + 11)
+            * np.int64(_M1)) % np.int64(_DEM_MOD)
+
+
+OBS_H = 10  # observer height above the terrain at c=0
+
+
+def _los_segments(b: pa.Table) -> pa.Table:
+    """Phase 1: per (row, tile-column) running-max tangent of the LOCAL
+    segment — one partial row per (r, tx), O(rows·tiles) ≪ pixels."""
+    out_r, out_tx, out_mx = [], [], []
+    for tid in np.asarray(b["id"], dtype=np.int64):
+        ty, tx = divmod(int(tid), GRID_TILES)
+        r = np.arange(ty * TILE_PX, (ty + 1) * TILE_PX, dtype=np.int64)[:, None]
+        c = np.arange(tx * TILE_PX, (tx + 1) * TILE_PX, dtype=np.int64)[None, :]
+        z = los_dem(np.broadcast_to(r, (TILE_PX, TILE_PX)),
+                    np.broadcast_to(c, (TILE_PX, TILE_PX)))
+        z0 = los_dem(r[:, 0], np.zeros(TILE_PX, np.int64)) + OBS_H
+        tan = (z - z0[:, None]).astype(np.float64) / np.maximum(c, 1).astype(np.float64)
+        if tx == 0:
+            tan[:, 0] = -np.inf  # observer cell — never a blocker
+        out_r.append(r[:, 0].repeat(1))
+        out_tx.append(np.full(TILE_PX, tx, np.int64))
+        out_mx.append(tan.max(axis=1))
+    return pa.table({"r": pa.array(np.concatenate(out_r)),
+                     "tx": pa.array(np.concatenate(out_tx)),
+                     "seg_max": pa.array(np.concatenate(out_mx))})
+
+
+def q_los_viewshed(sf_dir: str) -> pd.DataFrame:
+    """Scanline line-of-sight viewshed (the reference's visibility family;
+    ArcGIS Viewshed semantics along west→east scanlines): a pixel is
+    visible from the row's western observer iff its elevation angle
+    strictly exceeds every angle before it.
+
+    Distributed as a two-phase prefix-max scan — the canonical way a
+    sequential-looking dependency ships at 100 TB: (1) each tile emits its
+    per-row SEGMENT max tangent (O(rows·G) partials, no pixels shuffled);
+    (2) the driver prefix-combines segments per row (result-sized,
+    associative) into per-(row, tile) exclusive offsets; (3) a second
+    tile pass injects the offset and finalizes visibility locally.
+    Output: per-row visible count + furthest visible column.
+    """
+    import ray
+
+    tiles = rd.range(GRID_TILES * GRID_TILES, override_num_blocks=8)
+    seg = tiles.map_batches(_los_segments, batch_format="pyarrow",
+                            batch_size=16).to_pandas()
+    # exclusive prefix max per row across tile columns (rows×G partials)
+    seg = seg.sort_values(["r", "tx"])
+    piv = seg.pivot(index="r", columns="tx", values="seg_max").to_numpy()
+    prefix = np.full_like(piv, -np.inf)
+    np.maximum.accumulate(piv[:, :-1], axis=1, out=prefix[:, 1:])
+    offsets_ref = ray.put(prefix)  # rows×G doubles, broadcast once
+
+    def finalize(b: pa.Table) -> pa.Table:
+        pref = ray.get(offsets_ref)
+        out_r, out_cnt, out_far = [], [], []
+        for tid in np.asarray(b["id"], dtype=np.int64):
+            ty, tx = divmod(int(tid), GRID_TILES)
+            rows = np.arange(ty * TILE_PX, (ty + 1) * TILE_PX, dtype=np.int64)
+            r2 = rows[:, None]
+            c = np.arange(tx * TILE_PX, (tx + 1) * TILE_PX, dtype=np.int64)[None, :]
+            z = los_dem(np.broadcast_to(r2, (TILE_PX, TILE_PX)),
+                        np.broadcast_to(c, (TILE_PX, TILE_PX)))
+            z0 = los_dem(rows, np.zeros(TILE_PX, np.int64)) + OBS_H
+            tan = (z - z0[:, None]).astype(np.float64) / np.maximum(c, 1).astype(np.float64)
+            if tx == 0:
+                tan[:, 0] = -np.inf  # observer cell — never a blocker
+            # running max BEFORE each column, seeded with the cross-tile prefix
+            seed = pref[rows, tx][:, None]
+            run = np.maximum.accumulate(np.concatenate([seed, tan[:, :-1]], axis=1), axis=1)
+            vis = tan > run
+            if tx == 0:
+                vis[:, 0] = False  # observer cell not counted
+            cnt = vis.sum(axis=1).astype(np.int64)
+            far = np.where(vis.any(axis=1), c.ravel()[np.where(
+                vis, np.arange(TILE_PX)[None, :], -1).max(axis=1)], np.int64(-1))
+            out_r.append(rows); out_cnt.append(cnt); out_far.append(far)
+        return pa.table({"r": pa.array(np.concatenate(out_r)),
+                         "visible_count": pa.array(np.concatenate(out_cnt)),
+                         "far_c": pa.array(np.concatenate(out_far))})
+
+    per_tile = tiles.map_batches(finalize, batch_format="pyarrow", batch_size=16)
+    from ray.data.aggregate import Max as AMax, Sum as ASum
+    out = (per_tile.groupby("r")
+           .aggregate(ASum("visible_count", alias_name="visible_count"),
+                      AMax("far_c", alias_name="far_c"))).to_pandas()
+    return out.sort_values("r").reset_index(drop=True)
+
+
+Q_LOS_VIEWSHED_SQL = f"""
+WITH px AS (
+  SELECT CAST(range AS BIGINT) // {GRID_W} AS r, CAST(range AS BIGINT) % {GRID_W} AS c,
+         ((CAST(range AS BIGINT) // {GRID_W} * 37 + CAST(range AS BIGINT) % {GRID_W} * 17 + 11)
+          * {_M1}) % {_DEM_MOD} AS z
+  FROM range(0, {GRID_W * GRID_W})
+), t AS (
+  SELECT r, c,
+         CAST(z - (((r * 37 + 11) * {_M1}) % {_DEM_MOD} + {OBS_H}) AS DOUBLE)
+         / CAST(c AS DOUBLE) AS tan
+  FROM px WHERE c >= 1
+), v AS (
+  SELECT r, c, tan,
+         tan > COALESCE(MAX(tan) OVER (PARTITION BY r ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST('-infinity' AS DOUBLE)) AS vis
+  FROM t
+)
+SELECT r, CAST(COUNT(*) FILTER (WHERE vis) AS BIGINT) AS visible_count,
+       COALESCE(MAX(c) FILTER (WHERE vis), -1) AS far_c
+FROM v GROUP BY r
+"""
+
+
 Q_REGION_LABEL_SQL = f"""
 WITH RECURSIVE px AS (
   SELECT CAST(range AS BIGINT) AS id,

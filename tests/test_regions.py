@@ -65,6 +65,24 @@ def test_union_find_agrees_with_propagation(seed, h, w):
     assert np.array_equal(lab[mask], expect)
 
 
+def test_los_viewshed_matches_sequential_scan(ray_session):
+    """Two-phase distributed prefix-max == straight per-row sequential
+    scan over the whole grid."""
+    got = regions.q_los_viewshed("/root/testdata/sf0.001")
+    W = regions.GRID_W
+    rows = []
+    for r in range(W):
+        c = np.arange(1, W)
+        z = regions.los_dem(np.full(W - 1, r), c)
+        z0 = regions.los_dem(np.array([r]), np.array([0]))[0] + regions.OBS_H
+        tan = (z - z0).astype(np.float64) / c.astype(np.float64)
+        run = np.maximum.accumulate(np.concatenate([[-np.inf], tan[:-1]]))
+        vis = tan > run
+        rows.append((r, int(vis.sum()), int(c[vis].max()) if vis.any() else -1))
+    ref = pd.DataFrame(rows, columns=["r", "visible_count", "far_c"])
+    pd.testing.assert_frame_equal(got.astype("int64"), ref.astype("int64"))
+
+
 def test_mask_is_subcritical():
     """The gate world must stay oracle-friendly: bounded component size."""
     ref = _whole_grid_reference()
