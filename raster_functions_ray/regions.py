@@ -91,12 +91,13 @@ def _tile_partials(b: pa.Table) -> pa.Table:
     """Per-tile local labeling → region partial rows + boundary handshakes.
 
     Region rows: kind=0, key=local region id (min global px id in tile),
-    px_count/min_r/min_c/max_r/max_c partials.
+    px_count/min_r/min_c/max_r/max_c/n_adj partials (n_adj = within-tile
+    4-adjacent masked pairs of the region, for perimeter).
     Handshake rows: kind=1, key=edge id (2·px_id [+1 for vertical]), val=
     the emitting side's local region id; the groupby pairs the two sides.
     """
     out_kind, out_key, out_val = [], [], []
-    out_cnt, out_minr, out_minc, out_maxr, out_maxc = [], [], [], [], []
+    out_cnt, out_minr, out_minc, out_maxr, out_maxc, out_adj = [], [], [], [], [], []
     for tid in np.asarray(b["id"], dtype=np.int64):
         ty, tx = divmod(int(tid), GRID_TILES)
         r0, c0 = ty * TILE_PX, tx * TILE_PX
@@ -115,11 +116,21 @@ def _tile_partials(b: pa.Table) -> pa.Table:
             maxr = np.full(n, -1, np.int64); np.maximum.at(maxr, inv, rs)
             minc = np.full(n, np.iinfo(np.int64).max); np.minimum.at(minc, inv, cs)
             maxc = np.full(n, -1, np.int64); np.maximum.at(maxc, inv, cs)
+            # within-tile adjacent masked pairs per region (both endpoints
+            # share the region label by construction)
+            adj = np.zeros(n, np.int64)
+            right = mask[:, :-1] & mask[:, 1:]
+            down = mask[:-1, :] & mask[1:, :]
+            for pair_lab in (lab[:, :-1][right], lab[:-1, :][down]):
+                if len(pair_lab):
+                    pidx = np.searchsorted(keys, pair_lab)
+                    np.add.at(adj, pidx, 1)
             out_kind.append(np.zeros(n, np.int64)); out_key.append(keys)
             out_val.append(keys)
             out_cnt.append(cnt.astype(np.int64))
             out_minr.append(minr); out_minc.append(minc)
             out_maxr.append(maxr); out_maxc.append(maxc)
+            out_adj.append(adj)
         # boundary handshakes: east edge (horizontal adjacency) and south
         # edge (vertical); the neighbour's mask bit is recomputable from the
         # counter field, so only genuinely-connected edges are emitted
@@ -140,7 +151,7 @@ def _tile_partials(b: pa.Table) -> pa.Table:
                 out_val.append(edge_lab[pick])
                 z = np.zeros(m, np.int64)
                 out_cnt.append(z); out_minr.append(z); out_minc.append(z)
-                out_maxr.append(z); out_maxc.append(z)
+                out_maxr.append(z); out_maxc.append(z); out_adj.append(z)
         # the west/north sides of interior edges are emitted by the
         # NEIGHBOUR tile's east/south pass — every interior edge key gets
         # exactly two rows, one per side
@@ -159,11 +170,12 @@ def _tile_partials(b: pa.Table) -> pa.Table:
                 out_val.append(edge_lab[pick])
                 z = np.zeros(m, np.int64)
                 out_cnt.append(z); out_minr.append(z); out_minc.append(z)
-                out_maxr.append(z); out_maxc.append(z)
+                out_maxr.append(z); out_maxc.append(z); out_adj.append(z)
     if not out_kind:
         e = pa.array([], pa.int64())
         return pa.table({c: e for c in ("kind", "key", "val", "px_count",
-                                        "min_r", "min_c", "max_r", "max_c")})
+                                        "min_r", "min_c", "max_r", "max_c",
+                                        "n_adj")})
     return pa.table({
         "kind": pa.array(np.concatenate(out_kind)),
         "key": pa.array(np.concatenate(out_key)),
@@ -173,6 +185,7 @@ def _tile_partials(b: pa.Table) -> pa.Table:
         "min_c": pa.array(np.concatenate(out_minc)),
         "max_r": pa.array(np.concatenate(out_maxr)),
         "max_c": pa.array(np.concatenate(out_maxc)),
+        "n_adj": pa.array(np.concatenate(out_adj)),
     })
 
 
@@ -210,11 +223,12 @@ def union_find_labels(u: np.ndarray, v: np.ndarray) -> pd.DataFrame:
 CC_DRIVER_MAX_EDGES = 2_000_000
 
 
-def q_region_label(sf_dir: str) -> pd.DataFrame:
-    """Distributed raster connected-component labeling over the percolation
-    field: per-component region_id (min global pixel id), pixel count and
-    bounding box.  See module docstring for the exchange plan.
-    """
+def _labeled_regions() -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Shared machinery: tile partials → (region partials with their global
+    component label as ``region_id``, cross-tile handshake pairs).
+
+    Both returned frames are result-sized (O(regions), O(boundary
+    adjacencies)) — never O(pixels)."""
     from .trainprep import connected_components
 
     parts = rd.range(GRID_TILES * GRID_TILES, override_num_blocks=8).map_batches(
@@ -227,11 +241,11 @@ def q_region_label(sf_dir: str) -> pd.DataFrame:
              .groupby("key")
              .aggregate(Count(alias_name="n"),
                         Min("val", alias_name="u"), Max("val", alias_name="v")))
-    edge_df = hands.filter(expr="n == 2").select_columns(["u", "v"]).to_pandas()
-    edge_df = edge_df[edge_df.u != edge_df.v].drop_duplicates()
+    pair_df = hands.filter(expr="n == 2").select_columns(["u", "v"]).to_pandas()
+    edge_df = pair_df[pair_df.u != pair_df.v].drop_duplicates()
 
     reg = regions.select_columns(
-        ["key", "px_count", "min_r", "min_c", "max_r", "max_c"]).to_pandas()
+        ["key", "px_count", "min_r", "min_c", "max_r", "max_c", "n_adj"]).to_pandas()
     if edge_df.empty:
         lab = reg[["key"]].copy(); lab["label"] = lab["key"]
     else:
@@ -244,14 +258,92 @@ def q_region_label(sf_dir: str) -> pd.DataFrame:
         lab = reg[["key"]].merge(cc.rename(columns={"node": "key"}),
                                  on="key", how="left")
         lab["label"] = lab["label"].fillna(lab["key"]).astype(np.int64)
+    return reg.assign(region_id=lab["label"].to_numpy()), pair_df
+
+
+def q_region_label(sf_dir: str) -> pd.DataFrame:
+    """Distributed raster connected-component labeling over the percolation
+    field: per-component region_id (min global pixel id), pixel count and
+    bounding box.  See module docstring for the exchange plan.
+    """
+    reg, _ = _labeled_regions()
     # final component rollup — region partials are result-sized (≪ pixels),
     # so a driver-side merge is the cheap, shuffle-free finish
-    reg = reg.assign(region_id=lab["label"].to_numpy())
     out = (reg.groupby("region_id", as_index=False)
            .agg(px_count=("px_count", "sum"), min_r=("min_r", "min"),
                 min_c=("min_c", "min"), max_r=("max_r", "max"),
                 max_c=("max_c", "max")))
     return out.sort_values("region_id").reset_index(drop=True)
+
+
+def q_region_geometry(sf_dir: str) -> pd.DataFrame:
+    """Zonal geometry over the labeled regions (the reference's
+    ZonalAttributes/zonal stack measured on REGIONS instead of zone
+    polygons; ArcGIS ZonalGeometry AREA/PERIMETER semantics on a
+    4-connected raster): per component — area (pixel count), perimeter
+    (exposed 4-neighbour edges = 4·area − 2·adjacencies), and the P²/A
+    compactness ratio (one IEEE division of two exact integers).
+
+    Adjacencies come from two result-sized partials: within-tile pair
+    counts (per-region n_adj) and cross-tile handshake pairs, each counted
+    once by construction (east/south emission owns the pair).
+    """
+    reg, pair_df = _labeled_regions()
+    rollup = (reg.groupby("region_id", as_index=False)
+              .agg(px_count=("px_count", "sum"), inner=("n_adj", "sum")))
+    # each handshake pair is one cross-tile adjacency of the component
+    # containing u (u, v are merged by construction)
+    if pair_df.empty:
+        rollup["cross"] = 0
+    else:
+        key2label = dict(zip(reg["key"], reg["region_id"]))
+        lbl = pair_df["u"].map(key2label)
+        cross = lbl.value_counts()
+        rollup["cross"] = rollup["region_id"].map(cross).fillna(0).astype(np.int64)
+    adj = rollup["inner"] + rollup["cross"]
+    perim = 4 * rollup["px_count"] - 2 * adj
+    out = pd.DataFrame({
+        "region_id": rollup["region_id"],
+        "px_count": rollup["px_count"].astype(np.int64),
+        "perimeter": perim.astype(np.int64),
+        "compactness": (perim * perim).astype(np.float64)
+        / rollup["px_count"].astype(np.float64),
+    })
+    return out.sort_values("region_id").reset_index(drop=True)
+
+
+Q_REGION_GEOMETRY_SQL = f"""
+WITH RECURSIVE px AS (
+  SELECT CAST(range AS BIGINT) AS id,
+         CAST(range AS BIGINT) // {GRID_W} AS r, CAST(range AS BIGINT) % {GRID_W} AS c
+  FROM range(0, {GRID_W * GRID_W})
+  WHERE CAST((xor((CAST(range AS UBIGINT) * {_M1}) % {_MOD},
+                  ((CAST(range AS UBIGINT) * {_M1}) % {_MOD}) >> 16)
+              * {_M2}) % {_MOD} % 1000 AS BIGINT) < {MASK_DENSITY}
+), e AS (
+  SELECT a.id AS u, b.id AS v FROM px a JOIN px b ON b.id = a.id + 1
+  WHERE a.c < {GRID_W - 1}
+  UNION ALL
+  SELECT a.id, b.id FROM px a JOIN px b ON b.id = a.id + {GRID_W}
+), sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+lbl AS (
+  SELECT id, id AS l FROM px
+  UNION
+  SELECT s.v AS id, lbl.l FROM lbl JOIN sym s ON s.u = lbl.id WHERE lbl.l < s.v
+), comp AS (SELECT id, MIN(l) AS label FROM lbl GROUP BY id),
+area AS (
+  SELECT label AS region_id, COUNT(*) AS px_count FROM comp GROUP BY label
+), adj AS (
+  SELECT comp.label AS region_id, COUNT(*) AS n_adj
+  FROM e JOIN comp ON e.u = comp.id GROUP BY comp.label
+)
+SELECT area.region_id, area.px_count,
+       4 * area.px_count - 2 * COALESCE(adj.n_adj, 0) AS perimeter,
+       CAST((4 * area.px_count - 2 * COALESCE(adj.n_adj, 0))
+            * (4 * area.px_count - 2 * COALESCE(adj.n_adj, 0)) AS DOUBLE)
+       / CAST(area.px_count AS DOUBLE) AS compactness
+FROM area LEFT JOIN adj USING (region_id)
+"""
 
 
 # --------------------------------------------------------- LOS viewshed

@@ -83,6 +83,26 @@ def test_los_viewshed_matches_sequential_scan(ray_session):
     pd.testing.assert_frame_equal(got.astype("int64"), ref.astype("int64"))
 
 
+def test_region_geometry_matches_bruteforce(ray_session):
+    """Distributed perimeter (4·area − 2·adjacency partials) equals the
+    brute-force exposed-edge count over the whole unpadded grid."""
+    got = regions.q_region_geometry("/root/testdata/sf0.001")
+    W = regions.GRID_W
+    mask = regions.percolation_mask(0, 0, W, W)
+    ids = np.arange(W * W, dtype=np.int64).reshape(W, W)
+    lab = regions.label_min_propagation(mask, ids)
+    pad = np.pad(mask, 1, constant_values=False)
+    exposed = ((~pad[:-2, 1:-1]).astype(int) + (~pad[2:, 1:-1]).astype(int)
+               + (~pad[1:-1, :-2]).astype(int) + (~pad[1:-1, 2:]).astype(int))
+    df = pd.DataFrame({"region_id": lab[mask], "edges": exposed[mask]})
+    ref = (df.groupby("region_id", as_index=False)
+           .agg(px_count=("edges", "size"), perimeter=("edges", "sum")))
+    merged = got.merge(ref, on="region_id", suffixes=("", "_ref"))
+    assert len(merged) == len(got) == len(ref)
+    assert (merged.px_count == merged.px_count_ref).all()
+    assert (merged.perimeter == merged.perimeter_ref).all()
+
+
 def test_mask_is_subcritical():
     """The gate world must stay oracle-friendly: bounded component size."""
     ref = _whole_grid_reference()
