@@ -1157,6 +1157,105 @@ FROM acc GROUP BY acc.s ORDER BY tile_idx
 """
 
 
+def q_watershed_basins(sf_dir: str) -> pd.DataFrame:
+    """Watershed basin delineation over the D8 world (the reference's
+    hydrology family, CompoundTopographicIndex_64bitScipy.py:80-149, taken
+    to its basin-labeling conclusion; ArcGIS Watershed semantics): every
+    cell is assigned to the SINK its steepest-descent path terminates at;
+    output is one row per basin with its pixel count.
+
+    The per-tile kernel resolves the sink assignment by POINTER DOUBLING
+    (next = next[next]) — O(log path-length) vectorized numpy passes
+    instead of a sequential walk, the same trick the distributed
+    list-ranking literature uses, so a 10⁶-px tile needs ~20 passes, not
+    10⁶ steps.  Tiles never communicate (in-block hydrology semantics).
+
+    Oracle: the d8_flow_exact walk CTE joined to its terminal sinks —
+    strictly-descending paths visit exactly one sink (the endpoint), so
+    basin membership is the walk row whose cell is a sink.
+    """
+    import ray.data as rdm
+
+    ds = rdm.range(_D8_TILES, override_num_blocks=8)
+    n = _D8_N
+
+    def gen(b: pa.Table) -> pd.DataFrame:
+        ids = np.asarray(b["id"], dtype=np.int64)
+        dems = _d8_dem(ids)
+        rows = []
+        for i, s in enumerate(ids):
+            best, has_down = d8_directions(dems[i])
+            dy = np.array([o[0] for o in D8_OFFS])[best]
+            dx = np.array([o[1] for o in D8_OFFS])[best]
+            idx = np.arange(n * n, dtype=np.int64).reshape(n, n)
+            rr, cc = idx // n, idx % n
+            # when has_down, best always targets an in-grid cell (positive
+            # clamped-diagonal drops are dominated by their straight
+            # in-grid sibling — see d8_directions' clamping rule)
+            nxt = np.where(has_down, (rr + dy.reshape(n, n)) * n
+                           + (cc + dx.reshape(n, n)), idx).ravel()
+            while True:
+                jump = nxt[nxt]
+                if np.array_equal(jump, nxt):
+                    break
+                nxt = jump
+            sink_ids, counts = np.unique(nxt, return_counts=True)
+            for b_id, cnt in zip(sink_ids, counts):
+                rows.append((int(s), int(b_id), int(cnt)))
+        return pd.DataFrame(rows, columns=["tile_idx", "basin_id",
+                                           "basin_px"]).astype("int64")
+
+    out = ds.map_batches(gen, batch_format="pyarrow", batch_size=8)
+    return (out.to_pandas().sort_values(["tile_idx", "basin_id"])
+            .reset_index(drop=True))
+
+
+WATERSHED_BASINS_SQL = f"""
+WITH RECURSIVE
+grid AS (SELECT unnest(generate_series(0, {_D8_N - 1})) AS i),
+cells AS (
+  SELECT s.range AS s, r.i AS r, c.i AS c,
+         ((s.range * 131071 + r.i * 37 + c.i * 17) * 2654435761) % 4096 AS z
+  FROM range(0, {_D8_TILES}) s, grid r, grid c
+),
+nb(k, dy, dx) AS (
+  SELECT * FROM (VALUES (0,-1,-1),(1,-1,0),(2,-1,1),(3,0,-1),
+                        (4,0,1),(5,1,-1),(6,1,0),(7,1,1)) t
+),
+drops AS (
+  SELECT a.s, a.r, a.c, n.k, n.dy, n.dx,
+         CAST(a.z - b.z AS DOUBLE) /
+           (CASE WHEN n.dy <> 0 AND n.dx <> 0 THEN sqrt(2.0) ELSE 1.0 END) AS dr
+  FROM cells a
+  JOIN nb n ON TRUE
+  JOIN cells b
+    ON b.s = a.s
+   AND b.r = LEAST(GREATEST(a.r + n.dy, 0), {_D8_N - 1})
+   AND b.c = LEAST(GREATEST(a.c + n.dx, 0), {_D8_N - 1})
+),
+best AS (
+  SELECT s, r, c, dy, dx, dr,
+         ROW_NUMBER() OVER (PARTITION BY s, r, c ORDER BY dr DESC, k) AS rn
+  FROM drops
+),
+down AS (SELECT s, r, c, r + dy AS nr, c + dx AS nc, dr FROM best WHERE rn = 1),
+walk AS (
+  SELECT s, r AS sr, c AS sc, r, c FROM cells
+  UNION ALL
+  SELECT w.s, w.sr, w.sc, d.nr, d.nc
+  FROM walk w JOIN down d ON d.s = w.s AND d.r = w.r AND d.c = w.c
+  WHERE d.dr > 0
+    AND d.nr BETWEEN 0 AND {_D8_N - 1} AND d.nc BETWEEN 0 AND {_D8_N - 1}
+),
+sinks AS (SELECT s, r, c FROM down WHERE dr <= 0)
+SELECT CAST(w.s AS BIGINT) AS tile_idx,
+       CAST(w.r * {_D8_N} + w.c AS BIGINT) AS basin_id,
+       CAST(COUNT(*) AS BIGINT) AS basin_px
+FROM walk w JOIN sinks k ON k.s = w.s AND k.r = w.r AND k.c = w.c
+GROUP BY w.s, w.r, w.c
+"""
+
+
 def q_hexagon_stats(sf_dir: str) -> pd.DataFrame:
     """HexagonPixels aesthetic render (functions/HexagonPixels.py:39-83)."""
     from .functions import focal as fc

@@ -103,6 +103,37 @@ def test_region_geometry_matches_bruteforce(ray_session):
     assert (merged.perimeter == merged.perimeter_ref).all()
 
 
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_watershed_pointer_doubling_equals_sequential_walk(seed):
+    """Pointer doubling reaches the same sink as a cell-by-cell walk on
+    random integer DEMs."""
+    from raster_functions_ray import rasterqueries as rq
+
+    rng = np.random.default_rng(seed)
+    n = 12
+    dem = rng.integers(0, 4096, (n, n)).astype(np.float64)
+    best, has_down = rq.d8_directions(dem)
+    dy = np.array([o[0] for o in rq.D8_OFFS])[best]
+    dx = np.array([o[1] for o in rq.D8_OFFS])[best]
+    idx = np.arange(n * n, dtype=np.int64).reshape(n, n)
+    rr, cc = idx // n, idx % n
+    nxt = np.where(has_down, (rr + dy) * n + (cc + dx), idx).ravel()
+    doubled = nxt.copy()
+    while True:
+        jump = doubled[doubled]
+        if np.array_equal(jump, doubled):
+            break
+        doubled = jump
+    for start in range(n * n):
+        cur = start
+        for _ in range(n * n + 1):
+            if nxt[cur] == cur:
+                break
+            cur = nxt[cur]
+        assert doubled[start] == cur
+
+
 def test_mask_is_subcritical():
     """The gate world must stay oracle-friendly: bounded component size."""
     ref = _whole_grid_reference()
