@@ -1340,3 +1340,55 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n,
        quantile_disc(l_extendedprice, 0.99) AS p99_price
 FROM lineitem
 """
+
+
+# ------------------------------------------------------------ Pareto skyline
+
+def _skyline_2d(df: pd.DataFrame) -> pd.DataFrame:
+    """Exact 2-D skyline (min price, max size) — vectorized sort + cummax.
+
+    A row survives iff its size strictly exceeds every strictly-cheaper
+    row's size and equals its own price-group's max (equal-price rows are
+    dominated by a larger-size sibling; equal (price, size) rows co-exist,
+    neither dominates)."""
+    g = (df.groupby("p_retailprice", as_index=False)
+         .agg(gmax=("p_size", "max")).sort_values("p_retailprice"))
+    run = g["gmax"].cummax()
+    prev = run.shift(1, fill_value=np.iinfo(np.int64).min)
+    keep_price = g.loc[g["gmax"] > prev]
+    m = df.merge(keep_price, on="p_retailprice")
+    return m[m["p_size"] == m["gmax"]][df.columns.tolist()]
+
+
+def q_skyline(sf_dir: str) -> pd.DataFrame:
+    """Pareto frontier (skyline) of parts — minimize p_retailprice,
+    maximize p_size: parts no other part dominates.  Two-phase: each block
+    computes its LOCAL skyline (a superset restriction: global survivors
+    survive locally), the union of local skylines (result-sized) gets one
+    exact final pass on the driver.  The shape joins the top-k/heavy-hitter
+    family of coordinator-free partial reductions: no shuffle, no sort of
+    the full table, candidates ∝ skyline size not corpus size.
+
+    Oracle: NOT EXISTS dominance (strict-on-one-axis rule).
+    """
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_retailprice", "p_size"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        return _skyline_2d(b.to_pandas())
+
+    cand = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536).to_pandas()
+    out = _skyline_2d(cand)
+    return (out.sort_values("p_partkey").reset_index(drop=True)
+            .astype({"p_size": "int64"}))
+
+
+Q_SKYLINE_SQL = """
+SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+"""

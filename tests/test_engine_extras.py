@@ -682,3 +682,41 @@ class TestHardNegatives:
             gaps = np.abs(np.diff(window))
             gaps = gaps[gaps > 0]  # exact ties break by vec_id on both sides
             assert gaps.size == 0 or gaps.min() > 2e-5
+
+
+# ------------------------------------------------------------ Pareto skyline
+
+from hypothesis import given as _hy_given, settings as _hy_settings
+from hypothesis import strategies as _hy_st
+
+
+@_hy_settings(max_examples=100, deadline=None)
+@_hy_given(
+    prices=_hy_st.lists(_hy_st.integers(0, 20), min_size=1, max_size=60),
+    sizes=_hy_st.lists(_hy_st.integers(0, 20), min_size=60, max_size=60),
+    nsplit=_hy_st.integers(1, 5),
+)
+def test_skyline_partial_merge_equals_bruteforce(prices, sizes, nsplit):
+    """Local-skyline-then-merge == O(n^2) dominance filter, including ties
+    and duplicate (price, size) rows."""
+    import numpy as np
+    import pandas as pd
+
+    from raster_functions_ray.relational import _skyline_2d
+
+    n = len(prices)
+    df = pd.DataFrame({
+        "p_partkey": np.arange(n, dtype=np.int64),
+        "p_retailprice": np.asarray(prices, dtype=np.float64),
+        "p_size": np.asarray(sizes[:n], dtype=np.int64),
+    })
+    # brute force
+    p = df["p_retailprice"].to_numpy()[:, None]
+    s = df["p_size"].to_numpy()[:, None]
+    dom = ((p.T <= p) & (s.T >= s) & ((p.T < p) | (s.T > s))).any(axis=1)
+    want = set(df.loc[~dom, "p_partkey"])
+    # partial + merge over arbitrary splits
+    parts = np.array_split(df.sample(frac=1, random_state=1), nsplit)
+    cand = pd.concat([_skyline_2d(x) for x in parts if len(x)])
+    got = set(_skyline_2d(cand)["p_partkey"])
+    assert got == want
