@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_geometry": regions.q_region_geometry,
         "watershed_basins": rq.q_watershed_basins,
         "skyline": rel.q_skyline,
+        "pagerank": trainprep.q_pagerank,
         "median_select": rel.q_median_select,
         "p99_select": rel.q_p99_select,
         # band algebra on columns (same kernels as the raster path, SQL-exact)
@@ -424,6 +425,7 @@ def oracle_sql() -> dict[str, str]:
         "region_geometry": regions.Q_REGION_GEOMETRY_SQL,
         "watershed_basins": rq.WATERSHED_BASINS_SQL,
         "skyline": rel.Q_SKYLINE_SQL,
+        "pagerank": trainprep.pagerank_oracle_sql(),
         "median_select": rel.Q_MEDIAN_SELECT_SQL,
         "p99_select": rel.Q_P99_SELECT_SQL,
         "ivf_sq_search": ann.ivf_sq_oracle_sql(),

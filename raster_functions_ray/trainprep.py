@@ -1225,3 +1225,97 @@ SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
 FROM n, unnest(range(n.n_chunks)) AS u(i)
 ORDER BY doc_id, chunk_idx
 """
+
+
+# ------------------------------------------------------------ PageRank
+
+PR_ROUNDS = 3
+PR_BASE0 = 1_000_000   # initial integer mass per node
+PR_TELEPORT = 150_000  # (1-d)·BASE0 with d = 0.85
+PR_OUT_DEG = 3
+
+
+def _pr_edges(b: pa.Table, n: int) -> pa.Table:
+    d = np.asarray(b["doc_id"], dtype=np.int64)
+    u = np.repeat(d, PR_OUT_DEG)
+    v = np.stack([(d * 7 + 1) % n, (d * 13 + 5) % n, (d * 31 + 11) % n],
+                 axis=1).ravel()
+    return pa.table({"u": pa.array(u), "v": pa.array(v)})
+
+
+def q_pagerank(sf_dir: str) -> pd.DataFrame:
+    """PageRank over a deterministic doc-link multigraph (3 out-links per
+    document, damping 0.85) in INTEGER MASS arithmetic: each round every
+    node keeps the teleport share and receives floor(m·85/300) per in-edge.
+    Integer sums are exactly associative, so the distributed reduce is
+    order-free and hash-exact against SQL — the float-summation-order trap
+    that makes naive distributed PageRank unverifiable simply never opens.
+
+    Each round is one hash join (mass onto edge sources) + one groupby-Sum
+    over EDGE-sized data + one left join back to the node list — the same
+    exchange pattern as connected_components, O(edges) per round, no
+    materialized corpus on the driver.
+
+    Oracle: {PR_ROUNDS} unrolled CTE rounds with the identical floor ops.
+    """
+    import pyarrow.compute as pc
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"]).materialize()
+    n = docs.count()
+    nparts = max(2, min(join_partitions(), n // 10000 + 2))
+
+    edges = docs.map_batches(lambda b: _pr_edges(b, n),
+                             batch_format="pyarrow").materialize()
+    mass = docs.map_batches(
+        lambda b: pa.table({"node": b["doc_id"],
+                            "m": pa.array(np.full(b.num_rows, PR_BASE0,
+                                                  np.int64))}),
+        batch_format="pyarrow").materialize()
+    for _ in range(PR_ROUNDS):
+        as_src = mass.map_batches(lambda b: b.rename_columns(["u", "m"]),
+                                  batch_format="pyarrow")
+        msgs = (edges.join(as_src, join_type="inner",
+                           num_partitions=nparts, on=("u",))
+                .map_batches(lambda b: pa.table({
+                    "node": b["v"],
+                    "c": pa.array((np.asarray(b["m"], np.int64) * 85) // 300)}),
+                    batch_format="pyarrow"))
+        inflow = msgs.groupby("node").aggregate(Sum("c", alias_name="s"))
+        nodes = docs.map_batches(
+            lambda b: pa.table({"node": b["doc_id"]}), batch_format="pyarrow")
+        mass = (nodes.join(inflow, join_type="left_outer",
+                           num_partitions=nparts, on=("node",))
+                .map_batches(lambda b: pa.table({
+                    "node": b["node"],
+                    "m": pa.array(PR_TELEPORT + np.asarray(
+                        pc.fill_null(b["s"], 0), np.int64))}),
+                    batch_format="pyarrow")).materialize()
+    out = mass.to_pandas().rename(columns={"node": "doc_id", "m": "rank_mass"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def pagerank_oracle_sql() -> str:
+    rounds = []
+    prev = "m0"
+    for i in range(1, PR_ROUNDS + 1):
+        rounds.append(f"""
+r{i} AS (
+  SELECT d.doc_id,
+         {PR_TELEPORT} + CAST(COALESCE(SUM((p.m * 85) // 300), 0) AS BIGINT) AS m
+  FROM documents d
+  LEFT JOIN e ON e.v = d.doc_id
+  LEFT JOIN {prev} p ON p.doc_id = e.u
+  GROUP BY d.doc_id
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH e AS (
+  SELECT doc_id AS u, (doc_id * 7 + 1) % (SELECT COUNT(*) FROM documents) AS v FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 5) % (SELECT COUNT(*) FROM documents) FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 31 + 11) % (SELECT COUNT(*) FROM documents) FROM documents
+), m0 AS (SELECT doc_id, {PR_BASE0} AS m FROM documents),
+{','.join(rounds)}
+SELECT doc_id, m AS rank_mass FROM {prev}
+"""
