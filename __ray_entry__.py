@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "watershed_basins": rq.q_watershed_basins,
         "skyline": rel.q_skyline,
         "pagerank": trainprep.q_pagerank,
+        "pmi_bigrams": trainprep.q_pmi_bigrams,
         "median_select": rel.q_median_select,
         "p99_select": rel.q_p99_select,
         # band algebra on columns (same kernels as the raster path, SQL-exact)
@@ -426,6 +427,7 @@ def oracle_sql() -> dict[str, str]:
         "watershed_basins": rq.WATERSHED_BASINS_SQL,
         "skyline": rel.Q_SKYLINE_SQL,
         "pagerank": trainprep.pagerank_oracle_sql(),
+        "pmi_bigrams": trainprep.Q_PMI_BIGRAMS_SQL,
         "median_select": rel.Q_MEDIAN_SELECT_SQL,
         "p99_select": rel.Q_P99_SELECT_SQL,
         "ivf_sq_search": ann.ivf_sq_oracle_sql(),

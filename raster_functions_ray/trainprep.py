@@ -1319,3 +1319,115 @@ WITH e AS (
 {','.join(rounds)}
 SELECT doc_id, m AS rank_mass FROM {prev}
 """
+
+
+# --------------------------------------------------- PMI bigram association
+
+PMI_MIN_COUNT = 5  # bigram support floor before scoring
+PMI_TOP_K = 100
+
+
+def q_pmi_bigrams(sf_dir: str) -> pd.DataFrame:
+    """Top-{PMI_TOP_K} bigram collocations by pointwise mutual information
+    over the whitespace-token stream — the association-mining sibling of
+    tf-idf (phrase detection for tokenizer/vocab construction).
+
+    Exactness: PMI's log is monotone, so ranking by the RATIO
+    p(xy)/(p(x)p(y)) = c_xy·T² / (B·c_x·c_y) is rank-identical and
+    float-safe — numerator and denominator are exact int64 products
+    (≲2.5e18 at sf0.1, within int64) and the score is ONE IEEE division of
+    the two casts, bit-identical in numpy and DuckDB.
+
+    Shape: one pass emits unified unigram/bigram count partials (bigram
+    pairs built by a vectorized shifted-index compare on the exploded
+    token stream, no per-doc loop); one vocabulary-sized groupby-Sum; a
+    support filter shrinks bigrams to candidates BEFORE the two hash joins
+    that attach c_x and c_y; per-block partial top-k, driver merge.
+    """
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        toks = df["text"].str.findall(r"[^ \t\n\r\f]+")
+        e = toks.explode().dropna()
+        vals = e.to_numpy(dtype=object)
+        idx = e.index.to_numpy()
+        uni = pd.Series(vals).groupby(vals).size()
+        same = idx[1:] == idx[:-1]
+        bx, by = vals[:-1][same], vals[1:][same]
+        big = (pd.DataFrame({"x": bx, "y": by}).groupby(["x", "y"])
+               .size().reset_index(name="cnt"))
+        return pa.table({
+            "x": pa.array(np.concatenate([uni.index.to_numpy(dtype=object),
+                                          big["x"].to_numpy(dtype=object)]).astype(str)),
+            "y": pa.array(np.concatenate([np.full(len(uni), "", object),
+                                          big["y"].to_numpy(dtype=object)]).astype(str)),
+            "cnt": pa.array(np.concatenate([uni.to_numpy(np.int64),
+                                            big["cnt"].to_numpy(np.int64)])),
+        })
+
+    counts = (ds.map_batches(partials, batch_format="pyarrow", batch_size=8192)
+              .groupby(["x", "y"]).aggregate(Sum("cnt", alias_name="c"))
+              .materialize())
+    uni = counts.filter(expr="y == ''").map_batches(
+        lambda b: pa.table({"term": b["x"], "c_term": b["c"]}),
+        batch_format="pyarrow").materialize()
+    big = counts.filter(expr="y != ''")
+    t_total = uni.sum("c_term")
+    b_total = big.sum("c")
+    cand = big.filter(expr=f"c >= {PMI_MIN_COUNT}")
+    nparts = max(2, min(join_partitions(), uni.count() // 50000 + 2))
+    jx = (cand.map_batches(lambda b: b.rename_columns(["term", "y", "c_xy"]),
+                           batch_format="pyarrow")
+          .join(uni, join_type="inner", num_partitions=nparts, on=("term",))
+          .map_batches(lambda b: pa.table({
+              "x": b["term"], "term": b["y"], "c_xy": b["c_xy"],
+              "c_x": b["c_term"]}), batch_format="pyarrow"))
+    jy = (jx.join(uni, join_type="inner", num_partitions=nparts, on=("term",))
+          .map_batches(lambda b: pa.table({
+              "x": b["x"], "y": b["term"], "c_xy": b["c_xy"],
+              "c_x": b["c_x"], "c_y": b["c_term"]}), batch_format="pyarrow"))
+
+    def score_topk(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        num = df["c_xy"].to_numpy(np.int64) * t_total * t_total
+        den = b_total * df["c_x"].to_numpy(np.int64) * df["c_y"].to_numpy(np.int64)
+        df["pmi_ratio"] = num.astype(np.float64) / den.astype(np.float64)
+        return df.sort_values(["pmi_ratio", "x", "y"],
+                              ascending=[False, True, True]).head(PMI_TOP_K)
+
+    candtop = jy.map_batches(score_topk, batch_format="pyarrow",
+                             batch_size=65536).to_pandas()
+    out = candtop.sort_values(["pmi_ratio", "x", "y"],
+                              ascending=[False, True, True]).head(PMI_TOP_K)
+    return (out[["x", "y", "c_xy", "c_x", "c_y", "pmi_ratio"]]
+            .reset_index(drop=True))
+
+
+Q_PMI_BIGRAMS_SQL = rf"""
+WITH d AS (
+  SELECT list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+  FROM documents
+), uni AS (SELECT unnest(l) AS term FROM d),
+ucnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY term),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM uni),
+big AS (
+  SELECT l[CAST(i.i AS BIGINT)] AS x, l[CAST(i.i AS BIGINT) + 1] AS y
+  FROM d, LATERAL (SELECT unnest(generate_series(1, length(l) - 1)) AS i) i
+  WHERE length(l) >= 2
+), bcnt AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c_xy FROM big GROUP BY x, y),
+btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM big),
+scored AS (
+  SELECT bcnt.x, bcnt.y, bcnt.c_xy, ux.c AS c_x, uy.c AS c_y,
+         CAST(bcnt.c_xy * tot.t * tot.t AS DOUBLE)
+         / CAST(btot.b * ux.c * uy.c AS DOUBLE) AS pmi_ratio
+  FROM bcnt
+  JOIN ucnt ux ON ux.term = bcnt.x
+  JOIN ucnt uy ON uy.term = bcnt.y, tot, btot
+  WHERE bcnt.c_xy >= {PMI_MIN_COUNT}
+)
+SELECT x, y, c_xy, c_x, c_y, pmi_ratio
+FROM scored ORDER BY pmi_ratio DESC, x, y LIMIT {PMI_TOP_K}
+"""
