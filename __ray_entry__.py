@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rect_overlap_join_split": spatial.q_rect_overlap_join_split,
         "radius_join": spatial.q_radius_join,
         "knn_join": spatial.q_knn_join,
+        "segment_join": spatial.q_segment_join,
         # raster region analysis (round 4, regions.py)
         "region_label": regions.q_region_label,
         "los_viewshed": regions.q_los_viewshed,
@@ -421,6 +422,7 @@ def oracle_sql() -> dict[str, str]:
         "rect_overlap_join_split": spatial.Q_RECT_OVERLAP_JOIN_SQL,
         "radius_join": spatial.Q_RADIUS_JOIN_SQL,
         "knn_join": spatial.Q_KNN_JOIN_SQL,
+        "segment_join": spatial.Q_SEGMENT_JOIN_SQL,
         "region_label": regions.Q_REGION_LABEL_SQL,
         "los_viewshed": regions.Q_LOS_VIEWSHED_SQL,
         "region_geometry": regions.Q_REGION_GEOMETRY_SQL,

@@ -1683,3 +1683,187 @@ SELECT a_id, b_id, CAST(rank AS BIGINT) AS rank, d2 FROM (
 WHERE rank <= {KNN_JOIN_K}
 ORDER BY a_id, rank
 """
+
+
+# ------------------------------------- point-to-segment proximity join
+
+SEG_R = 15          # distance bound (integer world [0,10000)²)
+SEG_CELL = 50       # grid pitch ≥ max(bbox span + 2R straddle) / 2
+SEG_MAXD = 40       # max endpoint offset per axis
+
+
+def _seg_mix(ids: np.ndarray, mod: int) -> np.ndarray:
+    """Counter mix (the regions.mask_values discipline: two multiply/
+    xor-shift rounds, SQL-exact in UBIGINT) → [0, mod).  Linear congruences
+    are NOT usable here: points and segments derived from the same
+    multipliers land on coincident 1-D lattices and the join explodes
+    (measured 30 M pairs at sf0.1 vs ~245 k decorrelated)."""
+    h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+    h = ((h ^ (h >> np.uint64(16))) * np.uint64(2246822519)) % np.uint64(1 << 32)
+    return (h % np.uint64(mod)).astype(np.int64)
+
+
+def _seg_endpoints(keys: np.ndarray):
+    """Deterministic bounded segments from order keys — integer endpoints
+    in [0,10000)², axis span ≤ {SEG_MAXD} (keeps per-segment cell fan-out
+    ≤ 3×3 at pitch {SEG_CELL})."""
+    k = keys.astype(np.int64)
+    x1 = _seg_mix(4 * k + 0, 10000)
+    y1 = _seg_mix(4 * k + 1, 10000)
+    dx = _seg_mix(4 * k + 2, 81) - 40
+    dy = _seg_mix(4 * k + 3, 81) - 40
+    x2 = np.clip(x1 + dx, 0, 9999)
+    y2 = np.clip(y1 + dy, 0, 9999)
+    return x1, y1, x2, y2
+
+
+def _seg_points(eids: np.ndarray):
+    """Point coordinates decorrelated from the segment stream by a counter
+    offset (2e9 ≫ any 4·o_orderkey+3 at every sf)."""
+    return (_seg_mix(2_000_000_000 + 2 * eids, 10000),
+            _seg_mix(2_000_000_001 + 2 * eids, 10000))
+
+
+def _seg_dist_parts(px, py, x1, y1, x2, y2):
+    """Exact squared point-to-segment distance as an integer fraction
+    (num, den): endpoint cases den=1; interior case (cross², |v|²).
+    Every product ≤ ~6.5e9 — exact in int64 and DuckDB BIGINT."""
+    vx, vy = x2 - x1, y2 - y1
+    wx, wy = px - x1, py - y1
+    dot = wx * vx + wy * vy
+    vv = vx * vx + vy * vy
+    ux, uy = px - x2, py - y2
+    cross = wx * vy - wy * vx
+    num = np.where(dot <= 0, wx * wx + wy * wy,
+                   np.where(dot >= vv, ux * ux + uy * uy, cross * cross))
+    den = np.where((dot <= 0) | (dot >= vv), np.int64(1), vv)
+    return num, den
+
+
+def q_segment_join(sf_dir: str) -> pd.DataFrame:
+    """Point-to-SEGMENT proximity join: every (event point, order segment)
+    pair within euclidean distance {SEG_R} — the polyline sibling of
+    q_radius_join (points near roads/pipelines), both sides corpus-sized.
+
+    Geometry is integer-exact end to end: the clamped-projection distance
+    is the fraction (num, den) from _seg_dist_parts and the predicate
+    num ≤ R²·den is an int64 comparison — no float enters the join.
+
+    Scale shape (grid method): each segment emits the ≤3×3 cells its
+    R-expanded bbox overlaps; each point emits ONLY its own cell, so every
+    qualifying pair forms exactly once (the point's cell always overlaps
+    the expanded bbox — no report-once bookkeeping needed).  Pairs form
+    per cell in row-blocked stripes."""
+    pts = read_table(sf_dir, "events", columns=["event_id"])
+    segs = read_table(sf_dir, "orders", columns=["o_orderkey"])
+
+    def pt_cells(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        px, py = _seg_points(eid)
+        return pa.table({
+            "key": pa.array((px // SEG_CELL) * 1024 + py // SEG_CELL),
+            "kind": pa.array(np.zeros(eid.size, np.int8)),
+            "id": pa.array(eid), "ax": pa.array(px), "ay": pa.array(py),
+            "bx": pa.array(np.zeros(eid.size, np.int64)),
+            "by": pa.array(np.zeros(eid.size, np.int64))})
+
+    def seg_cells(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["o_orderkey"], dtype=np.int64)
+        x1, y1, x2, y2 = _seg_endpoints(k)
+        cx0 = (np.minimum(x1, x2) - SEG_R) // SEG_CELL
+        cx1 = (np.maximum(x1, x2) + SEG_R) // SEG_CELL
+        cy0 = (np.minimum(y1, y2) - SEG_R) // SEG_CELL
+        cy1 = (np.maximum(y1, y2) + SEG_R) // SEG_CELL
+        parts = []
+        for i in range(3):
+            for j in range(3):
+                keep = (cx0 + i <= cx1) & (cy0 + j <= cy1)
+                if not keep.any():
+                    continue
+                parts.append(pa.table({
+                    "key": pa.array((cx0[keep] + i) * 1024 + cy0[keep] + j),
+                    "kind": pa.array(np.ones(int(keep.sum()), np.int8)),
+                    "id": pa.array(k[keep]),
+                    "ax": pa.array(x1[keep]), "ay": pa.array(y1[keep]),
+                    "bx": pa.array(x2[keep]), "by": pa.array(y2[keep])}))
+        return pa.concat_tables(parts)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        isp = g["kind"].to_numpy() == 0
+        if not isp.any() or isp.all():
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "seg_id": pd.Series([], dtype="int64"),
+                                 "d2_num": pd.Series([], dtype="int64"),
+                                 "d2_den": pd.Series([], dtype="int64")})
+        p, s = g[isp], g[~isp]
+        eid = p["id"].to_numpy(np.int64)
+        px, py = p["ax"].to_numpy(np.int64), p["ay"].to_numpy(np.int64)
+        sid = s["id"].to_numpy(np.int64)
+        x1, y1 = s["ax"].to_numpy(np.int64), s["ay"].to_numpy(np.int64)
+        x2, y2 = s["bx"].to_numpy(np.int64), s["by"].to_numpy(np.int64)
+
+        def build(lo: int, hi: int) -> pd.DataFrame:
+            num, den = _seg_dist_parts(px[lo:hi, None], py[lo:hi, None],
+                                       x1[None, :], y1[None, :],
+                                       x2[None, :], y2[None, :])
+            hit = num <= SEG_R * SEG_R * den
+            i, j = np.nonzero(hit)
+            return pd.DataFrame({"event_id": eid[lo:hi][i], "seg_id": sid[j],
+                                 "d2_num": num[i, j], "d2_den": den[i, j]})
+
+        return _striped_pair_frames(eid.size, build,
+                                    {"event_id": "int64", "seg_id": "int64",
+                                     "d2_num": "int64", "d2_den": "int64"})
+
+    cells = pts.map_batches(pt_cells, batch_format="pyarrow").union(
+        segs.map_batches(seg_cells, batch_format="pyarrow"))
+    out = (cells.groupby("key").map_groups(pairs, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["event_id", "seg_id"]).reset_index(drop=True)
+
+
+Q_SEGMENT_JOIN_SQL = f"""
+WITH pts AS (
+  SELECT event_id,
+         CAST(xor((CAST(2000000000 + 2 * event_id AS UBIGINT) * 2654435761) % 4294967296, ((CAST(2000000000 + 2 * event_id AS UBIGINT) * 2654435761) % 4294967296) >> 16) * 2246822519 % 4294967296 % 10000 AS BIGINT) AS px,
+         CAST(xor((CAST(2000000001 + 2 * event_id AS UBIGINT) * 2654435761) % 4294967296, ((CAST(2000000001 + 2 * event_id AS UBIGINT) * 2654435761) % 4294967296) >> 16) * 2246822519 % 4294967296 % 10000 AS BIGINT) AS py
+  FROM events
+), segsa AS (
+  SELECT o_orderkey AS seg_id,
+         CAST(xor((CAST(4 * o_orderkey + 0 AS UBIGINT) * 2654435761) % 4294967296, ((CAST(4 * o_orderkey + 0 AS UBIGINT) * 2654435761) % 4294967296) >> 16) * 2246822519 % 4294967296 % 10000 AS BIGINT) AS x1,
+         CAST(xor((CAST(4 * o_orderkey + 1 AS UBIGINT) * 2654435761) % 4294967296, ((CAST(4 * o_orderkey + 1 AS UBIGINT) * 2654435761) % 4294967296) >> 16) * 2246822519 % 4294967296 % 10000 AS BIGINT) AS y1,
+         CAST(xor((CAST(4 * o_orderkey + 2 AS UBIGINT) * 2654435761) % 4294967296, ((CAST(4 * o_orderkey + 2 AS UBIGINT) * 2654435761) % 4294967296) >> 16) * 2246822519 % 4294967296 % 81 AS BIGINT) - 40 AS dx,
+         CAST(xor((CAST(4 * o_orderkey + 3 AS UBIGINT) * 2654435761) % 4294967296, ((CAST(4 * o_orderkey + 3 AS UBIGINT) * 2654435761) % 4294967296) >> 16) * 2246822519 % 4294967296 % 81 AS BIGINT) - 40 AS dy
+  FROM orders
+), segs0 AS (
+  SELECT seg_id, x1, y1,
+         LEAST(GREATEST(x1 + dx, 0), 9999) AS x2,
+         LEAST(GREATEST(y1 + dy, 0), 9999) AS y2
+  FROM segsa
+), segs AS (
+  -- materialized bbox columns: plain column-to-column range predicates
+  -- let DuckDB pick IEJoin instead of a nested-loop cross product
+  SELECT seg_id, x1, y1, x2, y2,
+         LEAST(x1, x2) - {SEG_R} AS xlo, GREATEST(x1, x2) + {SEG_R} AS xhi,
+         LEAST(y1, y2) - {SEG_R} AS ylo, GREATEST(y1, y2) + {SEG_R} AS yhi
+  FROM segs0
+), d AS (
+  SELECT p.event_id, s.seg_id,
+         (p.px - s.x1) * (s.x2 - s.x1) + (p.py - s.y1) * (s.y2 - s.y1) AS dot,
+         (s.x2 - s.x1) * (s.x2 - s.x1) + (s.y2 - s.y1) * (s.y2 - s.y1) AS vv,
+         (p.px - s.x1) * (p.px - s.x1) + (p.py - s.y1) * (p.py - s.y1) AS w2,
+         (p.px - s.x2) * (p.px - s.x2) + (p.py - s.y2) * (p.py - s.y2) AS u2,
+         (p.px - s.x1) * (s.y2 - s.y1) - (p.py - s.y1) * (s.x2 - s.x1) AS cr
+  FROM pts p, segs s
+  WHERE p.px >= s.xlo AND p.px <= s.xhi
+    AND p.py >= s.ylo AND p.py <= s.yhi
+), scored AS (
+  SELECT event_id, seg_id,
+         CASE WHEN dot <= 0 THEN w2 WHEN dot >= vv THEN u2 ELSE cr * cr END AS d2_num,
+         CASE WHEN dot <= 0 OR dot >= vv THEN 1 ELSE vv END AS d2_den
+  FROM d
+)
+SELECT event_id, seg_id, d2_num, d2_den
+FROM scored WHERE d2_num <= {SEG_R * SEG_R} * d2_den
+ORDER BY event_id, seg_id
+"""
