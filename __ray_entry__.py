@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_join": spatial.q_radius_join,
         "knn_join": spatial.q_knn_join,
         "segment_join": spatial.q_segment_join,
+        "polygon_geometry": spatial.q_polygon_geometry,
         # raster region analysis (round 4, regions.py)
         "region_label": regions.q_region_label,
         "los_viewshed": regions.q_los_viewshed,
@@ -423,6 +424,7 @@ def oracle_sql() -> dict[str, str]:
         "radius_join": spatial.Q_RADIUS_JOIN_SQL,
         "knn_join": spatial.Q_KNN_JOIN_SQL,
         "segment_join": spatial.Q_SEGMENT_JOIN_SQL,
+        "polygon_geometry": spatial.polygon_geometry_oracle_sql(0.01),
         "region_label": regions.Q_REGION_LABEL_SQL,
         "los_viewshed": regions.Q_LOS_VIEWSHED_SQL,
         "region_geometry": regions.Q_REGION_GEOMETRY_SQL,

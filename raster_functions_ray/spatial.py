@@ -1867,3 +1867,78 @@ SELECT event_id, seg_id, d2_num, d2_den
 FROM scored WHERE d2_num <= {SEG_R * SEG_R} * d2_den
 ORDER BY event_id, seg_id
 """
+
+
+# ------------------------------------------- polygon geometry (shoelace)
+
+def parse_wkt_polygon(wkt: str) -> tuple[np.ndarray, np.ndarray]:
+    """'POLYGON ((x y, x y, ...))' → vertex arrays (unclosed ring)."""
+    body = wkt[wkt.index("((") + 2:wkt.rindex("))")]
+    flat = np.array([float(t) for pair in body.split(", ")
+                     for t in pair.split(" ")], dtype=np.float64)
+    return flat[0::2], flat[1::2]
+
+
+def q_polygon_geometry(sf_dir: str) -> pd.DataFrame:
+    """Vector geometry over the zone polygons: WKT POLYGON encode →
+    decode round-trip, then the shoelace area — the raster↔vector
+    engine's pure-vector measurement kernel (the zonal joins consume
+    these polygons; this query measures them).
+
+    Exactness: vertices are 6-dp decimals, so scaling by 1e6 and rounding
+    yields exact int64 coordinates; the shoelace cross-products (≲1.3e17)
+    and their ≤8-term sum stay int64/BIGINT-exact and ORDER-FREE, giving
+    hash parity without any float-summation discipline.  The reported
+    area is one IEEE division of the exact scaled integer.
+    """
+    import os
+
+    from . import synth
+
+    d = synth.synth_dir_for(sf_dir)
+    ds = rd.read_parquet(os.path.join(d, "zones.parquet"),
+                         columns=["zone_id", "vertices"])
+
+    def geom(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in range(b.num_rows):  # zones are the result-sized small side
+            zid = int(b["zone_id"][i].as_py())
+            verts = b["vertices"][i].as_py()
+            pts = ", ".join(f"{verts[j]:.6f} {verts[j + 1]:.6f}"
+                            for j in range(0, len(verts), 2))
+            xs, ys = parse_wkt_polygon(f"POLYGON (({pts}))")
+            xi = np.round(xs * 1e6).astype(np.int64)
+            yi = np.round(ys * 1e6).astype(np.int64)
+            cross = xi * np.roll(yi, -1) - np.roll(xi, -1) * yi
+            area2 = abs(int(cross.sum()))
+            rows.append((zid, len(xi), area2))
+        out = pd.DataFrame(rows, columns=["zone_id", "n_verts", "area2_scaled"])
+        out["area"] = out["area2_scaled"].astype(np.float64) / 2e12
+        return out.astype({"zone_id": "int64", "n_verts": "int64",
+                           "area2_scaled": "int64"})
+
+    out = ds.map_batches(geom, batch_format="pyarrow", batch_size=256).to_pandas()
+    return out.sort_values("zone_id").reset_index(drop=True)
+
+
+def polygon_geometry_oracle_sql(sf: float = 0.01) -> str:
+    from . import synth
+
+    d = synth.synth_dir(sf)
+    return f"""
+WITH z AS (
+  SELECT zone_id, vertices, len(vertices) // 2 AS nv,
+         list_transform(vertices, v -> CAST(round(v * 1000000) AS BIGINT)) AS s
+  FROM read_parquet('{d}/zones.parquet')
+), m AS (
+  SELECT zone_id, nv,
+         abs(list_aggregate(list_transform(range(1, nv + 1), i ->
+             s[2*i-1] * s[2*(i % nv)+2] - s[2*(i % nv)+1] * s[2*i]
+         ), 'sum')) AS area2_scaled
+  FROM z
+)
+SELECT CAST(zone_id AS BIGINT) AS zone_id, CAST(nv AS BIGINT) AS n_verts,
+       CAST(area2_scaled AS BIGINT) AS area2_scaled,
+       CAST(CAST(area2_scaled AS BIGINT) AS DOUBLE) / 2000000000000.0 AS area
+FROM m
+"""
