@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_extract_exact": analytic2.q_merge_extract_exact,
         "vector_field_exact": analytic2.q_vector_field_exact,
         "rank_filter_exact": analytic2.q_rank_filter_exact,
+        "focal_majority_exact": analytic2.q_focal_majority_exact,
         "aspect_slope_exact": analytic2.q_aspect_slope_exact,
         "block_stats_minmax_exact": analytic2.q_block_stats_minmax_exact,
         "zonal_remap_exact": analytic2.q_zonal_remap_exact,
@@ -310,6 +311,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_extract_exact": analytic2.merge_extract_exact_oracle_sql(0.01),
         "vector_field_exact": analytic2.vector_field_exact_oracle_sql(0.01),
         "rank_filter_exact": analytic2.rank_filter_exact_oracle_sql(0.01),
+        "focal_majority_exact": analytic2.focal_majority_exact_oracle_sql(0.01),
         "aspect_slope_exact": analytic2.aspect_slope_exact_oracle_sql(0.01),
         "block_stats_minmax_exact": analytic2.block_stats_minmax_exact_oracle_sql(0.01),
         "zonal_remap_exact": analytic2.zonal_remap_exact_oracle_sql(0.01),

@@ -680,6 +680,59 @@ def q_rank_filter_exact(sf_dir: str) -> pd.DataFrame:
                                      ("r_sum", pa.float64())])
 
 
+MAJ_MOD = 9  # quantizer for the majority surface (affine → repeats)
+
+
+def q_focal_majority_exact(sf_dir: str) -> pd.DataFrame:
+    """Focal MAJORITY (mode, smallest-value tie-break) through the real
+    parquet halo: band0 quantized mod {MAJ_MOD} (the affine surface alone
+    has 9 DISTINCT window values — the quantizer creates genuine
+    multiplicities so the count>1 paths are exercised), then the
+    vectorized run-length mode kernel.  DuckDB recomputes the identical
+    key count·1e9 − value per 9-element window list."""
+    from .functions import focal as fc
+    from .stages import halo, tile_map
+
+    padded = halo.with_halo_from_parquet(
+        _analytic_path(sf_dir), padding=1, bands=2,
+        scene_ids=[s * 10 for s in range(synth.A_SCENES)])
+
+    def kernel(p, m, meta):
+        band = p[0] if p.ndim == 3 else p
+        return fc.focal_majority(np.mod(band, float(MAJ_MOD))), fc.erode_mask_3x3(m)
+
+    out = tile_map.apply_kernel(padded, kernel, out_pixel_type="f8")
+
+    def stats(a):
+        return (float(a.min()), float(a.max()), float(a.sum()))
+
+    return _exact_stats(out, stats, [("m_min", pa.float64()),
+                                     ("m_max", pa.float64()),
+                                     ("m_sum", pa.float64())])
+
+
+def focal_majority_exact_oracle_sql(sf: float = 0.01) -> str:
+    p = synth.params_for(sf)
+    n = p.tiles_per_side * p.tile_px
+    clamp = lambda ex: f"GREATEST(0, LEAST({n - 1}, {ex}))"  # noqa: E731
+    nine = ", ".join(
+        f"CAST({_b0_sql(gr=clamp(f'gr + {dr}'), gc=clamp(f'gc + {dc}'))} AS BIGINT) % {MAJ_MOD}"
+        for dr in (-1, 0, 1) for dc in (-1, 0, 1))
+    return f"""
+WITH {_epoch0_cte(sf)},
+w AS (SELECT tile_id, [{nine}] AS l FROM px),
+k AS (SELECT tile_id,
+             list_max(list_transform(l, x ->
+               1000000000 * len(list_filter(l, e -> e = x)) - x)) AS mkey,
+             list_max(list_transform(l, x ->
+               len(list_filter(l, e -> e = x)))) AS mc
+      FROM w),
+f AS (SELECT tile_id, CAST(1000000000 * mc - mkey AS DOUBLE) AS sv FROM k)
+SELECT tile_id, MIN(sv) AS m_min, MAX(sv) AS m_max, SUM(sv) AS m_sum
+FROM f GROUP BY tile_id ORDER BY tile_id
+"""
+
+
 def rank_filter_exact_oracle_sql(sf: float = 0.01) -> str:
     p = synth.params_for(sf)
     n = p.tiles_per_side * p.tile_px

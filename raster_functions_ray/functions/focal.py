@@ -199,6 +199,33 @@ def rank_filter(p_padded: np.ndarray, size: int = 3, measure: str = "median") ->
     return f(win, axis=(-2, -1))
 
 
+def focal_majority(p_padded: np.ndarray, size: int = 3) -> np.ndarray:
+    """Focal MAJORITY (mode) with deterministic smallest-value tie-break —
+    the FocalStatistics MAJORITY member of the rank family
+    (functions/RankFilter.py:80-111 names the skimage rank set; majority is
+    its categorical sibling, used on classified rasters).
+
+    Vectorized: sort the size² window values per pixel, compute run
+    lengths positionally (fixed size² passes over the whole tile), then
+    argmax of the key count·1e9 − value — the max-count element, ties to
+    the SMALLEST value.  Values must be integer-valued and < 1e9 (true for
+    every classified/analytic surface here)."""
+    win = np.lib.stride_tricks.sliding_window_view(
+        np.asarray(p_padded, dtype=np.float64), (size, size))
+    h, w = win.shape[:2]
+    k = size * size
+    vals = np.sort(win.reshape(h, w, k), axis=-1)
+    # counts[i] = multiplicity of vals[i] within its window
+    counts = np.ones((h, w, k), np.int64)
+    for off in range(1, k):
+        eq = vals[:, :, off:] == vals[:, :, :-off]
+        counts[:, :, off:] += eq          # equals among the off-left runs
+        counts[:, :, :-off] += eq         # and symmetrically to the right
+    key = counts.astype(np.int64) * 1_000_000_000 - vals.astype(np.int64)
+    pick = np.argmax(key, axis=-1)
+    return np.take_along_axis(vals, pick[..., None], axis=-1)[..., 0]
+
+
 def focal_max(p_padded: np.ndarray, size: int = 3) -> np.ndarray:
     """Focal_Max inside RasterCalculator expressions (SURVEY.md §2.5)."""
     return rank_filter(p_padded, size, "maximum")

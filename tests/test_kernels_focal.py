@@ -388,3 +388,27 @@ class TestD8FlowAccumulation:
         dem = _d8_dem(np.array([3], dtype=np.int64))[0]
         assert dem.shape == (_D8_N, _D8_N)
         assert dem[2, 5] == ((3 * 131071 + 2 * 37 + 5 * 17) * 2654435761) % 4096
+
+
+def test_focal_majority_matches_bruteforce():
+    """Vectorized run-length mode == per-window Counter with the
+    smallest-value tie-break, on random small-int surfaces (dense ties)."""
+    import collections
+
+    import numpy as np
+
+    from raster_functions_ray.functions import focal as fc
+
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        h, w = rng.integers(3, 12, 2)
+        a = rng.integers(0, 4, (h, w)).astype(np.float64)
+        pad = np.pad(a, 1, mode="edge")
+        got = fc.focal_majority(pad)
+        assert got.shape == (h, w)
+        for r in range(h):
+            for c in range(w):
+                win = pad[r:r + 3, c:c + 3].ravel()
+                cnt = collections.Counter(win)
+                best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+                assert got[r, c] == best, (r, c, win, got[r, c], best)
