@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_geometry": regions.q_region_geometry,
         "watershed_basins": rq.q_watershed_basins,
         "skyline": rel.q_skyline,
+        "interval_union": rel.q_interval_union,
         "pagerank": trainprep.q_pagerank,
         "pmi_bigrams": trainprep.q_pmi_bigrams,
         "median_select": rel.q_median_select,
@@ -432,6 +433,7 @@ def oracle_sql() -> dict[str, str]:
         "region_geometry": regions.Q_REGION_GEOMETRY_SQL,
         "watershed_basins": rq.WATERSHED_BASINS_SQL,
         "skyline": rel.Q_SKYLINE_SQL,
+        "interval_union": rel.Q_INTERVAL_UNION_SQL,
         "pagerank": trainprep.pagerank_oracle_sql(),
         "pmi_bigrams": trainprep.Q_PMI_BIGRAMS_SQL,
         "median_select": rel.Q_MEDIAN_SELECT_SQL,

@@ -1392,3 +1392,70 @@ WHERE NOT EXISTS (
     AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
 )
 """
+
+
+# ------------------------------------------- interval union (gaps & islands)
+
+def q_interval_union(sf_dir: str) -> pd.DataFrame:
+    """Per-user interval-coverage rollup (gaps-and-islands): each event
+    opens the interval [ts, ts + dur) with a deterministic integer
+    duration; output is the user's island count and the exact UNION length
+    in microseconds — the coverage/utilization aggregate (machine uptime,
+    ad exposure, sensor dwell).
+
+    Vectorized per ordered group: sort by (start, end), running max of
+    ends, new island where start exceeds the previous running max, one
+    groupby per island.  All arithmetic is int64 microseconds — exact and
+    order-free once the (start, end) sort fixes the scan order.
+    """
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def union_len(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        dur = (g["event_id"].to_numpy(np.int64) % 3600 + 60) * 1_000_000
+        e = s + dur
+        order = np.lexsort((e, s))
+        s, e = s[order], e[order]
+        run = np.maximum.accumulate(e)
+        new_isl = np.ones(len(s), bool)
+        if len(s) > 1:
+            new_isl[1:] = s[1:] > run[:-1]
+        iid = np.cumsum(new_isl) - 1
+        starts = s[new_isl]
+        ends = np.maximum.reduceat(e, np.flatnonzero(new_isl))
+        return pd.DataFrame({
+            "user_id": [np.int64(g["user_id"].iloc[0])],
+            "n_islands": [np.int64(iid[-1] + 1 if len(s) else 0)],
+            "union_us": [np.int64((ends - starts).sum())],
+        })
+
+    out = (ds.groupby("user_id").map_groups(union_len, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True).astype(
+        {"user_id": "int64", "n_islands": "int64", "union_us": "int64"})
+
+
+Q_INTERVAL_UNION_SQL = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + (event_id % 3600 + 60) * 1000000 AS e
+  FROM events
+), w AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM iv
+), isl AS (
+  SELECT user_id, s, e,
+         SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS UNBOUNDED PRECEDING) AS iid
+  FROM w
+), g AS (
+  SELECT user_id, iid, MIN(s) AS s0, MAX(e) AS e1
+  FROM isl GROUP BY user_id, iid
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(e1 - s0) AS BIGINT) AS union_us
+FROM g GROUP BY user_id
+"""
