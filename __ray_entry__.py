@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "watershed_basins": rq.q_watershed_basins,
         "skyline": rel.q_skyline,
         "interval_union": rel.q_interval_union,
+        "rollup_sets": rel.q_rollup_sets,
         "pagerank": trainprep.q_pagerank,
         "pmi_bigrams": trainprep.q_pmi_bigrams,
         "median_select": rel.q_median_select,
@@ -434,6 +435,7 @@ def oracle_sql() -> dict[str, str]:
         "watershed_basins": rq.WATERSHED_BASINS_SQL,
         "skyline": rel.Q_SKYLINE_SQL,
         "interval_union": rel.Q_INTERVAL_UNION_SQL,
+        "rollup_sets": rel.Q_ROLLUP_SETS_SQL,
         "pagerank": trainprep.pagerank_oracle_sql(),
         "pmi_bigrams": trainprep.Q_PMI_BIGRAMS_SQL,
         "median_select": rel.Q_MEDIAN_SELECT_SQL,

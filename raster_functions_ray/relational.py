@@ -1459,3 +1459,56 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
        CAST(SUM(e1 - s0) AS BIGINT) AS union_us
 FROM g GROUP BY user_id
 """
+
+
+# ------------------------------------------------------ grouping-sets rollup
+
+def q_rollup_sets(sf_dir: str) -> pd.DataFrame:
+    """Multi-level rollup — (returnflag, linestatus), (returnflag), grand
+    total — computed in ONE exchange: every batch emits partials for all
+    three grouping sets (rolled-up keys filled with '*', levels tagged
+    with the SQL GROUPING bitmask), then a single groupby-Sum.  At 100 TB
+    this shares one shuffle across the whole rollup lattice instead of one
+    all-to-all per level.
+    """
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partials(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        # scale each row to integer centi-units BEFORE any summation so
+        # every aggregate in the lattice is an order-free int64 sum
+        df["cq"] = np.round(df["l_quantity"].to_numpy(np.float64) * 100).astype(np.int64)
+        lvl0 = (df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+                .agg(sum_cq=("cq", "sum"), n=("cq", "size")))
+        lvl0["lvl"] = 0
+        lvl1 = (df.groupby(["l_returnflag"], as_index=False)
+                .agg(sum_cq=("cq", "sum"), n=("cq", "size")))
+        lvl1["l_linestatus"] = "*"; lvl1["lvl"] = 1
+        lvl3 = pd.DataFrame({"l_returnflag": ["*"], "l_linestatus": ["*"],
+                             "sum_cq": [df["cq"].sum()], "n": [len(df)],
+                             "lvl": [3]})
+        out = pd.concat([lvl0, lvl1, lvl3], ignore_index=True)
+        return out[["lvl", "l_returnflag", "l_linestatus", "sum_cq", "n"]]
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow", batch_size=65536)
+           .groupby(["lvl", "l_returnflag", "l_linestatus"])
+           .aggregate(Sum("sum_cq", alias_name="sum_cq"),
+                      Sum("n", alias_name="n_rows"))
+           .to_pandas())
+    agg["sum_qty"] = agg["sum_cq"].astype(np.float64) / 100.0
+    out = agg[["lvl", "l_returnflag", "l_linestatus", "sum_qty", "n_rows"]]
+    return (out.sort_values(["lvl", "l_returnflag", "l_linestatus"])
+            .reset_index(drop=True).astype({"lvl": "int64", "n_rows": "int64"}))
+
+
+Q_ROLLUP_SETS_SQL = """
+SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl,
+       COALESCE(l_returnflag, '*') AS l_returnflag,
+       COALESCE(l_linestatus, '*') AS l_linestatus,
+       CAST(CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+            AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
