@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline": rel.q_skyline,
         "interval_union": rel.q_interval_union,
         "rollup_sets": rel.q_rollup_sets,
+        "scd2_intervals": rel.q_scd2_intervals,
         "pagerank": trainprep.q_pagerank,
         "pmi_bigrams": trainprep.q_pmi_bigrams,
         "median_select": rel.q_median_select,
@@ -436,6 +437,7 @@ def oracle_sql() -> dict[str, str]:
         "skyline": rel.Q_SKYLINE_SQL,
         "interval_union": rel.Q_INTERVAL_UNION_SQL,
         "rollup_sets": rel.Q_ROLLUP_SETS_SQL,
+        "scd2_intervals": rel.Q_SCD2_INTERVALS_SQL,
         "pagerank": trainprep.pagerank_oracle_sql(),
         "pmi_bigrams": trainprep.Q_PMI_BIGRAMS_SQL,
         "median_select": rel.Q_MEDIAN_SELECT_SQL,

@@ -1512,3 +1512,58 @@ SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl,
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """
+
+
+# ---------------------------------------------------- SCD2 interval build
+
+def q_scd2_intervals(sf_dir: str) -> pd.DataFrame:
+    """Slowly-changing-dimension (type 2) interval build over the event
+    stream: per user, each event_type change opens a validity interval
+    [valid_from, valid_to) closed by the next change (open intervals get
+    valid_to = -1) — the lakehouse history-table materialization.
+
+    Per ordered group, fully vectorized: lexsort by (ts, event_id),
+    change-point mask vs the previous row, valid_to = next change's ts via
+    a shifted take.  Microsecond int64 timestamps end to end.
+    """
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+
+    def intervals(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["event_id"].to_numpy(np.int64),
+                            g["ts"].to_numpy("datetime64[us]").astype(np.int64)))
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)[order]
+        et = g["event_type"].to_numpy(dtype=object)[order]
+        change = np.ones(len(ts), bool)
+        if len(ts) > 1:
+            change[1:] = et[1:] != et[:-1]
+        starts = np.flatnonzero(change)
+        v_from = ts[starts]
+        v_to = np.concatenate([ts[starts[1:]], [np.int64(-1)]])
+        return pd.DataFrame({
+            "user_id": np.full(len(starts), np.int64(g["user_id"].iloc[0])),
+            "event_type": et[starts],
+            "valid_from": v_from, "valid_to": v_to})
+
+    out = (ds.groupby("user_id").map_groups(intervals, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values(["user_id", "valid_from"]).reset_index(drop=True)
+            .astype({"user_id": "int64", "valid_from": "int64",
+                     "valid_to": "int64"}))
+
+
+Q_SCD2_INTERVALS_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts,
+         LAG(event_type) OVER w AS prev_type,
+         ROW_NUMBER() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), c AS (
+  SELECT user_id, event_type, ts, rn
+  FROM o WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+       COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY rn), -1) AS valid_to
+FROM c
+"""
