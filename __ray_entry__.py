@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_label": regions.q_region_label,
         "los_viewshed": regions.q_los_viewshed,
         "region_geometry": regions.q_region_geometry,
+        "euc_distance": regions.q_euc_distance,
         "watershed_basins": rq.q_watershed_basins,
         "skyline": rel.q_skyline,
         "interval_union": rel.q_interval_union,
@@ -433,6 +434,7 @@ def oracle_sql() -> dict[str, str]:
         "region_label": regions.Q_REGION_LABEL_SQL,
         "los_viewshed": regions.Q_LOS_VIEWSHED_SQL,
         "region_geometry": regions.Q_REGION_GEOMETRY_SQL,
+        "euc_distance": regions.Q_EUC_DISTANCE_SQL,
         "watershed_basins": rq.WATERSHED_BASINS_SQL,
         "skyline": rel.Q_SKYLINE_SQL,
         "interval_union": rel.Q_INTERVAL_UNION_SQL,

@@ -494,3 +494,95 @@ SELECT comp.label AS region_id, COUNT(*) AS px_count,
 FROM comp JOIN px ON px.id = comp.id
 GROUP BY comp.label
 """
+
+
+# ------------------------------------------- euclidean distance transform
+
+EUC_R = 24            # search radius (bounded → per-tile halo is R wide)
+EUC_SEED_OFF = 3_000_000_000_000  # counter offset decorrelating seeds
+EUC_SEED_DENS = 3     # of 1000 → ~0.3 % of pixels are seeds
+
+
+def euc_seeds(r0: int, c0: int, h: int, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Seed coordinates inside the (h, w) window at offset (r0, c0) —
+    derived from the counter field, so any tile can evaluate its OWN halo
+    without communication (with data-driven seeds this window would come
+    from stages/halo.with_halo_from_parquet instead)."""
+    rr = np.arange(r0, r0 + h, dtype=np.int64)
+    cc = np.arange(c0, c0 + w, dtype=np.int64)
+    ids = rr[:, None] * GRID_W + cc[None, :]
+    # reduce mod 2^32 BEFORE the mix: numpy would silently wrap the uint64
+    # product but DuckDB UBIGINT raises on overflow — the reduced form is
+    # identical on both sides and never exceeds 2^64
+    ctr = ((EUC_SEED_OFF + ids) % _MOD).astype(np.uint64)
+    hit = mask_values(ctr) < EUC_SEED_DENS
+    sr, sc = np.nonzero(hit)
+    return rr[sr], cc[sc]
+
+
+def q_euc_distance(sf_dir: str) -> pd.DataFrame:
+    """Bounded euclidean distance transform (ArcGIS EucDistance with a
+    maxdist): per pixel, the exact squared distance to the nearest seed
+    within radius {EUC_R}; per-tile rollup (reached count, sum and max of
+    min-d²).  All distances are int64 — exact and order-free.
+
+    Scale shape: each tile evaluates its R-halo seed window locally and
+    scores pixels × candidate seeds vectorized — zero shuffle; output is
+    one row per tile.  The radius bound is what makes the transform
+    tileable (unbounded EDT needs the two-pass global sweep)."""
+    tiles = rd.range(GRID_TILES * GRID_TILES, override_num_blocks=8)
+
+    def per_tile(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for tid in np.asarray(b["id"], dtype=np.int64):
+            ty, tx = divmod(int(tid), GRID_TILES)
+            r0, c0 = ty * TILE_PX, tx * TILE_PX
+            hr0 = max(0, r0 - EUC_R); hc0 = max(0, c0 - EUC_R)
+            hr1 = min(GRID_W, r0 + TILE_PX + EUC_R)
+            hc1 = min(GRID_W, c0 + TILE_PX + EUC_R)
+            sr, sc = euc_seeds(hr0, hc0, hr1 - hr0, hc1 - hc0)
+            pr = np.arange(r0, r0 + TILE_PX, dtype=np.int64)
+            pc_ = np.arange(c0, c0 + TILE_PX, dtype=np.int64)
+            if len(sr) == 0:
+                rows.append((int(tid), 0, 0, 0))
+                continue
+            dr = pr[:, None] - sr[None, :]
+            dc = pc_[:, None] - sc[None, :]
+            # (tile_px, tile_px, n_seeds) via broadcasting in two stages
+            d2 = (dr * dr)[:, None, :] + (dc * dc)[None, :, :]
+            mind2 = d2.min(axis=-1)
+            reach = mind2 <= EUC_R * EUC_R
+            rows.append((int(tid), int(reach.sum()),
+                         int(mind2[reach].sum()), int(mind2[reach].max())
+                         if reach.any() else 0))
+        return pd.DataFrame(rows, columns=["tile_idx", "n_reached",
+                                           "sum_d2", "max_d2"]).astype("int64")
+
+    out = tiles.map_batches(per_tile, batch_format="pyarrow", batch_size=8)
+    return (out.to_pandas().sort_values("tile_idx").reset_index(drop=True))
+
+
+Q_EUC_DISTANCE_SQL = f"""
+WITH px AS (
+  SELECT CAST(range AS BIGINT) // {GRID_W} AS r, CAST(range AS BIGINT) % {GRID_W} AS c
+  FROM range(0, {GRID_W * GRID_W})
+), seeds AS (
+  SELECT r, c FROM px
+  WHERE CAST((xor((CAST(({EUC_SEED_OFF} + r * {GRID_W} + c) % {_MOD} AS UBIGINT) * {_M1}) % {_MOD},
+                  ((CAST(({EUC_SEED_OFF} + r * {GRID_W} + c) % {_MOD} AS UBIGINT) * {_M1}) % {_MOD}) >> 16)
+              * {_M2}) % {_MOD} % 1000 AS BIGINT) < {EUC_SEED_DENS}
+), nearest AS (
+  SELECT p.r, p.c,
+         MIN((p.r - s.r) * (p.r - s.r) + (p.c - s.c) * (p.c - s.c)) AS d2
+  FROM px p JOIN seeds s
+    ON s.r >= p.r - {EUC_R} AND s.r <= p.r + {EUC_R}
+   AND s.c >= p.c - {EUC_R} AND s.c <= p.c + {EUC_R}
+  WHERE (p.r - s.r) * (p.r - s.r) + (p.c - s.c) * (p.c - s.c) <= {EUC_R * EUC_R}
+  GROUP BY p.r, p.c
+)
+SELECT CAST((r // {TILE_PX}) * {GRID_TILES} + c // {TILE_PX} AS BIGINT) AS tile_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(SUM(d2) AS BIGINT) AS sum_d2,
+       CAST(MAX(d2) AS BIGINT) AS max_d2
+FROM nearest GROUP BY tile_idx
+"""
