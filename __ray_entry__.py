@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "los_viewshed": regions.q_los_viewshed,
         "region_geometry": regions.q_region_geometry,
         "euc_distance": regions.q_euc_distance,
+        "euc_allocation": regions.q_euc_allocation,
         "watershed_basins": rq.q_watershed_basins,
         "skyline": rel.q_skyline,
         "interval_union": rel.q_interval_union,
@@ -435,6 +436,7 @@ def oracle_sql() -> dict[str, str]:
         "los_viewshed": regions.Q_LOS_VIEWSHED_SQL,
         "region_geometry": regions.Q_REGION_GEOMETRY_SQL,
         "euc_distance": regions.Q_EUC_DISTANCE_SQL,
+        "euc_allocation": regions.Q_EUC_ALLOCATION_SQL,
         "watershed_basins": rq.WATERSHED_BASINS_SQL,
         "skyline": rel.Q_SKYLINE_SQL,
         "interval_union": rel.Q_INTERVAL_UNION_SQL,

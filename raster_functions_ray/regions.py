@@ -586,3 +586,83 @@ SELECT CAST((r // {TILE_PX}) * {GRID_TILES} + c // {TILE_PX} AS BIGINT) AS tile_
        CAST(MAX(d2) AS BIGINT) AS max_d2
 FROM nearest GROUP BY tile_idx
 """
+
+
+# ------------------------------------------------------ euclidean allocation
+
+EUC_KEY_STRIDE = 1 << 19  # > max seed linear id (GRID_W² = 2^18)
+
+
+def q_euc_allocation(sf_dir: str) -> pd.DataFrame:
+    """Euclidean allocation (ArcGIS EucAllocation): every pixel within
+    {EUC_R} of a seed is assigned to its NEAREST seed — ties broken to the
+    smallest seed linear id via the packed key d²·2^19 + seed_id, whose
+    MIN is simultaneously (min d², then min id) and stays < 2^31.  Output:
+    per-seed allocated pixel count (the 'service area' rollup).
+
+    Same zero-shuffle tile kernel as q_euc_distance plus ONE small
+    groupby — seeds near tile borders collect pixels from several tiles,
+    so per-tile partial counts meet in a seed-keyed exchange that is
+    O(seeds), not O(pixels)."""
+    from ray.data.aggregate import Sum as ASum
+
+    tiles = rd.range(GRID_TILES * GRID_TILES, override_num_blocks=8)
+
+    def per_tile(b: pa.Table) -> pa.Table:
+        sid_out, cnt_out = [], []
+        for tid in np.asarray(b["id"], dtype=np.int64):
+            ty, tx = divmod(int(tid), GRID_TILES)
+            r0, c0 = ty * TILE_PX, tx * TILE_PX
+            hr0 = max(0, r0 - EUC_R); hc0 = max(0, c0 - EUC_R)
+            hr1 = min(GRID_W, r0 + TILE_PX + EUC_R)
+            hc1 = min(GRID_W, c0 + TILE_PX + EUC_R)
+            sr, sc = euc_seeds(hr0, hc0, hr1 - hr0, hc1 - hc0)
+            if len(sr) == 0:
+                continue
+            sid = sr * GRID_W + sc
+            pr = np.arange(r0, r0 + TILE_PX, dtype=np.int64)
+            pc_ = np.arange(c0, c0 + TILE_PX, dtype=np.int64)
+            dr = pr[:, None] - sr[None, :]
+            dc = pc_[:, None] - sc[None, :]
+            d2 = (dr * dr)[:, None, :] + (dc * dc)[None, :, :]
+            key = d2 * EUC_KEY_STRIDE + sid[None, None, :]
+            best = key.min(axis=-1)
+            reach = (best // EUC_KEY_STRIDE) <= EUC_R * EUC_R
+            alloc = (best % EUC_KEY_STRIDE)[reach]
+            ids, cnts = np.unique(alloc, return_counts=True)
+            sid_out.append(ids); cnt_out.append(cnts.astype(np.int64))
+        if not sid_out:
+            e = pa.array([], pa.int64())
+            return pa.table({"seed_id": e, "n": e})
+        return pa.table({"seed_id": pa.array(np.concatenate(sid_out)),
+                         "n": pa.array(np.concatenate(cnt_out))})
+
+    out = (tiles.map_batches(per_tile, batch_format="pyarrow", batch_size=8)
+           .groupby("seed_id").aggregate(ASum("n", alias_name="n_px"))
+           .to_pandas())
+    return out.sort_values("seed_id").reset_index(drop=True).astype("int64")
+
+
+Q_EUC_ALLOCATION_SQL = f"""
+WITH px AS (
+  SELECT CAST(range AS BIGINT) // {GRID_W} AS r, CAST(range AS BIGINT) % {GRID_W} AS c
+  FROM range(0, {GRID_W * GRID_W})
+), seeds AS (
+  SELECT r, c, r * {GRID_W} + c AS sid FROM px
+  WHERE CAST((xor((CAST(({EUC_SEED_OFF} + r * {GRID_W} + c) % {_MOD} AS UBIGINT) * {_M1}) % {_MOD},
+                  ((CAST(({EUC_SEED_OFF} + r * {GRID_W} + c) % {_MOD} AS UBIGINT) * {_M1}) % {_MOD}) >> 16)
+              * {_M2}) % {_MOD} % 1000 AS BIGINT) < {EUC_SEED_DENS}
+), nearest AS (
+  SELECT p.r, p.c,
+         MIN(((p.r - s.r) * (p.r - s.r) + (p.c - s.c) * (p.c - s.c))
+             * {EUC_KEY_STRIDE} + s.sid) AS best
+  FROM px p JOIN seeds s
+    ON s.r >= p.r - {EUC_R} AND s.r <= p.r + {EUC_R}
+   AND s.c >= p.c - {EUC_R} AND s.c <= p.c + {EUC_R}
+  WHERE (p.r - s.r) * (p.r - s.r) + (p.c - s.c) * (p.c - s.c) <= {EUC_R * EUC_R}
+  GROUP BY p.r, p.c
+)
+SELECT CAST(best % {EUC_KEY_STRIDE} AS BIGINT) AS seed_id,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM nearest GROUP BY seed_id
+"""
