@@ -69,28 +69,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_composite_exact": analytic2.q_median_composite_exact,
         "pixel_percentile_exact": analytic2.q_pixel_percentile_exact,
         "image_synthesis_exact": analytic2.q_image_synthesis_exact,
-        "find_third_max_exact": analytic2.q_find_third_max_exact,
         "percent_above_exact": analytic2.q_percent_above_exact,
         "composite_bands_exact": analytic2.q_composite_bands_exact,
-        "deviation_exact": analytic2.q_deviation_exact,
         "dnbr_exact": analytic2.q_dnbr_exact,
-        "ndsi_ndwi_exact": analytic2.q_ndsi_ndwi_exact,
-        "ndvi_colormap_exact": analytic2.q_ndvi_colormap_exact,
         "mask_replace_exact": analytic2.q_mask_replace_exact,
         "landsat_qa_exact": analytic2.q_landsat_qa_exact,
-        "select_by_pixel_size_exact": analytic2.q_select_by_pixel_size_exact,
-        "merge_extract_exact": analytic2.q_merge_extract_exact,
-        "vector_field_exact": analytic2.q_vector_field_exact,
         "rank_filter_exact": analytic2.q_rank_filter_exact,
-        "focal_majority_exact": analytic2.q_focal_majority_exact,
         "aspect_slope_exact": analytic2.q_aspect_slope_exact,
-        "block_stats_minmax_exact": analytic2.q_block_stats_minmax_exact,
         "zonal_remap_exact": analytic2.q_zonal_remap_exact,
         "rasterize_attributes_exact": analytic2.q_rasterize_attributes_exact,
-        "hexagon_exact": analytic2.q_hexagon_exact,
-        "chuck_close_exact": analytic2.q_chuck_close_exact,
-        "table_function_exact": analytic2.q_table_function_exact,
-        "remove_nodata_exact": analytic2.q_remove_nodata_exact,
         "hillshade_exact": analytic2.q_hillshade_exact,
         "multidirectional_hillshade_exact":
             analytic2.q_multidirectional_hillshade_exact,
@@ -104,20 +91,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rft_vineyard_exact": analytic2.q_rft_vineyard_exact,
         "vineyard_exact": analytic2.q_vineyard_exact,
         "seasonal_forecast_exact": analytic2.q_seasonal_forecast_exact,
-        "tri_expr_exact": analytic2.q_tri_expr_exact,
-        "stretch_range_exact": analytic2.q_stretch_range_exact,
         "topographic_c_exact": analytic2.q_topographic_c_exact,
         "heat_index": bandmath.q_heat_index,
+        # round-4 flagship additions (regions / terrain / graph /
+        # geometry / lakehouse) — curated INTO the driver's 50-slot
+        # graded window alongside the north-star spatial joins
+        "rect_overlap_join": spatial.q_rect_overlap_join,
+        "knn_join": spatial.q_knn_join,
+        "segment_join": spatial.q_segment_join,
+        "polygon_geometry": spatial.q_polygon_geometry,
+        "region_label": regions.q_region_label,
+        "los_viewshed": regions.q_los_viewshed,
+        "region_geometry": regions.q_region_geometry,
+        "euc_distance": regions.q_euc_distance,
+        "euc_allocation": regions.q_euc_allocation,
+        "watershed_basins": rq.q_watershed_basins,
+        "skyline": rel.q_skyline,
+        "interval_union": rel.q_interval_union,
+        "rollup_sets": rel.q_rollup_sets,
+        "scd2_intervals": rel.q_scd2_intervals,
+        "pagerank": trainprep.q_pagerank,
+        "pmi_bigrams": trainprep.q_pmi_bigrams,
+        "focal_majority_exact": analytic2.q_focal_majority_exact,
+        # SQL-exact analytic gates below the graded window (still
+        # verified by scripts/verify_queries.py every sweep)
+        "ndvi_colormap_exact": analytic2.q_ndvi_colormap_exact,
+        "merge_extract_exact": analytic2.q_merge_extract_exact,
+        "chuck_close_exact": analytic2.q_chuck_close_exact,
+        "hexagon_exact": analytic2.q_hexagon_exact,
+        "table_function_exact": analytic2.q_table_function_exact,
+        "remove_nodata_exact": analytic2.q_remove_nodata_exact,
+        "stretch_range_exact": analytic2.q_stretch_range_exact,
+        "tri_expr_exact": analytic2.q_tri_expr_exact,
+        "select_by_pixel_size_exact": analytic2.q_select_by_pixel_size_exact,
+        "vector_field_exact": analytic2.q_vector_field_exact,
+        "deviation_exact": analytic2.q_deviation_exact,
+        "ndsi_ndwi_exact": analytic2.q_ndsi_ndwi_exact,
+        "block_stats_minmax_exact": analytic2.q_block_stats_minmax_exact,
+        "find_third_max_exact": analytic2.q_find_third_max_exact,
         # spatial joins: cell encode, four interchangeable PIP lowerings,
         # zonal, kNN (brute + cell-ring), adaptive coverings, NN classify
         "cell_assign": spatial.q_cell_assign,
         "pip_rect": spatial.q_pip_rect,
-        # rect_overlap_join sits inside the driver's 50-entry graded
-        # window (large×large join = the north-star class); zonal_value
-        # moved just below slot 50 when resumable_training_exact joined
-        # the window — still SQL-oracle-verified by
-        # scripts/verify_queries.py, just not driver-recorded
-        "rect_overlap_join": spatial.q_rect_overlap_join,
         "zonal_value": spatial.q_zonal_value,
         "knn": spatial.q_knn,
         "knn_cell_ring": spatial.q_knn_cell_ring,
@@ -219,22 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_value_salted": spatial.q_zonal_value_salted,
         "rect_overlap_join_split": spatial.q_rect_overlap_join_split,
         "radius_join": spatial.q_radius_join,
-        "knn_join": spatial.q_knn_join,
-        "segment_join": spatial.q_segment_join,
-        "polygon_geometry": spatial.q_polygon_geometry,
         # raster region analysis (round 4, regions.py)
-        "region_label": regions.q_region_label,
-        "los_viewshed": regions.q_los_viewshed,
-        "region_geometry": regions.q_region_geometry,
-        "euc_distance": regions.q_euc_distance,
-        "euc_allocation": regions.q_euc_allocation,
-        "watershed_basins": rq.q_watershed_basins,
-        "skyline": rel.q_skyline,
-        "interval_union": rel.q_interval_union,
-        "rollup_sets": rel.q_rollup_sets,
-        "scd2_intervals": rel.q_scd2_intervals,
-        "pagerank": trainprep.q_pagerank,
-        "pmi_bigrams": trainprep.q_pmi_bigrams,
         "median_select": rel.q_median_select,
         "p99_select": rel.q_p99_select,
         # band algebra on columns (same kernels as the raster path, SQL-exact)
