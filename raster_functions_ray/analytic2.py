@@ -2074,3 +2074,94 @@ def q_rft_vineyard_exact(sf_dir: str) -> pd.DataFrame:
     df = (out.map_batches(finish, batch_format="pyarrow", batch_size=32)
           .to_pandas())
     return df.sort_values(["tile_id", "suitability"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------ pyramid / overviews
+
+def q_pyramid_build(sf_dir: str) -> pd.DataFrame:
+    """Overview-pyramid build (the tiling engine's zoom cascade; the
+    reference serves these as the mosaic's overview levels): level-0
+    per-tile sum/max/count from the decoded pixels, then every coarser
+    level from the PREVIOUS level's tile rows — one tiny groupby per level
+    on the parent tile key, never touching pixels again.  The gate proves
+    the cascade: the oracle computes every level DIRECTLY from the base
+    pixels, so iterative == direct or the hash breaks.
+
+    Exactness: b0 is integer-valued → sums/max/count are order-free.
+    Levels run 0..log2(G): scene 0, epoch 0, G×G tiles halving each step.
+    """
+    from ray.data.aggregate import Count as ACount, Max as AMax, Sum as ASum
+
+    p = synth.params_for(synth.sf_from_dir(sf_dir))
+    G = p.tiles_per_side
+    ds = _read_analytic(sf_dir, epoch=0)
+
+    def level0(b: pa.Table) -> pa.Table:
+        tx_o, ty_o, s_o, m_o, n_o = [], [], [], [], []
+        for i in range(b.num_rows):
+            sid = b["scene_id"][i].as_py()
+            if sid // 10 != 0:
+                continue
+            meta = {c: b[c][i].as_py() for c in
+                    ("pixel_type", "band_count", "height", "width", "tx", "ty")}
+            arr = tilecodec.decode(b["pixels"][i].as_buffer(), meta["pixel_type"],
+                                   meta["band_count"], meta["height"], meta["width"])
+            band = arr[0].astype(np.int64)
+            tx_o.append(meta["tx"]); ty_o.append(meta["ty"])
+            s_o.append(int(band.sum())); m_o.append(int(band.max()))
+            n_o.append(band.size)
+        return pa.table({"tx": pa.array(tx_o, pa.int64()),
+                         "ty": pa.array(ty_o, pa.int64()),
+                         "px_sum": pa.array(s_o, pa.int64()),
+                         "px_max": pa.array(m_o, pa.int64()),
+                         "n_px": pa.array(n_o, pa.int64())})
+
+    cur = ds.map_batches(level0, batch_format="pyarrow", batch_size=16).materialize()
+    frames = []
+
+    def tag(df: pd.DataFrame, lvl: int) -> pd.DataFrame:
+        df = df.copy(); df.insert(0, "level", np.int64(lvl)); return df
+
+    frames.append(tag(cur.to_pandas(), 0))
+    lvl = 0
+    while (G >> lvl) > 1:
+        lvl += 1
+
+        def to_parent(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "tx": pa.array(np.asarray(b["tx"], np.int64) // 2),
+                "ty": pa.array(np.asarray(b["ty"], np.int64) // 2),
+                "px_sum": b["px_sum"], "px_max": b["px_max"], "n_px": b["n_px"]})
+
+        cur = (cur.map_batches(to_parent, batch_format="pyarrow")
+               .groupby(["tx", "ty"])
+               .aggregate(ASum("px_sum", alias_name="px_sum"),
+                          AMax("px_max", alias_name="px_max"),
+                          ASum("n_px", alias_name="n_px"))).materialize()
+        frames.append(tag(cur.to_pandas(), lvl))
+    out = pd.concat(frames, ignore_index=True)
+    return (out.sort_values(["level", "ty", "tx"]).reset_index(drop=True)
+            .astype("int64"))
+
+
+def pyramid_build_oracle_sql(sf: float = 0.01) -> str:
+    p = synth.params_for(sf)
+    G, T = p.tiles_per_side, p.tile_px
+    n_levels = G.bit_length()  # G=8 → levels 0..3
+    return f"""
+WITH {_epoch0_cte(sf)},
+lv AS (SELECT unnest(generate_series(0, {n_levels - 1})) AS level),
+v AS (
+  SELECT lv.level,
+         (gc // {T}) // power(2, lv.level)::BIGINT AS tx,
+         (gr // {T}) // power(2, lv.level)::BIGINT AS ty,
+         CAST({_b0_sql()} AS BIGINT) AS b0
+  FROM px, lv WHERE s = 0
+)
+SELECT CAST(level AS BIGINT) AS level, CAST(tx AS BIGINT) AS tx,
+       CAST(ty AS BIGINT) AS ty,
+       CAST(SUM(b0) AS BIGINT) AS px_sum,
+       CAST(MAX(b0) AS BIGINT) AS px_max,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM v GROUP BY level, tx, ty
+"""
