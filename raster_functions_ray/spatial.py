@@ -1762,10 +1762,7 @@ def q_segment_join(sf_dir: str) -> pd.DataFrame:
         px, py = _seg_points(eid)
         return pa.table({
             "key": pa.array((px // SEG_CELL) * 1024 + py // SEG_CELL),
-            "kind": pa.array(np.zeros(eid.size, np.int8)),
-            "id": pa.array(eid), "ax": pa.array(px), "ay": pa.array(py),
-            "bx": pa.array(np.zeros(eid.size, np.int64)),
-            "by": pa.array(np.zeros(eid.size, np.int64))})
+            "event_id": pa.array(eid), "px": pa.array(px), "py": pa.array(py)})
 
     def seg_cells(b: pa.Table) -> pa.Table:
         k = np.asarray(b["o_orderkey"], dtype=np.int64)
@@ -1782,43 +1779,35 @@ def q_segment_join(sf_dir: str) -> pd.DataFrame:
                     continue
                 parts.append(pa.table({
                     "key": pa.array((cx0[keep] + i) * 1024 + cy0[keep] + j),
-                    "kind": pa.array(np.ones(int(keep.sum()), np.int8)),
-                    "id": pa.array(k[keep]),
-                    "ax": pa.array(x1[keep]), "ay": pa.array(y1[keep]),
-                    "bx": pa.array(x2[keep]), "by": pa.array(y2[keep])}))
+                    "seg_id": pa.array(k[keep]),
+                    "x1": pa.array(x1[keep]), "y1": pa.array(y1[keep]),
+                    "x2": pa.array(x2[keep]), "y2": pa.array(y2[keep])}))
         return pa.concat_tables(parts)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        isp = g["kind"].to_numpy() == 0
-        if not isp.any() or isp.all():
-            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
-                                 "seg_id": pd.Series([], dtype="int64"),
-                                 "d2_num": pd.Series([], dtype="int64"),
-                                 "d2_den": pd.Series([], dtype="int64")})
-        p, s = g[isp], g[~isp]
-        eid = p["id"].to_numpy(np.int64)
-        px, py = p["ax"].to_numpy(np.int64), p["ay"].to_numpy(np.int64)
-        sid = s["id"].to_numpy(np.int64)
-        x1, y1 = s["ax"].to_numpy(np.int64), s["ay"].to_numpy(np.int64)
-        x2, y2 = s["bx"].to_numpy(np.int64), s["by"].to_numpy(np.int64)
+    def score(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], np.int64)
+        px, py = np.asarray(b["px"], np.int64), np.asarray(b["py"], np.int64)
+        sid = np.asarray(b["seg_id"], np.int64)
+        x1, y1 = np.asarray(b["x1"], np.int64), np.asarray(b["y1"], np.int64)
+        x2, y2 = np.asarray(b["x2"], np.int64), np.asarray(b["y2"], np.int64)
+        num, den = _seg_dist_parts(px, py, x1, y1, x2, y2)
+        hit = num <= SEG_R * SEG_R * den
+        return pa.table({"event_id": pa.array(eid[hit]),
+                         "seg_id": pa.array(sid[hit]),
+                         "d2_num": pa.array(num[hit]),
+                         "d2_den": pa.array(den[hit])})
 
-        def build(lo: int, hi: int) -> pd.DataFrame:
-            num, den = _seg_dist_parts(px[lo:hi, None], py[lo:hi, None],
-                                       x1[None, :], y1[None, :],
-                                       x2[None, :], y2[None, :])
-            hit = num <= SEG_R * SEG_R * den
-            i, j = np.nonzero(hit)
-            return pd.DataFrame({"event_id": eid[lo:hi][i], "seg_id": sid[j],
-                                 "d2_num": num[i, j], "d2_den": den[i, j]})
-
-        return _striped_pair_frames(eid.size, build,
-                                    {"event_id": "int64", "seg_id": "int64",
-                                     "d2_num": "int64", "d2_den": "int64"})
-
-    cells = pts.map_batches(pt_cells, batch_format="pyarrow").union(
-        segs.map_batches(seg_cells, batch_format="pyarrow"))
-    out = (cells.groupby("key").map_groups(pairs, batch_format="pandas")
-           .to_pandas())
+    # pair formation as a cell-keyed HASH JOIN + vectorized filter — a
+    # map_groups over the (mostly point-free) cell grid paid one Python
+    # group call per cell (40k cells, 10k points → 6.5 s); the join only
+    # materializes candidate rows where both sides share a cell and the
+    # predicate runs batch-vectorized (measured ~3× faster, same exchange)
+    pcells = pts.map_batches(pt_cells, batch_format="pyarrow")
+    scells = segs.map_batches(seg_cells, batch_format="pyarrow")
+    nparts = max(2, min(join_partitions(), 8))
+    cand = pcells.join(scells, join_type="inner", num_partitions=nparts,
+                       on=("key",))
+    out = cand.map_batches(score, batch_format="pyarrow").to_pandas()
     return out.sort_values(["event_id", "seg_id"]).reset_index(drop=True)
 
 
