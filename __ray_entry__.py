@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_poly": dedup.q_simhash_poly,
         "minhash_lsh_exact": dedup.q_minhash_lsh_exact,
         "ngram_jaccard": dedup.q_ngram_jaccard,
+        "typo_pairs": dedup.q_typo_pairs,
         "embedding_nn_dedup": dedup.q_embedding_nn_dedup,
         "embedding_nn_dedup_clustered": ann.exact_nn_clustered,
         "dup_clusters": trainprep.q_dup_clusters,
@@ -454,6 +455,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embed": ann.kmeans_oracle_sql(),
         "semantic_dedup_kmeans": ann.semantic_dedup_oracle_sql(),
         "ngram_jaccard": dedup.Q_NGRAM_JACCARD_SQL,
+        "typo_pairs": dedup.Q_TYPO_PAIRS_SQL,
         "dup_clusters": trainprep.dup_clusters_oracle_sql(),
         "stratified_sample": trainprep.Q_STRATIFIED_SAMPLE_SQL,
         "seq_packing": trainprep.Q_SEQ_PACKING_SQL,

@@ -18,7 +18,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Min, Sum
 
 from .sources import read_table
 
@@ -1270,4 +1270,141 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(MAX(off) + {SUB_L} - MIN(off) AS BIGINT) AS span_len
 FROM isl GROUP BY doc_id, island
 ORDER BY doc_id, span_start
+"""
+
+
+# --------------------------------------------- edit-distance-1 typo pairs
+
+TYPO_MIN_COUNT = 3   # vocabulary support floor
+TYPO_MAX_LEN = 24    # deletion-key fan-out bound
+
+
+def q_typo_pairs(sf_dir: str) -> pd.DataFrame:
+    """Word-level edit-distance-1 pair mining over the corpus vocabulary —
+    the FastSS / SymSpell deletion-neighborhood construction that powers
+    spelling normalization before dedup: two words are candidates iff they
+    share a 1-deletion key (or one IS the other's deletion), then an exact
+    ED=1 confirm prunes the false positives the key join admits
+    (e.g. abc/bca share 'bc' at distance 2).
+
+    Scale shape: vocabulary groupby (corpus → O(V)), flat_map of ≤len+1
+    deletion keys per word, bucket groupby on the key — bucket sizes are
+    alphabet-bounded, pair formation is per-bucket and result-sized; the
+    exact confirm is vectorized per candidate batch.  No corpus text
+    travels past the first groupby.
+
+    Oracle: identical construction in SQL + levenshtein()=1 confirm.
+    """
+    from .sources import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def toks(b: pa.Table) -> pa.Table:
+        t = b.to_pandas()["text"].str.findall(r"[^ \t\n\r\f]+").explode().dropna()
+        vc = t.groupby(t).size()
+        return pa.table({"w": pa.array(vc.index.astype(str)),
+                         "n": pa.array(vc.to_numpy(np.int64))})
+
+    vocab = (ds.map_batches(toks, batch_format="pyarrow", batch_size=8192)
+             .groupby("w").aggregate(Sum("n", alias_name="n"))
+             .filter(expr=f"n >= {TYPO_MIN_COUNT}"))
+
+    def corrupt(b: pa.Table) -> pa.Table:
+        """Deterministic 1-substitution variants (the corpus vocabulary is
+        a closed synthetic word set with no organic ED-1 pairs, so the
+        pair surface is derived in-query on BOTH sides — the POINT_SQL
+        discipline): position/letter from a 31-polynomial rolling hash."""
+        words = b.to_pandas()["w"].tolist()
+        out = []
+        for w in words:  # vocabulary-sized, not corpus-sized
+            h = 0
+            for ch in w:
+                h = (h * 31 + ord(ch)) % 4294967296
+            i = h % len(w)
+            c = chr(97 + (h // 256) % 26)
+            out.append(w[:i] + c + w[i + 1:])
+        return pa.table({"w": pa.array(words + out)})
+
+    aug = vocab.map_batches(corrupt, batch_format="pyarrow").groupby("w") \
+        .aggregate(Count(alias_name="_n")).select_columns(["w"])
+
+    def del_keys(b: pa.Table) -> pa.Table:
+        words = b.to_pandas()["w"]
+        words = words[words.str.len() <= TYPO_MAX_LEN]
+        out_k, out_w = [], []
+        # the word itself IS a key (catches pure insert/delete neighbors)
+        out_k.append(words.to_numpy(dtype=object))
+        out_w.append(words.to_numpy(dtype=object))
+        maxlen = int(words.str.len().max()) if len(words) else 0
+        for i in range(maxlen):
+            sel = words[words.str.len() > i]
+            out_k.append((sel.str.slice(0, i) + sel.str.slice(i + 1)).to_numpy(dtype=object))
+            out_w.append(sel.to_numpy(dtype=object))
+        return pa.table({"k": pa.array(np.concatenate(out_k).astype(str)),
+                         "w": pa.array(np.concatenate(out_w).astype(str))})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ws = np.unique(g["w"].to_numpy(dtype=object))
+        if len(ws) < 2:
+            return pd.DataFrame({"w1": pd.Series([], dtype="object"),
+                                 "w2": pd.Series([], dtype="object")})
+        i, j = np.triu_indices(len(ws), k=1)
+        return pd.DataFrame({"w1": ws[i], "w2": ws[j]})
+
+    cand = (aug.map_batches(del_keys, batch_format="pyarrow")
+            .groupby("k").map_groups(bucket_pairs, batch_format="pandas")
+            .to_pandas().drop_duplicates())
+
+    def ed1(a: str, b: str) -> bool:
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1 or a == b:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) == 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        # b is a+1 char: one aligned skip
+        i = 0
+        while i < la and a[i] == b[i]:
+            i += 1
+        return a[i:] == b[i + 1:]
+
+    if len(cand):
+        keep = [ed1(a, b) for a, b in zip(cand["w1"], cand["w2"])]
+        cand = cand[np.asarray(keep, bool)]
+    else:
+        cand = pd.DataFrame({"w1": pd.Series([], dtype="object"),
+                             "w2": pd.Series([], dtype="object")})
+    return (cand.sort_values(["w1", "w2"]).reset_index(drop=True))
+
+
+Q_TYPO_PAIRS_SQL = rf"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w FROM toks GROUP BY w
+  HAVING COUNT(*) >= {TYPO_MIN_COUNT} AND len(w) <= {TYPO_MAX_LEN}
+), hashed AS (
+  SELECT w, list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(w, ''), c -> CAST(unicode(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 4294967296) AS h
+  FROM vocab
+), aug AS (
+  SELECT w FROM vocab
+  UNION
+  SELECT substr(w, 1, CAST(h % len(w) AS INTEGER))
+         || chr(97 + CAST((h // 256) % 26 AS INTEGER))
+         || substr(w, CAST(h % len(w) AS INTEGER) + 2) AS w
+  FROM hashed
+), keys AS (
+  SELECT w, w AS k FROM aug
+  UNION ALL
+  SELECT w, substr(w, 1, i.i - 1) || substr(w, i.i + 1) AS k
+  FROM aug, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) i
+), cand AS (
+  SELECT DISTINCT a.w AS w1, b.w AS w2
+  FROM keys a JOIN keys b ON a.k = b.k AND a.w < b.w
+)
+SELECT w1, w2 FROM cand WHERE levenshtein(w1, w2) = 1
 """
