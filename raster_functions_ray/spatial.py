@@ -1931,3 +1931,64 @@ SELECT CAST(zone_id AS BIGINT) AS zone_id, CAST(nv AS BIGINT) AS n_verts,
        CAST(CAST(area2_scaled AS BIGINT) AS DOUBLE) / 2000000000000.0 AS area
 FROM m
 """
+
+
+# ------------------------------------------------- Z-order (Morton) keys
+
+def morton_interleave16(xi: np.ndarray, yi: np.ndarray) -> np.ndarray:
+    """Interleave two 16-bit integer arrays into 32-bit Morton codes —
+    the Z-order clustering key lakehouse tables sort/partition spatial
+    data by (locality-preserving: nearby points share key prefixes).
+    Magic-number bit spread, fully vectorized."""
+    def spread(v: np.ndarray) -> np.ndarray:
+        v = v.astype(np.uint64)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+        v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+        return v
+    return (spread(xi) | (spread(yi) << np.uint64(1))).astype(np.int64)
+
+
+def q_zorder_keys(sf_dir: str) -> pd.DataFrame:
+    """Morton clustering key per event point plus its level-8 Z-cell —
+    the key a 100 TB table would be range-partitioned on so spatially
+    close rows land in the same files (the engine's cell_encode is the
+    hierarchical sibling; Z-order is the linearized one).
+
+    Exactness: grid coordinates by pure integer scaling ((k·65536)//36000
+    from the same integer congruences as POINT_SQL), the interleave is
+    bit arithmetic, and the SQL oracle rebuilds the code as a 16-term
+    bit-shift sum — no floats anywhere."""
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def enc(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        k = (eid * 7919) % 36000
+        m = (eid * 104729) % 18000
+        xi = (k * 65536) // 36000
+        yi = (m * 65536) // 18000
+        z = morton_interleave16(xi, yi)
+        return pa.table({"event_id": pa.array(eid), "morton": pa.array(z),
+                         "zcell": pa.array(z >> 16)})
+
+    out = ds.map_batches(enc, batch_format="pyarrow").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+Q_ZORDER_KEYS_SQL = """
+WITH pts AS (
+  SELECT event_id,
+         ((event_id * 7919) % 36000) * 65536 // 36000 AS xi,
+         ((event_id * 104729) % 18000) * 65536 // 18000 AS yi
+  FROM events
+), z AS (
+  SELECT event_id,
+         CAST(SUM(((xi >> b.b) & 1) * power(2, 2 * b.b)::BIGINT
+                  + ((yi >> b.b) & 1) * power(2, 2 * b.b + 1)::BIGINT)
+              AS BIGINT) AS morton
+  FROM pts, LATERAL (SELECT unnest(generate_series(0, 15)) AS b) b
+  GROUP BY event_id
+)
+SELECT event_id, morton, morton >> 16 AS zcell FROM z
+"""
