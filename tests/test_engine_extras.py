@@ -720,3 +720,51 @@ def test_skyline_partial_merge_equals_bruteforce(prices, sizes, nsplit):
     cand = pd.concat([_skyline_2d(x) for x in parts if len(x)])
     got = set(_skyline_2d(cand)["p_partkey"])
     assert got == want
+
+
+# ------------------------------------------------- round-4 kernel properties
+
+@_hy_settings(max_examples=200, deadline=None)
+@_hy_given(x=_hy_st.integers(0, 65535), y=_hy_st.integers(0, 65535))
+def test_morton_interleave_matches_naive(x, y):
+    import numpy as np
+
+    from raster_functions_ray.spatial import morton_interleave16
+
+    got = int(morton_interleave16(np.array([x]), np.array([y]))[0])
+    want = sum((((x >> b) & 1) << (2 * b)) | (((y >> b) & 1) << (2 * b + 1))
+               for b in range(16))
+    assert got == want
+
+
+@_hy_settings(max_examples=300, deadline=None)
+@_hy_given(a=_hy_st.text(alphabet="abcde", min_size=1, max_size=8),
+           b=_hy_st.text(alphabet="abcde", min_size=1, max_size=8))
+def test_ed1_confirm_matches_dp_levenshtein(a, b):
+    """The typo-pair exact confirm equals full DP Levenshtein == 1."""
+    import numpy as np
+
+    # mirror the closure in q_typo_pairs (kept in sync by this test)
+    def ed1(a, b):
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1 or a == b:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) == 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = 0
+        while i < la and a[i] == b[i]:
+            i += 1
+        return a[i:] == b[i + 1:]
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (ca != cb))
+        return d[-1]
+
+    assert ed1(a, b) == (lev(a, b) == 1)
