@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_join": spatial.q_radius_join,
         # raster region analysis (round 4, regions.py)
         "median_select": rel.q_median_select,
+        "mad_select": rel.q_mad_select,
         "p99_select": rel.q_p99_select,
         # band algebra on columns (same kernels as the raster path, SQL-exact)
         "windchill": bandmath.q_windchill,
@@ -450,6 +451,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": trainprep.pagerank_oracle_sql(),
         "pmi_bigrams": trainprep.Q_PMI_BIGRAMS_SQL,
         "median_select": rel.Q_MEDIAN_SELECT_SQL,
+        "mad_select": rel.Q_MAD_SELECT_SQL,
         "p99_select": rel.Q_P99_SELECT_SQL,
         "ivf_sq_search": ann.ivf_sq_oracle_sql(),
         "pq_adc_topk": ann.Q_PQ_ADC_SQL,

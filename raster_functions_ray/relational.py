@@ -1567,3 +1567,66 @@ SELECT user_id, event_type, ts AS valid_from,
        COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY rn), -1) AS valid_to
 FROM c
 """
+
+
+# ----------------------------------------------- median absolute deviation
+
+def q_mad_select(sf_dir: str) -> pd.DataFrame:
+    """Median absolute deviation — the robust dispersion statistic — as
+    TWO chained histogram quickselects over an unbounded double column:
+    pass set 1 isolates the exact median m, pass set 2 runs the identical
+    machinery over the derived column |x − m| (computed per batch, never
+    materialized).  Each pass streams once with O(buckets) driver bytes;
+    |x − m| is one IEEE subtraction both sides, so the result is an
+    element-exact double."""
+    import math
+
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_extendedprice"]).materialize()
+    agg = ds.aggregate(Count(alias_name="n"),
+                       Min("l_extendedprice", alias_name="lo"),
+                       Max("l_extendedprice", alias_name="hi"))
+    n, lo, hi = int(agg["n"]), float(agg["lo"]), float(agg["hi"])
+    k = max(1, int(math.ceil(0.5 * n)))
+
+    def make_ops(transform):
+        def hist_of(chain, lo_, hi_):
+            def f(b: pa.Table) -> pd.DataFrame:
+                v = transform(np.asarray(b["l_extendedprice"]))
+                vm = v[quickselect_member(v, chain)]
+                c = np.bincount(quickselect_bidx(vm, lo_, hi_),
+                                minlength=MEDIAN_BUCKETS)
+                return pd.DataFrame({"bucket": np.arange(MEDIAN_BUCKETS,
+                                                         dtype=np.int64),
+                                     "c": c})
+            return (ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
+                    .to_pandas().groupby("bucket")["c"].sum().to_numpy())
+
+        def pull_of(chain):
+            def f(b: pa.Table) -> pd.DataFrame:
+                v = transform(np.asarray(b["l_extendedprice"]))
+                return pd.DataFrame({"v": v[quickselect_member(v, chain)]})
+            return (ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
+                    .to_pandas()["v"].to_numpy())
+        return hist_of, pull_of
+
+    h1, p1 = make_ops(lambda v: v)
+    med = quickselect_rank(k, lo, hi, h1, p1)
+    dev_hi = max(hi - med, med - lo)
+    h2, p2 = make_ops(lambda v: np.abs(v - med))
+    mad = quickselect_rank(k, 0.0, dev_hi, h2, p2)
+    return pd.DataFrame({"n": [np.int64(n)], "median_price": [med],
+                         "mad_price": [mad]})
+
+
+Q_MAD_SELECT_SQL = """
+WITH m AS (
+  SELECT quantile_disc(l_extendedprice, 0.5) AS v,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem
+)
+SELECT m.n AS n, m.v AS median_price,
+       quantile_disc(abs(l_extendedprice - m.v), 0.5) AS mad_price
+FROM lineitem, m GROUP BY m.n, m.v
+"""
