@@ -240,6 +240,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # raster region analysis (round 4, regions.py)
         "median_select": rel.q_median_select,
         "mad_select": rel.q_mad_select,
+        "running_distinct": rel.q_running_distinct,
+        "user_type_sets": rel.q_user_type_sets,
         "p99_select": rel.q_p99_select,
         # band algebra on columns (same kernels as the raster path, SQL-exact)
         "windchill": bandmath.q_windchill,
@@ -452,6 +454,8 @@ def oracle_sql() -> dict[str, str]:
         "pmi_bigrams": trainprep.Q_PMI_BIGRAMS_SQL,
         "median_select": rel.Q_MEDIAN_SELECT_SQL,
         "mad_select": rel.Q_MAD_SELECT_SQL,
+        "running_distinct": rel.Q_RUNNING_DISTINCT_SQL,
+        "user_type_sets": rel.Q_USER_TYPE_SETS_SQL,
         "p99_select": rel.Q_P99_SELECT_SQL,
         "ivf_sq_search": ann.ivf_sq_oracle_sql(),
         "pq_adc_topk": ann.Q_PQ_ADC_SQL,

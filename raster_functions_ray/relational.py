@@ -1630,3 +1630,71 @@ SELECT m.n AS n, m.v AS median_price,
        quantile_disc(abs(l_extendedprice - m.v), 0.5) AS mad_price
 FROM lineitem, m GROUP BY m.n, m.v
 """
+
+
+# -------------------------------------------- running distinct / type sets
+
+def q_running_distinct(sf_dir: str) -> pd.DataFrame:
+    """Per-event running COUNT(DISTINCT event_type) for its user — the
+    engagement-breadth window (how many distinct behaviours so far).
+    Vectorized per ordered group: first-occurrence mask + cumsum; the
+    oracle sums first-occurrence flags in the same (ts, event_id) order."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        first = ~g["event_type"].duplicated()
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype(np.int64),
+            "user_id": g["user_id"].astype(np.int64),
+            "n_types_seen": first.cumsum().astype(np.int64)})
+
+    out = (ds.groupby("user_id").map_groups(running, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("event_id").reset_index(drop=True)
+            .astype({"event_id": "int64", "user_id": "int64",
+                     "n_types_seen": "int64"}))
+
+
+Q_RUNNING_DISTINCT_SQL = """
+WITH f AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       AS n_types_seen
+FROM f
+"""
+
+
+def q_user_type_sets(sf_dir: str) -> pd.DataFrame:
+    """Per-user behaviour-set fingerprint: the sorted distinct event-type
+    list joined with ',' — the set-valued aggregate (cohort signatures).
+    Sorted-distinct-join is deterministic on both sides, so the string
+    compares hash-exact."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def sets(g: pd.DataFrame) -> pd.DataFrame:
+        types = sorted(set(g["event_type"]))
+        return pd.DataFrame({"user_id": [np.int64(g["user_id"].iloc[0])],
+                             "type_set": [",".join(types)],
+                             "n_types": [np.int64(len(types))]})
+
+    out = (ds.groupby("user_id").map_groups(sets, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("user_id").reset_index(drop=True)
+            .astype({"user_id": "int64", "n_types": "int64"}))
+
+
+Q_USER_TYPE_SETS_SQL = """
+SELECT user_id,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS type_set,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY user_id
+"""
