@@ -1431,3 +1431,83 @@ scored AS (
 SELECT x, y, c_xy, c_x, c_y, pmi_ratio
 FROM scored ORDER BY pmi_ratio DESC, x, y LIMIT {PMI_TOP_K}
 """
+
+
+# ------------------------------------------------------- triangle counting
+
+def q_triangle_count(sf_dir: str) -> pd.DataFrame:
+    """Exact triangle counting over the undirected doc-link graph (the
+    PageRank multigraph, deduplicated and undirected) — the clustering
+    primitive behind community/spam detection.  The canonical two-join
+    lowering: orient every edge low→high, join e(a,b)⋈e(b,c) into wedges,
+    then close each wedge against e(a,c); ordering a<b<c counts every
+    triangle exactly once.  Both joins are edge-keyed hash joins — no
+    broadcast, no driver state; skew is bounded by the max out-degree of
+    the oriented graph (≤ total degree).
+
+    Output: per-apex triangle counts (node = the smallest vertex a).
+    """
+    import pyarrow.compute as pc
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"]).materialize()
+    n = docs.count()
+    nparts = max(2, min(join_partitions(), n // 10000 + 2))
+
+    def undirected(b: pa.Table) -> pa.Table:
+        d = np.asarray(b["doc_id"], dtype=np.int64)
+        # PageRank's multiplicative links are triangle-free by themselves;
+        # the two chain families (i, i+1), (i, i+2) guarantee a triangle
+        # per node and interlock with the multiplicative edges
+        u = np.repeat(d, PR_OUT_DEG + 2)
+        v = np.stack([(d * 7 + 1) % n, (d * 13 + 5) % n, (d * 31 + 11) % n,
+                      (d + 1) % n, (d + 2) % n], axis=1).ravel()
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        keep = lo != hi  # drop self-loops
+        t = pa.table({"a": pa.array(lo[keep]), "b": pa.array(hi[keep])})
+        return t
+
+    edges = (docs.map_batches(undirected, batch_format="pyarrow")
+             .groupby(["a", "b"]).aggregate(Count(alias_name="_m"))
+             .select_columns(["a", "b"]).materialize())
+
+    # wedges: e(a,b) ⋈ e(b,c) on the middle vertex, keeping a < b < c
+    as_bc = edges.map_batches(lambda t: t.rename_columns(["b", "c"]),
+                              batch_format="pyarrow")
+    wedges = (edges.join(as_bc, join_type="inner", num_partitions=nparts,
+                         on=("b",))
+              .map_batches(lambda t: pa.table({
+                  "a": t["a"], "c": t["c"], "b": t["b"]}),
+                  batch_format="pyarrow"))
+    # close: wedge (a,b,c) is a triangle iff (a,c) is an edge
+    as_ac = edges.map_batches(lambda t: pa.table({"a": t["a"], "c": t["b"],
+                                                  "_e": pa.array(
+                                                      np.ones(t.num_rows, np.int8))}),
+                              batch_format="pyarrow")
+    closed = wedges.join(as_ac, join_type="inner", num_partitions=nparts,
+                         on=("a", "c"))
+    out = (closed.groupby("a").aggregate(Count(alias_name="n_triangles"))
+           .to_pandas().rename(columns={"a": "node"}))
+    return (out.sort_values("node").reset_index(drop=True)
+            .astype({"node": "int64", "n_triangles": "int64"}))
+
+
+TRIANGLE_COUNT_SQL = """
+WITH raw AS (
+  SELECT doc_id AS u, (doc_id * 7 + 1) % (SELECT COUNT(*) FROM documents) AS v FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 5) % (SELECT COUNT(*) FROM documents) FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 31 + 11) % (SELECT COUNT(*) FROM documents) FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id + 1) % (SELECT COUNT(*) FROM documents) FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id + 2) % (SELECT COUNT(*) FROM documents) FROM documents
+), e AS (
+  SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+  FROM raw WHERE u <> v
+)
+SELECT e1.a AS node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1 JOIN e e2 ON e2.a = e1.b
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+GROUP BY e1.a
+"""
