@@ -2165,3 +2165,69 @@ SELECT CAST(level AS BIGINT) AS level, CAST(tx AS BIGINT) AS tx,
        CAST(COUNT(*) AS BIGINT) AS n_px
 FROM v GROUP BY level, tx, ty
 """
+
+
+# ------------------------------------------------------- bilinear resample
+
+def q_resample_bilinear(sf_dir: str) -> pd.DataFrame:
+    """Bilinear 2× upsample through the real parquet halo (the raster
+    resample every renderer applies on zoom; functions/Reference.py's
+    cell-size negotiation implies it): each source pixel spawns the 2×2
+    sub-pixel block [v, (v+R)/2, (v+D)/2, (v+R+D+X)/4] with edge-clamped
+    neighbours.  Values are scaled ×4 so every sub-pixel is an exact
+    integer — SQL recomputes all four per pixel with the identical
+    clamping."""
+    from .stages import halo, tile_map
+
+    padded = halo.with_halo_from_parquet(
+        _analytic_path(sf_dir), padding=1, bands=2,
+        scene_ids=[s * 10 for s in range(synth.A_SCENES)])
+
+    def kernel(p, m, meta):
+        band = (p[0] if p.ndim == 3 else p).astype(np.float64)
+        v = band[1:-1, 1:-1]
+        r = band[1:-1, 2:]
+        d = band[2:, 1:-1]
+        x = band[2:, 2:]
+        h, w = v.shape
+        out = np.empty((2 * h, 2 * w), np.float64)
+        out[0::2, 0::2] = 4.0 * v
+        out[0::2, 1::2] = 2.0 * (v + r)
+        out[1::2, 0::2] = 2.0 * (v + d)
+        out[1::2, 1::2] = v + r + d + x
+        mm = np.repeat(np.repeat(m[1:-1, 1:-1] if m.ndim == 2 else m, 2, 0),
+                       2, 1)
+        return out, mm
+
+    out = tile_map.apply_kernel(padded, kernel, out_pixel_type="f8")
+
+    def stats(a):
+        return (float(a.min()), float(a.max()), float(a.sum()))
+
+    return _exact_stats(out, stats, [("u_min", pa.float64()),
+                                     ("u_max", pa.float64()),
+                                     ("u_sum", pa.float64())])
+
+
+def resample_bilinear_oracle_sql(sf: float = 0.01) -> str:
+    p = synth.params_for(sf)
+    n = p.tiles_per_side * p.tile_px
+    clamp = lambda ex: f"GREATEST(0, LEAST({n - 1}, {ex}))"  # noqa: E731
+    v = _b0_sql()
+    r = _b0_sql(gc=clamp("gc + 1"))
+    d = _b0_sql(gr=clamp("gr + 1"))
+    x = _b0_sql(gr=clamp("gr + 1"), gc=clamp("gc + 1"))
+    return f"""
+WITH {_epoch0_cte(sf)},
+e AS (SELECT tile_id,
+             4.0 * ({v}) AS e00,
+             2.0 * (({v}) + ({r})) AS e01,
+             2.0 * (({v}) + ({d})) AS e10,
+             ({v}) + ({r}) + ({d}) + ({x}) AS e11
+      FROM px)
+SELECT tile_id,
+       MIN(LEAST(e00, e01, e10, e11)) AS u_min,
+       MAX(GREATEST(e00, e01, e10, e11)) AS u_max,
+       SUM(e00 + e01 + e10 + e11) AS u_sum
+FROM e GROUP BY tile_id ORDER BY tile_id
+"""
