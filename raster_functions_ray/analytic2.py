@@ -2231,3 +2231,84 @@ SELECT tile_id,
        SUM(e00 + e01 + e10 + e11) AS u_sum
 FROM e GROUP BY tile_id ORDER BY tile_id
 """
+
+
+# ------------------------------------------------- affine warp (reproject)
+
+# rational shear-scale: src_r = (3·tr + tc)//4, src_c = (tr + 3·tc)//4 —
+# monotone in both axes (pre-image of a rectangle is a rectangle) and
+# in-bounds for every target pixel, so no nodata arm is needed
+def _warp_src(tr, tc):
+    return (3 * tr + tc) // 4, (tr + 3 * tc) // 4
+
+
+def q_affine_warp(sf_dir: str) -> pd.DataFrame:
+    """Nearest-neighbour affine warp (the ProjectRaster/reproject shape):
+    every target pixel samples the source at a rational affine coordinate.
+    Unlike focal ops the displacement is UNBOUNDED (grows with the grid),
+    so a halo cannot feed it — instead each target-tile task computes its
+    pre-image rectangle (the affine is monotone, so corners suffice) and
+    GATHERS exactly those source tiles with a pushdown parquet read: the
+    scale story is per-task selective reads, not an all-to-all pixel
+    shuffle.  Oracle recomputes b0 at the identical integer coordinates."""
+    import pyarrow.parquet as pq
+
+    p = synth.params_for(synth.sf_from_dir(sf_dir))
+    G, T = p.tiles_per_side, p.tile_px
+    path = _analytic_path(sf_dir)
+
+    def warp_tile(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for tid in np.asarray(b["id"], dtype=np.int64):
+            ty, tx = divmod(int(tid), G)
+            r0, c0 = ty * T, tx * T
+            # pre-image rectangle from the 4 corners (monotone affine)
+            srs, scs = zip(*[_warp_src(r, c)
+                             for r in (r0, r0 + T - 1)
+                             for c in (c0, c0 + T - 1)])
+            tx0, tx1 = min(scs) // T, max(scs) // T
+            ty0, ty1 = min(srs) // T, max(srs) // T
+            src = pq.read_table(
+                path, columns=["tx", "ty", "pixels", "pixel_type",
+                               "band_count", "height", "width"],
+                filters=[("scene_id", "=", 0),
+                         ("tx", ">=", tx0), ("tx", "<=", tx1),
+                         ("ty", ">=", ty0), ("ty", "<=", ty1)])
+            canvas = np.empty(((ty1 - ty0 + 1) * T, (tx1 - tx0 + 1) * T),
+                              np.float64)
+            for i in range(src.num_rows):
+                arr = tilecodec.decode(
+                    src["pixels"][i].as_buffer(), src["pixel_type"][i].as_py(),
+                    src["band_count"][i].as_py(), src["height"][i].as_py(),
+                    src["width"][i].as_py())
+                sy = (src["ty"][i].as_py() - ty0) * T
+                sx = (src["tx"][i].as_py() - tx0) * T
+                canvas[sy:sy + T, sx:sx + T] = arr[0]
+            tr = np.arange(r0, r0 + T, dtype=np.int64)[:, None]
+            tc = np.arange(c0, c0 + T, dtype=np.int64)[None, :]
+            sr, sc = _warp_src(tr, tc)
+            out = canvas[sr - ty0 * T, sc - tx0 * T]
+            rows.append((f"w_{tx:04d}_{ty:04d}", float(out.min()),
+                         float(out.max()), float(out.sum())))
+        return pd.DataFrame(rows, columns=["tile_id", "w_min", "w_max",
+                                           "w_sum"])
+
+    out = (rd.range(G * G, override_num_blocks=8)
+           .map_batches(warp_tile, batch_format="pyarrow", batch_size=8)
+           .to_pandas())
+    return out.sort_values("tile_id").reset_index(drop=True)
+
+
+def affine_warp_oracle_sql(sf: float = 0.01) -> str:
+    p = synth.params_for(sf)
+    G, T = p.tiles_per_side, p.tile_px
+    v = _b0_sql(gr="(3 * gr + gc) // 4", gc="(gr + 3 * gc) // 4")
+    return f"""
+WITH {_epoch0_cte(sf)},
+w AS (SELECT 'w_' || lpad(CAST(gc // {T} AS VARCHAR), 4, '0') || '_'
+             || lpad(CAST(gr // {T} AS VARCHAR), 4, '0') AS tile_id,
+             {v} AS sv
+      FROM px WHERE s = 0)
+SELECT tile_id, MIN(sv) AS w_min, MAX(sv) AS w_max, SUM(sv) AS w_sum
+FROM w GROUP BY tile_id ORDER BY tile_id
+"""
