@@ -42,6 +42,10 @@ EXCHANGES = {
                             # + verify are driver/broadcast lowerings
     "token_stats": 1,       # lang groupby over partials
     "ann_topk": 0,          # broadcast query matrix + partial top-k
+    "region_label": 2,      # handshake-key groupby + (tiny) CC resolve;
+                            # pixels never shuffle — partials only
+    "segment_join": 1,      # cell-keyed hash join (both sides shuffled
+                            # once); predicate runs map-side
 }
 
 
@@ -58,7 +62,7 @@ def run_bench() -> dict:
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from raster_functions_ray import ann, dedup, rasterqueries as rq
-    from raster_functions_ray import relational as rel, spatial, synth, textops
+    from raster_functions_ray import regions, relational as rel, spatial, synth, textops
     from raster_functions_ray.pipelines import flagship
 
     # ensure synthetic tiles exist + warm the page cache (untimed)
@@ -92,6 +96,8 @@ def run_bench() -> dict:
         "minhash_dedup": lambda: dedup.q_minhash_dedup(SF_DIR),
         "token_stats": lambda: textops.q_token_stats(SF_DIR),
         "ann_topk": lambda: ann.q_ann_topk(SF_DIR),
+        "region_label": lambda: regions.q_region_label(SF_DIR),
+        "segment_join": lambda: spatial.q_segment_join(SF_DIR),
     }
 
     # per-query best-of-2: the shared host has multi-second ambient noise
