@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pyramid_build": analytic2.q_pyramid_build,
         "resample_bilinear": analytic2.q_resample_bilinear,
         "affine_warp": analytic2.q_affine_warp,
+        "rle_stats": analytic2.q_rle_stats,
         "zorder_keys": spatial.q_zorder_keys,
         # SQL-exact analytic gates below the graded window (still
         # verified by scripts/verify_queries.py every sweep)
@@ -329,6 +330,7 @@ def oracle_sql() -> dict[str, str]:
         "pyramid_build": analytic2.pyramid_build_oracle_sql(0.01),
         "resample_bilinear": analytic2.resample_bilinear_oracle_sql(0.01),
         "affine_warp": analytic2.affine_warp_oracle_sql(0.01),
+        "rle_stats": analytic2.rle_stats_oracle_sql(0.01),
         "zorder_keys": spatial.Q_ZORDER_KEYS_SQL,
         "aspect_slope_exact": analytic2.aspect_slope_exact_oracle_sql(0.01),
         "block_stats_minmax_exact": analytic2.block_stats_minmax_exact_oracle_sql(0.01),

@@ -2312,3 +2312,55 @@ w AS (SELECT 'w_' || lpad(CAST(gc // {T} AS VARCHAR), 4, '0') || '_'
 SELECT tile_id, MIN(sv) AS w_min, MAX(sv) AS w_max, SUM(sv) AS w_sum
 FROM w GROUP BY tile_id ORDER BY tile_id
 """
+
+
+# ----------------------------------------------------------- RLE run stats
+
+RLE_Q = 64  # class quantizer — b0's gc-slope of 2 gives ~32-px runs
+
+
+def q_rle_stats(sf_dir: str) -> pd.DataFrame:
+    """Row-major RLE statistics of the quantized surface (class = b0//{RLE_Q})
+    — the compression-planning pass a tile codec runs before choosing an
+    encoding: per tile the horizontal run count and the encoded size under
+    a 12-byte-per-run layout.  Vectorized: run starts are a shifted
+    not-equal per tile row; all integers."""
+    from .stages import tile_map
+
+    ds = _read_analytic(sf_dir, epoch=0)
+
+    def kernel(p, m, meta):
+        band = (p[0] if p.ndim == 3 else p)
+        cls = (band.astype(np.int64) // RLE_Q).astype(np.float64)
+        return cls, m
+
+    cls_tiles = tile_map.apply_kernel(ds, kernel, out_pixel_type="f8")
+
+    def stats(a):
+        ai = a.astype(np.int64)
+        runs = ai.shape[0] + int((ai[:, 1:] != ai[:, :-1]).sum())
+        return (float(runs), float(12 * runs))
+
+    out = _exact_stats(cls_tiles, stats, [("n_runs", pa.float64()),
+                                          ("rle_bytes", pa.float64())])
+    return out.astype({"n_runs": "int64", "rle_bytes": "int64"},
+                      errors="ignore").assign(
+        n_runs=lambda d: d["n_runs"].astype("int64"),
+        rle_bytes=lambda d: d["rle_bytes"].astype("int64"))
+
+
+def rle_stats_oracle_sql(sf: float = 0.01) -> str:
+    p = synth.params_for(sf)
+    T = p.tile_px
+    cls = f"(CAST({_b0_sql()} AS BIGINT) // {RLE_Q})"
+    cls_prev = f"(CAST({_b0_sql(gc='gc - 1')} AS BIGINT) // {RLE_Q})"
+    return f"""
+WITH {_epoch0_cte(sf)},
+f AS (SELECT tile_id,
+             CASE WHEN gc % {T} = 0 OR {cls} <> {cls_prev}
+                  THEN 1 ELSE 0 END AS run_start
+      FROM px)
+SELECT tile_id, CAST(SUM(run_start) AS BIGINT) AS n_runs,
+       CAST(12 * SUM(run_start) AS BIGINT) AS rle_bytes
+FROM f GROUP BY tile_id ORDER BY tile_id
+"""
