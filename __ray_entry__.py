@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_bilinear": analytic2.q_resample_bilinear,
         "affine_warp": analytic2.q_affine_warp,
         "rle_stats": analytic2.q_rle_stats,
+        "zonal_majority": analytic2.q_zonal_majority,
+        "trailing_median": windows.q_trailing_median,
         "zorder_keys": spatial.q_zorder_keys,
         # SQL-exact analytic gates below the graded window (still
         # verified by scripts/verify_queries.py every sweep)
@@ -331,6 +333,8 @@ def oracle_sql() -> dict[str, str]:
         "resample_bilinear": analytic2.resample_bilinear_oracle_sql(0.01),
         "affine_warp": analytic2.affine_warp_oracle_sql(0.01),
         "rle_stats": analytic2.rle_stats_oracle_sql(0.01),
+        "zonal_majority": analytic2.zonal_majority_oracle_sql(0.01),
+        "trailing_median": windows.Q_TRAILING_MEDIAN_SQL,
         "zorder_keys": spatial.Q_ZORDER_KEYS_SQL,
         "aspect_slope_exact": analytic2.aspect_slope_exact_oracle_sql(0.01),
         "block_stats_minmax_exact": analytic2.block_stats_minmax_exact_oracle_sql(0.01),

@@ -2364,3 +2364,60 @@ SELECT tile_id, CAST(SUM(run_start) AS BIGINT) AS n_runs,
        CAST(12 * SUM(run_start) AS BIGINT) AS rle_bytes
 FROM f GROUP BY tile_id ORDER BY tile_id
 """
+
+
+# --------------------------------------------------------- zonal majority
+
+ZM_BLOCK = 32  # zone = aligned 32x32 block (divides every tile_px)
+ZM_MOD = 9
+
+
+def q_zonal_majority(sf_dir: str) -> pd.DataFrame:
+    """ZonalStatistics MAJORITY: the modal class per zone (aligned
+    {ZM_BLOCK}² blocks over the quantized surface b0 % {ZM_MOD}), ties to
+    the smallest class via the packed key cnt·16 + (15 − class) — the
+    categorical zonal rollup (dominant land-cover per parcel)."""
+    ds = _read_analytic(sf_dir, epoch=0)
+
+    def per_tile(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in range(b.num_rows):
+            sid = b["scene_id"][i].as_py()
+            if sid // 10 != 0:
+                continue
+            meta = {c: b[c][i].as_py() for c in
+                    ("pixel_type", "band_count", "height", "width", "tx", "ty")}
+            arr = tilecodec.decode(b["pixels"][i].as_buffer(), meta["pixel_type"],
+                                   meta["band_count"], meta["height"], meta["width"])
+            cls = arr[0].astype(np.int64) % ZM_MOD
+            T = meta["height"]
+            for by in range(T // ZM_BLOCK):
+                for bx in range(T // ZM_BLOCK):
+                    blk = cls[by * ZM_BLOCK:(by + 1) * ZM_BLOCK,
+                              bx * ZM_BLOCK:(bx + 1) * ZM_BLOCK]
+                    cnt = np.bincount(blk.ravel(), minlength=ZM_MOD)
+                    key = cnt * 16 + (15 - np.arange(ZM_MOD))
+                    k = int(key.max())
+                    rows.append((meta["tx"] * (T // ZM_BLOCK) + bx,
+                                 meta["ty"] * (T // ZM_BLOCK) + by,
+                                 15 - k % 16, k // 16))
+        return pd.DataFrame(rows, columns=["bx", "by", "maj_class",
+                                           "maj_count"]).astype("int64")
+
+    out = (ds.map_batches(per_tile, batch_format="pyarrow", batch_size=16)
+           .to_pandas())
+    return out.sort_values(["by", "bx"]).reset_index(drop=True)
+
+
+def zonal_majority_oracle_sql(sf: float = 0.01) -> str:
+    return f"""
+WITH {_epoch0_cte(sf)},
+c AS (SELECT gc // {ZM_BLOCK} AS bx, gr // {ZM_BLOCK} AS by,
+             CAST({_b0_sql()} AS BIGINT) % {ZM_MOD} AS cls
+      FROM px WHERE s = 0),
+g AS (SELECT bx, by, cls, COUNT(*) AS cnt FROM c GROUP BY bx, by, cls),
+k AS (SELECT bx, by, MAX(cnt * 16 + (15 - cls)) AS key FROM g GROUP BY bx, by)
+SELECT bx, by, CAST(15 - key % 16 AS BIGINT) AS maj_class,
+       CAST(key // 16 AS BIGINT) AS maj_count
+FROM k
+"""

@@ -350,3 +350,48 @@ SELECT event_id,
             AS BIGINT) AS n_window
 FROM events ORDER BY event_id
 """
+
+
+# -------------------------------------------------- trailing window median
+
+TRAIL_MED_W = 5
+
+
+def q_trailing_median(sf_dir: str) -> pd.DataFrame:
+    """Per-event trailing median of `value` over the last {TRAIL_MED_W}
+    rows of the user's stream (robust smoothing behind anomaly detection).
+    The statistic is an ELEMENT of the window (lower median), so the
+    double compares hash-exact with no arithmetic.
+
+    Vectorized per ordered group: stack the {TRAIL_MED_W} shifted columns
+    with NaN head-pads, row-sort (NaN high), index (m−1)//2 where m is the
+    valid count — no per-row Python."""
+    from .sources import read_table
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def trail(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        v = g["value"].to_numpy(np.float64)
+        n = len(v)
+        cols = [np.concatenate([np.full(k, np.nan), v[:n - k]])
+                for k in range(TRAIL_MED_W)]
+        m = np.minimum(np.arange(n) + 1, TRAIL_MED_W)
+        win = np.sort(np.stack(cols, axis=1), axis=1)  # NaN sorts last
+        med = win[np.arange(n), (m - 1) // 2]
+        return pd.DataFrame({"event_id": g["event_id"].astype(np.int64),
+                             "trail_med": med})
+
+    out = (ds.groupby("user_id").map_groups(trail, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+Q_TRAILING_MEDIAN_SQL = f"""
+SELECT event_id,
+       quantile_disc(value, 0.5) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN {TRAIL_MED_W - 1} PRECEDING AND CURRENT ROW) AS trail_med
+FROM events
+"""
