@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "euc_distance": regions.q_euc_distance,
         "euc_allocation": regions.q_euc_allocation,
         "watershed_basins": rq.q_watershed_basins,
+        "flow_length": rq.q_flow_length,
         "skyline": rel.q_skyline,
         "interval_union": rel.q_interval_union,
         "rollup_sets": rel.q_rollup_sets,
@@ -457,6 +458,7 @@ def oracle_sql() -> dict[str, str]:
         "euc_distance": regions.Q_EUC_DISTANCE_SQL,
         "euc_allocation": regions.Q_EUC_ALLOCATION_SQL,
         "watershed_basins": rq.WATERSHED_BASINS_SQL,
+        "flow_length": rq.FLOW_LENGTH_SQL,
         "skyline": rel.Q_SKYLINE_SQL,
         "interval_union": rel.Q_INTERVAL_UNION_SQL,
         "rollup_sets": rel.Q_ROLLUP_SETS_SQL,

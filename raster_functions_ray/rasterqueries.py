@@ -1846,3 +1846,109 @@ def q_rft_radiation_stats(sf_dir: str) -> pd.DataFrame:
                                          padding=1, bands=1)
     out = tile_map.apply_kernel(padded, kernel, out_pixel_type="f8")
     return _stats_df(out)
+
+
+def q_flow_length(sf_dir: str) -> pd.DataFrame:
+    """Downstream flow length (ArcGIS FlowLength): for every cell, the
+    number of straight and diagonal D8 steps along its descent path to the
+    terminal sink — kept as the integer pair (n_straight, n_diag) so the
+    gate never sums square roots (length = s + d·√2 is derived, not
+    compared).
+
+    The kernel extends watershed's pointer doubling with WEIGHT
+    ACCUMULATION — the parallel list-ranking recurrence: jumping from
+    next to next[next] adds the jumped-over segment's accumulated steps
+    (dist2k[p] = distk[p] + distk[ptrk[p]]), so a path of length L
+    resolves in O(log L) vectorized passes.  Output per tile: total and
+    max steps of each kind.
+    """
+    import ray.data as rdm
+
+    ds = rdm.range(_D8_TILES, override_num_blocks=8)
+    n = _D8_N
+
+    def gen(b: pa.Table) -> pd.DataFrame:
+        ids = np.asarray(b["id"], dtype=np.int64)
+        dems = _d8_dem(ids)
+        rows = []
+        for i, s in enumerate(ids):
+            best, has_down = d8_directions(dems[i])
+            dy = np.array([o[0] for o in D8_OFFS])[best]
+            dx = np.array([o[1] for o in D8_OFFS])[best]
+            diag = ((dy != 0) & (dx != 0)).ravel()
+            idx = np.arange(n * n, dtype=np.int64).reshape(n, n)
+            rr, cc = idx // n, idx % n
+            nxt = np.where(has_down, (rr + dy) * n + (cc + dx), idx).ravel()
+            hd = has_down.ravel()
+            n_str = (hd & ~diag).astype(np.int64)
+            n_dia = (hd & diag).astype(np.int64)
+            while True:
+                jump = nxt[nxt]
+                if np.array_equal(jump, nxt):
+                    break
+                n_str = n_str + n_str[nxt]
+                n_dia = n_dia + n_dia[nxt]
+                nxt = jump
+            rows.append((int(s), int(n_str.sum()), int(n_dia.sum()),
+                         int(n_str.max()), int(n_dia.max())))
+        return pd.DataFrame(rows, columns=["tile_idx", "sum_straight",
+                                           "sum_diag", "max_straight",
+                                           "max_diag"]).astype("int64")
+
+    out = ds.map_batches(gen, batch_format="pyarrow", batch_size=8)
+    return out.to_pandas().sort_values("tile_idx").reset_index(drop=True)
+
+
+FLOW_LENGTH_SQL = f"""
+WITH RECURSIVE
+grid AS (SELECT unnest(generate_series(0, {_D8_N - 1})) AS i),
+cells AS (
+  SELECT s.range AS s, r.i AS r, c.i AS c,
+         ((s.range * 131071 + r.i * 37 + c.i * 17) * 2654435761) % 4096 AS z
+  FROM range(0, {_D8_TILES}) s, grid r, grid c
+),
+nb(k, dy, dx) AS (
+  SELECT * FROM (VALUES (0,-1,-1),(1,-1,0),(2,-1,1),(3,0,-1),
+                        (4,0,1),(5,1,-1),(6,1,0),(7,1,1)) t
+),
+drops AS (
+  SELECT a.s, a.r, a.c, n.k, n.dy, n.dx,
+         CAST(a.z - b.z AS DOUBLE) /
+           (CASE WHEN n.dy <> 0 AND n.dx <> 0 THEN sqrt(2.0) ELSE 1.0 END) AS dr
+  FROM cells a
+  JOIN nb n ON TRUE
+  JOIN cells b
+    ON b.s = a.s
+   AND b.r = LEAST(GREATEST(a.r + n.dy, 0), {_D8_N - 1})
+   AND b.c = LEAST(GREATEST(a.c + n.dx, 0), {_D8_N - 1})
+),
+best AS (
+  SELECT s, r, c, dy, dx, dr,
+         ROW_NUMBER() OVER (PARTITION BY s, r, c ORDER BY dr DESC, k) AS rn
+  FROM drops
+),
+down AS (SELECT s, r, c, r + dy AS nr, c + dx AS nc, dr,
+                CASE WHEN dy <> 0 AND dx <> 0 THEN 1 ELSE 0 END AS is_diag
+         FROM best WHERE rn = 1),
+walk AS (
+  SELECT s, r AS sr, c AS sc, r, c,
+         CAST(0 AS BIGINT) AS ns, CAST(0 AS BIGINT) AS nd
+  FROM cells
+  UNION ALL
+  SELECT w.s, w.sr, w.sc, d.nr, d.nc,
+         w.ns + 1 - d.is_diag, w.nd + d.is_diag
+  FROM walk w JOIN down d ON d.s = w.s AND d.r = w.r AND d.c = w.c
+  WHERE d.dr > 0
+    AND d.nr BETWEEN 0 AND {_D8_N - 1} AND d.nc BETWEEN 0 AND {_D8_N - 1}
+),
+fin AS (
+  SELECT s, sr, sc, MAX(ns) AS ns, MAX(nd) AS nd
+  FROM walk GROUP BY s, sr, sc
+)
+SELECT CAST(s AS BIGINT) AS tile_idx,
+       CAST(SUM(ns) AS BIGINT) AS sum_straight,
+       CAST(SUM(nd) AS BIGINT) AS sum_diag,
+       CAST(MAX(ns) AS BIGINT) AS max_straight,
+       CAST(MAX(nd) AS BIGINT) AS max_diag
+FROM fin GROUP BY s ORDER BY tile_idx
+"""

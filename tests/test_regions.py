@@ -139,3 +139,42 @@ def test_mask_is_subcritical():
     ref = _whole_grid_reference()
     assert ref["px_count"].max() < 1000
     assert len(ref) > 10000
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_flow_length_doubling_equals_sequential(seed):
+    """Pointer doubling with weight accumulation == step-by-step walk."""
+    from raster_functions_ray import rasterqueries as rq
+
+    rng = np.random.default_rng(seed)
+    n = 10
+    dem = rng.integers(0, 4096, (n, n)).astype(np.float64)
+    best, has_down = rq.d8_directions(dem)
+    dy = np.array([o[0] for o in rq.D8_OFFS])[best]
+    dx = np.array([o[1] for o in rq.D8_OFFS])[best]
+    diag = ((dy != 0) & (dx != 0)).ravel()
+    idx = np.arange(n * n, dtype=np.int64).reshape(n, n)
+    rr, cc = idx // n, idx % n
+    nxt = np.where(has_down, (rr + dy) * n + (cc + dx), idx).ravel()
+    hd = has_down.ravel()
+    ns = (hd & ~diag).astype(np.int64)
+    nd = (hd & diag).astype(np.int64)
+    while True:
+        jump = nxt[nxt]
+        if np.array_equal(jump, nxt):
+            break
+        ns = ns + ns[nxt]
+        nd = nd + nd[nxt]
+        nxt = jump
+    # sequential truth
+    nxt0 = np.where(hd, (rr.ravel() + dy.ravel()) * n
+                    + (cc.ravel() + dx.ravel()), idx.ravel())
+    for start in range(n * n):
+        cur, es, ed = start, 0, 0
+        while nxt0[cur] != cur:
+            step_diag = diag[cur]
+            es += 0 if step_diag else 1
+            ed += 1 if step_diag else 0
+            cur = nxt0[cur]
+        assert ns[start] == es and nd[start] == ed
