@@ -1258,8 +1258,6 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
 
     Oracle: {PR_ROUNDS} unrolled CTE rounds with the identical floor ops.
     """
-    import pyarrow.compute as pc
-
     docs = read_table(sf_dir, "documents", columns=["doc_id"]).materialize()
     n = docs.count()
     nparts = max(2, min(join_partitions(), n // 10000 + 2))
@@ -1271,6 +1269,11 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
                             "m": pa.array(np.full(b.num_rows, PR_BASE0,
                                                   np.int64))}),
         batch_format="pyarrow").materialize()
+    teleport = docs.map_batches(
+        lambda b: pa.table({"node": b["doc_id"],
+                            "c": pa.array(np.full(b.num_rows, PR_TELEPORT,
+                                                  np.int64))}),
+        batch_format="pyarrow").materialize()
     for _ in range(PR_ROUNDS):
         as_src = mass.map_batches(lambda b: b.rename_columns(["u", "m"]),
                                   batch_format="pyarrow")
@@ -1280,16 +1283,11 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
                     "node": b["v"],
                     "c": pa.array((np.asarray(b["m"], np.int64) * 85) // 300)}),
                     batch_format="pyarrow"))
-        inflow = msgs.groupby("node").aggregate(Sum("c", alias_name="s"))
-        nodes = docs.map_batches(
-            lambda b: pa.table({"node": b["doc_id"]}), batch_format="pyarrow")
-        mass = (nodes.join(inflow, join_type="left_outer",
-                           num_partitions=nparts, on=("node",))
-                .map_batches(lambda b: pa.table({
-                    "node": b["node"],
-                    "m": pa.array(PR_TELEPORT + np.asarray(
-                        pc.fill_null(b["s"], 0), np.int64))}),
-                    batch_format="pyarrow")).materialize()
+        # teleport rows ride the SAME groupby as the edge contributions —
+        # one exchange per round instead of groupby + left-join-backfill
+        mass = (msgs.union(teleport)
+                .groupby("node").aggregate(Sum("c", alias_name="m"))
+                .materialize())
     out = mass.to_pandas().rename(columns={"node": "doc_id", "m": "rank_mass"})
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -1447,8 +1445,6 @@ def q_triangle_count(sf_dir: str) -> pd.DataFrame:
 
     Output: per-apex triangle counts (node = the smallest vertex a).
     """
-    import pyarrow.compute as pc
-
     docs = read_table(sf_dir, "documents", columns=["doc_id"]).materialize()
     n = docs.count()
     nparts = max(2, min(join_partitions(), n // 10000 + 2))
