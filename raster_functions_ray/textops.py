@@ -1070,3 +1070,95 @@ SELECT q_id, doc_id, CAST(rank AS BIGINT) AS rank, score FROM (
 WHERE rank <= {BM25_TOPK}
 ORDER BY q_id, rank
 """
+
+
+# --------------------------------------------- hashed linear classification
+
+HC_TOPICS = 8
+HC_KOFF = 1000003
+HC_WRANGE = 2001  # weights in [-1000, 1000]
+
+
+def _hc_token_hash(tok: str) -> int:
+    h = 0
+    for ch in tok:
+        h = (h * 31 + ch if isinstance(ch, int) else (h * 31 + ord(ch))) % 4294967296
+    return h
+
+
+def q_hash_classifier(sf_dir: str) -> pd.DataFrame:
+    """Hashed-feature linear classifier scoring (the fastText/VW shape —
+    feature hashing → per-class integer weights → argmax), the
+    model-scoring stage of a training-data pipeline run fully
+    distributed: ONE streaming pass, no model shipped (weights are a pure
+    function of the token hash, the hashing-trick's defining property).
+
+    Integer end to end: token poly-31 hash → per-class weight
+    mix(h + k·{HC_KOFF}) % {HC_WRANGE} − 1000; per-doc class scores are
+    order-free int sums; argmax ties to the smallest class via the packed
+    key (score + 1e9)·16 + (15 − k).
+
+    Per batch the hash runs once per UNIQUE token (vocabulary-bounded),
+    then scores accumulate via one np.add.at over the exploded stream.
+    """
+    from .sources import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        toks = df["text"].str.findall(r"[^ \t\n\r\f]+")
+        e = toks.explode().dropna()
+        doc_idx = e.index.to_numpy()
+        vals = e.to_numpy(dtype=object)
+        uniq, inv = np.unique(vals, return_inverse=True)
+        h = np.array([_hc_token_hash(t) for t in uniq], dtype=np.uint64)
+        k = np.arange(HC_TOPICS, dtype=np.uint64)[None, :]
+        m = ((h[:, None] + k * np.uint64(HC_KOFF)) % np.uint64(1 << 32)
+             * np.uint64(2654435761)) % np.uint64(1 << 32)
+        m = ((m ^ (m >> np.uint64(16))) * np.uint64(2246822519)) % np.uint64(1 << 32)
+        w = (m % np.uint64(HC_WRANGE)).astype(np.int64) - 1000
+        scores = np.zeros((len(df), HC_TOPICS), np.int64)
+        np.add.at(scores, doc_idx, w[inv])
+        key = (scores + 1_000_000_000) * 16 + (15 - np.arange(HC_TOPICS))[None, :]
+        best = key.max(axis=1)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "pred_topic": (15 - best % 16).astype(np.int64),
+            "pred_score": (best // 16 - 1_000_000_000).astype(np.int64)})
+
+    out = ds.map_batches(score, batch_format="pyarrow",
+                         batch_size=8192).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_HC_MIXED = ("CAST(xor((CAST((h32 + k.k * {koff}) % 4294967296 AS UBIGINT) * 2654435761) % 4294967296, "
+             "((CAST((h32 + k.k * {koff}) % 4294967296 AS UBIGINT) * 2654435761) % 4294967296) >> 16) "
+             "* 2246822519 % 4294967296 % {wr} AS BIGINT) - 1000")
+
+Q_HASH_CLASSIFIER_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS t
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         list_reduce(list_transform(string_split(t, ''),
+                     c -> CAST(unicode(c) AS BIGINT)),
+                     (a, b) -> (a * 31 + b) % 4294967296) AS h32
+  FROM toks
+), w AS (
+  SELECT doc_id, k.k,
+         {_HC_MIXED.format(koff=HC_KOFF, wr=HC_WRANGE)} AS wt
+  FROM h, LATERAL (SELECT unnest(generate_series(0, {HC_TOPICS - 1})) AS k) k
+), sc AS (
+  SELECT doc_id, k, CAST(SUM(wt) AS BIGINT) AS score
+  FROM w GROUP BY doc_id, k
+), b AS (
+  SELECT doc_id, MAX((score + 1000000000) * 16 + (15 - k)) AS key
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, CAST(15 - key % 16 AS BIGINT) AS pred_topic,
+       CAST(key // 16 - 1000000000 AS BIGINT) AS pred_score
+FROM b
+"""
