@@ -1082,7 +1082,7 @@ HC_WRANGE = 2001  # weights in [-1000, 1000]
 def _hc_token_hash(tok: str) -> int:
     h = 0
     for ch in tok:
-        h = (h * 31 + ch if isinstance(ch, int) else (h * 31 + ord(ch))) % 4294967296
+        h = (h * 31 + ord(ch)) % 4294967296
     return h
 
 
