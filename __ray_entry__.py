@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_geometry": regions.q_region_geometry,
         "euc_distance": regions.q_euc_distance,
         "euc_allocation": regions.q_euc_allocation,
+        "grid_bfs": regions.q_grid_bfs,
         "watershed_basins": rq.q_watershed_basins,
         "flow_length": rq.q_flow_length,
         "skyline": rel.q_skyline,
@@ -458,6 +459,7 @@ def oracle_sql() -> dict[str, str]:
         "region_geometry": regions.Q_REGION_GEOMETRY_SQL,
         "euc_distance": regions.Q_EUC_DISTANCE_SQL,
         "euc_allocation": regions.Q_EUC_ALLOCATION_SQL,
+        "grid_bfs": regions.Q_GRID_BFS_SQL,
         "watershed_basins": rq.WATERSHED_BASINS_SQL,
         "flow_length": rq.FLOW_LENGTH_SQL,
         "skyline": rel.Q_SKYLINE_SQL,

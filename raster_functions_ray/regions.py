@@ -666,3 +666,86 @@ SELECT CAST(best % {EUC_KEY_STRIDE} AS BIGINT) AS seed_id,
        CAST(COUNT(*) AS BIGINT) AS n_px
 FROM nearest GROUP BY seed_id
 """
+
+
+# ---------------------------------------------------- bounded BFS wavefront
+
+BFS_MAX_D = 12  # step bound → halo width; tiles never communicate
+
+
+def q_grid_bfs(sf_dir: str) -> pd.DataFrame:
+    """Bounded breadth-first wavefront over the percolation field: the
+    4-connected step distance (≤ {BFS_MAX_D}) from the sparse seed set to
+    every masked pixel — the isochrone/service-area propagation pattern
+    (cost distance with unit costs).  Per tile the {BFS_MAX_D}-halo window
+    is evaluated locally (counter-derived mask and seeds, the q_euc_distance
+    trick) and the wavefront advances as vectorized dilation passes — the
+    step bound is what makes the sweep tileable.
+
+    Output per tile: reached count and the sum of step distances.
+    Oracle: recursive-CTE BFS with UNION-distinct frontier, MIN(d) per
+    pixel — both integer-exact.
+    """
+    tiles = rd.range(GRID_TILES * GRID_TILES, override_num_blocks=8)
+
+    def per_tile(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for tid in np.asarray(b["id"], dtype=np.int64):
+            ty, tx = divmod(int(tid), GRID_TILES)
+            r0, c0 = ty * TILE_PX, tx * TILE_PX
+            hr0 = max(0, r0 - BFS_MAX_D); hc0 = max(0, c0 - BFS_MAX_D)
+            hr1 = min(GRID_W, r0 + TILE_PX + BFS_MAX_D)
+            hc1 = min(GRID_W, c0 + TILE_PX + BFS_MAX_D)
+            mask = percolation_mask(hr0, hc0, hr1 - hr0, hc1 - hc0)
+            sr, sc = euc_seeds(hr0, hc0, hr1 - hr0, hc1 - hc0)
+            dist = np.full(mask.shape, np.int32(127))
+            seed_on_mask = mask[sr - hr0, sc - hc0]
+            dist[(sr - hr0)[seed_on_mask], (sc - hc0)[seed_on_mask]] = 0
+            for step in range(1, BFS_MAX_D + 1):
+                frontier = dist == step - 1
+                grow = np.zeros_like(frontier)
+                grow[1:, :] |= frontier[:-1, :]
+                grow[:-1, :] |= frontier[1:, :]
+                grow[:, 1:] |= frontier[:, :-1]
+                grow[:, :-1] |= frontier[:, 1:]
+                newly = grow & mask & (dist > step)
+                dist[newly] = step
+            core = dist[r0 - hr0:r0 - hr0 + TILE_PX,
+                        c0 - hc0:c0 - hc0 + TILE_PX]
+            reached = core <= BFS_MAX_D
+            rows.append((int(tid), int(reached.sum()),
+                         int(core[reached].astype(np.int64).sum())))
+        return pd.DataFrame(rows, columns=["tile_idx", "n_reached",
+                                           "sum_steps"]).astype("int64")
+
+    out = tiles.map_batches(per_tile, batch_format="pyarrow", batch_size=8)
+    return out.to_pandas().sort_values("tile_idx").reset_index(drop=True)
+
+
+Q_GRID_BFS_SQL = f"""
+WITH RECURSIVE px AS (
+  SELECT CAST(range AS BIGINT) AS id,
+         CAST(range AS BIGINT) // {GRID_W} AS r, CAST(range AS BIGINT) % {GRID_W} AS c
+  FROM range(0, {GRID_W * GRID_W})
+  WHERE CAST((xor((CAST(range AS UBIGINT) * {_M1}) % {_MOD},
+                  ((CAST(range AS UBIGINT) * {_M1}) % {_MOD}) >> 16)
+              * {_M2}) % {_MOD} % 1000 AS BIGINT) < {MASK_DENSITY}
+), seeds AS (
+  SELECT id, r, c FROM px
+  WHERE CAST((xor((CAST(({EUC_SEED_OFF} + id) % {_MOD} AS UBIGINT) * {_M1}) % {_MOD},
+                  ((CAST(({EUC_SEED_OFF} + id) % {_MOD} AS UBIGINT) * {_M1}) % {_MOD}) >> 16)
+              * {_M2}) % {_MOD} % 1000 AS BIGINT) < {EUC_SEED_DENS}
+), bfs AS (
+  SELECT id, r, c, 0 AS d FROM seeds
+  UNION
+  SELECT p.id, p.r, p.c, b.d + 1
+  FROM bfs b
+  JOIN px p ON (p.r = b.r + 1 AND p.c = b.c) OR (p.r = b.r - 1 AND p.c = b.c)
+            OR (p.r = b.r AND p.c = b.c + 1) OR (p.r = b.r AND p.c = b.c - 1)
+  WHERE b.d < {BFS_MAX_D}
+), best AS (SELECT id, r, c, MIN(d) AS d FROM bfs GROUP BY id, r, c)
+SELECT CAST((r // {TILE_PX}) * {GRID_TILES} + c // {TILE_PX} AS BIGINT) AS tile_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(SUM(d) AS BIGINT) AS sum_steps
+FROM best GROUP BY tile_idx
+"""
