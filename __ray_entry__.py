@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_majority": analytic2.q_zonal_majority,
         "trailing_median": windows.q_trailing_median,
         "zorder_keys": spatial.q_zorder_keys,
+        "zorder_range_scan": spatial.q_zorder_range_scan,
         # SQL-exact analytic gates below the graded window (still
         # verified by scripts/verify_queries.py every sweep)
         "ndvi_colormap_exact": analytic2.q_ndvi_colormap_exact,
@@ -339,6 +340,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_majority": analytic2.zonal_majority_oracle_sql(0.01),
         "trailing_median": windows.Q_TRAILING_MEDIAN_SQL,
         "zorder_keys": spatial.Q_ZORDER_KEYS_SQL,
+        "zorder_range_scan": spatial.Q_ZORDER_RANGE_SCAN_SQL,
         "aspect_slope_exact": analytic2.aspect_slope_exact_oracle_sql(0.01),
         "block_stats_minmax_exact": analytic2.block_stats_minmax_exact_oracle_sql(0.01),
         "zonal_remap_exact": analytic2.zonal_remap_exact_oracle_sql(0.01),

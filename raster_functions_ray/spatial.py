@@ -1992,3 +1992,53 @@ WITH pts AS (
 )
 SELECT event_id, morton, morton >> 16 AS zcell FROM z
 """
+
+
+# ---------------------------------------------------- Z-order range scan
+
+ZR_X0, ZR_X1 = 9000, 15000   # query bbox in the 16-bit integer grid
+ZR_Y0, ZR_Y1 = 20000, 26000
+
+
+def q_zorder_range_scan(sf_dir: str) -> pd.DataFrame:
+    """Bbox query answered through the Z-order index: the query rectangle
+    decomposes into its covering level-8 Z-cells (the high-byte lattice),
+    candidate points are pruned by zcell membership BEFORE the exact bbox
+    test touches coordinates — the scan-pruning pattern a Z-ordered
+    100 TB table turns into file skipping.  The pruning is provably
+    lossless (a point inside the bbox lies in a covering cell), so the
+    result matches the full-scan oracle exactly."""
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    # covering cells: the rectangle of high bytes, morton-interleaved
+    cx0, cx1 = ZR_X0 >> 8, ZR_X1 >> 8
+    cy0, cy1 = ZR_Y0 >> 8, ZR_Y1 >> 8
+    gx, gy = np.meshgrid(np.arange(cx0, cx1 + 1), np.arange(cy0, cy1 + 1))
+    cover = set(morton_interleave16(gx.ravel().astype(np.uint64),
+                                    gy.ravel().astype(np.uint64)).tolist())
+
+    def scan(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        k = (eid * 7919) % 36000
+        m = (eid * 104729) % 18000
+        xi = (k * 65536) // 36000
+        yi = (m * 65536) // 18000
+        zc = morton_interleave16(xi >> 8, yi >> 8)
+        cand = np.isin(zc, list(cover))
+        hit = (cand & (xi >= ZR_X0) & (xi <= ZR_X1)
+               & (yi >= ZR_Y0) & (yi <= ZR_Y1))
+        return pa.table({"event_id": pa.array(eid[hit]),
+                         "xi": pa.array(xi[hit]), "yi": pa.array(yi[hit])})
+
+    out = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+Q_ZORDER_RANGE_SCAN_SQL = f"""
+SELECT event_id,
+       ((event_id * 7919) % 36000) * 65536 // 36000 AS xi,
+       ((event_id * 104729) % 18000) * 65536 // 18000 AS yi
+FROM events
+WHERE ((event_id * 7919) % 36000) * 65536 // 36000 BETWEEN {ZR_X0} AND {ZR_X1}
+  AND ((event_id * 104729) % 18000) * 65536 // 18000 BETWEEN {ZR_Y0} AND {ZR_Y1}
+"""
