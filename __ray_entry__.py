@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": trainprep.q_pagerank,
         "pmi_bigrams": trainprep.q_pmi_bigrams,
         "hash_classifier": textops.q_hash_classifier,
+        "bpe_merge_step": textops.q_bpe_merge_step,
         "triangle_count": trainprep.q_triangle_count,
         "focal_majority_exact": analytic2.q_focal_majority_exact,
         "pyramid_build": analytic2.q_pyramid_build,
@@ -471,6 +472,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": trainprep.pagerank_oracle_sql(),
         "pmi_bigrams": trainprep.Q_PMI_BIGRAMS_SQL,
         "hash_classifier": textops.Q_HASH_CLASSIFIER_SQL,
+        "bpe_merge_step": textops.Q_BPE_MERGE_STEP_SQL,
         "triangle_count": trainprep.TRIANGLE_COUNT_SQL,
         "median_select": rel.Q_MEDIAN_SELECT_SQL,
         "mad_select": rel.Q_MAD_SELECT_SQL,

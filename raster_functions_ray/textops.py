@@ -1162,3 +1162,79 @@ SELECT doc_id, CAST(15 - key % 16 AS BIGINT) AS pred_topic,
        CAST(key // 16 - 1000000000 AS BIGINT) AS pred_score
 FROM b
 """
+
+
+# ------------------------------------------------------- BPE merge step
+
+def q_bpe_merge_step(sf_dir: str) -> pd.DataFrame:
+    """One byte-pair-encoding merge round (Sennrich et al. 2016 — the
+    tokenizer-training inner loop) over the corpus character stream: count
+    every adjacent character pair inside words weighted by corpus word
+    frequency, pick the most frequent (ties to the lexically smallest),
+    and report the corpus compression the merge buys (greedy
+    non-overlapping replacement, the str.replace == SQL replace()
+    semantics).
+
+    Shape: ONE vocabulary groupby (corpus → O(V)); pair counting and the
+    merge run over the VOCABULARY with positional string slices — the
+    corpus text is never touched again.  At 100 TB the vocabulary is
+    language-bounded, so the whole merge round after the first groupby is
+    driver-trivial."""
+    from .sources import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def toks(b: pa.Table) -> pa.Table:
+        t = b.to_pandas()["text"].str.findall(r"[^ \t\n\r\f]+").explode().dropna()
+        vc = t.groupby(t).size()
+        return pa.table({"w": pa.array(vc.index.astype(str)),
+                         "n": pa.array(vc.to_numpy(np.int64))})
+
+    from ray.data.aggregate import Sum as ASum
+    vocab = (ds.map_batches(toks, batch_format="pyarrow", batch_size=8192)
+             .groupby("w").aggregate(ASum("n", alias_name="n"))
+             .to_pandas())
+    words = vocab["w"].astype(str)
+    counts = vocab["n"].to_numpy(np.int64)
+    # adjacent pair counts via positional slices (vocabulary-sized work)
+    pair_counts: dict[str, int] = {}
+    maxlen = int(words.str.len().max()) if len(words) else 0
+    for i in range(maxlen - 1):
+        sel = words.str.len() > i + 1
+        pairs = words[sel].str.slice(i, i + 2)
+        for pr, c in zip(pairs, counts[sel.to_numpy()]):
+            pair_counts[pr] = pair_counts.get(pr, 0) + int(c)
+    if not pair_counts:
+        return pd.DataFrame({"pair": [""], "pair_count": [np.int64(0)],
+                             "len_before": [np.int64(0)],
+                             "len_after": [np.int64(0)]})
+    best = min(pair_counts, key=lambda p: (-pair_counts[p], p))
+    len_before = int((words.str.len().to_numpy(np.int64) * counts).sum())
+    merged = words.str.replace(best, "\x01", regex=False)
+    len_after = int((merged.str.len().to_numpy(np.int64) * counts).sum())
+    return pd.DataFrame({"pair": [best],
+                         "pair_count": [np.int64(pair_counts[best])],
+                         "len_before": [np.int64(len_before)],
+                         "len_after": [np.int64(len_after)]})
+
+
+Q_BPE_MERGE_STEP_SQL = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY w
+), pairs AS (
+  SELECT substr(w, CAST(i.i AS INTEGER), 2) AS pair, SUM(n) AS cnt
+  FROM vocab, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) i
+  GROUP BY pair
+), best AS (
+  SELECT pair, CAST(cnt AS BIGINT) AS pair_count
+  FROM pairs ORDER BY cnt DESC, pair LIMIT 1
+)
+SELECT best.pair, best.pair_count,
+       (SELECT CAST(SUM(len(w) * n) AS BIGINT) FROM vocab) AS len_before,
+       (SELECT CAST(SUM(len(replace(w, best.pair, chr(1))) * n) AS BIGINT)
+        FROM vocab) AS len_after
+FROM best
+"""
