@@ -52,27 +52,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # SQL-exact queries in the first section.
     return {
         # ---- SQL-exact section (every key here has an oracle_sql entry) ----
+        #
+        # The driver grades EXACTLY the first 50 entries; the pytest
+        # test_graded_window pins that prefix, so any insertion above slot
+        # 50 fails loudly instead of silently displacing a curated gate.
+        #
+        # Window composition: 20 classic raster gates (one per operator
+        # FAMILY — each demoted family-sibling sits directly below the
+        # window and stays sweep-verified) + the 30 round-4 flagships.
+        #
         # SQL-exact raster gates over the closed-form analytic tile world
         # (the rows-only pixel queries' exact complements — analytic.py)
         "ndvi_exact": analytic.q_ndvi_exact,
-        "block_stats_exact": analytic.q_block_stats_exact,
         "focal_tri_exact": analytic.q_focal_tri_exact,
         "stack_sum_exact": analytic.q_stack_sum_exact,
-        "stack_second_max_exact": analytic.q_stack_second_max_exact,
         "remap_exact": analytic.q_remap_exact,
-        "stretch_exact": analytic.q_stretch_exact,
-        "qa_exact": analytic.q_qa_exact,
         # round-3: former rows-only pixel queries converted to exact gates
         # over the analytic world (analytic2.py) — same engine stacks
         # (storage-aligned stack reduces, parquet halo, chains, zonal)
-        "aggregate_mean_exact": analytic2.q_aggregate_mean_exact,
         "median_composite_exact": analytic2.q_median_composite_exact,
-        "pixel_percentile_exact": analytic2.q_pixel_percentile_exact,
-        "image_synthesis_exact": analytic2.q_image_synthesis_exact,
-        "percent_above_exact": analytic2.q_percent_above_exact,
-        "composite_bands_exact": analytic2.q_composite_bands_exact,
-        "dnbr_exact": analytic2.q_dnbr_exact,
-        "mask_replace_exact": analytic2.q_mask_replace_exact,
         "landsat_qa_exact": analytic2.q_landsat_qa_exact,
         "rank_filter_exact": analytic2.q_rank_filter_exact,
         "aspect_slope_exact": analytic2.q_aspect_slope_exact,
@@ -89,10 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resumable_training_exact": textops.q_resumable_training_exact,
         "nn_neighbors_exact": analytic2.q_nn_neighbors_exact,
         "rft_vineyard_exact": analytic2.q_rft_vineyard_exact,
-        "vineyard_exact": analytic2.q_vineyard_exact,
         "seasonal_forecast_exact": analytic2.q_seasonal_forecast_exact,
         "topographic_c_exact": analytic2.q_topographic_c_exact,
-        "heat_index": bandmath.q_heat_index,
         # round-4 flagship additions (regions / terrain / graph /
         # geometry / lakehouse) — curated INTO the driver's 50-slot
         # graded window alongside the north-star spatial joins
@@ -126,8 +122,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trailing_median": windows.q_trailing_median,
         "zorder_keys": spatial.q_zorder_keys,
         "zorder_range_scan": spatial.q_zorder_range_scan,
+        # ---- end of the driver's 50-slot graded window ----
         # SQL-exact analytic gates below the graded window (still
-        # verified by scripts/verify_queries.py every sweep)
+        # verified by scripts/verify_queries.py every sweep).  First the
+        # family-siblings demoted to make room for the round-4 flagships:
+        "block_stats_exact": analytic.q_block_stats_exact,
+        "stack_second_max_exact": analytic.q_stack_second_max_exact,
+        "stretch_exact": analytic.q_stretch_exact,
+        "qa_exact": analytic.q_qa_exact,
+        "aggregate_mean_exact": analytic2.q_aggregate_mean_exact,
+        "pixel_percentile_exact": analytic2.q_pixel_percentile_exact,
+        "image_synthesis_exact": analytic2.q_image_synthesis_exact,
+        "percent_above_exact": analytic2.q_percent_above_exact,
+        "composite_bands_exact": analytic2.q_composite_bands_exact,
+        "dnbr_exact": analytic2.q_dnbr_exact,
+        "mask_replace_exact": analytic2.q_mask_replace_exact,
+        "vineyard_exact": analytic2.q_vineyard_exact,
+        "heat_index": bandmath.q_heat_index,
         "ndvi_colormap_exact": analytic2.q_ndvi_colormap_exact,
         "merge_extract_exact": analytic2.q_merge_extract_exact,
         "chuck_close_exact": analytic2.q_chuck_close_exact,

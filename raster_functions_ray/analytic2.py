@@ -2343,10 +2343,7 @@ def q_rle_stats(sf_dir: str) -> pd.DataFrame:
 
     out = _exact_stats(cls_tiles, stats, [("n_runs", pa.float64()),
                                           ("rle_bytes", pa.float64())])
-    return out.astype({"n_runs": "int64", "rle_bytes": "int64"},
-                      errors="ignore").assign(
-        n_runs=lambda d: d["n_runs"].astype("int64"),
-        rle_bytes=lambda d: d["rle_bytes"].astype("int64"))
+    return out.astype({"n_runs": "int64", "rle_bytes": "int64"})
 
 
 def rle_stats_oracle_sql(sf: float = 0.01) -> str:

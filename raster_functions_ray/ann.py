@@ -428,37 +428,27 @@ def _sq_assign(qv: np.ndarray, cent: np.ndarray) -> np.ndarray:
     return np.argmin(d2, axis=1).astype(np.int64)
 
 
-def q_ivf_sq_search(sf_dir: str, concurrency: int = 4) -> pd.DataFrame:
-    """IVF-SQ ANN search, same scale shape as q_ivf_search: the quantized
-    index is written as list-partitioned parquet ONCE per corpus (cached),
-    search opens only the probed lists' partition directories, and the
-    re-rank streams those lists through map_batches with a broadcast
-    query matrix.  SQL-exact: integer distances end to end."""
+def _build_list_index(sf_dir: str, tag: str, encode_fn) -> str:
+    """Build-once-per-corpus list-partitioned parquet index shared by the
+    IVF family.  ``encode_fn`` maps an Arrow batch of (vec_id, embedding)
+    to a table carrying a ``list_id`` partition column.  The index dir is
+    keyed on (tag, corpus basename, size, mtime) so a corpus change
+    invalidates it; the write is crash-safe (tmp dir → os.replace →
+    ``_DONE`` marker), and a concurrent builder losing the os.replace race
+    just discards its tmp copy."""
     import os
     import uuid
 
-    cent = _sq_centroids()
     src = f"{sf_dir}/embeddings.parquet"
     st = os.stat(src)
     index_dir = os.path.join(
         "/tmp/rfr_ivf",
-        f"sq1_{os.path.basename(os.path.normpath(sf_dir))}_k{SQ_K}"
+        f"{tag}_{os.path.basename(os.path.normpath(sf_dir))}"
         f"_{st.st_size}_{st.st_mtime_ns}")
     if not os.path.exists(os.path.join(index_dir, "_DONE")):
-        cref = ray.put(cent)
         ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-
-        def assign_rows(b: pa.Table) -> pa.Table:
-            ids, mat = _embedding_matrix(b)
-            qv = _sq_quantize(mat)
-            lid = _sq_assign(qv, ray.get(cref))
-            return pa.table({"vec_id": pa.array(ids),
-                             "lid": pa.array(lid),
-                             "qv": pa.array(list(qv), pa.list_(pa.int64())),
-                             "list_id": pa.array(lid)})
-
         tmp = f"{index_dir}.tmp-{uuid.uuid4().hex[:8]}"
-        (ds.map_batches(assign_rows, batch_format="pyarrow", batch_size=8192)
+        (ds.map_batches(encode_fn, batch_format="pyarrow", batch_size=8192)
          .write_parquet(os.path.join(tmp, "lists"), partition_cols=["list_id"]))
         try:
             os.replace(tmp, index_dir)
@@ -467,6 +457,43 @@ def q_ivf_sq_search(sf_dir: str, concurrency: int = 4) -> pd.DataFrame:
             shutil.rmtree(tmp, ignore_errors=True)
         with open(os.path.join(index_dir, "_DONE"), "w") as f:
             f.write("ok")
+    return index_dir
+
+
+def _probe_parquet_paths(index_dir: str, union_lists) -> list[str]:
+    """Parquet files of ONLY the probed lists' partition dirs — the path
+    pruning that keeps untouched lists in storage."""
+    import os
+
+    paths: list[str] = []
+    for l in union_lists:
+        pdir = os.path.join(index_dir, "lists", f"list_id={l}")
+        if not os.path.isdir(pdir):
+            continue
+        paths += [os.path.join(pdir, f) for f in sorted(os.listdir(pdir))
+                  if f.endswith(".parquet")]
+    return paths
+
+
+def q_ivf_sq_search(sf_dir: str, concurrency: int = 4) -> pd.DataFrame:
+    """IVF-SQ ANN search, same scale shape as q_ivf_search: the quantized
+    index is written as list-partitioned parquet ONCE per corpus (cached),
+    search opens only the probed lists' partition directories, and the
+    re-rank streams those lists through map_batches with a broadcast
+    query matrix.  SQL-exact: integer distances end to end."""
+    cent = _sq_centroids()
+    cref = ray.put(cent)
+
+    def assign_rows(b: pa.Table) -> pa.Table:
+        ids, mat = _embedding_matrix(b)
+        qv = _sq_quantize(mat)
+        lid = _sq_assign(qv, ray.get(cref))
+        return pa.table({"vec_id": pa.array(ids),
+                         "lid": pa.array(lid),
+                         "qv": pa.array(list(qv), pa.list_(pa.int64())),
+                         "list_id": pa.array(lid)})
+
+    index_dir = _build_list_index(sf_dir, f"sq1k{SQ_K}", assign_rows)
 
     # probe lists per query: quantized query vs centroids, ties → list_id
     qids, qmat = load_queries(sf_dir)
@@ -477,13 +504,7 @@ def q_ivf_sq_search(sf_dir: str, concurrency: int = 4) -> pd.DataFrame:
     union_lists = sorted(set().union(*probe_sets))
     pref = ray.put((qv, probe_sets))
 
-    probe_paths = []
-    for l in union_lists:
-        pdir = os.path.join(index_dir, "lists", f"list_id={l}")
-        if not os.path.isdir(pdir):
-            continue
-        probe_paths += [os.path.join(pdir, f) for f in sorted(os.listdir(pdir))
-                        if f.endswith(".parquet")]
+    probe_paths = _probe_parquet_paths(index_dir, union_lists)
     empty = pd.DataFrame({"q_id": pd.Series([], dtype="int64"),
                           "vec_id": pd.Series([], dtype="int64"),
                           "rank": pd.Series([], dtype="int64")})
@@ -1207,45 +1228,26 @@ def q_ivfpq_search(sf_dir: str) -> pd.DataFrame:
     probed fraction is {SQ_PROBE}/{SQ_K} of 4-byte codes, not 256-byte
     vectors.  SQL-exact: integer coarse distances, integer ADC, both
     tie-broken (d², id)."""
-    import os
-    import uuid
-
     cent = _sq_centroids()
     cb = _pq_codebook(sf_dir)
-    src = f"{sf_dir}/embeddings.parquet"
-    st = os.stat(src)
-    index_dir = os.path.join(
-        "/tmp/rfr_ivf",
-        f"ivfpq1_{os.path.basename(os.path.normpath(sf_dir))}_k{SQ_K}"
-        f"m{PQ_M}_{st.st_size}_{st.st_mtime_ns}")
-    if not os.path.exists(os.path.join(index_dir, "_DONE")):
-        bref = ray.put((cent, cb))
-        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    bref = ray.put((cent, cb))
 
-        def encode_rows(b: pa.Table) -> pa.Table:
-            cnt, cbk = ray.get(bref)
-            ids, mat = _embedding_matrix(b)
-            qv = _sq_quantize(mat)
-            lid = _sq_assign(qv, cnt)
-            v = qv.reshape(ids.size, PQ_M, PQ_SUB)
-            d = ((v[:, :, None, :] - cbk[None, :, :, :]) ** 2).sum(-1)
-            codes = d.argmin(axis=2).astype(np.int64)  # first-min tie-break
-            return pa.table({"vec_id": pa.array(ids),
-                             "lid": pa.array(lid),
-                             "codes": pa.array(list(codes),
-                                               pa.list_(pa.int64())),
-                             "list_id": pa.array(lid)})
+    def encode_rows(b: pa.Table) -> pa.Table:
+        cnt, cbk = ray.get(bref)
+        ids, mat = _embedding_matrix(b)
+        qv = _sq_quantize(mat)
+        lid = _sq_assign(qv, cnt)
+        v = qv.reshape(ids.size, PQ_M, PQ_SUB)
+        d = ((v[:, :, None, :] - cbk[None, :, :, :]) ** 2).sum(-1)
+        codes = d.argmin(axis=2).astype(np.int64)  # first-min tie-break
+        return pa.table({"vec_id": pa.array(ids),
+                         "lid": pa.array(lid),
+                         "codes": pa.array(list(codes),
+                                           pa.list_(pa.int64())),
+                         "list_id": pa.array(lid)})
 
-        tmp = f"{index_dir}.tmp-{uuid.uuid4().hex[:8]}"
-        (ds.map_batches(encode_rows, batch_format="pyarrow", batch_size=8192)
-         .write_parquet(os.path.join(tmp, "lists"), partition_cols=["list_id"]))
-        try:
-            os.replace(tmp, index_dir)
-        except OSError:
-            import shutil
-            shutil.rmtree(tmp, ignore_errors=True)
-        with open(os.path.join(index_dir, "_DONE"), "w") as f:
-            f.write("ok")
+    index_dir = _build_list_index(sf_dir, f"ivfpq1k{SQ_K}m{PQ_M}",
+                                  encode_rows)
 
     # probe lists per query (identical rule to q_ivf_sq_search)
     qids, qmat = load_queries(sf_dir)
@@ -1258,13 +1260,7 @@ def q_ivfpq_search(sf_dir: str) -> pd.DataFrame:
     lut = ((qs[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(-1)
     pref = ray.put((lut, probe_sets))
 
-    probe_paths = []
-    for l in union_lists:
-        pdir = os.path.join(index_dir, "lists", f"list_id={l}")
-        if not os.path.isdir(pdir):
-            continue
-        probe_paths += [os.path.join(pdir, f) for f in sorted(os.listdir(pdir))
-                        if f.endswith(".parquet")]
+    probe_paths = _probe_parquet_paths(index_dir, union_lists)
     empty = pd.DataFrame({"q_id": pd.Series([], dtype="int64"),
                           "vec_id": pd.Series([], dtype="int64"),
                           "rank": pd.Series([], dtype="int64"),

@@ -544,7 +544,8 @@ def q_euc_distance(sf_dir: str) -> pd.DataFrame:
             pr = np.arange(r0, r0 + TILE_PX, dtype=np.int64)
             pc_ = np.arange(c0, c0 + TILE_PX, dtype=np.int64)
             if len(sr) == 0:
-                rows.append((int(tid), 0, 0, 0))
+                # the oracle's GROUP BY only sees reached pixels, so a
+                # tile whose halo has no seed yields NO row (not a zero row)
                 continue
             dr = pr[:, None] - sr[None, :]
             dc = pc_[:, None] - sc[None, :]
@@ -552,9 +553,10 @@ def q_euc_distance(sf_dir: str) -> pd.DataFrame:
             d2 = (dr * dr)[:, None, :] + (dc * dc)[None, :, :]
             mind2 = d2.min(axis=-1)
             reach = mind2 <= EUC_R * EUC_R
+            if not reach.any():
+                continue
             rows.append((int(tid), int(reach.sum()),
-                         int(mind2[reach].sum()), int(mind2[reach].max())
-                         if reach.any() else 0))
+                         int(mind2[reach].sum()), int(mind2[reach].max())))
         return pd.DataFrame(rows, columns=["tile_idx", "n_reached",
                                            "sum_d2", "max_d2"]).astype("int64")
 
@@ -713,6 +715,10 @@ def q_grid_bfs(sf_dir: str) -> pd.DataFrame:
             core = dist[r0 - hr0:r0 - hr0 + TILE_PX,
                         c0 - hc0:c0 - hc0 + TILE_PX]
             reached = core <= BFS_MAX_D
+            if not reached.any():
+                # the oracle aggregates reached pixels only — a tile whose
+                # halo reaches nothing yields NO row (not a zero row)
+                continue
             rows.append((int(tid), int(reached.sum()),
                          int(core[reached].astype(np.int64).sum())))
         return pd.DataFrame(rows, columns=["tile_idx", "n_reached",

@@ -503,8 +503,11 @@ def doc_points_in_zones(docs: rd.Dataset, zones: pd.DataFrame,
     exploded = spans.explode_spans(docs)
     pts = spans.text_spans(exploded)
     zref = ray.put(zones)
+    # concurrency caps concurrent TASKS here (each warm worker holds one
+    # cached index; see _zone_joiner_for) — keeps the callers' knob live
     return pts.map_batches(lambda b: _zone_joiner_for(zref)(b),
-                           batch_format="pyarrow", batch_size=8192)
+                           batch_format="pyarrow", batch_size=8192,
+                           concurrency=concurrency)
 
 
 def q_zonal_value_salted(sf_dir: str) -> pd.DataFrame:
@@ -2014,8 +2017,10 @@ def q_zorder_range_scan(sf_dir: str) -> pd.DataFrame:
     cx0, cx1 = ZR_X0 >> 8, ZR_X1 >> 8
     cy0, cy1 = ZR_Y0 >> 8, ZR_Y1 >> 8
     gx, gy = np.meshgrid(np.arange(cx0, cx1 + 1), np.arange(cy0, cy1 + 1))
-    cover = set(morton_interleave16(gx.ravel().astype(np.uint64),
-                                    gy.ravel().astype(np.uint64)).tolist())
+    # sorted array (not a set) so np.isin takes its sorted fast path and
+    # the conversion happens ONCE on the driver, not per scan batch
+    cover = np.unique(morton_interleave16(gx.ravel().astype(np.uint64),
+                                          gy.ravel().astype(np.uint64)))
 
     def scan(b: pa.Table) -> pa.Table:
         eid = np.asarray(b["event_id"], dtype=np.int64)
@@ -2024,7 +2029,7 @@ def q_zorder_range_scan(sf_dir: str) -> pd.DataFrame:
         xi = (k * 65536) // 36000
         yi = (m * 65536) // 18000
         zc = morton_interleave16(xi >> 8, yi >> 8)
-        cand = np.isin(zc, list(cover))
+        cand = np.isin(zc, cover)
         hit = (cand & (xi >= ZR_X0) & (xi <= ZR_X1)
                & (yi >= ZR_Y0) & (yi <= ZR_Y1))
         return pa.table({"event_id": pa.array(eid[hit]),

@@ -232,6 +232,14 @@ DEBOUNCE_US = 600_000_000  # 10 min
 DEBOUNCE_SHARDS = 32
 
 
+def _user_shard(b: pa.Table) -> pa.Table:
+    """Append the user-hash shard column shared by the per-user window
+    operators — ONE definition so the shard rule can't drift between them."""
+    u = b["user_id"].to_numpy()
+    return b.append_column(
+        "shard", pa.array((u * 2654435761 % 2**31) % DEBOUNCE_SHARDS))
+
+
 def q_event_debounce(sf_dir: str) -> pd.DataFrame:
     """Keep an event iff the PREVIOUS event of the same (user_id,
     event_type) — ordered by (ts, event_id) — is more than DEBOUNCE_US
@@ -241,11 +249,6 @@ def q_event_debounce(sf_dir: str) -> pd.DataFrame:
     Python group calls, no global sort."""
     ds = read_table(sf_dir, "events",
                     columns=["event_id", "ts", "user_id", "event_type"])
-
-    def to_shard(b: pa.Table) -> pa.Table:
-        u = b["user_id"].to_numpy()
-        return b.append_column(
-            "shard", pa.array((u * 2654435761 % 2**31) % DEBOUNCE_SHARDS))
 
     def debounce_shard(g: pd.DataFrame) -> pd.DataFrame:
         eid = g["event_id"].to_numpy(np.int64)
@@ -265,7 +268,7 @@ def q_event_debounce(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"event_id": eid,
                              "kept": kept.astype(np.int64)})
 
-    out = (ds.map_batches(to_shard, batch_format="pyarrow")
+    out = (ds.map_batches(_user_shard, batch_format="pyarrow")
            .groupby("shard")
            .map_groups(debounce_shard, batch_format="pandas")
            .to_pandas())
@@ -304,11 +307,6 @@ def q_trailing_rate(sf_dir: str) -> pd.DataFrame:
     frame."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
 
-    def to_shard(b: pa.Table) -> pa.Table:
-        u = b["user_id"].to_numpy()
-        return b.append_column(
-            "shard", pa.array((u * 2654435761 % 2**31) % DEBOUNCE_SHARDS))
-
     def rate_shard(g: pd.DataFrame) -> pd.DataFrame:
         eid = g["event_id"].to_numpy(np.int64)
         ts = g["ts"].astype("int64").to_numpy()
@@ -335,7 +333,7 @@ def q_trailing_rate(sf_dir: str) -> pd.DataFrame:
         n_window = (hi - lo).astype(np.int64)
         return pd.DataFrame({"event_id": eid, "n_window": n_window})
 
-    out = (ds.map_batches(to_shard, batch_format="pyarrow")
+    out = (ds.map_batches(_user_shard, batch_format="pyarrow")
            .groupby("shard")
            .map_groups(rate_shard, batch_format="pandas")
            .to_pandas())
