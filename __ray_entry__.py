@@ -124,7 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_range_scan": spatial.q_zorder_range_scan,
         # ---- end of the driver's 50-slot graded window ----
         # SQL-exact analytic gates below the graded window (still
-        # verified by scripts/verify_queries.py every sweep).  First the
+        # verified by scripts/verify_queries.py every sweep).
+        "spacetime_trend": spatial.q_spacetime_trend,
         # family-siblings demoted to make room for the round-4 flagships:
         "block_stats_exact": analytic.q_block_stats_exact,
         "stack_second_max_exact": analytic.q_stack_second_max_exact,
@@ -353,6 +354,7 @@ def oracle_sql() -> dict[str, str]:
         "trailing_median": windows.Q_TRAILING_MEDIAN_SQL,
         "zorder_keys": spatial.Q_ZORDER_KEYS_SQL,
         "zorder_range_scan": spatial.Q_ZORDER_RANGE_SCAN_SQL,
+        "spacetime_trend": spatial.Q_SPACETIME_TREND_SQL,
         "aspect_slope_exact": analytic2.aspect_slope_exact_oracle_sql(0.01),
         "block_stats_minmax_exact": analytic2.block_stats_minmax_exact_oracle_sql(0.01),
         "zonal_remap_exact": analytic2.zonal_remap_exact_oracle_sql(0.01),

@@ -2047,3 +2047,92 @@ FROM events
 WHERE ((event_id * 7919) % 36000) * 65536 // 36000 BETWEEN {ZR_X0} AND {ZR_X1}
   AND ((event_id * 104729) % 18000) * 65536 // 18000 BETWEEN {ZR_Y0} AND {ZR_Y1}
 """
+
+
+# ----------------------------- space-time cube trend (emerging hot spots)
+
+ST_BINS = 30                       # daily bins over the events month
+ST_T0_US = 1_704_067_200_000_000   # epoch µs of 2024-01-01T00:00:00Z
+ST_BIN_US = 86_400_000_000         # one day
+ST_CELLS_X = 8                     # 8×8 coarse cells over the point grid
+
+
+def q_spacetime_trend(sf_dir: str) -> pd.DataFrame:
+    """Emerging-hot-spot trend (the ArcGIS Space Time Cube shape,
+    reference family: the zonal/temporal analytics of SURVEY §2.4): events
+    aggregate into a (cell, day) cube, then each cell's {ST_BINS}-day
+    count series gets the Mann-Kendall S statistic
+    S = Σ_{{i<j}} sign(c_j − c_i) — the standard nonparametric trend test
+    behind emerging-hot-spot classification.  Integer and order-free, so
+    the DuckDB pairwise-join oracle is bit-exact.
+
+    Engine shape: per-batch Arrow count partials → ONE cell-keyed exchange
+    of cube-sized rows (O(cells·bins·blocks), never events) → per-cell
+    vectorized pairwise sign matrix (30×30 upper triangle = 435 pairs).
+    Empty days count as zero: each group densifies its own series, so the
+    cube never materializes rows for quiet days."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        us = b["ts"].cast(pa.int64()).to_numpy()
+        cx = ((eid * 7919) % 36000) // (36000 // ST_CELLS_X)
+        cy = ((eid * 104729) % 18000) // (18000 // ST_CELLS_X)
+        cell = cy * ST_CELLS_X + cx
+        d = (us - ST_T0_US) // ST_BIN_US
+        ok = (d >= 0) & (d < ST_BINS)
+        t = pa.table({"cell_id": pa.array(cell[ok]),
+                      "bin": pa.array(d[ok]),
+                      "n": pa.array(np.ones(int(ok.sum()), np.int64))})
+        g = t.group_by(["cell_id", "bin"]).aggregate([("n", "sum")])
+        return g.rename_columns(["cell_id", "bin", "n"])
+
+    iu, ju = np.triu_indices(ST_BINS, 1)
+
+    def mk_cell(g: pd.DataFrame) -> pd.DataFrame:
+        c = np.zeros(ST_BINS, np.int64)
+        # several partial rows may hit the same bin — accumulate, not assign
+        np.add.at(c, g["bin"].to_numpy(np.int64), g["n"].to_numpy(np.int64))
+        s = int(np.sign(c[ju] - c[iu]).sum())
+        return pd.DataFrame({"cell_id": [int(g["cell_id"].iloc[0])],
+                             "s_stat": [s], "n_events": [int(c.sum())]})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby("cell_id")
+           .map_groups(mk_cell, batch_format="pandas")
+           .to_pandas())
+    return (out.astype({"cell_id": "int64", "s_stat": "int64",
+                        "n_events": "int64"})
+            .sort_values("cell_id").reset_index(drop=True))
+
+
+Q_SPACETIME_TREND_SQL = f"""
+WITH pts AS (
+  SELECT ((event_id * 104729) % 18000) // {18000 // ST_CELLS_X} * {ST_CELLS_X}
+         + ((event_id * 7919) % 36000) // {36000 // ST_CELLS_X} AS cell_id,
+         (epoch_us(ts) - {ST_T0_US}) // {ST_BIN_US} AS bin
+  FROM events
+  WHERE (epoch_us(ts) - {ST_T0_US}) // {ST_BIN_US}
+        BETWEEN 0 AND {ST_BINS - 1}
+), counts AS (
+  SELECT cell_id, bin, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY cell_id, bin
+), dense AS (
+  SELECT c.cell_id, t.b AS bin, COALESCE(k.n, 0) AS n
+  FROM (SELECT DISTINCT cell_id FROM counts) c
+  CROSS JOIN (SELECT CAST(range AS BIGINT) AS b FROM range(0, {ST_BINS})) t
+  LEFT JOIN counts k ON k.cell_id = c.cell_id AND k.bin = t.b
+)
+, trend AS (
+  SELECT d1.cell_id AS cell_id,
+         CAST(SUM(SIGN(d2.n - d1.n)) AS BIGINT) AS s_stat
+  FROM dense d1 JOIN dense d2 ON d2.cell_id = d1.cell_id AND d2.bin > d1.bin
+  GROUP BY d1.cell_id
+), totals AS (
+  SELECT cell_id, CAST(SUM(n) AS BIGINT) AS n_events
+  FROM dense GROUP BY cell_id
+)
+SELECT p.cell_id AS cell_id, p.s_stat AS s_stat, t.n_events AS n_events
+FROM trend p JOIN totals t ON t.cell_id = p.cell_id
+ORDER BY cell_id
+"""

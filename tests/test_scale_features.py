@@ -585,3 +585,32 @@ class TestRunJobSurface:
             written.sort_values(written.columns.tolist()).reset_index(drop=True),
             expect.sort_values(expect.columns.tolist()).reset_index(drop=True),
             check_dtype=False)
+
+
+class TestSpacetimeTrend:
+    def test_mk_bounds_and_hand_check(self, ray_session):
+        from raster_functions_ray import spatial
+
+        out = spatial.q_spacetime_trend("/root/testdata/sf0.001")
+        B = spatial.ST_BINS
+        assert (out["s_stat"].abs() <= B * (B - 1) // 2).all()
+        assert (out["n_events"] > 0).all()
+        # hand-check one cell against a direct recomputation from parquet
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        t = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                          columns=["event_id", "ts"])
+        eid = t["event_id"].to_numpy()
+        us = t["ts"].cast("int64").to_numpy()
+        cx = ((eid * 7919) % 36000) // (36000 // spatial.ST_CELLS_X)
+        cy = ((eid * 104729) % 18000) // (18000 // spatial.ST_CELLS_X)
+        cell = cy * spatial.ST_CELLS_X + cx
+        d = (us - spatial.ST_T0_US) // spatial.ST_BIN_US
+        pick = int(out["cell_id"].iloc[0])
+        sel = (cell == pick) & (d >= 0) & (d < B)
+        c = np.bincount(d[sel], minlength=B)[:B]
+        s = int(np.sign(c[None, :] - c[:, None])[np.triu_indices(B, 1)].sum())
+        row = out[out["cell_id"] == pick].iloc[0]
+        assert int(row["s_stat"]) == s
+        assert int(row["n_events"]) == int(c.sum())
