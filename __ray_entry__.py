@@ -126,6 +126,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-exact analytic gates below the graded window (still
         # verified by scripts/verify_queries.py every sweep).
         "spacetime_trend": spatial.q_spacetime_trend,
+        "idw_interp": regions.q_idw_interp,
+        "morans_i": regions.q_morans_i,
+        "contour_cases": regions.q_contour_cases,
         # family-siblings demoted to make room for the round-4 flagships:
         "block_stats_exact": analytic.q_block_stats_exact,
         "stack_second_max_exact": analytic.q_stack_second_max_exact,
@@ -355,6 +358,9 @@ def oracle_sql() -> dict[str, str]:
         "zorder_keys": spatial.Q_ZORDER_KEYS_SQL,
         "zorder_range_scan": spatial.Q_ZORDER_RANGE_SCAN_SQL,
         "spacetime_trend": spatial.Q_SPACETIME_TREND_SQL,
+        "idw_interp": regions.Q_IDW_INTERP_SQL,
+        "morans_i": regions.Q_MORANS_I_SQL,
+        "contour_cases": regions.Q_CONTOUR_CASES_SQL,
         "aspect_slope_exact": analytic2.aspect_slope_exact_oracle_sql(0.01),
         "block_stats_minmax_exact": analytic2.block_stats_minmax_exact_oracle_sql(0.01),
         "zonal_remap_exact": analytic2.zonal_remap_exact_oracle_sql(0.01),

@@ -564,8 +564,9 @@ def q_euc_distance(sf_dir: str) -> pd.DataFrame:
     return (out.to_pandas().sort_values("tile_idx").reset_index(drop=True))
 
 
-Q_EUC_DISTANCE_SQL = f"""
-WITH px AS (
+# shared px/seeds CTE prefix for the seed-field oracles (q_euc_distance,
+# q_idw_interp) — ONE definition of the counter-derived seed rule in SQL
+_PX_SEEDS_SQL = f"""px AS (
   SELECT CAST(range AS BIGINT) // {GRID_W} AS r, CAST(range AS BIGINT) % {GRID_W} AS c
   FROM range(0, {GRID_W * GRID_W})
 ), seeds AS (
@@ -573,7 +574,10 @@ WITH px AS (
   WHERE CAST((xor((CAST(({EUC_SEED_OFF} + r * {GRID_W} + c) % {_MOD} AS UBIGINT) * {_M1}) % {_MOD},
                   ((CAST(({EUC_SEED_OFF} + r * {GRID_W} + c) % {_MOD} AS UBIGINT) * {_M1}) % {_MOD}) >> 16)
               * {_M2}) % {_MOD} % 1000 AS BIGINT) < {EUC_SEED_DENS}
-), nearest AS (
+)"""
+
+Q_EUC_DISTANCE_SQL = f"""
+WITH {_PX_SEEDS_SQL}, nearest AS (
   SELECT p.r, p.c,
          MIN((p.r - s.r) * (p.r - s.r) + (p.c - s.c) * (p.c - s.c)) AS d2
   FROM px p JOIN seeds s
@@ -754,4 +758,261 @@ SELECT CAST((r // {TILE_PX}) * {GRID_TILES} + c // {TILE_PX} AS BIGINT) AS tile_
        CAST(COUNT(*) AS BIGINT) AS n_reached,
        CAST(SUM(d) AS BIGINT) AS sum_steps
 FROM best GROUP BY tile_idx
+"""
+
+
+# ------------------------------------------- IDW surface interpolation
+
+IDW_QW = 1 << 20   # integer weight scale: w = QW // (1 + d²)
+IDW_VMOD = 1000    # seed value v = (seed linear id · 7919) mod VMOD
+
+
+def q_idw_interp(sf_dir: str) -> pd.DataFrame:
+    """Inverse-distance-weighted interpolation (the ArcGIS IDW/geostat
+    shape) with INTEGER quantized weights: each pixel within {EUC_R} of a
+    seed gets idw = ⌊Σ w_i·v_i / Σ w_i⌋ with w = ⌊QW/(1+d²)⌋ — the +1
+    regularizes the sample-point singularity and every term is int64, so
+    the weighted mean is order-free and the oracle bit-exact (true-float
+    IDW would hang on summation order).
+
+    Engine shape: q_euc_distance's zero-shuffle tile-halo kernel — each
+    tile evaluates its own counter-derived seed window, pixels × seeds
+    vectorized, one row per tile out."""
+    tiles = rd.range(GRID_TILES * GRID_TILES, override_num_blocks=8)
+
+    def per_tile(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for tid in np.asarray(b["id"], dtype=np.int64):
+            ty, tx = divmod(int(tid), GRID_TILES)
+            r0, c0 = ty * TILE_PX, tx * TILE_PX
+            hr0 = max(0, r0 - EUC_R); hc0 = max(0, c0 - EUC_R)
+            hr1 = min(GRID_W, r0 + TILE_PX + EUC_R)
+            hc1 = min(GRID_W, c0 + TILE_PX + EUC_R)
+            sr, sc = euc_seeds(hr0, hc0, hr1 - hr0, hc1 - hc0)
+            if len(sr) == 0:
+                continue
+            v = ((sr * GRID_W + sc) * 7919) % IDW_VMOD
+            pr = np.arange(r0, r0 + TILE_PX, dtype=np.int64)
+            pc_ = np.arange(c0, c0 + TILE_PX, dtype=np.int64)
+            dr = pr[:, None] - sr[None, :]
+            dc = pc_[:, None] - sc[None, :]
+            d2 = (dr * dr)[:, None, :] + (dc * dc)[None, :, :]
+            within = d2 <= EUC_R * EUC_R
+            w = (IDW_QW // (1 + d2)) * within
+            den = w.sum(-1)
+            num = (w * v[None, None, :]).sum(-1)
+            reach = den > 0
+            if not reach.any():
+                continue
+            idw = num[reach] // den[reach]
+            rows.append((int(tid), int(reach.sum()),
+                         int(idw.sum()), int(idw.max())))
+        return pd.DataFrame(rows, columns=["tile_idx", "n_interp",
+                                           "sum_idw", "max_idw"]
+                            ).astype("int64")
+
+    out = tiles.map_batches(per_tile, batch_format="pyarrow", batch_size=8)
+    return out.to_pandas().sort_values("tile_idx").reset_index(drop=True)
+
+
+Q_IDW_INTERP_SQL = f"""
+WITH {_PX_SEEDS_SQL}, sv AS (
+  SELECT r, c, ((r * {GRID_W} + c) * 7919) % {IDW_VMOD} AS v FROM seeds
+), wm AS (
+  SELECT p.r, p.c,
+         SUM(({IDW_QW} // (1 + (p.r - s.r) * (p.r - s.r)
+                             + (p.c - s.c) * (p.c - s.c))) * s.v) AS num,
+         SUM({IDW_QW} // (1 + (p.r - s.r) * (p.r - s.r)
+                            + (p.c - s.c) * (p.c - s.c))) AS den
+  FROM px p JOIN sv s
+    ON s.r >= p.r - {EUC_R} AND s.r <= p.r + {EUC_R}
+   AND s.c >= p.c - {EUC_R} AND s.c <= p.c + {EUC_R}
+  WHERE (p.r - s.r) * (p.r - s.r) + (p.c - s.c) * (p.c - s.c)
+        <= {EUC_R * EUC_R}
+  GROUP BY p.r, p.c
+)
+SELECT CAST((r // {TILE_PX}) * {GRID_TILES} + c // {TILE_PX} AS BIGINT) AS tile_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_interp,
+       CAST(SUM(num // den) AS BIGINT) AS sum_idw,
+       CAST(MAX(num // den) AS BIGINT) AS max_idw
+FROM wm GROUP BY tile_idx
+"""
+
+
+# ---------------------------- global spatial autocorrelation (Moran's I)
+
+# SQL text of mask_values(id) for a pluggable id expression — the value
+# field x ∈ [0, 1000) every pixel-statistic oracle recomputes verbatim
+def _xval_sql(idexpr: str) -> str:
+    return (f"CAST((xor((CAST(({idexpr}) % {_MOD} AS UBIGINT) * {_M1}) % {_MOD},"
+            f" ((CAST(({idexpr}) % {_MOD} AS UBIGINT) * {_M1}) % {_MOD}) >> 16)"
+            f" * {_M2}) % {_MOD} % 1000 AS BIGINT)")
+
+
+def q_morans_i(sf_dir: str) -> pd.DataFrame:
+    """Global Moran's I (the ArcGIS Spatial Autocorrelation tool) over the
+    counter-derived value surface with rook (4-neighbour) weights —
+    returned as its EXACT integer moments (n_pix, undirected pair count,
+    Σx, Σx², Σ xᵢxⱼ and Σ(xᵢ+xⱼ) over adjacent pairs), from which
+    I = (N/W)·Σw(xᵢ−x̄)(xⱼ−x̄)/Σ(xᵢ−x̄)² is a pure driver-side formula.
+    Keeping moments integer makes the statistic order-free and the oracle
+    bit-exact; combining them first would overflow int64 at N·999 scale.
+
+    Engine shape: each tile owns the pairs whose FIRST pixel it contains
+    (right/down undirected), recomputing cross-tile neighbours from the
+    counter field — zero shuffle, one partial row per tile, driver-side
+    final sum of 64 tiny rows."""
+    tiles = rd.range(GRID_TILES * GRID_TILES, override_num_blocks=8)
+
+    def per_tile(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for tid in np.asarray(b["id"], dtype=np.int64):
+            ty, tx = divmod(int(tid), GRID_TILES)
+            r0, c0 = ty * TILE_PX, tx * TILE_PX
+            # one extra row/col of neighbours (clipped at the grid edge)
+            h = TILE_PX + (1 if r0 + TILE_PX < GRID_W else 0)
+            w = TILE_PX + (1 if c0 + TILE_PX < GRID_W else 0)
+            rr = (np.arange(r0, r0 + h, dtype=np.uint64)[:, None]
+                  * np.uint64(GRID_W))
+            cc = np.arange(c0, c0 + w, dtype=np.uint64)[None, :]
+            x = mask_values(rr + cc).astype(np.int64)
+            core = x[:TILE_PX, :TILE_PX]
+            # right pairs: first pixel in the core, second at c+1 (in-window
+            # thanks to the halo column, clipped at the grid's east edge)
+            xr_first = x[:TILE_PX, : w - 1]
+            xr_second = x[:TILE_PX, 1:w]
+            # down pairs, same ownership rule on rows
+            xd_first = x[: min(TILE_PX, h - 1), :TILE_PX]
+            xd_second = x[1: min(TILE_PX, h - 1) + 1, :TILE_PX]
+            rows.append((
+                int(tid),
+                TILE_PX * TILE_PX,
+                int(xr_first.size + xd_first.size),
+                int(core.sum()), int((core * core).sum()),
+                int((xr_first * xr_second).sum()
+                    + (xd_first * xd_second).sum()),
+                int((xr_first + xr_second).sum()
+                    + (xd_first + xd_second).sum())))
+        return pd.DataFrame(rows, columns=["tile_idx", "n_pix", "w_und",
+                                           "sum_x", "sum_x2", "cross",
+                                           "pairsum"]).astype("int64")
+
+    p = (tiles.map_batches(per_tile, batch_format="pyarrow", batch_size=8)
+         .to_pandas())
+    out = pd.DataFrame([{
+        "n_pix": int(p["n_pix"].sum()), "w_und": int(p["w_und"].sum()),
+        "sum_x": int(p["sum_x"].sum()), "sum_x2": int(p["sum_x2"].sum()),
+        "cross": int(p["cross"].sum()), "pairsum": int(p["pairsum"].sum()),
+    }]).astype("int64")
+    return out
+
+
+_MORAN_X = _xval_sql(f"r * {GRID_W} + c")
+_MORAN_XN = _xval_sql(f"r2 * {GRID_W} + c2")
+
+Q_MORANS_I_SQL = f"""
+WITH px AS (
+  SELECT CAST(range AS BIGINT) // {GRID_W} AS r,
+         CAST(range AS BIGINT) % {GRID_W} AS c
+  FROM range(0, {GRID_W * GRID_W})
+), pairs AS (
+  SELECT r, c, r AS r2, c + 1 AS c2 FROM px WHERE c + 1 < {GRID_W}
+  UNION ALL
+  SELECT r, c, r + 1 AS r2, c AS c2 FROM px WHERE r + 1 < {GRID_W}
+)
+SELECT CAST({GRID_W * GRID_W} AS BIGINT) AS n_pix,
+       CAST(COUNT(*) AS BIGINT) AS w_und,
+       (SELECT CAST(SUM({_MORAN_X}) AS BIGINT) FROM px) AS sum_x,
+       (SELECT CAST(SUM({_MORAN_X} * {_MORAN_X}) AS BIGINT) FROM px) AS sum_x2,
+       CAST(SUM({_MORAN_X} * {_MORAN_XN}) AS BIGINT) AS cross,
+       CAST(SUM({_MORAN_X} + {_MORAN_XN}) AS BIGINT) AS pairsum
+FROM pairs
+"""
+
+
+def morans_i_value(m: pd.Series) -> float:
+    """Moran's I from the exact integer moments (driver-side formula)."""
+    n, w2 = float(m["n_pix"]), 2.0 * float(m["w_und"])
+    xbar = float(m["sum_x"]) / n
+    num = (2.0 * float(m["cross"]) - xbar * 2.0 * float(m["pairsum"])
+           + xbar * xbar * w2)
+    den = float(m["sum_x2"]) - n * xbar * xbar
+    return (n / w2) * (num / den)
+
+
+# --------------------------- contour extraction (marching squares cases)
+
+CONTOUR_LEVELS = (300, 700)   # iso levels over the x ∈ [0,1000) field
+
+
+def q_contour_cases(sf_dir: str) -> pd.DataFrame:
+    """Contour extraction (ArcGIS Contour) reduced to its marching-squares
+    core: each 2×2 pixel cell classifies into one of 16 cases from the
+    corner above-threshold bits (case = 8·tl + 4·tr + 2·bl + br), per iso
+    level — the case histogram IS the topology of the contour set (cases
+    0/15 empty, 5/10 saddles, the rest carry one segment).  Integer and
+    order-free at every step.
+
+    Engine shape: tile-halo kernel — each tile owns cells whose top-left
+    corner it contains, recomputes the +1 halo row/col from the counter
+    field, and emits ONE 2×16 partial histogram; the exchange is
+    O(levels·cases·tiles)."""
+    tiles = rd.range(GRID_TILES * GRID_TILES, override_num_blocks=8)
+
+    def per_tile(b: pa.Table) -> pa.Table:
+        lvl_out, case_out, n_out = [], [], []
+        for tid in np.asarray(b["id"], dtype=np.int64):
+            ty, tx = divmod(int(tid), GRID_TILES)
+            r0, c0 = ty * TILE_PX, tx * TILE_PX
+            h = TILE_PX + (1 if r0 + TILE_PX < GRID_W else 0)
+            w = TILE_PX + (1 if c0 + TILE_PX < GRID_W else 0)
+            rr = (np.arange(r0, r0 + h, dtype=np.uint64)[:, None]
+                  * np.uint64(GRID_W))
+            cc = np.arange(c0, c0 + w, dtype=np.uint64)[None, :]
+            x = mask_values(rr + cc).astype(np.int64)
+            for lv in CONTOUR_LEVELS:
+                bit = (x >= lv).astype(np.int64)
+                case = (8 * bit[: h - 1, : w - 1] + 4 * bit[: h - 1, 1:w]
+                        + 2 * bit[1:h, : w - 1] + bit[1:h, 1:w])
+                hist = np.bincount(case.ravel(), minlength=16)
+                nz = np.flatnonzero(hist)
+                lvl_out.append(np.full(nz.size, lv, np.int64))
+                case_out.append(nz.astype(np.int64))
+                n_out.append(hist[nz].astype(np.int64))
+        return pa.table({"level": pa.array(np.concatenate(lvl_out)),
+                         "case_id": pa.array(np.concatenate(case_out)),
+                         "n_cells": pa.array(np.concatenate(n_out))})
+
+    from ray.data.aggregate import Sum as ASum
+
+    out = (tiles.map_batches(per_tile, batch_format="pyarrow", batch_size=8)
+           .groupby(["level", "case_id"])
+           .aggregate(ASum("n_cells", alias_name="n_cells"))
+           .to_pandas())
+    return (out.astype({"level": "int64", "case_id": "int64",
+                        "n_cells": "int64"})
+            .sort_values(["level", "case_id"]).reset_index(drop=True))
+
+
+_CONTOUR_TL = _xval_sql(f"r * {GRID_W} + c")
+_CONTOUR_TR = _xval_sql(f"r * {GRID_W} + c + 1")
+_CONTOUR_BL = _xval_sql(f"(r + 1) * {GRID_W} + c")
+_CONTOUR_BR = _xval_sql(f"(r + 1) * {GRID_W} + c + 1")
+
+Q_CONTOUR_CASES_SQL = f"""
+WITH cells AS (
+  SELECT CAST(range AS BIGINT) // {GRID_W - 1} AS r,
+         CAST(range AS BIGINT) % {GRID_W - 1} AS c
+  FROM range(0, {(GRID_W - 1) * (GRID_W - 1)})
+), lv AS (SELECT UNNEST(ARRAY{list(CONTOUR_LEVELS)}) AS level)
+SELECT CAST(level AS BIGINT) AS level,
+       CAST(8 * CASE WHEN {_CONTOUR_TL} >= level THEN 1 ELSE 0 END
+          + 4 * CASE WHEN {_CONTOUR_TR} >= level THEN 1 ELSE 0 END
+          + 2 * CASE WHEN {_CONTOUR_BL} >= level THEN 1 ELSE 0 END
+          + CASE WHEN {_CONTOUR_BR} >= level THEN 1 ELSE 0 END AS BIGINT)
+         AS case_id,
+       CAST(COUNT(*) AS BIGINT) AS n_cells
+FROM cells CROSS JOIN lv
+GROUP BY 1, 2
+ORDER BY level, case_id
 """

@@ -178,3 +178,39 @@ def test_flow_length_doubling_equals_sequential(seed):
             ed += 1 if step_diag else 0
             cur = nxt0[cur]
         assert ns[start] == es and nd[start] == ed
+
+
+class TestGeostatOperators:
+    def test_morans_i_moments_and_value(self, ray_session):
+        from raster_functions_ray import regions
+
+        out = regions.q_morans_i("/root/testdata/sf0.001")
+        assert len(out) == 1
+        m = out.iloc[0]
+        assert int(m["n_pix"]) == regions.GRID_W ** 2
+        # rook lattice: W_und = 2·n·(n−1)
+        assert int(m["w_und"]) == 2 * regions.GRID_W * (regions.GRID_W - 1)
+        i_val = regions.morans_i_value(m)
+        # the counter field is white noise: I must sit near −1/(N−1) ≈ 0,
+        # far from the ±1 extremes structured fields produce
+        assert abs(i_val) < 0.01, i_val
+
+    def test_contour_case_histogram_conservation(self, ray_session):
+        from raster_functions_ray import regions
+
+        out = regions.q_contour_cases("/root/testdata/sf0.001")
+        n_cells = (regions.GRID_W - 1) ** 2
+        for lv in regions.CONTOUR_LEVELS:
+            sub = out[out["level"] == lv]
+            assert int(sub["n_cells"].sum()) == n_cells
+            # saddle + segment cases must exist in a noise field
+            assert set(sub["case_id"]) == set(range(16))
+
+    def test_idw_within_value_range(self, ray_session):
+        from raster_functions_ray import regions
+
+        out = regions.q_idw_interp("/root/testdata/sf0.001")
+        # a weighted integer mean of values < VMOD stays < VMOD
+        assert (out["max_idw"] < regions.IDW_VMOD).all()
+        assert (out["n_interp"] > 0).all()
+        assert (out["sum_idw"] >= 0).all()
