@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idw_interp": regions.q_idw_interp,
         "morans_i": regions.q_morans_i,
         "contour_cases": regions.q_contour_cases,
+        "trajectory_length": spatial.q_trajectory_length,
+        "cdc_chunks": textops.q_cdc_chunks,
         # family-siblings demoted to make room for the round-4 flagships:
         "block_stats_exact": analytic.q_block_stats_exact,
         "stack_second_max_exact": analytic.q_stack_second_max_exact,
@@ -361,6 +363,8 @@ def oracle_sql() -> dict[str, str]:
         "idw_interp": regions.Q_IDW_INTERP_SQL,
         "morans_i": regions.Q_MORANS_I_SQL,
         "contour_cases": regions.Q_CONTOUR_CASES_SQL,
+        "trajectory_length": spatial.Q_TRAJECTORY_LENGTH_SQL,
+        "cdc_chunks": textops.Q_CDC_CHUNKS_SQL,
         "aspect_slope_exact": analytic2.aspect_slope_exact_oracle_sql(0.01),
         "block_stats_minmax_exact": analytic2.block_stats_minmax_exact_oracle_sql(0.01),
         "zonal_remap_exact": analytic2.zonal_remap_exact_oracle_sql(0.01),

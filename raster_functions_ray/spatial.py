@@ -2136,3 +2136,79 @@ SELECT p.cell_id AS cell_id, p.s_stat AS s_stat, t.n_events AS n_events
 FROM trend p JOIN totals t ON t.cell_id = p.cell_id
 ORDER BY cell_id
 """
+
+
+# -------------------------------------- per-user trajectory path length
+
+def q_trajectory_length(sf_dir: str) -> pd.DataFrame:
+    """Track analysis (the trajectory/GPS-path shape): each user's events,
+    ordered by (ts, event_id), form a polyline over the integer point
+    grid; output per user = leg count and total path length in EXACT
+    integer-floored euclidean units.  ⌊√d²⌋ is computed as float sqrt
+    plus a ±1 integer correction, so fp rounding can never flip a length
+    and the LAG-window oracle is bit-exact.
+
+    Engine shape: user-hash shards (windows._user_shard), one lexsort per
+    shard, vectorized diffs — no global sort, no per-user Python."""
+    from .windows import _user_shard
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def traj_shard(g: pd.DataFrame) -> pd.DataFrame:
+        eid = g["event_id"].to_numpy(np.int64)
+        ts = g["ts"].astype("int64").to_numpy()
+        u = g["user_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        eid, u = eid[order], u[order]
+        k = (eid * 7919) % 36000
+        m = (eid * 104729) % 18000
+        same = np.zeros(eid.size, bool)
+        same[1:] = u[1:] == u[:-1]
+        dk = np.zeros(eid.size, np.int64)
+        dm = np.zeros(eid.size, np.int64)
+        dk[1:], dm[1:] = k[1:] - k[:-1], m[1:] - m[:-1]
+        d2 = np.where(same, dk * dk + dm * dm, 0)
+        s = np.floor(np.sqrt(d2.astype(np.float64))).astype(np.int64)
+        # exact isqrt: correctly-rounded sqrt errs by at most 1 here
+        s += ((s + 1) * (s + 1) <= d2).astype(np.int64)
+        s -= (s * s > d2).astype(np.int64)
+        df = pd.DataFrame({"user_id": u,
+                           "n_legs": same.astype(np.int64),
+                           "path_len": np.where(same, s, 0)})
+        out = df.groupby("user_id", as_index=False).sum()
+        return out[out["n_legs"] > 0]  # single-event users have no legs
+
+    out = (ds.map_batches(_user_shard, batch_format="pyarrow")
+           .groupby("shard")
+           .map_groups(traj_shard, batch_format="pandas")
+           .to_pandas())
+    return (out.astype({"user_id": "int64", "n_legs": "int64",
+                        "path_len": "int64"})
+            .sort_values("user_id").reset_index(drop=True))
+
+
+Q_TRAJECTORY_LENGTH_SQL = """
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 7919) % 36000 AS k,
+         (event_id * 104729) % 18000 AS m
+  FROM events
+), lagged AS (
+  SELECT user_id,
+         k - LAG(k) OVER w AS dk,
+         m - LAG(m) OVER w AS dm
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), legs AS (
+  SELECT user_id, dk * dk + dm * dm AS d2 FROM lagged WHERE dk IS NOT NULL
+), isq AS (
+  SELECT user_id, d2,
+         CAST(FLOOR(SQRT(CAST(d2 AS DOUBLE))) AS BIGINT) AS s0
+  FROM legs
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_legs,
+       CAST(SUM(s0 + CASE WHEN (s0 + 1) * (s0 + 1) <= d2 THEN 1 ELSE 0 END
+                   - CASE WHEN s0 * s0 > d2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS path_len
+FROM isq GROUP BY user_id ORDER BY user_id
+"""

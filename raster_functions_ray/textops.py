@@ -1238,3 +1238,107 @@ SELECT best.pair, best.pair_count,
         FROM vocab) AS len_after
 FROM best
 """
+
+
+# ------------------------- content-defined chunking (rolling-hash CDC)
+
+CDC_B = 257           # rolling-hash base
+CDC_M = 1_000_003     # hash modulus (prime)
+CDC_DIV = 64          # boundary rule: h % DIV == 0 → expected ~64-char chunks
+CDC_W = 4             # hash window (bytes)
+
+
+def q_cdc_chunks(sf_dir: str) -> pd.DataFrame:
+    """Content-defined chunking (the rolling-hash boundary rule behind
+    dedup-friendly storage à la LBFS/rsync): a chunk boundary falls after
+    character j = i+{CDC_W}-1 wherever the {CDC_W}-byte window hash at i
+    satisfies h % {CDC_DIV} == 0 — boundaries move WITH content, so an
+    insertion only re-chunks its neighborhood.  Output per doc: chunk
+    count and the sum of squared chunk lengths (the size-distribution
+    fingerprint).  Integer arithmetic end to end.
+
+    Engine shape: one streaming pass; the whole batch's text concatenates
+    into ONE byte array, the polynomial hash is four shifted vector ops,
+    and windows crossing doc joints are masked out — no per-doc Python
+    in the hot loop."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(b: pa.Table) -> pd.DataFrame:
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        texts = b["text"].to_pylist()
+        lens = np.fromiter((len(t) for t in texts), np.int64, len(texts))
+        big = np.frombuffer("".join(texts).encode("ascii"), np.uint8)
+        ends = np.cumsum(lens)            # exclusive doc ends in big[]
+        starts = ends - lens
+        n = big.size
+        if n >= CDC_W:
+            h = (big[: n - 3].astype(np.int64) * CDC_B**3
+                 + big[1: n - 2] * CDC_B**2
+                 + big[2: n - 1] * CDC_B
+                 + big[3: n]) % CDC_M
+            i = np.flatnonzero(h % CDC_DIV == 0)
+            # window must sit inside one doc, and a cut at the last char
+            # would open an empty final chunk — exclude both
+            d = np.searchsorted(ends, i, side="right")
+            j = i + CDC_W - 1
+            keep = j < ends[d] - 1
+            cut_doc, cut_j = d[keep], j[keep] - starts[d[keep]]
+        else:
+            cut_doc = np.empty(0, np.int64)
+            cut_j = np.empty(0, np.int64)
+        # per-doc segment lengths: [start-1, cuts..., len-1] diffs
+        n_cuts = np.bincount(cut_doc, minlength=len(texts))
+        # groupwise: reset prev at each doc's first cut
+        first_of_doc = np.ones(cut_j.size, bool)
+        first_of_doc[1:] = cut_doc[1:] != cut_doc[:-1]
+        seg = cut_j - np.where(first_of_doc, -1, np.concatenate(
+            ([np.int64(0)], cut_j[:-1])))
+        sumsq = np.zeros(len(texts), np.int64)
+        np.add.at(sumsq, cut_doc, seg * seg)
+        # final chunk per doc: len-1 - last_cut (or the whole doc)
+        last = np.full(len(texts), -1, np.int64)
+        np.maximum.at(last, cut_doc, cut_j)
+        fin = lens - 1 - last
+        sumsq += fin * fin
+        return pd.DataFrame({"doc_id": ids,
+                             "n_chunks": n_cuts + 1,
+                             "sumsq_len": sumsq}).astype("int64")
+
+    out = (ds.map_batches(chunks, batch_format="pyarrow", batch_size=4096)
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_CDC_CHUNKS_SQL = f"""
+WITH pos AS (
+  SELECT d.doc_id, t.range AS i, length(d.text) AS len,
+         (ascii(substr(d.text, CAST(t.range + 1 AS INT), 1)) * {CDC_B ** 3}
+        + ascii(substr(d.text, CAST(t.range + 2 AS INT), 1)) * {CDC_B ** 2}
+        + ascii(substr(d.text, CAST(t.range + 3 AS INT), 1)) * {CDC_B}
+        + ascii(substr(d.text, CAST(t.range + 4 AS INT), 1))) % {CDC_M} AS h
+  FROM documents d
+  JOIN (SELECT UNNEST(generate_series(0,
+          (SELECT MAX(length(text)) FROM documents))) AS range) t
+    ON t.range + {CDC_W} <= length(d.text)
+), cuts AS (
+  SELECT doc_id, i + {CDC_W - 1} AS j, len
+  FROM pos WHERE h % {CDC_DIV} = 0 AND i + {CDC_W - 1} < len - 1
+), segs AS (
+  SELECT doc_id, len, j,
+         j - COALESCE(LAG(j) OVER (PARTITION BY doc_id ORDER BY j), -1)
+           AS seg
+  FROM cuts
+), per_cut AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_cuts,
+         CAST(SUM(seg * seg) AS BIGINT) AS sumsq_cut,
+         CAST(MAX(len) - 1 - MAX(j) AS BIGINT) AS fin
+  FROM segs GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_cuts, 0) + 1 AS BIGINT) AS n_chunks,
+       CAST(COALESCE(p.sumsq_cut + p.fin * p.fin,
+                     length(d.text) * length(d.text)) AS BIGINT) AS sumsq_len
+FROM documents d LEFT JOIN per_cut p ON p.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""

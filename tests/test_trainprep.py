@@ -555,3 +555,54 @@ class TestDocChunking:
         last = g["chunk_idx"].transform("max")
         assert (out.loc[out["chunk_idx"] < last, "chunk_chars"]
                 == tp.CHUNK_SIZE).all()
+
+
+class TestCdcChunks:
+    def _naive(self, text: str):
+        from raster_functions_ray import textops as t
+
+        cuts = []
+        for i in range(len(text) - t.CDC_W + 1):
+            h = 0
+            for ch in text[i:i + t.CDC_W]:
+                h = h * t.CDC_B + ord(ch)
+            j = i + t.CDC_W - 1
+            if h % t.CDC_M % t.CDC_DIV == 0 and j < len(text) - 1:
+                cuts.append(j)
+        segs, prev = [], -1
+        for j in cuts:
+            segs.append(j - prev)
+            prev = j
+        segs.append(len(text) - 1 - prev)
+        return len(cuts) + 1, sum(s * s for s in segs), segs
+
+    def test_against_naive_and_conservation(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from raster_functions_ray import textops as t
+
+        out = t.q_cdc_chunks("/root/testdata/sf0.001")
+        docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        docs = docs.set_index("doc_id")["text"]
+        for _, row in out.head(25).iterrows():
+            n, ssq, segs = self._naive(docs.loc[int(row["doc_id"])])
+            assert int(row["n_chunks"]) == n
+            assert int(row["sumsq_len"]) == ssq
+            # chunk lengths partition the doc exactly
+            assert sum(segs) == len(docs.loc[int(row["doc_id"])])
+
+    def test_insertion_locality(self):
+        """CDC's point: an insertion re-chunks only its neighborhood —
+        chunk boundaries AFTER the edit shift by exactly the insert size."""
+        from raster_functions_ray import textops as t
+
+        base = ("the quick brown fox jumps over the lazy dog " * 40)
+        _, _, segs0 = self._naive(base)
+        edited = base[:100] + "INSERTED TEXT HERE " + base[100:]
+        _, _, segs1 = self._naive(edited)
+        # the tail of the chunk-length sequence is unchanged (only the
+        # chunks overlapping the edit — at most 3 — may differ)
+        k = min(len(segs0), len(segs1)) - 3
+        assert k > 3
+        assert segs0[-k:] == segs1[-k:]
