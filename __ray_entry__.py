@@ -131,6 +131,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contour_cases": regions.q_contour_cases,
         "trajectory_length": spatial.q_trajectory_length,
         "cdc_chunks": textops.q_cdc_chunks,
+        "cost_distance": regions.q_cost_distance,
+        "ntile_slice": rel.q_ntile_slice,
+        "band_join": windows.q_band_join,
+        "group_regression": rel.q_group_regression,
         # family-siblings demoted to make room for the round-4 flagships:
         "block_stats_exact": analytic.q_block_stats_exact,
         "stack_second_max_exact": analytic.q_stack_second_max_exact,
@@ -365,6 +369,10 @@ def oracle_sql() -> dict[str, str]:
         "contour_cases": regions.Q_CONTOUR_CASES_SQL,
         "trajectory_length": spatial.Q_TRAJECTORY_LENGTH_SQL,
         "cdc_chunks": textops.Q_CDC_CHUNKS_SQL,
+        "cost_distance": regions.Q_COST_DISTANCE_SQL,
+        "ntile_slice": rel.Q_NTILE_SLICE_SQL,
+        "band_join": windows.Q_BAND_JOIN_SQL,
+        "group_regression": rel.Q_GROUP_REGRESSION_SQL,
         "aspect_slope_exact": analytic2.aspect_slope_exact_oracle_sql(0.01),
         "block_stats_minmax_exact": analytic2.block_stats_minmax_exact_oracle_sql(0.01),
         "zonal_remap_exact": analytic2.zonal_remap_exact_oracle_sql(0.01),

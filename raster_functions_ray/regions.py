@@ -1016,3 +1016,92 @@ FROM cells CROSS JOIN lv
 GROUP BY 1, 2
 ORDER BY level, case_id
 """
+
+
+# ------------------------------------------ weighted cost distance
+
+COST_MAX = 12   # accumulation budget (maxdist) — bounds halo & recursion
+
+
+def cost_field(r0: int, c0: int, h: int, w: int) -> np.ndarray:
+    """Per-pixel traversal cost 1..4 from the counter field (entering a
+    pixel costs cost(pixel) — the unit-simplified ArcGIS CostDistance
+    accumulation)."""
+    rr = (np.arange(r0, r0 + h, dtype=np.uint64)[:, None]
+          * np.uint64(GRID_W))
+    cc = np.arange(c0, c0 + w, dtype=np.uint64)[None, :]
+    return (mask_values(rr + cc) % np.uint64(4)).astype(np.int64) + 1
+
+
+def q_cost_distance(sf_dir: str) -> pd.DataFrame:
+    """Weighted cost distance (ArcGIS CostDistance with a maxdist): the
+    min accumulated cost from the seed set where entering pixel p costs
+    cost(p) ∈ {1..4}, capped at {COST_MAX}.  Min step cost 1 bounds any
+    within-budget path to {COST_MAX} hops, so the transform is tileable:
+    each tile evaluates its {COST_MAX}-halo window with vectorized
+    Bellman-Ford relaxation sweeps — zero shuffle, integer-exact.
+
+    Oracle: recursive-CTE path relaxation (bounded by the same budget)
+    with MIN(acc) per pixel.  Output: per-tile reached count / sum / max
+    of min-cost; unreached tiles emit no row."""
+    tiles = rd.range(GRID_TILES * GRID_TILES, override_num_blocks=8)
+    BIG = np.int64(1 << 30)
+
+    def per_tile(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for tid in np.asarray(b["id"], dtype=np.int64):
+            ty, tx = divmod(int(tid), GRID_TILES)
+            r0, c0 = ty * TILE_PX, tx * TILE_PX
+            hr0 = max(0, r0 - COST_MAX); hc0 = max(0, c0 - COST_MAX)
+            hr1 = min(GRID_W, r0 + TILE_PX + COST_MAX)
+            hc1 = min(GRID_W, c0 + TILE_PX + COST_MAX)
+            cost = cost_field(hr0, hc0, hr1 - hr0, hc1 - hc0)
+            sr, sc = euc_seeds(hr0, hc0, hr1 - hr0, hc1 - hc0)
+            acc = np.full(cost.shape, BIG)
+            acc[sr - hr0, sc - hc0] = 0  # cost counted on ENTERED pixels
+            for _ in range(COST_MAX):
+                best = acc.copy()
+                best[1:, :] = np.minimum(best[1:, :], acc[:-1, :])
+                best[:-1, :] = np.minimum(best[:-1, :], acc[1:, :])
+                best[:, 1:] = np.minimum(best[:, 1:], acc[:, :-1])
+                best[:, :-1] = np.minimum(best[:, :-1], acc[:, 1:])
+                stepped = best + cost
+                # a seed keeps acc 0; others take the cheapest entry
+                nxt = np.minimum(acc, stepped)
+                nxt[sr - hr0, sc - hc0] = 0
+                if np.array_equal(nxt, acc):
+                    break
+                acc = nxt
+            core = acc[r0 - hr0:r0 - hr0 + TILE_PX,
+                       c0 - hc0:c0 - hc0 + TILE_PX]
+            reach = core <= COST_MAX
+            if not reach.any():
+                continue
+            rows.append((int(tid), int(reach.sum()),
+                         int(core[reach].sum()), int(core[reach].max())))
+        return pd.DataFrame(rows, columns=["tile_idx", "n_reached",
+                                           "sum_cost", "max_cost"]
+                            ).astype("int64")
+
+    out = tiles.map_batches(per_tile, batch_format="pyarrow", batch_size=8)
+    return out.to_pandas().sort_values("tile_idx").reset_index(drop=True)
+
+
+_COST_NBR = (f"1 + {_xval_sql(f'p.r * {GRID_W} + p.c')} % 4")
+
+Q_COST_DISTANCE_SQL = f"""
+WITH RECURSIVE {_PX_SEEDS_SQL}, walk AS (
+  SELECT r, c, CAST(0 AS BIGINT) AS acc FROM seeds
+  UNION
+  SELECT p.r, p.c, w.acc + {_COST_NBR} AS acc
+  FROM walk w
+  JOIN px p ON (p.r = w.r + 1 AND p.c = w.c) OR (p.r = w.r - 1 AND p.c = w.c)
+            OR (p.r = w.r AND p.c = w.c + 1) OR (p.r = w.r AND p.c = w.c - 1)
+  WHERE w.acc + {_COST_NBR} <= {COST_MAX}
+), best AS (SELECT r, c, MIN(acc) AS acc FROM walk GROUP BY r, c)
+SELECT CAST((r // {TILE_PX}) * {GRID_TILES} + c // {TILE_PX} AS BIGINT) AS tile_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(SUM(acc) AS BIGINT) AS sum_cost,
+       CAST(MAX(acc) AS BIGINT) AS max_cost
+FROM best GROUP BY tile_idx
+"""

@@ -1698,3 +1698,191 @@ SELECT user_id,
        CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
 FROM events GROUP BY user_id
 """
+
+
+# ----------------------- exact distributed NTILE (rank classes, no sort)
+
+NTILE_K = 7
+
+
+def q_ntile_slice(sf_dir: str) -> pd.DataFrame:
+    """Exact global NTILE({NTILE_K}) over (cents, event_id) order WITHOUT
+    a global sort (the ArcGIS Slice / quantile-reclass shape, and the
+    general 'assign every row its global rank class' primitive): per-class
+    count, sum, min and max of the quantized value.
+
+    Engine shape, three streaming passes and NO all-to-all:
+    1. value histogram — per-batch bincount partials over cents, summed
+       driver-side (distinct-value-sized, bounded by the value domain);
+    2. prefix sums locate each class boundary's VALUE; only rows AT a
+       boundary value (≤ K−1 values) need id-order tie-breaks, so only
+       those ids ship to the driver (boundary-tie-sized);
+    3. classify pass — searchsorted against the K−1 (value, id) cut pairs,
+       per-class aggregate partials.
+    NTILE semantics: the first N % K classes get ⌈N/K⌉ rows."""
+    from .sources import read_table as _rt
+
+    ds = _rt(sf_dir, "events", columns=["event_id", "value"])
+
+    def cents_of(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        cents = np.floor(b["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return eid, cents
+
+    # pass 1: exact histogram of cents (domain-bounded)
+    def hist_partial(b: pa.Table) -> pa.Table:
+        _, cents = cents_of(b)
+        vals, cnt = np.unique(cents, return_counts=True)
+        return pa.table({"v": pa.array(vals), "n": pa.array(cnt.astype(np.int64))})
+
+    hp = (ds.map_batches(hist_partial, batch_format="pyarrow",
+                         batch_size=65536).to_pandas()
+          .groupby("v", as_index=False)["n"].sum().sort_values("v"))
+    vals = hp["v"].to_numpy(np.int64)
+    cnts = hp["n"].to_numpy(np.int64)
+    cum = np.concatenate(([0], np.cumsum(cnts)))   # cnt_less per value
+    N = int(cum[-1])
+    base, extra = divmod(N, NTILE_K)
+    # boundary ranks: first `extra` classes hold base+1 rows
+    bounds = np.cumsum([base + (1 if t < extra else 0)
+                        for t in range(NTILE_K - 1)]).astype(np.int64)
+    # each boundary rank falls inside some value's tie run
+    bv_idx = np.searchsorted(cum, bounds, side="right") - 1
+    bound_vals = vals[bv_idx]
+    split_within = bounds - cum[bv_idx]     # ids going LEFT of the cut
+
+    # pass 2: collect ids at boundary values only (≤ K−1 tie runs)
+    bset = np.unique(bound_vals)
+
+    def boundary_ids(b: pa.Table) -> pa.Table:
+        eid, cents = cents_of(b)
+        m = np.isin(cents, bset)
+        return pa.table({"v": pa.array(cents[m]), "event_id": pa.array(eid[m])})
+
+    bi = (ds.map_batches(boundary_ids, batch_format="pyarrow",
+                         batch_size=65536).to_pandas())
+    cut_id = np.empty(NTILE_K - 1, np.int64)
+    for t in range(NTILE_K - 1):
+        ids = np.sort(bi[bi["v"] == bound_vals[t]]["event_id"]
+                      .to_numpy(np.int64))
+        k = int(split_within[t])
+        # cut pair: rows with (v, id) < (bound_vals[t], cut_id[t]) go left
+        cut_id[t] = ids[k] if k < ids.size else np.iinfo(np.int64).max
+    cuts_v, cuts_i = bound_vals, cut_id
+
+    # pass 3: classify + per-class aggregate partials
+    def classify(b: pa.Table) -> pd.DataFrame:
+        eid, cents = cents_of(b)
+        cls = np.searchsorted(cuts_v, cents, side="left")
+        at = cents[:, None] == cuts_v[None, :]
+        if at.any():
+            # at a boundary value the id decides the side
+            ge = at & (eid[:, None] >= cuts_i[None, :])
+            cls = (cls + ge.sum(axis=1)).astype(np.int64)
+        mn = np.full(NTILE_K, np.iinfo(np.int64).max)
+        mx = np.full(NTILE_K, np.iinfo(np.int64).min)
+        np.minimum.at(mn, cls, cents)
+        np.maximum.at(mx, cls, cents)
+        return pd.DataFrame({
+            "tile_no": np.arange(NTILE_K, dtype=np.int64),
+            "n": np.bincount(cls, minlength=NTILE_K).astype(np.int64),
+            "sum_cents": np.bincount(cls, weights=cents,
+                                     minlength=NTILE_K).astype(np.int64),
+            "min_cents": mn, "max_cents": mx})
+
+    p = (ds.map_batches(classify, batch_format="pyarrow", batch_size=65536)
+         .to_pandas())
+    g = p.groupby("tile_no")
+    out = pd.DataFrame({
+        "tile_no": np.arange(1, NTILE_K + 1, dtype=np.int64),
+        "n": g["n"].sum().to_numpy(np.int64),
+        "sum_cents": g["sum_cents"].sum().to_numpy(np.int64),
+        "min_cents": g["min_cents"].min().to_numpy(np.int64),
+        "max_cents": g["max_cents"].max().to_numpy(np.int64)})
+    return out.reset_index(drop=True)
+
+
+Q_NTILE_SLICE_SQL = f"""
+WITH v AS (
+  SELECT event_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         NTILE({NTILE_K}) OVER (ORDER BY floor(value * 100.0 + 0.5),
+                                event_id) AS tile_no
+  FROM events
+)
+SELECT CAST(tile_no AS BIGINT) AS tile_no,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents
+FROM v GROUP BY tile_no ORDER BY tile_no
+"""
+
+
+# -------------------- group-wise OLS via mergeable sufficient statistics
+
+def q_group_regression(sf_dir: str) -> pd.DataFrame:
+    """Distributed per-group linear regression (price-vs-quantity OLS per
+    (returnflag, linestatus)) expressed as its MERGEABLE sufficient
+    statistics — n, Σx, Σy, Σxy, Σx² in exact integers (x = quantity,
+    y = price cents) — the 'model fit as associative aggregate' shape:
+    slope/intercept are pure driver-side formulas over one tiny row per
+    group, so a 100 TB fit is a single streaming pass + an O(groups)
+    exchange, and the statistics from two partitions merge by addition."""
+    from ray.data.aggregate import Sum
+
+    from .sources import read_table as _rt
+
+    ds = _rt(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_linestatus",
+                      "l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        x = np.floor(b["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        y = np.floor(b["l_extendedprice"].to_numpy() * 100.0
+                     + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "l_returnflag": b["l_returnflag"].to_numpy(zero_copy_only=False),
+            "l_linestatus": b["l_linestatus"].to_numpy(zero_copy_only=False),
+            "n": np.ones(x.size, np.int64), "sum_x": x, "sum_y": y,
+            "sum_xy": x * y, "sum_x2": x * x})
+        return df.groupby(["l_returnflag", "l_linestatus"],
+                          as_index=False).sum()
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_x", alias_name="sum_x"),
+                      Sum("sum_y", alias_name="sum_y"),
+                      Sum("sum_xy", alias_name="sum_xy"),
+                      Sum("sum_x2", alias_name="sum_x2"))
+           .to_pandas())
+    out = out.astype({c: "int64" for c in ["n", "sum_x", "sum_y",
+                                           "sum_xy", "sum_x2"]})
+    return (out.sort_values(["l_returnflag", "l_linestatus"])
+            .reset_index(drop=True))
+
+
+def ols_from_moments(row) -> tuple[float, float]:
+    """slope, intercept from the sufficient statistics (driver formula)."""
+    n, sx, sy = float(row["n"]), float(row["sum_x"]), float(row["sum_y"])
+    sxy, sx2 = float(row["sum_xy"]), float(row["sum_x2"])
+    slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    return slope, (sy - slope * sx) / n
+
+
+Q_GROUP_REGRESSION_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_x,
+       CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_y,
+       CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)
+              * CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_xy,
+       CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)
+              * CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_x2
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""

@@ -393,3 +393,63 @@ SELECT event_id,
          ROWS BETWEEN {TRAIL_MED_W - 1} PRECEDING AND CURRENT ROW) AS trail_med
 FROM events
 """
+
+
+# ----------------------- cross-type band join (stream interval join)
+
+BAND_US = 900_000_000   # 15 min lookback
+
+
+def q_band_join(sf_dir: str) -> pd.DataFrame:
+    """Stream interval join across types: per 'purchase' event, how many
+    'view' events by the SAME user fall in the trailing {BAND_US}-µs band
+    [t−T, t) — the attribution-window join (two-sided, unlike the
+    trailing self-rate).
+
+    Engine shape: both sides land in the same user-hash shard, each shard
+    lexsorts once per side and answers every purchase with two
+    searchsorted cursors into that user's view run — a vectorized
+    band join with no per-row loop and no global sort.  The oracle is a
+    correlated RANGE-frame count."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
+    ds = ds.filter(
+        expr="event_type == 'purchase' or event_type == 'view'")
+
+    def band_shard(g: pd.DataFrame) -> pd.DataFrame:
+        eid = g["event_id"].to_numpy(np.int64)
+        ts = g["ts"].astype("int64").to_numpy()
+        u = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        isv = et == "view"
+        # views sorted by the composite key user·2⁵¹ + ts (epoch µs stays
+        # under 2⁵¹ until year ~2041, user ids well under 2¹²) — ONE sorted
+        # array answers every probe with two vectorized searchsorteds
+        SH = np.int64(1 << 51)
+        key_v = np.sort(u[isv] * SH + ts[isv])
+        pe, pt, pu = eid[~isv], ts[~isv], u[~isv]
+        lo = np.searchsorted(key_v, pu * SH + (pt - BAND_US), side="left")
+        hi = np.searchsorted(key_v, pu * SH + pt, side="left")
+        return pd.DataFrame({"event_id": pe,
+                             "n_views": (hi - lo).astype(np.int64)})
+
+    out = (ds.map_batches(_user_shard, batch_format="pyarrow")
+           .groupby("shard")
+           .map_groups(band_shard, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+Q_BAND_JOIN_SQL = f"""
+SELECT p.event_id,
+       CAST(COUNT(v.event_id) AS BIGINT) AS n_views
+FROM (SELECT event_id, ts, user_id FROM events
+      WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT event_id, ts, user_id FROM events
+           WHERE event_type = 'view') v
+  ON v.user_id = p.user_id
+ AND epoch_us(v.ts) >= epoch_us(p.ts) - {BAND_US}
+ AND epoch_us(v.ts) < epoch_us(p.ts)
+GROUP BY p.event_id
+ORDER BY p.event_id
+"""

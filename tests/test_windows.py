@@ -157,3 +157,55 @@ class TestTrailingRate:
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
         # peers: events 1 and 2 share ts → both count 2
         assert got.loc[got.event_id.isin([1, 2]), "n_window"].tolist() == [2, 2]
+
+
+class TestRound4Additions:
+    def test_band_join_manual_user(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from raster_functions_ray import windows as w
+
+        out = w.q_band_join("/root/testdata/sf0.001")
+        ev = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                           columns=["event_id", "ts", "user_id",
+                                    "event_type"]).to_pandas()
+        ev["us"] = ev["ts"].astype("int64")
+        p = ev[ev.event_type == "purchase"].iloc[0]
+        views = ev[(ev.event_type == "view") & (ev.user_id == p.user_id)]
+        expect = int(((views.us >= p.us - w.BAND_US)
+                      & (views.us < p.us)).sum())
+        got = int(out[out.event_id == p.event_id]["n_views"].iloc[0])
+        assert got == expect
+
+    def test_group_regression_slope_sane(self, ray_session):
+        from raster_functions_ray import relational as rel
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        out = rel.q_group_regression("/root/testdata/sf0.001")
+        assert len(out) == 6  # 3 returnflags × 2 linestatuses (TPC-H)
+        # the moments must reproduce a direct lstsq fit on the raw rows
+        li = pq.read_table(
+            "/root/testdata/sf0.001/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice"]).to_pandas()
+        row = out.iloc[0]
+        sel = li[(li.l_returnflag == row.l_returnflag)
+                 & (li.l_linestatus == row.l_linestatus)]
+        x = np.floor(sel.l_quantity.to_numpy() + 0.5)
+        y = np.floor(sel.l_extendedprice.to_numpy() * 100.0 + 0.5)
+        ref_slope, ref_icept = np.polyfit(x, y, 1)
+        slope, icept = rel.ols_from_moments(row)
+        assert abs(slope - ref_slope) < 1e-6 * max(1.0, abs(ref_slope))
+        assert abs(icept - ref_icept) < 1e-6 * max(1.0, abs(ref_icept))
+
+    def test_ntile_slice_class_sizes(self, ray_session):
+        from raster_functions_ray import relational as rel
+
+        out = rel.q_ntile_slice("/root/testdata/sf0.001")
+        n = out["n"].to_numpy()
+        assert n.max() - n.min() <= 1          # NTILE size guarantee
+        assert (out["min_cents"].to_numpy()[1:]
+                >= out["max_cents"].to_numpy()[:-1]).all()  # ordered slices
