@@ -135,6 +135,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_slice": rel.q_ntile_slice,
         "band_join": windows.q_band_join,
         "group_regression": rel.q_group_regression,
+        "incremental_daily": rel.q_incremental_daily,
+        "late_events": rel.q_late_events,
+        "q3_shipping_bloom": rel.q3_shipping_bloom,
         # family-siblings demoted to make room for the round-4 flagships:
         "block_stats_exact": analytic.q_block_stats_exact,
         "stack_second_max_exact": analytic.q_stack_second_max_exact,
@@ -373,6 +376,9 @@ def oracle_sql() -> dict[str, str]:
         "ntile_slice": rel.Q_NTILE_SLICE_SQL,
         "band_join": windows.Q_BAND_JOIN_SQL,
         "group_regression": rel.Q_GROUP_REGRESSION_SQL,
+        "incremental_daily": rel.Q_INCREMENTAL_DAILY_SQL,
+        "late_events": rel.Q_LATE_EVENTS_SQL,
+        "q3_shipping_bloom": rel.Q3_SHIPPING_SQL,
         "aspect_slope_exact": analytic2.aspect_slope_exact_oracle_sql(0.01),
         "block_stats_minmax_exact": analytic2.block_stats_minmax_exact_oracle_sql(0.01),
         "zonal_remap_exact": analytic2.zonal_remap_exact_oracle_sql(0.01),

@@ -1886,3 +1886,275 @@ FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
+
+
+# -------------------- incremental view maintenance (merge old + delta)
+
+IVM_SPLIT = "2024-01-16"   # checkpoint boundary: days < split are "old"
+
+
+def q_incremental_daily(sf_dir: str) -> pd.DataFrame:
+    """Incremental materialized-view maintenance (the lakehouse delta
+    shape): the daily (event_type, day) aggregate is produced by MERGING
+    a checkpointed aggregate of the old days (written to parquet, read
+    back — yesterday's view state) with a freshly aggregated delta of the
+    new days — and must equal the one-shot aggregate over everything,
+    which is exactly what the shared-form oracle checks.  Values are
+    integer cents so partial merges are order-free.
+
+    Scale shape: the delta pass filters at the read, the old state is
+    view-sized (groups, not events), and the merge is one group-keyed
+    exchange of view-sized rows."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Sum as ASum
+
+    from .sources import read_table as _rt
+
+    split_us = int(pd.Timestamp(IVM_SPLIT).value // 1000)
+
+    def agg(ds, old_side: bool):
+        def partial(b: pa.Table) -> pd.DataFrame:
+            us = b["ts"].cast(pa.int64()).to_numpy()
+            keep = us < split_us if old_side else us >= split_us
+            us = us[keep]
+            cents = np.floor(b["value"].to_numpy()[keep] * 100.0
+                             + 0.5).astype(np.int64)
+            day = us // 86_400_000_000
+            df = pd.DataFrame({
+                "event_type": b["event_type"].to_numpy(
+                    zero_copy_only=False)[keep],
+                "day_no": day, "n": np.ones(us.size, np.int64),
+                "sum_cents": cents})
+            g = df.groupby(["event_type", "day_no"], as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return (ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=65536)
+                .groupby(["event_type", "day_no"])
+                .aggregate(ASum("n", alias_name="n"),
+                           ASum("sum_cents", alias_name="sum_cents")))
+
+    ds = _rt(sf_dir, "events", columns=["ts", "event_type", "value"])
+    old_dir = tempfile.mkdtemp(prefix="rfr_ivm_")
+    try:
+        # checkpoint: the OLD view state materializes to parquet (hive
+        # layout per event_type, the resumable-sink discipline) …
+        agg(ds, old_side=True).write_parquet(old_dir,
+                                             partition_cols=["event_type"])
+        # hive read-back puts the partition column last — align schemas
+        cols = ["event_type", "day_no", "n", "sum_cents"]
+        old = (rd.read_parquet(old_dir).select_columns(cols)
+               .map_batches(lambda t: t.cast(pa.schema(
+                   [("event_type", pa.string()), ("day_no", pa.int64()),
+                    ("n", pa.int64()), ("sum_cents", pa.int64())])),
+                   batch_format="pyarrow"))
+        # … the DELTA aggregates only the new days
+        delta = agg(ds, old_side=False).select_columns(cols)
+        merged = (old.union(delta)
+                  .groupby(["event_type", "day_no"])
+                  .aggregate(ASum("n", alias_name="n"),
+                             ASum("sum_cents", alias_name="sum_cents"))
+                  .to_pandas())
+    finally:
+        shutil.rmtree(old_dir, ignore_errors=True)
+    merged = merged.astype({"day_no": "int64", "n": "int64",
+                            "sum_cents": "int64"})
+    return (merged.sort_values(["event_type", "day_no"])
+            .reset_index(drop=True))
+
+
+Q_INCREMENTAL_DAILY_SQL = """
+SELECT event_type,
+       CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_no,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events
+GROUP BY event_type, day_no
+ORDER BY event_type, day_no
+"""
+
+
+# ------------------------------- late-data watermark accounting
+
+LATE_US = 3_600_000_000   # 1 h watermark
+
+
+def q_late_events(sf_dir: str) -> pd.DataFrame:
+    """Streaming late-data accounting: an event is LATE when its event
+    time sits more than {LATE_US} µs behind the running per-user
+    watermark (the max event time seen earlier in ARRIVAL order =
+    event_id).  Output per user: total events and late count — what a
+    watermarking engine must know to size its allowed-lateness.
+
+    Engine shape: user-hash shards; within a shard the composite key
+    user·2⁵¹+ts cumulative-maxes in ONE pass (a later user's keys all
+    dominate an earlier user's, so runs never leak across the boundary)."""
+    from .sources import read_table as _rt
+    from .windows import _user_shard
+
+    ds = _rt(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def late_shard(g: pd.DataFrame) -> pd.DataFrame:
+        eid = g["event_id"].to_numpy(np.int64)
+        ts = g["ts"].astype("int64").to_numpy()
+        u = g["user_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, u))      # arrival order within user
+        ts, u = ts[order], u[order]
+        SH = np.int64(1 << 51)
+        key = u * SH + ts
+        pm = np.empty(u.size, np.int64)
+        pm[0] = np.iinfo(np.int64).min
+        if u.size > 1:
+            np.maximum.accumulate(key[:-1], out=pm[1:])
+        # a watermark from an EARLIER user is below this user's key floor
+        has_prev = pm >= u * SH
+        wm_ts = np.where(has_prev, pm - u * SH, 0)
+        late = has_prev & (ts < wm_ts - LATE_US)
+        df = pd.DataFrame({"user_id": u,
+                           "n_events": np.ones(u.size, np.int64),
+                           "n_late": late.astype(np.int64)})
+        return df.groupby("user_id", as_index=False).sum()
+
+    out = (ds.map_batches(_user_shard, batch_format="pyarrow")
+           .groupby("shard")
+           .map_groups(late_shard, batch_format="pandas")
+           .to_pandas())
+    return (out.astype({"user_id": "int64", "n_events": "int64",
+                        "n_late": "int64"})
+            .sort_values("user_id").reset_index(drop=True))
+
+
+Q_LATE_EVENTS_SQL = f"""
+WITH w AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS wm
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN wm IS NOT NULL AND us < wm - {LATE_US}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM w GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------- Q3 with a bloom-filter pre-shuffle prune (3rd lowering)
+
+BLOOM_M = 1 << 20   # filter bits (128 KiB packed) — independent of keyset
+BLOOM_SALTS = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D)  # public mix constants
+
+
+def _bloom_hash(k: np.ndarray, salt: int) -> np.ndarray:
+    """SplitMix64 finalizer (public domain constants) — a LINEAR hash mod
+    2²⁰ would correlate the k positions (key≡key' mod 2²⁰ fires all salts
+    at once); the xorshift-multiply rounds break that."""
+    with np.errstate(over="ignore"):
+        h = k + np.uint64(salt)
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+    return (h % np.uint64(BLOOM_M)).astype(np.int64)
+
+
+def bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """The 3 bit positions per key (vectorized)."""
+    k = keys.astype(np.uint64)
+    return np.unique(np.concatenate([_bloom_hash(k, s)
+                                     for s in BLOOM_SALTS]))
+
+
+def bloom_member(packed: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership probe against the packed bit array."""
+    k = keys.astype(np.uint64)
+    hit = np.ones(keys.size, bool)
+    for s in BLOOM_SALTS:
+        pos = _bloom_hash(k, s)
+        hit &= ((packed[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1) == 1
+    return hit
+
+
+def q3_shipping_bloom(sf_dir: str) -> pd.DataFrame:
+    """Q3's third lowering — bloom-pruned shuffle join, gated by the
+    identical oracle: the segment keyset is summarized into a {BLOOM_M}-bit
+    bloom filter (built distributed as deduped bit-position rows, merged
+    and packed driver-side, broadcast ONCE at 128 KiB regardless of how
+    many customers match), orders are pre-filtered through it before the
+    exact shuffle join sweeps out the false positives.  This is the plan
+    for when the dimension keyset is too big to broadcast exactly but the
+    fact-side shuffle is worth pruning — the broadcast is O(filter bits),
+    the prune removes ~all non-matching orders, and correctness never
+    depends on the filter (the join is still exact)."""
+    import ray
+
+    from .sources import join_partitions
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount",
+                             "l_shipdate"])
+    ship_cut = pa.scalar(Q3_DATE, pa.timestamp("us"))
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["l_shipdate"], ship_cut))
+        df = b.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby("l_orderkey", sort=False)["revenue"].sum().reset_index()
+        return pa.table({"o_orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64)),
+                         "revenue": pa.array(g["revenue"].to_numpy(np.float64))})
+
+    rev = (li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+           .groupby("o_orderkey").aggregate(Sum("revenue", alias_name="revenue"))
+           .materialize())
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    ckeys = cust.map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], Q3_SEGMENT))
+                   .select(["c_custkey"]).rename_columns(["o_custkey"]),
+        batch_format="pyarrow").materialize()
+
+    # distributed bloom build: each batch emits its DEDUPED bit positions
+    # (≤ 3·keys int64 rows); the driver unions and packs 128 KiB of bits
+    pos_rows = ckeys.map_batches(
+        lambda b: pa.table({"pos": pa.array(bloom_positions(
+            np.asarray(b["o_custkey"], dtype=np.int64)))}),
+        batch_format="pyarrow").to_pandas()
+    bits = np.zeros(BLOOM_M, np.uint8)
+    bits[np.unique(pos_rows["pos"].to_numpy(np.int64))] = 1
+    bref = ray.put(np.packbits(bits, bitorder="little"))
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                 "o_orderpriority"])
+    date_cut = pa.scalar(Q3_DATE, pa.timestamp("us"))
+
+    def o_prefilter(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b["o_orderdate"], date_cut))
+        keep = bloom_member(ray.get(bref),
+                            np.asarray(b["o_custkey"], dtype=np.int64))
+        return b.filter(pa.array(keep))
+
+    o = orders.map_batches(o_prefilter, batch_format="pyarrow",
+                           batch_size=65536)
+    nparts = join_partitions()
+    o = o.join(ckeys, join_type="inner", num_partitions=nparts,
+               on=("o_custkey",)).materialize()
+    joined = rev.join(o, join_type="inner", num_partitions=nparts,
+                      on=("o_orderkey",))
+
+    def topk(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        df["revenue"] = np.floor(df["revenue"].to_numpy(np.float64)
+                                 * 100.0 + 0.5) / 100.0
+        df = df.sort_values(["revenue", "o_orderdate", "o_orderkey"],
+                            ascending=[False, True, True])
+        return df.head(Q3_TOPK)[["o_orderkey", "revenue", "o_orderdate",
+                                 "o_orderpriority"]]
+
+    parts = joined.map_batches(topk, batch_format="pyarrow").to_pandas()
+    out = (parts.sort_values(["revenue", "o_orderdate", "o_orderkey"],
+                             ascending=[False, True, True]).head(Q3_TOPK))
+    return out.reset_index(drop=True)

@@ -209,3 +209,36 @@ class TestRound4Additions:
         assert n.max() - n.min() <= 1          # NTILE size guarantee
         assert (out["min_cents"].to_numpy()[1:]
                 >= out["max_cents"].to_numpy()[:-1]).all()  # ordered slices
+
+    def test_bloom_filter_prunes_and_never_drops(self, ray_session):
+        import numpy as np
+
+        from raster_functions_ray import relational as rel
+
+        member_keys = np.arange(0, 3000, dtype=np.int64) * 7 + 1
+        bits = np.zeros(rel.BLOOM_M, np.uint8)
+        bits[rel.bloom_positions(member_keys)] = 1
+        packed = np.packbits(bits, bitorder="little")
+        # zero false negatives (correctness invariant)
+        assert rel.bloom_member(packed, member_keys).all()
+        # false-positive rate near the theoretical (1-e^{-kn/m})^k ≈ 5e-6
+        probe = np.arange(1_000_000, 1_200_000, dtype=np.int64)
+        fp = rel.bloom_member(packed, probe).mean()
+        assert fp < 1e-3, fp
+
+    def test_late_events_hand_check(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from raster_functions_ray import relational as rel
+
+        out = rel.q_late_events("/root/testdata/sf0.001")
+        ev = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                           columns=["event_id", "ts", "user_id"]).to_pandas()
+        ev["us"] = ev["ts"].astype("int64")
+        uid = int(out["user_id"].iloc[0])
+        sub = ev[ev.user_id == uid].sort_values("event_id")
+        wm = sub["us"].cummax().shift(1)
+        expect = int((sub["us"] < wm - rel.LATE_US).sum())
+        row = out[out.user_id == uid].iloc[0]
+        assert int(row["n_late"]) == expect
+        assert int(row["n_events"]) == len(sub)
