@@ -138,6 +138,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_daily": rel.q_incremental_daily,
         "late_events": rel.q_late_events,
         "q3_shipping_bloom": rel.q3_shipping_bloom,
+        "zonal_percentiles": regions.q_zonal_percentiles,
+        "hist_equalize": regions.q_hist_equalize,
+        "od_matrix": spatial.q_od_matrix,
         # family-siblings demoted to make room for the round-4 flagships:
         "block_stats_exact": analytic.q_block_stats_exact,
         "stack_second_max_exact": analytic.q_stack_second_max_exact,
@@ -379,6 +382,9 @@ def oracle_sql() -> dict[str, str]:
         "incremental_daily": rel.Q_INCREMENTAL_DAILY_SQL,
         "late_events": rel.Q_LATE_EVENTS_SQL,
         "q3_shipping_bloom": rel.Q3_SHIPPING_SQL,
+        "zonal_percentiles": regions.Q_ZONAL_PERCENTILES_SQL,
+        "hist_equalize": regions.Q_HIST_EQUALIZE_SQL,
+        "od_matrix": spatial.Q_OD_MATRIX_SQL,
         "aspect_slope_exact": analytic2.aspect_slope_exact_oracle_sql(0.01),
         "block_stats_minmax_exact": analytic2.block_stats_minmax_exact_oracle_sql(0.01),
         "zonal_remap_exact": analytic2.zonal_remap_exact_oracle_sql(0.01),

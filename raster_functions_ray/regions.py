@@ -32,6 +32,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min
 
@@ -1104,4 +1105,167 @@ SELECT CAST((r // {TILE_PX}) * {GRID_TILES} + c // {TILE_PX} AS BIGINT) AS tile_
        CAST(SUM(acc) AS BIGINT) AS sum_cost,
        CAST(MAX(acc) AS BIGINT) AS max_cost
 FROM best GROUP BY tile_idx
+"""
+
+
+# ----------------------- zonal exact percentiles (bounded-value histogram)
+
+ZP_PCTS = (25, 50, 75)
+
+
+def q_zonal_percentiles(sf_dir: str) -> pd.DataFrame:
+    """ZonalStatistics PERCENTILE over the counter value field, tile
+    zones: exact p25/p50/p75 per tile read off a per-zone VALUE HISTOGRAM
+    (the domain is bounded at 1000 values, so the histogram is the whole
+    distribution — no sort, no sample).  Percentile rule, both sides:
+    the smallest v with 100·cum(v) ≥ p·n.
+
+    Scale shape: per-batch (zone, value) count partials → one zone-keyed
+    exchange of histogram rows (O(zones·values)), percentiles read per
+    zone group."""
+    tiles = rd.range(GRID_TILES * GRID_TILES, override_num_blocks=8)
+
+    def per_tile(b: pa.Table) -> pa.Table:
+        zs, vs, ns = [], [], []
+        for tid in np.asarray(b["id"], dtype=np.int64):
+            ty, tx = divmod(int(tid), GRID_TILES)
+            rr = (np.arange(ty * TILE_PX, (ty + 1) * TILE_PX,
+                            dtype=np.uint64)[:, None] * np.uint64(GRID_W))
+            cc = np.arange(tx * TILE_PX, (tx + 1) * TILE_PX,
+                           dtype=np.uint64)[None, :]
+            x = mask_values(rr + cc).astype(np.int64)
+            hist = np.bincount(x.ravel(), minlength=1000)
+            nz = np.flatnonzero(hist)
+            zs.append(np.full(nz.size, tid, np.int64))
+            vs.append(nz.astype(np.int64))
+            ns.append(hist[nz].astype(np.int64))
+        return pa.table({"tile_idx": pa.array(np.concatenate(zs)),
+                         "v": pa.array(np.concatenate(vs)),
+                         "n": pa.array(np.concatenate(ns))})
+
+    def pcts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("v")
+        cum = g["n"].cumsum().to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        n = int(cum[-1])
+        row = {"tile_idx": int(g["tile_idx"].iloc[0])}
+        for p in ZP_PCTS:
+            row[f"p{p}"] = int(v[np.searchsorted(100 * cum, p * n)])
+        return pd.DataFrame([row])
+
+    out = (tiles.map_batches(per_tile, batch_format="pyarrow", batch_size=8)
+           .groupby("tile_idx")
+           .map_groups(pcts, batch_format="pandas")
+           .to_pandas())
+    return (out.astype("int64").sort_values("tile_idx")
+            .reset_index(drop=True))
+
+
+Q_ZONAL_PERCENTILES_SQL = f"""
+WITH px AS (
+  SELECT CAST(range AS BIGINT) // {GRID_W} AS r,
+         CAST(range AS BIGINT) % {GRID_W} AS c,
+         {_xval_sql(f"(CAST(range AS BIGINT) // {GRID_W}) * {GRID_W} + CAST(range AS BIGINT) % {GRID_W}")} AS x
+  FROM range(0, {GRID_W * GRID_W})
+), hist AS (
+  SELECT (r // {TILE_PX}) * {GRID_TILES} + c // {TILE_PX} AS tile_idx,
+         x AS v, COUNT(*) AS n
+  FROM px GROUP BY 1, 2
+), cum AS (
+  SELECT tile_idx, v, SUM(n) OVER (PARTITION BY tile_idx ORDER BY v) AS cumn,
+         SUM(n) OVER (PARTITION BY tile_idx) AS total
+  FROM hist
+)
+SELECT CAST(tile_idx AS BIGINT) AS tile_idx,
+       {", ".join(f'''CAST(MIN(CASE WHEN 100 * cumn >= {p} * total
+              THEN v END) AS BIGINT) AS p{p}''' for p in ZP_PCTS)}
+FROM cum GROUP BY tile_idx ORDER BY tile_idx
+"""
+
+
+# ------------------------- histogram-equalize stretch (global CDF remap)
+
+HEQ_L = 256   # output levels
+
+
+def q_hist_equalize(sf_dir: str) -> pd.DataFrame:
+    """Histogram-equalization stretch (the ArcGIS/remote-sensing
+    'Equalize' contrast stretch): v → ⌊(cdf(v) − cdf_min)·(L−1) /
+    (N − cdf_min)⌋ over the global value histogram — all integers, so
+    the remap is exact.  Output: per-tile sum/min/max of the equalized
+    surface.
+
+    Scale shape: pass 1 builds the O(values) global histogram from
+    per-batch bincount partials; the CDF LUT broadcasts once; pass 2
+    remaps tiles and emits one stats row each — two streaming passes,
+    zero data shuffles."""
+    tiles = rd.range(GRID_TILES * GRID_TILES, override_num_blocks=8)
+
+    def tile_hist(b: pa.Table) -> pa.Table:
+        h = np.zeros(1000, np.int64)
+        for tid in np.asarray(b["id"], dtype=np.int64):
+            ty, tx = divmod(int(tid), GRID_TILES)
+            rr = (np.arange(ty * TILE_PX, (ty + 1) * TILE_PX,
+                            dtype=np.uint64)[:, None] * np.uint64(GRID_W))
+            cc = np.arange(tx * TILE_PX, (tx + 1) * TILE_PX,
+                           dtype=np.uint64)[None, :]
+            h += np.bincount(mask_values(rr + cc).astype(np.int64).ravel(),
+                             minlength=1000)
+        nz = np.flatnonzero(h)
+        return pa.table({"v": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(h[nz])})
+
+    hp = (tiles.map_batches(tile_hist, batch_format="pyarrow", batch_size=8)
+          .to_pandas().groupby("v", as_index=False)["n"].sum())
+    hist = np.zeros(1000, np.int64)
+    hist[hp["v"].to_numpy(np.int64)] = hp["n"].to_numpy(np.int64)
+    cdf = np.cumsum(hist)
+    cdf_min = int(cdf[np.flatnonzero(hist)[0]])
+    N = int(cdf[-1])
+    lut = ((cdf - cdf_min) * (HEQ_L - 1) // max(1, N - cdf_min)).astype(np.int64)
+    lut_ref = ray.put(lut)
+
+    def per_tile(b: pa.Table) -> pd.DataFrame:
+        lt = ray.get(lut_ref)
+        rows = []
+        for tid in np.asarray(b["id"], dtype=np.int64):
+            ty, tx = divmod(int(tid), GRID_TILES)
+            rr = (np.arange(ty * TILE_PX, (ty + 1) * TILE_PX,
+                            dtype=np.uint64)[:, None] * np.uint64(GRID_W))
+            cc = np.arange(tx * TILE_PX, (tx + 1) * TILE_PX,
+                           dtype=np.uint64)[None, :]
+            eq = lt[mask_values(rr + cc).astype(np.int64)]
+            rows.append((int(tid), int(eq.sum()), int(eq.min()),
+                         int(eq.max())))
+        return pd.DataFrame(rows, columns=["tile_idx", "sum_eq", "min_eq",
+                                           "max_eq"]).astype("int64")
+
+    out = tiles.map_batches(per_tile, batch_format="pyarrow", batch_size=8)
+    return out.to_pandas().sort_values("tile_idx").reset_index(drop=True)
+
+
+Q_HIST_EQUALIZE_SQL = f"""
+WITH px AS (
+  SELECT CAST(range AS BIGINT) // {GRID_W} AS r,
+         CAST(range AS BIGINT) % {GRID_W} AS c,
+         {_xval_sql(f"(CAST(range AS BIGINT) // {GRID_W}) * {GRID_W} + CAST(range AS BIGINT) % {GRID_W}")} AS x
+  FROM range(0, {GRID_W * GRID_W})
+), hist AS (SELECT x AS v, COUNT(*) AS n FROM px GROUP BY x),
+cdf AS (
+  SELECT v, SUM(n) OVER (ORDER BY v) AS cumn FROM hist
+), bounds AS (
+  SELECT MIN(CASE WHEN cumn > 0 THEN cumn END) AS cdf_min,
+         MAX(cumn) AS total
+  FROM cdf
+), lut AS (
+  SELECT v, (cumn - b.cdf_min) * {HEQ_L - 1} // (b.total - b.cdf_min) AS eq
+  FROM cdf, bounds b
+)
+SELECT CAST((p.r // {TILE_PX}) * {GRID_TILES} + p.c // {TILE_PX} AS BIGINT)
+         AS tile_idx,
+       CAST(SUM(l.eq) AS BIGINT) AS sum_eq,
+       CAST(MIN(l.eq) AS BIGINT) AS min_eq,
+       CAST(MAX(l.eq) AS BIGINT) AS max_eq
+FROM px p JOIN lut l ON l.v = p.x
+GROUP BY tile_idx ORDER BY tile_idx
 """

@@ -2212,3 +2212,67 @@ SELECT user_id,
             AS BIGINT) AS path_len
 FROM isq GROUP BY user_id ORDER BY user_id
 """
+
+
+# ------------------------------ origin-destination flow matrix
+
+OD_CELLS = 4    # 4×4 coarse OD zones
+
+
+def q_od_matrix(sf_dir: str) -> pd.DataFrame:
+    """Origin-destination flow matrix (the classic movement-analytics
+    rollup): each user's consecutive event pair (ordered by ts, event_id)
+    is a trip from the cell of the first point to the cell of the second;
+    output = trip counts per (origin, destination) cell pair.
+
+    Engine shape: the trajectory machinery — user-hash shards, one
+    lexsort, vectorized consecutive pairs — then in-shard OD partials so
+    the final exchange is O(cells²·shards)."""
+    from .windows import _user_shard
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def od_shard(g: pd.DataFrame) -> pd.DataFrame:
+        eid = g["event_id"].to_numpy(np.int64)
+        ts = g["ts"].astype("int64").to_numpy()
+        u = g["user_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        eid, u = eid[order], u[order]
+        cx = ((eid * 7919) % 36000) // (36000 // OD_CELLS)
+        cy = ((eid * 104729) % 18000) // (18000 // OD_CELLS)
+        cell = cy * OD_CELLS + cx
+        same = u[1:] == u[:-1]
+        o_cell, d_cell = cell[:-1][same], cell[1:][same]
+        key = o_cell * (OD_CELLS * OD_CELLS) + d_cell
+        cnt = np.bincount(key, minlength=(OD_CELLS * OD_CELLS) ** 2)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({
+            "o_cell": (nz // (OD_CELLS * OD_CELLS)).astype(np.int64),
+            "d_cell": (nz % (OD_CELLS * OD_CELLS)).astype(np.int64),
+            "n_trips": cnt[nz].astype(np.int64)})
+
+    out = (ds.map_batches(_user_shard, batch_format="pyarrow")
+           .groupby("shard")
+           .map_groups(od_shard, batch_format="pandas")
+           .to_pandas()
+           .groupby(["o_cell", "d_cell"], as_index=False)["n_trips"].sum())
+    return (out.astype("int64").sort_values(["o_cell", "d_cell"])
+            .reset_index(drop=True))
+
+
+Q_OD_MATRIX_SQL = f"""
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         ((event_id * 104729) % 18000) // {18000 // OD_CELLS} * {OD_CELLS}
+         + ((event_id * 7919) % 36000) // {36000 // OD_CELLS} AS cell
+  FROM events
+), trips AS (
+  SELECT LAG(cell) OVER w AS o_cell, cell AS d_cell,
+         LAG(user_id) OVER w AS pu, user_id
+  FROM p WINDOW w AS (ORDER BY user_id, ts, event_id)
+)
+SELECT CAST(o_cell AS BIGINT) AS o_cell, CAST(d_cell AS BIGINT) AS d_cell,
+       CAST(COUNT(*) AS BIGINT) AS n_trips
+FROM trips WHERE pu = user_id
+GROUP BY o_cell, d_cell ORDER BY o_cell, d_cell
+"""

@@ -214,3 +214,24 @@ class TestGeostatOperators:
         assert (out["max_idw"] < regions.IDW_VMOD).all()
         assert (out["n_interp"] > 0).all()
         assert (out["sum_idw"] >= 0).all()
+
+    def test_zonal_percentiles_monotone(self, ray_session):
+        from raster_functions_ray import regions
+
+        out = regions.q_zonal_percentiles("/root/testdata/sf0.001")
+        assert len(out) == regions.GRID_TILES ** 2
+        assert (out["p25"] <= out["p50"]).all()
+        assert (out["p50"] <= out["p75"]).all()
+        # white-noise field: quartiles of [0,1000) sit near 250/500/750
+        assert (out["p50"] - 500).abs().max() < 60
+
+    def test_hist_equalize_flattens(self, ray_session):
+        from raster_functions_ray import regions
+
+        out = regions.q_hist_equalize("/root/testdata/sf0.001")
+        n_px = regions.TILE_PX ** 2
+        # equalized mean per tile ≈ (L-1)/2 — the point of equalization
+        mean = out["sum_eq"].sum() / (len(out) * n_px)
+        assert abs(mean - (regions.HEQ_L - 1) / 2) < 3.0
+        assert out["min_eq"].min() == 0
+        assert out["max_eq"].max() == regions.HEQ_L - 1
