@@ -141,6 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_percentiles": regions.q_zonal_percentiles,
         "hist_equalize": regions.q_hist_equalize,
         "od_matrix": spatial.q_od_matrix,
+        "json_props": rel.q_json_props,
+        "retention_cohorts": rel.q_retention_cohorts,
         # family-siblings demoted to make room for the round-4 flagships:
         "block_stats_exact": analytic.q_block_stats_exact,
         "stack_second_max_exact": analytic.q_stack_second_max_exact,
@@ -385,6 +387,8 @@ def oracle_sql() -> dict[str, str]:
         "zonal_percentiles": regions.Q_ZONAL_PERCENTILES_SQL,
         "hist_equalize": regions.Q_HIST_EQUALIZE_SQL,
         "od_matrix": spatial.Q_OD_MATRIX_SQL,
+        "json_props": rel.Q_JSON_PROPS_SQL,
+        "retention_cohorts": rel.Q_RETENTION_COHORTS_SQL,
         "aspect_slope_exact": analytic2.aspect_slope_exact_oracle_sql(0.01),
         "block_stats_minmax_exact": analytic2.block_stats_minmax_exact_oracle_sql(0.01),
         "zonal_remap_exact": analytic2.zonal_remap_exact_oracle_sql(0.01),

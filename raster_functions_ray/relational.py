@@ -2158,3 +2158,112 @@ def q3_shipping_bloom(sf_dir: str) -> pd.DataFrame:
     out = (parts.sort_values(["revenue", "o_orderdate", "o_orderkey"],
                              ascending=[False, True, True]).head(Q3_TOPK))
     return out.reset_index(drop=True)
+
+
+# ------------------- schema-on-read JSON prop extraction + rollup
+
+def q_json_props(sf_dir: str) -> pd.DataFrame:
+    """Schema-on-read over the events ``props`` JSON column (the
+    semi-structured column every log table carries): extract the numeric
+    ``k`` property with ONE vectorized Arrow regex kernel — no per-row
+    json.loads — and roll up per event_type.  The oracle parses with
+    DuckDB's real JSON extractor, so the regex fast path is held to
+    full-parser semantics."""
+    from .sources import read_table as _rt
+
+    ds = _rt(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        k = pc.cast(pc.struct_field(
+            pc.extract_regex(b["props"], r'"k":\s*(?P<k>\d+)'), "k"),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+            "n": np.ones(len(k), np.int64), "sum_k": k,
+            "min_k": k, "max_k": k})
+        return df.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), sum_k=("sum_k", "sum"),
+            min_k=("min_k", "min"), max_k=("max_k", "max"))
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_k", alias_name="sum_k"),
+                      Min("min_k", alias_name="min_k"),
+                      Max("max_k", alias_name="max_k"))
+           .to_pandas())
+    out = out.astype({c: "int64" for c in ["n", "sum_k", "min_k", "max_k"]})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+Q_JSON_PROPS_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ----------------------------- retention cohort matrix
+
+def q_retention_cohorts(sf_dir: str) -> pd.DataFrame:
+    """Retention cohort matrix (the product-analytics staple): users
+    cohort by their FIRST active day; the cell (cohort_day, age) counts
+    distinct users active age days later.  One user-keyed exchange: each
+    shard knows its users' full history, so first-day, age set and the
+    (cohort, age) partials all compute in-shard; the final sum moves
+    O(days² · shards) counter rows."""
+    from .sources import read_table as _rt
+    from .windows import _user_shard
+
+    ds = _rt(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def cohort_shard(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].astype("int64").to_numpy()
+        u = g["user_id"].to_numpy(np.int64)
+        day = us // 86_400_000_000
+        # distinct (user, day)
+        uu, dd = np.unique(np.stack([u, day]), axis=1)
+        order = np.lexsort((dd, uu))
+        uu, dd = uu[order], dd[order]
+        head = np.ones(uu.size, bool)
+        head[1:] = uu[1:] != uu[:-1]
+        # broadcast each user run's first day across the run (vectorized)
+        starts = np.flatnonzero(head)
+        run_len = np.diff(np.r_[starts, uu.size])
+        cohort = np.repeat(dd[head], run_len)
+        age = dd - cohort
+        df = pd.DataFrame({"cohort_day": cohort, "age_days": age,
+                           "n_users": np.ones(uu.size, np.int64)})
+        return df.groupby(["cohort_day", "age_days"], as_index=False).sum()
+
+    out = (ds.map_batches(_user_shard, batch_format="pyarrow")
+           .groupby("shard")
+           .map_groups(cohort_shard, batch_format="pandas")
+           .to_pandas()
+           .groupby(["cohort_day", "age_days"], as_index=False)
+           ["n_users"].sum())
+    return (out.astype("int64").sort_values(["cohort_day", "age_days"])
+            .reset_index(drop=True))
+
+
+Q_RETENTION_COHORTS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+), f AS (
+  SELECT user_id, day,
+         MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+  FROM ud
+)
+SELECT cohort_day,
+       day - cohort_day AS age_days,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM f GROUP BY cohort_day, age_days ORDER BY cohort_day, age_days
+"""
