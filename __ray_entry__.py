@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_matrix": spatial.q_od_matrix,
         "json_props": rel.q_json_props,
         "retention_cohorts": rel.q_retention_cohorts,
+        "data_card": textops.q_data_card,
+        "box_counting": regions.q_box_counting,
         # family-siblings demoted to make room for the round-4 flagships:
         "block_stats_exact": analytic.q_block_stats_exact,
         "stack_second_max_exact": analytic.q_stack_second_max_exact,
@@ -389,6 +391,8 @@ def oracle_sql() -> dict[str, str]:
         "od_matrix": spatial.Q_OD_MATRIX_SQL,
         "json_props": rel.Q_JSON_PROPS_SQL,
         "retention_cohorts": rel.Q_RETENTION_COHORTS_SQL,
+        "data_card": textops.Q_DATA_CARD_SQL,
+        "box_counting": regions.Q_BOX_COUNTING_SQL,
         "aspect_slope_exact": analytic2.aspect_slope_exact_oracle_sql(0.01),
         "block_stats_minmax_exact": analytic2.block_stats_minmax_exact_oracle_sql(0.01),
         "zonal_remap_exact": analytic2.zonal_remap_exact_oracle_sql(0.01),

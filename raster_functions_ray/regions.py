@@ -1269,3 +1269,56 @@ SELECT CAST((p.r // {TILE_PX}) * {GRID_TILES} + p.c // {TILE_PX} AS BIGINT)
 FROM px p JOIN lut l ON l.v = p.x
 GROUP BY tile_idx ORDER BY tile_idx
 """
+
+
+# ----------------------- multi-scale box counting (fractal occupancy)
+
+BOX_SCALES = (1, 2, 4, 8)   # all divide TILE_PX → boxes never cross tiles
+
+
+def q_box_counting(sf_dir: str) -> pd.DataFrame:
+    """Multi-scale box counting over the percolation mask (the
+    box-counting-dimension estimator used for terrain/coastline
+    roughness): at each scale s, how many s×s boxes contain ≥1 masked
+    pixel.  Every scale divides the tile size, so no box crosses a tile
+    and each tile's partial counts are independent — one streaming pass,
+    O(scales·tiles) exchange."""
+    tiles = rd.range(GRID_TILES * GRID_TILES, override_num_blocks=8)
+
+    def per_tile(b: pa.Table) -> pa.Table:
+        sc_out, n_out = [], []
+        for tid in np.asarray(b["id"], dtype=np.int64):
+            ty, tx = divmod(int(tid), GRID_TILES)
+            mask = percolation_mask(ty * TILE_PX, tx * TILE_PX,
+                                    TILE_PX, TILE_PX)
+            for s in BOX_SCALES:
+                m = mask.reshape(TILE_PX // s, s, TILE_PX // s, s)
+                occ = m.any(axis=(1, 3))
+                sc_out.append(s)
+                n_out.append(int(occ.sum()))
+        return pa.table({"scale": pa.array(np.asarray(sc_out, np.int64)),
+                         "n_occupied": pa.array(np.asarray(n_out, np.int64))})
+
+    from ray.data.aggregate import Sum as ASum
+
+    out = (tiles.map_batches(per_tile, batch_format="pyarrow", batch_size=8)
+           .groupby("scale")
+           .aggregate(ASum("n_occupied", alias_name="n_occupied"))
+           .to_pandas())
+    return (out.astype({"scale": "int64", "n_occupied": "int64"})
+            .sort_values("scale").reset_index(drop=True))
+
+
+Q_BOX_COUNTING_SQL = f"""
+WITH px AS (
+  SELECT CAST(range AS BIGINT) // {GRID_W} AS r,
+         CAST(range AS BIGINT) % {GRID_W} AS c
+  FROM range(0, {GRID_W * GRID_W})
+  WHERE {_xval_sql(f"(CAST(range AS BIGINT) // {GRID_W}) * {GRID_W} + CAST(range AS BIGINT) % {GRID_W}")} < {MASK_DENSITY}
+), sc AS (SELECT UNNEST(ARRAY{list(BOX_SCALES)}) AS scale)
+SELECT CAST(scale AS BIGINT) AS scale,
+       CAST(COUNT(DISTINCT (r // scale) * {GRID_W} + (c // scale))
+            AS BIGINT) AS n_occupied
+FROM px CROSS JOIN sc
+GROUP BY scale ORDER BY scale
+"""

@@ -1342,3 +1342,65 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per_cut p ON p.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
+
+
+# --------------------------------- per-source corpus data card
+
+def q_data_card(sf_dir: str) -> pd.DataFrame:
+    """The corpus data card (per-source profile a 100 TB training-data
+    pipeline publishes with every snapshot): for each (source, lang) —
+    doc count, total chars, total whitespace tokens, short-doc count and
+    a length histogram moment (Σ n_chars²) for the size distribution.
+    One streaming pass of groupby partials; the exchange is
+    O(sources·langs·blocks)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["source", "lang", "text", "n_chars"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        txt = pd.Series(b["text"].to_pandas())
+        toks = txt.str.split().str.len().fillna(0).astype(np.int64)
+        nch = np.asarray(b["n_chars"], dtype=np.int64)
+        df = pd.DataFrame({
+            "source": b["source"].to_numpy(zero_copy_only=False),
+            "lang": b["lang"].to_numpy(zero_copy_only=False),
+            "n_docs": np.ones(len(txt), np.int64),
+            "sum_chars": nch,
+            "sum_tokens": toks.to_numpy(),
+            "n_short": (nch < 100).astype(np.int64),
+            "sumsq_chars": nch * nch,
+            "min_chars": nch, "max_chars": nch})
+        return df.groupby(["source", "lang"], as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"),
+            sum_tokens=("sum_tokens", "sum"), n_short=("n_short", "sum"),
+            sumsq_chars=("sumsq_chars", "sum"),
+            min_chars=("min_chars", "min"), max_chars=("max_chars", "max"))
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+           .groupby(["source", "lang"])
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("sum_chars", alias_name="sum_chars"),
+                      Sum("sum_tokens", alias_name="sum_tokens"),
+                      Sum("n_short", alias_name="n_short"),
+                      Sum("sumsq_chars", alias_name="sumsq_chars"),
+                      Min("min_chars", alias_name="min_chars"),
+                      Max("max_chars", alias_name="max_chars"))
+           .to_pandas())
+    ints = ["n_docs", "sum_chars", "sum_tokens", "n_short",
+            "sumsq_chars", "min_chars", "max_chars"]
+    out = out.astype({c: "int64" for c in ints})
+    return (out.sort_values(["source", "lang"]).reset_index(drop=True))
+
+
+Q_DATA_CARD_SQL = """
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(length(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS sum_tokens,
+       CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+       CAST(SUM(n_chars * n_chars) AS BIGINT) AS sumsq_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY source, lang ORDER BY source, lang
+"""
