@@ -326,12 +326,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf: float = 0.01) -> dict[str, str]:
     """For each key in ``queries()``, equivalent ANSI SQL runnable by
     DuckDB on the same parquet tables (pre-registered views: region
     nation customer supplier part orders lineitem events documents
     embeddings). Omit for non-SQL-expressible ops → driver records a
     weaker rows-only check.
+
+    ``sf`` parameterizes the analytic-tile-world oracles (their SQL bakes
+    in the tile grid of one scale factor); the driver calls this with no
+    argument (sf0.01, its gate scale), scripts/verify_queries.py passes
+    the scale matching --sf-dir so the FULL registry verifies at 10x.
     """
     from raster_functions_ray import analytic, analytic2, ann, bandmath, dedup
     from raster_functions_ray import rasterqueries as rq
@@ -339,37 +344,37 @@ def oracle_sql() -> dict[str, str]:
     from raster_functions_ray import regions, trainprep, windows
 
     return {
-        "ndvi_exact": analytic.ndvi_exact_oracle_sql(0.01),
-        "block_stats_exact": analytic.block_stats_exact_oracle_sql(0.01),
-        "focal_tri_exact": analytic.focal_tri_exact_oracle_sql(0.01),
-        "stack_sum_exact": analytic.stack_sum_exact_oracle_sql(0.01),
-        "stack_second_max_exact": analytic.stack_second_max_exact_oracle_sql(0.01),
-        "remap_exact": analytic.remap_exact_oracle_sql(0.01),
-        "stretch_exact": analytic.stretch_exact_oracle_sql(0.01),
-        "qa_exact": analytic.qa_exact_oracle_sql(0.01),
-        "aggregate_mean_exact": analytic2.aggregate_mean_exact_oracle_sql(0.01),
-        "median_composite_exact": analytic2.median_composite_exact_oracle_sql(0.01),
-        "pixel_percentile_exact": analytic2.pixel_percentile_exact_oracle_sql(0.01),
-        "image_synthesis_exact": analytic2.image_synthesis_exact_oracle_sql(0.01),
-        "find_third_max_exact": analytic2.find_third_max_exact_oracle_sql(0.01),
-        "percent_above_exact": analytic2.percent_above_exact_oracle_sql(0.01),
-        "composite_bands_exact": analytic2.composite_bands_exact_oracle_sql(0.01),
-        "deviation_exact": analytic2.deviation_exact_oracle_sql(0.01),
-        "dnbr_exact": analytic2.dnbr_exact_oracle_sql(0.01),
-        "ndsi_ndwi_exact": analytic2.ndsi_ndwi_exact_oracle_sql(0.01),
-        "ndvi_colormap_exact": analytic2.ndvi_colormap_exact_oracle_sql(0.01),
-        "mask_replace_exact": analytic2.mask_replace_exact_oracle_sql(0.01),
-        "landsat_qa_exact": analytic2.landsat_qa_exact_oracle_sql(0.01),
-        "select_by_pixel_size_exact": analytic2.select_by_pixel_size_exact_oracle_sql(0.01),
-        "merge_extract_exact": analytic2.merge_extract_exact_oracle_sql(0.01),
-        "vector_field_exact": analytic2.vector_field_exact_oracle_sql(0.01),
-        "rank_filter_exact": analytic2.rank_filter_exact_oracle_sql(0.01),
-        "focal_majority_exact": analytic2.focal_majority_exact_oracle_sql(0.01),
-        "pyramid_build": analytic2.pyramid_build_oracle_sql(0.01),
-        "resample_bilinear": analytic2.resample_bilinear_oracle_sql(0.01),
-        "affine_warp": analytic2.affine_warp_oracle_sql(0.01),
-        "rle_stats": analytic2.rle_stats_oracle_sql(0.01),
-        "zonal_majority": analytic2.zonal_majority_oracle_sql(0.01),
+        "ndvi_exact": analytic.ndvi_exact_oracle_sql(sf),
+        "block_stats_exact": analytic.block_stats_exact_oracle_sql(sf),
+        "focal_tri_exact": analytic.focal_tri_exact_oracle_sql(sf),
+        "stack_sum_exact": analytic.stack_sum_exact_oracle_sql(sf),
+        "stack_second_max_exact": analytic.stack_second_max_exact_oracle_sql(sf),
+        "remap_exact": analytic.remap_exact_oracle_sql(sf),
+        "stretch_exact": analytic.stretch_exact_oracle_sql(sf),
+        "qa_exact": analytic.qa_exact_oracle_sql(sf),
+        "aggregate_mean_exact": analytic2.aggregate_mean_exact_oracle_sql(sf),
+        "median_composite_exact": analytic2.median_composite_exact_oracle_sql(sf),
+        "pixel_percentile_exact": analytic2.pixel_percentile_exact_oracle_sql(sf),
+        "image_synthesis_exact": analytic2.image_synthesis_exact_oracle_sql(sf),
+        "find_third_max_exact": analytic2.find_third_max_exact_oracle_sql(sf),
+        "percent_above_exact": analytic2.percent_above_exact_oracle_sql(sf),
+        "composite_bands_exact": analytic2.composite_bands_exact_oracle_sql(sf),
+        "deviation_exact": analytic2.deviation_exact_oracle_sql(sf),
+        "dnbr_exact": analytic2.dnbr_exact_oracle_sql(sf),
+        "ndsi_ndwi_exact": analytic2.ndsi_ndwi_exact_oracle_sql(sf),
+        "ndvi_colormap_exact": analytic2.ndvi_colormap_exact_oracle_sql(sf),
+        "mask_replace_exact": analytic2.mask_replace_exact_oracle_sql(sf),
+        "landsat_qa_exact": analytic2.landsat_qa_exact_oracle_sql(sf),
+        "select_by_pixel_size_exact": analytic2.select_by_pixel_size_exact_oracle_sql(sf),
+        "merge_extract_exact": analytic2.merge_extract_exact_oracle_sql(sf),
+        "vector_field_exact": analytic2.vector_field_exact_oracle_sql(sf),
+        "rank_filter_exact": analytic2.rank_filter_exact_oracle_sql(sf),
+        "focal_majority_exact": analytic2.focal_majority_exact_oracle_sql(sf),
+        "pyramid_build": analytic2.pyramid_build_oracle_sql(sf),
+        "resample_bilinear": analytic2.resample_bilinear_oracle_sql(sf),
+        "affine_warp": analytic2.affine_warp_oracle_sql(sf),
+        "rle_stats": analytic2.rle_stats_oracle_sql(sf),
+        "zonal_majority": analytic2.zonal_majority_oracle_sql(sf),
         "trailing_median": windows.Q_TRAILING_MEDIAN_SQL,
         "zorder_keys": spatial.Q_ZORDER_KEYS_SQL,
         "zorder_range_scan": spatial.Q_ZORDER_RANGE_SCAN_SQL,
@@ -393,31 +398,31 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": rel.Q_RETENTION_COHORTS_SQL,
         "data_card": textops.Q_DATA_CARD_SQL,
         "box_counting": regions.Q_BOX_COUNTING_SQL,
-        "aspect_slope_exact": analytic2.aspect_slope_exact_oracle_sql(0.01),
-        "block_stats_minmax_exact": analytic2.block_stats_minmax_exact_oracle_sql(0.01),
-        "zonal_remap_exact": analytic2.zonal_remap_exact_oracle_sql(0.01),
-        "rasterize_attributes_exact": analytic2.rasterize_attributes_exact_oracle_sql(0.01),
-        "hexagon_exact": analytic2.hexagon_exact_oracle_sql(0.01),
-        "chuck_close_exact": analytic2.chuck_close_exact_oracle_sql(0.01),
-        "table_function_exact": analytic2.table_function_exact_oracle_sql(0.01),
-        "remove_nodata_exact": analytic2.remove_nodata_exact_oracle_sql(0.01),
-        "hillshade_exact": analytic2.hillshade_exact_oracle_sql(0.01),
+        "aspect_slope_exact": analytic2.aspect_slope_exact_oracle_sql(sf),
+        "block_stats_minmax_exact": analytic2.block_stats_minmax_exact_oracle_sql(sf),
+        "zonal_remap_exact": analytic2.zonal_remap_exact_oracle_sql(sf),
+        "rasterize_attributes_exact": analytic2.rasterize_attributes_exact_oracle_sql(sf),
+        "hexagon_exact": analytic2.hexagon_exact_oracle_sql(sf),
+        "chuck_close_exact": analytic2.chuck_close_exact_oracle_sql(sf),
+        "table_function_exact": analytic2.table_function_exact_oracle_sql(sf),
+        "remove_nodata_exact": analytic2.remove_nodata_exact_oracle_sql(sf),
+        "hillshade_exact": analytic2.hillshade_exact_oracle_sql(sf),
         "multidirectional_hillshade_exact":
-            analytic2.multidirectional_hillshade_exact_oracle_sql(0.01),
-        "lsu_exact": analytic2.lsu_exact_oracle_sql(0.01),
-        "rf_exact": analytic2.rf_exact_oracle_sql(0.01),
+            analytic2.multidirectional_hillshade_exact_oracle_sql(sf),
+        "lsu_exact": analytic2.lsu_exact_oracle_sql(sf),
+        "rf_exact": analytic2.rf_exact_oracle_sql(sf),
         # resume must be bit-identical to a one-shot run: SAME oracle
-        "resumable_hillshade_exact": analytic2.hillshade_exact_oracle_sql(0.01),
+        "resumable_hillshade_exact": analytic2.hillshade_exact_oracle_sql(sf),
         "resumable_training_exact": textops.Q_TRAINING_DATA_PIPELINE_SQL,
-        "nn_neighbors_exact": analytic2.nn_neighbors_exact_oracle_sql(0.01),
+        "nn_neighbors_exact": analytic2.nn_neighbors_exact_oracle_sql(sf),
         # the loaded reference template must match the hand-built chain's
         # oracle bit-for-bit
-        "rft_vineyard_exact": analytic2.vineyard_exact_oracle_sql(0.01),
-        "vineyard_exact": analytic2.vineyard_exact_oracle_sql(0.01),
-        "seasonal_forecast_exact": analytic2.seasonal_forecast_exact_oracle_sql(0.01),
-        "tri_expr_exact": analytic2.tri_expr_exact_oracle_sql(0.01),
-        "stretch_range_exact": analytic2.stretch_range_exact_oracle_sql(0.01),
-        "topographic_c_exact": analytic2.topographic_c_exact_oracle_sql(0.01),
+        "rft_vineyard_exact": analytic2.vineyard_exact_oracle_sql(sf),
+        "vineyard_exact": analytic2.vineyard_exact_oracle_sql(sf),
+        "seasonal_forecast_exact": analytic2.seasonal_forecast_exact_oracle_sql(sf),
+        "tri_expr_exact": analytic2.tri_expr_exact_oracle_sql(sf),
+        "stretch_range_exact": analytic2.stretch_range_exact_oracle_sql(sf),
+        "topographic_c_exact": analytic2.topographic_c_exact_oracle_sql(sf),
         "heat_index": bandmath.Q_HEAT_INDEX_SQL,
         "q1_pricing": rel.Q1_SQL,
         "q3_shipping": rel.Q3_SHIPPING_SQL,
@@ -451,20 +456,20 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": windows.Q_UNIGRAM_LOGPROB_SQL,
         "event_debounce": windows.Q_EVENT_DEBOUNCE_SQL,
         "trailing_rate": windows.Q_TRAILING_RATE_SQL,
-        "tile_cells": rq.tile_cells_oracle_sql(0.01),
+        "tile_cells": rq.tile_cells_oracle_sql(sf),
         "windchill": bandmath.Q_WINDCHILL_SQL,
         "convert_per_month": bandmath.Q_CONVERT_PER_MONTH_SQL,
-        "latitude_corner": rq.latitude_oracle_sql(0.01),
-        "doc_media_join": rq.doc_media_join_oracle_sql(0.01),
-        "span_kinds": rq.span_kinds_oracle_sql(0.01),
-        "span_sequence_fp": rq.span_sequence_fp_oracle_sql(0.01),
+        "latitude_corner": rq.latitude_oracle_sql(sf),
+        "doc_media_join": rq.doc_media_join_oracle_sql(sf),
+        "span_kinds": rq.span_kinds_oracle_sql(sf),
+        "span_sequence_fp": rq.span_sequence_fp_oracle_sql(sf),
         "sessionize": rel.Q_SESSIONIZE_SQL,
         "event_funnel": rel.Q_EVENT_FUNNEL_SQL,
         "running_totals": rel.Q_RUNNING_TOTALS_SQL,
         "window_moving_max": rel.Q_WINDOW_MOVING_MAX_SQL,
         "asof_join": rel.Q_ASOF_JOIN_SQL,
-        "tile_catalog": rq.tile_catalog_oracle_sql(0.01),
-        "key_metadata": rq.key_metadata_oracle_sql(0.01),
+        "tile_catalog": rq.tile_catalog_oracle_sql(sf),
+        "key_metadata": rq.key_metadata_oracle_sql(sf),
         "random_source_exact": rq.RANDOM_SOURCE_EXACT_SQL,
         "d8_flow_exact": rq.D8_FLOW_EXACT_SQL,
         "zonal_value_salted": spatial.Q_ZONAL_VALUE_SQL,
@@ -479,8 +484,8 @@ def oracle_sql() -> dict[str, str]:
         "window_lag": rel.Q_WINDOW_LAG_SQL,
         "nation_top_customers": rel.Q_NATION_TOP_CUSTOMERS_SQL,
         "segment_median_price": rel.Q_SEGMENT_MEDIAN_PRICE_SQL,
-        "doc_zone_join_rect": spatial.doc_zone_join_rect_oracle_sql(0.01),
-        "tile_parent_cells": rq.tile_parent_cells_oracle_sql(0.01),
+        "doc_zone_join_rect": spatial.doc_zone_join_rect_oracle_sql(sf),
+        "tile_parent_cells": rq.tile_parent_cells_oracle_sql(sf),
         "ann_dot_topk": ann.Q_ANN_DOT_TOPK_SQL,
         "quality_counts": textops.Q_QUALITY_COUNTS_SQL,
         "dedup_mark": textops.Q_DEDUP_MARK_SQL,
@@ -489,13 +494,13 @@ def oracle_sql() -> dict[str, str]:
         # the k-means ball-pruned lowering shares the broadcast pin's exact
         # oracle (interchangeable-lowerings discipline)
         "embedding_nn_dedup_clustered": dedup.Q_EMBEDDING_NN_DEDUP_SQL,
-        "video_frame_plan": rq.video_frame_plan_oracle_sql(0.01),
-        "doc_zone_join": spatial.doc_zone_join_oracle_sql(0.01),
+        "video_frame_plan": rq.video_frame_plan_oracle_sql(sf),
+        "doc_zone_join": spatial.doc_zone_join_oracle_sql(sf),
         "knn_cell_ring": spatial.Q_KNN_SQL,
-        "doc_zone_join_cellshuffle": spatial.doc_zone_join_rect_oracle_sql(0.01),
-        "doc_zone_join_adaptive": spatial.doc_zone_join_rect_oracle_sql(0.01),
-        "adaptive_cover_convex": spatial.adaptive_cover_convex_oracle_sql(0.01),
-        "doc_zone_join_adaptive_full": spatial.doc_zone_join_oracle_sql(0.01),
+        "doc_zone_join_cellshuffle": spatial.doc_zone_join_rect_oracle_sql(sf),
+        "doc_zone_join_adaptive": spatial.doc_zone_join_rect_oracle_sql(sf),
+        "adaptive_cover_convex": spatial.adaptive_cover_convex_oracle_sql(sf),
+        "doc_zone_join_adaptive_full": spatial.doc_zone_join_oracle_sql(sf),
         "segment_except": rel.Q_SEGMENT_EXCEPT_SQL,
         "nation_segment_rollup": rel.Q_NATION_SEGMENT_ROLLUP_SQL,
         "event_type_pivot": rel.Q_EVENT_TYPE_PIVOT_SQL,
@@ -507,7 +512,7 @@ def oracle_sql() -> dict[str, str]:
         "radius_join": spatial.Q_RADIUS_JOIN_SQL,
         "knn_join": spatial.Q_KNN_JOIN_SQL,
         "segment_join": spatial.Q_SEGMENT_JOIN_SQL,
-        "polygon_geometry": spatial.polygon_geometry_oracle_sql(0.01),
+        "polygon_geometry": spatial.polygon_geometry_oracle_sql(sf),
         "region_label": regions.Q_REGION_LABEL_SQL,
         "los_viewshed": regions.Q_LOS_VIEWSHED_SQL,
         "region_geometry": regions.Q_REGION_GEOMETRY_SQL,
@@ -557,7 +562,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunking": trainprep.Q_DOC_CHUNKING_SQL,
         "mixture_rebalance": trainprep.Q_MIXTURE_REBALANCE_SQL,
         "boilerplate": textops.Q_BOILERPLATE_SQL,
-        "adaptive_cover": spatial.adaptive_cover_oracle_sql(0.01),
+        "adaptive_cover": spatial.adaptive_cover_oracle_sql(sf),
         "pattern_scrub": textops.Q_PATTERN_SCRUB_SQL,
         "decontaminate": textops.Q_DECONTAMINATE_SQL,
         "left_outer_join": rel.Q_LEFT_OUTER_JOIN_SQL,

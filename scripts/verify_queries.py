@@ -61,7 +61,8 @@ def main():
     import __ray_entry__ as e
 
     qs = e.queries()
-    oracles = e.oracle_sql()
+    from raster_functions_ray import synth
+    oracles = e.oracle_sql(synth.sf_from_dir(SF_DIR))
     only = set(sys.argv[1:])
     unknown = only - set(qs)
     if unknown:
