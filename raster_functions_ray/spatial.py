@@ -2276,3 +2276,62 @@ SELECT CAST(o_cell AS BIGINT) AS o_cell, CAST(d_cell AS BIGINT) AS d_cell,
 FROM trips WHERE pu = user_id
 GROUP BY o_cell, d_cell ORDER BY o_cell, d_cell
 """
+
+
+# ------------------- quantized-trig haversine distance (geodesic gate)
+
+HAV_QUANT = 1_000_000_000   # nano-units of the haversine term a ∈ [0,1]
+HAV_LON0, HAV_LAT0 = 180.0, 0.0   # reference point
+
+
+def q_haversine_dist(sf_dir: str) -> pd.DataFrame:
+    """Geodesic (haversine) distance gate with QUANTIZED trig: per event,
+    the haversine term a = sin²(Δφ/2) + cosφ₁cosφ₂sin²(Δλ/2) to a fixed
+    reference point, floored to {HAV_QUANT} quanta.  numpy's sin/cos and
+    DuckDB's libm agree to ≲1 ulp on identical double inputs, so the gate
+    is exact as long as no value sits within fp noise of a rounding
+    boundary — pinned by a margin pytest over the real corpus (the
+    windows.q_unigram_logprob ln discipline, extended to trig).
+
+    Every coordinate expression is written in the SAME operation order on
+    both sides so the pre-trig doubles are bit-identical."""
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+    rad = np.pi / 180.0
+
+    def dist(b: pa.Table) -> pd.DataFrame:
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        x = ((eid * 7919) % 36000).astype(np.float64) / 100.0
+        y = ((eid * 104729) % 18000).astype(np.float64) / 100.0 - 90.0
+        dphi = (y - HAV_LAT0) * rad / 2.0
+        dlam = (x - HAV_LON0) * rad / 2.0
+        a = (np.sin(dphi) ** 2
+             + np.cos(y * rad) * np.cos(HAV_LAT0 * rad) * np.sin(dlam) ** 2)
+        qa = np.floor(a * HAV_QUANT + 0.5).astype(np.int64)
+        return pd.DataFrame({"event_id": eid, "qa": qa})
+
+    out = ds.map_batches(dist, batch_format="pyarrow",
+                         batch_size=65536).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+Q_HAVERSINE_DIST_SQL = f"""
+WITH p AS (
+  SELECT event_id,
+         CAST((event_id * 7919) % 36000 AS DOUBLE) / 100.0 AS x,
+         CAST((event_id * 104729) % 18000 AS DOUBLE) / 100.0 - 90.0 AS y
+  FROM events
+), t AS (
+  -- s*s, not pow(s,2): squaring by multiplication is the exact numpy
+  -- semantics on both sides
+  SELECT event_id,
+         sin((y - {HAV_LAT0}) * (pi() / 180.0) / 2.0) AS sp,
+         cos(y * (pi() / 180.0)) AS cy,
+         cos({HAV_LAT0} * (pi() / 180.0)) AS c0,
+         sin((x - {HAV_LON0}) * (pi() / 180.0) / 2.0) AS sl
+  FROM p
+)
+SELECT event_id,
+       CAST(floor((sp * sp + cy * c0 * (sl * sl))
+          * {HAV_QUANT} + 0.5) AS BIGINT) AS qa
+FROM t ORDER BY event_id
+"""

@@ -1404,3 +1404,56 @@ SELECT source, lang,
        CAST(MAX(n_chars) AS BIGINT) AS max_chars
 FROM documents GROUP BY source, lang ORDER BY source, lang
 """
+
+
+# ----------------------- tokenizer application (BPE merge-table encode)
+
+# the merges table a tokenizer ships (rank-ordered; applied sequentially,
+# greedy non-overlapping left-to-right — str.replace == SQL replace)
+BPE_MERGES = (("th", "\x01"), ("he", "\x02"), ("in", "\x03"), ("er", "\x04"))
+
+
+def q_bpe_encode(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer APPLICATION at corpus scale (the encode half of BPE —
+    q_bpe_merge_step trains; this applies a rank-ordered merges table to
+    every document): each merge rewrites its pair to a 1-char symbol,
+    sequentially by rank, so later merges see earlier merges' symbols —
+    exactly how a shipped tokenizer's merges file is applied.  Output per
+    doc: symbol count before/after and the merge savings.
+
+    Shape: pure streaming map — the merges table is query-constant
+    (broadcast-free; a learned table would ship via ray.put), the
+    replace chain is vectorized pandas str ops."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def encode(b: pa.Table) -> pd.DataFrame:
+        txt = pd.Series(b["text"].to_pandas())
+        before = txt.str.len().to_numpy(np.int64)
+        for pair, sym in BPE_MERGES:
+            txt = txt.str.replace(pair, sym, regex=False)
+        after = txt.str.len().to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": np.asarray(b["doc_id"],
+                                                  dtype=np.int64),
+                             "len_before": before, "len_after": after,
+                             "n_merged": before - after})
+
+    out = (ds.map_batches(encode, batch_format="pyarrow", batch_size=8192)
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _bpe_replace_chain_sql(col: str) -> str:
+    expr = col
+    for pair, sym in BPE_MERGES:
+        expr = f"replace({expr}, '{pair}', chr({ord(sym)}))"
+    return expr
+
+
+Q_BPE_ENCODE_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS len_before,
+       CAST(length({_bpe_replace_chain_sql('text')}) AS BIGINT) AS len_after,
+       CAST(length(text) - length({_bpe_replace_chain_sql('text')})
+            AS BIGINT) AS n_merged
+FROM documents ORDER BY doc_id
+"""

@@ -242,3 +242,41 @@ class TestRound4Additions:
         row = out[out.user_id == uid].iloc[0]
         assert int(row["n_late"]) == expect
         assert int(row["n_events"]) == len(sub)
+
+    def test_haversine_quantization_margin(self, ray_session):
+        # the trig gate holds only if no a·QUANT+0.5 sits within libm
+        # noise of an integer boundary — pin the margin over the LARGEST
+        # test corpus (the unigram-ln discipline extended to sin/cos)
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from raster_functions_ray import spatial as sp
+
+        eid = pq.read_table("/root/testdata/sf0.1/events.parquet",
+                            columns=["event_id"])["event_id"].to_numpy()
+        rad = np.pi / 180.0
+        x = ((eid * 7919) % 36000).astype(np.float64) / 100.0
+        y = ((eid * 104729) % 18000).astype(np.float64) / 100.0 - 90.0
+        a = (np.sin((y - sp.HAV_LAT0) * rad / 2.0) ** 2
+             + np.cos(y * rad) * np.cos(sp.HAV_LAT0 * rad)
+             * np.sin((x - sp.HAV_LON0) * rad / 2.0) ** 2)
+        d = a * sp.HAV_QUANT + 0.5
+        margin = np.abs(d - np.round(d)).min()
+        # a ≤ 1, so a 1-ulp sin/cos discrepancy perturbs d by ≲1e-16·1e9
+        # = 1e-7 quanta; demand 20× headroom (measured margin at sf0.1:
+        # 9.9e-6 — 99× the perturbation bound)
+        assert margin > 2e-6, margin
+
+    def test_bpe_encode_sequential_semantics(self, ray_session):
+        # later merges must see earlier merges' symbols (rank order)
+        from raster_functions_ray import textops as t
+
+        s = pd.Series(["therein"])
+        for pair, sym in t.BPE_MERGES:
+            s = s.str.replace(pair, sym, regex=False)
+        # th->1, he is consumed by th ("t,h,e" -> \x01e), in->3, er->4
+        assert s.iloc[0] == "\x01\x04e\x03"
+        out = t.q_bpe_encode("/root/testdata/sf0.001")
+        assert (out["n_merged"] >= 0).all()
+        assert (out["len_after"] + out["n_merged"]
+                == out["len_before"]).all()
