@@ -2418,3 +2418,120 @@ SELECT bx, by, CAST(15 - key % 16 AS BIGINT) AS maj_class,
        CAST(key // 16 AS BIGINT) AS maj_count
 FROM k
 """
+
+
+# --------------- quantized-trig terrain VALUES (slope°/aspect° exact)
+
+TRIG_QUANT = 1_000_000   # micro-degrees
+
+
+def q_terrain_trig_exact(sf_dir: str) -> pd.DataFrame:
+    """Slope and aspect VALUES in exact micro-degrees — the quantized-trig
+    discipline (spatial.q_haversine_dist) applied to the terrain family,
+    upgrading it beyond the class-histogram gate (q_aspect_slope_exact):
+    per tile, SUM/MIN/MAX of ⌊slope°·1e6+0.5⌋ and SUM of ⌊aspect°·1e6+0.5⌋
+    through the real parquet halo.  The analytic surfaces are affine, so
+    the distinct gradient pairs are few and land far from every rounding
+    boundary (margin pytest); every pre-trig double is built in the
+    identical operation order on both sides."""
+    from .functions import focal as fc
+    from .stages import halo, tile_map
+
+    padded = halo.with_halo_from_parquet(
+        _analytic_path(sf_dir), padding=1, bands=2,
+        scene_ids=[s * 10 for s in range(synth.A_SCENES)])
+
+    def _grads(p, meta):
+        dem = np.asarray(p[0] if p.ndim == 3 else p, dtype=np.float64)
+        delta_x = fc.convolve3x3(dem, fc.ASPECT_X) / 8.0
+        delta_y = fc.convolve3x3(dem, fc.ASPECT_Y) / 8.0
+        dx = delta_x / meta["cell_size"][0]
+        dy = delta_y / meta["cell_size"][1]
+        return delta_x, delta_y, dx, dy
+
+    def k_slope(p, m, meta):
+        _, _, dx, dy = _grads(p, meta)
+        slope_deg = 57.29578 * np.arctan(np.sqrt(dx * dx + dy * dy))
+        q = np.floor(slope_deg * TRIG_QUANT + 0.5)
+        return q[1:-1, 1:-1], fc.erode_mask_3x3(np.asarray(m))
+
+    def k_aspect(p, m, meta):
+        delta_x, delta_y, dx, dy = _grads(p, meta)
+        slope_pct = np.sqrt(dx * dx + dy * dy) * 100.0
+        aspect = 57.29578 * np.arctan2(delta_x, -delta_y)
+        aspect = np.where(aspect < 0.0, (360.0 - (90.0 - aspect)) + 90.0,
+                          aspect)
+        aspect = np.where(slope_pct == 0.0, -1.0, aspect)
+        q = np.floor(aspect * TRIG_QUANT + 0.5)
+        return q[1:-1, 1:-1], fc.erode_mask_3x3(np.asarray(m))
+
+    def finish(out, cols):
+        def f(b: pa.Table) -> pd.DataFrame:
+            rows = []
+            for i in range(b.num_rows):
+                arr = tilecodec.decode(b["pixels"][i].as_buffer(), "f8", 1,
+                                       b["height"][i].as_py(),
+                                       b["width"][i].as_py()
+                                       ).astype(np.int64)
+                rows.append((b["tile_id"][i].as_py(),)
+                            + tuple(int(g(arr)) for g in
+                                    (np.sum, np.min, np.max))[:len(cols)])
+            return pd.DataFrame(rows, columns=["tile_id"] + cols)
+
+        return (out.map_batches(f, batch_format="pyarrow", batch_size=32)
+                .to_pandas())
+
+    slope_df = finish(tile_map.apply_kernel(padded, k_slope,
+                                            out_pixel_type="f8"),
+                      ["sum_qslope", "min_qslope", "max_qslope"])
+    aspect_df = finish(tile_map.apply_kernel(padded, k_aspect,
+                                             out_pixel_type="f8"),
+                       ["sum_qaspect"])
+    df = slope_df.merge(aspect_df, on="tile_id")
+    for c in df.columns[1:]:
+        df[c] = df[c].astype("int64")
+    return (df[["tile_id", "sum_qslope", "min_qslope", "max_qslope",
+                "sum_qaspect"]]
+            .sort_values("tile_id").reset_index(drop=True))
+
+
+def terrain_trig_exact_oracle_sql(sf: float = 0.01) -> str:
+    p = synth.params_for(sf)
+    n = p.tiles_per_side * p.tile_px
+    clamp = lambda ex: f"GREATEST(0, LEAST({n - 1}, {ex}))"  # noqa: E731
+    E = lambda dr, dc: _b0_sql(gr=clamp(f"gr + {dr}"), gc=clamp(f"gc + {dc}"))  # noqa: E731
+    dx8 = (f"(({E(-1,-1)} - {E(-1,1)}) + 2.0*({E(0,-1)} - {E(0,1)})"
+           f" + ({E(1,-1)} - {E(1,1)}))")
+    dy8 = (f"(({E(-1,-1)} + 2.0*{E(-1,0)} + {E(-1,1)})"
+           f" - ({E(1,-1)} + 2.0*{E(1,0)} + {E(1,1)}))")
+    return f"""
+WITH {_epoch0_cte(sf)},
+g AS (
+  SELECT tile_id, {dx8} / 8.0 AS dxm, {dy8} / 8.0 AS dym FROM px
+), d AS (
+  SELECT tile_id, dxm, dym,
+         57.29578 * atan(sqrt((dxm/{synth.CELL_SIZE_M})*(dxm/{synth.CELL_SIZE_M})
+                            + (dym/{synth.CELL_SIZE_M})*(dym/{synth.CELL_SIZE_M})))
+           AS slope_deg,
+         sqrt((dxm/{synth.CELL_SIZE_M})*(dxm/{synth.CELL_SIZE_M})
+            + (dym/{synth.CELL_SIZE_M})*(dym/{synth.CELL_SIZE_M})) * 100.0 AS slope_pct
+  FROM g
+), a AS (
+  SELECT tile_id, slope_deg,
+         CASE WHEN slope_pct = 0.0 THEN -1.0
+              WHEN 57.29578 * atan2(dxm, -dym) < 0.0
+              THEN (360.0 - (90.0 - 57.29578 * atan2(dxm, -dym))) + 90.0
+              ELSE 57.29578 * atan2(dxm, -dym) END AS aspect
+  FROM d
+)
+SELECT tile_id,
+       CAST(SUM(floor(slope_deg * {TRIG_QUANT} + 0.5)) AS BIGINT)
+         AS sum_qslope,
+       CAST(MIN(floor(slope_deg * {TRIG_QUANT} + 0.5)) AS BIGINT)
+         AS min_qslope,
+       CAST(MAX(floor(slope_deg * {TRIG_QUANT} + 0.5)) AS BIGINT)
+         AS max_qslope,
+       CAST(SUM(floor(aspect * {TRIG_QUANT} + 0.5)) AS BIGINT)
+         AS sum_qaspect
+FROM a GROUP BY tile_id ORDER BY tile_id
+"""

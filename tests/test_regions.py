@@ -235,3 +235,35 @@ class TestGeostatOperators:
         assert abs(mean - (regions.HEQ_L - 1) / 2) < 3.0
         assert out["min_eq"].min() == 0
         assert out["max_eq"].max() == regions.HEQ_L - 1
+
+    def test_terrain_trig_margins(self, ray_session):
+        """Every distinct (Δx, Δy) gradient pair over the analytic world
+        must quantize with wide margin — the guard that makes the
+        micro-degree trig gate safe against ≤2-ulp atan/atan2 drift."""
+        import numpy as np
+
+        from raster_functions_ray import analytic2 as a2
+        from raster_functions_ray import synth
+        from raster_functions_ray.functions import focal as fc
+
+        p = synth.params_for(0.01)
+        n = p.tiles_per_side * p.tile_px
+        for s in range(synth.A_SCENES):
+            gr, gc = np.meshgrid(np.arange(n, dtype=np.float64),
+                                 np.arange(n, dtype=np.float64),
+                                 indexing="ij")
+            dem = synth.analytic_band0(s, 0, gr, gc)
+            dem_pad = np.pad(dem, 1, mode="edge")
+            delta_x = fc.convolve3x3(dem_pad, fc.ASPECT_X) / 8.0
+            delta_y = fc.convolve3x3(dem_pad, fc.ASPECT_Y) / 8.0
+            dx, dy = delta_x / 30.0, delta_y / 30.0
+            slope = 57.29578 * np.arctan(np.sqrt(dx * dx + dy * dy))
+            aspect = 57.29578 * np.arctan2(delta_x, -delta_y)
+            aspect = np.where(aspect < 0.0,
+                              (360.0 - (90.0 - aspect)) + 90.0, aspect)
+            for v in (slope, aspect):
+                d = np.unique(v) * a2.TRIG_QUANT + 0.5
+                margin = np.abs(d - np.round(d)).min()
+                # ≤2-ulp trig drift perturbs d by ≲1e-13·|d| ≈ 1e-5
+                # quanta; demand 1000× headroom
+                assert margin > 1e-2, (s, margin)
