@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode": textops.q_bpe_encode,
         "haversine_dist": spatial.q_haversine_dist,
         "terrain_trig_exact": analytic2.q_terrain_trig_exact,
+        "group_topk_dense": rel.q_group_topk_dense,
+        "latest_snapshot": rel.q_latest_snapshot,
         # family-siblings demoted to make room for the round-4 flagships:
         "block_stats_exact": analytic.q_block_stats_exact,
         "stack_second_max_exact": analytic.q_stack_second_max_exact,
@@ -404,6 +406,8 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
         "bpe_encode": textops.Q_BPE_ENCODE_SQL,
         "haversine_dist": spatial.Q_HAVERSINE_DIST_SQL,
         "terrain_trig_exact": analytic2.terrain_trig_exact_oracle_sql(sf),
+        "group_topk_dense": rel.Q_GROUP_TOPK_DENSE_SQL,
+        "latest_snapshot": rel.Q_LATEST_SNAPSHOT_SQL,
         "aspect_slope_exact": analytic2.aspect_slope_exact_oracle_sql(sf),
         "block_stats_minmax_exact": analytic2.block_stats_minmax_exact_oracle_sql(sf),
         "zonal_remap_exact": analytic2.zonal_remap_exact_oracle_sql(sf),

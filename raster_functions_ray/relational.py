@@ -2267,3 +2267,133 @@ SELECT cohort_day,
        CAST(COUNT(*) AS BIGINT) AS n_users
 FROM f GROUP BY cohort_day, age_days ORDER BY cohort_day, age_days
 """
+
+
+# ---------------------- grouped top-k with DENSE_RANK tie semantics
+
+TOPK_PER_GROUP = 3
+
+
+def q_group_topk_dense(sf_dir: str) -> pd.DataFrame:
+    """Per-group top-k with DENSE_RANK tie semantics (every row tying a
+    kept value is kept — the leaderboard rule, unlike ROW_NUMBER's
+    arbitrary cut): per (returnflag, linestatus), all lineitems whose
+    price-cents sit in the group's top-{TOPK_PER_GROUP} DISTINCT values.
+
+    Engine shape: a per-batch partial keeps each group's top-k distinct
+    values with their rows (any row outside its batch-local top-k can
+    never be in the global top-k), then one group-keyed exchange of the
+    survivor rows and a final exact cut — the classic top-k pushdown
+    with tie-safe partials."""
+    from .sources import read_table as _rt
+
+    ds = _rt(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                      "l_linestatus", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        df["cents"] = np.floor(df["l_extendedprice"].to_numpy()
+                               * 100.0 + 0.5).astype(np.int64)
+        df = df.drop(columns=["l_extendedprice"])
+        keep = []
+        for _, g in df.groupby(["l_returnflag", "l_linestatus"],
+                               sort=False):
+            top = np.sort(g["cents"].unique())[-TOPK_PER_GROUP:]
+            keep.append(g[g["cents"].isin(top)])
+        return pd.concat(keep) if keep else df.iloc[:0]
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        top = np.sort(g["cents"].unique())[-TOPK_PER_GROUP:]
+        out = g[g["cents"].isin(top)].copy()
+        # dense rank: 1 = highest distinct value
+        order = {v: i + 1 for i, v in enumerate(sorted(top, reverse=True))}
+        out["rnk"] = out["cents"].map(order).astype(np.int64)
+        return out
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536)
+           .groupby(["l_returnflag", "l_linestatus"])
+           .map_groups(final, batch_format="pandas")
+           .to_pandas())
+    out = out.astype({"l_orderkey": "int64", "l_linenumber": "int64",
+                      "cents": "int64", "rnk": "int64"})
+    return (out[["l_returnflag", "l_linestatus", "l_orderkey",
+                 "l_linenumber", "cents", "rnk"]]
+            .sort_values(["l_returnflag", "l_linestatus", "l_orderkey",
+                          "l_linenumber"]).reset_index(drop=True))
+
+
+Q_GROUP_TOPK_DENSE_SQL = f"""
+WITH r AS (
+  SELECT l_returnflag, l_linestatus, l_orderkey,
+         CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         DENSE_RANK() OVER (PARTITION BY l_returnflag, l_linestatus
+                            ORDER BY floor(l_extendedprice * 100.0 + 0.5)
+                            DESC) AS rnk
+  FROM lineitem
+)
+SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, cents,
+       CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= {TOPK_PER_GROUP}
+ORDER BY l_returnflag, l_linestatus, l_orderkey, l_linenumber
+"""
+
+
+# --------------------- latest-snapshot compaction (SCD1 / upsert)
+
+def q_latest_snapshot(sf_dir: str) -> pd.DataFrame:
+    """Last-writer-wins snapshot compaction (the lakehouse MERGE/upsert
+    read path; SCD1 to q_scd2_intervals' SCD2): treating events as keyed
+    updates, emit each user's LATEST state by (ts, event_id) — type and
+    value-cents at the last write plus the write count.
+
+    Engine shape: user-hash shards, ONE lexsort per shard, run-tail
+    selection — compaction never shuffles more than each shard once."""
+    from .sources import read_table as _rt
+    from .windows import _user_shard
+
+    ds = _rt(sf_dir, "events",
+             columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def last_shard(g: pd.DataFrame) -> pd.DataFrame:
+        eid = g["event_id"].to_numpy(np.int64)
+        ts = g["ts"].astype("int64").to_numpy()
+        u = g["user_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u = u[order]
+        tail = np.ones(u.size, bool)
+        tail[:-1] = u[1:] != u[:-1]   # last row of each user run
+        cents = np.floor(g["value"].to_numpy()[order] * 100.0
+                         + 0.5).astype(np.int64)
+        et = g["event_type"].to_numpy()[order]
+        n = np.bincount(np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1)
+        return pd.DataFrame({
+            "user_id": u[tail],
+            "last_type": et[tail],
+            "last_cents": cents[tail],
+            "n_writes": n.astype(np.int64)})
+
+    out = (ds.map_batches(_user_shard, batch_format="pyarrow")
+           .groupby("shard")
+           .map_groups(last_shard, batch_format="pandas")
+           .to_pandas())
+    out = out.astype({"user_id": "int64", "last_cents": "int64",
+                      "n_writes": "int64"})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+Q_LATEST_SNAPSHOT_SQL = """
+WITH r AS (
+  SELECT user_id, event_type,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_writes
+  FROM events
+)
+SELECT user_id, event_type AS last_type, cents AS last_cents,
+       CAST(n_writes AS BIGINT) AS n_writes
+FROM r WHERE rn = 1 ORDER BY user_id
+"""
