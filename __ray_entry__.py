@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terrain_trig_exact": analytic2.q_terrain_trig_exact,
         "group_topk_dense": rel.q_group_topk_dense,
         "latest_snapshot": rel.q_latest_snapshot,
+        "argmax_customer": rel.q_argmax_customer,
         # family-siblings demoted to make room for the round-4 flagships:
         "block_stats_exact": analytic.q_block_stats_exact,
         "stack_second_max_exact": analytic.q_stack_second_max_exact,
@@ -408,6 +409,7 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
         "terrain_trig_exact": analytic2.terrain_trig_exact_oracle_sql(sf),
         "group_topk_dense": rel.Q_GROUP_TOPK_DENSE_SQL,
         "latest_snapshot": rel.Q_LATEST_SNAPSHOT_SQL,
+        "argmax_customer": rel.Q_ARGMAX_CUSTOMER_SQL,
         "aspect_slope_exact": analytic2.aspect_slope_exact_oracle_sql(sf),
         "block_stats_minmax_exact": analytic2.block_stats_minmax_exact_oracle_sql(sf),
         "zonal_remap_exact": analytic2.zonal_remap_exact_oracle_sql(sf),

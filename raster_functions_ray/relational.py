@@ -2397,3 +2397,62 @@ SELECT user_id, event_type AS last_type, cents AS last_cents,
        CAST(n_writes AS BIGINT) AS n_writes
 FROM r WHERE rn = 1 ORDER BY user_id
 """
+
+
+# ------------------- argmax as ONE associative aggregate (packed key)
+
+_AM_SHIFT = np.int64(1 << 40)   # cents < 2^21, custkey < 2^40 at any SF here
+
+
+def q_argmax_customer(sf_dir: str) -> pd.DataFrame:
+    """Per-nation argmax (the MAX_BY / 'who holds the max' lookup) as ONE
+    associative aggregate: pack (balance-cents, ¬custkey) into a single
+    int64 whose MAX is simultaneously (max cents, then MIN custkey) —
+    no second join pass, no per-group sort; ties break deterministically.
+
+    The euc_allocation packed-argmin trick applied to the relational
+    surface."""
+    from .sources import read_table as _rt
+
+    ds = _rt(sf_dir, "customer",
+             columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        cents = np.floor(b["c_acctbal"].to_numpy() * 100.0
+                         + 0.5).astype(np.int64)
+        key = np.asarray(b["c_custkey"], dtype=np.int64)
+        nat = np.asarray(b["c_nationkey"], dtype=np.int64)
+        # cents may be negative (TPC-H balances ≥ −999.99): offset to
+        # non-negative so the packed order is still lexicographic
+        packed = (cents + 100_000) * _AM_SHIFT + (_AM_SHIFT - 1 - key)
+        df = pd.DataFrame({"c_nationkey": nat, "packed": packed})
+        return df.groupby("c_nationkey", as_index=False).max()
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536)
+           .groupby("c_nationkey")
+           .aggregate(Max("packed", alias_name="packed"))
+           .to_pandas())
+    packed = out["packed"].to_numpy(np.int64)
+    res = pd.DataFrame({
+        "c_nationkey": out["c_nationkey"].to_numpy(np.int64),
+        "max_cents": packed // _AM_SHIFT - 100_000,
+        "top_custkey": _AM_SHIFT - 1 - packed % _AM_SHIFT})
+    return (res.astype("int64").sort_values("c_nationkey")
+            .reset_index(drop=True))
+
+
+Q_ARGMAX_CUSTOMER_SQL = """
+WITH m AS (
+  SELECT c_nationkey,
+         MAX(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS max_cents
+  FROM customer GROUP BY c_nationkey
+)
+SELECT m.c_nationkey, m.max_cents,
+       CAST(MIN(c.c_custkey) AS BIGINT) AS top_custkey
+FROM m JOIN customer c
+  ON c.c_nationkey = m.c_nationkey
+ AND CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) = m.max_cents
+GROUP BY m.c_nationkey, m.max_cents
+ORDER BY m.c_nationkey
+"""
