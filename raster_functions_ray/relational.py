@@ -899,6 +899,47 @@ Q3_SEGMENT = "BUILDING"
 Q3_TOPK = 10
 
 
+def _q3_revenue(sf_dir: str) -> rd.Dataset:
+    """Shared Q3 leg 1: lineitem reduced to one (orderkey, revenue) row
+    per order (date filter pushed per batch, pre-aggregated shuffle),
+    MATERIALIZED — joining a lazy aggregate interleaves the two shuffles
+    pathologically (measured 10x, see q_boilerplate)."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount",
+                             "l_shipdate"])
+    ship_cut = pa.scalar(Q3_DATE, pa.timestamp("us"))
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["l_shipdate"], ship_cut))
+        df = b.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby("l_orderkey", sort=False)["revenue"].sum().reset_index()
+        return pa.table({"o_orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64)),
+                         "revenue": pa.array(g["revenue"].to_numpy(np.float64))})
+
+    return (li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+            .groupby("o_orderkey").aggregate(Sum("revenue", alias_name="revenue"))
+            .materialize())
+
+
+def _q3_topk(joined: rd.Dataset) -> pd.DataFrame:
+    """Shared Q3 final: 2dp revenue rounding (the q1_pricing float
+    discipline) + per-batch partial top-k merged on the driver."""
+    def topk(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        df["revenue"] = np.floor(df["revenue"].to_numpy(np.float64)
+                                 * 100.0 + 0.5) / 100.0
+        df = df.sort_values(["revenue", "o_orderdate", "o_orderkey"],
+                            ascending=[False, True, True])
+        return df.head(Q3_TOPK)[["o_orderkey", "revenue", "o_orderdate",
+                                 "o_orderpriority"]]
+
+    parts = joined.map_batches(topk, batch_format="pyarrow").to_pandas()
+    out = (parts.sort_values(["revenue", "o_orderdate", "o_orderkey"],
+                             ascending=[False, True, True]).head(Q3_TOPK))
+    return out.reset_index(drop=True)
+
+
 def q3_shipping(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q3 shape — the 3-way star join (customer ⋈ orders ⋈ lineitem)
     with filter pushdown on every leg and pre-aggregation BEFORE the join:
@@ -915,25 +956,7 @@ def q3_shipping(sf_dir: str) -> pd.DataFrame:
     discipline (q1_pricing)."""
     import ray
 
-    # leg 1: lineitem → revenue per orderkey (pre-aggregated shuffle)
-    li = read_table(sf_dir, "lineitem",
-                    columns=["l_orderkey", "l_extendedprice", "l_discount",
-                             "l_shipdate"])
-    ship_cut = pa.scalar(Q3_DATE, pa.timestamp("us"))
-
-    def li_partial(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.greater(b["l_shipdate"], ship_cut))
-        df = b.to_pandas()
-        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
-        g = df.groupby("l_orderkey", sort=False)["revenue"].sum().reset_index()
-        return pa.table({"o_orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64)),
-                         "revenue": pa.array(g["revenue"].to_numpy(np.float64))})
-
-    # materialize: joining a LAZY aggregate interleaves the two shuffles
-    # pathologically (see q_boilerplate, measured 10x)
-    rev = (li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
-           .groupby("o_orderkey").aggregate(Sum("revenue", alias_name="revenue"))
-           .materialize())
+    rev = _q3_revenue(sf_dir)   # shared leg 1
 
     # leg 2: segment-filtered customer keyset, broadcast once (driver-side
     # pruned read — a distributed scan for a few hundred keys is overhead)
@@ -960,23 +983,7 @@ def q3_shipping(sf_dir: str) -> pd.DataFrame:
     from .sources import join_partitions
     joined = rev.join(o, join_type="inner", num_partitions=join_partitions(),
                       on=("o_orderkey",))
-
-    def topk(b: pa.Table) -> pd.DataFrame:
-        df = b.to_pandas()
-        # floor(x*100+0.5)/100 == DuckDB's half-AWAY ROUND for positives;
-        # pandas .round is half-even (running_totals discipline)
-        df["revenue"] = np.floor(df["revenue"].to_numpy(np.float64)
-                                 * 100.0 + 0.5) / 100.0
-        df = df.sort_values(["revenue", "o_orderdate", "o_orderkey"],
-                            ascending=[False, True, True])
-        return df.head(Q3_TOPK)[["o_orderkey", "revenue", "o_orderdate",
-                                 "o_orderpriority"]]
-
-    parts = joined.map_batches(topk, batch_format="pyarrow").to_pandas()
-    out = (parts.sort_values(["revenue", "o_orderdate", "o_orderkey"],
-                             ascending=[False, True, True]).head(Q3_TOPK)
-           .reset_index(drop=True))
-    return out
+    return _q3_topk(joined)   # shared final
 
 
 Q3_SHIPPING_SQL = f"""
@@ -1004,22 +1011,7 @@ def q3_shipping_shuffle(sf_dir: str) -> pd.DataFrame:
     broadcast variant remains the faster plan while the keyset fits."""
     from .sources import join_partitions
 
-    li = read_table(sf_dir, "lineitem",
-                    columns=["l_orderkey", "l_extendedprice", "l_discount",
-                             "l_shipdate"])
-    ship_cut = pa.scalar(Q3_DATE, pa.timestamp("us"))
-
-    def li_partial(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.greater(b["l_shipdate"], ship_cut))
-        df = b.to_pandas()
-        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
-        g = df.groupby("l_orderkey", sort=False)["revenue"].sum().reset_index()
-        return pa.table({"o_orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64)),
-                         "revenue": pa.array(g["revenue"].to_numpy(np.float64))})
-
-    rev = (li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
-           .groupby("o_orderkey").aggregate(Sum("revenue", alias_name="revenue"))
-           .materialize())
+    rev = _q3_revenue(sf_dir)   # shared leg 1
 
     # customer leg: segment filter pushed into the scan, then a SHUFFLE
     # semi-join (keys are unique per customer, so inner == semi)
@@ -1041,20 +1033,7 @@ def q3_shipping_shuffle(sf_dir: str) -> pd.DataFrame:
                on=("o_custkey",)).materialize()
     joined = rev.join(o, join_type="inner", num_partitions=nparts,
                       on=("o_orderkey",))
-
-    def topk(b: pa.Table) -> pd.DataFrame:
-        df = b.to_pandas()
-        df["revenue"] = np.floor(df["revenue"].to_numpy(np.float64)
-                                 * 100.0 + 0.5) / 100.0
-        df = df.sort_values(["revenue", "o_orderdate", "o_orderkey"],
-                            ascending=[False, True, True])
-        return df.head(Q3_TOPK)[["o_orderkey", "revenue", "o_orderdate",
-                                 "o_orderpriority"]]
-
-    parts = joined.map_batches(topk, batch_format="pyarrow").to_pandas()
-    out = (parts.sort_values(["revenue", "o_orderdate", "o_orderkey"],
-                             ascending=[False, True, True]).head(Q3_TOPK))
-    return out.reset_index(drop=True)
+    return _q3_topk(joined)   # shared final
 
 
 # ------------------------------------- TPC-H Q17 (correlated subquery)
@@ -1742,6 +1721,9 @@ def q_ntile_slice(sf_dir: str) -> pd.DataFrame:
     cnts = hp["n"].to_numpy(np.int64)
     cum = np.concatenate(([0], np.cumsum(cnts)))   # cnt_less per value
     N = int(cum[-1])
+    if N < NTILE_K:
+        raise ValueError(f"NTILE({NTILE_K}) needs at least {NTILE_K} rows, "
+                         f"got {N}")
     base, extra = divmod(N, NTILE_K)
     # boundary ranks: first `extra` classes hold base+1 rows
     bounds = np.cumsum([base + (1 if t < extra else 0)
@@ -1905,6 +1887,7 @@ def q_incremental_daily(sf_dir: str) -> pd.DataFrame:
     Scale shape: the delta pass filters at the read, the old state is
     view-sized (groups, not events), and the merge is one group-keyed
     exchange of view-sized rows."""
+    import os
     import shutil
     import tempfile
 
@@ -1945,14 +1928,19 @@ def q_incremental_daily(sf_dir: str) -> pd.DataFrame:
                                              partition_cols=["event_type"])
         # hive read-back puts the partition column last — align schemas
         cols = ["event_type", "day_no", "n", "sum_cents"]
-        old = (rd.read_parquet(old_dir).select_columns(cols)
-               .map_batches(lambda t: t.cast(pa.schema(
-                   [("event_type", pa.string()), ("day_no", pa.int64()),
-                    ("n", pa.int64()), ("sum_cents", pa.int64())])),
-                   batch_format="pyarrow"))
-        # … the DELTA aggregates only the new days
+        import glob as _glob
+        have_old = bool(_glob.glob(os.path.join(old_dir, "**", "*.parquet"),
+                                   recursive=True))
         delta = agg(ds, old_side=False).select_columns(cols)
-        merged = (old.union(delta)
+        if have_old:
+            old = (rd.read_parquet(old_dir).select_columns(cols)
+                   .map_batches(lambda t: t.cast(pa.schema(
+                       [("event_type", pa.string()), ("day_no", pa.int64()),
+                        ("n", pa.int64()), ("sum_cents", pa.int64())])),
+                       batch_format="pyarrow"))
+            delta = old.union(delta)
+        # a corpus wholly after the checkpoint degrades to delta-only
+        merged = (delta
                   .groupby(["event_type", "day_no"])
                   .aggregate(ASum("n", alias_name="n"),
                              ASum("sum_cents", alias_name="sum_cents"))
@@ -2003,15 +1991,14 @@ def q_late_events(sf_dir: str) -> pd.DataFrame:
         u = g["user_id"].to_numpy(np.int64)
         order = np.lexsort((eid, u))      # arrival order within user
         ts, u = ts[order], u[order]
-        SH = np.int64(1 << 51)
-        key = u * SH + ts
-        pm = np.empty(u.size, np.int64)
-        pm[0] = np.iinfo(np.int64).min
-        if u.size > 1:
-            np.maximum.accumulate(key[:-1], out=pm[1:])
-        # a watermark from an EARLIER user is below this user's key floor
-        has_prev = pm >= u * SH
-        wm_ts = np.where(has_prev, pm - u * SH, 0)
+        # segmented prefix-max via run-id groupby cummax (cython path) —
+        # a user·2⁵¹+ts composite pack silently wrapped at user_id ≥ 4096
+        run = np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1
+        s = pd.Series(ts)
+        wm = s.groupby(run).cummax().shift(1).to_numpy()
+        first = np.r_[True, u[1:] != u[:-1]]
+        has_prev = ~first
+        wm_ts = np.where(has_prev, np.nan_to_num(wm, nan=0.0), 0)
         late = has_prev & (ts < wm_ts - LATE_US)
         df = pd.DataFrame({"user_id": u,
                            "n_events": np.ones(u.size, np.int64),
@@ -2093,22 +2080,7 @@ def q3_shipping_bloom(sf_dir: str) -> pd.DataFrame:
 
     from .sources import join_partitions
 
-    li = read_table(sf_dir, "lineitem",
-                    columns=["l_orderkey", "l_extendedprice", "l_discount",
-                             "l_shipdate"])
-    ship_cut = pa.scalar(Q3_DATE, pa.timestamp("us"))
-
-    def li_partial(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.greater(b["l_shipdate"], ship_cut))
-        df = b.to_pandas()
-        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
-        g = df.groupby("l_orderkey", sort=False)["revenue"].sum().reset_index()
-        return pa.table({"o_orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64)),
-                         "revenue": pa.array(g["revenue"].to_numpy(np.float64))})
-
-    rev = (li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
-           .groupby("o_orderkey").aggregate(Sum("revenue", alias_name="revenue"))
-           .materialize())
+    rev = _q3_revenue(sf_dir)   # shared leg 1
 
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     ckeys = cust.map_batches(
@@ -2144,20 +2116,7 @@ def q3_shipping_bloom(sf_dir: str) -> pd.DataFrame:
                on=("o_custkey",)).materialize()
     joined = rev.join(o, join_type="inner", num_partitions=nparts,
                       on=("o_orderkey",))
-
-    def topk(b: pa.Table) -> pd.DataFrame:
-        df = b.to_pandas()
-        df["revenue"] = np.floor(df["revenue"].to_numpy(np.float64)
-                                 * 100.0 + 0.5) / 100.0
-        df = df.sort_values(["revenue", "o_orderdate", "o_orderkey"],
-                            ascending=[False, True, True])
-        return df.head(Q3_TOPK)[["o_orderkey", "revenue", "o_orderdate",
-                                 "o_orderpriority"]]
-
-    parts = joined.map_batches(topk, batch_format="pyarrow").to_pandas()
-    out = (parts.sort_values(["revenue", "o_orderdate", "o_orderkey"],
-                             ascending=[False, True, True]).head(Q3_TOPK))
-    return out.reset_index(drop=True)
+    return _q3_topk(joined)   # shared final
 
 
 # ------------------- schema-on-read JSON prop extraction + rollup
@@ -2174,8 +2133,12 @@ def q_json_props(sf_dir: str) -> pd.DataFrame:
     ds = _rt(sf_dir, "events", columns=["event_type", "props"])
 
     def partial(b: pa.Table) -> pd.DataFrame:
+        # sign-aware: json integers may be negative; a k the regex cannot
+        # parse (fractional/nested) stays NULL, which pandas aggregation
+        # skips — matching SUM/MIN/MAX-over-NULL SQL semantics (COUNT
+        # still counts the row).  All-null groups are out of contract.
         k = pc.cast(pc.struct_field(
-            pc.extract_regex(b["props"], r'"k":\s*(?P<k>\d+)'), "k"),
+            pc.extract_regex(b["props"], r'"k":\s*(?P<k>-?\d+)'), "k"),
             pa.int64()).to_numpy(zero_copy_only=False)
         df = pd.DataFrame({
             "event_type": b["event_type"].to_numpy(zero_copy_only=False),
@@ -2228,9 +2191,9 @@ def q_retention_cohorts(sf_dir: str) -> pd.DataFrame:
         u = g["user_id"].to_numpy(np.int64)
         day = us // 86_400_000_000
         # distinct (user, day)
+        # np.unique(axis=1) already returns columns lexicographically
+        # sorted by (user, day) — no second sort needed
         uu, dd = np.unique(np.stack([u, day]), axis=1)
-        order = np.lexsort((dd, uu))
-        uu, dd = uu[order], dd[order]
         head = np.ones(uu.size, bool)
         head[1:] = uu[1:] != uu[:-1]
         # broadcast each user run's first day across the run (vectorized)

@@ -422,14 +422,24 @@ def q_band_join(sf_dir: str) -> pd.DataFrame:
         u = g["user_id"].to_numpy(np.int64)
         et = g["event_type"].to_numpy()
         isv = et == "view"
-        # views sorted by the composite key user·2⁵¹ + ts (epoch µs stays
-        # under 2⁵¹ until year ~2041, user ids well under 2¹²) — ONE sorted
-        # array answers every probe with two vectorized searchsorteds
-        SH = np.int64(1 << 51)
-        key_v = np.sort(u[isv] * SH + ts[isv])
-        pe, pt, pu = eid[~isv], ts[~isv], u[~isv]
-        lo = np.searchsorted(key_v, pu * SH + (pt - BAND_US), side="left")
-        hi = np.searchsorted(key_v, pu * SH + pt, side="left")
+        # composite key = dense-user-rank · span + (ts − ts_min): ONE
+        # sorted array answers every probe with two vectorized
+        # searchsorteds.  Dense ranks + the shard's ACTUAL span keep the
+        # product far from int64 (a raw user_id·2⁵¹ pack silently wrapped
+        # at user_id ≥ 4096); the overflow check is exact Python ints.
+        uniq = np.unique(u)
+        t0 = int(ts.min()) - BAND_US - 1
+        span = int(ts.max()) - t0 + BAND_US + 2
+        if len(uniq) * span >= (1 << 63):   # pragma: no cover — ~3.5M
+            raise OverflowError(            # users·30-day span per shard
+                "band_join composite key would overflow; raise "
+                "DEBOUNCE_SHARDS so each shard holds fewer users")
+        SH = np.int64(span)
+        ud = np.searchsorted(uniq, u).astype(np.int64)
+        key_v = np.sort(ud[isv] * SH + (ts[isv] - t0))
+        pe, pt, pu = eid[~isv], ts[~isv], ud[~isv]
+        lo = np.searchsorted(key_v, pu * SH + (pt - t0 - BAND_US), side="left")
+        hi = np.searchsorted(key_v, pu * SH + (pt - t0), side="left")
         return pd.DataFrame({"event_id": pe,
                              "n_views": (hi - lo).astype(np.int64)})
 

@@ -280,3 +280,39 @@ class TestRound4Additions:
         assert (out["n_merged"] >= 0).all()
         assert (out["len_after"] + out["n_merged"]
                 == out["len_before"]).all()
+
+    def test_band_and_late_no_overflow_at_large_user_ids(
+            self, ray_session, tmp_path):
+        # user_id ≥ 4096 wrapped the old u·2⁵¹ composite key negative;
+        # run both operators on a hand corpus of huge user ids and
+        # compare against their own oracles
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from raster_functions_ray import relational as rel
+        from raster_functions_ray import windows as w
+
+        T0 = 1_704_067_200_000_000
+        eid = np.arange(1, 13, dtype=np.int64)
+        u = np.array([5000, 5000, 5000, 2_000_000, 2_000_000, 9_999_999,
+                      5000, 2_000_000, 9_999_999, 5000, 5000, 9_999_999],
+                     np.int64)
+        ts = T0 + np.array([10, 20, 30, 15, 400, 50, 25, 500, 40,
+                            5, 35, 60], np.int64) * 60_000_000
+        et = np.array(["view", "purchase", "view", "view", "purchase",
+                       "view", "purchase", "view", "purchase", "view",
+                       "purchase", "view"], object)
+        t = pa.table({"event_id": pa.array(eid),
+                      "ts": pa.array(ts).cast(pa.timestamp("us")),
+                      "user_id": pa.array(u),
+                      "event_type": pa.array(et, pa.string())})
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        con = duckdb.connect()
+        con.register("events", t)
+        got = w.q_band_join(str(tmp_path))
+        exp = con.execute(w.Q_BAND_JOIN_SQL).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        got2 = rel.q_late_events(str(tmp_path))
+        exp2 = con.execute(rel.Q_LATE_EVENTS_SQL).df()
+        pd.testing.assert_frame_equal(got2, exp2, check_dtype=False)
