@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_topk_dense": rel.q_group_topk_dense,
         "latest_snapshot": rel.q_latest_snapshot,
         "argmax_customer": rel.q_argmax_customer,
+        # round-4 eighth wave
+        "dbscan": spatial.q_dbscan,
         # family-siblings demoted to make room for the round-4 flagships:
         "block_stats_exact": analytic.q_block_stats_exact,
         "stack_second_max_exact": analytic.q_stack_second_max_exact,
@@ -410,6 +412,7 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
         "group_topk_dense": rel.Q_GROUP_TOPK_DENSE_SQL,
         "latest_snapshot": rel.Q_LATEST_SNAPSHOT_SQL,
         "argmax_customer": rel.Q_ARGMAX_CUSTOMER_SQL,
+        "dbscan": spatial.dbscan_oracle_sql(sf),
         "aspect_slope_exact": analytic2.aspect_slope_exact_oracle_sql(sf),
         "block_stats_minmax_exact": analytic2.block_stats_minmax_exact_oracle_sql(sf),
         "zonal_remap_exact": analytic2.zonal_remap_exact_oracle_sql(sf),

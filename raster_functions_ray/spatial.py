@@ -2335,3 +2335,272 @@ SELECT event_id,
           * {HAV_QUANT} + 0.5) AS BIGINT) AS qa
 FROM t ORDER BY event_id
 """
+
+
+# ---------------------------------------------- DBSCAN density clustering
+
+# eps² = DBSCAN_K // n keeps the expected neighbor count (mean degree ≈ 2
+# in the decorrelated [0,10000)² integer world) CONSTANT across scale
+# factors, so the gate exercises real cluster structure at every sf
+# instead of degenerating to all-noise (large n) or one giant component
+# (small n).  Integer eps² means the radius predicate d² ≤ eps² never
+# touches a float on either side.
+DBSCAN_K = 60_000_000
+DBSCAN_MINPTS = 4          # sklearn convention: |N_eps(p)| counts p itself
+
+
+def _dbscan_geometry(n: int) -> tuple[int, int]:
+    """(eps², cell pitch = ⌈eps⌉) for an n-point corpus."""
+    import math
+
+    e2 = DBSCAN_K // n
+    eps = math.isqrt(e2)
+    if eps * eps < e2:
+        eps += 1
+    return e2, max(eps, 1)
+
+
+def _in_sorted(sorted_ids: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Membership mask of ``vals`` in an ascending id array."""
+    if sorted_ids.size == 0:
+        return np.zeros(vals.size, bool)
+    pos = np.minimum(np.searchsorted(sorted_ids, vals), sorted_ids.size - 1)
+    return sorted_ids[pos] == vals
+
+
+def q_dbscan(sf_dir: str) -> pd.DataFrame:
+    """DBSCAN density clustering (Ester et al. 1996) over the
+    decorrelated integer point world (``_seg_points``): core points have
+    ≥ {DBSCAN_MINPTS} neighbors within eps (self included), clusters are
+    connected components of the core-core eps-graph labeled by their
+    minimum core id, border points attach to the smallest neighboring
+    core's cluster, the rest is noise — per point: (event_id, role,
+    cluster).  The density-clustering sibling of q_radius_join (whose
+    docstring promises exactly this neighborhood shape).
+
+    Scale shape: grid pair formation at pitch ⌈eps⌉ (own cell + box-
+    filtered ring, report-once owner = the lower-id point's own cell —
+    the q_radius_join lowering, integer-exact here); neighbor DEGREES
+    from per-batch unique-count partials through one groupby-Sum (the
+    deg table is ≤ n rows, the same result-size class as the output);
+    the core id set and cluster-label table broadcast once via ray.put
+    (both ≤ output-sized — the repo's broadcast discipline); components
+    resolve through the size dispatch shared with the region/dup-cluster
+    family: driver union-find ≤ {{regions.CC_DRIVER_MAX_EDGES}} core-core
+    edges, ``trainprep.connected_components`` min-label propagation
+    above.  Border labels form as one more edge-sized groupby-Min.
+    Skewed cells are bounded by density (eps-sized pitch ⇒ O(mean
+    degree) points per cell in expectation); a pile-up would use the
+    density-adapted split levels of q_rect_overlap_join_split."""
+    from ray.data.aggregate import Min
+
+    from . import regions, trainprep
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+    n = ds.count()
+    e2, cell = _dbscan_geometry(n)
+
+    # pair formation as a cell-keyed HASH JOIN (the q_segment_join
+    # lowering): the OWN side emits one row per point, the RING side the
+    # ≤9 box-filtered neighbor cells — a pair a<b matches on exactly ONE
+    # ring offset (the one placing b's shifted cell on a's own cell), so
+    # the join is exactly-once with no report-once bookkeeping, and the
+    # distance predicate runs batch-vectorized (a map_groups over the
+    # ~n/deg mostly-tiny cells paid one Python call per cell instead)
+    def own_cells(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], np.int64)
+        px, py = _seg_points(eid)
+        return pa.table({
+            "key": pa.array((px // cell) * 100003 + py // cell),
+            "a": pa.array(eid), "ax": pa.array(px), "ay": pa.array(py)})
+
+    def ring_cells(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], np.int64)
+        px, py = _seg_points(eid)
+        cx, cy = px // cell, py // cell
+        parts = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    keep = np.ones(eid.size, bool)
+                else:
+                    # neighbor-cell box distance ≤ eps keeps the emission
+                    # lossless (box dist ≤ pair dist; all integer, so the
+                    # monotonicity argument is exact) while cutting the
+                    # join's build side 2-4×
+                    xlo = (cx + dx) * cell
+                    ylo = (cy + dy) * cell
+                    ddx = np.maximum(
+                        np.maximum(xlo - px, px - (xlo + cell - 1)), 0)
+                    ddy = np.maximum(
+                        np.maximum(ylo - py, py - (ylo + cell - 1)), 0)
+                    keep = ddx * ddx + ddy * ddy <= e2
+                if not keep.any():
+                    continue
+                parts.append(pa.table({
+                    "key": pa.array((cx[keep] + dx) * 100003 + cy[keep] + dy),
+                    "b": pa.array(eid[keep]),
+                    "bx": pa.array(px[keep]), "by": pa.array(py[keep])}))
+        return pa.concat_tables(parts)
+
+    def form(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"], np.int64)
+        bb = np.asarray(t["b"], np.int64)
+        dx = np.asarray(t["ax"], np.int64) - np.asarray(t["bx"], np.int64)
+        dy = np.asarray(t["ay"], np.int64) - np.asarray(t["by"], np.int64)
+        keep = (a < bb) & (dx * dx + dy * dy <= e2)
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(bb[keep])})
+
+    own = ds.map_batches(own_cells, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    ring = ds.map_batches(ring_cells, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    nparts = max(2, min(join_partitions(), 8))
+    pairs = (own.join(ring, join_type="inner", num_partitions=nparts,
+                      on=("key",))
+             .map_batches(form, batch_format="pyarrow")
+             .materialize())
+
+    # neighbor degrees: unique-count partials → ONE groupby-Sum
+    def deg_partial(b: pa.Table) -> pa.Table:
+        ids = np.concatenate([np.asarray(b["a"], np.int64),
+                              np.asarray(b["b"], np.int64)])
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table({"id": pa.array(u),
+                         "c": pa.array(c.astype(np.int64))})
+
+    deg = (pairs.map_batches(deg_partial, batch_format="pyarrow")
+           .groupby("id").aggregate(Sum("c", alias_name="deg"))
+           .to_pandas())
+    core_ids = np.sort(deg.loc[deg["deg"] >= DBSCAN_MINPTS - 1, "id"]
+                       .to_numpy(np.int64))
+    core_ref = ray.put(core_ids)
+
+    def core_edges(b: pa.Table) -> pa.Table:
+        cs = ray.get(core_ref)
+        a = np.asarray(b["a"], np.int64)
+        bb = np.asarray(b["b"], np.int64)
+        keep = _in_sorted(cs, a) & _in_sorted(cs, bb)
+        return pa.table({"u": pa.array(a[keep]), "v": pa.array(bb[keep])})
+
+    ce = pairs.map_batches(core_edges, batch_format="pyarrow").materialize()
+    if ce.count() <= regions.CC_DRIVER_MAX_EDGES:
+        edf = ce.to_pandas()
+        labels = regions.union_find_labels(edf["u"].to_numpy(np.int64),
+                                           edf["v"].to_numpy(np.int64))
+    else:  # pragma: no cover — exercised by the forced-dispatch pytest
+        labels = trainprep.connected_components(ce)
+    lbl_ids = labels["node"].to_numpy(np.int64)
+    lbl_vals = labels["label"].to_numpy(np.int64)
+    # isolated cores (every neighbor non-core) label themselves
+    missing = np.setdiff1d(core_ids, lbl_ids)
+    lbl_ids = np.concatenate([lbl_ids, missing])
+    lbl_vals = np.concatenate([lbl_vals, missing])
+    order = np.argsort(lbl_ids)
+    lbl_ids, lbl_vals = lbl_ids[order], lbl_vals[order]
+    lab_ref = ray.put((lbl_ids, lbl_vals))
+
+    # border candidates: mixed pairs → (noncore id, core's cluster label)
+    def mixed(b: pa.Table) -> pa.Table:
+        cs = ray.get(core_ref)
+        li, lv = ray.get(lab_ref)
+        a = np.asarray(b["a"], np.int64)
+        bb = np.asarray(b["b"], np.int64)
+        ac, bc = _in_sorted(cs, a), _in_sorted(cs, bb)
+        m1 = ac & ~bc      # a core, b border candidate
+        m2 = bc & ~ac
+        nid = np.concatenate([bb[m1], a[m2]])
+        cid = np.concatenate([a[m1], bb[m2]])
+        lbl = lv[np.searchsorted(li, cid)] if cid.size else cid
+        return pa.table({"id": pa.array(nid), "lbl": pa.array(lbl)})
+
+    bord = (pairs.map_batches(mixed, batch_format="pyarrow")
+            .groupby("id").aggregate(Min("lbl", alias_name="lbl"))
+            .to_pandas())
+
+    out = ds.to_pandas().rename(columns={"event_id": "event_id"})
+    eids = out["event_id"].to_numpy(np.int64)
+    is_core = _in_sorted(core_ids, eids)
+    b_ids = np.sort(bord["id"].to_numpy(np.int64))
+    b_lbl = bord.set_index("id").loc[b_ids, "lbl"].to_numpy(np.int64) \
+        if len(bord) else np.empty(0, np.int64)
+    is_bord = _in_sorted(b_ids, eids)
+    cluster = np.full(eids.size, -1, np.int64)
+    if core_ids.size:
+        cluster[is_core] = lbl_vals[np.searchsorted(lbl_ids, eids[is_core])]
+    if b_ids.size:
+        cluster[is_bord] = b_lbl[np.searchsorted(b_ids, eids[is_bord])]
+    role = np.where(is_core, "core", np.where(is_bord, "border", "noise"))
+    res = pd.DataFrame({"event_id": eids, "role": role, "cluster": cluster})
+    return res.sort_values("event_id").reset_index(drop=True)
+
+
+def _mix_sql(expr: str) -> str:
+    """The ``_seg_mix`` counter hash in DuckDB UBIGINT (mod 10000)."""
+    h = f"(CAST({expr} AS UBIGINT) * 2654435761) % 4294967296"
+    return (f"CAST(xor({h}, ({h}) >> 16) * 2246822519 "
+            f"% 4294967296 % 10000 AS BIGINT)")
+
+
+def dbscan_oracle_sql(sf: float = 0.01) -> str:
+    """Scale-parametric DBSCAN oracle: eps²/pitch literals baked per sf
+    (n = sf·10⁶ events).  Pair surface via the exactly-once 9-cell
+    blocking equi-join (each pair matches on precisely one ring offset),
+    components via recursive min-label reachability over core-core
+    edges, border labels via groupby-Min over mixed pairs — independent
+    formulations of every engine stage."""
+    n = round(sf * 1_000_000)
+    e2, cell = _dbscan_geometry(n)
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT event_id AS id,
+         {_mix_sql('2000000000 + 2 * event_id')} AS px,
+         {_mix_sql('2000000001 + 2 * event_id')} AS py
+  FROM events),
+own AS MATERIALIZED (
+  SELECT id, px, py, (px // {cell}) * 100003 + (py // {cell}) AS ck
+  FROM pts),
+ring AS MATERIALIZED (
+  SELECT id, px, py,
+         (px // {cell} + dx.d) * 100003 + (py // {cell} + dy.d) AS ck
+  FROM pts, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)),
+pairs AS MATERIALIZED (
+  SELECT o.id a, c.id b FROM own o JOIN ring c ON c.ck = o.ck
+  WHERE o.id < c.id
+    AND (o.px-c.px)*(o.px-c.px)+(o.py-c.py)*(o.py-c.py) <= {e2}),
+deg AS MATERIALIZED (
+  SELECT id, COUNT(*) AS deg
+  FROM (SELECT a AS id FROM pairs UNION ALL SELECT b AS id FROM pairs)
+  GROUP BY id),
+core AS MATERIALIZED (
+  SELECT id FROM deg WHERE deg >= {DBSCAN_MINPTS - 1}),
+ce AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM pairs
+  WHERE a IN (SELECT id FROM core) AND b IN (SELECT id FROM core)),
+edges AS MATERIALIZED (
+  SELECT u, v FROM ce UNION ALL SELECT v AS u, u AS v FROM ce),
+reach AS MATERIALIZED (
+  WITH RECURSIVE rr(id, lbl) AS (
+    SELECT id, id FROM core
+    UNION
+    SELECT e.v, rr.lbl FROM rr JOIN edges e ON e.u = rr.id
+  ) SELECT id, MIN(lbl) AS lbl FROM rr GROUP BY id),
+mixed AS MATERIALIZED (
+  SELECT a AS cid, b AS nid FROM pairs
+   WHERE a IN (SELECT id FROM core) AND b NOT IN (SELECT id FROM core)
+  UNION ALL
+  SELECT b AS cid, a AS nid FROM pairs
+   WHERE b IN (SELECT id FROM core) AND a NOT IN (SELECT id FROM core)),
+bord AS MATERIALIZED (
+  SELECT m.nid AS id, MIN(c.lbl) AS lbl
+  FROM mixed m JOIN reach c ON c.id = m.cid GROUP BY m.nid)
+SELECT p.id AS event_id,
+       CASE WHEN r2.lbl IS NOT NULL THEN 'core'
+            WHEN b2.lbl IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(COALESCE(r2.lbl, b2.lbl, -1) AS BIGINT) AS cluster
+FROM pts p
+LEFT JOIN reach r2 ON r2.id = p.id
+LEFT JOIN bord b2 ON b2.id = p.id
+ORDER BY event_id
+"""

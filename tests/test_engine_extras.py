@@ -768,3 +768,58 @@ def test_ed1_confirm_matches_dp_levenshtein(a, b):
         return d[-1]
 
     assert ed1(a, b) == (lev(a, b) == 1)
+
+
+class TestDbscan:
+    def _brute(self):
+        import pyarrow.parquet as pq
+        from raster_functions_ray import spatial
+
+        eid = pq.read_table(f"{SF001}/events.parquet",
+                            columns=["event_id"])["event_id"].to_numpy()
+        e2, _ = spatial._dbscan_geometry(eid.size)
+        px, py = spatial._seg_points(eid.astype(np.int64))
+        d2 = ((px[:, None] - px[None, :]) ** 2
+              + (py[:, None] - py[None, :]) ** 2)
+        adj = (d2 <= e2)
+        np.fill_diagonal(adj, False)
+        return eid, adj
+
+    def test_roles_match_brute_force(self):
+        from raster_functions_ray import spatial
+
+        out = spatial.q_dbscan(SF001).set_index("event_id")
+        eid, adj = self._brute()
+        deg = adj.sum(1)
+        core = deg >= spatial.DBSCAN_MINPTS - 1
+        for i, e in enumerate(eid):
+            role = out.loc[e, "role"]
+            if core[i]:
+                assert role == "core"
+            elif (adj[i] & core).any():
+                assert role == "border"
+                # border cluster = min over neighboring cores' labels;
+                # every neighboring core's cluster must contain it
+                nb_clusters = set(out.loc[eid[adj[i] & core], "cluster"])
+                assert out.loc[e, "cluster"] in nb_clusters
+            else:
+                assert role == "noise" and out.loc[e, "cluster"] == -1
+
+    def test_core_labels_are_component_minima(self):
+        from raster_functions_ray import spatial
+
+        out = spatial.q_dbscan(SF001)
+        core = out[out["role"] == "core"]
+        # every cluster label is a member core id (the component minimum)
+        labels = set(core["cluster"])
+        assert labels <= set(core["event_id"])
+        assert (core.groupby("cluster")["event_id"].min()
+                == core.groupby("cluster")["cluster"].first()).all()
+
+    def test_forced_distributed_components_match(self, monkeypatch):
+        from raster_functions_ray import regions, spatial
+
+        base = spatial.q_dbscan(SF001)
+        monkeypatch.setattr(regions, "CC_DRIVER_MAX_EDGES", 0)
+        forced = spatial.q_dbscan(SF001)
+        pd.testing.assert_frame_equal(base, forced)
