@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "argmax_customer": rel.q_argmax_customer,
         # round-4 eighth wave
         "dbscan": spatial.q_dbscan,
+        "simplify_dp": spatial.q_simplify_dp,
         # family-siblings demoted to make room for the round-4 flagships:
         "block_stats_exact": analytic.q_block_stats_exact,
         "stack_second_max_exact": analytic.q_stack_second_max_exact,
@@ -413,6 +414,7 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
         "latest_snapshot": rel.Q_LATEST_SNAPSHOT_SQL,
         "argmax_customer": rel.Q_ARGMAX_CUSTOMER_SQL,
         "dbscan": spatial.dbscan_oracle_sql(sf),
+        "simplify_dp": spatial.simplify_dp_oracle_sql(),
         "aspect_slope_exact": analytic2.aspect_slope_exact_oracle_sql(sf),
         "block_stats_minmax_exact": analytic2.block_stats_minmax_exact_oracle_sql(sf),
         "zonal_remap_exact": analytic2.zonal_remap_exact_oracle_sql(sf),

@@ -2535,11 +2535,11 @@ def q_dbscan(sf_dir: str) -> pd.DataFrame:
     return res.sort_values("event_id").reset_index(drop=True)
 
 
-def _mix_sql(expr: str) -> str:
-    """The ``_seg_mix`` counter hash in DuckDB UBIGINT (mod 10000)."""
+def _mix_sql(expr: str, mod: int = 10000) -> str:
+    """The ``_seg_mix`` counter hash in DuckDB UBIGINT (mod ``mod``)."""
     h = f"(CAST({expr} AS UBIGINT) * 2654435761) % 4294967296"
     return (f"CAST(xor({h}, ({h}) >> 16) * 2246822519 "
-            f"% 4294967296 % 10000 AS BIGINT)")
+            f"% 4294967296 % {mod} AS BIGINT)")
 
 
 def dbscan_oracle_sql(sf: float = 0.01) -> str:
@@ -2603,4 +2603,162 @@ FROM pts p
 LEFT JOIN reach r2 ON r2.id = p.id
 LEFT JOIN bord b2 ON b2.id = p.id
 ORDER BY event_id
+"""
+
+
+# ------------------- Douglas-Peucker trajectory simplification
+
+DP_STEP_MOD = 101    # walk steps ∈ [−50, 50] per axis
+DP_TOL2 = 900        # tolerance² (tol = 30 walk units)
+DP_PACK = 1024       # argmax pack base: > max points per trajectory
+
+
+def _dp_keep(px: np.ndarray, py: np.ndarray, tol2: int) -> np.ndarray:
+    """Douglas-Peucker keep mask for ONE polyline (integer coords).
+
+    Iterative stack over intervals; the inner argmax is vectorized.  The
+    deviation key is the exact integer cross² (shared denominator |v|²
+    per chord, so the argmax needs no fraction comparison); a degenerate
+    chord (coincident endpoints) falls back to point distance, again with
+    a common denominator.  np.argmax's first-max = the smallest interior
+    index, matching the oracle's ORDER BY key DESC, seq."""
+    m = px.size
+    keep = np.zeros(m, bool)
+    keep[0] = keep[m - 1] = True
+    stack = [(0, m - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi <= lo + 1:
+            continue
+        vx, vy = px[hi] - px[lo], py[hi] - py[lo]
+        dxs = px[lo + 1:hi] - px[lo]
+        dys = py[lo + 1:hi] - py[lo]
+        vv = vx * vx + vy * vy
+        if vv > 0:
+            key = (dxs * vy - dys * vx) ** 2
+            thr = tol2 * vv
+        else:
+            key = dxs * dxs + dys * dys
+            thr = tol2
+        kmax = int(np.argmax(key))
+        if key[kmax] > thr:
+            k = lo + 1 + kmax
+            keep[k] = True
+            stack.append((lo, k))
+            stack.append((k, hi))
+    return keep
+
+
+def q_simplify_dp(sf_dir: str) -> pd.DataFrame:
+    """Douglas-Peucker polyline simplification (Ramer 1972 / Douglas &
+    Peucker 1973 — the ArcGIS Simplify Line / Generalize operator) over
+    per-user trajectories: each user's events ordered by (ts, event_id)
+    walk an integer random path (±{DP_STEP_MOD//2} counter-mix steps per
+    axis, cumulative per user), and a vertex is KEPT iff the recursive
+    max-deviation split at tolerance² {DP_TOL2} retains it.  Output one
+    row per event: (user_id, event_id, seq, kept).
+
+    All geometry is exact int64 — deviation compares cross² against
+    tol²·|chord|² (walk span ≤ 50·events-per-user keeps every product
+    ⋘ 2⁶³; the margin is pytest-pinned).
+
+    Engine shape: user-hash shards (windows._user_shard), ONE lexsort
+    per shard, segmented cumsum builds every trajectory vectorized; the
+    DP stack then runs per trajectory with a vectorized argmax inner
+    loop — the recursion is inherent to the operator, the parallelism
+    axis is the (corpus-sized) set of trajectories, each O(m·depth) on
+    a BOUNDED m ≈ events-per-user.  The oracle replays the recursion as
+    a recursive CTE whose split point is a correlated argmax subquery."""
+    from .windows import _user_shard
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def dp_shard(g: pd.DataFrame) -> pd.DataFrame:
+        eid = g["event_id"].to_numpy(np.int64)
+        ts = g["ts"].astype("int64").to_numpy()
+        u = g["user_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        eid, u = eid[order], u[order]
+        sx = _seg_mix(3_000_000_000 + 2 * eid, DP_STEP_MOD) - 50
+        sy = _seg_mix(3_000_000_001 + 2 * eid, DP_STEP_MOD) - 50
+        rs = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(rs)
+        counts = np.diff(np.r_[starts, u.size])
+        csx, csy = np.cumsum(sx), np.cumsum(sy)
+        px = csx - np.repeat(csx[starts] - sx[starts], counts)
+        py = csy - np.repeat(csy[starts] - sy[starts], counts)
+        seq = np.arange(u.size) - np.repeat(starts, counts)
+        if counts.size and int(counts.max()) >= DP_PACK:
+            raise OverflowError(
+                "trajectory longer than DP_PACK; raise DP_PACK (oracle "
+                "packed-argmax base) alongside")
+        kept = np.zeros(u.size, bool)
+        for s, c in zip(starts, counts):
+            kept[s:s + c] = _dp_keep(px[s:s + c], py[s:s + c], DP_TOL2)
+        return pd.DataFrame({"user_id": u, "event_id": eid,
+                             "seq": seq.astype(np.int64),
+                             "kept": kept.astype(np.int64)})
+
+    out = (ds.map_batches(_user_shard, batch_format="pyarrow")
+           .groupby("shard")
+           .map_groups(dp_shard, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["user_id", "seq"]).reset_index(drop=True)
+
+
+def simplify_dp_oracle_sql() -> str:
+    """DP oracle: window cumsum builds the trajectories, a recursive CTE
+    replays the split tree — the split point is a hash-join GROUP BY per
+    live interval whose MAX over the packed key·{DP_PACK} + ({DP_PACK}−1
+    − seq) decodes to (max deviation, then SMALLEST seq), the engine's
+    np.argmax first-max tie-break — and kept = membership in the
+    interval-endpoint set."""
+    sx = _mix_sql("3000000000 + 2 * event_id", DP_STEP_MOD) + " - 50"
+    sy = _mix_sql("3000000001 + 2 * event_id", DP_STEP_MOD) + " - 50"
+    key = """CASE WHEN (b.px-a.px)*(b.px-a.px)+(b.py-a.py)*(b.py-a.py) > 0
+      THEN ((p.px-a.px)*(b.py-a.py)-(p.py-a.py)*(b.px-a.px))
+           * ((p.px-a.px)*(b.py-a.py)-(p.py-a.py)*(b.px-a.px))
+      ELSE (p.px-a.px)*(p.px-a.px)+(p.py-a.py)*(p.py-a.py) END"""
+    P = DP_PACK
+    return f"""
+WITH RECURSIVE steps AS MATERIALIZED (
+  SELECT user_id, ts, event_id, {sx} AS sx, {sy} AS sy FROM events),
+pts AS MATERIALIZED (
+  SELECT user_id AS u, event_id,
+         ROW_NUMBER() OVER w - 1 AS seq,
+         SUM(sx) OVER w AS px, SUM(sy) OVER w AS py
+  FROM steps
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)),
+iv(u, lo, hi) AS (
+  SELECT u, 0, MAX(seq) FROM pts GROUP BY u
+  UNION ALL
+  SELECT s.u,
+         CASE w.i WHEN 0 THEN s.lo ELSE s.k END,
+         CASE w.i WHEN 0 THEN s.k ELSE s.hi END
+  FROM (
+    SELECT i.u, i.lo, i.hi,
+           {P - 1} - MAX(({key}) * {P} + ({P - 1} - p.seq)) % {P} AS k,
+           MAX(({key}) * {P} + ({P - 1} - p.seq)) // {P} AS mkey,
+           CASE WHEN (b.px-a.px)*(b.px-a.px)+(b.py-a.py)*(b.py-a.py) > 0
+             THEN {DP_TOL2} *
+                  ((b.px-a.px)*(b.px-a.px)+(b.py-a.py)*(b.py-a.py))
+             ELSE {DP_TOL2} END AS thr
+    FROM iv i
+    JOIN pts a ON a.u = i.u AND a.seq = i.lo
+    JOIN pts b ON b.u = i.u AND b.seq = i.hi
+    JOIN pts p ON p.u = i.u AND p.seq > i.lo AND p.seq < i.hi
+    WHERE i.hi > i.lo + 1
+    GROUP BY i.u, i.lo, i.hi, a.px, a.py, b.px, b.py) s,
+    (VALUES (0), (1)) w(i)
+  WHERE s.mkey > s.thr),
+kept AS MATERIALIZED (
+  -- explicit DISTINCT: inside a WITH RECURSIVE clause DuckDB gives this
+  -- UNION concatenation semantics, so dedup must be spelled out
+  SELECT DISTINCT u, seq FROM (
+    SELECT u, lo AS seq FROM iv UNION ALL SELECT u, hi AS seq FROM iv))
+SELECT p.u AS user_id, p.event_id, CAST(p.seq AS BIGINT) AS seq,
+       CAST(CASE WHEN k.seq IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM pts p LEFT JOIN kept k ON k.u = p.u AND k.seq = p.seq
+ORDER BY user_id, seq
 """

@@ -823,3 +823,73 @@ class TestDbscan:
         monkeypatch.setattr(regions, "CC_DRIVER_MAX_EDGES", 0)
         forced = spatial.q_dbscan(SF001)
         pd.testing.assert_frame_equal(base, forced)
+
+
+class TestSimplifyDp:
+    def _naive(self, px, py, tol2):
+        """Textbook recursive DP, independently written."""
+        keep = set()
+
+        def rec(lo, hi):
+            keep.add(lo)
+            keep.add(hi)
+            if hi <= lo + 1:
+                return
+            vx, vy = int(px[hi] - px[lo]), int(py[hi] - py[lo])
+            vv = vx * vx + vy * vy
+            best_k, best_key = None, -1
+            for i in range(lo + 1, hi):
+                dx, dy = int(px[i] - px[lo]), int(py[i] - py[lo])
+                if vv > 0:
+                    key, thr = (dx * vy - dy * vx) ** 2, tol2 * vv
+                else:
+                    key, thr = dx * dx + dy * dy, tol2
+                if key > thr and key > best_key:
+                    best_key, best_k = key, i
+            if best_k is not None:
+                rec(lo, best_k)
+                rec(best_k, hi)
+
+        rec(0, len(px) - 1)
+        return np.array([i in keep for i in range(len(px))])
+
+    @_hy_given(steps=_hy_st.lists(
+        _hy_st.tuples(_hy_st.integers(-50, 50), _hy_st.integers(-50, 50)),
+        min_size=1, max_size=40))
+    @_hy_settings(max_examples=60, deadline=None)
+    def test_dp_stack_matches_textbook_recursion(self, steps):
+        from raster_functions_ray import spatial
+
+        px = np.cumsum(np.array([s[0] for s in steps], np.int64))
+        py = np.cumsum(np.array([s[1] for s in steps], np.int64))
+        got = spatial._dp_keep(px, py, spatial.DP_TOL2)
+        assert (got == self._naive(px, py, spatial.DP_TOL2)).all()
+
+    def test_walk_span_overflow_margin(self):
+        # packed-argmax (oracle) and cross² (both sides) stay far inside
+        # int64: key·PACK ≤ 64·S⁴·PACK needs the per-user walk span S
+        # < ~3400; pin the measured span with a wide margin
+        import pyarrow.parquet as pq
+        from raster_functions_ray import spatial
+
+        for sf_dir in [SF001, "/root/testdata/sf0.01"]:
+            t = pq.read_table(f"{sf_dir}/events.parquet",
+                              columns=["event_id", "user_id"]).to_pandas()
+            eid = t["event_id"].to_numpy(np.int64)
+            sx = spatial._seg_mix(3_000_000_000 + 2 * eid,
+                                  spatial.DP_STEP_MOD) - 50
+            span = 0
+            for _, g in t.assign(sx=sx).groupby("user_id"):
+                w = np.cumsum(g["sx"].to_numpy(np.int64))
+                span = max(span, int(np.abs(w).max()))
+            assert span < 1500, span
+
+    def test_engine_kept_endpoints_and_fraction(self):
+        from raster_functions_ray import spatial
+
+        out = spatial.q_simplify_dp(SF001)
+        # trajectory endpoints always survive simplification
+        first = out.groupby("user_id").head(1)
+        last = out.sort_values(["user_id", "seq"]).groupby("user_id").tail(1)
+        assert (first["kept"] == 1).all() and (last["kept"] == 1).all()
+        assert 0.05 < out["kept"].mean() < 0.95  # meaningful simplification
