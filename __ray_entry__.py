@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 eighth wave
         "dbscan": spatial.q_dbscan,
         "simplify_dp": spatial.q_simplify_dp,
+        "theilsen_slope": spatial.q_theilsen_slope,
         # family-siblings demoted to make room for the round-4 flagships:
         "block_stats_exact": analytic.q_block_stats_exact,
         "stack_second_max_exact": analytic.q_stack_second_max_exact,
@@ -415,6 +416,7 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
         "argmax_customer": rel.Q_ARGMAX_CUSTOMER_SQL,
         "dbscan": spatial.dbscan_oracle_sql(sf),
         "simplify_dp": spatial.simplify_dp_oracle_sql(),
+        "theilsen_slope": spatial.Q_THEILSEN_SLOPE_SQL,
         "aspect_slope_exact": analytic2.aspect_slope_exact_oracle_sql(sf),
         "block_stats_minmax_exact": analytic2.block_stats_minmax_exact_oracle_sql(sf),
         "zonal_remap_exact": analytic2.zonal_remap_exact_oracle_sql(sf),

@@ -2057,6 +2057,24 @@ ST_BIN_US = 86_400_000_000         # one day
 ST_CELLS_X = 8                     # 8×8 coarse cells over the point grid
 
 
+def _st_cube_partial(b: pa.Table) -> pa.Table:
+    """Shared (cell, day-bin) count partial of the space-time cube —
+    ONE definition so the Mann-Kendall and Theil-Sen gates cannot
+    drift apart on the cube construction."""
+    eid = np.asarray(b["event_id"], dtype=np.int64)
+    us = b["ts"].cast(pa.int64()).to_numpy()
+    cx = ((eid * 7919) % 36000) // (36000 // ST_CELLS_X)
+    cy = ((eid * 104729) % 18000) // (18000 // ST_CELLS_X)
+    cell = cy * ST_CELLS_X + cx
+    d = (us - ST_T0_US) // ST_BIN_US
+    ok = (d >= 0) & (d < ST_BINS)
+    t = pa.table({"cell_id": pa.array(cell[ok]),
+                  "bin": pa.array(d[ok]),
+                  "n": pa.array(np.ones(int(ok.sum()), np.int64))})
+    g = t.group_by(["cell_id", "bin"]).aggregate([("n", "sum")])
+    return g.rename_columns(["cell_id", "bin", "n"])
+
+
 def q_spacetime_trend(sf_dir: str) -> pd.DataFrame:
     """Emerging-hot-spot trend (the ArcGIS Space Time Cube shape,
     reference family: the zonal/temporal analytics of SURVEY §2.4): events
@@ -2072,21 +2090,6 @@ def q_spacetime_trend(sf_dir: str) -> pd.DataFrame:
     Empty days count as zero: each group densifies its own series, so the
     cube never materializes rows for quiet days."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
-
-    def partial(b: pa.Table) -> pa.Table:
-        eid = np.asarray(b["event_id"], dtype=np.int64)
-        us = b["ts"].cast(pa.int64()).to_numpy()
-        cx = ((eid * 7919) % 36000) // (36000 // ST_CELLS_X)
-        cy = ((eid * 104729) % 18000) // (18000 // ST_CELLS_X)
-        cell = cy * ST_CELLS_X + cx
-        d = (us - ST_T0_US) // ST_BIN_US
-        ok = (d >= 0) & (d < ST_BINS)
-        t = pa.table({"cell_id": pa.array(cell[ok]),
-                      "bin": pa.array(d[ok]),
-                      "n": pa.array(np.ones(int(ok.sum()), np.int64))})
-        g = t.group_by(["cell_id", "bin"]).aggregate([("n", "sum")])
-        return g.rename_columns(["cell_id", "bin", "n"])
-
     iu, ju = np.triu_indices(ST_BINS, 1)
 
     def mk_cell(g: pd.DataFrame) -> pd.DataFrame:
@@ -2097,7 +2100,8 @@ def q_spacetime_trend(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"cell_id": [int(g["cell_id"].iloc[0])],
                              "s_stat": [s], "n_events": [int(c.sum())]})
 
-    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    out = (ds.map_batches(_st_cube_partial, batch_format="pyarrow",
+                          batch_size=65536)
            .groupby("cell_id")
            .map_groups(mk_cell, batch_format="pandas")
            .to_pandas())
@@ -2761,4 +2765,81 @@ SELECT p.u AS user_id, p.event_id, CAST(p.seq AS BIGINT) AS seq,
        CAST(CASE WHEN k.seq IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
 FROM pts p LEFT JOIN kept k ON k.u = p.u AND k.seq = p.seq
 ORDER BY user_id, seq
+"""
+
+
+# --------------------------------- Theil-Sen slope over the space-time cube
+
+TS_QD = 1_000_000   # slope quantum (micro-counts per day)
+TS_OFF = 10_000     # per-(cell, day) count ceiling (runtime-asserted), so
+#                     the floor division runs on a NONNEGATIVE numerator —
+#                     truncation == floor on both sides by construction
+
+
+def q_theilsen_slope(sf_dir: str) -> pd.DataFrame:
+    """Theil-Sen (Sen 1968) robust trend slope per space-time-cube cell —
+    the SLOPE half of ArcGIS Emerging Hot Spot analysis (Mann-Kendall S,
+    q_spacetime_trend, is the significance half; both run over the SAME
+    shared cube partial, `_st_cube_partial`).  Per cell: the median of
+    all {ST_BINS}·({ST_BINS}−1)/2 pairwise day-count slopes
+    (c_j − c_i)/(j − i), quantized to integer micro-counts/day via
+    ⌊(dy + OFF·dx)·QD / dx⌋ − OFF·QD so the numerator is nonnegative
+    (floor == truncation on both engines) and the median is an ELEMENT
+    of an exact integer multiset — order-free, hash-exact.  The pair
+    count (435) is odd, so the lower median is the unambiguous middle.
+
+    Engine shape identical to the Mann-Kendall gate: per-batch Arrow
+    count partials → ONE cell-keyed exchange of cube-sized rows →
+    per-cell vectorized pair slopes + one sort of 435 ints."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
+    iu, ju = np.triu_indices(ST_BINS, 1)
+
+    def ts_cell(g: pd.DataFrame) -> pd.DataFrame:
+        c = np.zeros(ST_BINS, np.int64)
+        np.add.at(c, g["bin"].to_numpy(np.int64), g["n"].to_numpy(np.int64))
+        if int(c.max()) >= TS_OFF:
+            raise OverflowError(
+                "per-(cell, day) count exceeds TS_OFF; raise TS_OFF (and "
+                "the oracle literal) together")
+        dy = c[ju] - c[iu]
+        dx = ju - iu
+        q = ((dy + TS_OFF * dx) * TS_QD) // dx - TS_OFF * TS_QD
+        q.sort()
+        return pd.DataFrame({"cell_id": [int(g["cell_id"].iloc[0])],
+                             "ts_slope_q": [int(q[(q.size - 1) // 2])]})
+
+    out = (ds.map_batches(_st_cube_partial, batch_format="pyarrow",
+                          batch_size=65536)
+           .groupby("cell_id")
+           .map_groups(ts_cell, batch_format="pandas")
+           .to_pandas())
+    return (out.astype({"cell_id": "int64", "ts_slope_q": "int64"})
+            .sort_values("cell_id").reset_index(drop=True))
+
+
+Q_THEILSEN_SLOPE_SQL = f"""
+WITH pts AS (
+  SELECT ((event_id * 104729) % 18000) // {18000 // ST_CELLS_X} * {ST_CELLS_X}
+         + ((event_id * 7919) % 36000) // {36000 // ST_CELLS_X} AS cell_id,
+         (epoch_us(ts) - {ST_T0_US}) // {ST_BIN_US} AS bin
+  FROM events
+  WHERE (epoch_us(ts) - {ST_T0_US}) // {ST_BIN_US}
+        BETWEEN 0 AND {ST_BINS - 1}
+), counts AS (
+  SELECT cell_id, bin, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY cell_id, bin
+), dense AS (
+  SELECT c.cell_id, t.b AS bin, COALESCE(k.n, 0) AS n
+  FROM (SELECT DISTINCT cell_id FROM counts) c
+  CROSS JOIN (SELECT CAST(range AS BIGINT) AS b FROM range(0, {ST_BINS})) t
+  LEFT JOIN counts k ON k.cell_id = c.cell_id AND k.bin = t.b
+), slopes AS (
+  SELECT d1.cell_id,
+         ((d2.n - d1.n + {TS_OFF} * (d2.bin - d1.bin)) * {TS_QD})
+           // (d2.bin - d1.bin) - {TS_OFF * TS_QD} AS q
+  FROM dense d1 JOIN dense d2
+    ON d2.cell_id = d1.cell_id AND d2.bin > d1.bin
+)
+SELECT cell_id, CAST(quantile_disc(q, 0.5) AS BIGINT) AS ts_slope_q
+FROM slopes GROUP BY cell_id ORDER BY cell_id
 """

@@ -614,3 +614,34 @@ class TestSpacetimeTrend:
         row = out[out["cell_id"] == pick].iloc[0]
         assert int(row["s_stat"]) == s
         assert int(row["n_events"]) == int(c.sum())
+
+
+class TestTheilsenSlope:
+    def test_hand_check_and_quantization(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+        from fractions import Fraction
+        from raster_functions_ray import spatial
+
+        out = spatial.q_theilsen_slope("/root/testdata/sf0.001")
+        B = spatial.ST_BINS
+        t = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                          columns=["event_id", "ts"])
+        eid = t["event_id"].to_numpy()
+        us = t["ts"].cast("int64").to_numpy()
+        cx = ((eid * 7919) % 36000) // (36000 // spatial.ST_CELLS_X)
+        cy = ((eid * 104729) % 18000) // (18000 // spatial.ST_CELLS_X)
+        cell = cy * spatial.ST_CELLS_X + cx
+        d = (us - spatial.ST_T0_US) // spatial.ST_BIN_US
+        for pick in out["cell_id"].head(3):
+            sel = (cell == pick) & (d >= 0) & (d < B)
+            c = np.bincount(d[sel], minlength=B)[:B].astype(int)
+            # exact-fraction reference: median of true rational slopes,
+            # then quantize — must equal quantize-then-median because
+            # x → ⌊x·QD⌋ is monotone (ties collapse consistently)
+            slopes = sorted(Fraction(int(c[j]) - int(c[i]), j - i)
+                            for i in range(B) for j in range(i + 1, B))
+            med = slopes[(len(slopes) - 1) // 2]
+            qmed = (med.numerator * spatial.TS_QD) // med.denominator
+            row = out[out["cell_id"] == pick].iloc[0]
+            assert int(row["ts_slope_q"]) == qmed
