@@ -1457,3 +1457,144 @@ SELECT doc_id,
             AS BIGINT) AS n_merged
 FROM documents ORDER BY doc_id
 """
+
+
+# ------------------------------------ naive Bayes trained text classifier
+
+NB_QUANT = 1_000_000   # surprisal quantum (integer micro-nats)
+
+
+def q_naive_bayes(sf_dir: str) -> pd.DataFrame:
+    """Multinomial naive Bayes, TRAINED on the corpus then scored over it
+    — the count-based train→broadcast→score classifier shape
+    (complementing q_hash_classifier, whose weights are a pure hash
+    function with no training pass).  Add-1 smoothing; scores are
+    SURPRISALS (negative log-probs, positive) in integer micro-nats so
+    the per-doc sum is order-free and argMIN with (score, class) lex
+    tie-break is deterministic: per class c,
+    S(doc) = q(ln(N/n_c)) + Σ_tok tf·q(ln((tot_c + V)/(cnt_{c,tok} + 1)))
+    with q(x) = ⌊x·{NB_QUANT} + 0.5⌋ (the unigram-LM quantized-ln
+    discipline; boundary margins pytest-pinned over the real corpus).
+
+    Engine shape: ONE distributed pass builds the (class, token) count
+    table (bounded by classes × language vocabulary, not the corpus) +
+    per-class doc/token totals; the driver assembles the C×V integer
+    surprisal matrix and broadcasts it once; ONE streaming scoring pass
+    per batch does searchsorted token lookup + np.add.at per class —
+    document text crosses the wire exactly once per pass."""
+    import ray
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        toks = df["text"].str.lower().str.findall(r"[a-z]+")
+        src = df["source"].to_numpy()
+        flat = toks.explode().dropna()
+        n_docs = pa.table({
+            "source": pa.array(np.unique(src)), "token": pa.array(
+                ["\x00docs"] * np.unique(src).size),
+            "c": pa.array(np.unique(src, return_counts=True)[1]
+                          .astype(np.int64))})
+        if flat.empty:
+            return n_docs
+        t = pa.table({
+            "source": pa.array(src[flat.index.to_numpy(np.int64)]),
+            "token": pa.array(flat.to_numpy(dtype=object).astype(str)),
+            "c": pa.array(np.ones(len(flat), np.int64))})
+        g = (t.group_by(["source", "token"]).aggregate([("c", "sum")])
+             .rename_columns(["source", "token", "c"]))
+        return pa.concat_tables([g, n_docs])
+
+    counts = (ds.map_batches(count_partial, batch_format="pyarrow",
+                             batch_size=4096)
+              .groupby(["source", "token"])
+              .aggregate(Sum("c", alias_name="c"))
+              .to_pandas())
+    is_doc_row = counts["token"] == "\x00docs"
+    n_c = (counts[is_doc_row].set_index("source")["c"]).to_dict()
+    tok = counts[~is_doc_row]
+    classes = np.array(sorted(n_c))                      # lex order = SQL
+    vocab = np.sort(tok["token"].unique().astype(str))
+    V, C = vocab.size, classes.size
+    cnt = np.zeros((C, V), np.int64)
+    ci = np.searchsorted(classes, tok["source"].to_numpy(dtype=object)
+                         .astype(str))
+    vi = np.searchsorted(vocab, tok["token"].to_numpy(dtype=object)
+                         .astype(str))
+    np.add.at(cnt, (ci, vi), tok["c"].to_numpy(np.int64))
+    tot = cnt.sum(axis=1)
+    N = int(sum(n_c.values()))
+    qs = np.floor(np.log((tot[:, None] + V) / (cnt + 1.0))
+                  * NB_QUANT + 0.5).astype(np.int64)
+    qprior = np.floor(np.log(N / np.array([n_c[c] for c in classes],
+                                          np.float64))
+                      * NB_QUANT + 0.5).astype(np.int64)
+    model = ray.put((vocab, qs, qprior, classes))
+
+    def score(b: pa.Table) -> pd.DataFrame:
+        v, q, qp, cls = ray.get(model)
+        df = b.to_pandas()
+        toks = df["text"].str.lower().str.findall(r"[a-z]+")
+        flat = toks.explode().dropna()
+        scores = np.tile(qp, (len(df), 1))               # (docs, C)
+        if not flat.empty:
+            arr = flat.to_numpy(dtype=object).astype(str)
+            pos = np.searchsorted(v, arr)
+            doc_idx = flat.index.to_numpy(np.int64)
+            for c in range(cls.size):
+                np.add.at(scores[:, c], doc_idx, q[c][pos])
+        best = scores.argmin(axis=1)                     # first min = lex
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "pred": cls[best],
+            "best_q": scores[np.arange(len(df)), best]})
+
+    out = ds.map_batches(score, batch_format="pyarrow",
+                         batch_size=4096).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_NAIVE_BAYES_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents),
+joint AS MATERIALIZED (
+  SELECT d.source, t.token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks t JOIN documents d USING (doc_id)
+  GROUP BY d.source, t.token),
+ctot AS MATERIALIZED (
+  SELECT source, SUM(c) AS tot FROM joint GROUP BY source),
+vsz AS (SELECT COUNT(DISTINCT token) AS v FROM toks),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+prior AS MATERIALIZED (
+  SELECT source,
+         CAST(floor(ln(CAST((SELECT n FROM nn) AS DOUBLE) / COUNT(*))
+              * {NB_QUANT} + 0.5) AS BIGINT) AS qp
+  FROM documents GROUP BY source),
+ql AS MATERIALIZED (
+  SELECT ct.source, vt.token,
+         CAST(floor(ln(CAST(ct.tot + (SELECT v FROM vsz) AS DOUBLE)
+                       / (COALESCE(j.c, 0) + 1))
+              * {NB_QUANT} + 0.5) AS BIGINT) AS q
+  FROM ctot ct
+  CROSS JOIN (SELECT DISTINCT token FROM toks) vt
+  LEFT JOIN joint j ON j.source = ct.source AND j.token = vt.token),
+scored AS MATERIALIZED (
+  SELECT t.doc_id, l.source,
+         CAST(ANY_VALUE(p.qp) + SUM(l.q) AS BIGINT) AS s
+  FROM toks t
+  JOIN ql l ON l.token = t.token
+  JOIN prior p ON p.source = l.source
+  GROUP BY t.doc_id, l.source),
+full_s AS MATERIALIZED (
+  -- docs with zero tokens score prior-only against every class
+  SELECT d.doc_id, p.source, COALESCE(s.s, p.qp) AS s
+  FROM documents d
+  CROSS JOIN prior p
+  LEFT JOIN scored s ON s.doc_id = d.doc_id AND s.source = p.source)
+SELECT doc_id, source AS pred, s AS best_q
+FROM full_s
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s, source) = 1
+ORDER BY doc_id
+"""

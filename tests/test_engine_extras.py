@@ -893,3 +893,48 @@ class TestSimplifyDp:
         last = out.sort_values(["user_id", "seq"]).groupby("user_id").tail(1)
         assert (first["kept"] == 1).all() and (last["kept"] == 1).all()
         assert 0.05 < out["kept"].mean() < 0.95  # meaningful simplification
+
+
+class TestNaiveBayes:
+    def test_quantization_boundary_margin(self):
+        # the unigram-LM discipline: every quantized ln over the REAL
+        # corpus must sit far from its rounding boundary relative to
+        # libm noise (~3e-3 µnat at these magnitudes)
+        import duckdb
+        from raster_functions_ray import textops
+
+        for sf_dir in [SF001, "/root/testdata/sf0.01"]:
+            con = duckdb.connect()
+            con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/documents.parquet')")
+            df = con.sql("""
+                WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(
+                                lower(text), '[a-z]+')) AS token
+                              FROM documents),
+                joint AS (SELECT d.source, t.token, COUNT(*) c FROM toks t
+                          JOIN documents d USING (doc_id) GROUP BY 1, 2),
+                ctot AS (SELECT source, SUM(c) tot FROM joint GROUP BY 1)
+                SELECT ct.tot + (SELECT COUNT(DISTINCT token) FROM toks)
+                         AS num,
+                       COALESCE(j.c, 0) + 1 AS den
+                FROM ctot ct
+                CROSS JOIN (SELECT DISTINCT token FROM toks) vt
+                LEFT JOIN joint j ON j.source = ct.source
+                                 AND j.token = vt.token""").df()
+            x = np.log(df["num"].to_numpy(np.float64)
+                       / df["den"].to_numpy(np.float64)) * textops.NB_QUANT
+            frac = (x + 0.5) % 1.0
+            margin = np.minimum(frac, 1.0 - frac).min()
+            # libm noise here is ~2 ulp of ln ≈ 10 scaled by Q = ~4e-9
+            # µnat; the measured corpus minimum (~4.5e-3) clears it by
+            # six orders of magnitude
+            assert margin > 1e-4, margin
+
+    def test_model_shape_and_determinism(self):
+        from raster_functions_ray import textops
+
+        a = textops.q_naive_bayes(SF001)
+        b = textops.q_naive_bayes(SF001)
+        pd.testing.assert_frame_equal(a, b)
+        assert a["pred"].str.startswith("src").all()
+        assert (a["best_q"] > 0).all()
