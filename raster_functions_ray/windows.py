@@ -463,3 +463,92 @@ LEFT JOIN (SELECT event_id, ts, user_id FROM events
 GROUP BY p.event_id
 ORDER BY p.event_id
 """
+
+
+# -------------------- autocorrelation sufficient statistics (daily counts)
+
+ACF_LAGS = 7   # lags 1..7 over the 30-day series (weekly seasonality scan)
+
+
+def q_acf_daily(sf_dir: str) -> pd.DataFrame:
+    """Autocorrelation SUFFICIENT STATISTICS per event type over its
+    30-day event-count series — the seasonality scan that feeds model
+    selection for the SARIMA family (functions/SeasonalARIMA.py's
+    seasonal period is an input; this is how a pipeline would detect
+    it).  Exact integer moments only (the group_regression discipline —
+    the float ACF r_k = (n·sxy − sa·sb)/… is a driver formula): per
+    (event_type, lag k ∈ 1..{ACF_LAGS}): n_pairs, Σ xₜ·xₜ₊ₖ, Σ xₜ
+    (leading window), Σ xₜ₊ₖ (trailing window), plus the lag-0 row
+    carrying Σx and Σx².
+
+    Engine shape: per-batch Arrow (type, day) count partials → ONE
+    type-keyed exchange of cube-sized rows (O(types·days·blocks), never
+    events) → per-type vectorized shifted products over the densified
+    series.  Empty days count as zero."""
+    from .spatial import ST_BIN_US, ST_BINS, ST_T0_US
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy()
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        d = (us - ST_T0_US) // ST_BIN_US
+        ok = (d >= 0) & (d < ST_BINS)
+        t = pa.table({"event_type": pa.array(et[ok]),
+                      "bin": pa.array(d[ok]),
+                      "n": pa.array(np.ones(int(ok.sum()), np.int64))})
+        g = t.group_by(["event_type", "bin"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "bin", "n"])
+
+    def acf_type(g: pd.DataFrame) -> pd.DataFrame:
+        x = np.zeros(ST_BINS, np.int64)
+        np.add.at(x, g["bin"].to_numpy(np.int64), g["n"].to_numpy(np.int64))
+        rows = [{"event_type": g["event_type"].iloc[0], "lag": 0,
+                 "n_pairs": ST_BINS, "sxy": int((x * x).sum()),
+                 "sa": int(x.sum()), "sb": int(x.sum())}]
+        for k in range(1, ACF_LAGS + 1):
+            rows.append({"event_type": g["event_type"].iloc[0], "lag": k,
+                         "n_pairs": ST_BINS - k,
+                         "sxy": int((x[:-k] * x[k:]).sum()),
+                         "sa": int(x[:-k].sum()), "sb": int(x[k:].sum())})
+        return pd.DataFrame(rows)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby("event_type")
+           .map_groups(acf_type, batch_format="pandas")
+           .to_pandas())
+    out = out.astype({"lag": "int64", "n_pairs": "int64", "sxy": "int64",
+                      "sa": "int64", "sb": "int64"})
+    return (out.sort_values(["event_type", "lag"]).reset_index(drop=True))
+
+
+def acf_daily_oracle_sql() -> str:
+    from .spatial import ST_BIN_US, ST_BINS, ST_T0_US
+
+    return f"""
+WITH counts AS MATERIALIZED (
+  SELECT event_type, (epoch_us(ts) - {ST_T0_US}) // {ST_BIN_US} AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  WHERE (epoch_us(ts) - {ST_T0_US}) // {ST_BIN_US}
+        BETWEEN 0 AND {ST_BINS - 1}
+  GROUP BY 1, 2),
+dense AS MATERIALIZED (
+  SELECT e.event_type, t.b AS bin, COALESCE(c.n, 0) AS n
+  FROM (SELECT DISTINCT event_type FROM counts) e
+  CROSS JOIN (SELECT CAST(range AS BIGINT) AS b
+              FROM range(0, {ST_BINS})) t
+  LEFT JOIN counts c ON c.event_type = e.event_type AND c.bin = t.b),
+lags AS (SELECT CAST(range AS BIGINT) AS lag
+         FROM range(0, {ACF_LAGS + 1}))
+SELECT a.event_type, l.lag,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(a.n * b.n) AS BIGINT) AS sxy,
+       CAST(SUM(a.n) AS BIGINT) AS sa,
+       CAST(SUM(b.n) AS BIGINT) AS sb
+FROM lags l
+JOIN dense a ON TRUE
+JOIN dense b ON b.event_type = a.event_type AND b.bin = a.bin + l.lag
+GROUP BY a.event_type, l.lag
+ORDER BY a.event_type, l.lag
+"""

@@ -316,3 +316,34 @@ class TestRound4Additions:
         got2 = rel.q_late_events(str(tmp_path))
         exp2 = con.execute(rel.Q_LATE_EVENTS_SQL).df()
         pd.testing.assert_frame_equal(got2, exp2, check_dtype=False)
+
+
+class TestAcfDaily:
+    def test_hand_check_and_acf_range(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+        from raster_functions_ray import spatial, windows
+
+        out = windows.q_acf_daily("/root/testdata/sf0.001")
+        t = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                          columns=["event_type", "ts"]).to_pandas()
+        d = (t["ts"].astype("int64") - spatial.ST_T0_US) // spatial.ST_BIN_US
+        for et in out["event_type"].unique():
+            sel = (t["event_type"] == et) & (d >= 0) & (d < spatial.ST_BINS)
+            x = np.bincount(d[sel], minlength=spatial.ST_BINS)
+            x = x[:spatial.ST_BINS].astype(np.int64)
+            sub = out[out["event_type"] == et].set_index("lag")
+            assert sub.loc[0, "sxy"] == int((x * x).sum())
+            for k in range(1, windows.ACF_LAGS + 1):
+                assert sub.loc[k, "sxy"] == int((x[:-k] * x[k:]).sum())
+                assert sub.loc[k, "sa"] == int(x[:-k].sum())
+            # the driver-formula ACF from the sufficient stats is a
+            # well-formed correlation
+            n, sx, sxx = spatial.ST_BINS, x.sum(), (x * x).sum()
+            var = n * sxx - sx * sx
+            if var > 0:
+                k = 1
+                r = ((sub.loc[k, "n_pairs"] * sub.loc[k, "sxy"]
+                      - sub.loc[k, "sa"] * sub.loc[k, "sb"])
+                     / max(1, (sub.loc[k, "n_pairs"] * sxx - sx * sx / 1)))
+                assert -2.0 < r < 2.0
