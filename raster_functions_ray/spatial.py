@@ -2843,3 +2843,121 @@ WITH pts AS (
 SELECT cell_id, CAST(quantile_disc(q, 0.5) AS BIGINT) AS ts_slope_q
 FROM slopes GROUP BY cell_id ORDER BY cell_id
 """
+
+
+# ------------------------- segment-intersection self-join (vector overlay)
+
+def q_segment_intersect(sf_dir: str) -> pd.DataFrame:
+    """Proper segment-crossing self-join over the order-segment world —
+    the vector-OVERLAY primitive (ArcGIS Intersect / topology validation):
+    every unordered pair of segments that strictly cross (shared
+    endpoints, touches and collinear overlaps are excluded by the strict
+    sign test, keeping the predicate purely integer).  Crossing iff
+    d1·d2 < 0 AND d3·d4 < 0 with the four orientation cross products —
+    differences stay ≤ ~130, so every product is ⋘ 2⁶³.
+
+    Scale shape: each segment emits its ≤2×2 bbox cells (span ≤
+    {SEG_MAXD} < pitch {SEG_CELL}); candidate pairs form as ONE
+    cell-keyed hash self-join; the report-once owner is the cell
+    containing the component-wise MAX of the two bbox-min corners — that
+    corner lies in both bboxes, so exactly one shared cell owns each
+    pair (the rect-overlap-join ownership rule)."""
+    segs = read_table(sf_dir, "orders", columns=["o_orderkey"])
+
+    def seg_cells(b: pa.Table, side: str) -> pa.Table:
+        k = np.asarray(b["o_orderkey"], dtype=np.int64)
+        x1, y1, x2, y2 = _seg_endpoints(k)
+        cx0 = np.minimum(x1, x2) // SEG_CELL
+        cx1 = np.maximum(x1, x2) // SEG_CELL
+        cy0 = np.minimum(y1, y2) // SEG_CELL
+        cy1 = np.maximum(y1, y2) // SEG_CELL
+        parts = []
+        for i in (0, 1):
+            for j in (0, 1):
+                keep = (cx0 + i <= cx1) & (cy0 + j <= cy1)
+                if not keep.any():
+                    continue
+                parts.append(pa.table({
+                    "key": pa.array((cx0[keep] + i) * 1024 + cy0[keep] + j),
+                    f"{side}id": pa.array(k[keep]),
+                    f"{side}x1": pa.array(x1[keep]),
+                    f"{side}y1": pa.array(y1[keep]),
+                    f"{side}x2": pa.array(x2[keep]),
+                    f"{side}y2": pa.array(y2[keep]),
+                    f"{side}cx": pa.array(cx0[keep]),
+                    f"{side}cy": pa.array(cy0[keep])}))
+        return pa.concat_tables(parts)
+
+    def cross_pairs(t: pa.Table) -> pa.Table:
+        key = np.asarray(t["key"], np.int64)
+        a = {c: np.asarray(t["a" + c], np.int64)
+             for c in ("id", "x1", "y1", "x2", "y2", "cx", "cy")}
+        b = {c: np.asarray(t["b" + c], np.int64)
+             for c in ("id", "x1", "y1", "x2", "y2", "cx", "cy")}
+        own = ((np.maximum(a["cx"], b["cx"]) * 1024
+                + np.maximum(a["cy"], b["cy"])) == key)
+        keep = (a["id"] < b["id"]) & own
+        for c in a:
+            a[c] = a[c][keep]
+            b[c] = b[c][keep]
+        d1 = ((b["x2"] - b["x1"]) * (a["y1"] - b["y1"])
+              - (b["y2"] - b["y1"]) * (a["x1"] - b["x1"]))
+        d2 = ((b["x2"] - b["x1"]) * (a["y2"] - b["y1"])
+              - (b["y2"] - b["y1"]) * (a["x2"] - b["x1"]))
+        d3 = ((a["x2"] - a["x1"]) * (b["y1"] - a["y1"])
+              - (a["y2"] - a["y1"]) * (b["x1"] - a["x1"]))
+        d4 = ((a["x2"] - a["x1"]) * (b["y2"] - a["y1"])
+              - (a["y2"] - a["y1"]) * (b["x2"] - a["x1"]))
+        hit = (d1 * d2 < 0) & (d3 * d4 < 0)
+        return pa.table({"a_id": pa.array(a["id"][hit]),
+                         "b_id": pa.array(b["id"][hit])})
+
+    left = segs.map_batches(lambda t: seg_cells(t, "a"),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    right = segs.map_batches(lambda t: seg_cells(t, "b"),
+                             batch_format="pyarrow", zero_copy_batch=True)
+    nparts = max(2, min(join_partitions(), 8))
+    out = (left.join(right, join_type="inner", num_partitions=nparts,
+                     on=("key",))
+           .map_batches(cross_pairs, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
+def segment_intersect_oracle_sql() -> str:
+    """Same endpoint mixes, 2×2 bbox-cell emission, equi-join blocking,
+    owner-corner dedup and strict sign predicate — in plain SQL."""
+    ends = f"""
+  SELECT o_orderkey AS id,
+         {_mix_sql('4 * o_orderkey + 0')} AS rx1,
+         {_mix_sql('4 * o_orderkey + 1')} AS ry1,
+         {_mix_sql('4 * o_orderkey + 2', 81)} - 40 AS dx,
+         {_mix_sql('4 * o_orderkey + 3', 81)} - 40 AS dy
+  FROM orders"""
+    return f"""
+WITH raw AS MATERIALIZED ({ends}),
+segs AS MATERIALIZED (
+  SELECT id, rx1 AS x1, ry1 AS y1,
+         LEAST(GREATEST(rx1 + dx, 0), 9999) AS x2,
+         LEAST(GREATEST(ry1 + dy, 0), 9999) AS y2
+  FROM raw),
+boxed AS MATERIALIZED (
+  SELECT *, LEAST(x1, x2) // {SEG_CELL} AS cx0,
+         GREATEST(x1, x2) // {SEG_CELL} AS cx1,
+         LEAST(y1, y2) // {SEG_CELL} AS cy0,
+         GREATEST(y1, y2) // {SEG_CELL} AS cy1
+  FROM segs),
+cells AS MATERIALIZED (
+  SELECT b.*, (b.cx0 + dx.d) * 1024 + (b.cy0 + dy.d) AS ck
+  FROM boxed b, (VALUES (0), (1)) dx(d), (VALUES (0), (1)) dy(d)
+  WHERE b.cx0 + dx.d <= b.cx1 AND b.cy0 + dy.d <= b.cy1)
+SELECT a.id AS a_id, b.id AS b_id
+FROM cells a JOIN cells b ON b.ck = a.ck
+WHERE a.id < b.id
+  AND (GREATEST(a.cx0, b.cx0) * 1024 + GREATEST(a.cy0, b.cy0)) = a.ck
+  AND ((b.x2-b.x1)*(a.y1-b.y1) - (b.y2-b.y1)*(a.x1-b.x1))
+    * ((b.x2-b.x1)*(a.y2-b.y1) - (b.y2-b.y1)*(a.x2-b.x1)) < 0
+  AND ((a.x2-a.x1)*(b.y1-a.y1) - (a.y2-a.y1)*(b.x1-a.x1))
+    * ((a.x2-a.x1)*(b.y2-a.y1) - (a.y2-a.y1)*(b.x2-a.x1)) < 0
+ORDER BY a_id, b_id
+"""

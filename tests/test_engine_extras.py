@@ -938,3 +938,34 @@ class TestNaiveBayes:
         pd.testing.assert_frame_equal(a, b)
         assert a["pred"].str.startswith("src").all()
         assert (a["best_q"] > 0).all()
+
+
+class TestSegmentIntersect:
+    def test_matches_gridless_brute_force(self):
+        import pyarrow.parquet as pq
+        from raster_functions_ray import spatial
+
+        got = spatial.q_segment_intersect(SF001)
+        k = pq.read_table(f"{SF001}/orders.parquet",
+                          columns=["o_orderkey"])["o_orderkey"] \
+            .to_numpy().astype(np.int64)
+        x1, y1, x2, y2 = spatial._seg_endpoints(k)
+        n = k.size
+        pairs = set()
+        # gridless O(n²) reference: no cells, no ownership — any
+        # exactly-once bug or emission gap shows up as a set diff
+        for s in range(0, n, 256):
+            e = min(s + 256, n)
+            d1 = ((x2[None, :] - x1[None, :]) * (y1[s:e, None] - y1[None, :])
+                  - (y2[None, :] - y1[None, :]) * (x1[s:e, None] - x1[None, :]))
+            d2 = ((x2[None, :] - x1[None, :]) * (y2[s:e, None] - y1[None, :])
+                  - (y2[None, :] - y1[None, :]) * (x2[s:e, None] - x1[None, :]))
+            d3 = ((x2[s:e, None] - x1[s:e, None]) * (y1[None, :] - y1[s:e, None])
+                  - (y2[s:e, None] - y1[s:e, None]) * (x1[None, :] - x1[s:e, None]))
+            d4 = ((x2[s:e, None] - x1[s:e, None]) * (y2[None, :] - y1[s:e, None])
+                  - (y2[s:e, None] - y1[s:e, None]) * (x2[None, :] - x1[s:e, None]))
+            hit = (d1 * d2 < 0) & (d3 * d4 < 0) \
+                & (k[s:e, None] < k[None, :])
+            i, j = np.nonzero(hit)
+            pairs.update(zip(k[s:e][i].tolist(), k[j].tolist()))
+        assert set(zip(got["a_id"], got["b_id"])) == pairs
