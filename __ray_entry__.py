@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "naive_bayes": textops.q_naive_bayes,
         "acf_daily": windows.q_acf_daily,
         "segment_intersect": spatial.q_segment_intersect,
+        "hausdorff": spatial.q_hausdorff,
         # family-siblings demoted to make room for the round-4 flagships:
         "block_stats_exact": analytic.q_block_stats_exact,
         "stack_second_max_exact": analytic.q_stack_second_max_exact,
@@ -423,6 +424,7 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
         "naive_bayes": textops.Q_NAIVE_BAYES_SQL,
         "acf_daily": windows.acf_daily_oracle_sql(),
         "segment_intersect": spatial.segment_intersect_oracle_sql(),
+        "hausdorff": spatial.hausdorff_oracle_sql(),
         "aspect_slope_exact": analytic2.aspect_slope_exact_oracle_sql(sf),
         "block_stats_minmax_exact": analytic2.block_stats_minmax_exact_oracle_sql(sf),
         "zonal_remap_exact": analytic2.zonal_remap_exact_oracle_sql(sf),

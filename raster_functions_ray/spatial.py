@@ -2653,6 +2653,29 @@ def _dp_keep(px: np.ndarray, py: np.ndarray, tol2: int) -> np.ndarray:
     return keep
 
 
+def _walk_arrays(g: pd.DataFrame):
+    """Shared trajectory-world construction for the vector-analysis
+    family (Douglas-Peucker, Hausdorff): sort one shard by (user, ts,
+    event_id), derive ±50 counter-mix steps per axis, and build every
+    user's walk with ONE segmented cumsum.  Returns (u, eid, px, py,
+    run starts, run counts, within-run seq) — all sorted, all int64."""
+    eid = g["event_id"].to_numpy(np.int64)
+    ts = g["ts"].astype("int64").to_numpy()
+    u = g["user_id"].to_numpy(np.int64)
+    order = np.lexsort((eid, ts, u))
+    eid, u = eid[order], u[order]
+    sx = _seg_mix(3_000_000_000 + 2 * eid, DP_STEP_MOD) - 50
+    sy = _seg_mix(3_000_000_001 + 2 * eid, DP_STEP_MOD) - 50
+    rs = np.r_[True, u[1:] != u[:-1]]
+    starts = np.flatnonzero(rs)
+    counts = np.diff(np.r_[starts, u.size])
+    csx, csy = np.cumsum(sx), np.cumsum(sy)
+    px = csx - np.repeat(csx[starts] - sx[starts], counts)
+    py = csy - np.repeat(csy[starts] - sy[starts], counts)
+    seq = np.arange(u.size) - np.repeat(starts, counts)
+    return u, eid, px, py, starts, counts, seq
+
+
 def q_simplify_dp(sf_dir: str) -> pd.DataFrame:
     """Douglas-Peucker polyline simplification (Ramer 1972 / Douglas &
     Peucker 1973 — the ArcGIS Simplify Line / Generalize operator) over
@@ -2678,20 +2701,7 @@ def q_simplify_dp(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
 
     def dp_shard(g: pd.DataFrame) -> pd.DataFrame:
-        eid = g["event_id"].to_numpy(np.int64)
-        ts = g["ts"].astype("int64").to_numpy()
-        u = g["user_id"].to_numpy(np.int64)
-        order = np.lexsort((eid, ts, u))
-        eid, u = eid[order], u[order]
-        sx = _seg_mix(3_000_000_000 + 2 * eid, DP_STEP_MOD) - 50
-        sy = _seg_mix(3_000_000_001 + 2 * eid, DP_STEP_MOD) - 50
-        rs = np.r_[True, u[1:] != u[:-1]]
-        starts = np.flatnonzero(rs)
-        counts = np.diff(np.r_[starts, u.size])
-        csx, csy = np.cumsum(sx), np.cumsum(sy)
-        px = csx - np.repeat(csx[starts] - sx[starts], counts)
-        py = csy - np.repeat(csy[starts] - sy[starts], counts)
-        seq = np.arange(u.size) - np.repeat(starts, counts)
+        u, eid, px, py, starts, counts, seq = _walk_arrays(g)
         if counts.size and int(counts.max()) >= DP_PACK:
             raise OverflowError(
                 "trajectory longer than DP_PACK; raise DP_PACK (oracle "
@@ -2710,22 +2720,12 @@ def q_simplify_dp(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "seq"]).reset_index(drop=True)
 
 
-def simplify_dp_oracle_sql() -> str:
-    """DP oracle: window cumsum builds the trajectories, a recursive CTE
-    replays the split tree — the split point is a hash-join GROUP BY per
-    live interval whose MAX over the packed key·{DP_PACK} + ({DP_PACK}−1
-    − seq) decodes to (max deviation, then SMALLEST seq), the engine's
-    np.argmax first-max tie-break — and kept = membership in the
-    interval-endpoint set."""
+def _walk_pts_sql() -> str:
+    """The trajectory-world `steps`/`pts` CTE pair shared by the
+    Douglas-Peucker and Hausdorff oracles (mirrors `_walk_arrays`)."""
     sx = _mix_sql("3000000000 + 2 * event_id", DP_STEP_MOD) + " - 50"
     sy = _mix_sql("3000000001 + 2 * event_id", DP_STEP_MOD) + " - 50"
-    key = """CASE WHEN (b.px-a.px)*(b.px-a.px)+(b.py-a.py)*(b.py-a.py) > 0
-      THEN ((p.px-a.px)*(b.py-a.py)-(p.py-a.py)*(b.px-a.px))
-           * ((p.px-a.px)*(b.py-a.py)-(p.py-a.py)*(b.px-a.px))
-      ELSE (p.px-a.px)*(p.px-a.px)+(p.py-a.py)*(p.py-a.py) END"""
-    P = DP_PACK
-    return f"""
-WITH RECURSIVE steps AS MATERIALIZED (
+    return f"""steps AS MATERIALIZED (
   SELECT user_id, ts, event_id, {sx} AS sx, {sy} AS sy FROM events),
 pts AS MATERIALIZED (
   SELECT user_id AS u, event_id,
@@ -2733,7 +2733,23 @@ pts AS MATERIALIZED (
          SUM(sx) OVER w AS px, SUM(sy) OVER w AS py
   FROM steps
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING)),
+               ROWS UNBOUNDED PRECEDING))"""
+
+
+def simplify_dp_oracle_sql() -> str:
+    """DP oracle: window cumsum builds the trajectories, a recursive CTE
+    replays the split tree — the split point is a hash-join GROUP BY per
+    live interval whose MAX over the packed key·{DP_PACK} + ({DP_PACK}−1
+    − seq) decodes to (max deviation, then SMALLEST seq), the engine's
+    np.argmax first-max tie-break — and kept = membership in the
+    interval-endpoint set."""
+    key = """CASE WHEN (b.px-a.px)*(b.px-a.px)+(b.py-a.py)*(b.py-a.py) > 0
+      THEN ((p.px-a.px)*(b.py-a.py)-(p.py-a.py)*(b.px-a.px))
+           * ((p.px-a.px)*(b.py-a.py)-(p.py-a.py)*(b.px-a.px))
+      ELSE (p.px-a.px)*(p.px-a.px)+(p.py-a.py)*(p.py-a.py) END"""
+    P = DP_PACK
+    return f"""
+WITH RECURSIVE {_walk_pts_sql()},
 iv(u, lo, hi) AS (
   SELECT u, 0, MAX(seq) FROM pts GROUP BY u
   UNION ALL
@@ -2960,4 +2976,94 @@ WHERE a.id < b.id
   AND ((a.x2-a.x1)*(b.y1-a.y1) - (a.y2-a.y1)*(b.x1-a.x1))
     * ((a.x2-a.x1)*(b.y2-a.y1) - (a.y2-a.y1)*(b.x2-a.x1)) < 0
 ORDER BY a_id, b_id
+"""
+
+
+# ------------------- Hausdorff trajectory distance (broadcast queries)
+
+HAUS_QUERY_USERS = (0, 1, 2)   # the query-side trajectories
+
+
+def q_hausdorff(sf_dir: str) -> pd.DataFrame:
+    """Symmetric Hausdorff distance² between EVERY user trajectory and
+    each of {len(HAUS_QUERY_USERS)} query trajectories (users
+    {HAUS_QUERY_USERS}) over the shared walk world (`_walk_arrays` — the
+    same polylines Douglas-Peucker simplifies): H² = max(max_a min_b d²,
+    max_b min_a d²) — the trajectory-similarity primitive behind
+    map-matching and track clustering, exact in int64 throughout (d² of
+    bounded integer walks; max/min never leave the integers).
+
+    Engine shape: the query side is a pushdown-filtered read of
+    {len(HAUS_QUERY_USERS)} users, built once on the driver and
+    broadcast via ray.put (O(queries·m) — result-sized); the corpus side
+    streams through user-hash shards, ONE lexsort + segmented cumsum per
+    shard, then a vectorized m×m distance matrix per (trajectory, query)
+    — no shuffle beyond the shard exchange, text... coordinates never
+    cross the wire twice."""
+    import pyarrow.compute as pc
+
+    from .sources import read_table_filtered
+    from .windows import _user_shard
+
+    qt = read_table_filtered(
+        sf_dir, "events", ["event_id", "ts", "user_id"],
+        pc.field("user_id").isin(list(HAUS_QUERY_USERS))).to_pandas()
+    qu, _, qpx, qpy, qstarts, qcounts, _ = _walk_arrays(qt)
+    queries = {int(qu[s]): (qpx[s:s + c], qpy[s:s + c])
+               for s, c in zip(qstarts, qcounts)}
+    qref = ray.put(queries)
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def haus_shard(g: pd.DataFrame) -> pd.DataFrame:
+        qs = ray.get(qref)
+        u, _, px, py, starts, counts, _ = _walk_arrays(g)
+        rows = []
+        for s, c in zip(starts, counts):
+            ax, ay = px[s:s + c], py[s:s + c]
+            for qid in sorted(qs):
+                bx, by = qs[qid]
+                d2 = ((ax[:, None] - bx[None, :]) ** 2
+                      + (ay[:, None] - by[None, :]) ** 2)
+                h = max(int(d2.min(axis=1).max()),
+                        int(d2.min(axis=0).max()))
+                rows.append((int(u[s]), qid, h))
+        return pd.DataFrame(rows,
+                            columns=["user_id", "q_id", "hausdorff_d2"])
+
+    out = (ds.map_batches(_user_shard, batch_format="pyarrow")
+           .groupby("shard")
+           .map_groups(haus_shard, batch_format="pandas")
+           .to_pandas())
+    out = out.astype({"user_id": "int64", "q_id": "int64",
+                      "hausdorff_d2": "int64"})
+    return out.sort_values(["user_id", "q_id"]).reset_index(drop=True)
+
+
+def hausdorff_oracle_sql() -> str:
+    """Max-min on each side of the full (corpus point × query point)
+    distance join — the textbook definition, streamed through two
+    GROUP BY passes (the join is deliberately NOT materialized)."""
+    qin = ", ".join(str(q) for q in HAUS_QUERY_USERS)
+    return f"""
+WITH {_walk_pts_sql()},
+qts AS MATERIALIZED (SELECT * FROM pts WHERE u IN ({qin})),
+d AS (
+  SELECT p.u AS user_id, q.u AS q_id, p.seq AS pseq, q.seq AS qseq,
+         (p.px-q.px)*(p.px-q.px)+(p.py-q.py)*(p.py-q.py) AS d2
+  FROM pts p JOIN qts q ON TRUE),
+fwd AS (
+  SELECT user_id, q_id, MAX(md) AS h1 FROM (
+    SELECT user_id, q_id, pseq, MIN(d2) AS md
+    FROM d GROUP BY user_id, q_id, pseq)
+  GROUP BY user_id, q_id),
+bwd AS (
+  SELECT user_id, q_id, MAX(md) AS h2 FROM (
+    SELECT user_id, q_id, qseq, MIN(d2) AS md
+    FROM d GROUP BY user_id, q_id, qseq)
+  GROUP BY user_id, q_id)
+SELECT f.user_id, f.q_id,
+       CAST(GREATEST(f.h1, b.h2) AS BIGINT) AS hausdorff_d2
+FROM fwd f JOIN bwd b USING (user_id, q_id)
+ORDER BY user_id, q_id
 """

@@ -969,3 +969,29 @@ class TestSegmentIntersect:
             i, j = np.nonzero(hit)
             pairs.update(zip(k[s:e][i].tolist(), k[j].tolist()))
         assert set(zip(got["a_id"], got["b_id"])) == pairs
+
+
+class TestHausdorff:
+    def test_matches_direct_recompute(self):
+        import pyarrow.parquet as pq
+        from raster_functions_ray import spatial
+
+        out = spatial.q_hausdorff(SF001).set_index(["user_id", "q_id"])
+        t = pq.read_table(f"{SF001}/events.parquet",
+                          columns=["event_id", "ts", "user_id"]).to_pandas()
+        u, _, px, py, starts, counts, _ = spatial._walk_arrays(t)
+        trajs = {int(u[s]): (px[s:s + c], py[s:s + c])
+                 for s, c in zip(starts, counts)}
+        # direct definition, no sharding: symmetric max-min over the
+        # full distance matrix
+        for uid in list(trajs)[:10]:
+            ax, ay = trajs[uid]
+            for q in spatial.HAUS_QUERY_USERS:
+                bx, by = trajs[q]
+                d2 = ((ax[:, None] - bx[None, :]) ** 2
+                      + (ay[:, None] - by[None, :]) ** 2)
+                h = max(int(d2.min(axis=1).max()), int(d2.min(axis=0).max()))
+                assert out.loc[(uid, q), "hausdorff_d2"] == h
+        # identity: a query trajectory against itself is distance 0
+        for q in spatial.HAUS_QUERY_USERS:
+            assert out.loc[(q, q), "hausdorff_d2"] == 0
