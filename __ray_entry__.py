@@ -159,6 +159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "acf_daily": windows.q_acf_daily,
         "segment_intersect": spatial.q_segment_intersect,
         "hausdorff": spatial.q_hausdorff,
+        "gi_star": regions.q_gi_star,
+        "local_moran": regions.q_local_moran,
         # family-siblings demoted to make room for the round-4 flagships:
         "block_stats_exact": analytic.q_block_stats_exact,
         "stack_second_max_exact": analytic.q_stack_second_max_exact,
@@ -425,6 +427,8 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
         "acf_daily": windows.acf_daily_oracle_sql(),
         "segment_intersect": spatial.segment_intersect_oracle_sql(),
         "hausdorff": spatial.hausdorff_oracle_sql(),
+        "gi_star": regions.Q_GI_STAR_SQL,
+        "local_moran": regions.Q_LOCAL_MORAN_SQL,
         "aspect_slope_exact": analytic2.aspect_slope_exact_oracle_sql(sf),
         "block_stats_minmax_exact": analytic2.block_stats_minmax_exact_oracle_sql(sf),
         "zonal_remap_exact": analytic2.zonal_remap_exact_oracle_sql(sf),

@@ -1322,3 +1322,206 @@ SELECT CAST(scale AS BIGINT) AS scale,
 FROM px CROSS JOIN sc
 GROUP BY scale ORDER BY scale
 """
+
+
+# --------------------- Getis-Ord Gi* hot-spot analysis (local sums)
+
+GI_R = 3          # Chebyshev window radius → 7×7 local sums
+GI_HOT = 550      # hot iff local mean > 550 (field mean ≈ 499.5)
+GI_COLD = 450     # cold iff local mean < 450
+
+
+def q_gi_star(sf_dir: str) -> pd.DataFrame:
+    """Getis-Ord Gi* hot-spot analysis (the ArcGIS Hot Spot Analysis
+    tool) over the counter value surface with a (2·{GI_R}+1)² uniform
+    kernel, self included, clipped at the grid edge: per pixel the local
+    sum ls = Σ x over the window and the clipped window size win; a
+    pixel is HOT iff ls > {GI_HOT}·win and COLD iff ls < {GI_COLD}·win
+    (integer cross-multiplied local-mean thresholds — the z-score's
+    numerator sign, exact with no division).  Output per tile: hot/cold
+    counts, Σ ls and max ls over the core — the Gi* surface's sufficient
+    integer statistics.
+
+    Engine shape: one summed-area table per (tile + {GI_R}-halo) window
+    recomputed from the counter field — zero shuffle, 64 partial rows,
+    O(tile) memory; the clipped window sizes come from the same SAT
+    trick over a ones field (exactly the prefix-sum lowering a 100 TB
+    raster would use per block)."""
+    tiles = rd.range(GRID_TILES * GRID_TILES, override_num_blocks=8)
+    R = GI_R
+
+    def per_tile(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for tid in np.asarray(b["id"], dtype=np.int64):
+            ty, tx = divmod(int(tid), GRID_TILES)
+            r0, c0 = ty * TILE_PX, tx * TILE_PX
+            hr0, hc0 = max(0, r0 - R), max(0, c0 - R)
+            hr1 = min(GRID_W, r0 + TILE_PX + R)
+            hc1 = min(GRID_W, c0 + TILE_PX + R)
+            rr = (np.arange(hr0, hr1, dtype=np.uint64)[:, None]
+                  * np.uint64(GRID_W))
+            cc = np.arange(hc0, hc1, dtype=np.uint64)[None, :]
+            x = mask_values(rr + cc).astype(np.int64)
+            # summed-area table with a zero pad row/col
+            S = np.zeros((x.shape[0] + 1, x.shape[1] + 1), np.int64)
+            np.cumsum(np.cumsum(x, axis=0), axis=1, out=S[1:, 1:])
+            r = np.arange(r0, r0 + TILE_PX)
+            c = np.arange(c0, c0 + TILE_PX)
+            lo_r = np.maximum(r - R, 0) - hr0
+            hi_r = np.minimum(r + R + 1, GRID_W) - hr0
+            lo_c = np.maximum(c - R, 0) - hc0
+            hi_c = np.minimum(c + R + 1, GRID_W) - hc0
+            ls = (S[hi_r[:, None], hi_c[None, :]]
+                  - S[lo_r[:, None], hi_c[None, :]]
+                  - S[hi_r[:, None], lo_c[None, :]]
+                  + S[lo_r[:, None], lo_c[None, :]])
+            win = (hi_r - lo_r)[:, None] * (hi_c - lo_c)[None, :]
+            rows.append((int(tid),
+                         int((ls > GI_HOT * win).sum()),
+                         int((ls < GI_COLD * win).sum()),
+                         int(ls.sum()), int(ls.max())))
+        return pd.DataFrame(rows, columns=["tile_idx", "n_hot", "n_cold",
+                                           "sum_ls", "max_ls"]
+                            ).astype("int64")
+
+    out = tiles.map_batches(per_tile, batch_format="pyarrow", batch_size=8)
+    return out.to_pandas().sort_values("tile_idx").reset_index(drop=True)
+
+
+_GI_XN = _xval_sql(f"(r + dr) * {GRID_W} + c + dc")
+
+Q_GI_STAR_SQL = f"""
+WITH px AS (
+  SELECT CAST(range AS BIGINT) // {GRID_W} AS r,
+         CAST(range AS BIGINT) % {GRID_W} AS c
+  FROM range(0, {GRID_W * GRID_W})
+), offs AS (
+  SELECT a.range - {GI_R} AS dr, b.range - {GI_R} AS dc
+  FROM range(0, {2 * GI_R + 1}) a CROSS JOIN range(0, {2 * GI_R + 1}) b
+), loc AS (
+  SELECT r, c, SUM({_GI_XN}) AS ls, COUNT(*) AS win
+  FROM px CROSS JOIN offs
+  WHERE r + dr >= 0 AND r + dr < {GRID_W}
+    AND c + dc >= 0 AND c + dc < {GRID_W}
+  GROUP BY r, c
+)
+SELECT CAST((r // {TILE_PX}) * {GRID_TILES} + c // {TILE_PX} AS BIGINT)
+         AS tile_idx,
+       CAST(SUM(CASE WHEN ls > {GI_HOT} * win THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hot,
+       CAST(SUM(CASE WHEN ls < {GI_COLD} * win THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cold,
+       CAST(SUM(ls) AS BIGINT) AS sum_ls,
+       CAST(MAX(ls) AS BIGINT) AS max_ls
+FROM loc GROUP BY tile_idx ORDER BY tile_idx
+"""
+
+
+# --------------- Local Moran's I (Anselin LISA cluster/outlier map)
+
+
+def q_local_moran(sf_dir: str) -> pd.DataFrame:
+    """Anselin Local Moran's I (the ArcGIS Cluster and Outlier Analysis
+    tool) with rook weights: per pixel, the deviation sign zᵢ = xᵢ·N − ΣX
+    (×N keeps the mean subtraction integer) and the neighbour-lag sign
+    lagzᵢ = N·Σⱼxⱼ − kᵢ·ΣX classify the pixel HH / LL / HL / LH — the
+    LISA cluster (HH hot, LL cold) and outlier (HL, LH) map.  Output per
+    tile: the four class counts plus Σ xᵢ·(Σⱼxⱼ) — the exact integer
+    cross moment of the local statistic.
+
+    Engine shape: pass 1 is a 64-row reduce for ΣX (the global moment a
+    real pipeline computes once and broadcasts); pass 2 recomputes each
+    tile + 1-px halo from the counter field and takes neighbour sums as
+    four shifted adds — zero shuffle, tile-partial rows only."""
+    tiles = rd.range(GRID_TILES * GRID_TILES, override_num_blocks=8)
+
+    def tile_sum(b: pa.Table) -> pd.DataFrame:
+        s = []
+        for tid in np.asarray(b["id"], dtype=np.int64):
+            ty, tx = divmod(int(tid), GRID_TILES)
+            rr = (np.arange(ty * TILE_PX, (ty + 1) * TILE_PX,
+                            dtype=np.uint64)[:, None] * np.uint64(GRID_W))
+            cc = np.arange(tx * TILE_PX, (tx + 1) * TILE_PX,
+                           dtype=np.uint64)[None, :]
+            s.append(int(mask_values(rr + cc).astype(np.int64).sum()))
+        return pd.DataFrame({"s": np.asarray(s, np.int64)})
+
+    sum_x = int(tiles.map_batches(tile_sum, batch_format="pyarrow",
+                                  batch_size=8).to_pandas()["s"].sum())
+    n_pix = GRID_W * GRID_W
+
+    def per_tile(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for tid in np.asarray(b["id"], dtype=np.int64):
+            ty, tx = divmod(int(tid), GRID_TILES)
+            r0, c0 = ty * TILE_PX, tx * TILE_PX
+            hr0, hc0 = max(0, r0 - 1), max(0, c0 - 1)
+            hr1 = min(GRID_W, r0 + TILE_PX + 1)
+            hc1 = min(GRID_W, c0 + TILE_PX + 1)
+            rr = (np.arange(hr0, hr1, dtype=np.uint64)[:, None]
+                  * np.uint64(GRID_W))
+            cc = np.arange(hc0, hc1, dtype=np.uint64)[None, :]
+            x = mask_values(rr + cc).astype(np.int64)
+            # neighbour sum + neighbour count via four clipped shifts
+            nsum = np.zeros_like(x)
+            k = np.zeros_like(x)
+            nsum[1:, :] += x[:-1, :]; k[1:, :] += 1
+            nsum[:-1, :] += x[1:, :]; k[:-1, :] += 1
+            nsum[:, 1:] += x[:, :-1]; k[:, 1:] += 1
+            nsum[:, :-1] += x[:, 1:]; k[:, :-1] += 1
+            cr = slice(r0 - hr0, r0 - hr0 + TILE_PX)
+            cc_ = slice(c0 - hc0, c0 - hc0 + TILE_PX)
+            xc, nc, kc = x[cr, cc_], nsum[cr, cc_], k[cr, cc_]
+            # interior halo rows saw true neighbours; the grid boundary
+            # (no halo beyond the edge) keeps its clipped k
+            z = xc * n_pix - sum_x
+            lagz = nc * n_pix - kc * sum_x
+            hi, lag_hi = z > 0, lagz > 0
+            rows.append((int(tid),
+                         int((hi & lag_hi).sum()),
+                         int((~hi & ~lag_hi).sum()),
+                         int((hi & ~lag_hi).sum()),
+                         int((~hi & lag_hi).sum()),
+                         int((xc * nc).sum())))
+        return pd.DataFrame(rows, columns=["tile_idx", "n_hh", "n_ll",
+                                           "n_hl", "n_lh", "cross_sum"]
+                            ).astype("int64")
+
+    out = tiles.map_batches(per_tile, batch_format="pyarrow", batch_size=8)
+    return out.to_pandas().sort_values("tile_idx").reset_index(drop=True)
+
+
+_LISA_X = _xval_sql(f"r * {GRID_W} + c")
+_LISA_XN = _xval_sql(f"(r + dr) * {GRID_W} + c + dc")
+
+Q_LOCAL_MORAN_SQL = f"""
+WITH px AS (
+  SELECT CAST(range AS BIGINT) // {GRID_W} AS r,
+         CAST(range AS BIGINT) % {GRID_W} AS c
+  FROM range(0, {GRID_W * GRID_W})
+), sx AS (SELECT SUM({_LISA_X}) AS sum_x FROM px),
+offs(dr, dc) AS (VALUES (-1, 0), (1, 0), (0, -1), (0, 1)),
+loc AS (
+  SELECT r, c, SUM({_LISA_XN}) AS nsum, COUNT(*) AS k
+  FROM px CROSS JOIN offs
+  WHERE r + dr >= 0 AND r + dr < {GRID_W}
+    AND c + dc >= 0 AND c + dc < {GRID_W}
+  GROUP BY r, c
+)
+SELECT CAST((r // {TILE_PX}) * {GRID_TILES} + c // {TILE_PX} AS BIGINT)
+         AS tile_idx,
+       CAST(SUM(CASE WHEN {_LISA_X} * {GRID_W * GRID_W} - sum_x > 0
+                      AND nsum * {GRID_W * GRID_W} - k * sum_x > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_hh,
+       CAST(SUM(CASE WHEN {_LISA_X} * {GRID_W * GRID_W} - sum_x <= 0
+                      AND nsum * {GRID_W * GRID_W} - k * sum_x <= 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_ll,
+       CAST(SUM(CASE WHEN {_LISA_X} * {GRID_W * GRID_W} - sum_x > 0
+                      AND nsum * {GRID_W * GRID_W} - k * sum_x <= 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_hl,
+       CAST(SUM(CASE WHEN {_LISA_X} * {GRID_W * GRID_W} - sum_x <= 0
+                      AND nsum * {GRID_W * GRID_W} - k * sum_x > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_lh,
+       CAST(SUM({_LISA_X} * nsum) AS BIGINT) AS cross_sum
+FROM loc CROSS JOIN sx GROUP BY tile_idx ORDER BY tile_idx
+"""

@@ -995,3 +995,32 @@ class TestHausdorff:
         # identity: a query trajectory against itself is distance 0
         for q in spatial.HAUS_QUERY_USERS:
             assert out.loc[(q, q), "hausdorff_d2"] == 0
+
+
+class TestSpatialStats:
+    def test_gi_star_window_sum_conservation(self):
+        import numpy as np
+        from raster_functions_ray import regions
+
+        out = regions.q_gi_star(SF001)
+        # Chebyshev-box membership is symmetric, so Σ_i ls_i == Σ_j x_j·win_j
+        R, W = regions.GI_R, regions.GRID_W
+        ids = (np.arange(W, dtype=np.uint64)[:, None] * np.uint64(W)
+               + np.arange(W, dtype=np.uint64)[None, :])
+        x = regions.mask_values(ids).astype(np.int64)
+        r = np.arange(W)
+        span = np.minimum(r + R + 1, W) - np.maximum(r - R, 0)
+        win = span[:, None] * span[None, :]
+        assert out["sum_ls"].sum() == int((x * win).sum())
+        assert ((out["n_hot"] + out["n_cold"])
+                <= regions.TILE_PX ** 2).all()
+
+    def test_local_moran_partitions_and_cross(self):
+        from raster_functions_ray import regions
+
+        out = regions.q_local_moran(SF001)
+        assert ((out["n_hh"] + out["n_ll"] + out["n_hl"] + out["n_lh"])
+                == regions.TILE_PX ** 2).all()
+        # rook cross moment: LISA counts each undirected pair twice
+        m = regions.q_morans_i(SF001).iloc[0]
+        assert out["cross_sum"].sum() == 2 * int(m["cross"])
