@@ -161,6 +161,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hausdorff": spatial.q_hausdorff,
         "gi_star": regions.q_gi_star,
         "local_moran": regions.q_local_moran,
+        "ripley_k": spatial.q_ripley_k,
+        "nn_index": spatial.q_nn_index,
+        "kde_density": spatial.q_kde_density,
+        "std_ellipse": spatial.q_std_ellipse,
         # family-siblings demoted to make room for the round-4 flagships:
         "block_stats_exact": analytic.q_block_stats_exact,
         "stack_second_max_exact": analytic.q_stack_second_max_exact,
@@ -429,6 +433,10 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
         "hausdorff": spatial.hausdorff_oracle_sql(),
         "gi_star": regions.Q_GI_STAR_SQL,
         "local_moran": regions.Q_LOCAL_MORAN_SQL,
+        "ripley_k": spatial.ripley_k_oracle_sql(),
+        "nn_index": spatial.nn_index_oracle_sql(),
+        "kde_density": spatial.kde_density_oracle_sql(),
+        "std_ellipse": spatial.std_ellipse_oracle_sql(),
         "aspect_slope_exact": analytic2.aspect_slope_exact_oracle_sql(sf),
         "block_stats_minmax_exact": analytic2.block_stats_minmax_exact_oracle_sql(sf),
         "zonal_remap_exact": analytic2.zonal_remap_exact_oracle_sql(sf),

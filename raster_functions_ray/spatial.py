@@ -3067,3 +3067,344 @@ SELECT f.user_id, f.q_id,
 FROM fwd f JOIN bwd b USING (user_id, q_id)
 ORDER BY user_id, q_id
 """
+
+
+# ----------------- point-pattern statistics (Ripley's K pair counts)
+
+RIPLEY_R = (40, 80, 120)   # analysis radii over the [0,10000)² point world
+
+
+def q_ripley_k(sf_dir: str) -> pd.DataFrame:
+    """Ripley's K-function pair counts (the ArcGIS Multi-Distance Spatial
+    Cluster Analysis tool): the number of unordered point pairs within
+    euclidean distance r for each analysis radius r ∈ {RIPLEY_R}, over
+    the decorrelated integer point world (`_seg_points`, exact d²) —
+    K̂(r) = area·2·n_pairs(r)/n² is a driver formula of the exact counts.
+
+    Scale shape: ONE grid pass at pitch = max r (the q_radius_join
+    box-filtered emission; report-once owner = the lower-id point's own
+    cell); per cell the pair distances classify into all radii at once
+    via vectorized compares, so the exchange is O(radii·cells) partial
+    rows, never the pairs."""
+    rmax = max(RIPLEY_R)
+    cell = rmax
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def emit(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], np.int64)
+        px, py = _seg_points(eid)
+        cx, cy = px // cell, py // cell
+        parts = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    keep = np.ones(eid.size, bool)
+                else:
+                    xlo = (cx + dx) * cell
+                    ylo = (cy + dy) * cell
+                    ddx = np.maximum(
+                        np.maximum(xlo - px, px - (xlo + cell - 1)), 0)
+                    ddy = np.maximum(
+                        np.maximum(ylo - py, py - (ylo + cell - 1)), 0)
+                    keep = ddx * ddx + ddy * ddy <= rmax * rmax
+                if not keep.any():
+                    continue
+                parts.append(pa.table({
+                    "key": pa.array((cx[keep] + dx) * 100003 + cy[keep] + dy),
+                    "own": pa.array(np.full(int(keep.sum()),
+                                            dx == 0 and dy == 0)),
+                    "id": pa.array(eid[keep]),
+                    "x": pa.array(px[keep]), "y": pa.array(py[keep])}))
+        return pa.concat_tables(parts)
+
+    def count_cell(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["id"].to_numpy(np.int64)
+        x = g["x"].to_numpy(np.int64)
+        y = g["y"].to_numpy(np.int64)
+        own = g["own"].to_numpy(bool)
+        ox, oy, oid = x[own], y[own], ids[own]
+        if oid.size == 0:
+            return pd.DataFrame({"r": [], "n_pairs": []}).astype("int64")
+        d2 = ((ox[:, None] - x[None, :]) ** 2
+              + (oy[:, None] - y[None, :]) ** 2)
+        lt = oid[:, None] < ids[None, :]
+        return pd.DataFrame({
+            "r": np.asarray(RIPLEY_R, np.int64),
+            "n_pairs": [int((lt & (d2 <= r * r)).sum())
+                        for r in RIPLEY_R]})
+
+    out = (ds.map_batches(emit, batch_format="pyarrow")
+           .groupby("key").map_groups(count_cell, batch_format="pandas")
+           .groupby("r").aggregate(Sum("n_pairs", alias_name="n_pairs"))
+           .to_pandas())
+    return (out.astype({"r": "int64", "n_pairs": "int64"})
+            .sort_values("r").reset_index(drop=True))
+
+
+def ripley_k_oracle_sql() -> str:
+    """Blocked self-join (the dbscan oracle's exactly-once 9-cell
+    equi-join) classified into every radius at once."""
+    rmax = max(RIPLEY_R)
+    radii = ", ".join(f"({r})" for r in RIPLEY_R)
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT event_id AS id,
+         {_mix_sql('2000000000 + 2 * event_id')} AS px,
+         {_mix_sql('2000000001 + 2 * event_id')} AS py
+  FROM events),
+own AS MATERIALIZED (
+  SELECT id, px, py, (px // {rmax}) * 100003 + (py // {rmax}) AS ck
+  FROM pts),
+ring AS MATERIALIZED (
+  SELECT id, px, py,
+         (px // {rmax} + dx.d) * 100003 + (py // {rmax} + dy.d) AS ck
+  FROM pts, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)),
+pd2 AS MATERIALIZED (
+  SELECT (o.px-c.px)*(o.px-c.px)+(o.py-c.py)*(o.py-c.py) AS d2
+  FROM own o JOIN ring c ON c.ck = o.ck
+  WHERE o.id < c.id
+    AND (o.px-c.px)*(o.px-c.px)+(o.py-c.py)*(o.py-c.py)
+        <= {rmax * rmax})
+SELECT CAST(r AS BIGINT) AS r,
+       CAST(COUNT(*) FILTER (WHERE d2 <= r * r) AS BIGINT) AS n_pairs
+FROM pd2 CROSS JOIN (VALUES {radii}) rr(r)
+GROUP BY r ORDER BY r
+"""
+
+
+# --------- Clark-Evans nearest-neighbour index (exact NN distances)
+
+NN_R = 200   # NN search radius; beyond it a point reports isolated
+
+
+def q_nn_index(sf_dir: str) -> pd.DataFrame:
+    """Clark-Evans nearest-neighbour statistics (the ArcGIS Average
+    Nearest Neighbor tool): per point, the exact squared distance to its
+    nearest other point within {NN_R} (grid units), reduced to the
+    sufficient integer statistics — point count, isolated count (no
+    neighbour within {NN_R}), Σ⌊√d²ₙₙ⌋ (the exact-isqrt discipline of
+    q_trajectory_length) and Σd²ₙₙ.  R̂ = mean NN dist / (0.5/√λ) is a
+    driver formula.
+
+    Scale shape: each point probes its own cell's group, which holds
+    every point within {NN_R} via the box-filtered ring emission
+    (q_radius_join's lossless-emission argument), so the per-point min
+    is complete after ONE groupby(cell) — partials are 4 integers per
+    cell."""
+    cell = NN_R
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def emit(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], np.int64)
+        px, py = _seg_points(eid)
+        cx, cy = px // cell, py // cell
+        parts = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    keep = np.ones(eid.size, bool)
+                else:
+                    xlo = (cx + dx) * cell
+                    ylo = (cy + dy) * cell
+                    ddx = np.maximum(
+                        np.maximum(xlo - px, px - (xlo + cell - 1)), 0)
+                    ddy = np.maximum(
+                        np.maximum(ylo - py, py - (ylo + cell - 1)), 0)
+                    keep = ddx * ddx + ddy * ddy <= NN_R * NN_R
+                if not keep.any():
+                    continue
+                parts.append(pa.table({
+                    "key": pa.array((cx[keep] + dx) * 100003 + cy[keep] + dy),
+                    "own": pa.array(np.full(int(keep.sum()),
+                                            dx == 0 and dy == 0)),
+                    "id": pa.array(eid[keep]),
+                    "x": pa.array(px[keep]), "y": pa.array(py[keep])}))
+        return pa.concat_tables(parts)
+
+    def nn_cell(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["id"].to_numpy(np.int64)
+        x = g["x"].to_numpy(np.int64)
+        y = g["y"].to_numpy(np.int64)
+        own = g["own"].to_numpy(bool)
+        ox, oy, oid = x[own], y[own], ids[own]
+        if oid.size == 0:
+            return pd.DataFrame()
+        d2 = ((ox[:, None] - x[None, :]) ** 2
+              + (oy[:, None] - y[None, :]) ** 2)
+        d2[oid[:, None] == ids[None, :]] = np.iinfo(np.int64).max
+        mn = d2.min(axis=1)
+        hit = mn <= NN_R * NN_R
+        md = mn[hit]
+        s = np.floor(np.sqrt(md.astype(np.float64))).astype(np.int64)
+        s += ((s + 1) * (s + 1) <= md).astype(np.int64)
+        s -= (s * s > md).astype(np.int64)
+        return pd.DataFrame({
+            "n_points": [int(oid.size)],
+            "n_isolated": [int((~hit).sum())],
+            "sum_nn_len": [int(s.sum())],
+            "sum_nn_d2": [int(md.sum())]}).astype("int64")
+
+    p = (ds.map_batches(emit, batch_format="pyarrow")
+         .groupby("key").map_groups(nn_cell, batch_format="pandas")
+         .to_pandas())
+    return pd.DataFrame([{c: int(p[c].sum()) for c in
+                          ["n_points", "n_isolated",
+                           "sum_nn_len", "sum_nn_d2"]}]).astype("int64")
+
+
+def nn_index_oracle_sql() -> str:
+    """Per-point MIN over the blocked (both-directions) neighbour join,
+    the same ±1-corrected ⌊√·⌋, then one global rollup."""
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT event_id AS id,
+         {_mix_sql('2000000000 + 2 * event_id')} AS px,
+         {_mix_sql('2000000001 + 2 * event_id')} AS py
+  FROM events),
+own AS MATERIALIZED (
+  SELECT id, px, py, (px // {NN_R}) * 100003 + (py // {NN_R}) AS ck
+  FROM pts),
+ring AS MATERIALIZED (
+  SELECT id, px, py,
+         (px // {NN_R} + dx.d) * 100003 + (py // {NN_R} + dy.d) AS ck
+  FROM pts, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)),
+mn AS MATERIALIZED (
+  SELECT o.id,
+         MIN((o.px-c.px)*(o.px-c.px)+(o.py-c.py)*(o.py-c.py)) AS d2
+  FROM own o JOIN ring c ON c.ck = o.ck AND c.id <> o.id
+  WHERE (o.px-c.px)*(o.px-c.px)+(o.py-c.py)*(o.py-c.py)
+        <= {NN_R * NN_R}
+  GROUP BY o.id),
+isq AS (
+  SELECT d2, CAST(FLOOR(SQRT(CAST(d2 AS DOUBLE))) AS BIGINT) AS s0
+  FROM mn)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pts) AS n_points,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pts)
+         - CAST(COUNT(*) AS BIGINT) AS n_isolated,
+       CAST(SUM(s0 + CASE WHEN (s0+1)*(s0+1) <= d2 THEN 1 ELSE 0 END
+                   - CASE WHEN s0*s0 > d2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS sum_nn_len,
+       CAST(SUM(d2) AS BIGINT) AS sum_nn_d2
+FROM isq
+"""
+
+
+# ---------------- kernel density surface (integer Epanechnikov KDE)
+
+KDE_C = 250    # coarse raster cell size
+KDE_R = 500    # kernel radius (2 cells)
+
+
+def q_kde_density(sf_dir: str) -> pd.DataFrame:
+    """Kernel density estimation (the ArcGIS Kernel Density tool) on a
+    coarse {KDE_C}-unit raster with an unnormalized Epanechnikov kernel,
+    exact in integers: density(cell) = Σ over points within {KDE_R} of
+    its center of ((2·{KDE_R})² − D2), where D2 is the doubled-coordinate
+    squared distance (doubling keeps half-unit cell centers integer).
+    Output: every cell that any kernel reaches, with its exact density
+    mass.
+
+    Scale shape: a pure scatter — each point emits ≤ (2·{KDE_R}/{KDE_C}
+    + 1)² = 25 weighted cell rows (vectorized outer grid per batch), one
+    groupby(cell)-Sum; no joins, no point ever compared to another
+    point."""
+    span = KDE_R // KDE_C   # kernel reach in cells
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def scatter(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], np.int64)
+        px, py = _seg_points(eid)
+        cx, cy = px // KDE_C, py // KDE_C
+        offs = np.arange(-span, span + 1, dtype=np.int64)
+        gx = cx[:, None] + offs[None, :]          # n × 5 candidate cols
+        gy = cy[:, None] + offs[None, :]
+        # doubled-coordinate distances point → cell center
+        dx = 2 * px[:, None] - (2 * gx * KDE_C + KDE_C)
+        dy = 2 * py[:, None] - (2 * gy * KDE_C + KDE_C)
+        d2 = (dx * dx)[:, :, None] + (dy * dy)[:, None, :]
+        w = (2 * KDE_R) ** 2 - d2
+        keep = w > 0
+        gxx = np.broadcast_to(gx[:, :, None], d2.shape)[keep]
+        gyy = np.broadcast_to(gy[:, None, :], d2.shape)[keep]
+        return pa.table({"cx": pa.array(gxx), "cy": pa.array(gyy),
+                         "density": pa.array(w[keep])})
+
+    out = (ds.map_batches(scatter, batch_format="pyarrow")
+           .groupby(["cx", "cy"])
+           .aggregate(Sum("density", alias_name="density"))
+           .to_pandas())
+    return (out.astype({"cx": "int64", "cy": "int64", "density": "int64"})
+            .sort_values(["cx", "cy"]).reset_index(drop=True))
+
+
+def kde_density_oracle_sql() -> str:
+    """The same scatter as a points × offset-grid cross join."""
+    span = KDE_R // KDE_C
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT {_mix_sql('2000000000 + 2 * event_id')} AS px,
+         {_mix_sql('2000000001 + 2 * event_id')} AS py
+  FROM events),
+sc AS (
+  SELECT px // {KDE_C} + ox.d AS cx, py // {KDE_C} + oy.d AS cy,
+         (2*px - (2*(px // {KDE_C} + ox.d) * {KDE_C} + {KDE_C}))
+           * (2*px - (2*(px // {KDE_C} + ox.d) * {KDE_C} + {KDE_C}))
+         + (2*py - (2*(py // {KDE_C} + oy.d) * {KDE_C} + {KDE_C}))
+           * (2*py - (2*(py // {KDE_C} + oy.d) * {KDE_C} + {KDE_C})) AS d2
+  FROM pts,
+       range(-{span}, {span + 1}) ox(d), range(-{span}, {span + 1}) oy(d))
+SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+       CAST(SUM({(2 * KDE_R) ** 2} - d2) AS BIGINT) AS density
+FROM sc WHERE d2 < {(2 * KDE_R) ** 2}
+GROUP BY cx, cy ORDER BY cx, cy
+"""
+
+
+# -------- standard deviational ellipse moments (directional distribution)
+
+
+def q_std_ellipse(sf_dir: str) -> pd.DataFrame:
+    """Standard deviational ellipse (the ArcGIS Directional Distribution
+    tool) per event type over the integer point world, reduced to its
+    exact sufficient moments — n, Σx, Σy, Σx², Σy², Σxy — from which
+    center, rotation angle and both axis lengths are driver formulas
+    (the group-OLS sufficient-statistics discipline).
+
+    Scale shape: mergeable integer partials per batch, one tiny
+    groupby(type)-Sum exchange — never a second pass for the means."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def moments(b: pa.Table) -> pd.DataFrame:
+        eid = np.asarray(b["event_id"], np.int64)
+        px, py = _seg_points(eid)
+        df = pd.DataFrame({"event_type": b["event_type"].to_pandas(),
+                           "n": 1, "sum_x": px, "sum_y": py,
+                           "sum_xx": px * px, "sum_yy": py * py,
+                           "sum_xy": px * py})
+        return df.groupby("event_type", as_index=False).sum()
+
+    out = (ds.map_batches(moments, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(*[Sum(c, alias_name=c) for c in
+                        ["n", "sum_x", "sum_y", "sum_xx", "sum_yy",
+                         "sum_xy"]])
+           .to_pandas())
+    for c in ["n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def std_ellipse_oracle_sql() -> str:
+    return f"""
+WITH pts AS (
+  SELECT event_type,
+         {_mix_sql('2000000000 + 2 * event_id')} AS px,
+         {_mix_sql('2000000001 + 2 * event_id')} AS py
+  FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(px) AS BIGINT) AS sum_x, CAST(SUM(py) AS BIGINT) AS sum_y,
+       CAST(SUM(px * px) AS BIGINT) AS sum_xx,
+       CAST(SUM(py * py) AS BIGINT) AS sum_yy,
+       CAST(SUM(px * py) AS BIGINT) AS sum_xy
+FROM pts GROUP BY event_type ORDER BY event_type
+"""

@@ -1024,3 +1024,79 @@ class TestSpatialStats:
         # rook cross moment: LISA counts each undirected pair twice
         m = regions.q_morans_i(SF001).iloc[0]
         assert out["cross_sum"].sum() == 2 * int(m["cross"])
+
+
+class TestPointPatternStats:
+    @staticmethod
+    def _pts():
+        import pyarrow.parquet as pq
+        from raster_functions_ray import spatial
+
+        eid = pq.read_table(f"{SF001}/events.parquet",
+                            columns=["event_id"])["event_id"].to_numpy()
+        return spatial._seg_points(np.asarray(eid, np.int64))
+
+    def test_ripley_k_brute_force(self):
+        from raster_functions_ray import spatial
+
+        out = spatial.q_ripley_k(SF001).set_index("r")["n_pairs"]
+        px, py = self._pts()
+        d2 = ((px[:, None] - px[None, :]) ** 2
+              + (py[:, None] - py[None, :]) ** 2)
+        iu = np.triu_indices(px.size, k=1)
+        d2u = d2[iu]
+        for r in spatial.RIPLEY_R:
+            assert out[r] == int((d2u <= r * r).sum())
+        # K is cumulative: counts must be monotone in r
+        assert out.is_monotonic_increasing
+
+    def test_nn_index_brute_force(self):
+        from raster_functions_ray import spatial
+
+        out = spatial.q_nn_index(SF001).iloc[0]
+        px, py = self._pts()
+        d2 = ((px[:, None] - px[None, :]) ** 2
+              + (py[:, None] - py[None, :]) ** 2)
+        np.fill_diagonal(d2, np.iinfo(np.int64).max)
+        mn = d2.min(axis=1)
+        hit = mn <= spatial.NN_R ** 2
+        import math
+        assert out["n_points"] == px.size
+        assert out["n_isolated"] == int((~hit).sum())
+        assert out["sum_nn_d2"] == int(mn[hit].sum())
+        assert out["sum_nn_len"] == sum(math.isqrt(int(v))
+                                        for v in mn[hit])
+
+    def test_kde_density_mass_conservation(self):
+        from raster_functions_ray import spatial
+
+        out = spatial.q_kde_density(SF001)
+        px, py = self._pts()
+        # every point deposits the same total mass pattern as the scatter
+        span = spatial.KDE_R // spatial.KDE_C
+        total = 0
+        for dx in range(-span, span + 1):
+            for dy in range(-span, span + 1):
+                gx = px // spatial.KDE_C + dx
+                gy = py // spatial.KDE_C + dy
+                ddx = 2 * px - (2 * gx * spatial.KDE_C + spatial.KDE_C)
+                ddy = 2 * py - (2 * gy * spatial.KDE_C + spatial.KDE_C)
+                w = (2 * spatial.KDE_R) ** 2 - (ddx * ddx + ddy * ddy)
+                total += int(w[w > 0].sum())
+        assert int(out["density"].sum()) == total
+        assert (out["density"] > 0).all()
+
+    def test_std_ellipse_direct(self):
+        import pyarrow.parquet as pq
+        from raster_functions_ray import spatial
+
+        out = spatial.q_std_ellipse(SF001)
+        t = pq.read_table(f"{SF001}/events.parquet",
+                          columns=["event_id", "event_type"]).to_pandas()
+        px, py = spatial._seg_points(t["event_id"].to_numpy(np.int64))
+        ref = pd.DataFrame({"event_type": t["event_type"], "n": 1,
+                            "sum_x": px, "sum_y": py, "sum_xx": px * px,
+                            "sum_yy": py * py, "sum_xy": px * py}
+                           ).groupby("event_type", as_index=False).sum()
+        pd.testing.assert_frame_equal(
+            out, ref.astype({c: "int64" for c in ref.columns[1:]}))
