@@ -40,7 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from raster_functions_ray import analytic, analytic2, ann, bandmath, dedup
     from raster_functions_ray import rasterqueries as rq
     from raster_functions_ray import relational as rel, spatial, synth, textops
-    from raster_functions_ray import regions, trainprep, windows
+    from raster_functions_ray import regions, spatial2, trainprep, windows
 
     # raster oracles read the synthetic parquet — make sure it exists before
     # the driver runs either side
@@ -165,6 +165,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nn_index": spatial.q_nn_index,
         "kde_density": spatial.q_kde_density,
         "std_ellipse": spatial.q_std_ellipse,
+        # round-4 ninth wave
+        "spacetime_join": spatial2.q_spacetime_join,
+        "union_area": spatial2.q_union_area,
+        "sssp_khop": spatial2.q_sssp_khop,
         # family-siblings demoted to make room for the round-4 flagships:
         "block_stats_exact": analytic.q_block_stats_exact,
         "stack_second_max_exact": analytic.q_stack_second_max_exact,
@@ -361,7 +365,7 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
     from raster_functions_ray import analytic, analytic2, ann, bandmath, dedup
     from raster_functions_ray import rasterqueries as rq
     from raster_functions_ray import relational as rel, spatial, textops
-    from raster_functions_ray import regions, trainprep, windows
+    from raster_functions_ray import regions, spatial2, trainprep, windows
 
     return {
         "ndvi_exact": analytic.ndvi_exact_oracle_sql(sf),
@@ -437,6 +441,9 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
         "nn_index": spatial.nn_index_oracle_sql(),
         "kde_density": spatial.kde_density_oracle_sql(),
         "std_ellipse": spatial.std_ellipse_oracle_sql(),
+        "spacetime_join": spatial2.spacetime_join_oracle_sql(),
+        "union_area": spatial2.union_area_oracle_sql(),
+        "sssp_khop": spatial2.sssp_khop_oracle_sql(),
         "aspect_slope_exact": analytic2.aspect_slope_exact_oracle_sql(sf),
         "block_stats_minmax_exact": analytic2.block_stats_minmax_exact_oracle_sql(sf),
         "zonal_remap_exact": analytic2.zonal_remap_exact_oracle_sql(sf),

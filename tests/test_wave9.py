@@ -1,0 +1,106 @@
+"""Wave-9 operators: brute-force cross-checks independent of the SQL oracles.
+
+The sweep (scripts/verify_queries.py) proves engine == DuckDB; these tests
+prove both equal a third, dumb-but-obviously-correct formulation, so an
+error shared by the two clever sides cannot hide.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from raster_functions_ray import spatial2
+from raster_functions_ray.spatial import _seg_points
+
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+class TestSpacetimeJoin:
+    def test_matches_blocked_bruteforce_sf001(self, ray_session):
+        out = spatial2.q_spacetime_join(SF01)
+        assert len(out) > 0
+        assert (out["a_id"] < out["b_id"]).all()
+        assert (out["d2"] <= spatial2.STJ_R ** 2).all()
+        assert (out["dt_us"].abs() <= spatial2.STJ_TAU_US).all()
+
+        t = pq.read_table(SF01 + "/events.parquet",
+                          columns=["event_id", "user_id", "ts"])
+        eid = np.asarray(t["event_id"], np.int64)
+        uid = np.asarray(t["user_id"], np.int64)
+        ts = t["ts"].cast("int64").to_numpy() - spatial2.STJ_T0_US
+        px, py = _seg_points(eid)
+        order = np.argsort(eid)
+        eid, uid, ts, px, py = (a[order] for a in (eid, uid, ts, px, py))
+        rows = []
+        R2 = spatial2.STJ_R ** 2
+        for s in range(0, eid.size, 2000):   # blocked O(n²), bounded memory
+            e = min(s + 2000, eid.size)
+            d2 = ((px[s:e, None] - px[None, :]) ** 2
+                  + (py[s:e, None] - py[None, :]) ** 2)
+            dt = ts[None, :] - ts[s:e, None]
+            hit = ((eid[s:e, None] < eid[None, :])
+                   & (uid[s:e, None] != uid[None, :])
+                   & (d2 <= R2) & (np.abs(dt) <= spatial2.STJ_TAU_US))
+            i, j = np.nonzero(hit)
+            rows.append(pd.DataFrame({
+                "a_id": eid[s:e][i], "b_id": eid[j],
+                "d2": d2[i, j], "dt_us": dt[i, j]}))
+        ref = (pd.concat(rows).sort_values(["a_id", "b_id"])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            out, ref.astype({c: "int64" for c in ref.columns}))
+
+
+class TestUnionArea:
+    def test_matches_canvas_paint(self, ray_session):
+        out = spatial2.q_union_area(SF001)
+        keys = np.asarray(pq.read_table(
+            SF001 + "/orders.parquet", columns=["o_orderkey"])["o_orderkey"],
+            np.int64)
+        x1, y1, w, h = spatial2._ua_rects(keys)
+        canvas = np.zeros((10000 + spatial2.UA_MAXW,
+                           10000 + spatial2.UA_MAXW), bool)
+        for a, b, ww, hh in zip(x1, y1, w, h):
+            canvas[a:a + ww, b:b + hh] = True
+        lens = canvas.sum(axis=1)
+        cols = np.nonzero(lens)[0]
+        ref = pd.DataFrame({"col": cols.astype("int64"),
+                            "covered_len": lens[cols].astype("int64")})
+        pd.testing.assert_frame_equal(out, ref)
+        # the union is genuinely smaller than the naive Σ w·h
+        assert out["covered_len"].sum() < int((w * h).sum())
+
+
+class TestSsspKhop:
+    def test_matches_dense_bellman_ford(self, ray_session):
+        out = spatial2.q_sssp_khop(SF001)
+        keys = np.asarray(pq.read_table(
+            SF001 + "/orders.parquet", columns=["o_orderkey"])["o_orderkey"],
+            np.int64)
+        s, t, w = spatial2._sssp_edges(keys)
+        INF = spatial2._SSSP_INF
+        dist = np.full(spatial2.SSSP_N, INF, np.int64)
+        dist[0] = 0
+        for _ in range(spatial2.SSSP_K):
+            nd = dist.copy()
+            m = dist[s] < INF
+            np.minimum.at(nd, t[m], dist[s[m]] + w[m])
+            dist = nd
+        reach = np.nonzero(dist < INF)[0]
+        ref = pd.DataFrame({"node": reach.astype("int64"),
+                            "dist": dist[reach]})
+        pd.testing.assert_frame_equal(out.reset_index(drop=True), ref)
+        assert (out["node"] == 0).any() and int(
+            out.loc[out["node"] == 0, "dist"].iloc[0]) == 0
+
+    def test_khop_monotone_in_k(self, ray_session, monkeypatch):
+        # dist_k is monotone nonincreasing in k and node-set nondecreasing
+        monkeypatch.setattr(spatial2, "SSSP_K", 2)
+        d2 = spatial2.q_sssp_khop(SF001).set_index("node")["dist"]
+        monkeypatch.setattr(spatial2, "SSSP_K", 6)
+        d6 = spatial2.q_sssp_khop(SF001).set_index("node")["dist"]
+        assert set(d2.index) <= set(d6.index)
+        common = d2.index.intersection(d6.index)
+        assert (d6.loc[common] <= d2.loc[common]).all()
