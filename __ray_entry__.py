@@ -169,6 +169,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spacetime_join": spatial2.q_spacetime_join,
         "union_area": spatial2.q_union_area,
         "sssp_khop": spatial2.q_sssp_khop,
+        "convex_hull": spatial2.q_convex_hull,
+        "emerging_hotspot": spatial2.q_emerging_hotspot,
+        "trajectory_resample": spatial2.q_trajectory_resample,
         # family-siblings demoted to make room for the round-4 flagships:
         "block_stats_exact": analytic.q_block_stats_exact,
         "stack_second_max_exact": analytic.q_stack_second_max_exact,
@@ -444,6 +447,9 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
         "spacetime_join": spatial2.spacetime_join_oracle_sql(),
         "union_area": spatial2.union_area_oracle_sql(),
         "sssp_khop": spatial2.sssp_khop_oracle_sql(),
+        "convex_hull": spatial2.convex_hull_oracle_sql(sf),
+        "emerging_hotspot": spatial2.emerging_hotspot_oracle_sql(),
+        "trajectory_resample": spatial2.trajectory_resample_oracle_sql(),
         "aspect_slope_exact": analytic2.aspect_slope_exact_oracle_sql(sf),
         "block_stats_minmax_exact": analytic2.block_stats_minmax_exact_oracle_sql(sf),
         "zonal_remap_exact": analytic2.zonal_remap_exact_oracle_sql(sf),

@@ -362,3 +362,415 @@ d0(node, dist) AS (SELECT 0, 0),
 SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
 FROM d{SSSP_K} ORDER BY node
 """
+
+
+# ------------------------------------------------ per-zone convex hulls
+
+HULL_ZONES = 16            # independent point sets (one hull each)
+HULL_TARGET = 2048         # total sampled points across zones
+HULL_BASE = 6_800_000_000  # zone-hash counter offset (< 2^64/2654435761)
+
+
+def _hull_samp(n_events: int) -> int:
+    """Scale-parametric sample modulus: ~{HULL_TARGET} points at any sf
+    (the dbscan-oracle discipline — the oracle bakes the same value)."""
+    return max(1, n_events // HULL_TARGET)
+
+
+def _hull_chain(px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain with STRICT turns (collinear boundary
+    points dropped): returns indices of hull corners in CCW order.
+    Input must be coordinate-deduplicated."""
+    order = np.lexsort((py, px))
+    x, y = px[order], py[order]
+
+    def half(rng):
+        st = []
+        for i in rng:
+            while len(st) >= 2:
+                o, a = st[-2], st[-1]
+                if ((x[a] - x[o]) * (y[i] - y[o])
+                        - (y[a] - y[o]) * (x[i] - x[o])) <= 0:
+                    st.pop()
+                else:
+                    break
+            st.append(i)
+        return st
+
+    lower = half(range(len(x)))
+    upper = half(range(len(x) - 1, -1, -1))
+    hull = lower[:-1] + upper[:-1] if len(x) > 1 else lower
+    return order[np.asarray(hull, np.int64)]
+
+
+def q_convex_hull(sf_dir: str) -> pd.DataFrame:
+    """Per-zone convex hulls (the ArcGIS *Minimum Bounding Geometry*
+    tool, hull mode) over {HULL_ZONES} sampled point sets: output is the
+    CCW-directed hull EDGE list (a_id→b_id with both endpoints'
+    coordinates), coordinate-duplicates resolved to the MIN event id.
+
+    Scale shape: the hull is an associative reduction — hull(S) ⊆
+    hull(∪ hull(blocks)) — so each block emits only its LOCAL hull
+    corners per zone (a per-batch combiner shrinking ~everything), and
+    the zone-keyed exchange carries corner candidates, never the point
+    set.  The final per-zone chain runs on O(hull) points.  Group sizes
+    are bounded by the sample design (~{HULL_TARGET}/{HULL_ZONES});
+    zones are the unit of parallelism."""
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    samp = _hull_samp(n)
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def dedup_min_id(z, eid, px, py):
+        o = np.lexsort((eid, py, px, z))
+        z, eid, px, py = z[o], eid[o], px[o], py[o]
+        first = np.r_[True, (z[1:] != z[:-1]) | (px[1:] != px[:-1])
+                      | (py[1:] != py[:-1])]
+        return z[first], eid[first], px[first], py[first]
+
+    def partial(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], np.int64)
+        eid = eid[eid % samp == 0]
+        px, py = _seg_points(eid)
+        z = _seg_mix(HULL_BASE + eid, HULL_ZONES)
+        z, eid, px, py = dedup_min_id(z, eid, px, py)
+        keep_z, keep_e, keep_x, keep_y = [], [], [], []
+        for zv in np.unique(z):
+            m = z == zv
+            h = _hull_chain(px[m], py[m])
+            keep_z.append(np.full(h.size, zv))
+            keep_e.append(eid[m][h])
+            keep_x.append(px[m][h])
+            keep_y.append(py[m][h])
+        return pa.table({"zone": pa.array(np.concatenate(keep_z))
+                         if keep_z else pa.array([], pa.int64()),
+                         "id": pa.array(np.concatenate(keep_e))
+                         if keep_z else pa.array([], pa.int64()),
+                         "px": pa.array(np.concatenate(keep_x))
+                         if keep_z else pa.array([], pa.int64()),
+                         "py": pa.array(np.concatenate(keep_y))
+                         if keep_z else pa.array([], pa.int64())})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        z = g["zone"].to_numpy(np.int64)
+        eid = g["id"].to_numpy(np.int64)
+        px = g["px"].to_numpy(np.int64)
+        py = g["py"].to_numpy(np.int64)
+        z, eid, px, py = dedup_min_id(z, eid, px, py)
+        h = _hull_chain(px, py)
+        if h.size < 2:        # degenerate zone: no edges (oracle agrees)
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                                 ("zone", "a_id", "b_id", "a_x", "a_y",
+                                  "b_x", "b_y")})
+        nxt = np.roll(h, -1)
+        return pd.DataFrame({
+            "zone": np.full(h.size, int(z[0])), "a_id": eid[h],
+            "b_id": eid[nxt], "a_x": px[h], "a_y": py[h],
+            "b_x": px[nxt], "b_y": py[nxt]})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("zone").map_groups(final, batch_format="pandas")
+           .to_pandas())
+    return (out.astype({c: "int64" for c in out.columns})
+            .sort_values(["zone", "a_id", "b_id"]).reset_index(drop=True))
+
+
+def convex_hull_oracle_sql(sf: float = 0.01) -> str:
+    """Independent O(n³)-per-zone formulation: a directed pair (a,b) is
+    a CCW hull edge iff every other zone point is strictly left of a→b
+    or collinear ON the closed segment (integer cross products, exact).
+    Accepts exactly the corner-to-corner edges the strict-turn chain
+    emits."""
+    samp = _hull_samp(round(sf * 1_000_000))
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT {_mix_sql('6800000000 + event_id', HULL_ZONES)} AS z,
+         MIN(event_id) AS id, px, py
+  FROM (SELECT event_id,
+               {_mix_sql('2000000000 + 2 * event_id')} AS px,
+               {_mix_sql('2000000001 + 2 * event_id')} AS py
+        FROM events WHERE event_id % {samp} = 0)
+  GROUP BY z, px, py),
+cand AS MATERIALIZED (
+  SELECT a.z, a.id AS a_id, b.id AS b_id,
+         a.px AS a_x, a.py AS a_y, b.px AS b_x, b.py AS b_y
+  FROM pts a JOIN pts b ON b.z = a.z AND b.id <> a.id),
+bad AS (
+  SELECT DISTINCT c.z, c.a_id, c.b_id
+  FROM cand c JOIN pts p ON p.z = c.z
+  WHERE p.id <> c.a_id AND p.id <> c.b_id
+    AND NOT (
+      (c.b_x-c.a_x)*(p.py-c.a_y) - (c.b_y-c.a_y)*(p.px-c.a_x) > 0
+      OR ((c.b_x-c.a_x)*(p.py-c.a_y) - (c.b_y-c.a_y)*(p.px-c.a_x) = 0
+          AND p.px BETWEEN LEAST(c.a_x, c.b_x) AND GREATEST(c.a_x, c.b_x)
+          AND p.py BETWEEN LEAST(c.a_y, c.b_y) AND GREATEST(c.a_y, c.b_y))))
+SELECT c.z AS zone, c.a_id, c.b_id, c.a_x, c.a_y, c.b_x, c.b_y
+FROM cand c ANTI JOIN bad d
+  ON d.z = c.z AND d.a_id = c.a_id AND d.b_id = c.b_id
+ORDER BY zone, a_id, b_id
+"""
+
+
+# --------------------------- emerging hot spot analysis (space-time cube)
+
+EH_FACTOR = 2     # hot iff local mean > 2x the bin's global mean
+EH_PERSIST = 27   # >= 90% of the 30 bins
+EH_TREND = 87     # |Mann-Kendall S| beyond this = trending (~0.2 * C(30,2))
+EH_RECENT = 3     # "new" = hot only within the last 3 bins
+
+
+def _eh_weights(cx, cy, day):
+    """Deterministic integer event weights painting four 2x2 corner
+    blocks onto the 8x8 cube grid: a rising block (6→13 over the month),
+    a late-switching block (12 in the last 3 days), a falling block
+    (15→8) and a constant block (10) — one per emerging-hot-spot
+    category, over a background of 1."""
+    lvl = day // 4
+    return (1
+            + (5 + lvl) * ((cx <= 1) & (cy <= 1))
+            + 11 * ((cx >= 6) & (cy >= 6) & (day >= 27))
+            + (14 - lvl) * ((cx <= 1) & (cy >= 6))
+            + 9 * ((cx >= 6) & (cy <= 1)))
+
+
+def q_emerging_hotspot(sf_dir: str) -> pd.DataFrame:
+    """Emerging Hot Spot Analysis (the ArcGIS space-time-cube flagship,
+    composing the q_gi_star hot test with the q_spacetime_trend
+    Mann-Kendall statistic): per 8x8-grid cell, the weighted event
+    counts form a 30-day series; each day's 3x3 local sum ls is HOT iff
+    ls·64 > {EH_FACTOR}·G_day·win (integer cross-multiplied local-vs-
+    global mean, the Gi* numerator sign — win = the edge-clipped window
+    size), and the hot-day counts + the Mann-Kendall S of the ls series
+    classify each cell: none / new / intensifying / diminishing /
+    persistent / sporadic — all integer-decidable, hence SQL-exact.
+
+    Scale shape: ONE streaming pass emits per-batch (cell, day, Σw)
+    partials (cube-sized: 64·30 per block), merged driver-side into the
+    dense cube — the r3-verdict discipline that a driver-side merge of
+    result-sized partials beats a shuffle; the 3x3 neighborhood sum,
+    hot test, MK pairs and CASE run vectorized on the 64x30 array.  For
+    cube grids too big for one machine the same math runs as the
+    q_spacetime_trend groupby(cell) lowering."""
+    from .spatial import ST_BIN_US, ST_BINS, ST_T0_US
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
+
+    def wpartial(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], np.int64)
+        us = b["ts"].cast(pa.int64()).to_numpy()
+        cx = ((eid * 7919) % 36000) // 4500
+        cy = ((eid * 104729) % 18000) // 2250
+        day = (us - ST_T0_US) // ST_BIN_US
+        ok = (day >= 0) & (day < ST_BINS)
+        cx, cy, day = cx[ok], cy[ok], day[ok]
+        t = pa.table({"cell": pa.array(cy * 8 + cx), "day": pa.array(day),
+                      "n": pa.array(_eh_weights(cx, cy, day))})
+        g = t.group_by(["cell", "day"]).aggregate([("n", "sum")])
+        return g.rename_columns(["cell", "day", "n"])
+
+    parts = ds.map_batches(wpartial, batch_format="pyarrow").to_pandas()
+    cube = np.zeros((64, ST_BINS), np.int64)
+    np.add.at(cube, (parts["cell"].to_numpy(np.int64),
+                     parts["day"].to_numpy(np.int64)),
+              parts["n"].to_numpy(np.int64))
+    G = cube.sum(axis=0)                       # global per-day totals
+    grid = cube.reshape(8, 8, ST_BINS)         # (cy, cx, day)
+    pad = np.zeros((10, 10, ST_BINS), np.int64)
+    pad[1:9, 1:9] = grid
+    ls = sum(pad[1 + dy:9 + dy, 1 + dx:9 + dx]
+             for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    ax = np.where(np.isin(np.arange(8), (0, 7)), 2, 3)
+    win = np.outer(ax, ax)                     # (cy, cx) clipped window size
+    hot = (ls * 64 > EH_FACTOR * G[None, None, :]
+           * win[:, :, None]).astype(np.int64)
+    iu, ju = np.triu_indices(ST_BINS, 1)
+    s = np.sign(ls[:, :, ju] - ls[:, :, iu]).sum(axis=2).astype(np.int64)
+    n_hot = hot.sum(axis=2)
+    n_recent = hot[:, :, ST_BINS - EH_RECENT:].sum(axis=2)
+    h_last = hot[:, :, -1]
+    cat = np.select(
+        [n_hot == 0,
+         (h_last == 1) & (n_hot == n_recent),
+         (n_hot >= EH_PERSIST) & (s > EH_TREND),
+         (n_hot >= EH_PERSIST) & (s < -EH_TREND),
+         n_hot >= EH_PERSIST],
+        ["none", "new", "intensifying", "diminishing", "persistent"],
+        default="sporadic")
+    cy, cx = np.divmod(np.arange(64), 8)
+    return pd.DataFrame({"cell_id": np.arange(64, dtype=np.int64),
+                         "n_hot": n_hot[cy, cx],
+                         "s_stat": s[cy, cx],
+                         "category": cat[cy, cx]})
+
+
+def emerging_hotspot_oracle_sql() -> str:
+    """Dense cube via range()xrange(), neighbor join on |Δcx|,|Δcy| ≤ 1,
+    pairwise MK join, identical CASE arm order."""
+    from .spatial import ST_BIN_US, ST_BINS, ST_T0_US
+
+    return f"""
+WITH ev AS MATERIALIZED (
+  SELECT ((event_id * 7919) % 36000) // 4500 AS cx,
+         ((event_id * 104729) % 18000) // 2250 AS cy,
+         (epoch_us(ts) - {ST_T0_US}) // {ST_BIN_US} AS day
+  FROM events
+  WHERE (epoch_us(ts) - {ST_T0_US}) // {ST_BIN_US}
+        BETWEEN 0 AND {ST_BINS - 1}),
+wev AS (
+  SELECT cy * 8 + cx AS cell, day,
+         1 + CASE WHEN cx <= 1 AND cy <= 1 THEN 5 + day // 4 ELSE 0 END
+           + CASE WHEN cx >= 6 AND cy >= 6 AND day >= 27 THEN 11 ELSE 0 END
+           + CASE WHEN cx <= 1 AND cy >= 6 THEN 14 - day // 4 ELSE 0 END
+           + CASE WHEN cx >= 6 AND cy <= 1 THEN 9 ELSE 0 END AS w
+  FROM ev),
+counts AS (SELECT cell, day, SUM(w) AS n FROM wev GROUP BY cell, day),
+dense AS (
+  SELECT c.range AS cell, b.range AS day, COALESCE(k.n, 0) AS n
+  FROM range(0, 64) c CROSS JOIN range(0, {ST_BINS}) b
+  LEFT JOIN counts k ON k.cell = c.range AND k.day = b.range),
+g AS (SELECT day, SUM(n) AS gb FROM dense GROUP BY day),
+ls AS (
+  SELECT c.range AS cell, d.day, SUM(d.n) AS ls
+  FROM range(0, 64) c JOIN dense d
+    ON abs(d.cell % 8 - c.range % 8) <= 1
+   AND abs(d.cell // 8 - c.range // 8) <= 1
+  GROUP BY c.range, d.day),
+win AS (
+  SELECT range AS cell,
+         (CASE WHEN range % 8 IN (0, 7) THEN 2 ELSE 3 END)
+       * (CASE WHEN range // 8 IN (0, 7) THEN 2 ELSE 3 END) AS win
+  FROM range(0, 64)),
+hot AS (
+  SELECT l.cell, l.day, l.ls,
+         CASE WHEN l.ls * 64 > {EH_FACTOR} * g.gb * w.win
+              THEN 1 ELSE 0 END AS h
+  FROM ls l JOIN g USING (day) JOIN win w ON w.cell = l.cell),
+mk AS (
+  SELECT a.cell, SUM(SIGN(b.ls - a.ls)) AS s
+  FROM hot a JOIN hot b ON b.cell = a.cell AND b.day > a.day
+  GROUP BY a.cell),
+agg AS (
+  SELECT cell, SUM(h) AS n_hot,
+         SUM(CASE WHEN day >= {ST_BINS - EH_RECENT} THEN h ELSE 0 END)
+           AS n_recent,
+         MAX(CASE WHEN day = {ST_BINS - 1} THEN h ELSE 0 END) AS h_last
+  FROM hot GROUP BY cell)
+SELECT CAST(cell AS BIGINT) AS cell_id,
+       CAST(n_hot AS BIGINT) AS n_hot,
+       CAST(s AS BIGINT) AS s_stat,
+       CASE WHEN n_hot = 0 THEN 'none'
+            WHEN h_last = 1 AND n_hot = n_recent THEN 'new'
+            WHEN n_hot >= {EH_PERSIST} AND s > {EH_TREND}
+              THEN 'intensifying'
+            WHEN n_hot >= {EH_PERSIST} AND s < -{EH_TREND}
+              THEN 'diminishing'
+            WHEN n_hot >= {EH_PERSIST} THEN 'persistent'
+            ELSE 'sporadic' END AS category
+FROM agg JOIN mk USING (cell)
+ORDER BY cell_id
+"""
+
+
+# ------------------------------------ trajectory resampling (time lerp)
+
+RS_DT_US = 2 * 86_400_000_000   # resample every 2 days
+RS_J = 15                       # grid instants covering the events month
+RS_T0_US = 1_704_067_200_000_000
+
+
+def q_trajectory_resample(sf_dir: str) -> pd.DataFrame:
+    """Trajectory resampling (track interpolation — the GPS/AIS
+    regularization step before any space-time analysis): each user's
+    integer random walk (the Douglas-Peucker/Hausdorff world) is
+    linearly interpolated at {RS_J} fixed instants T_j = T0 + j·Δ;
+    positions are emitted as EXACT integer lerp numerators over the
+    bracketing-ping denominator (x_num/den, y_num/den), so no division
+    ever happens and the window-LEAD oracle is bit-exact.
+
+    Scale shape: user-hash shards (windows._user_shard), one lexsort
+    and one segmented cumsum per shard, then ONE vectorized
+    searchsorted per user run against the {RS_J}-instant grid — no
+    global sort, no per-ping Python."""
+    from .spatial import DP_STEP_MOD
+    from .windows import _user_shard
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    tj = RS_T0_US + RS_DT_US * np.arange(RS_J, dtype=np.int64)
+
+    def shard(g: pd.DataFrame) -> pd.DataFrame:
+        eid = g["event_id"].to_numpy(np.int64)
+        ts = g["ts"].astype("int64").to_numpy()
+        u = g["user_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        eid, ts, u = eid[order], ts[order], u[order]
+        sx = _seg_mix(3_000_000_000 + 2 * eid, DP_STEP_MOD) - 50
+        sy = _seg_mix(3_000_000_001 + 2 * eid, DP_STEP_MOD) - 50
+        rs = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(rs)
+        counts = np.diff(np.r_[starts, u.size])
+        csx, csy = np.cumsum(sx), np.cumsum(sy)
+        px = csx - np.repeat(csx[starts] - sx[starts], counts)
+        py = csy - np.repeat(csy[starts] - sy[starts], counts)
+        rows = []
+        for s, c in zip(starts, counts):
+            t = ts[s:s + c]
+            nxt = np.searchsorted(t, tj, side="right")
+            ok = (nxt > 0) & (nxt < c)
+            if not ok.any():
+                continue
+            p, n = s + nxt[ok] - 1, s + nxt[ok]
+            tjv = tj[ok]
+            rows.append(pd.DataFrame({
+                "user_id": np.full(int(ok.sum()), u[s]),
+                "j": np.nonzero(ok)[0].astype(np.int64),
+                "x_num": px[p] * (ts[n] - tjv) + px[n] * (tjv - ts[p]),
+                "y_num": py[p] * (ts[n] - tjv) + py[n] * (tjv - ts[p]),
+                "den": ts[n] - ts[p]}))
+        if not rows:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                                 ("user_id", "j", "x_num", "y_num", "den")})
+        return pd.concat(rows, ignore_index=True)
+
+    out = (ds.map_batches(_user_shard, batch_format="pyarrow")
+           .groupby("shard").map_groups(shard, batch_format="pandas")
+           .to_pandas())
+    return (out.astype({c: "int64" for c in out.columns})
+            .sort_values(["user_id", "j"]).reset_index(drop=True))
+
+
+def trajectory_resample_oracle_sql() -> str:
+    """Window cumsum walk + LEAD bracket + range-predicate join against
+    the instant grid; the only matching ping is the LAST with t ≤ T_j
+    (its LEAD is the first beyond), exactly the engine's
+    searchsorted(side='right')."""
+    from .spatial import DP_STEP_MOD
+
+    sx = _mix_sql("3000000000 + 2 * event_id", DP_STEP_MOD) + " - 50"
+    sy = _mix_sql("3000000001 + 2 * event_id", DP_STEP_MOD) + " - 50"
+    return f"""
+WITH steps AS MATERIALIZED (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         {sx} AS sx, {sy} AS sy
+  FROM events),
+pts AS MATERIALIZED (
+  SELECT user_id AS u, t, event_id,
+         SUM(sx) OVER w AS px, SUM(sy) OVER w AS py
+  FROM steps
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+               ROWS UNBOUNDED PRECEDING)),
+seg AS MATERIALIZED (
+  SELECT u, t, px, py,
+         LEAD(t) OVER w2 AS nt,
+         LEAD(px) OVER w2 AS npx, LEAD(py) OVER w2 AS npy
+  FROM pts WINDOW w2 AS (PARTITION BY u ORDER BY t, event_id)),
+grid AS (
+  SELECT range AS j, {RS_T0_US} + range * {RS_DT_US} AS tj
+  FROM range(0, {RS_J}))
+SELECT s.u AS user_id, CAST(g.j AS BIGINT) AS j,
+       CAST(s.px * (s.nt - g.tj) + s.npx * (g.tj - s.t) AS BIGINT) AS x_num,
+       CAST(s.py * (s.nt - g.tj) + s.npy * (g.tj - s.t) AS BIGINT) AS y_num,
+       CAST(s.nt - s.t AS BIGINT) AS den
+FROM seg s JOIN grid g ON s.t <= g.tj AND g.tj < s.nt
+ORDER BY user_id, j
+"""

@@ -104,3 +104,82 @@ class TestSsspKhop:
         assert set(d2.index) <= set(d6.index)
         common = d2.index.intersection(d6.index)
         assert (d6.loc[common] <= d2.loc[common]).all()
+
+
+class TestConvexHull:
+    def test_hull_contains_all_points_and_closes(self, ray_session):
+        out = spatial2.q_convex_hull(SF01)
+        assert len(out) > 0
+        n = pq.ParquetFile(SF01 + "/events.parquet").metadata.num_rows
+        samp = spatial2._hull_samp(n)
+        t = pq.read_table(SF01 + "/events.parquet", columns=["event_id"])
+        eid = np.asarray(t["event_id"], np.int64)
+        eid = eid[eid % samp == 0]
+        px, py = _seg_points(eid)
+        from raster_functions_ray.spatial import _seg_mix
+        z = _seg_mix(spatial2.HULL_BASE + eid, spatial2.HULL_ZONES)
+        for zv, g in out.groupby("zone"):
+            # closed cycle: every a_id appears exactly once as b_id
+            assert sorted(g["a_id"]) == sorted(g["b_id"])
+            # CCW orientation: positive shoelace area over the edge list
+            area2 = int((g["a_x"] * g["b_y"] - g["b_x"] * g["a_y"]).sum())
+            assert area2 > 0
+            # every zone point lies left of or on every directed edge
+            m = z == zv
+            cross = ((g["b_x"].to_numpy()[:, None] - g["a_x"].to_numpy()[:, None])
+                     * (py[m][None, :] - g["a_y"].to_numpy()[:, None])
+                     - (g["b_y"].to_numpy()[:, None] - g["a_y"].to_numpy()[:, None])
+                     * (px[m][None, :] - g["a_x"].to_numpy()[:, None]))
+            assert (cross >= 0).all()
+
+
+class TestEmergingHotspot:
+    def test_all_category_arms_exercised(self, ray_session):
+        out = spatial2.q_emerging_hotspot(SF01)
+        assert len(out) == 64
+        cats = set(out["category"])
+        assert cats == {"none", "new", "intensifying", "diminishing",
+                        "persistent", "sporadic"}
+        # the painted corner blocks land where designed (8x8, cell=cy*8+cx)
+        bycell = out.set_index("cell_id")["category"]
+        assert bycell[0] == "intensifying"        # (cx0,cy0) rising block
+        assert bycell[63] in ("new", "sporadic")  # late-switch corner
+        assert bycell[7] == "persistent"          # constant block corner
+        assert bycell[56] == "diminishing"        # falling block corner
+
+    def test_hot_iff_integer_threshold(self, ray_session):
+        out = spatial2.q_emerging_hotspot(SF01)
+        none_rows = out[out["category"] == "none"]
+        assert (none_rows["n_hot"] == 0).all()
+
+
+class TestTrajectoryResample:
+    def test_matches_per_user_python_lerp(self, ray_session):
+        out = spatial2.q_trajectory_resample(SF001)
+        t = pq.read_table(SF001 + "/events.parquet",
+                          columns=["event_id", "ts", "user_id"]).to_pandas()
+        t["ts"] = t["ts"].astype("int64")
+        from raster_functions_ray.spatial import DP_STEP_MOD, _seg_mix
+        rows = []
+        tj = (spatial2.RS_T0_US
+              + spatial2.RS_DT_US * np.arange(spatial2.RS_J, dtype=np.int64))
+        for u, g in t.sort_values(["user_id", "ts", "event_id"]).groupby(
+                "user_id"):
+            eid = g["event_id"].to_numpy(np.int64)
+            ts = g["ts"].to_numpy(np.int64)
+            px = np.cumsum(_seg_mix(3_000_000_000 + 2 * eid, DP_STEP_MOD) - 50)
+            py = np.cumsum(_seg_mix(3_000_000_001 + 2 * eid, DP_STEP_MOD) - 50)
+            for j, T in enumerate(tj):
+                k = int(np.searchsorted(ts, T, side="right"))
+                if 0 < k < len(ts):
+                    rows.append((u, j,
+                                 int(px[k - 1]) * int(ts[k] - T)
+                                 + int(px[k]) * int(T - ts[k - 1]),
+                                 int(py[k - 1]) * int(ts[k] - T)
+                                 + int(py[k]) * int(T - ts[k - 1]),
+                                 int(ts[k] - ts[k - 1])))
+        ref = (pd.DataFrame(rows, columns=["user_id", "j", "x_num",
+                                           "y_num", "den"])
+               .astype("int64").sort_values(["user_id", "j"])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, ref)
