@@ -172,6 +172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "convex_hull": spatial2.q_convex_hull,
         "emerging_hotspot": spatial2.q_emerging_hotspot,
         "trajectory_resample": spatial2.q_trajectory_resample,
+        "map_match": spatial2.q_map_match,
+        "kriging_simple": spatial2.q_kriging_simple,
         # family-siblings demoted to make room for the round-4 flagships:
         "block_stats_exact": analytic.q_block_stats_exact,
         "stack_second_max_exact": analytic.q_stack_second_max_exact,
@@ -450,6 +452,8 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
         "convex_hull": spatial2.convex_hull_oracle_sql(sf),
         "emerging_hotspot": spatial2.emerging_hotspot_oracle_sql(),
         "trajectory_resample": spatial2.trajectory_resample_oracle_sql(),
+        "map_match": spatial2.map_match_oracle_sql(),
+        "kriging_simple": spatial2.kriging_simple_oracle_sql(),
         "aspect_slope_exact": analytic2.aspect_slope_exact_oracle_sql(sf),
         "block_stats_minmax_exact": analytic2.block_stats_minmax_exact_oracle_sql(sf),
         "zonal_remap_exact": analytic2.zonal_remap_exact_oracle_sql(sf),

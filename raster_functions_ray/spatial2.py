@@ -774,3 +774,215 @@ SELECT s.u AS user_id, CAST(g.j AS BIGINT) AS j,
 FROM seg s JOIN grid g ON s.t <= g.tj AND g.tj < s.nt
 ORDER BY user_id, j
 """
+
+
+# -------------------------------------- map matching (nearest-segment snap)
+
+def q_map_match(sf_dir: str) -> pd.DataFrame:
+    """Map matching (snap-to-road): each event point snaps to its
+    NEAREST order segment within {spatial.SEG_R} — the argmin
+    refinement of q_segment_join's pair surface (GPS pings → road
+    links).  Distances stay the exact integer fraction (num, den) from
+    `_seg_dist_parts`; the argmin ranks by the IEEE double num/den,
+    which is ORDER-EXACT here: distinct candidate rationals with
+    den ≤ 2·{spatial.SEG_MAXD}² differ by ≥ den⁻² ≈ 1e-7, seven orders
+    above double rounding, and equal rationals round identically —
+    ties then break on seg_id in both lowerings.
+
+    Scale shape: segments emit to every cell their R-expanded bbox
+    overlaps, points ONLY to their own cell — so a point's full
+    candidate set co-locates in its one group and the per-cell argmin
+    IS the global argmin: one exchange, no report-once bookkeeping,
+    no second pass."""
+    from .spatial import SEG_CELL, SEG_R, _seg_dist_parts, _seg_endpoints
+
+    pts = read_table(sf_dir, "events", columns=["event_id"])
+    segs = read_table(sf_dir, "orders", columns=["o_orderkey"])
+
+    def pt_cells(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], np.int64)
+        px, py = _seg_points(eid)
+        return pa.table({
+            "key": pa.array((px // SEG_CELL) * 1024 + py // SEG_CELL),
+            "pid": pa.array(eid), "px": pa.array(px), "py": pa.array(py),
+            "sid": pa.array(np.full(eid.size, -1)),
+            "x1": pa.array(np.zeros(eid.size, np.int64)),
+            "y1": pa.array(np.zeros(eid.size, np.int64)),
+            "x2": pa.array(np.zeros(eid.size, np.int64)),
+            "y2": pa.array(np.zeros(eid.size, np.int64))})
+
+    def seg_cells(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["o_orderkey"], np.int64)
+        x1, y1, x2, y2 = _seg_endpoints(k)
+        cx0 = (np.minimum(x1, x2) - SEG_R) // SEG_CELL
+        cx1 = (np.maximum(x1, x2) + SEG_R) // SEG_CELL
+        cy0 = (np.minimum(y1, y2) - SEG_R) // SEG_CELL
+        cy1 = (np.maximum(y1, y2) + SEG_R) // SEG_CELL
+        parts = []
+        for i in range(3):
+            for j in range(3):
+                keep = (cx0 + i <= cx1) & (cy0 + j <= cy1)
+                if not keep.any():
+                    continue
+                m = int(keep.sum())
+                parts.append(pa.table({
+                    "key": pa.array((cx0[keep] + i) * 1024 + cy0[keep] + j),
+                    "pid": pa.array(np.full(m, -1)),
+                    "px": pa.array(np.zeros(m, np.int64)),
+                    "py": pa.array(np.zeros(m, np.int64)),
+                    "sid": pa.array(k[keep]),
+                    "x1": pa.array(x1[keep]), "y1": pa.array(y1[keep]),
+                    "x2": pa.array(x2[keep]), "y2": pa.array(y2[keep])}))
+        return (pa.concat_tables(parts) if parts
+                else pt_cells(pa.table({"event_id": pa.array([], pa.int64())})))
+
+    def snap(g: pd.DataFrame) -> pd.DataFrame:
+        is_pt = g["pid"].to_numpy(np.int64) >= 0
+        p, s = g[is_pt], g[~is_pt]
+        if not len(p) or not len(s):
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                                 ("event_id", "seg_id", "d2_num", "d2_den")})
+        px = p["px"].to_numpy(np.int64)[:, None]
+        py = p["py"].to_numpy(np.int64)[:, None]
+        num, den = _seg_dist_parts(
+            px, py, s["x1"].to_numpy(np.int64)[None, :],
+            s["y1"].to_numpy(np.int64)[None, :],
+            s["x2"].to_numpy(np.int64)[None, :],
+            s["y2"].to_numpy(np.int64)[None, :])
+        sid = s["sid"].to_numpy(np.int64)
+        within = num <= SEG_R * SEG_R * den
+        ratio = np.where(within, num / den, np.inf)
+        # argmin by (double ratio, seg_id): encode rank via lexsort per row
+        order = np.lexsort((np.broadcast_to(sid, ratio.shape), ratio), axis=1)
+        best = order[:, 0]
+        rows = np.nonzero(within[np.arange(len(p)), best])[0]
+        return pd.DataFrame({
+            "event_id": p["pid"].to_numpy(np.int64)[rows],
+            "seg_id": sid[best[rows]],
+            "d2_num": num[rows, best[rows]],
+            "d2_den": den[rows, best[rows]]})
+
+    out = (pts.map_batches(pt_cells, batch_format="pyarrow")
+           .union(segs.map_batches(seg_cells, batch_format="pyarrow"))
+           .groupby("key").map_groups(snap, batch_format="pandas")
+           .to_pandas())
+    return (out.astype({c: "int64" for c in out.columns})
+            .sort_values("event_id").reset_index(drop=True))
+
+
+def map_match_oracle_sql() -> str:
+    """The segment-join pair surface (bbox IEJoin) topped with a
+    ROW_NUMBER argmin over (num/den double, seg_id)."""
+    from .spatial import Q_SEGMENT_JOIN_SQL
+
+    base = Q_SEGMENT_JOIN_SQL.replace("ORDER BY event_id, seg_id", "")
+    return f"""
+SELECT event_id, seg_id, d2_num, d2_den FROM (
+  SELECT event_id, seg_id, d2_num, d2_den,
+         ROW_NUMBER() OVER (PARTITION BY event_id
+             ORDER BY CAST(d2_num AS DOUBLE) / d2_den, seg_id) AS rn
+  FROM ({base}))
+WHERE rn = 1 ORDER BY event_id
+"""
+
+
+# ------------------------------------- simple kriging (exact rationals)
+
+KR_NS = 16                      # broadcast station count
+KR_S0 = 20_000_000              # pseudo-covariance sill: C(d²)=max(S0−d², 0)
+KR_BASE = 6_900_000_000         # station counter offset (< 2^64/2654435761)
+
+
+def _kr_stations():
+    """Deterministic integer stations (coords in [0,10000)², values in
+    [0,1000)) — the broadcast small side."""
+    s = np.arange(KR_NS, dtype=np.int64)
+    return (_seg_mix(KR_BASE + 2 * s, 10000),
+            _seg_mix(KR_BASE + 2 * s + 1, 10000),
+            _seg_mix(KR_BASE + 40 + s, 1000))
+
+
+def q_kriging_simple(sf_dir: str) -> pd.DataFrame:
+    """Simple kriging interpolation (the geostatistical sibling of
+    q_idw_interp): each event point is predicted from its TWO nearest
+    stations under the integer pseudo-covariance C(d²) = max({KR_S0} −
+    d², 0); the 2×2 kriging system solves in closed form by Cramer, and
+    the prediction is emitted as the EXACT integer fraction
+    (pred_num, den = det = S0² − c12²) — no float enters the result, so
+    the windowed-rank + closed-form SQL oracle is bit-exact.
+
+    Scale shape: stations are an O(1) broadcast table rebuilt per batch
+    from the counter hash (cheaper than shipping at this size; a real
+    station table would be `ray.put` once); the whole query is one
+    streaming map — zero shuffle, the broadcast-join discipline."""
+    sx, sy, sz = _kr_stations()
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def krige(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], np.int64)
+        px, py = _seg_points(eid)
+        d2 = ((px[:, None] - sx[None, :]) ** 2
+              + (py[:, None] - sy[None, :]) ** 2)
+        # exact (d², station-id) ranking packed into one int64 key
+        key = d2 * KR_NS + np.arange(KR_NS, dtype=np.int64)[None, :]
+        two = np.sort(np.partition(key, 1, axis=1)[:, :2], axis=1)
+        s1, s2 = two[:, 0] % KR_NS, two[:, 1] % KR_NS
+        k1 = np.maximum(KR_S0 - two[:, 0] // KR_NS, 0)
+        k2 = np.maximum(KR_S0 - two[:, 1] // KR_NS, 0)
+        d12 = (sx[s1] - sx[s2]) ** 2 + (sy[s1] - sy[s2]) ** 2
+        c12 = np.maximum(KR_S0 - d12, 0)
+        det = KR_S0 * KR_S0 - c12 * c12
+        w1n = k1 * KR_S0 - k2 * c12
+        w2n = k2 * KR_S0 - k1 * c12
+        return pa.table({"event_id": pa.array(eid),
+                         "s1": pa.array(s1), "s2": pa.array(s2),
+                         "pred_num": pa.array(w1n * sz[s1] + w2n * sz[s2]),
+                         "den": pa.array(det)})
+
+    out = ds.map_batches(krige, batch_format="pyarrow").to_pandas()
+    return (out.astype({c: "int64" for c in out.columns})
+            .sort_values("event_id").reset_index(drop=True))
+
+
+def kriging_simple_oracle_sql() -> str:
+    """Stations inlined as VALUES; two nearest via ROW_NUMBER over
+    (d², sid); Cramer closed form in BIGINT."""
+    sx, sy, sz = _kr_stations()
+    vals = ", ".join(f"({i}, {int(sx[i])}, {int(sy[i])}, {int(sz[i])})"
+                     for i in range(KR_NS))
+    return f"""
+WITH stations(sid, sx, sy, z) AS (VALUES {vals}),
+pts AS MATERIALIZED (
+  SELECT event_id,
+         {_mix_sql('2000000000 + 2 * event_id')} AS px,
+         {_mix_sql('2000000001 + 2 * event_id')} AS py
+  FROM events),
+ranked AS (
+  SELECT p.event_id, s.sid, s.z,
+         (p.px-s.sx)*(p.px-s.sx) + (p.py-s.sy)*(p.py-s.sy) AS d2,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+             ORDER BY (p.px-s.sx)*(p.px-s.sx) + (p.py-s.sy)*(p.py-s.sy),
+                      s.sid) AS rn
+  FROM pts p CROSS JOIN stations s),
+pair AS (
+  SELECT event_id,
+         MAX(CASE WHEN rn = 1 THEN sid END) AS s1,
+         MAX(CASE WHEN rn = 2 THEN sid END) AS s2,
+         MAX(CASE WHEN rn = 1 THEN GREATEST({KR_S0} - d2, 0) END) AS k1,
+         MAX(CASE WHEN rn = 2 THEN GREATEST({KR_S0} - d2, 0) END) AS k2,
+         MAX(CASE WHEN rn = 1 THEN z END) AS z1,
+         MAX(CASE WHEN rn = 2 THEN z END) AS z2
+  FROM ranked WHERE rn <= 2 GROUP BY event_id),
+solved AS (
+  SELECT p.event_id, p.s1, p.s2, p.k1, p.k2, p.z1, p.z2,
+         GREATEST({KR_S0} - ((a.sx-b.sx)*(a.sx-b.sx)
+                             + (a.sy-b.sy)*(a.sy-b.sy)), 0) AS c12
+  FROM pair p JOIN stations a ON a.sid = p.s1
+              JOIN stations b ON b.sid = p.s2)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+       CAST((k1 * {KR_S0} - k2 * c12) * z1
+            + (k2 * {KR_S0} - k1 * c12) * z2 AS BIGINT) AS pred_num,
+       CAST(CAST({KR_S0} AS BIGINT) * {KR_S0} - c12 * c12 AS BIGINT) AS den
+FROM solved ORDER BY event_id
+"""

@@ -183,3 +183,63 @@ class TestTrajectoryResample:
                .astype("int64").sort_values(["user_id", "j"])
                .reset_index(drop=True))
         pd.testing.assert_frame_equal(out, ref)
+
+
+class TestMapMatch:
+    def test_snap_is_true_argmin_and_subset_of_join(self, ray_session):
+        out = spatial2.q_map_match(SF001)
+        assert len(out) > 0
+        # one row per matched point
+        assert out["event_id"].is_unique
+        from raster_functions_ray.spatial import (SEG_R, _seg_dist_parts,
+                                                  _seg_endpoints)
+        t = pq.read_table(SF001 + "/events.parquet", columns=["event_id"])
+        eid = np.asarray(t["event_id"], np.int64)
+        px, py = _seg_points(eid)
+        k = np.asarray(pq.read_table(SF001 + "/orders.parquet",
+                                     columns=["o_orderkey"])["o_orderkey"],
+                       np.int64)
+        x1, y1, x2, y2 = _seg_endpoints(k)
+        num, den = _seg_dist_parts(px[:, None], py[:, None], x1[None, :],
+                                   y1[None, :], x2[None, :], y2[None, :])
+        within = num <= SEG_R * SEG_R * den
+        ratio = np.where(within, num / den, np.inf)
+        order = np.lexsort((np.broadcast_to(k, ratio.shape), ratio), axis=1)
+        best = order[:, 0]
+        matched = within[np.arange(eid.size), best]
+        ref = pd.DataFrame({
+            "event_id": eid[matched], "seg_id": k[best[matched]],
+            "d2_num": num[matched, best[matched]],
+            "d2_den": den[matched, best[matched]]}).astype("int64")
+        ref = ref.sort_values("event_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(out, ref)
+
+
+class TestKrigingSimple:
+    def test_matches_python_cramer(self, ray_session):
+        out = spatial2.q_kriging_simple(SF001)
+        sx, sy, sz = spatial2._kr_stations()
+        # stations must be coordinate-distinct or det degenerates
+        assert len({(int(a), int(b)) for a, b in zip(sx, sy)}) == spatial2.KR_NS
+        t = pq.read_table(SF001 + "/events.parquet", columns=["event_id"])
+        eid = np.asarray(t["event_id"], np.int64)
+        px, py = _seg_points(eid)
+        S0 = spatial2.KR_S0
+        rows = []
+        for i in range(eid.size):
+            d2 = [(int((px[i] - sx[j]) ** 2 + (py[i] - sy[j]) ** 2), j)
+                  for j in range(spatial2.KR_NS)]
+            (d1, s1), (d2_, s2) = sorted(d2)[:2]
+            k1, k2 = max(S0 - d1, 0), max(S0 - d2_, 0)
+            c12 = max(S0 - int((sx[s1] - sx[s2]) ** 2
+                               + (sy[s1] - sy[s2]) ** 2), 0)
+            det = S0 * S0 - c12 * c12
+            rows.append((int(eid[i]), s1, s2,
+                         (k1 * S0 - k2 * c12) * int(sz[s1])
+                         + (k2 * S0 - k1 * c12) * int(sz[s2]), det))
+        ref = (pd.DataFrame(rows, columns=["event_id", "s1", "s2",
+                                           "pred_num", "den"])
+               .astype("int64").sort_values("event_id")
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, ref)
+        assert (out["den"] > 0).all()
