@@ -986,3 +986,408 @@ SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(CAST({KR_S0} AS BIGINT) * {KR_S0} - c12 * c12 AS BIGINT) AS den
 FROM solved ORDER BY event_id
 """
+
+
+# ------------------------------- OD cost matrix (multi-source SSSP)
+
+OD_SOURCES = (0, 17, 256, 777)   # origin nodes (Network Analyst facilities)
+
+
+def q_od_cost_matrix(sf_dir: str) -> pd.DataFrame:
+    """OD cost matrix (the ArcGIS Network Analyst *OD Cost Matrix*
+    solver): ≤{SSSP_K}-edge shortest-path costs from every origin in
+    {OD_SOURCES} to every reachable node, over the q_sssp_khop edge
+    world — the multi-source generalization where all origins relax in
+    the SAME streaming pass.
+
+    Scale shape: the frontier is an (N × S) integer matrix broadcast
+    per round (still O(N·S) driver state); each pass emits per-batch
+    partial minima per (source, node) — the per-batch work is one fancy
+    -indexed add and one np.minimum.at per source column, so S origins
+    cost S column operations, NOT S passes."""
+    import ray
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey"])
+    S = len(OD_SOURCES)
+    dist = np.full((SSSP_N, S), _SSSP_INF, np.int64)
+    dist[list(OD_SOURCES), range(S)] = 0
+    for _ in range(SSSP_K):
+        dref = ray.put(dist)
+
+        def relax(b: pa.Table, dref=dref) -> pa.Table:
+            d = ray.get(dref)
+            s, t, w = _sssp_edges(np.asarray(b["o_orderkey"], np.int64))
+            loc = np.full((SSSP_N, d.shape[1]), _SSSP_INF, np.int64)
+            for c in range(d.shape[1]):
+                m = d[s, c] < _SSSP_INF
+                np.minimum.at(loc[:, c], t[m], d[s[m], c] + w[m])
+            nz, cz = np.nonzero(loc < _SSSP_INF)
+            return pa.table({"src": pa.array(np.asarray(OD_SOURCES,
+                                                        np.int64)[cz]),
+                             "node": pa.array(nz),
+                             "dist": pa.array(loc[nz, cz])})
+
+        part = ds.map_batches(relax, batch_format="pyarrow").to_pandas()
+        nd = dist.copy()
+        if len(part):
+            srcidx = np.searchsorted(np.sort(np.asarray(OD_SOURCES)),
+                                     part["src"].to_numpy(np.int64))
+            # OD_SOURCES is not sorted-order-stable in general; map back
+            order = np.argsort(np.asarray(OD_SOURCES))
+            col = order[srcidx]
+            np.minimum.at(nd, (part["node"].to_numpy(np.int64), col),
+                          part["dist"].to_numpy(np.int64))
+        if np.array_equal(nd, dist):
+            break
+        dist = nd
+    ns, cs = np.nonzero(dist < _SSSP_INF)
+    return (pd.DataFrame({"src": np.asarray(OD_SOURCES, np.int64)[cs],
+                          "node": ns.astype(np.int64),
+                          "dist": dist[ns, cs]})
+            .sort_values(["src", "node"]).reset_index(drop=True))
+
+
+def od_cost_matrix_oracle_sql() -> str:
+    """The sssp_khop unrolled relax carrying the source label through
+    every round."""
+    s = _mix_sql("6500000000 + 3 * o_orderkey", SSSP_N)
+    t = _mix_sql("6500000001 + 3 * o_orderkey", SSSP_N)
+    w = _mix_sql("6500000002 + 3 * o_orderkey", 100) + " + 1"
+    srcs = ", ".join(f"({v})" for v in OD_SOURCES)
+    rounds = []
+    for k in range(SSSP_K):
+        rounds.append(f"""d{k + 1} AS (
+  SELECT src, node, MIN(dist) AS dist FROM (
+    SELECT src, node, dist FROM d{k}
+    UNION ALL
+    SELECT d{k}.src, e.t AS node, d{k}.dist + e.w AS dist
+    FROM d{k} JOIN edges e ON e.s = d{k}.node)
+  GROUP BY src, node)""")
+    return f"""
+WITH edges AS MATERIALIZED (
+  SELECT {s} AS s, {t} AS t, {w} AS w FROM orders),
+d0(src, node, dist) AS (SELECT v, v, 0 FROM (VALUES {srcs}) o(v)),
+{', '.join(rounds)}
+SELECT CAST(src AS BIGINT) AS src, CAST(node AS BIGINT) AS node,
+       CAST(dist AS BIGINT) AS dist
+FROM d{SSSP_K} ORDER BY src, node
+"""
+
+
+# ---------------- geographically weighted regression (exact moments)
+
+GWR_R = 200    # kernel bandwidth (grid units)
+GWR_C = 100    # target-cell pitch (regression locations = cell centers)
+GWR_ZBASE = 6_400_000_000   # attribute counter offset
+
+
+def q_gwr_moments(sf_dir: str) -> pd.DataFrame:
+    """Geographically Weighted Regression (the ArcGIS GWR tool), reduced
+    to its exact sufficient statistics: for every raster cell center,
+    the Epanechnikov-weighted local moments of z ~ β₀ + β₁·dx + β₂·dy
+    over the points within bandwidth {GWR_R} — n and the nine weighted
+    sums (Σw, Σw·dx, Σw·dy, Σw·z, Σw·dx², Σw·dx·dy, Σw·dy², Σw·dx·z,
+    Σw·dy·z), all integers (doubled relative coordinates keep half-unit
+    cell centers integer; w = (2·{GWR_R})² − D2).  The per-location 3×3
+    weighted-least-squares solve is a driver formula of these moments —
+    the group-OLS sufficient-statistics discipline, made spatial.
+
+    Scale shape: identical to the q_kde_density scatter — each point
+    emits ≤ (2·{GWR_R}/{GWR_C}+1)² weighted moment rows, ONE
+    groupby(cell) Sum; no point-to-point comparison anywhere."""
+    from ray.data.aggregate import Sum
+
+    span = GWR_R // GWR_C
+    W2 = (2 * GWR_R) ** 2
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def scatter(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], np.int64)
+        px, py = _seg_points(eid)
+        z = _seg_mix(GWR_ZBASE + eid, 1000)
+        cx, cy = px // GWR_C, py // GWR_C
+        offs = np.arange(-span, span + 1, dtype=np.int64)
+        gx = cx[:, None, None] + offs[None, :, None]
+        gy = cy[:, None, None] + offs[None, None, :]
+        dx = 2 * px[:, None, None] - (2 * gx * GWR_C + GWR_C)
+        dy = 2 * py[:, None, None] - (2 * gy * GWR_C + GWR_C)
+        d2 = dx * dx + dy * dy
+        w = W2 - d2
+        keep = w > 0
+        gx = np.broadcast_to(gx, d2.shape)[keep]
+        gy = np.broadcast_to(gy, d2.shape)[keep]
+        dx = np.broadcast_to(dx, d2.shape)[keep]
+        dy = np.broadcast_to(dy, d2.shape)[keep]
+        w = w[keep]
+        zz = np.broadcast_to(z[:, None, None], d2.shape)[keep]
+        return pa.table({
+            "cx": pa.array(gx), "cy": pa.array(gy),
+            "n": pa.array(np.ones(w.size, np.int64)),
+            "sw": pa.array(w), "swx": pa.array(w * dx),
+            "swy": pa.array(w * dy), "swz": pa.array(w * zz),
+            "swxx": pa.array(w * dx * dx), "swxy": pa.array(w * dx * dy),
+            "swyy": pa.array(w * dy * dy), "swxz": pa.array(w * dx * zz),
+            "swyz": pa.array(w * dy * zz)})
+
+    cols = ["n", "sw", "swx", "swy", "swz", "swxx", "swxy", "swyy",
+            "swxz", "swyz"]
+    out = (ds.map_batches(scatter, batch_format="pyarrow")
+           .groupby(["cx", "cy"])
+           .aggregate(*[Sum(c, alias_name=c) for c in cols])
+           .to_pandas())
+    return (out.astype({c: "int64" for c in out.columns})
+            .sort_values(["cx", "cy"]).reset_index(drop=True))
+
+
+def gwr_moments_oracle_sql() -> str:
+    """The kde scatter cross join carrying the weighted moment terms."""
+    span = GWR_R // GWR_C
+    W2 = (2 * GWR_R) ** 2
+    z = _mix_sql("6400000000 + event_id", 1000)
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT {_mix_sql('2000000000 + 2 * event_id')} AS px,
+         {_mix_sql('2000000001 + 2 * event_id')} AS py,
+         {z} AS z
+  FROM events),
+sc AS (
+  SELECT px // {GWR_C} + ox.d AS cx, py // {GWR_C} + oy.d AS cy, z,
+         2*px - (2*(px // {GWR_C} + ox.d) * {GWR_C} + {GWR_C}) AS dx,
+         2*py - (2*(py // {GWR_C} + oy.d) * {GWR_C} + {GWR_C}) AS dy
+  FROM pts,
+       range(-{span}, {span + 1}) ox(d), range(-{span}, {span + 1}) oy(d)),
+wsc AS (
+  SELECT cx, cy, z, dx, dy, {W2} - (dx*dx + dy*dy) AS w
+  FROM sc WHERE dx*dx + dy*dy < {W2})
+SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(w) AS BIGINT) AS sw,
+       CAST(SUM(w * dx) AS BIGINT) AS swx,
+       CAST(SUM(w * dy) AS BIGINT) AS swy,
+       CAST(SUM(w * z) AS BIGINT) AS swz,
+       CAST(SUM(w * dx * dx) AS BIGINT) AS swxx,
+       CAST(SUM(w * dx * dy) AS BIGINT) AS swxy,
+       CAST(SUM(w * dy * dy) AS BIGINT) AS swyy,
+       CAST(SUM(w * dx * z) AS BIGINT) AS swxz,
+       CAST(SUM(w * dy * z) AS BIGINT) AS swyz
+FROM wsc GROUP BY cx, cy ORDER BY cx, cy
+"""
+
+
+# -------------------------- minimum bounding circles (exact rationals)
+
+MBC_ZONES = 8
+MBC_TARGET = 512            # total sampled points
+MBC_W = 512                 # coordinate world [0,512)² — keeps every
+                            # circumcircle numerator |u|² < 2^63 exactly
+MBC_CBASE = 6_600_000_000   # coord counter offset
+MBC_ZBASE = 6_700_000_000   # zone counter offset
+
+
+def _mbc_samp(n_events: int) -> int:
+    return max(1, n_events // MBC_TARGET)
+
+
+def _mbc_world(eids: np.ndarray):
+    return (_seg_mix(MBC_CBASE + 2 * eids, MBC_W),
+            _seg_mix(MBC_CBASE + 2 * eids + 1, MBC_W),
+            _seg_mix(MBC_ZBASE + eids, MBC_ZONES))
+
+
+def _mbc_best(ids, xs, ys):
+    """Exact minimum enclosing circle over hull corners: candidates are
+    every corner pair (diameter circle, r² = |a−b|²/4) and every
+    non-collinear corner triple (circumcircle, r² = |u|²/D² with u the
+    doubled center offset from a and D = 2·cross); covering is tested
+    against the corners only (a circle is convex, so covering the hull
+    vertices covers everything); the winner is the smallest covering
+    circle under the total order (exact Fraction r², support size,
+    sorted id tuple) — deterministic under cocircular ties."""
+    from fractions import Fraction
+    from itertools import combinations
+
+    pts = sorted(zip(ids, xs, ys))
+    best = None
+    for (ai, ax, ay), (bi, bx, by) in combinations(pts, 2):
+        num = (ax - bx) ** 2 + (ay - by) ** 2
+        if all((2 * px - ax - bx) ** 2 + (2 * py - ay - by) ** 2 <= num
+               for _, px, py in pts):
+            cand = (Fraction(num, 4), 2, ai, bi, -1, num, 4)
+            if best is None or cand < best:
+                best = cand
+    for (ai, ax, ay), (bi, bx, by), (ci, cx, cy) in combinations(pts, 3):
+        Axx, Ayy = bx - ax, by - ay
+        Bxx, Byy = cx - ax, cy - ay
+        D = 2 * (Axx * Byy - Ayy * Bxx)
+        if D == 0:
+            continue
+        a2, b2 = Axx * Axx + Ayy * Ayy, Bxx * Bxx + Byy * Byy
+        ux, uy = Byy * a2 - Ayy * b2, Axx * b2 - Bxx * a2
+        num = ux * ux + uy * uy
+        if all((D * (px - ax) - ux) ** 2 + (D * (py - ay) - uy) ** 2 <= num
+               for _, px, py in pts):
+            cand = (Fraction(num, D * D), 3, ai, bi, ci, num, D * D)
+            if best is None or cand < best:
+                best = cand
+    return best
+
+
+def q_min_bounding_circle(sf_dir: str) -> pd.DataFrame:
+    """Minimum bounding circle per zone (the ArcGIS Minimum Bounding
+    Geometry tool, CIRCLE mode) over {MBC_ZONES} sampled point sets in a
+    {MBC_W}-unit world: output is the support-point id tuple (p3 = −1
+    for diameter circles) and the EXACT rational squared radius
+    (r2_num, r2_den) — the world size is chosen so every circumcircle
+    numerator stays int64-exact on both engines.
+
+    Scale shape: the q_convex_hull per-block partial-hull combiner (the
+    MBC's support points are hull corners, and hull(S) ⊆ ∪ hull(blocks)),
+    then an O(h³) exact search over the ~dozen surviving corners per
+    zone — candidate work is bounded by the hull size, never the point
+    count."""
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    samp = _mbc_samp(n)
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def dedup_min_id(z, eid, px, py):
+        o = np.lexsort((eid, py, px, z))
+        z, eid, px, py = z[o], eid[o], px[o], py[o]
+        first = np.r_[True, (z[1:] != z[:-1]) | (px[1:] != px[:-1])
+                      | (py[1:] != py[:-1])]
+        return z[first], eid[first], px[first], py[first]
+
+    def partial(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], np.int64)
+        eid = eid[eid % samp == 0]
+        px, py, z = _mbc_world(eid)
+        z, eid, px, py = dedup_min_id(z, eid, px, py)
+        kz, ke, kx, ky = [], [], [], []
+        for zv in np.unique(z):
+            m = z == zv
+            h = _hull_chain(px[m], py[m])
+            kz.append(np.full(h.size, zv))
+            ke.append(eid[m][h])
+            kx.append(px[m][h])
+            ky.append(py[m][h])
+        empty = pa.array([], pa.int64())
+        return pa.table({"zone": pa.array(np.concatenate(kz)) if kz else empty,
+                         "id": pa.array(np.concatenate(ke)) if kz else empty,
+                         "px": pa.array(np.concatenate(kx)) if kz else empty,
+                         "py": pa.array(np.concatenate(ky)) if kz else empty})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        z = g["zone"].to_numpy(np.int64)
+        eid = g["id"].to_numpy(np.int64)
+        px = g["px"].to_numpy(np.int64)
+        py = g["py"].to_numpy(np.int64)
+        z, eid, px, py = dedup_min_id(z, eid, px, py)
+        h = _hull_chain(px, py)
+        best = _mbc_best([int(eid[i]) for i in h],
+                         [int(px[i]) for i in h],
+                         [int(py[i]) for i in h])
+        if best is None:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                                 ("zone", "p1", "p2", "p3",
+                                  "r2_num", "r2_den")})
+        _, _, p1, p2, p3, num, den = best
+        return pd.DataFrame({"zone": [int(z[0])], "p1": [p1], "p2": [p2],
+                             "p3": [p3], "r2_num": [num], "r2_den": [den]})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("zone").map_groups(final, batch_format="pandas")
+           .to_pandas())
+    return (out.astype({c: "int64" for c in out.columns})
+            .sort_values("zone").reset_index(drop=True))
+
+
+def min_bounding_circle_oracle_sql(sf: float = 0.01) -> str:
+    """Hull corners via the convex-hull edge test, pair + triple
+    candidates, covering via int64-safe squared forms, winner via a
+    NOT-EXISTS total order with HUGEINT cross-multiplied r² compares."""
+    samp = _mbc_samp(round(sf * 1_000_000))
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT {_mix_sql('6700000000 + event_id', MBC_ZONES)} AS z,
+         MIN(event_id) AS id, px, py
+  FROM (SELECT event_id,
+               {_mix_sql('6600000000 + 2 * event_id', MBC_W)} AS px,
+               {_mix_sql('6600000001 + 2 * event_id', MBC_W)} AS py
+        FROM events WHERE event_id % {samp} = 0)
+  GROUP BY z, px, py),
+cand0 AS MATERIALIZED (
+  SELECT a.z, a.id AS a_id, b.id AS b_id,
+         a.px AS ax, a.py AS ay, b.px AS bx, b.py AS by_
+  FROM pts a JOIN pts b ON b.z = a.z AND b.id <> a.id),
+bad AS (
+  SELECT DISTINCT c.z, c.a_id, c.b_id
+  FROM cand0 c JOIN pts p ON p.z = c.z
+  WHERE p.id <> c.a_id AND p.id <> c.b_id
+    AND NOT (
+      (c.bx-c.ax)*(p.py-c.ay) - (c.by_-c.ay)*(p.px-c.ax) > 0
+      OR ((c.bx-c.ax)*(p.py-c.ay) - (c.by_-c.ay)*(p.px-c.ax) = 0
+          AND p.px BETWEEN LEAST(c.ax, c.bx) AND GREATEST(c.ax, c.bx)
+          AND p.py BETWEEN LEAST(c.ay, c.by_) AND GREATEST(c.ay, c.by_)))),
+hullv AS MATERIALIZED (
+  SELECT DISTINCT p.z, p.id, p.px, p.py
+  FROM pts p JOIN (
+    SELECT c.z, c.a_id AS id FROM cand0 c ANTI JOIN bad d
+      ON d.z = c.z AND d.a_id = c.a_id AND d.b_id = c.b_id
+    UNION
+    SELECT c.z, c.b_id FROM cand0 c ANTI JOIN bad d
+      ON d.z = c.z AND d.a_id = c.a_id AND d.b_id = c.b_id) e
+    ON e.z = p.z AND e.id = p.id),
+cpair AS (
+  SELECT a.z, a.id AS p1, b.id AS p2, CAST(-1 AS BIGINT) AS p3,
+         (a.px-b.px)*(a.px-b.px) + (a.py-b.py)*(a.py-b.py) AS num,
+         CAST(4 AS BIGINT) AS den, 2 AS nsup,
+         a.px AS ax, a.py AS ay,
+         a.px + b.px AS sx, a.py + b.py AS sy,
+         CAST(0 AS BIGINT) AS ux, CAST(0 AS BIGINT) AS uy,
+         CAST(0 AS BIGINT) AS dd
+  FROM hullv a JOIN hullv b ON b.z = a.z AND b.id > a.id),
+ctri AS (
+  SELECT a.z, a.id AS p1, b.id AS p2, c.id AS p3,
+         2*((b.px-a.px)*(c.py-a.py) - (b.py-a.py)*(c.px-a.px)) AS dd,
+         (c.py-a.py)*((b.px-a.px)*(b.px-a.px) + (b.py-a.py)*(b.py-a.py))
+           - (b.py-a.py)*((c.px-a.px)*(c.px-a.px) + (c.py-a.py)*(c.py-a.py))
+           AS ux,
+         (b.px-a.px)*((c.px-a.px)*(c.px-a.px) + (c.py-a.py)*(c.py-a.py))
+           - (c.px-a.px)*((b.px-a.px)*(b.px-a.px) + (b.py-a.py)*(b.py-a.py))
+           AS uy,
+         a.px AS ax, a.py AS ay
+  FROM hullv a JOIN hullv b ON b.z = a.z AND b.id > a.id
+               JOIN hullv c ON c.z = a.z AND c.id > b.id
+  WHERE (b.px-a.px)*(c.py-a.py) - (b.py-a.py)*(c.px-a.px) <> 0),
+cands AS (
+  SELECT z, p1, p2, p3, num, den, nsup, ax, ay, sx, sy, ux, uy, dd
+  FROM cpair
+  UNION ALL
+  SELECT z, p1, p2, p3, ux*ux + uy*uy AS num, dd*dd AS den, 3 AS nsup,
+         ax, ay, 0, 0, ux, uy, dd
+  FROM ctri),
+covering AS (
+  SELECT c.* FROM cands c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM hullv p WHERE p.z = c.z AND (
+      (c.nsup = 2 AND
+       (2*p.px - c.sx)*(2*p.px - c.sx)
+       + (2*p.py - c.sy)*(2*p.py - c.sy) > c.num)
+      OR
+      (c.nsup = 3 AND
+       (c.dd*(p.px - c.ax) - c.ux)*(c.dd*(p.px - c.ax) - c.ux)
+       + (c.dd*(p.py - c.ay) - c.uy)*(c.dd*(p.py - c.ay) - c.uy)
+       > c.num))))
+SELECT CAST(z AS BIGINT) AS zone,
+       CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+       CAST(p3 AS BIGINT) AS p3,
+       CAST(num AS BIGINT) AS r2_num, CAST(den AS BIGINT) AS r2_den
+FROM covering c
+WHERE NOT EXISTS (
+  SELECT 1 FROM covering j WHERE j.z = c.z AND (
+    CAST(j.num AS HUGEINT) * c.den < CAST(c.num AS HUGEINT) * j.den
+    OR (CAST(j.num AS HUGEINT) * c.den = CAST(c.num AS HUGEINT) * j.den
+        AND (j.nsup, j.p1, j.p2, j.p3) < (c.nsup, c.p1, c.p2, c.p3))))
+ORDER BY zone
+"""

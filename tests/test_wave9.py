@@ -243,3 +243,88 @@ class TestKrigingSimple:
                .reset_index(drop=True))
         pd.testing.assert_frame_equal(out, ref)
         assert (out["den"] > 0).all()
+
+
+class TestOdCostMatrix:
+    def test_each_source_equals_single_source_relax(self, ray_session):
+        out = spatial2.q_od_cost_matrix(SF001)
+        keys = np.asarray(pq.read_table(
+            SF001 + "/orders.parquet", columns=["o_orderkey"])["o_orderkey"],
+            np.int64)
+        s, t, w = spatial2._sssp_edges(keys)
+        INF = spatial2._SSSP_INF
+        for src in spatial2.OD_SOURCES:
+            dist = np.full(spatial2.SSSP_N, INF, np.int64)
+            dist[src] = 0
+            for _ in range(spatial2.SSSP_K):
+                nd = dist.copy()
+                m = dist[s] < INF
+                np.minimum.at(nd, t[m], dist[s[m]] + w[m])
+                dist = nd
+            reach = np.nonzero(dist < INF)[0]
+            got = out[out["src"] == src].reset_index(drop=True)
+            ref = pd.DataFrame({"src": np.full(reach.size, src,
+                                               dtype=np.int64),
+                                "node": reach.astype("int64"),
+                                "dist": dist[reach]})
+            pd.testing.assert_frame_equal(got, ref)
+
+
+class TestGwrMoments:
+    def test_matches_dense_numpy_scatter(self, ray_session):
+        out = spatial2.q_gwr_moments(SF001)
+        from raster_functions_ray.spatial import _seg_mix
+        t = pq.read_table(SF001 + "/events.parquet", columns=["event_id"])
+        eid = np.asarray(t["event_id"], np.int64)
+        px, py = _seg_points(eid)
+        z = _seg_mix(spatial2.GWR_ZBASE + eid, 1000)
+        C, R = spatial2.GWR_C, spatial2.GWR_R
+        acc = {}
+        for i in range(eid.size):
+            for gx in range(int(px[i]) // C - 2, int(px[i]) // C + 3):
+                for gy in range(int(py[i]) // C - 2, int(py[i]) // C + 3):
+                    dx = 2 * int(px[i]) - (2 * gx * C + C)
+                    dy = 2 * int(py[i]) - (2 * gy * C + C)
+                    w = (2 * R) ** 2 - (dx * dx + dy * dy)
+                    if w <= 0:
+                        continue
+                    zz = int(z[i])
+                    row = acc.setdefault((gx, gy), [0] * 10)
+                    for k, v in enumerate([1, w, w * dx, w * dy, w * zz,
+                                           w * dx * dx, w * dx * dy,
+                                           w * dy * dy, w * dx * zz,
+                                           w * dy * zz]):
+                        row[k] += v
+        ref = pd.DataFrame(
+            [(k[0], k[1], *v) for k, v in sorted(acc.items())],
+            columns=["cx", "cy", "n", "sw", "swx", "swy", "swz",
+                     "swxx", "swxy", "swyy", "swxz", "swyz"]).astype("int64")
+        pd.testing.assert_frame_equal(out, ref.reset_index(drop=True))
+
+
+class TestMinBoundingCircle:
+    def test_matches_all_points_bruteforce(self, ray_session):
+        out = spatial2.q_min_bounding_circle(SF001)
+        assert len(out) == spatial2.MBC_ZONES
+        n = pq.ParquetFile(SF001 + "/events.parquet").metadata.num_rows
+        samp = spatial2._mbc_samp(n)
+        t = pq.read_table(SF001 + "/events.parquet", columns=["event_id"])
+        eid = np.asarray(t["event_id"], np.int64)
+        eid = eid[eid % samp == 0]
+        px, py, z = spatial2._mbc_world(eid)
+        from fractions import Fraction
+        for zv in range(spatial2.MBC_ZONES):
+            m = z == zv
+            # brute force over ALL zone points (not just hull corners)
+            seen = {}
+            for i in np.nonzero(m)[0]:
+                seen.setdefault((int(px[i]), int(py[i])), int(eid[i]))
+            ids = [min(v, seen[k]) for k, v in seen.items()]
+            coords = list(seen.keys())
+            best = spatial2._mbc_best(
+                [seen[c] for c in coords],
+                [c[0] for c in coords], [c[1] for c in coords])
+            row = out[out["zone"] == zv].iloc[0]
+            assert Fraction(int(row["r2_num"]), int(row["r2_den"])) == best[0]
+            assert (int(row["p1"]), int(row["p2"]), int(row["p3"])) == \
+                (best[2], best[3], best[4])
