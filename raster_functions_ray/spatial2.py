@@ -1391,3 +1391,538 @@ WHERE NOT EXISTS (
         AND (j.nsup, j.p1, j.p2, j.p3) < (c.nsup, c.p1, c.p2, c.p3))))
 ORDER BY zone
 """
+
+
+# ----------------------- Geary's C moments (spatial autocorrelation)
+
+def q_geary_c(sf_dir: str) -> pd.DataFrame:
+    """Global Geary's C (the local-difference complement of Moran's I —
+    ArcGIS reports both from the same weights) over the counter value
+    surface with rook weights, reduced to exact integer moments: n, the
+    undirected pair count W, Σx, Σx² and Σ(xᵢ−xⱼ)² over adjacent pairs;
+    C = (n−1)·Σw(xᵢ−xⱼ)² / (4W·Σ(xᵢ−x̄)²) is a driver formula.
+
+    Engine shape: the q_morans_i tile-halo partial (each tile owns its
+    right/down pairs, neighbors recomputed from the counter field — zero
+    shuffle, one partial row per tile, driver merge of 64 tiny rows)."""
+    import ray.data as rd
+
+    from .regions import GRID_TILES, GRID_W, TILE_PX, mask_values
+
+    tiles = rd.range(GRID_TILES * GRID_TILES, override_num_blocks=8)
+
+    def per_tile(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for tid in np.asarray(b["id"], dtype=np.int64):
+            ty, tx = divmod(int(tid), GRID_TILES)
+            r0, c0 = ty * TILE_PX, tx * TILE_PX
+            h = TILE_PX + (1 if r0 + TILE_PX < GRID_W else 0)
+            w = TILE_PX + (1 if c0 + TILE_PX < GRID_W else 0)
+            rr = (np.arange(r0, r0 + h, dtype=np.uint64)[:, None]
+                  * np.uint64(GRID_W))
+            cc = np.arange(c0, c0 + w, dtype=np.uint64)[None, :]
+            x = mask_values(rr + cc).astype(np.int64)
+            core = x[:TILE_PX, :TILE_PX]
+            dr = x[:TILE_PX, : w - 1] - x[:TILE_PX, 1:w]
+            dd = (x[: min(TILE_PX, h - 1), :TILE_PX]
+                  - x[1: min(TILE_PX, h - 1) + 1, :TILE_PX])
+            rows.append((TILE_PX * TILE_PX, int(dr.size + dd.size),
+                         int(core.sum()), int((core * core).sum()),
+                         int((dr * dr).sum() + (dd * dd).sum())))
+        return pd.DataFrame(rows, columns=["n_pix", "w_und", "sum_x",
+                                           "sum_x2", "diffsq"]
+                            ).astype("int64")
+
+    p = (tiles.map_batches(per_tile, batch_format="pyarrow", batch_size=8)
+         .to_pandas())
+    return pd.DataFrame([{c: int(p[c].sum()) for c in
+                          ("n_pix", "w_und", "sum_x", "sum_x2", "diffsq")}]
+                        ).astype("int64")
+
+
+def geary_c_oracle_sql() -> str:
+    """The Moran pair CTE with the squared-difference moment."""
+    from .regions import _MORAN_X, _MORAN_XN, GRID_W
+
+    return f"""
+WITH px AS (
+  SELECT CAST(range AS BIGINT) // {GRID_W} AS r,
+         CAST(range AS BIGINT) % {GRID_W} AS c
+  FROM range(0, {GRID_W * GRID_W})
+), pairs AS (
+  SELECT r, c, r AS r2, c + 1 AS c2 FROM px WHERE c + 1 < {GRID_W}
+  UNION ALL
+  SELECT r, c, r + 1 AS r2, c AS c2 FROM px WHERE r + 1 < {GRID_W}
+)
+SELECT CAST({GRID_W * GRID_W} AS BIGINT) AS n_pix,
+       CAST(COUNT(*) AS BIGINT) AS w_und,
+       (SELECT CAST(SUM({_MORAN_X}) AS BIGINT) FROM px) AS sum_x,
+       (SELECT CAST(SUM({_MORAN_X} * {_MORAN_X}) AS BIGINT) FROM px)
+         AS sum_x2,
+       CAST(SUM(({_MORAN_X} - {_MORAN_XN})
+                * ({_MORAN_X} - {_MORAN_XN})) AS BIGINT) AS diffsq
+FROM pairs
+"""
+
+
+# -------------------- Knox space-time interaction statistic
+
+KNOX_RS = (20, 40, 80)
+KNOX_TAUS_US = (2 * 3600 * 1_000_000, 6 * 3600 * 1_000_000,
+                24 * 3600 * 1_000_000)
+
+
+def q_knox_stat(sf_dir: str) -> pd.DataFrame:
+    """Knox space-time interaction counts (the near-repeat / disease-
+    cluster test; Knox 1964): the number of unordered event pairs within
+    spatial distance r AND temporal distance τ for every (r, τ) in
+    {KNOX_RS} × {KNOX_TAUS_US} — the contingency surface the Knox test
+    chi-squares.  Exact integers.
+
+    Scale shape: the q_spacetime_join 3-D grid at the LARGEST (r, τ)
+    classifies every threshold pair at once (the Ripley multi-radius
+    discipline) — the exchange carries O(|thresholds|·cells) partial
+    counts, never pairs."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
+    rmax, tmax = max(KNOX_RS), max(KNOX_TAUS_US)
+    cell, tb = 500, tmax
+
+    def emit(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], np.int64)
+        t = b["ts"].cast(pa.int64()).to_numpy() - STJ_T0_US
+        px, py = _seg_points(eid)
+        cx, cy, tk = px // cell, py // cell, t // tb
+        parts = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    sp_ok = np.ones(eid.size, bool)
+                else:
+                    xlo = (cx + dx) * cell
+                    ylo = (cy + dy) * cell
+                    ddx = np.maximum(
+                        np.maximum(xlo - px, px - (xlo + cell - 1)), 0)
+                    ddy = np.maximum(
+                        np.maximum(ylo - py, py - (ylo + cell - 1)), 0)
+                    sp_ok = ddx * ddx + ddy * ddy <= rmax * rmax
+                if not sp_ok.any():
+                    continue
+                for dt in (-1, 0, 1):
+                    keep = sp_ok
+                    if dt != 0 and not keep.any():
+                        continue
+                    parts.append(pa.table({
+                        "key": pa.array(((cx[keep] + dx) * 100003
+                                         + cy[keep] + dy) * 64
+                                        + tk[keep] + dt + 1),
+                        "own": pa.array(np.full(int(keep.sum()),
+                                                dx == 0 and dy == 0
+                                                and dt == 0)),
+                        "id": pa.array(eid[keep]),
+                        "x": pa.array(px[keep]), "y": pa.array(py[keep]),
+                        "t": pa.array(t[keep])}))
+        return pa.concat_tables(parts)
+
+    def count_cell(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["id"].to_numpy(np.int64)
+        x = g["x"].to_numpy(np.int64)
+        y = g["y"].to_numpy(np.int64)
+        t = g["t"].to_numpy(np.int64)
+        own = g["own"].to_numpy(bool)
+        oi = np.nonzero(own)[0]
+        if oi.size == 0:
+            return pd.DataFrame({"r": pd.Series(dtype="int64"),
+                                 "tau_us": pd.Series(dtype="int64"),
+                                 "n_pairs": pd.Series(dtype="int64")})
+        d2 = ((x[oi, None] - x[None, :]) ** 2
+              + (y[oi, None] - y[None, :]) ** 2)
+        dt = np.abs(t[None, :] - t[oi, None])
+        lt = ids[oi, None] < ids[None, :]
+        rows = [(r, tau, int((lt & (d2 <= r * r) & (dt <= tau)).sum()))
+                for r in KNOX_RS for tau in KNOX_TAUS_US]
+        return pd.DataFrame(rows, columns=["r", "tau_us", "n_pairs"]
+                            ).astype("int64")
+
+    out = (ds.map_batches(emit, batch_format="pyarrow")
+           .groupby("key").map_groups(count_cell, batch_format="pandas")
+           .groupby(["r", "tau_us"])
+           .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+           .to_pandas())
+    return (out.astype({c: "int64" for c in out.columns})
+            .sort_values(["r", "tau_us"]).reset_index(drop=True))
+
+
+def knox_stat_oracle_sql() -> str:
+    """The spacetime-join exactly-once blocked pair surface at the
+    largest thresholds, classified into every (r, τ) at once."""
+    rmax, tmax = max(KNOX_RS), max(KNOX_TAUS_US)
+    rr = ", ".join(f"({r})" for r in KNOX_RS)
+    tt = ", ".join(f"({t})" for t in KNOX_TAUS_US)
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT event_id AS id,
+         {_mix_sql('2000000000 + 2 * event_id')} AS px,
+         {_mix_sql('2000000001 + 2 * event_id')} AS py,
+         epoch_us(ts) - {STJ_T0_US} AS t
+  FROM events),
+own AS MATERIALIZED (
+  SELECT id, px, py, t,
+         ((px // 500) * 100003 + (py // 500)) * 64
+         + t // {tmax} + 1 AS ck
+  FROM pts),
+ring AS MATERIALIZED (
+  SELECT id, px, py, t,
+         ((px // 500 + dx.d) * 100003 + (py // 500 + dy.d)) * 64
+         + t // {tmax} + dt.d + 1 AS ck
+  FROM pts, (VALUES (-1), (0), (1)) dx(d),
+            (VALUES (-1), (0), (1)) dy(d),
+            (VALUES (-1), (0), (1)) dt(d)),
+pd2 AS MATERIALIZED (
+  SELECT (o.px-c.px)*(o.px-c.px) + (o.py-c.py)*(o.py-c.py) AS d2,
+         abs(c.t - o.t) AS dt
+  FROM own o JOIN ring c ON c.ck = o.ck
+  WHERE o.id < c.id
+    AND (o.px-c.px)*(o.px-c.px) + (o.py-c.py)*(o.py-c.py)
+        <= {rmax * rmax}
+    AND abs(c.t - o.t) <= {tmax})
+SELECT CAST(r AS BIGINT) AS r, CAST(tau AS BIGINT) AS tau_us,
+       CAST(COUNT(*) FILTER (WHERE d2 <= r * r AND dt <= tau) AS BIGINT)
+         AS n_pairs
+FROM pd2 CROSS JOIN (VALUES {rr}) vr(r) CROSS JOIN (VALUES {tt}) vt(tau)
+GROUP BY r, tau ORDER BY r, tau
+"""
+
+
+# ----------------------------- Hilbert curve keys (lakehouse clustering)
+
+HILBERT_ORDER = 14          # 2^14 = 16384 > the 10000-unit point world
+HILBERT_CELL_LEVEL = 8      # coarse Hilbert cell for range partitioning
+
+
+def hilbert_xy2d(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Vectorized Hilbert distance (the classic public xy2d loop —
+    rotate/flip each quadrant level): bijective on [0, 2^{HILBERT_ORDER})²,
+    better range-scan locality than the Morton key in q_zorder_keys
+    (every Hilbert step is a grid-adjacent move; Morton jumps)."""
+    x = x.astype(np.int64).copy()
+    y = y.astype(np.int64).copy()
+    d = np.zeros_like(x)
+    s = 1 << (HILBERT_ORDER - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        flip = ry == 0
+        fx = np.where(rx == 1, s - 1 - x, x)
+        fy = np.where(rx == 1, s - 1 - y, y)
+        nx = np.where(flip, fy, x)
+        ny = np.where(flip, fx, y)
+        x, y = nx, ny
+        s >>= 1
+    return d
+
+
+def q_hilbert_keys(sf_dir: str) -> pd.DataFrame:
+    """Hilbert clustering key per event point plus its level-
+    {HILBERT_CELL_LEVEL} Hilbert cell — the locality-preserving sort/
+    partition key a 100 TB lakehouse table would range-cluster on
+    (q_zorder_keys' Morton sibling; Hilbert has no quadrant jumps, so
+    bbox range scans touch fewer key ranges).  Pure map, zero shuffle,
+    integer-exact."""
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def keys(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], np.int64)
+        px, py = _seg_points(eid)
+        d = hilbert_xy2d(px, py)
+        shift = 2 * (HILBERT_ORDER - HILBERT_CELL_LEVEL)
+        return pa.table({"event_id": pa.array(eid), "hkey": pa.array(d),
+                         "hcell": pa.array(d >> shift)})
+
+    out = ds.map_batches(keys, batch_format="pyarrow").to_pandas()
+    return (out.astype({c: "int64" for c in out.columns})
+            .sort_values("event_id").reset_index(drop=True))
+
+
+def hilbert_keys_oracle_sql() -> str:
+    """The xy2d loop unrolled into {HILBERT_ORDER} chained CTE rounds of
+    pure integer CASE arithmetic."""
+    rounds = []
+    prev = "h0"
+    for k in range(HILBERT_ORDER):
+        s = 1 << (HILBERT_ORDER - 1 - k)
+        rounds.append(f"""p{k} AS (
+  SELECT event_id, x, y, d,
+         CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+         CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry
+  FROM {prev}),
+h{k + 1} AS (
+  SELECT event_id,
+         CASE WHEN ry = 0
+              THEN CASE WHEN rx = 1 THEN {s - 1} - y ELSE y END
+              ELSE x END AS x,
+         CASE WHEN ry = 0
+              THEN CASE WHEN rx = 1 THEN {s - 1} - x ELSE x END
+              ELSE y END AS y,
+         d + {s * s} * xor(3 * rx, ry) AS d
+  FROM p{k})""")
+        prev = f"h{k + 1}"
+    shift = 1 << (2 * (HILBERT_ORDER - HILBERT_CELL_LEVEL))
+    return f"""
+WITH h0 AS MATERIALIZED (
+  SELECT event_id,
+         {_mix_sql('2000000000 + 2 * event_id')} AS x,
+         {_mix_sql('2000000001 + 2 * event_id')} AS y,
+         CAST(0 AS BIGINT) AS d
+  FROM events),
+{', '.join(rounds)}
+SELECT event_id, CAST(d AS BIGINT) AS hkey,
+       CAST(d // {shift} AS BIGINT) AS hcell
+FROM {prev} ORDER BY event_id
+"""
+
+
+# --------------------- ST-DBSCAN (space-time density clustering)
+
+STDB_K = 960_000_000            # eps² = K//n keeps the mean space-time
+                                # degree constant across scale factors
+STDB_TAU_US = 86_400_000_000    # temporal neighborhood half-width (1 day)
+STDB_MINPTS = 4
+
+
+def _stdb_geometry(n: int) -> tuple[int, int]:
+    import math
+
+    e2 = STDB_K // n
+    eps = math.isqrt(e2)
+    if eps * eps < e2:
+        eps += 1
+    return e2, max(eps, 1)
+
+
+def q_st_dbscan(sf_dir: str) -> pd.DataFrame:
+    """ST-DBSCAN (Birant & Kut 2007 — DBSCAN with a space-time
+    neighborhood): N(p) = points within eps spatially AND {STDB_TAU_US}
+    µs temporally; cores, min-core-id cluster components and border
+    attachment exactly as q_dbscan.  The density-clustering consumer of
+    the q_spacetime_join pair surface.
+
+    Scale shape: the q_dbscan lowering with the 3-D blocking of
+    q_spacetime_join (pitch ⌈eps⌉ ≥ eps, time bucket = τ ⇒ the 3×3×3
+    ring is lossless; a pair matches exactly ONE ring offset so the
+    cell-keyed hash join is exactly-once); degrees via unique-count
+    partials → groupby-Sum; components size-dispatched (driver
+    union-find / distributed min-label); border labels via one
+    edge-sized groupby-Min.  Broadcast sets are output-sized."""
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    from . import regions, trainprep
+    from .sources import join_partitions
+    from .spatial import _in_sorted
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
+    n = ds.count()
+    e2, cell = _stdb_geometry(n)
+    TB = STDB_TAU_US
+
+    def own_cells(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], np.int64)
+        t = b["ts"].cast(pa.int64()).to_numpy() - STJ_T0_US
+        px, py = _seg_points(eid)
+        return pa.table({
+            "key": pa.array(((px // cell) * 100003 + py // cell) * 64
+                            + t // TB + 1),
+            "a": pa.array(eid), "ax": pa.array(px), "ay": pa.array(py),
+            "at": pa.array(t)})
+
+    def ring_cells(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], np.int64)
+        t = b["ts"].cast(pa.int64()).to_numpy() - STJ_T0_US
+        px, py = _seg_points(eid)
+        cx, cy, tk = px // cell, py // cell, t // TB
+        parts = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    sp = np.ones(eid.size, bool)
+                else:
+                    xlo = (cx + dx) * cell
+                    ylo = (cy + dy) * cell
+                    ddx = np.maximum(
+                        np.maximum(xlo - px, px - (xlo + cell - 1)), 0)
+                    ddy = np.maximum(
+                        np.maximum(ylo - py, py - (ylo + cell - 1)), 0)
+                    sp = ddx * ddx + ddy * ddy <= e2
+                if not sp.any():
+                    continue
+                for dt in (-1, 0, 1):
+                    parts.append(pa.table({
+                        "key": pa.array(((cx[sp] + dx) * 100003
+                                         + cy[sp] + dy) * 64
+                                        + tk[sp] + dt + 1),
+                        "b": pa.array(eid[sp]), "bx": pa.array(px[sp]),
+                        "by": pa.array(py[sp]), "bt": pa.array(t[sp])}))
+        return pa.concat_tables(parts)
+
+    def form(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"], np.int64)
+        bb = np.asarray(t["b"], np.int64)
+        dx = np.asarray(t["ax"], np.int64) - np.asarray(t["bx"], np.int64)
+        dy = np.asarray(t["ay"], np.int64) - np.asarray(t["by"], np.int64)
+        dt = np.asarray(t["at"], np.int64) - np.asarray(t["bt"], np.int64)
+        keep = ((a < bb) & (dx * dx + dy * dy <= e2)
+                & (np.abs(dt) <= STDB_TAU_US))
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(bb[keep])})
+
+    own = ds.map_batches(own_cells, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    ring = ds.map_batches(ring_cells, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    nparts = max(2, min(join_partitions(), 8))
+    pairs = (own.join(ring, join_type="inner", num_partitions=nparts,
+                      on=("key",))
+             .map_batches(form, batch_format="pyarrow")
+             .materialize())
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        ids = np.concatenate([np.asarray(b["a"], np.int64),
+                              np.asarray(b["b"], np.int64)])
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table({"id": pa.array(u),
+                         "c": pa.array(c.astype(np.int64))})
+
+    deg = (pairs.map_batches(deg_partial, batch_format="pyarrow")
+           .groupby("id").aggregate(Sum("c", alias_name="deg"))
+           .to_pandas())
+    core_ids = np.sort(deg.loc[deg["deg"] >= STDB_MINPTS - 1, "id"]
+                       .to_numpy(np.int64))
+    core_ref = ray.put(core_ids)
+
+    def core_edges(b: pa.Table) -> pa.Table:
+        cs = ray.get(core_ref)
+        a = np.asarray(b["a"], np.int64)
+        bb = np.asarray(b["b"], np.int64)
+        keep = _in_sorted(cs, a) & _in_sorted(cs, bb)
+        return pa.table({"u": pa.array(a[keep]), "v": pa.array(bb[keep])})
+
+    ce = pairs.map_batches(core_edges, batch_format="pyarrow").materialize()
+    if ce.count() <= regions.CC_DRIVER_MAX_EDGES:
+        edf = ce.to_pandas()
+        labels = regions.union_find_labels(edf["u"].to_numpy(np.int64),
+                                           edf["v"].to_numpy(np.int64))
+    else:  # pragma: no cover — the dbscan forced-dispatch pytest covers it
+        labels = trainprep.connected_components(ce)
+    lbl_ids = labels["node"].to_numpy(np.int64)
+    lbl_vals = labels["label"].to_numpy(np.int64)
+    missing = np.setdiff1d(core_ids, lbl_ids)
+    lbl_ids = np.concatenate([lbl_ids, missing])
+    lbl_vals = np.concatenate([lbl_vals, missing])
+    order = np.argsort(lbl_ids)
+    lbl_ids, lbl_vals = lbl_ids[order], lbl_vals[order]
+    lab_ref = ray.put((lbl_ids, lbl_vals))
+
+    def mixed(b: pa.Table) -> pa.Table:
+        cs = ray.get(core_ref)
+        li, lv = ray.get(lab_ref)
+        a = np.asarray(b["a"], np.int64)
+        bb = np.asarray(b["b"], np.int64)
+        ac, bc = _in_sorted(cs, a), _in_sorted(cs, bb)
+        m1 = ac & ~bc
+        m2 = bc & ~ac
+        nid = np.concatenate([bb[m1], a[m2]])
+        cid = np.concatenate([a[m1], bb[m2]])
+        lbl = lv[np.searchsorted(li, cid)] if cid.size else cid
+        return pa.table({"id": pa.array(nid), "lbl": pa.array(lbl)})
+
+    bord = (pairs.map_batches(mixed, batch_format="pyarrow")
+            .groupby("id").aggregate(Min("lbl", alias_name="lbl"))
+            .to_pandas())
+
+    eids = np.sort(np.asarray(
+        read_table(sf_dir, "events", columns=["event_id"])
+        .to_pandas()["event_id"], np.int64))
+    is_core = _in_sorted(core_ids, eids)
+    b_ids = np.sort(bord["id"].to_numpy(np.int64))
+    b_lbl = bord.set_index("id").loc[b_ids, "lbl"].to_numpy(np.int64) \
+        if len(bord) else np.empty(0, np.int64)
+    is_bord = _in_sorted(b_ids, eids)
+    cluster = np.full(eids.size, -1, np.int64)
+    if core_ids.size:
+        cluster[is_core] = lbl_vals[np.searchsorted(lbl_ids, eids[is_core])]
+    if b_ids.size:
+        cluster[is_bord] = b_lbl[np.searchsorted(b_ids, eids[is_bord])]
+    role = np.where(is_core, "core", np.where(is_bord, "border", "noise"))
+    return (pd.DataFrame({"event_id": eids, "role": role,
+                          "cluster": cluster})
+            .sort_values("event_id").reset_index(drop=True))
+
+
+def st_dbscan_oracle_sql(sf: float = 0.01) -> str:
+    """The dbscan oracle's recursive min-label formulation over the 3-D
+    blocked pair surface with the temporal predicate."""
+    n = round(sf * 1_000_000)
+    e2, cell = _stdb_geometry(n)
+    TB = STDB_TAU_US
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT event_id AS id,
+         {_mix_sql('2000000000 + 2 * event_id')} AS px,
+         {_mix_sql('2000000001 + 2 * event_id')} AS py,
+         epoch_us(ts) - {STJ_T0_US} AS t
+  FROM events),
+own AS MATERIALIZED (
+  SELECT id, px, py, t,
+         ((px // {cell}) * 100003 + (py // {cell})) * 64
+         + t // {TB} + 1 AS ck
+  FROM pts),
+ring AS MATERIALIZED (
+  SELECT id, px, py, t,
+         ((px // {cell} + dx.d) * 100003 + (py // {cell} + dy.d)) * 64
+         + t // {TB} + dt.d + 1 AS ck
+  FROM pts, (VALUES (-1), (0), (1)) dx(d),
+            (VALUES (-1), (0), (1)) dy(d),
+            (VALUES (-1), (0), (1)) dt(d)),
+pairs AS MATERIALIZED (
+  SELECT o.id a, c.id b FROM own o JOIN ring c ON c.ck = o.ck
+  WHERE o.id < c.id
+    AND (o.px-c.px)*(o.px-c.px)+(o.py-c.py)*(o.py-c.py) <= {e2}
+    AND abs(c.t - o.t) <= {STDB_TAU_US}),
+deg AS MATERIALIZED (
+  SELECT id, COUNT(*) AS deg
+  FROM (SELECT a AS id FROM pairs UNION ALL SELECT b AS id FROM pairs)
+  GROUP BY id),
+core AS MATERIALIZED (
+  SELECT id FROM deg WHERE deg >= {STDB_MINPTS - 1}),
+ce AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM pairs
+  WHERE a IN (SELECT id FROM core) AND b IN (SELECT id FROM core)),
+edges AS MATERIALIZED (
+  SELECT u, v FROM ce UNION ALL SELECT v AS u, u AS v FROM ce),
+reach AS MATERIALIZED (
+  WITH RECURSIVE rr(id, lbl) AS (
+    SELECT id, id FROM core
+    UNION
+    SELECT e.v, rr.lbl FROM rr JOIN edges e ON e.u = rr.id
+  ) SELECT id, MIN(lbl) AS lbl FROM rr GROUP BY id),
+mixed AS MATERIALIZED (
+  SELECT a AS cid, b AS nid FROM pairs
+   WHERE a IN (SELECT id FROM core) AND b NOT IN (SELECT id FROM core)
+  UNION ALL
+  SELECT b AS cid, a AS nid FROM pairs
+   WHERE b IN (SELECT id FROM core) AND a NOT IN (SELECT id FROM core)),
+bord AS MATERIALIZED (
+  SELECT m.nid AS id, MIN(c.lbl) AS lbl
+  FROM mixed m JOIN reach c ON c.id = m.cid GROUP BY m.nid)
+SELECT p.id AS event_id,
+       CASE WHEN r2.lbl IS NOT NULL THEN 'core'
+            WHEN b2.lbl IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(COALESCE(r2.lbl, b2.lbl, -1) AS BIGINT) AS cluster
+FROM pts p
+LEFT JOIN reach r2 ON r2.id = p.id
+LEFT JOIN bord b2 ON b2.id = p.id
+ORDER BY event_id
+"""

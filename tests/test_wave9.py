@@ -328,3 +328,133 @@ class TestMinBoundingCircle:
             assert Fraction(int(row["r2_num"]), int(row["r2_den"])) == best[0]
             assert (int(row["p1"]), int(row["p2"]), int(row["p3"])) == \
                 (best[2], best[3], best[4])
+
+
+class TestGearyC:
+    def test_matches_full_grid_numpy(self, ray_session):
+        out = spatial2.q_geary_c(SF01)
+        from raster_functions_ray.regions import GRID_W, mask_values
+        ids = (np.arange(GRID_W, dtype=np.uint64)[:, None]
+               * np.uint64(GRID_W)
+               + np.arange(GRID_W, dtype=np.uint64)[None, :])
+        x = mask_values(ids).astype(np.int64)
+        dr = x[:, :-1] - x[:, 1:]
+        dd = x[:-1, :] - x[1:, :]
+        assert int(out["n_pix"].iloc[0]) == GRID_W * GRID_W
+        assert int(out["w_und"].iloc[0]) == dr.size + dd.size
+        assert int(out["sum_x"].iloc[0]) == int(x.sum())
+        assert int(out["sum_x2"].iloc[0]) == int((x * x).sum())
+        assert int(out["diffsq"].iloc[0]) == int((dr * dr).sum()
+                                                 + (dd * dd).sum())
+
+
+class TestKnoxStat:
+    def test_monotone_and_matches_bruteforce(self, ray_session):
+        out = spatial2.q_knox_stat(SF001).set_index(["r", "tau_us"])
+        t = pq.read_table(SF001 + "/events.parquet",
+                          columns=["event_id", "ts"])
+        eid = np.asarray(t["event_id"], np.int64)
+        ts = t["ts"].cast("int64").to_numpy() - spatial2.STJ_T0_US
+        px, py = _seg_points(eid)
+        d2 = ((px[:, None] - px[None, :]) ** 2
+              + (py[:, None] - py[None, :]) ** 2)
+        dt = np.abs(ts[:, None] - ts[None, :])
+        lt = eid[:, None] < eid[None, :]
+        for r in spatial2.KNOX_RS:
+            for tau in spatial2.KNOX_TAUS_US:
+                want = int((lt & (d2 <= r * r) & (dt <= tau)).sum())
+                assert int(out.loc[(r, tau), "n_pairs"]) == want
+        vals = out["n_pairs"].unstack()
+        assert (vals.diff(axis=0).dropna() >= 0).all().all()  # r-monotone
+        assert (vals.diff(axis=1).T.dropna() >= 0).all().all()
+
+
+class TestHilbertKeys:
+    def test_matches_scalar_reference_and_adjacency(self, ray_session):
+        rng = np.random.default_rng(7)
+        xs = rng.integers(0, 10000, 200)
+        ys = rng.integers(0, 10000, 200)
+
+        def ref_xy2d(x, y):   # scalar textbook loop
+            d, s = 0, 1 << (spatial2.HILBERT_ORDER - 1)
+            while s > 0:
+                rx = 1 if (x & s) > 0 else 0
+                ry = 1 if (y & s) > 0 else 0
+                d += s * s * ((3 * rx) ^ ry)
+                if ry == 0:
+                    if rx == 1:
+                        x, y = s - 1 - x, s - 1 - y
+                    x, y = y, x
+                s >>= 1
+            return d
+
+        got = spatial2.hilbert_xy2d(xs, ys)
+        assert [int(v) for v in got] == [ref_xy2d(int(a), int(b))
+                                         for a, b in zip(xs, ys)]
+
+    def test_locality_beats_morton_on_window_scan(self, ray_session):
+        out = spatial2.q_hilbert_keys(SF001)
+        # keys are a bijection of position: distinct coords ≠> collisions
+        t = pq.read_table(SF001 + "/events.parquet", columns=["event_id"])
+        eid = np.asarray(t["event_id"], np.int64)
+        px, py = _seg_points(eid)
+        coords = len({(int(a), int(b)) for a, b in zip(px, py)})
+        assert out["hkey"].nunique() == coords
+        assert (out["hcell"] == out["hkey"] // (1 << (2 * (
+            spatial2.HILBERT_ORDER - spatial2.HILBERT_CELL_LEVEL)))).all()
+
+
+class TestStDbscan:
+    def test_matches_bruteforce_union_find(self, ray_session):
+        out = spatial2.q_st_dbscan(SF001)
+        t = pq.read_table(SF001 + "/events.parquet",
+                          columns=["event_id", "ts"])
+        eid = np.asarray(t["event_id"], np.int64)
+        ts = t["ts"].cast("int64").to_numpy() - spatial2.STJ_T0_US
+        px, py = _seg_points(eid)
+        order = np.argsort(eid)
+        eid, ts, px, py = eid[order], ts[order], px[order], py[order]
+        e2, _ = spatial2._stdb_geometry(eid.size)
+        d2 = ((px[:, None] - px[None, :]) ** 2
+              + (py[:, None] - py[None, :]) ** 2)
+        nb = ((d2 <= e2)
+              & (np.abs(ts[:, None] - ts[None, :]) <= spatial2.STDB_TAU_US))
+        np.fill_diagonal(nb, False)
+        deg = nb.sum(axis=1)
+        is_core = deg >= spatial2.STDB_MINPTS - 1
+        parent = list(range(eid.size))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        ci = np.nonzero(is_core)[0]
+        for i in ci:
+            for j in ci[ci > i]:
+                if nb[i, j]:
+                    a, b = find(i), find(j)
+                    if a != b:
+                        parent[max(a, b)] = min(a, b)
+        # min event id per component root
+        roots = {}
+        for i in ci:
+            r = find(i)
+            roots[r] = min(roots.get(r, 1 << 62), int(eid[i]))
+        cluster = np.full(eid.size, -1, np.int64)
+        role = np.full(eid.size, "noise", object)
+        for i in ci:
+            role[i] = "core"
+            cluster[i] = roots[find(i)]
+        for i in np.nonzero(~is_core)[0]:
+            adj_cores = [j for j in np.nonzero(nb[i])[0] if is_core[j]]
+            if adj_cores:
+                role[i] = "border"
+                cluster[i] = min(roots[find(j)] for j in adj_cores)
+        ref = pd.DataFrame({"event_id": eid, "role": role,
+                            "cluster": cluster})
+        ref["role"] = ref["role"].astype(str)
+        pd.testing.assert_frame_equal(
+            out, ref.astype({"event_id": "int64", "cluster": "int64"}))
+        assert (out["role"] == "core").any()
