@@ -1926,3 +1926,211 @@ LEFT JOIN reach r2 ON r2.id = p.id
 LEFT JOIN bord b2 ON b2.id = p.id
 ORDER BY event_id
 """
+
+
+# ------------------- space-time kernel density (crime/epi hotspots)
+
+STK_R = 200      # spatial bandwidth (grid units)
+STK_C = 100      # spatial cell pitch
+STK_TW = 4       # temporal bandwidth (days, exclusive)
+STK_DAYS = 30
+
+
+def q_stkde(sf_dir: str) -> pd.DataFrame:
+    """Space-time kernel density estimation (the STKDE of crime-series /
+    epidemiology hotspot mapping — the 3-D sibling of q_kde_density):
+    density(cell, day) = Σ over events of the separable integer product
+    kernel ((2·{STK_R})² − D2) · ({STK_TW}² − Δday²), nonzero only
+    within bandwidth on BOTH axes.  Exact integers throughout.
+
+    Scale shape: a pure scatter — each event emits ≤ 5×5×(2·{STK_TW}−1)
+    weighted rows, one groupby(cell, day) Sum; nothing is ever compared
+    to another event."""
+    from ray.data.aggregate import Sum
+
+    from .spatial import ST_BIN_US, ST_T0_US
+
+    span = STK_R // STK_C
+    W2 = (2 * STK_R) ** 2
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
+
+    def scatter(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], np.int64)
+        us = b["ts"].cast(pa.int64()).to_numpy()
+        day = (us - ST_T0_US) // ST_BIN_US
+        ok = (day >= 0) & (day < STK_DAYS)
+        eid, day = eid[ok], day[ok]
+        px, py = _seg_points(eid)
+        cx, cy = px // STK_C, py // STK_C
+        offs = np.arange(-span, span + 1, dtype=np.int64)
+        gx = cx[:, None, None] + offs[None, :, None]
+        gy = cy[:, None, None] + offs[None, None, :]
+        dx = 2 * px[:, None, None] - (2 * gx * STK_C + STK_C)
+        dy = 2 * py[:, None, None] - (2 * gy * STK_C + STK_C)
+        d2 = dx * dx + dy * dy
+        wsp = W2 - d2
+        keep = wsp > 0
+        gx = np.broadcast_to(gx, d2.shape)[keep]
+        gy = np.broadcast_to(gy, d2.shape)[keep]
+        wsp = wsp[keep]
+        dayk = np.broadcast_to(day[:, None, None], d2.shape)[keep]
+        parts = []
+        for dd in range(-(STK_TW - 1), STK_TW):
+            td = dayk + dd
+            m = (td >= 0) & (td < STK_DAYS)
+            if not m.any():
+                continue
+            parts.append(pa.table({
+                "cx": pa.array(gx[m]), "cy": pa.array(gy[m]),
+                "day": pa.array(td[m]),
+                "density": pa.array(wsp[m] * (STK_TW * STK_TW - dd * dd))}))
+        return pa.concat_tables(parts)
+
+    out = (ds.map_batches(scatter, batch_format="pyarrow")
+           .groupby(["cx", "cy", "day"])
+           .aggregate(Sum("density", alias_name="density"))
+           .to_pandas())
+    return (out.astype({c: "int64" for c in out.columns})
+            .sort_values(["cx", "cy", "day"]).reset_index(drop=True))
+
+
+def stkde_oracle_sql() -> str:
+    """The kde scatter cross join with the temporal offset dimension."""
+    from .spatial import ST_BIN_US, ST_T0_US
+
+    span = STK_R // STK_C
+    W2 = (2 * STK_R) ** 2
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT {_mix_sql('2000000000 + 2 * event_id')} AS px,
+         {_mix_sql('2000000001 + 2 * event_id')} AS py,
+         (epoch_us(ts) - {ST_T0_US}) // {ST_BIN_US} AS day
+  FROM events
+  WHERE (epoch_us(ts) - {ST_T0_US}) // {ST_BIN_US}
+        BETWEEN 0 AND {STK_DAYS - 1}),
+sc AS (
+  SELECT px // {STK_C} + ox.d AS cx, py // {STK_C} + oy.d AS cy,
+         day + od.d AS day,
+         2*px - (2*(px // {STK_C} + ox.d) * {STK_C} + {STK_C}) AS dx,
+         2*py - (2*(py // {STK_C} + oy.d) * {STK_C} + {STK_C}) AS dy,
+         od.d AS dd
+  FROM pts,
+       range(-{span}, {span + 1}) ox(d), range(-{span}, {span + 1}) oy(d),
+       range(-{STK_TW - 1}, {STK_TW}) od(d))
+SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+       CAST(day AS BIGINT) AS day,
+       CAST(SUM(({W2} - (dx*dx + dy*dy))
+                * ({STK_TW * STK_TW} - dd*dd)) AS BIGINT) AS density
+FROM sc
+WHERE dx*dx + dy*dy < {W2} AND day BETWEEN 0 AND {STK_DAYS - 1}
+GROUP BY cx, cy, day ORDER BY cx, cy, day
+"""
+
+
+# -------------------- geodesic polygon area (spherical excess)
+
+GEO_QUANT = 1_000_000_000_000   # excess quantization (picosteradian-ish)
+
+
+def q_geodesic_area(sf_dir: str) -> pd.DataFrame:
+    """Geodesic polygon area (the ellipsoidal-measurement sibling of the
+    planar q_polygon_geometry shoelace): each zone polygon's area on the
+    unit sphere as the sum of triangle-fan spherical excesses (l'Huilier
+    — E = 4·atan(√(tan(s/2)·tan((s−a)/2)·tan((s−b)/2)·tan((s−c)/2)) with
+    haversine great-circle sides), each triangle's excess QUANTIZED to
+    {GEO_QUANT} before the integer sum — the q_haversine_dist quantized-
+    trig discipline: numpy and DuckDB libm agree to ≲1 ulp on identical
+    double inputs, every expression is written in the same operation
+    order on both sides, and a margin pytest pins that no term sits near
+    a rounding boundary.
+
+    Scale shape: zones are the result-sized small side (one batch); at
+    raster scale the same fan runs per polygon inside map_batches."""
+    import os
+
+    import ray.data as rd
+
+    from . import synth
+
+    d = synth.synth_dir_for(sf_dir)
+    ds = rd.read_parquet(os.path.join(d, "zones.parquet"),
+                         columns=["zone_id", "vertices"])
+    rad = np.pi / 180.0
+
+    def hav_angle(x1, y1, x2, y2):
+        h = (np.sin((y2 - y1) * rad / 2.0) ** 2
+             + np.cos(y1 * rad) * np.cos(y2 * rad)
+             * np.sin((x2 - x1) * rad / 2.0) ** 2)
+        return 2.0 * np.arcsin(np.sqrt(h))
+
+    def area(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in range(b.num_rows):
+            zid = int(b["zone_id"][i].as_py())
+            v = np.asarray(b["vertices"][i].as_py(), np.float64)
+            xs, ys = v[0::2], v[1::2]
+            nv = xs.size
+            ax, ay = xs[0], ys[0]
+            bx, by = xs[1:nv - 1], ys[1:nv - 1]
+            cx, cy = xs[2:nv], ys[2:nv]
+            a = hav_angle(bx, by, cx, cy)
+            bb = hav_angle(ax, ay, cx, cy)
+            cc = hav_angle(ax, ay, bx, by)
+            s = (a + bb + cc) / 2.0
+            t = (np.tan(s / 2.0) * np.tan((s - a) / 2.0)
+                 * np.tan((s - bb) / 2.0) * np.tan((s - cc) / 2.0))
+            e = 4.0 * np.arctan(np.sqrt(np.maximum(t, 0.0)))
+            qe = np.floor(e * GEO_QUANT + 0.5).astype(np.int64)
+            rows.append((zid, int(nv - 2), int(qe.sum())))
+        return pd.DataFrame(rows, columns=["zone_id", "n_tri", "area_q"]
+                            ).astype("int64")
+
+    out = ds.map_batches(area, batch_format="pyarrow",
+                         batch_size=256).to_pandas()
+    return out.sort_values("zone_id").reset_index(drop=True)
+
+
+def geodesic_area_oracle_sql(sf: float = 0.01) -> str:
+    """The triangle fan exploded via a range join over 1-indexed list
+    slots, with operation-order-identical trig."""
+    from . import synth
+
+    d = synth.synth_dir(sf)
+
+    def hav(x1, y1, x2, y2):
+        return (f"2.0 * asin(sqrt("
+                f"sin(({y2} - {y1}) * (pi()/180.0) / 2.0)"
+                f" * sin(({y2} - {y1}) * (pi()/180.0) / 2.0)"
+                f" + cos({y1} * (pi()/180.0)) * cos({y2} * (pi()/180.0))"
+                f" * (sin(({x2} - {x1}) * (pi()/180.0) / 2.0)"
+                f" * sin(({x2} - {x1}) * (pi()/180.0) / 2.0))))")
+
+    a = hav("tri.bx", "tri.by_", "tri.cx", "tri.cy")
+    b = hav("tri.ax", "tri.ay", "tri.cx", "tri.cy")
+    c = hav("tri.ax", "tri.ay", "tri.bx", "tri.by_")
+    return f"""
+WITH z AS (
+  SELECT zone_id, vertices, len(vertices) // 2 AS nv
+  FROM read_parquet('{d}/zones.parquet')),
+tri AS (
+  SELECT zone_id, nv,
+         vertices[1] AS ax, vertices[2] AS ay,
+         vertices[2*t.i + 1] AS bx, vertices[2*t.i + 2] AS by_,
+         vertices[2*t.i + 3] AS cx, vertices[2*t.i + 4] AS cy
+  FROM z JOIN range(1, 64) t(i) ON t.i <= nv - 2),
+sides AS (
+  SELECT zone_id, nv, {a} AS a, {b} AS b, {c} AS c FROM tri),
+ex AS (
+  SELECT zone_id, nv,
+         4.0 * atan(sqrt(GREATEST(
+             tan(((a + b + c) / 2.0) / 2.0)
+             * tan((((a + b + c) / 2.0) - a) / 2.0)
+             * tan((((a + b + c) / 2.0) - b) / 2.0)
+             * tan((((a + b + c) / 2.0) - c) / 2.0), 0.0))) AS e
+  FROM sides)
+SELECT CAST(zone_id AS BIGINT) AS zone_id,
+       CAST(nv - 2 AS BIGINT) AS n_tri,
+       CAST(SUM(CAST(floor(e * {GEO_QUANT} + 0.5) AS BIGINT)) AS BIGINT)
+         AS area_q
+FROM ex GROUP BY zone_id, nv ORDER BY zone_id
+"""

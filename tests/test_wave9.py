@@ -458,3 +458,76 @@ class TestStDbscan:
         pd.testing.assert_frame_equal(
             out, ref.astype({"event_id": "int64", "cluster": "int64"}))
         assert (out["role"] == "core").any()
+
+
+class TestStkde:
+    def test_matches_dense_numpy(self, ray_session):
+        out = spatial2.q_stkde(SF001)
+        from raster_functions_ray.spatial import ST_BIN_US, ST_T0_US
+        t = pq.read_table(SF001 + "/events.parquet",
+                          columns=["event_id", "ts"])
+        eid = np.asarray(t["event_id"], np.int64)
+        us = t["ts"].cast("int64").to_numpy()
+        day = (us - ST_T0_US) // ST_BIN_US
+        ok = (day >= 0) & (day < spatial2.STK_DAYS)
+        eid, day = eid[ok], day[ok]
+        px, py = _seg_points(eid)
+        C, R, TW = spatial2.STK_C, spatial2.STK_R, spatial2.STK_TW
+        acc = {}
+        for i in range(eid.size):
+            for gx in range(int(px[i]) // C - 2, int(px[i]) // C + 3):
+                for gy in range(int(py[i]) // C - 2, int(py[i]) // C + 3):
+                    dx = 2 * int(px[i]) - (2 * gx * C + C)
+                    dy = 2 * int(py[i]) - (2 * gy * C + C)
+                    wsp = (2 * R) ** 2 - (dx * dx + dy * dy)
+                    if wsp <= 0:
+                        continue
+                    for dd in range(-(TW - 1), TW):
+                        td = int(day[i]) + dd
+                        if 0 <= td < spatial2.STK_DAYS:
+                            key = (gx, gy, td)
+                            acc[key] = acc.get(key, 0) \
+                                + wsp * (TW * TW - dd * dd)
+        ref = pd.DataFrame([(k[0], k[1], k[2], v)
+                            for k, v in sorted(acc.items())],
+                           columns=["cx", "cy", "day", "density"]
+                           ).astype("int64")
+        pd.testing.assert_frame_equal(out, ref.reset_index(drop=True))
+
+
+class TestGeodesicArea:
+    def test_quantization_margin_and_plausibility(self, ray_session):
+        out = spatial2.q_geodesic_area(SF01)
+        assert (out["area_q"] > 0).all()
+        # margin: no triangle excess sits near a floor(+0.5) boundary —
+        # the condition making the quantized-trig gate robust to 1-ulp
+        # libm differences (q_haversine_dist discipline)
+        from raster_functions_ray import synth
+        d = synth.synth_dir(0.01)
+        t = pq.read_table(d + "/zones.parquet",
+                          columns=["zone_id", "vertices"])
+        rad = np.pi / 180.0
+        worst = 1.0
+        for row in t["vertices"].to_pylist():
+            v = np.asarray(row, np.float64)
+            xs, ys = v[0::2], v[1::2]
+            ax, ay = xs[0], ys[0]
+            for i in range(1, xs.size - 1):
+                def hv(x1, y1, x2, y2):
+                    h = (np.sin((y2 - y1) * rad / 2.0) ** 2
+                         + np.cos(y1 * rad) * np.cos(y2 * rad)
+                         * np.sin((x2 - x1) * rad / 2.0) ** 2)
+                    return 2.0 * np.arcsin(np.sqrt(h))
+                a = hv(xs[i], ys[i], xs[i + 1], ys[i + 1])
+                b = hv(ax, ay, xs[i + 1], ys[i + 1])
+                c = hv(ax, ay, xs[i], ys[i])
+                s = (a + b + c) / 2.0
+                tt = (np.tan(s / 2.0) * np.tan((s - a) / 2.0)
+                      * np.tan((s - b) / 2.0) * np.tan((s - c) / 2.0))
+                e = 4.0 * np.arctan(np.sqrt(max(tt, 0.0)))
+                frac = (e * spatial2.GEO_QUANT + 0.5) % 1.0
+                worst = min(worst, frac, 1.0 - frac)
+        assert worst > 1e-4, f"quantization margin too thin: {worst}"
+        # spherical area of a small zone ≈ its planar deg² area in sr
+        planar = out["area_q"].sum() / spatial2.GEO_QUANT
+        assert 0.01 < planar < 10.0
