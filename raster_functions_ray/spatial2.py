@@ -2134,3 +2134,142 @@ SELECT CAST(zone_id AS BIGINT) AS zone_id,
          AS area_q
 FROM ex GROUP BY zone_id, nv ORDER BY zone_id
 """
+
+
+# ------------------------- Strahler stream order (D8 hydrology)
+
+STRAHLER_MAX = 8   # unroll bound: order k needs 2^(k-1) leaves; 16x16 caps ~5
+
+
+def q_strahler_order(sf_dir: str) -> pd.DataFrame:
+    """Strahler stream order (the ArcGIS Stream Order tool) over the D8
+    flow forest of q_d8_flow_exact's counter DEM world: leaves are order
+    1; a cell's order is the max of its inflow orders, +1 when two or
+    more inflows attain that max.  Output per tile: the order histogram
+    (tile_idx, strahler, n_cells) — exact integers.
+
+    Scale shape: pure map over the tile range (tiles never communicate
+    — the reference's in-block hydrology semantics); per tile a Kahn
+    topological pass over ≤{16 * 16} cells, bounded by design.  The
+    oracle uses the level characterization order(v) ≥ k+1 ⟺ v is in
+    the downstream closure of {{u : ≥2 inflows of order ≥ k}} — order is
+    monotone downstream, so each level is one seed GROUP BY plus one
+    recursive reachability CTE, unrolled {STRAHLER_MAX} times."""
+    import ray.data as rdm
+
+    from .rasterqueries import _D8_N, _D8_TILES, _d8_dem, d8_directions
+    from .rasterqueries import D8_OFFS
+
+    n = _D8_N
+    ds = rdm.range(_D8_TILES, override_num_blocks=8)
+
+    def gen(b: pa.Table) -> pd.DataFrame:
+        ids = np.asarray(b["id"], dtype=np.int64)
+        dems = _d8_dem(ids)
+        rows = []
+        for i, s in enumerate(ids):
+            best, has_down = d8_directions(dems[i])
+            dy = np.array([o[0] for o in D8_OFFS])[best]
+            dx = np.array([o[1] for o in D8_OFFS])[best]
+            idx = np.arange(n * n, dtype=np.int64).reshape(n, n)
+            rr, cc = idx // n, idx % n
+            nxt = np.where(has_down, (rr + dy.reshape(n, n)) * n
+                           + (cc + dx.reshape(n, n)), -1).ravel()
+            children = [[] for _ in range(n * n)]
+            for u in range(n * n):
+                if nxt[u] >= 0:
+                    children[int(nxt[u])].append(u)
+            order = np.zeros(n * n, np.int64)
+            pending = [len(children[v]) for v in range(n * n)]
+            queue = [v for v in range(n * n) if pending[v] == 0]
+            while queue:
+                v = queue.pop()
+                ch = children[v]
+                if not ch:
+                    order[v] = 1
+                else:
+                    mx = max(order[u] for u in ch)
+                    ties = sum(1 for u in ch if order[u] == mx)
+                    order[v] = mx + (1 if ties >= 2 else 0)
+                w = int(nxt[v])
+                if w >= 0:
+                    pending[w] -= 1
+                    if pending[w] == 0:
+                        queue.append(w)
+            u, c = np.unique(order, return_counts=True)
+            for ov, cv in zip(u, c):
+                rows.append((int(s), int(ov), int(cv)))
+        return pd.DataFrame(rows, columns=["tile_idx", "strahler",
+                                           "n_cells"]).astype("int64")
+
+    out = ds.map_batches(gen, batch_format="pyarrow", batch_size=8)
+    return (out.to_pandas().sort_values(["tile_idx", "strahler"])
+            .reset_index(drop=True))
+
+
+def strahler_order_oracle_sql() -> str:
+    """Unrolled order levels over the d8_flow_exact edge surface: s1 =
+    all cells; seeds_{k+1} = targets of ≥2 inflows with order ≥ k;
+    s_{k+1} = downstream closure of the seeds (order is monotone along
+    flow); the final order = the deepest level containing the cell."""
+    from .rasterqueries import _D8_N, _D8_TILES
+
+    n = _D8_N
+    levels = []
+    for k in range(1, STRAHLER_MAX):
+        levels.append(f"""seed{k + 1} AS (
+  SELECT e.s, e.nr AS r, e.nc AS c
+  FROM edges e JOIN s{k} m ON m.s = e.s AND m.r = e.r AND m.c = e.c
+  GROUP BY e.s, e.nr, e.nc HAVING COUNT(*) >= 2),
+s{k + 1} AS (
+  WITH RECURSIVE cl(s, r, c) AS (
+    SELECT s, r, c FROM seed{k + 1}
+    UNION
+    SELECT e.s, e.nr, e.nc
+    FROM cl JOIN edges e ON e.s = cl.s AND e.r = cl.r AND e.c = cl.c)
+  SELECT * FROM cl)""")
+    lvl_union = "\nUNION ALL\n".join(
+        f"SELECT s, r, c, {k} AS k FROM s{k}"
+        for k in range(1, STRAHLER_MAX + 1))
+    return f"""
+WITH RECURSIVE
+grid AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+cells AS (
+  SELECT s.range AS s, r.i AS r, c.i AS c,
+         ((s.range * 131071 + r.i * 37 + c.i * 17) * 2654435761) % 4096 AS z
+  FROM range(0, {_D8_TILES}) s, grid r, grid c
+),
+nb(k, dy, dx) AS (
+  SELECT * FROM (VALUES (0,-1,-1),(1,-1,0),(2,-1,1),(3,0,-1),
+                        (4,0,1),(5,1,-1),(6,1,0),(7,1,1)) t
+),
+drops AS (
+  SELECT a.s, a.r, a.c, n.k, n.dy, n.dx,
+         CAST(a.z - b.z AS DOUBLE) /
+           (CASE WHEN n.dy <> 0 AND n.dx <> 0 THEN sqrt(2.0) ELSE 1.0 END)
+           AS dr
+  FROM cells a
+  JOIN nb n ON TRUE
+  JOIN cells b
+    ON b.s = a.s
+   AND b.r = LEAST(GREATEST(a.r + n.dy, 0), {n - 1})
+   AND b.c = LEAST(GREATEST(a.c + n.dx, 0), {n - 1})
+),
+best AS (
+  SELECT s, r, c, dy, dx, dr,
+         ROW_NUMBER() OVER (PARTITION BY s, r, c ORDER BY dr DESC, k) AS rn
+  FROM drops
+),
+edges AS (
+  SELECT s, r, c, r + dy AS nr, c + dx AS nc
+  FROM best WHERE rn = 1 AND dr > 0
+    AND r + dy BETWEEN 0 AND {n - 1} AND c + dx BETWEEN 0 AND {n - 1}),
+s1 AS (SELECT s, r, c FROM cells),
+{', '.join(levels)},
+ord AS (
+  SELECT s, r, c, MAX(k) AS strahler FROM ({lvl_union}) GROUP BY s, r, c)
+SELECT CAST(s AS BIGINT) AS tile_idx,
+       CAST(strahler AS BIGINT) AS strahler,
+       CAST(COUNT(*) AS BIGINT) AS n_cells
+FROM ord GROUP BY s, strahler ORDER BY tile_idx, strahler
+"""

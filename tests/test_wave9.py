@@ -531,3 +531,51 @@ class TestGeodesicArea:
         # spherical area of a small zone ≈ its planar deg² area in sr
         planar = out["area_q"].sum() / spatial2.GEO_QUANT
         assert 0.01 < planar < 10.0
+
+
+class TestStrahlerOrder:
+    def test_matches_recursive_reference(self, ray_session):
+        out = spatial2.q_strahler_order(SF001)
+        from raster_functions_ray.rasterqueries import (_D8_N, _D8_TILES,
+                                                        _d8_dem,
+                                                        d8_directions,
+                                                        D8_OFFS)
+        import sys
+        sys.setrecursionlimit(10000)
+        n = _D8_N
+        hist = {}
+        dems = _d8_dem(np.arange(_D8_TILES, dtype=np.int64))
+        for s in range(_D8_TILES):
+            best, has_down = d8_directions(dems[s])
+            dy = np.array([o[0] for o in D8_OFFS])[best]
+            dx = np.array([o[1] for o in D8_OFFS])[best]
+            idx = np.arange(n * n).reshape(n, n)
+            rr, cc = idx // n, idx % n
+            nxt = np.where(has_down, (rr + dy.reshape(n, n)) * n
+                           + (cc + dx.reshape(n, n)), -1).ravel()
+            children = [[] for _ in range(n * n)]
+            for u in range(n * n):
+                if nxt[u] >= 0:
+                    children[int(nxt[u])].append(u)
+            memo = {}
+
+            def order(v):   # textbook recursion
+                if v in memo:
+                    return memo[v]
+                ch = children[v]
+                if not ch:
+                    memo[v] = 1
+                    return 1
+                os_ = sorted((order(u) for u in ch), reverse=True)
+                o = os_[0] + (1 if len(os_) > 1 and os_[1] == os_[0] else 0)
+                memo[v] = o
+                return o
+
+            for v in range(n * n):
+                k = (s, order(v))
+                hist[k] = hist.get(k, 0) + 1
+        ref = pd.DataFrame([(s, o, c) for (s, o), c in sorted(hist.items())],
+                           columns=["tile_idx", "strahler", "n_cells"]
+                           ).astype("int64")
+        pd.testing.assert_frame_equal(out, ref.reset_index(drop=True))
+        assert out["strahler"].max() >= 2   # real junction structure exists
