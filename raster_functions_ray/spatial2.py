@@ -2273,3 +2273,118 @@ SELECT CAST(s AS BIGINT) AS tile_idx,
        CAST(COUNT(*) AS BIGINT) AS n_cells
 FROM ord GROUP BY s, strahler ORDER BY tile_idx, strahler
 """
+
+
+# --------------------------- line density (segments near cell centers)
+
+LD_R = 150     # search radius around each cell center
+LD_C = 100     # cell pitch
+
+
+def q_line_density(sf_dir: str) -> pd.DataFrame:
+    """Line density (the ArcGIS Line Density tool in its exact count
+    form): for every raster cell, the number of order segments whose
+    point-to-segment distance from the cell CENTER is ≤ {LD_R} — the
+    polyline sibling of q_kde_density.  Doubled coordinates keep the
+    half-unit centers integer; the distance stays the exact (num, den)
+    fraction of `_seg_dist_parts`, so the predicate num ≤ (2·{LD_R})²·den
+    never touches a float.
+
+    Scale shape: a pure scatter — each segment emits to the ≤5×5 cells
+    its R-expanded bbox overlaps, the exact test runs vectorized per
+    emission, and ONE groupby(cell) Count reduces; segments are never
+    compared to each other."""
+    from ray.data.aggregate import Sum
+
+    from .spatial import _seg_dist_parts, _seg_endpoints
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey"])
+    R2D = (2 * LD_R) ** 2   # doubled-coordinate radius squared
+
+    def scatter(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["o_orderkey"], np.int64)
+        x1, y1, x2, y2 = _seg_endpoints(k)
+        # +100000 shift keeps the division operand positive, so floor
+        # (numpy) and truncating (DuckDB //) integer division agree
+        cx0 = (np.minimum(x1, x2) - LD_R + 100000) // LD_C - 1000
+        cx1 = (np.maximum(x1, x2) + LD_R) // LD_C
+        cy0 = (np.minimum(y1, y2) - LD_R + 100000) // LD_C - 1000
+        cy1 = (np.maximum(y1, y2) + LD_R) // LD_C
+        parts = []
+        span = int(max((cx1 - cx0).max(initial=0),
+                       (cy1 - cy0).max(initial=0))) + 1
+        for i in range(span):
+            for j in range(span):
+                keep = (cx0 + i <= cx1) & (cy0 + j <= cy1)
+                if not keep.any():
+                    continue
+                gx, gy = cx0[keep] + i, cy0[keep] + j
+                ctx = 2 * gx * LD_C + LD_C      # doubled cell center
+                cty = 2 * gy * LD_C + LD_C
+                num, den = _seg_dist_parts(
+                    ctx, cty, 2 * x1[keep], 2 * y1[keep],
+                    2 * x2[keep], 2 * y2[keep])
+                hit = num <= R2D * den
+                if not hit.any():
+                    continue
+                parts.append(pa.table({
+                    "cx": pa.array(gx[hit]), "cy": pa.array(gy[hit]),
+                    "n_segs": pa.array(np.ones(int(hit.sum()), np.int64))}))
+        return (pa.concat_tables(parts) if parts
+                else pa.table({"cx": pa.array([], pa.int64()),
+                               "cy": pa.array([], pa.int64()),
+                               "n_segs": pa.array([], pa.int64())}))
+
+    out = (ds.map_batches(scatter, batch_format="pyarrow")
+           .groupby(["cx", "cy"])
+           .aggregate(Sum("n_segs", alias_name="n_segs"))
+           .to_pandas())
+    return (out.astype({c: "int64" for c in out.columns})
+            .sort_values(["cx", "cy"]).reset_index(drop=True))
+
+
+def line_density_oracle_sql() -> str:
+    """The segment-join distance fraction against doubled cell centers,
+    candidates from the R-expanded bbox offset grid."""
+    x1 = _mix_sql("4 * o_orderkey + 0")
+    y1 = _mix_sql("4 * o_orderkey + 1")
+    dx = _mix_sql("4 * o_orderkey + 2", 81) + " - 40"
+    dy = _mix_sql("4 * o_orderkey + 3", 81) + " - 40"
+    R2D = (2 * LD_R) ** 2
+    return f"""
+WITH segs0 AS MATERIALIZED (
+  SELECT {x1} AS x1, {y1} AS y1, {dx} AS dx, {dy} AS dy FROM orders),
+segs AS MATERIALIZED (
+  SELECT x1, y1,
+         LEAST(GREATEST(x1 + dx, 0), 9999) AS x2,
+         LEAST(GREATEST(y1 + dy, 0), 9999) AS y2
+  FROM segs0),
+cand AS (
+  SELECT (LEAST(x1, x2) - {LD_R} + 100000) // {LD_C} - 1000 + ox.d AS cx,
+         (LEAST(y1, y2) - {LD_R} + 100000) // {LD_C} - 1000 + oy.d AS cy,
+         2*x1 AS ax, 2*y1 AS ay, 2*x2 AS bx, 2*y2 AS by_
+  FROM segs, range(0, 6) ox(d), range(0, 6) oy(d)
+  WHERE (LEAST(x1, x2) - {LD_R} + 100000) // {LD_C} - 1000 + ox.d
+          <= (GREATEST(x1, x2) + {LD_R}) // {LD_C}
+    AND (LEAST(y1, y2) - {LD_R} + 100000) // {LD_C} - 1000 + oy.d
+          <= (GREATEST(y1, y2) + {LD_R}) // {LD_C}),
+scored AS (
+  SELECT cx, cy,
+         (2*cx*{LD_C} + {LD_C} - ax) * (bx - ax)
+         + (2*cy*{LD_C} + {LD_C} - ay) * (by_ - ay) AS dot,
+         (bx - ax) * (bx - ax) + (by_ - ay) * (by_ - ay) AS vv,
+         (2*cx*{LD_C} + {LD_C} - ax) * (2*cx*{LD_C} + {LD_C} - ax)
+         + (2*cy*{LD_C} + {LD_C} - ay) * (2*cy*{LD_C} + {LD_C} - ay) AS w2,
+         (2*cx*{LD_C} + {LD_C} - bx) * (2*cx*{LD_C} + {LD_C} - bx)
+         + (2*cy*{LD_C} + {LD_C} - by_) * (2*cy*{LD_C} + {LD_C} - by_) AS u2,
+         (2*cx*{LD_C} + {LD_C} - ax) * (by_ - ay)
+         - (2*cy*{LD_C} + {LD_C} - ay) * (bx - ax) AS cr
+  FROM cand)
+SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+       CAST(COUNT(*) AS BIGINT) AS n_segs
+FROM scored
+WHERE (CASE WHEN dot <= 0 THEN w2 WHEN dot >= vv THEN u2
+            ELSE cr * cr END)
+      <= {R2D} * (CASE WHEN dot <= 0 OR dot >= vv THEN 1 ELSE vv END)
+GROUP BY cx, cy ORDER BY cx, cy
+"""

@@ -579,3 +579,35 @@ class TestStrahlerOrder:
                            ).astype("int64")
         pd.testing.assert_frame_equal(out, ref.reset_index(drop=True))
         assert out["strahler"].max() >= 2   # real junction structure exists
+
+
+class TestLineDensity:
+    def test_matches_bruteforce_cells(self, ray_session):
+        out = spatial2.q_line_density(SF001)
+        from raster_functions_ray.spatial import (_seg_dist_parts,
+                                                  _seg_endpoints)
+        keys = np.asarray(pq.read_table(
+            SF001 + "/orders.parquet", columns=["o_orderkey"])["o_orderkey"],
+            np.int64)
+        x1, y1, x2, y2 = _seg_endpoints(keys)
+        C, R = spatial2.LD_C, spatial2.LD_R
+        R2D = (2 * R) ** 2
+        acc = {}
+        for i in range(keys.size):
+            lo_x = (min(x1[i], x2[i]) - R) // C
+            hi_x = (max(x1[i], x2[i]) + R) // C
+            lo_y = (min(y1[i], y2[i]) - R) // C
+            hi_y = (max(y1[i], y2[i]) + R) // C
+            for gx in range(int(lo_x), int(hi_x) + 1):
+                for gy in range(int(lo_y), int(hi_y) + 1):
+                    num, den = _seg_dist_parts(
+                        np.array([2 * gx * C + C]),
+                        np.array([2 * gy * C + C]),
+                        np.array([2 * x1[i]]), np.array([2 * y1[i]]),
+                        np.array([2 * x2[i]]), np.array([2 * y2[i]]))
+                    if num[0] <= R2D * den[0]:
+                        acc[(gx, gy)] = acc.get((gx, gy), 0) + 1
+        ref = pd.DataFrame([(k[0], k[1], v)
+                            for k, v in sorted(acc.items())],
+                           columns=["cx", "cy", "n_segs"]).astype("int64")
+        pd.testing.assert_frame_equal(out, ref.reset_index(drop=True))
