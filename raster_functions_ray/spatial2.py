@@ -2388,3 +2388,121 @@ WHERE (CASE WHEN dot <= 0 THEN w2 WHEN dot >= vv THEN u2
       <= {R2D} * (CASE WHEN dot <= 0 OR dot >= vv THEN 1 ELSE vv END)
 GROUP BY cx, cy ORDER BY cx, cy
 """
+
+
+# ----------------------- stay-point detection (trajectory mining)
+
+STAY_R2 = 3600                    # anchor radius² (walk units)
+STAY_TAU_US = 20 * 3600 * 1_000_000   # minimum dwell duration
+
+
+def q_stay_points(sf_dir: str) -> pd.DataFrame:
+    """Stay-point detection (Li et al. 2008 — the GPS-trajectory dwell
+    extractor behind visit/POI mining): scanning each user's walk in
+    time order, an anchor ping i extends to the last ping j before the
+    first one farther than √{STAY_R2} from p_i; if the dwell t_j − t_i ≥
+    {STAY_TAU_US} µs the window is a stay point (emit, resume at j+1),
+    else the anchor advances one ping.  All comparisons are integer d²
+    and µs — the scan is deterministic and SQL-replayable.
+
+    Scale shape: user-hash shards, one lexsort + segmented cumsum per
+    shard (the walk-world discipline); the per-user scan is sequential
+    BY DEFINITION (each decision consumes the previous window) but
+    bounded by pings-per-user, the same unit every per-user window
+    operator partitions on."""
+    from .spatial import DP_STEP_MOD
+    from .windows import _user_shard
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def shard(g: pd.DataFrame) -> pd.DataFrame:
+        eid = g["event_id"].to_numpy(np.int64)
+        ts = g["ts"].astype("int64").to_numpy()
+        u = g["user_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        eid, ts, u = eid[order], ts[order], u[order]
+        sx = _seg_mix(3_000_000_000 + 2 * eid, DP_STEP_MOD) - 50
+        sy = _seg_mix(3_000_000_001 + 2 * eid, DP_STEP_MOD) - 50
+        rs = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(rs)
+        counts = np.diff(np.r_[starts, u.size])
+        csx, csy = np.cumsum(sx), np.cumsum(sy)
+        px = csx - np.repeat(csx[starts] - sx[starts], counts)
+        py = csy - np.repeat(csy[starts] - sy[starts], counts)
+        rows = []
+        for s, c in zip(starts, counts):
+            X, Y, T = px[s:s + c], py[s:s + c], ts[s:s + c]
+            i = 0
+            while i < c:
+                d2 = (X[i:] - X[i]) ** 2 + (Y[i:] - Y[i]) ** 2
+                viol = np.nonzero(d2 > STAY_R2)[0]
+                j = (int(viol[0]) - 1 if viol.size else c - 1 - i) + i
+                if T[j] - T[i] >= STAY_TAU_US:
+                    rows.append((int(u[s]), i, j, j - i + 1,
+                                 int(T[j] - T[i])))
+                    i = j + 1
+                else:
+                    i += 1
+        return pd.DataFrame(rows, columns=["user_id", "start_seq",
+                                           "end_seq", "n_pings", "dur_us"]
+                            ).astype("int64")
+
+    out = (ds.map_batches(_user_shard, batch_format="pyarrow")
+           .groupby("shard").map_groups(shard, batch_format="pandas")
+           .to_pandas())
+    return (out.astype({c: "int64" for c in out.columns})
+            .sort_values(["user_id", "start_seq"]).reset_index(drop=True))
+
+
+def stay_points_oracle_sql() -> str:
+    """The scan replayed as a recursive CTE over anchor positions: the
+    per-anchor window end j(i) is precomputed as (first violation − 1)
+    via one pairwise join, and the recursion steps i → j+1 or i+1
+    exactly like the engine loop."""
+    from .spatial import DP_STEP_MOD
+
+    sx = _mix_sql("3000000000 + 2 * event_id", DP_STEP_MOD) + " - 50"
+    sy = _mix_sql("3000000001 + 2 * event_id", DP_STEP_MOD) + " - 50"
+    return f"""
+WITH RECURSIVE steps AS MATERIALIZED (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         {sx} AS sx, {sy} AS sy
+  FROM events),
+pts AS MATERIALIZED (
+  SELECT user_id AS u, t,
+         ROW_NUMBER() OVER w - 1 AS seq,
+         SUM(sx) OVER w AS px, SUM(sy) OVER w AS py
+  FROM steps
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+               ROWS UNBOUNDED PRECEDING)),
+nmax AS (SELECT u, MAX(seq) AS mx FROM pts GROUP BY u),
+jend AS MATERIALIZED (
+  -- window end per anchor: one before the first radius violation
+  SELECT a.u, a.seq AS i,
+         COALESCE(MIN(b.seq) FILTER (WHERE
+             (b.px-a.px)*(b.px-a.px) + (b.py-a.py)*(b.py-a.py)
+             > {STAY_R2}) - 1, m.mx) AS j
+  FROM pts a JOIN nmax m ON m.u = a.u
+  LEFT JOIN pts b ON b.u = a.u AND b.seq > a.seq
+  GROUP BY a.u, a.seq, m.mx),
+scan(u, i, sstart, send, dur) AS (
+  SELECT u, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  FROM (SELECT DISTINCT u FROM pts)
+  UNION ALL
+  SELECT s.u,
+         CAST(CASE WHEN tj.t - ti.t >= {STAY_TAU_US}
+              THEN e.j + 1 ELSE s.i + 1 END AS BIGINT),
+         CASE WHEN tj.t - ti.t >= {STAY_TAU_US} THEN s.i END,
+         CASE WHEN tj.t - ti.t >= {STAY_TAU_US} THEN e.j END,
+         CASE WHEN tj.t - ti.t >= {STAY_TAU_US} THEN tj.t - ti.t END
+  FROM scan s
+  JOIN jend e ON e.u = s.u AND e.i = s.i
+  JOIN pts ti ON ti.u = s.u AND ti.seq = s.i
+  JOIN pts tj ON tj.u = s.u AND tj.seq = e.j)
+SELECT u AS user_id, sstart AS start_seq, send AS end_seq,
+       CAST(send - sstart + 1 AS BIGINT) AS n_pings,
+       CAST(dur AS BIGINT) AS dur_us
+FROM scan WHERE sstart IS NOT NULL
+ORDER BY user_id, start_seq
+"""

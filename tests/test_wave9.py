@@ -611,3 +611,39 @@ class TestLineDensity:
                             for k, v in sorted(acc.items())],
                            columns=["cx", "cy", "n_segs"]).astype("int64")
         pd.testing.assert_frame_equal(out, ref.reset_index(drop=True))
+
+
+class TestStayPoints:
+    def test_matches_textbook_scan(self, ray_session):
+        out = spatial2.q_stay_points(SF001)
+        assert len(out) > 0
+        t = pq.read_table(SF001 + "/events.parquet",
+                          columns=["event_id", "ts", "user_id"]).to_pandas()
+        t["ts"] = t["ts"].astype("int64")
+        from raster_functions_ray.spatial import DP_STEP_MOD, _seg_mix
+        rows = []
+        for u, g in t.sort_values(["user_id", "ts", "event_id"]).groupby(
+                "user_id"):
+            eid = g["event_id"].to_numpy(np.int64)
+            ts = g["ts"].to_numpy(np.int64)
+            px = np.cumsum(_seg_mix(3_000_000_000 + 2 * eid,
+                                    DP_STEP_MOD) - 50)
+            py = np.cumsum(_seg_mix(3_000_000_001 + 2 * eid,
+                                    DP_STEP_MOD) - 50)
+            i, c = 0, eid.size
+            while i < c:
+                j = i
+                while j + 1 < c and ((px[j + 1] - px[i]) ** 2
+                                     + (py[j + 1] - py[i]) ** 2
+                                     <= spatial2.STAY_R2):
+                    j += 1
+                if ts[j] - ts[i] >= spatial2.STAY_TAU_US:
+                    rows.append((u, i, j, j - i + 1, int(ts[j] - ts[i])))
+                    i = j + 1
+                else:
+                    i += 1
+        ref = (pd.DataFrame(rows, columns=["user_id", "start_seq",
+                                           "end_seq", "n_pings", "dur_us"])
+               .astype("int64").sort_values(["user_id", "start_seq"])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, ref)
