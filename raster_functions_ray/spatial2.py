@@ -2506,3 +2506,157 @@ SELECT u AS user_id, sstart AS start_seq, send AS end_seq,
 FROM scan WHERE sstart IS NOT NULL
 ORDER BY user_id, start_seq
 """
+
+# ------------------ HMM map matching (Viterbi forward costs)
+
+VIT_K = 12          # chain length: first K candidate-bearing pings per user
+VIT_SWITCH = 100_000   # transition penalty for changing segment
+VIT_EMIT_SCALE = 1024  # emission = floor(1024·num/den), exact in BIGINT
+
+
+def q_viterbi_match(sf_dir: str) -> pd.DataFrame:
+    """HMM map matching (the Newson-Krumm shape behind every road-snap
+    service), reduced to its exact Viterbi FORWARD table: per user, the
+    first {VIT_K} pings having any segment within SEG_R form the chain;
+    states are the candidate segments, emission = ⌊{VIT_EMIT_SCALE}·
+    num/den⌋ (the exact snap distance fraction), transition = 0 for
+    staying on a segment / {VIT_SWITCH} for switching; output every
+    (user, step, segment, min path cost ending there) — the argmin
+    decode is a driver backtrack over this table.  All integer.
+
+    Scale shape: candidates form on the map-match cell surface (a
+    ping's full candidate set co-locates in its own cell), then ONE
+    user-keyed exchange; the per-user DP is O(K·states²) with both
+    factors bounded by design."""
+    from .spatial import SEG_CELL, SEG_R, _seg_dist_parts, _seg_endpoints
+
+    pts = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    segs = read_table(sf_dir, "orders", columns=["o_orderkey"])
+
+    def pt_cells(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], np.int64)
+        uid = np.asarray(b["user_id"], np.int64)
+        t = b["ts"].cast(pa.int64()).to_numpy()
+        px, py = _seg_points(eid)
+        z = np.zeros(eid.size, np.int64)
+        return pa.table({
+            "key": pa.array((px // SEG_CELL) * 1024 + py // SEG_CELL),
+            "pid": pa.array(eid), "u": pa.array(uid), "t": pa.array(t),
+            "px": pa.array(px), "py": pa.array(py),
+            "sid": pa.array(z - 1), "x1": pa.array(z), "y1": pa.array(z),
+            "x2": pa.array(z), "y2": pa.array(z)})
+
+    def seg_cells(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["o_orderkey"], np.int64)
+        x1, y1, x2, y2 = _seg_endpoints(k)
+        cx0 = (np.minimum(x1, x2) - SEG_R) // SEG_CELL
+        cx1 = (np.maximum(x1, x2) + SEG_R) // SEG_CELL
+        cy0 = (np.minimum(y1, y2) - SEG_R) // SEG_CELL
+        cy1 = (np.maximum(y1, y2) + SEG_R) // SEG_CELL
+        parts = []
+        for i in range(3):
+            for j in range(3):
+                keep = (cx0 + i <= cx1) & (cy0 + j <= cy1)
+                if not keep.any():
+                    continue
+                m = int(keep.sum())
+                z = np.zeros(m, np.int64)
+                parts.append(pa.table({
+                    "key": pa.array((cx0[keep] + i) * 1024 + cy0[keep] + j),
+                    "pid": pa.array(z - 1), "u": pa.array(z - 1),
+                    "t": pa.array(z), "px": pa.array(z), "py": pa.array(z),
+                    "sid": pa.array(k[keep]),
+                    "x1": pa.array(x1[keep]), "y1": pa.array(y1[keep]),
+                    "x2": pa.array(x2[keep]), "y2": pa.array(y2[keep])}))
+        return pa.concat_tables(parts)
+
+    def cands(g: pd.DataFrame) -> pd.DataFrame:
+        is_pt = g["pid"].to_numpy(np.int64) >= 0
+        p, s = g[is_pt], g[~is_pt]
+        if not len(p) or not len(s):
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                                 ("u", "pid", "t", "sid", "emit")})
+        px = p["px"].to_numpy(np.int64)[:, None]
+        py = p["py"].to_numpy(np.int64)[:, None]
+        num, den = _seg_dist_parts(
+            px, py, s["x1"].to_numpy(np.int64)[None, :],
+            s["y1"].to_numpy(np.int64)[None, :],
+            s["x2"].to_numpy(np.int64)[None, :],
+            s["y2"].to_numpy(np.int64)[None, :])
+        within = num <= SEG_R * SEG_R * den
+        i, j = np.nonzero(within)
+        return pd.DataFrame({
+            "u": p["u"].to_numpy(np.int64)[i],
+            "pid": p["pid"].to_numpy(np.int64)[i],
+            "t": p["t"].to_numpy(np.int64)[i],
+            "sid": s["sid"].to_numpy(np.int64)[j],
+            "emit": VIT_EMIT_SCALE * num[i, j] // den[i, j]})
+
+    def viterbi(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for u, gu in g.groupby("u"):
+            pings = (gu[["pid", "t"]].drop_duplicates()
+                     .sort_values(["t", "pid"]).head(VIT_K))
+            prev = {}      # sid -> cost
+            for k, pid in enumerate(pings["pid"]):
+                cs = gu[gu["pid"] == pid]
+                cur = {}
+                for sid, emit in zip(cs["sid"], cs["emit"]):
+                    if k == 0:
+                        cur[int(sid)] = int(emit)
+                    else:
+                        best = min(pc + (0 if ps == sid else VIT_SWITCH)
+                                   for ps, pc in prev.items())
+                        cur[int(sid)] = int(emit) + best
+                for sid, cost in sorted(cur.items()):
+                    rows.append((int(u), k, sid, cost))
+                prev = cur
+        return pd.DataFrame(rows, columns=["user_id", "k", "seg_id",
+                                           "cost"]).astype("int64")
+
+    surface = (pts.map_batches(pt_cells, batch_format="pyarrow")
+               .union(segs.map_batches(seg_cells, batch_format="pyarrow"))
+               .groupby("key").map_groups(cands, batch_format="pandas"))
+    out = (surface.groupby("u").map_groups(viterbi, batch_format="pandas")
+           .to_pandas())
+    return (out.astype({c: "int64" for c in out.columns})
+            .sort_values(["user_id", "k", "seg_id"]).reset_index(drop=True))
+
+
+def viterbi_match_oracle_sql() -> str:
+    """The segment-join candidate surface + a DENSE_RANK chain + the
+    Viterbi recurrence unrolled {VIT_K} steps (each step one join +
+    GROUP BY MIN over cost + switch-penalty CASE)."""
+    from .spatial import Q_SEGMENT_JOIN_SQL
+
+    base = Q_SEGMENT_JOIN_SQL.replace("ORDER BY event_id, seg_id", "")
+    steps, unions = [], ["SELECT u, 0 AS k, seg_id, cost FROM dp0"]
+    for j in range(1, VIT_K):
+        steps.append(f"""dp{j} AS (
+  SELECT c.u, c.seg_id, c.emit + MIN(p.cost
+         + CASE WHEN p.seg_id = c.seg_id THEN 0
+                ELSE {VIT_SWITCH} END) AS cost
+  FROM cst c JOIN dp{j - 1} p ON p.u = c.u
+  WHERE c.k = {j} GROUP BY c.u, c.seg_id, c.emit)""")
+        unions.append(f"SELECT u, {j} AS k, seg_id, cost FROM dp{j}")
+    return f"""
+WITH pairs AS MATERIALIZED ({base}),
+cand AS MATERIALIZED (
+  SELECT e.user_id AS u, p.event_id, epoch_us(e.ts) AS t, p.seg_id,
+         {VIT_EMIT_SCALE} * p.d2_num // p.d2_den AS emit
+  FROM pairs p JOIN events e ON e.event_id = p.event_id),
+chain AS MATERIALIZED (
+  SELECT u, event_id,
+         DENSE_RANK() OVER (PARTITION BY u ORDER BY t, event_id) - 1 AS k
+  FROM (SELECT DISTINCT u, event_id, t FROM cand)),
+cst AS MATERIALIZED (
+  SELECT c.u, ch.k, c.seg_id, c.emit
+  FROM cand c JOIN chain ch ON ch.u = c.u AND ch.event_id = c.event_id
+  WHERE ch.k < {VIT_K}),
+dp0 AS (SELECT u, seg_id, emit AS cost FROM cst WHERE k = 0),
+{', '.join(steps)}
+SELECT CAST(u AS BIGINT) AS user_id, CAST(k AS BIGINT) AS k,
+       CAST(seg_id AS BIGINT) AS seg_id, CAST(cost AS BIGINT) AS cost
+FROM ({' UNION ALL '.join(unions)})
+ORDER BY user_id, k, seg_id
+"""

@@ -647,3 +647,51 @@ class TestStayPoints:
                .astype("int64").sort_values(["user_id", "start_seq"])
                .reset_index(drop=True))
         pd.testing.assert_frame_equal(out, ref)
+
+
+class TestViterbiMatch:
+    def test_dp_table_matches_reference_and_decodes(self, ray_session):
+        out = spatial2.q_viterbi_match(SF001)
+        assert len(out) > 0
+        from raster_functions_ray.spatial import (SEG_R, _seg_dist_parts,
+                                                  _seg_endpoints)
+        ev = pq.read_table(SF001 + "/events.parquet",
+                           columns=["event_id", "user_id", "ts"]).to_pandas()
+        ev["ts"] = ev["ts"].astype("int64")
+        k = np.asarray(pq.read_table(SF001 + "/orders.parquet",
+                                     columns=["o_orderkey"])["o_orderkey"],
+                       np.int64)
+        x1, y1, x2, y2 = _seg_endpoints(k)
+        eid = ev["event_id"].to_numpy(np.int64)
+        px, py = _seg_points(eid)
+        num, den = _seg_dist_parts(px[:, None], py[:, None], x1[None, :],
+                                   y1[None, :], x2[None, :], y2[None, :])
+        within = num <= SEG_R * SEG_R * den
+        rows = []
+        for u, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+            idxs = [i for i in g.index if within[i].any()][:spatial2.VIT_K]
+            prev = {}
+            for kk, i in enumerate(idxs):
+                cur = {}
+                for j in np.nonzero(within[i])[0]:
+                    emit = int(spatial2.VIT_EMIT_SCALE * num[i, j]
+                               // den[i, j])
+                    if kk == 0:
+                        cur[int(k[j])] = emit
+                    else:
+                        cur[int(k[j])] = emit + min(
+                            pc + (0 if ps == int(k[j])
+                                  else spatial2.VIT_SWITCH)
+                            for ps, pc in prev.items())
+                rows.extend((int(u), kk, s, c)
+                            for s, c in sorted(cur.items()))
+                prev = cur
+        ref = (pd.DataFrame(rows, columns=["user_id", "k", "seg_id",
+                                           "cost"]).astype("int64")
+               .sort_values(["user_id", "k", "seg_id"])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, ref)
+        # costs are monotone in k per user (each step adds >= 0)
+        m = out.groupby(["user_id", "k"])["cost"].min().reset_index()
+        for u, g in m.groupby("user_id"):
+            assert (g.sort_values("k")["cost"].diff().dropna() >= 0).all()
