@@ -2660,3 +2660,138 @@ SELECT CAST(u AS BIGINT) AS user_id, CAST(k AS BIGINT) AS k,
 FROM ({' UNION ALL '.join(unions)})
 ORDER BY user_id, k, seg_id
 """
+
+
+# -------------------------- least-cost path (CostPath backtrace)
+
+def q_cost_path(sf_dir: str) -> pd.DataFrame:
+    """Least-cost path (the ArcGIS Cost Path tool — the backtrace
+    consumer of q_cost_distance): per tile, from the most expensive
+    within-budget core pixel (ties → smallest (r, c)), walk the cost
+    surface downhill to a seed, at each step moving to the 4-neighbor q
+    with acc(q) = acc(p) − cost(p) and the smallest linear index —
+    output every path pixel (tile_idx, step, r, c, acc).  All integer;
+    the backtrace is deterministic on both engines.
+
+    Scale shape: each tile re-derives its {regions.COST_MAX}-halo window
+    and relaxes locally (any within-budget path fits the halo, and every
+    prefix of an optimal path is optimal and in-window, so local acc ==
+    global acc along the whole path) — zero shuffle, the q_cost_distance
+    tileability argument extended to the path itself."""
+    import ray.data as rd
+
+    from .regions import (COST_MAX, GRID_TILES, GRID_W, TILE_PX, cost_field,
+                          euc_seeds)
+
+    tiles = rd.range(GRID_TILES * GRID_TILES, override_num_blocks=8)
+    BIG = np.int64(1 << 30)
+
+    def per_tile(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for tid in np.asarray(b["id"], dtype=np.int64):
+            ty, tx = divmod(int(tid), GRID_TILES)
+            r0, c0 = ty * TILE_PX, tx * TILE_PX
+            hr0 = max(0, r0 - COST_MAX); hc0 = max(0, c0 - COST_MAX)
+            hr1 = min(GRID_W, r0 + TILE_PX + COST_MAX)
+            hc1 = min(GRID_W, c0 + TILE_PX + COST_MAX)
+            cost = cost_field(hr0, hc0, hr1 - hr0, hc1 - hc0)
+            sr, sc = euc_seeds(hr0, hc0, hr1 - hr0, hc1 - hc0)
+            acc = np.full(cost.shape, BIG)
+            acc[sr - hr0, sc - hc0] = 0
+            for _ in range(COST_MAX):
+                best = acc.copy()
+                best[1:, :] = np.minimum(best[1:, :], acc[:-1, :])
+                best[:-1, :] = np.minimum(best[:-1, :], acc[1:, :])
+                best[:, 1:] = np.minimum(best[:, 1:], acc[:, :-1])
+                best[:, :-1] = np.minimum(best[:, :-1], acc[:, 1:])
+                nxt = np.minimum(acc, best + cost)
+                nxt[sr - hr0, sc - hc0] = 0
+                if np.array_equal(nxt, acc):
+                    break
+                acc = nxt
+            core = acc[r0 - hr0:r0 - hr0 + TILE_PX,
+                       c0 - hc0:c0 - hc0 + TILE_PX]
+            reach = core <= COST_MAX
+            if not reach.any():
+                continue
+            # destination: max within-budget acc, ties to smallest (r, c)
+            cand = np.nonzero(reach)[0], np.nonzero(reach)[1]
+            vals = core[reach]
+            key = (-vals) * (GRID_W * GRID_W) \
+                + (cand[0] + r0) * GRID_W + (cand[1] + c0)
+            kbest = int(np.argmin(key))
+            pr = int(cand[0][kbest] + r0 - hr0)
+            pc_ = int(cand[1][kbest] + c0 - hc0)
+            step = 0
+            while True:
+                rows.append((int(tid), step, pr + hr0, pc_ + hc0,
+                             int(acc[pr, pc_])))
+                if acc[pr, pc_] == 0:
+                    break
+                want = acc[pr, pc_] - cost[pr, pc_]
+                nxt_pix = None
+                for dr, dc in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                    qr, qc = pr + dr, pc_ + dc
+                    if (0 <= qr < acc.shape[0] and 0 <= qc < acc.shape[1]
+                            and acc[qr, qc] == want):
+                        lin = (qr + hr0) * GRID_W + (qc + hc0)
+                        if nxt_pix is None or lin < nxt_pix[0]:
+                            nxt_pix = (lin, qr, qc)
+                pr, pc_ = nxt_pix[1], nxt_pix[2]
+                step += 1
+        return pd.DataFrame(rows, columns=["tile_idx", "step", "r", "c",
+                                           "acc"]).astype("int64")
+
+    out = tiles.map_batches(per_tile, batch_format="pyarrow", batch_size=8)
+    return (out.to_pandas().sort_values(["tile_idx", "step"])
+            .reset_index(drop=True))
+
+
+def cost_path_oracle_sql() -> str:
+    """The cost-distance walk CTE's best table + a windowed destination
+    pick + a recursive backtrace whose single next row is enforced by a
+    smaller-linear-index NOT EXISTS."""
+    from .regions import (_PX_SEEDS_SQL, _xval_sql, COST_MAX, GRID_TILES,
+                          GRID_W, TILE_PX)
+
+    cost_p = f"1 + {_xval_sql(f'p.r * {GRID_W} + p.c')} % 4"
+    cost_w = f"1 + {_xval_sql(f'w.r * {GRID_W} + w.c')} % 4"
+    return f"""
+WITH RECURSIVE {_PX_SEEDS_SQL}, walk AS (
+  SELECT r, c, CAST(0 AS BIGINT) AS acc FROM seeds
+  UNION
+  SELECT p.r, p.c, w.acc + {cost_p} AS acc
+  FROM walk w
+  JOIN px p ON (p.r = w.r + 1 AND p.c = w.c) OR (p.r = w.r - 1 AND p.c = w.c)
+            OR (p.r = w.r AND p.c = w.c + 1) OR (p.r = w.r AND p.c = w.c - 1)
+  WHERE w.acc + {cost_p} <= {COST_MAX}
+), best AS MATERIALIZED (SELECT r, c, MIN(acc) AS acc FROM walk GROUP BY r, c),
+dest AS MATERIALIZED (
+  SELECT tile_idx, r, c, acc FROM (
+    SELECT (r // {TILE_PX}) * {GRID_TILES} + c // {TILE_PX} AS tile_idx,
+           r, c, acc,
+           ROW_NUMBER() OVER (PARTITION BY (r // {TILE_PX}) * {GRID_TILES}
+                              + c // {TILE_PX}
+                              ORDER BY acc DESC, r, c) AS rn
+    FROM best) WHERE rn = 1),
+path(tile_idx, step, r, c, acc) AS (
+  SELECT tile_idx, CAST(0 AS BIGINT), r, c, acc FROM dest
+  UNION ALL
+  SELECT w.tile_idx, w.step + 1, q.r, q.c, q.acc
+  FROM path w JOIN best q
+    ON ((q.r = w.r + 1 AND q.c = w.c) OR (q.r = w.r - 1 AND q.c = w.c)
+        OR (q.r = w.r AND q.c = w.c + 1) OR (q.r = w.r AND q.c = w.c - 1))
+   AND q.acc = w.acc - ({cost_w})
+  WHERE w.acc > 0
+    AND NOT EXISTS (
+      SELECT 1 FROM best q2
+      WHERE ((q2.r = w.r + 1 AND q2.c = w.c) OR (q2.r = w.r - 1 AND q2.c = w.c)
+             OR (q2.r = w.r AND q2.c = w.c + 1)
+             OR (q2.r = w.r AND q2.c = w.c - 1))
+        AND q2.acc = w.acc - ({cost_w})
+        AND q2.r * {GRID_W} + q2.c < q.r * {GRID_W} + q.c))
+SELECT CAST(tile_idx AS BIGINT) AS tile_idx, CAST(step AS BIGINT) AS step,
+       CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+       CAST(acc AS BIGINT) AS acc
+FROM path ORDER BY tile_idx, step
+"""

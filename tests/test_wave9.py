@@ -695,3 +695,24 @@ class TestViterbiMatch:
         m = out.groupby(["user_id", "k"])["cost"].min().reset_index()
         for u, g in m.groupby("user_id"):
             assert (g.sort_values("k")["cost"].diff().dropna() >= 0).all()
+
+
+class TestCostPath:
+    def test_path_is_valid_downhill_walk(self, ray_session):
+        out = spatial2.q_cost_path(SF001)
+        assert len(out) > 0
+        from raster_functions_ray.regions import (GRID_W, cost_field,
+                                                  euc_seeds)
+        cost = cost_field(0, 0, GRID_W, GRID_W)
+        seeds = set(zip(*euc_seeds(0, 0, GRID_W, GRID_W)))
+        for tid, g in out.groupby("tile_idx"):
+            g = g.sort_values("step")
+            rr = g["r"].to_numpy()
+            cc = g["c"].to_numpy()
+            aa = g["acc"].to_numpy()
+            # ends at a seed with acc 0
+            assert aa[-1] == 0 and (int(rr[-1]), int(cc[-1])) in seeds
+            # each hop is a 4-neighbor move dropping exactly cost(entered)
+            for i in range(len(g) - 1):
+                assert abs(rr[i] - rr[i + 1]) + abs(cc[i] - cc[i + 1]) == 1
+                assert aa[i + 1] == aa[i] - cost[rr[i], cc[i]]
