@@ -2795,3 +2795,105 @@ SELECT CAST(tile_idx AS BIGINT) AS tile_idx, CAST(step AS BIGINT) AS step,
        CAST(acc AS BIGINT) AS acc
 FROM path ORDER BY tile_idx, step
 """
+
+
+# ---------------------- overlay intersect (pairwise rect areas)
+
+IX_CELL = 500   # blocking pitch (>= 2x max rect extent)
+
+
+def q_rect_intersect_area(sf_dir: str) -> pd.DataFrame:
+    """Vector overlay INTERSECT (the pairwise product q_union_area
+    dissolves away): every ordered pair of overlapping rectangles from
+    the integer rect world with its EXACT intersection area
+    max(0, min(x2)−max(x1)) · max(0, min(y2)−max(y1)) — the attribute-
+    carrying overlay primitive (parcel × zoning, burn area × land
+    cover).
+
+    Scale shape: the q_rect_overlap_join grid method on integer cells —
+    each rect emits the ≤2×2 cells its bbox overlaps at pitch {IX_CELL}
+    ≥ 2× max extent, pairs form inside groupby(cell), and the
+    report-once owner is the LOWER-KEY rect's min-corner cell (in both
+    emission sets whenever the pair overlaps, since overlap ⇒ corners
+    within one extent of each other)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey"])
+
+    def emit(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["o_orderkey"], np.int64)
+        x1, y1, w, h = _ua_rects(k)
+        x2, y2 = x1 + w, y1 + h            # exclusive
+        parts = []
+        for i in (0, 1):
+            for j in (0, 1):
+                cx = x1 // IX_CELL + i
+                cy = y1 // IX_CELL + j
+                keep = (cx <= (x2 - 1) // IX_CELL) & (cy <= (y2 - 1)
+                                                      // IX_CELL)
+                if not keep.any():
+                    continue
+                parts.append(pa.table({
+                    "key": pa.array(cx[keep] * 1024 + cy[keep]),
+                    "id": pa.array(k[keep]),
+                    "x1": pa.array(x1[keep]), "y1": pa.array(y1[keep]),
+                    "x2": pa.array(x2[keep]), "y2": pa.array(y2[keep])}))
+        return pa.concat_tables(parts)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["id"].to_numpy(np.int64)
+        key = int(g["key"].iloc[0])
+        x1 = g["x1"].to_numpy(np.int64)
+        y1 = g["y1"].to_numpy(np.int64)
+        x2 = g["x2"].to_numpy(np.int64)
+        y2 = g["y2"].to_numpy(np.int64)
+        iw = (np.minimum(x2[:, None], x2[None, :])
+              - np.maximum(x1[:, None], x1[None, :]))
+        ih = (np.minimum(y2[:, None], y2[None, :])
+              - np.maximum(y1[:, None], y1[None, :]))
+        # report-once owner: the cell holding the intersection's min
+        # corner — inside BOTH bboxes, so both rects emitted here
+        ox = np.maximum(x1[:, None], x1[None, :]) // IX_CELL
+        oy = np.maximum(y1[:, None], y1[None, :]) // IX_CELL
+        hit = ((ids[:, None] < ids[None, :]) & (iw > 0) & (ih > 0)
+               & (ox * 1024 + oy == key))
+        i, j = np.nonzero(hit)
+        return pd.DataFrame({"a_id": ids[i], "b_id": ids[j],
+                             "ix_area": iw[i, j] * ih[i, j]})
+
+    out = (ds.map_batches(emit, batch_format="pyarrow")
+           .groupby("key").map_groups(pairs, batch_format="pandas")
+           .to_pandas())
+    return (out.astype({c: "int64" for c in out.columns})
+            .sort_values(["a_id", "b_id"]).reset_index(drop=True))
+
+
+def rect_intersect_area_oracle_sql() -> str:
+    """Exactly-once blocked self-join: owner = the lower-key rect's
+    min-corner cell; the partner emits there whenever the pair
+    overlaps (corner distance < extent ≤ pitch)."""
+    x1 = _mix_sql("6000000000 + 4 * o_orderkey")
+    y1 = _mix_sql("6000000001 + 4 * o_orderkey")
+    w = _mix_sql("6000000002 + 4 * o_orderkey", UA_MAXW) + " + 1"
+    h = _mix_sql("6000000003 + 4 * o_orderkey", UA_MAXW) + " + 1"
+    return f"""
+WITH rects AS MATERIALIZED (
+  SELECT o_orderkey AS id, {x1} AS x1, {y1} AS y1,
+         {x1} + ({w}) AS x2, {y1} + ({h}) AS y2
+  FROM orders),
+ring AS MATERIALIZED (
+  SELECT id, x1, y1, x2, y2,
+         (x1 // {IX_CELL} + dx.d) * 1024 + (y1 // {IX_CELL} + dy.d) AS ck
+  FROM rects, (VALUES (0), (1)) dx(d), (VALUES (0), (1)) dy(d)
+  WHERE x1 // {IX_CELL} + dx.d <= (x2 - 1) // {IX_CELL}
+    AND y1 // {IX_CELL} + dy.d <= (y2 - 1) // {IX_CELL})
+SELECT o.id AS a_id, c.id AS b_id,
+       CAST((LEAST(o.x2, c.x2) - GREATEST(o.x1, c.x1))
+            * (LEAST(o.y2, c.y2) - GREATEST(o.y1, c.y1)) AS BIGINT)
+         AS ix_area
+FROM ring o JOIN ring c ON c.ck = o.ck
+WHERE o.id < c.id
+  AND LEAST(o.x2, c.x2) > GREATEST(o.x1, c.x1)
+  AND LEAST(o.y2, c.y2) > GREATEST(o.y1, c.y1)
+  AND (GREATEST(o.x1, c.x1) // {IX_CELL}) * 1024
+      + (GREATEST(o.y1, c.y1) // {IX_CELL}) = o.ck
+ORDER BY a_id, b_id
+"""

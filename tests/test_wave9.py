@@ -716,3 +716,25 @@ class TestCostPath:
             for i in range(len(g) - 1):
                 assert abs(rr[i] - rr[i + 1]) + abs(cc[i] - cc[i + 1]) == 1
                 assert aa[i + 1] == aa[i] - cost[rr[i], cc[i]]
+
+
+class TestRectIntersectArea:
+    def test_matches_bruteforce_pairs(self, ray_session):
+        out = spatial2.q_rect_intersect_area(SF001)
+        assert len(out) > 0
+        keys = np.asarray(pq.read_table(
+            SF001 + "/orders.parquet", columns=["o_orderkey"])["o_orderkey"],
+            np.int64)
+        x1, y1, w, h = spatial2._ua_rects(keys)
+        x2, y2 = x1 + w, y1 + h
+        iw = (np.minimum(x2[:, None], x2[None, :])
+              - np.maximum(x1[:, None], x1[None, :]))
+        ih = (np.minimum(y2[:, None], y2[None, :])
+              - np.maximum(y1[:, None], y1[None, :]))
+        hit = (keys[:, None] < keys[None, :]) & (iw > 0) & (ih > 0)
+        i, j = np.nonzero(hit)
+        ref = (pd.DataFrame({"a_id": keys[i], "b_id": keys[j],
+                             "ix_area": iw[i, j] * ih[i, j]})
+               .astype("int64").sort_values(["a_id", "b_id"])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, ref)
