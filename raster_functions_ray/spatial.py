@@ -2540,8 +2540,15 @@ def q_dbscan(sf_dir: str) -> pd.DataFrame:
 
 
 def _mix_sql(expr: str, mod: int = 10000) -> str:
-    """The ``_seg_mix`` counter hash in DuckDB UBIGINT (mod ``mod``)."""
-    h = f"(CAST({expr} AS UBIGINT) * 2654435761) % 4294967296"
+    """The ``_seg_mix`` counter hash in DuckDB UBIGINT (mod ``mod``).
+
+    The operand is reduced mod 2³² BEFORE the multiply — numerically
+    identical ((a mod 2³²)·m mod 2³² == a·m mod 2³², and numpy's uint64
+    wrap is mod 2⁶⁴ ⊇ mod 2³²) but keeps the UBIGINT product under 2⁶⁴
+    for ANY counter base at ANY scale factor (bases near 6.9e9 were one
+    order of magnitude from overflowing at large sf)."""
+    h = (f"((CAST({expr} AS UBIGINT) % 4294967296) * 2654435761)"
+         f" % 4294967296")
     return (f"CAST(xor({h}, ({h}) >> 16) * 2246822519 "
             f"% 4294967296 % {mod} AS BIGINT)")
 

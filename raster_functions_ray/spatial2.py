@@ -22,6 +22,24 @@ import pyarrow as pa
 from .sources import read_table
 from .spatial import _mix_sql, _seg_mix, _seg_points
 
+def _concat_or_empty(parts: list, schema: dict) -> pa.Table:
+    """concat_tables with an explicit empty-schema fallback —
+    pa.concat_tables([]) raises, and empty input batches are legal."""
+    if parts:
+        return pa.concat_tables(parts)
+    return pa.table({k: pa.array([], t) for k, t in schema.items()})
+
+
+def _dedup_min_id(z, eid, px, py):
+    """Coordinate dedup keeping the MIN event id per (zone, px, py) —
+    the shared contract of the hull/MBC oracles' MIN(event_id) GROUP BY."""
+    o = np.lexsort((eid, py, px, z))
+    z, eid, px, py = z[o], eid[o], px[o], py[o]
+    first = np.r_[True, (z[1:] != z[:-1]) | (px[1:] != px[:-1])
+                  | (py[1:] != py[:-1])]
+    return z[first], eid[first], px[first], py[first]
+
+
 # --------------------------------------------- space-time co-location join
 
 STJ_R = 40                                 # co-location radius (grid units)
@@ -91,7 +109,10 @@ def q_spacetime_join(sf_dir: str) -> pd.DataFrame:
                         "id": pa.array(eid[keep]), "u": pa.array(uid[keep]),
                         "x": pa.array(px[keep]), "y": pa.array(py[keep]),
                         "t": pa.array(t[keep])}))
-        return pa.concat_tables(parts)
+        return _concat_or_empty(parts, {
+            "key": pa.int64(), "own": pa.bool_(), "id": pa.int64(),
+            "u": pa.int64(), "x": pa.int64(), "y": pa.int64(),
+            "t": pa.int64()})
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g["id"].to_numpy(np.int64)
@@ -119,8 +140,10 @@ def q_spacetime_join(sf_dir: str) -> pd.DataFrame:
     out = (ds.map_batches(emit, batch_format="pyarrow")
            .groupby("key").map_groups(pairs, batch_format="pandas")
            .to_pandas())
-    return (out.astype({"a_id": "int64", "b_id": "int64",
-                        "d2": "int64", "dt_us": "int64"})
+    cols = ("a_id", "b_id", "d2", "dt_us")
+    if out.empty:   # zero qualifying pairs is legal at tiny sf
+        out = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    return (out.astype({c: "int64" for c in cols})
             .sort_values(["a_id", "b_id"]).reset_index(drop=True))
 
 
@@ -213,7 +236,8 @@ def q_union_area(sf_dir: str) -> pd.DataFrame:
                                            (s[keep] + 1) * UA_STRIP)),
                 "y1": pa.array(y1[keep]),
                 "y2": pa.array(y1[keep] + h[keep])}))
-        return pa.concat_tables(parts)
+        return _concat_or_empty(parts, {k: pa.int64() for k in
+                                        ("strip", "cx1", "cx2", "y1", "y2")})
 
     def sweep(g: pd.DataFrame) -> pd.DataFrame:
         cx1 = g["cx1"].to_numpy(np.int64)
@@ -416,25 +440,15 @@ def q_convex_hull(sf_dir: str) -> pd.DataFrame:
     set.  The final per-zone chain runs on O(hull) points.  Group sizes
     are bounded by the sample design (~{HULL_TARGET}/{HULL_ZONES});
     zones are the unit of parallelism."""
-    import pyarrow.parquet as pq
-
-    n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
-    samp = _hull_samp(n)
     ds = read_table(sf_dir, "events", columns=["event_id"])
-
-    def dedup_min_id(z, eid, px, py):
-        o = np.lexsort((eid, py, px, z))
-        z, eid, px, py = z[o], eid[o], px[o], py[o]
-        first = np.r_[True, (z[1:] != z[:-1]) | (px[1:] != px[:-1])
-                      | (py[1:] != py[:-1])]
-        return z[first], eid[first], px[first], py[first]
+    samp = _hull_samp(ds.count())
 
     def partial(b: pa.Table) -> pa.Table:
         eid = np.asarray(b["event_id"], np.int64)
         eid = eid[eid % samp == 0]
         px, py = _seg_points(eid)
         z = _seg_mix(HULL_BASE + eid, HULL_ZONES)
-        z, eid, px, py = dedup_min_id(z, eid, px, py)
+        z, eid, px, py = _dedup_min_id(z, eid, px, py)
         keep_z, keep_e, keep_x, keep_y = [], [], [], []
         for zv in np.unique(z):
             m = z == zv
@@ -457,7 +471,7 @@ def q_convex_hull(sf_dir: str) -> pd.DataFrame:
         eid = g["id"].to_numpy(np.int64)
         px = g["px"].to_numpy(np.int64)
         py = g["py"].to_numpy(np.int64)
-        z, eid, px, py = dedup_min_id(z, eid, px, py)
+        z, eid, px, py = _dedup_min_id(z, eid, px, py)
         h = _hull_chain(px, py)
         if h.size < 2:        # degenerate zone: no edges (oracle agrees)
             return pd.DataFrame({c: pd.Series(dtype="int64") for c in
@@ -1245,24 +1259,14 @@ def q_min_bounding_circle(sf_dir: str) -> pd.DataFrame:
     then an O(h³) exact search over the ~dozen surviving corners per
     zone — candidate work is bounded by the hull size, never the point
     count."""
-    import pyarrow.parquet as pq
-
-    n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
-    samp = _mbc_samp(n)
     ds = read_table(sf_dir, "events", columns=["event_id"])
-
-    def dedup_min_id(z, eid, px, py):
-        o = np.lexsort((eid, py, px, z))
-        z, eid, px, py = z[o], eid[o], px[o], py[o]
-        first = np.r_[True, (z[1:] != z[:-1]) | (px[1:] != px[:-1])
-                      | (py[1:] != py[:-1])]
-        return z[first], eid[first], px[first], py[first]
+    samp = _mbc_samp(ds.count())
 
     def partial(b: pa.Table) -> pa.Table:
         eid = np.asarray(b["event_id"], np.int64)
         eid = eid[eid % samp == 0]
         px, py, z = _mbc_world(eid)
-        z, eid, px, py = dedup_min_id(z, eid, px, py)
+        z, eid, px, py = _dedup_min_id(z, eid, px, py)
         kz, ke, kx, ky = [], [], [], []
         for zv in np.unique(z):
             m = z == zv
@@ -1282,7 +1286,7 @@ def q_min_bounding_circle(sf_dir: str) -> pd.DataFrame:
         eid = g["id"].to_numpy(np.int64)
         px = g["px"].to_numpy(np.int64)
         py = g["py"].to_numpy(np.int64)
-        z, eid, px, py = dedup_min_id(z, eid, px, py)
+        z, eid, px, py = _dedup_min_id(z, eid, px, py)
         h = _hull_chain(px, py)
         best = _mbc_best([int(eid[i]) for i in h],
                          [int(px[i]) for i in h],
@@ -1510,8 +1514,16 @@ def q_knox_stat(sf_dir: str) -> pd.DataFrame:
                 if not sp_ok.any():
                     continue
                 for dt in (-1, 0, 1):
-                    keep = sp_ok
-                    if dt != 0 and not keep.any():
+                    if dt == 0:
+                        keep = sp_ok
+                    else:
+                        # temporal gap prune (the q_spacetime_join rule):
+                        # a neighbor slab is needed only when t is within
+                        # tau of its range — lossless, cuts the ring ~2x
+                        gap = (t - (tk + 1) * tb + 1 if dt == 1
+                               else tk * tb - t)
+                        keep = sp_ok & (np.abs(gap) <= tmax)
+                    if not keep.any():
                         continue
                     parts.append(pa.table({
                         "key": pa.array(((cx[keep] + dx) * 100003
@@ -1523,7 +1535,9 @@ def q_knox_stat(sf_dir: str) -> pd.DataFrame:
                         "id": pa.array(eid[keep]),
                         "x": pa.array(px[keep]), "y": pa.array(py[keep]),
                         "t": pa.array(t[keep])}))
-        return pa.concat_tables(parts)
+        return _concat_or_empty(parts, {
+            "key": pa.int64(), "own": pa.bool_(), "id": pa.int64(),
+            "x": pa.int64(), "y": pa.int64(), "t": pa.int64()})
 
     def count_cell(g: pd.DataFrame) -> pd.DataFrame:
         ids = g["id"].to_numpy(np.int64)
@@ -1765,7 +1779,8 @@ def q_st_dbscan(sf_dir: str) -> pd.DataFrame:
                                         + tk[sp] + dt + 1),
                         "b": pa.array(eid[sp]), "bx": pa.array(px[sp]),
                         "by": pa.array(py[sp]), "bt": pa.array(t[sp])}))
-        return pa.concat_tables(parts)
+        return _concat_or_empty(parts, {k: pa.int64() for k in
+                                        ("key", "b", "bx", "by", "bt")})
 
     def form(t: pa.Table) -> pa.Table:
         a = np.asarray(t["a"], np.int64)
@@ -1984,7 +1999,8 @@ def q_stkde(sf_dir: str) -> pd.DataFrame:
                 "cx": pa.array(gx[m]), "cy": pa.array(gy[m]),
                 "day": pa.array(td[m]),
                 "density": pa.array(wsp[m] * (STK_TW * STK_TW - dd * dd))}))
-        return pa.concat_tables(parts)
+        return _concat_or_empty(parts, {k: pa.int64() for k in
+                                        ("cx", "cy", "day", "density")})
 
     out = (ds.map_batches(scatter, batch_format="pyarrow")
            .groupby(["cx", "cy", "day"])
@@ -2568,7 +2584,9 @@ def q_viterbi_match(sf_dir: str) -> pd.DataFrame:
                     "sid": pa.array(k[keep]),
                     "x1": pa.array(x1[keep]), "y1": pa.array(y1[keep]),
                     "x2": pa.array(x2[keep]), "y2": pa.array(y2[keep])}))
-        return pa.concat_tables(parts)
+        return _concat_or_empty(parts, {k: pa.int64() for k in
+                                        ("key", "pid", "u", "t", "px", "py",
+                                         "sid", "x1", "y1", "x2", "y2")})
 
     def cands(g: pd.DataFrame) -> pd.DataFrame:
         is_pt = g["pid"].to_numpy(np.int64) >= 0
@@ -2715,7 +2733,7 @@ def q_cost_path(sf_dir: str) -> pd.DataFrame:
             if not reach.any():
                 continue
             # destination: max within-budget acc, ties to smallest (r, c)
-            cand = np.nonzero(reach)[0], np.nonzero(reach)[1]
+            cand = np.nonzero(reach)
             vals = core[reach]
             key = (-vals) * (GRID_W * GRID_W) \
                 + (cand[0] + r0) * GRID_W + (cand[1] + c0)
@@ -2836,7 +2854,9 @@ def q_rect_intersect_area(sf_dir: str) -> pd.DataFrame:
                     "id": pa.array(k[keep]),
                     "x1": pa.array(x1[keep]), "y1": pa.array(y1[keep]),
                     "x2": pa.array(x2[keep]), "y2": pa.array(y2[keep])}))
-        return pa.concat_tables(parts)
+        return _concat_or_empty(parts, {k: pa.int64() for k in
+                                        ("key", "id", "x1", "y1",
+                                         "x2", "y2")})
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g["id"].to_numpy(np.int64)
