@@ -2917,3 +2917,150 @@ WHERE o.id < c.id
       + (GREATEST(o.y1, c.y1) // {IX_CELL}) = o.ck
 ORDER BY a_id, b_id
 """
+
+
+# -------------------- repeated contacts (co-travel rollup)
+
+CT_MIN_CONTACTS = 2
+CT_R = 80                               # wider contact radius than STJ
+CT_TAU_US = 24 * 3600 * 1_000_000       # wider window (= the bucket pitch)
+
+
+def q_co_travel(sf_dir: str) -> pd.DataFrame:
+    """Repeated-contact detection (the rollup stage of Trace Proximity
+    Events: distinct co-location events between the same two users):
+    user pairs with ≥ {CT_MIN_CONTACTS} contacts (radius {CT_R}, window {CT_TAU_US} µs — wider than q_spacetime_join so repeats exist at the gate scale),
+    with the contact count and the minimum squared distance — the
+    co-travel / recurring-encounter signal.
+
+    Scale shape: the spacetime-join pair surface (exactly-once 3-D
+    grid) re-keyed once on the unordered user pair; partial (count,
+    min) per batch then one tiny groupby — contacts, not events,
+    shuffle."""
+    from ray.data.aggregate import Min, Sum
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    R2 = CT_R * CT_R
+
+    def emit(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], np.int64)
+        uid = np.asarray(b["user_id"], np.int64)
+        t = b["ts"].cast(pa.int64()).to_numpy() - STJ_T0_US
+        px, py = _seg_points(eid)
+        cx, cy, tb = px // STJ_CELL, py // STJ_CELL, t // STJ_TB_US
+        parts = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    sp_ok = np.ones(eid.size, bool)
+                else:
+                    xlo = (cx + dx) * STJ_CELL
+                    ylo = (cy + dy) * STJ_CELL
+                    ddx = np.maximum(
+                        np.maximum(xlo - px, px - (xlo + STJ_CELL - 1)), 0)
+                    ddy = np.maximum(
+                        np.maximum(ylo - py, py - (ylo + STJ_CELL - 1)), 0)
+                    sp_ok = ddx * ddx + ddy * ddy <= R2
+                if not sp_ok.any():
+                    continue
+                for dt in (-1, 0, 1):
+                    if dt == 0:
+                        keep = sp_ok
+                    else:
+                        gap = (t - (tb + 1) * STJ_TB_US + 1 if dt == 1
+                               else tb * STJ_TB_US - t)
+                        keep = sp_ok & (np.abs(gap) <= CT_TAU_US)
+                    if not keep.any():
+                        continue
+                    parts.append(pa.table({
+                        "key": pa.array(((cx[keep] + dx) * 100003
+                                         + cy[keep] + dy) * 64
+                                        + tb[keep] + dt + 1),
+                        "own": pa.array(np.full(int(keep.sum()),
+                                                dx == 0 and dy == 0
+                                                and dt == 0)),
+                        "id": pa.array(eid[keep]), "u": pa.array(uid[keep]),
+                        "x": pa.array(px[keep]), "y": pa.array(py[keep]),
+                        "t": pa.array(t[keep])}))
+        return _concat_or_empty(parts, {
+            "key": pa.int64(), "own": pa.bool_(), "id": pa.int64(),
+            "u": pa.int64(), "x": pa.int64(), "y": pa.int64(),
+            "t": pa.int64()})
+
+    def contacts(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["id"].to_numpy(np.int64)
+        u = g["u"].to_numpy(np.int64)
+        x = g["x"].to_numpy(np.int64)
+        y = g["y"].to_numpy(np.int64)
+        t = g["t"].to_numpy(np.int64)
+        own = g["own"].to_numpy(bool)
+        oi = np.nonzero(own)[0]
+        if oi.size == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                                 ("ua", "ub", "n", "min_d2")})
+        dxm = x[oi, None] - x[None, :]
+        dym = y[oi, None] - y[None, :]
+        d2 = dxm * dxm + dym * dym
+        dt = np.abs(t[None, :] - t[oi, None])
+        hit = ((ids[oi, None] < ids[None, :]) & (u[oi, None] != u[None, :])
+               & (d2 <= R2) & (dt <= CT_TAU_US))
+        i, j = np.nonzero(hit)
+        ua = np.minimum(u[oi][i], u[j])
+        ub = np.maximum(u[oi][i], u[j])
+        df = pd.DataFrame({"ua": ua, "ub": ub, "d2": d2[i, j]})
+        p = df.groupby(["ua", "ub"], as_index=False).agg(
+            n=("d2", "size"), min_d2=("d2", "min"))
+        return p.astype("int64")
+
+    out = (ds.map_batches(emit, batch_format="pyarrow")
+           .groupby("key").map_groups(contacts, batch_format="pandas")
+           .groupby(["ua", "ub"])
+           .aggregate(Sum("n", alias_name="n_contacts"),
+                      Min("min_d2", alias_name="min_d2"))
+           .to_pandas())
+    cols = ("ua", "ub", "n_contacts", "min_d2")
+    if out.empty:
+        out = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    out = out[out["n_contacts"] >= CT_MIN_CONTACTS]
+    return (out.astype({c: "int64" for c in cols})
+            .sort_values(["ua", "ub"]).reset_index(drop=True))
+
+
+def co_travel_oracle_sql() -> str:
+    """The spacetime-join exactly-once 3-D blocked oracle at the CT
+    thresholds, rolled up on the unordered user pair."""
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT event_id AS id, user_id AS u,
+         {_mix_sql('2000000000 + 2 * event_id')} AS px,
+         {_mix_sql('2000000001 + 2 * event_id')} AS py,
+         epoch_us(ts) - {STJ_T0_US} AS t
+  FROM events),
+own AS MATERIALIZED (
+  SELECT id, u, px, py, t,
+         ((px // {STJ_CELL}) * 100003 + (py // {STJ_CELL})) * 64
+         + t // {STJ_TB_US} + 1 AS ck
+  FROM pts),
+ring AS MATERIALIZED (
+  SELECT id, u, px, py, t,
+         ((px // {STJ_CELL} + dx.d) * 100003
+          + (py // {STJ_CELL} + dy.d)) * 64
+         + t // {STJ_TB_US} + dt.d + 1 AS ck
+  FROM pts, (VALUES (-1), (0), (1)) dx(d),
+            (VALUES (-1), (0), (1)) dy(d),
+            (VALUES (-1), (0), (1)) dt(d)),
+contacts AS MATERIALIZED (
+  SELECT LEAST(o.u, c.u) AS ua, GREATEST(o.u, c.u) AS ub,
+         (o.px-c.px)*(o.px-c.px) + (o.py-c.py)*(o.py-c.py) AS d2
+  FROM own o JOIN ring c ON c.ck = o.ck
+  WHERE o.id < c.id AND o.u <> c.u
+    AND (o.px-c.px)*(o.px-c.px) + (o.py-c.py)*(o.py-c.py)
+        <= {CT_R * CT_R}
+    AND abs(c.t - o.t) <= {CT_TAU_US})
+SELECT CAST(ua AS BIGINT) AS ua, CAST(ub AS BIGINT) AS ub,
+       CAST(COUNT(*) AS BIGINT) AS n_contacts,
+       CAST(MIN(d2) AS BIGINT) AS min_d2
+FROM contacts GROUP BY ua, ub
+HAVING COUNT(*) >= {CT_MIN_CONTACTS}
+ORDER BY ua, ub
+"""

@@ -738,3 +738,35 @@ class TestRectIntersectArea:
                .astype("int64").sort_values(["a_id", "b_id"])
                .reset_index(drop=True))
         pd.testing.assert_frame_equal(out, ref)
+
+
+class TestCoTravel:
+    def test_matches_bruteforce_rollup(self, ray_session):
+        out = spatial2.q_co_travel(SF01)
+        assert len(out) > 0
+        t = pq.read_table(SF01 + "/events.parquet",
+                          columns=["event_id", "user_id", "ts"])
+        eid = np.asarray(t["event_id"], np.int64)
+        uid = np.asarray(t["user_id"], np.int64)
+        ts = t["ts"].cast("int64").to_numpy() - spatial2.STJ_T0_US
+        px, py = _seg_points(eid)
+        acc = {}
+        R2 = spatial2.CT_R ** 2
+        for s in range(0, eid.size, 2000):
+            e = min(s + 2000, eid.size)
+            d2 = ((px[s:e, None] - px[None, :]) ** 2
+                  + (py[s:e, None] - py[None, :]) ** 2)
+            dt = np.abs(ts[None, :] - ts[s:e, None])
+            hit = ((eid[s:e, None] < eid[None, :])
+                   & (uid[s:e, None] != uid[None, :])
+                   & (d2 <= R2) & (dt <= spatial2.CT_TAU_US))
+            i, j = np.nonzero(hit)
+            for a, b, d in zip(uid[s:e][i], uid[j], d2[i, j]):
+                k = (min(a, b), max(a, b))
+                n, m = acc.get(k, (0, 1 << 62))
+                acc[k] = (n + 1, min(m, int(d)))
+        rows = [(k[0], k[1], v[0], v[1]) for k, v in sorted(acc.items())
+                if v[0] >= spatial2.CT_MIN_CONTACTS]
+        ref = pd.DataFrame(rows, columns=["ua", "ub", "n_contacts",
+                                          "min_d2"]).astype("int64")
+        pd.testing.assert_frame_equal(out, ref.reset_index(drop=True))
