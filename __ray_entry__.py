@@ -349,19 +349,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_plan": rq.q_video_frame_plan,
         "random_source_exact": rq.q_random_source_exact,
         "d8_flow_exact": rq.q_d8_flow_exact,
+        # ---- round 5: K-round BPE vocabulary training + trained
+        # hashed-feature logistic regression ----
+        "bpe_train": textops.q_bpe_train,
+        "logreg_train": textops.q_logreg_train,
         # ---- rows-only section: the genuinely non-SQL-expressible set
-        # (pandas-hash LSH, RNG pixel payloads, nonlinear fits, media
-        # codecs, unquantized trig); each is gated by the pytest golden
+        # (RNG pixel payloads, nonlinear fits, media codecs, unquantized
+        # trig); each is gated by the pytest golden
         # suite.  The former noise-world stat complements of the _exact
         # gates (ndvi_stats, lsu_stats, cti_stats, topographic_c,
         # hillshade_shuffle_halo, multidirectional_hillshade_stats,
         # random_source, nn_neighbors_stats, rf_classify_stats,
         # resumable_hillshade) were dropped from the registry in round 4
         # as redundant driver entries — the functions remain and the
-        # pytest suite still runs them over the noise world. ----
-        "minhash_dedup": dedup.q_minhash_dedup,
-        "simhash": dedup.q_simhash,
-        "ivf_search": ann.q_ivf_search,
+        # pytest suite still runs them over the noise world.  Round 5
+        # likewise demoted minhash_dedup / simhash / ivf_search to pytest
+        # smoke: each duplicated an SQL-exact registry complement
+        # (minhash_lsh_exact / simhash_poly / ivf_sq_search) through the
+        # same code paths, so the registry is now exact-complement-
+        # complete — every rows-only entry is non-SQL for a stated
+        # reason, not a float-path shadow of an exact gate. ----
         "inpaint_stats": rq.q_inpaint_stats,
         "media_features": rq.q_media_features,
         "video_features": rq.q_video_features,
@@ -656,6 +663,8 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
         "left_outer_join": rel.Q_LEFT_OUTER_JOIN_SQL,
         "anti_join_shuffle": rel.Q_ANTI_JOIN_SQL,
         "exact_percentiles": rel.Q_EXACT_PERCENTILES_SQL,
+        "bpe_train": textops.bpe_train_oracle_sql(),
+        "logreg_train": textops.logreg_train_oracle_sql(),
         # minhash_dedup / simhash / pixel-stat raster queries: not
         # SQL-expressible (pandas hash / RNG pixel payloads) → rows-only;
         # their pixel-exact correctness is gated by the pytest golden suite.

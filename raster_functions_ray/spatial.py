@@ -1774,18 +1774,19 @@ def q_segment_join(sf_dir: str) -> pd.DataFrame:
         cx1 = (np.maximum(x1, x2) + SEG_R) // SEG_CELL
         cy0 = (np.minimum(y1, y2) - SEG_R) // SEG_CELL
         cy1 = (np.maximum(y1, y2) + SEG_R) // SEG_CELL
-        parts = []
-        for i in range(3):
-            for j in range(3):
-                keep = (cx0 + i <= cx1) & (cy0 + j <= cy1)
-                if not keep.any():
-                    continue
-                parts.append(pa.table({
-                    "key": pa.array((cx0[keep] + i) * 1024 + cy0[keep] + j),
-                    "seg_id": pa.array(k[keep]),
-                    "x1": pa.array(x1[keep]), "y1": pa.array(y1[keep]),
-                    "x2": pa.array(x2[keep]), "y2": pa.array(y2[keep])}))
-        return pa.concat_tables(parts)
+        # single vectorized emission: one (9, n) offset mask → one gather
+        # (the old per-offset loop concatenated up to 9 subtables/batch)
+        di = np.repeat(np.arange(3, dtype=np.int64), 3)
+        dj = np.tile(np.arange(3, dtype=np.int64), 3)
+        keep = ((cx0[None, :] + di[:, None] <= cx1[None, :])
+                & (cy0[None, :] + dj[:, None] <= cy1[None, :]))
+        off, seg = np.nonzero(keep)
+        return pa.table({
+            "key": pa.array((cx0[seg] + di[off]) * 1024
+                            + cy0[seg] + dj[off]),
+            "seg_id": pa.array(k[seg]),
+            "x1": pa.array(x1[seg]), "y1": pa.array(y1[seg]),
+            "x2": pa.array(x2[seg]), "y2": pa.array(y2[seg])})
 
     def score(b: pa.Table) -> pa.Table:
         eid = np.asarray(b["event_id"], np.int64)
@@ -2373,6 +2374,15 @@ def _in_sorted(sorted_ids: np.ndarray, vals: np.ndarray) -> np.ndarray:
 
 
 def q_dbscan(sf_dir: str) -> pd.DataFrame:
+    """Driver-frame projection of :func:`dbscan_dataset` (sorted by
+    event_id) — the registry/oracle surface.  The pipeline itself,
+    including the role/cluster attach, streams; only this final result
+    collect is driver-side."""
+    return (dbscan_dataset(sf_dir).to_pandas()
+            .sort_values("event_id").reset_index(drop=True))
+
+
+def dbscan_dataset(sf_dir: str) -> rd.Dataset:
     """DBSCAN density clustering (Ester et al. 1996) over the
     decorrelated integer point world (``_seg_points``): core points have
     ≥ {DBSCAN_MINPTS} neighbors within eps (self included), clusters are
@@ -2522,21 +2532,41 @@ def q_dbscan(sf_dir: str) -> pd.DataFrame:
             .groupby("id").aggregate(Min("lbl", alias_name="lbl"))
             .to_pandas())
 
-    out = ds.to_pandas().rename(columns={"event_id": "event_id"})
-    eids = out["event_id"].to_numpy(np.int64)
-    is_core = _in_sorted(core_ids, eids)
+    return _attach_dbscan_roles(ds, core_ids, lbl_ids, lbl_vals, bord)
+
+
+def _attach_dbscan_roles(ds, core_ids, lbl_ids, lbl_vals,
+                         bord: pd.DataFrame):
+    """Streamed DBSCAN role/cluster attach: the (output-sized) core-id,
+    cluster-label and border tables broadcast ONCE via ray.put, with the
+    per-event role/cluster assignment running inside map_batches — the
+    corpus never materializes on the driver before the result; the only
+    driver-side frame is the labeled output itself."""
+    import ray
+
     b_ids = np.sort(bord["id"].to_numpy(np.int64))
     b_lbl = bord.set_index("id").loc[b_ids, "lbl"].to_numpy(np.int64) \
         if len(bord) else np.empty(0, np.int64)
-    is_bord = _in_sorted(b_ids, eids)
-    cluster = np.full(eids.size, -1, np.int64)
-    if core_ids.size:
-        cluster[is_core] = lbl_vals[np.searchsorted(lbl_ids, eids[is_core])]
-    if b_ids.size:
-        cluster[is_bord] = b_lbl[np.searchsorted(b_ids, eids[is_bord])]
-    role = np.where(is_core, "core", np.where(is_bord, "border", "noise"))
-    res = pd.DataFrame({"event_id": eids, "role": role, "cluster": cluster})
-    return res.sort_values("event_id").reset_index(drop=True)
+    ref = ray.put((core_ids, lbl_ids, lbl_vals, b_ids, b_lbl))
+
+    def attach(b: pa.Table) -> pa.Table:
+        cs, li, lv, bi, bl = ray.get(ref)
+        eids = np.asarray(b["event_id"], np.int64)
+        is_core = _in_sorted(cs, eids)
+        is_bord = _in_sorted(bi, eids)
+        cluster = np.full(eids.size, -1, np.int64)
+        if cs.size:
+            cluster[is_core] = lv[np.searchsorted(li, eids[is_core])]
+        if bi.size:
+            cluster[is_bord] = bl[np.searchsorted(bi, eids[is_bord])]
+        role = np.where(is_core, "core",
+                        np.where(is_bord, "border", "noise"))
+        return pa.table({"event_id": pa.array(eids),
+                         "role": pa.array(role),
+                         "cluster": pa.array(cluster)})
+
+    return ds.map_batches(attach, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def _mix_sql(expr: str, mod: int = 10000) -> str:

@@ -30,6 +30,24 @@ def _concat_or_empty(parts: list, schema: dict) -> pa.Table:
     return pa.table({k: pa.array([], t) for k, t in schema.items()})
 
 
+def _tb_checked(tb: np.ndarray) -> np.ndarray:
+    """Assert the 3-D blocking key's time-bucket invariant.
+
+    The key ``((cx+dx)*100003 + cy+dy)*64 + tb+dt+1`` is collision-free
+    only while every packed slot tb+dt+1 stays inside [0, 64) — i.e.
+    0 <= tb <= 61 with dt in {-1,0,1}.  At >= 63 buckets, (cx, cy, tb)
+    would collide with (cx, cy-1, tb+64) and a pair could surface twice.
+    The events world spans 30 days (30 daily buckets), well inside the
+    bound; this assert makes the invariant loud if the time span or
+    bucket pitch ever changes."""
+    if tb.size:
+        lo, hi = int(tb.min()), int(tb.max())
+        assert 0 <= lo and hi <= 61, (
+            f"3-D blocking key needs time buckets in [0, 61]; got "
+            f"[{lo}, {hi}] — widen the *64 packing factor")
+    return tb
+
+
 def _dedup_min_id(z, eid, px, py):
     """Coordinate dedup keeping the MIN event id per (zone, px, py) —
     the shared contract of the hull/MBC oracles' MIN(event_id) GROUP BY."""
@@ -73,7 +91,8 @@ def q_spacetime_join(sf_dir: str) -> pd.DataFrame:
         uid = np.asarray(b["user_id"], np.int64)
         t = b["ts"].cast(pa.int64()).to_numpy() - STJ_T0_US
         px, py = _seg_points(eid)
-        cx, cy, tb = px // STJ_CELL, py // STJ_CELL, t // STJ_TB_US
+        cx, cy = px // STJ_CELL, py // STJ_CELL
+        tb = _tb_checked(t // STJ_TB_US)
         parts = []
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
@@ -581,7 +600,11 @@ def q_emerging_hotspot(sf_dir: str) -> pd.DataFrame:
         t = pa.table({"cell": pa.array(cy * 8 + cx), "day": pa.array(day),
                       "n": pa.array(_eh_weights(cx, cy, day))})
         g = t.group_by(["cell", "day"]).aggregate([("n", "sum")])
-        return g.rename_columns(["cell", "day", "n"])
+        # select/rename BY NAME — pyarrow's key/aggregate output column
+        # order has changed across versions; positional renames could
+        # silently mislabel the cube axes
+        return g.select(["cell", "day", "n_sum"]).rename_columns(
+            ["cell", "day", "n"])
 
     parts = ds.map_batches(wpartial, batch_format="pyarrow").to_pandas()
     cube = np.zeros((64, ST_BINS), np.int64)
@@ -1497,7 +1520,8 @@ def q_knox_stat(sf_dir: str) -> pd.DataFrame:
         eid = np.asarray(b["event_id"], np.int64)
         t = b["ts"].cast(pa.int64()).to_numpy() - STJ_T0_US
         px, py = _seg_points(eid)
-        cx, cy, tk = px // cell, py // cell, t // tb
+        cx, cy = px // cell, py // cell
+        tk = _tb_checked(t // tb)
         parts = []
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
@@ -1564,6 +1588,14 @@ def q_knox_stat(sf_dir: str) -> pd.DataFrame:
            .groupby(["r", "tau_us"])
            .aggregate(Sum("n_pairs", alias_name="n_pairs"))
            .to_pandas())
+    # the contingency surface is the full threshold GRID regardless of
+    # how many pairs survived (zero-pair cells report 0, and an empty
+    # pair surface still yields all |R|x|T| rows) — mirrors the oracle's
+    # pd2-independent VALUES grid
+    grid = pd.MultiIndex.from_product([KNOX_RS, KNOX_TAUS_US],
+                                      names=["r", "tau_us"])
+    out = (out.set_index(["r", "tau_us"]).reindex(grid, fill_value=0)
+           .reset_index())
     return (out.astype({c: "int64" for c in out.columns})
             .sort_values(["r", "tau_us"]).reset_index(drop=True))
 
@@ -1602,10 +1634,10 @@ pd2 AS MATERIALIZED (
         <= {rmax * rmax}
     AND abs(c.t - o.t) <= {tmax})
 SELECT CAST(r AS BIGINT) AS r, CAST(tau AS BIGINT) AS tau_us,
-       CAST(COUNT(*) FILTER (WHERE d2 <= r * r AND dt <= tau) AS BIGINT)
-         AS n_pairs
-FROM pd2 CROSS JOIN (VALUES {rr}) vr(r) CROSS JOIN (VALUES {tt}) vt(tau)
-GROUP BY r, tau ORDER BY r, tau
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pd2
+        WHERE d2 <= r * r AND dt <= tau) AS n_pairs
+FROM (VALUES {rr}) vr(r) CROSS JOIN (VALUES {tt}) vt(tau)
+ORDER BY r, tau
 """
 
 
@@ -1748,7 +1780,7 @@ def q_st_dbscan(sf_dir: str) -> pd.DataFrame:
         px, py = _seg_points(eid)
         return pa.table({
             "key": pa.array(((px // cell) * 100003 + py // cell) * 64
-                            + t // TB + 1),
+                            + _tb_checked(t // TB) + 1),
             "a": pa.array(eid), "ax": pa.array(px), "ay": pa.array(py),
             "at": pa.array(t)})
 
@@ -1756,7 +1788,8 @@ def q_st_dbscan(sf_dir: str) -> pd.DataFrame:
         eid = np.asarray(b["event_id"], np.int64)
         t = b["ts"].cast(pa.int64()).to_numpy() - STJ_T0_US
         px, py = _seg_points(eid)
-        cx, cy, tk = px // cell, py // cell, t // TB
+        cx, cy = px // cell, py // cell
+        tk = _tb_checked(t // TB)
         parts = []
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
@@ -1856,23 +1889,10 @@ def q_st_dbscan(sf_dir: str) -> pd.DataFrame:
             .groupby("id").aggregate(Min("lbl", alias_name="lbl"))
             .to_pandas())
 
-    eids = np.sort(np.asarray(
-        read_table(sf_dir, "events", columns=["event_id"])
-        .to_pandas()["event_id"], np.int64))
-    is_core = _in_sorted(core_ids, eids)
-    b_ids = np.sort(bord["id"].to_numpy(np.int64))
-    b_lbl = bord.set_index("id").loc[b_ids, "lbl"].to_numpy(np.int64) \
-        if len(bord) else np.empty(0, np.int64)
-    is_bord = _in_sorted(b_ids, eids)
-    cluster = np.full(eids.size, -1, np.int64)
-    if core_ids.size:
-        cluster[is_core] = lbl_vals[np.searchsorted(lbl_ids, eids[is_core])]
-    if b_ids.size:
-        cluster[is_bord] = b_lbl[np.searchsorted(b_ids, eids[is_bord])]
-    role = np.where(is_core, "core", np.where(is_bord, "border", "noise"))
-    return (pd.DataFrame({"event_id": eids, "role": role,
-                          "cluster": cluster})
-            .sort_values("event_id").reset_index(drop=True))
+    from .spatial import _attach_dbscan_roles
+    labeled = _attach_dbscan_roles(ds, core_ids, lbl_ids, lbl_vals, bord)
+    return (labeled.to_pandas().sort_values("event_id")
+            .reset_index(drop=True))
 
 
 def st_dbscan_oracle_sql(sf: float = 0.01) -> str:
@@ -2947,7 +2967,8 @@ def q_co_travel(sf_dir: str) -> pd.DataFrame:
         uid = np.asarray(b["user_id"], np.int64)
         t = b["ts"].cast(pa.int64()).to_numpy() - STJ_T0_US
         px, py = _seg_points(eid)
-        cx, cy, tb = px // STJ_CELL, py // STJ_CELL, t // STJ_TB_US
+        cx, cy = px // STJ_CELL, py // STJ_CELL
+        tb = _tb_checked(t // STJ_TB_US)
         parts = []
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):

@@ -127,12 +127,27 @@ class QualityScorer:
         # decodes once and shares it)
         df = b if isinstance(b, pd.DataFrame) else b.to_pandas()
         toks = df["text"].str.lower().str.findall(self.word_re)
-        n_tok = toks.str.len().clip(lower=1)
+        n_raw = toks.str.len()
+        n_tok = n_raw.clip(lower=1)
+        # one vectorized pass over the exploded token list: stop-hits via
+        # isin + level-0 sum, word-length sum via str.len() + level-0 sum.
+        # Token lengths are small ints so the float64 sums are exact and the
+        # ratios are bit-identical to the per-row formulation.
+        ex = toks.explode().dropna()
+        if len(ex):
+            stop_hits = (ex.isin(STOPWORDS).groupby(level=0).sum()
+                         .reindex(df.index, fill_value=0))
+            wl_sum = (ex.str.len().groupby(level=0).sum()
+                      .reindex(df.index, fill_value=0))
+        else:
+            stop_hits = pd.Series(0, index=df.index)
+            wl_sum = pd.Series(0, index=df.index)
+        mean_wl = (wl_sum / n_tok).where(n_raw > 0, 0.0)
         df_out = pd.DataFrame({
             "doc_id": df["doc_id"],
-            "stop_ratio": toks.map(lambda ws: sum(w in STOPWORDS for w in ws)) / n_tok,
+            "stop_ratio": stop_hits / n_tok,
             "punct_ratio": df["text"].str.count(self.punct_re) / df["text"].str.len().clip(lower=1),
-            "mean_word_len": toks.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0),
+            "mean_word_len": mean_wl,
             "alpha_ratio": df["text"].str.count(r"[A-Za-z]") / df["text"].str.len().clip(lower=1),
         })
         return df_out
@@ -1164,6 +1179,179 @@ FROM b
 """
 
 
+# ------------------- trained hashed-feature logistic regression (K rounds)
+
+LOGREG_ROUNDS = 4
+LOGREG_BUCKETS = 8            # hashed token-count features + 1 bias
+LOGREG_PS = 1024              # probability fixed point: p̂ = p/(4·PS)
+LOGREG_WS = 1 << 20           # micro-weight scale: real w = w/WS
+LOGREG_LR_NUM = 64            # update: w -= floor(g·LR_NUM / n)
+# docs at/below which the K-round loop runs on driver-collected features
+# (narrow int rows, the driver-merge discipline); forced-dispatch pytest
+# pins the distributed lowering to the same integers
+LOGREG_DRIVER_MAX_DOCS = 300_000
+
+
+def _logreg_featurize(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """(X, y): X = int64 (n, BUCKETS+1) hashed token-count matrix with a
+    trailing bias column; y = 1 iff the doc contains the literal token
+    'the'.  Token hash = the q_hash_classifier poly-31 (mod 2³²), bucket
+    = h % {LOGREG_BUCKETS} — hashed once per UNIQUE token."""
+    df = df.reset_index(drop=True)
+    toks = df["text"].str.findall(r"[^ \t\n\r\f]+")
+    e = toks.explode().dropna()
+    X = np.zeros((len(df), LOGREG_BUCKETS + 1), np.int64)
+    y = np.zeros(len(df), np.int64)
+    if len(e):
+        doc_idx = e.index.to_numpy()
+        vals = e.to_numpy(dtype=object)
+        uniq, inv = np.unique(vals, return_inverse=True)
+        hb = np.array([_hc_token_hash(t) % LOGREG_BUCKETS for t in uniq],
+                      np.int64)
+        np.add.at(X, (doc_idx, hb[inv]), 1)
+        y[np.unique(doc_idx[vals == "the"])] = 1
+    X[:, LOGREG_BUCKETS] = 1
+    return X, y
+
+
+def _logreg_grad(X: np.ndarray, y: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Exact int64 full-batch gradient under the hard sigmoid
+    σ̂(z) = clip(1/2 + z/4, 0, 1) in fixed point: p = clip(2·PS +
+    floor(z·PS / WS), 0, 4·PS), residual r = p − 4·PS·y, g = Xᵀr.
+    Every step is integer (numpy // floors; the oracle emulates floor
+    division exactly), so engine and SQL agree bit for bit."""
+    z = X @ w
+    p = np.clip(2 * LOGREG_PS + (z * LOGREG_PS) // LOGREG_WS,
+                0, 4 * LOGREG_PS)
+    return (p - 4 * LOGREG_PS * y) @ X
+
+
+def q_logreg_train(sf_dir: str) -> pd.DataFrame:
+    """TRAINED quality classifier — hashed-feature logistic regression,
+    K = {LOGREG_ROUNDS} full-batch rounds (the trained complement of
+    naive_bayes / hash_classifier): feature-hash token counts into
+    {LOGREG_BUCKETS} buckets (+bias), label = contains-token-'the', and
+    descend w ← w − ⌊g·{LOGREG_LR_NUM}/n⌋ under the hard-sigmoid
+    integer-quantized gradient — the group_regression sufficient-stats
+    discipline applied to an iterative fit.  Output: the weight vector
+    after every round (round_no, feature_id, weight), all int64.
+
+    Scale shape: featurization is ONE streaming pass (narrow int rows);
+    each round is a map_batches partial gradient (9 ints per batch) →
+    driver sum → the 9-int weight vector broadcast back in the next
+    round's closure.  ZERO shuffles at any scale; the driver holds
+    O(K·BUCKETS) state.  Size dispatch at {LOGREG_DRIVER_MAX_DOCS} docs:
+    below, the feature matrix collects once and the K rounds run local
+    (saving K streaming passes); above, rounds stream — both lowerings
+    produce identical integers (forced-dispatch pytest)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    D = LOGREG_BUCKETS + 1
+    xcols = [f"x{j}" for j in range(D)]
+
+    def featurize(b: pa.Table) -> pa.Table:
+        X, y = _logreg_featurize(b.to_pandas())
+        cols = {c: pa.array(X[:, j]) for j, c in enumerate(xcols)}
+        cols["y"] = pa.array(y)
+        return pa.table(cols)
+
+    feats = (ds.map_batches(featurize, batch_format="pyarrow",
+                            batch_size=8192).materialize())
+    n = feats.count()
+    w = np.zeros(D, np.int64)
+    rows = []
+    if n <= LOGREG_DRIVER_MAX_DOCS:
+        fdf = feats.to_pandas()
+        X = fdf[xcols].to_numpy(np.int64)
+        y = fdf["y"].to_numpy(np.int64)
+        for r in range(1, LOGREG_ROUNDS + 1):
+            w = w - (_logreg_grad(X, y, w) * LOGREG_LR_NUM) // n
+            rows += [(r, j, int(w[j])) for j in range(D)]
+    else:  # pragma: no cover — exercised by the forced-dispatch pytest
+        for r in range(1, LOGREG_ROUNDS + 1):
+            def gpart(b: pa.Table, w=w) -> pa.Table:
+                df = b.to_pandas()
+                g = _logreg_grad(df[xcols].to_numpy(np.int64),
+                                 df["y"].to_numpy(np.int64), w)
+                return pa.table({f"g{j}": pa.array(g[j:j + 1])
+                                 for j in range(D)})
+
+            parts = (feats.map_batches(gpart, batch_format="pyarrow")
+                     .to_pandas())          # one 9-int row per batch
+            g = parts.to_numpy(np.int64).sum(axis=0)
+            w = w - (g * LOGREG_LR_NUM) // n
+            rows += [(r, j, int(w[j])) for j in range(D)]
+    return pd.DataFrame(rows, columns=["round_no", "feature_id", "weight"]
+                        ).astype("int64")
+
+
+def logreg_train_oracle_sql(k: int = LOGREG_ROUNDS) -> str:
+    """Unrolled K-round CTE oracle.  Floor division (numpy ``//``) is
+    emulated exactly: fdiv(a, b>0) = (a − ((a%b)+b)%b) // b — the
+    subtraction makes the division exact, so DuckDB's truncation equals
+    the floor.  HUGEINT intermediates, BIGINT casts at the edges."""
+    D = LOGREG_BUCKETS + 1
+    WS, PS, LRN = LOGREG_WS, LOGREG_PS, LOGREG_LR_NUM
+    piv = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN h32 % {LOGREG_BUCKETS} = {j} THEN 1 ELSE 0 "
+        f"END) AS BIGINT) AS x{j}" for j in range(LOGREG_BUCKETS))
+    featx = ",\n       ".join(
+        f"CAST(COALESCE(p.x{j}, 0) AS BIGINT) AS x{j}"
+        for j in range(LOGREG_BUCKETS))
+    zexpr = " + ".join(f"w.w{j} * f.x{j}" for j in range(D))
+    w0 = ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(D))
+    sql = rf"""WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS t
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         list_reduce(list_transform(string_split(t, ''),
+                     c -> CAST(unicode(c) AS BIGINT)),
+                     (a, b) -> (a * 31 + b) % 4294967296) AS h32
+  FROM toks
+), piv AS (
+  SELECT doc_id, {piv}
+  FROM h GROUP BY doc_id
+), feat AS (
+  SELECT {featx},
+       CAST(1 AS BIGINT) AS x{LOGREG_BUCKETS},
+       CASE WHEN list_contains(list_filter(string_split_regex(d.text,
+            '\s+'), x -> x <> ''), 'the') THEN 1 ELSE 0 END AS y
+  FROM documents d LEFT JOIN piv p USING (doc_id)
+), cnt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM feat
+), w0 AS (
+  SELECT {w0}
+)"""
+    for r in range(1, k + 1):
+        gsum = ",\n         ".join(
+            f"SUM((p - {4 * PS} * y) * x{j}) AS g{j}" for j in range(D))
+        upd = ",\n         ".join(
+            f"CAST(w.w{j} - (u.a{j} - ((u.a{j} % c.n) + c.n) % c.n) // c.n"
+            f" AS BIGINT) AS w{j}" for j in range(D))
+        aa = ", ".join(f"g{j} * {LRN} AS a{j}" for j in range(D))
+        sql += f""", z{r} AS (
+  SELECT f.*, ({zexpr}) * {PS} AS zz
+  FROM feat f CROSS JOIN w{r - 1} w
+), p{r} AS (
+  SELECT *, LEAST(GREATEST({2 * PS}
+    + (zz - ((zz % {WS}) + {WS}) % {WS}) // {WS}, 0), {4 * PS}) AS p
+  FROM z{r}
+), g{r} AS (
+  SELECT {gsum} FROM p{r}
+), u{r} AS (
+  SELECT {aa} FROM g{r}
+), w{r} AS (
+  SELECT {upd}
+  FROM w{r - 1} w CROSS JOIN u{r} u CROSS JOIN cnt c
+)"""
+    arms = [f"SELECT {r} AS round_no, {j} AS feature_id, "
+            f"CAST(w{j} AS BIGINT) AS weight FROM w{r}"
+            for r in range(1, k + 1) for j in range(D)]
+    return sql + "\n" + "\nUNION ALL\n".join(arms)
+
+
 # ------------------------------------------------------- BPE merge step
 
 def q_bpe_merge_step(sf_dir: str) -> pd.DataFrame:
@@ -1238,6 +1426,158 @@ SELECT best.pair, best.pair_count,
         FROM vocab) AS len_after
 FROM best
 """
+
+
+# ------------------------------------------ BPE vocabulary TRAINING
+
+BPE_TRAIN_ROUNDS = 6
+# vocab row count at/below which the K-round merge loop runs driver-side
+# (the CC_DRIVER_MAX_EDGES size-dispatch discipline); the distributed
+# lowering is kept alive and result-pinned by the forced-dispatch pytest
+BPE_DRIVER_MAX_VOCAB = 200_000
+
+
+def _bpe_pair_counts(words: pd.Series, counts: np.ndarray) -> pd.Series:
+    """Adjacent-pair counts over a (word, freq) vocabulary, positionally
+    (every offset i contributes substr(w, i, 2) weighted by freq — the
+    oracle's LATERAL generate_series formulation).  Vectorized: one
+    str.slice per offset, one groupby-sum over the concatenated slices."""
+    parts = []
+    maxlen = int(words.str.len().max()) if len(words) else 0
+    for i in range(maxlen - 1):
+        sel = (words.str.len() > i + 1).to_numpy()
+        if not sel.any():
+            continue
+        parts.append(pd.DataFrame({
+            "pair": words[sel].str.slice(i, i + 2).to_numpy(),
+            "c": counts[sel]}))
+    if not parts:
+        return pd.Series(dtype=np.int64)
+    return pd.concat(parts, ignore_index=True).groupby("pair")["c"].sum()
+
+
+def _bpe_best(pair_counts: pd.Series) -> tuple[str, int]:
+    """Most frequent pair, ties to the lexically smallest (code-point
+    order == DuckDB's UTF-8 byte order, so ORDER BY cnt DESC, pair)."""
+    best = min(pair_counts.index, key=lambda p: (-int(pair_counts[p]), p))
+    return best, int(pair_counts[best])
+
+
+def q_bpe_train(sf_dir: str) -> pd.DataFrame:
+    """FULL BPE vocabulary training (Sennrich et al. 2016), K =
+    {BPE_TRAIN_ROUNDS} merge rounds: the q_bpe_merge_step inner loop run
+    to a vocabulary — each round counts adjacent symbol pairs over the
+    current vocab (corpus-frequency weighted, positional), merges the
+    winner into a fresh 1-char symbol chr(round) (greedy non-overlapping
+    replace, the str.replace == SQL replace() semantics), and reports
+    (merge_round, pair, pair_count, vocab_len_after).
+
+    Scale shape: ONE corpus-sized groupby builds the (word, freq)
+    vocabulary; every later round is vocabulary-sized.  Size dispatch at
+    {BPE_DRIVER_MAX_VOCAB} vocab rows: below, the K-round loop runs
+    driver-side (a language-bounded vocab is MB-scale even at 100 TB);
+    above, each round is distributed — map_batches pair-count partials →
+    one pair-sized groupby-Sum (pairs are alphabet²-bounded, tiny) →
+    driver picks the winner → the merge ships back as a broadcast
+    1-string closure in the next map_batches replace.  The corpus text
+    is touched exactly once, in round zero's groupby."""
+    from ray.data.aggregate import Sum as ASum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def toks(b: pa.Table) -> pa.Table:
+        t = (b.to_pandas()["text"].str.findall(r"[^ \t\n\r\f]+")
+             .explode().dropna())
+        vc = t.groupby(t).size()
+        return pa.table({"w": pa.array(vc.index.astype(str)),
+                         "n": pa.array(vc.to_numpy(np.int64))})
+
+    vocab_ds = (ds.map_batches(toks, batch_format="pyarrow",
+                               batch_size=8192)
+                .groupby("w").aggregate(ASum("n", alias_name="n"))
+                .materialize())
+    rows = []
+    if vocab_ds.count() <= BPE_DRIVER_MAX_VOCAB:
+        vocab = vocab_ds.to_pandas()
+        words = vocab["w"].astype(str)
+        counts = vocab["n"].to_numpy(np.int64)
+        for r in range(1, BPE_TRAIN_ROUNDS + 1):
+            pc = _bpe_pair_counts(words, counts)
+            if not len(pc):  # degenerate single-char vocab
+                break
+            best, n_best = _bpe_best(pc)
+            words = words.str.replace(best, chr(r), regex=False)
+            rows.append((np.int64(r), best, np.int64(n_best),
+                         np.int64((words.str.len().to_numpy(np.int64)
+                                   * counts).sum())))
+    else:  # pragma: no cover — exercised by the forced-dispatch pytest
+        for r in range(1, BPE_TRAIN_ROUNDS + 1):
+            def pair_partial(b: pa.Table) -> pa.Table:
+                df = b.to_pandas()
+                pc = _bpe_pair_counts(df["w"].astype(str),
+                                      df["n"].to_numpy(np.int64))
+                return pa.table({"pair": pa.array(pc.index.astype(str)),
+                                 "c": pa.array(pc.to_numpy(np.int64))})
+
+            pc = (vocab_ds.map_batches(pair_partial,
+                                       batch_format="pyarrow")
+                  .groupby("pair").aggregate(ASum("c", alias_name="c"))
+                  .to_pandas())          # alphabet²-bounded — tiny
+            if not len(pc):
+                break
+            best, n_best = _bpe_best(pc.set_index("pair")["c"])
+            sym = chr(r)
+
+            def merge(b: pa.Table, best=best, sym=sym) -> pa.Table:
+                df = b.to_pandas()
+                w = df["w"].astype(str).str.replace(best, sym, regex=False)
+                return pa.table({
+                    "w": pa.array(w.to_numpy()),
+                    "n": pa.array(df["n"].to_numpy(np.int64)),
+                    "l": pa.array((w.str.len().to_numpy(np.int64)
+                                   * df["n"].to_numpy(np.int64)))})
+
+            vocab_ds = (vocab_ds.map_batches(merge,
+                                             batch_format="pyarrow")
+                        .materialize())
+            rows.append((np.int64(r), best, np.int64(n_best),
+                         np.int64(vocab_ds.sum("l"))))
+            vocab_ds = vocab_ds.drop_columns(["l"])
+    return pd.DataFrame(rows, columns=["merge_round", "pair",
+                                       "pair_count", "vocab_len_after"])
+
+
+def bpe_train_oracle_sql(k: int = BPE_TRAIN_ROUNDS) -> str:
+    """Unrolled K-round CTE oracle (the kmeans_embed unrolled-round
+    discipline): v0 = the word-frequency vocabulary, then per round r a
+    positional pair count p_r, winner b_r (ORDER BY cnt DESC, pair), and
+    the merged vocabulary v_r = replace(w, b_r.pair, chr(r))."""
+    parts = [r"""WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+), v0 AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY w
+)"""]
+    for r in range(1, k + 1):
+        parts.append(f""", p{r} AS (
+  SELECT substr(w, CAST(i.i AS INTEGER), 2) AS pair, SUM(n) AS cnt
+  FROM v{r - 1}, LATERAL (SELECT unnest(generate_series(1, len(w) - 1))
+                          AS i) i
+  GROUP BY pair
+), b{r} AS (
+  SELECT pair, CAST(cnt AS BIGINT) AS pair_count FROM p{r}
+  ORDER BY cnt DESC, pair LIMIT 1
+), v{r} AS (
+  SELECT replace(w, (SELECT pair FROM b{r}), chr({r})) AS w, n
+  FROM v{r - 1}
+)""")
+    selects = [
+        f"SELECT {r} AS merge_round, pair, pair_count,\n"
+        f"       (SELECT CAST(SUM(len(w) * n) AS BIGINT) FROM v{r})"
+        f" AS vocab_len_after FROM b{r}"
+        for r in range(1, k + 1)]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
 # ------------------------- content-defined chunking (rolling-hash CDC)

@@ -50,10 +50,18 @@ def main() -> int:
     import __ray_entry__ as entrypoints
 
     t0 = time.time()
+    # queries with a streaming-Dataset lowering: when writing to storage,
+    # run the Dataset straight into write_parquet (no driver collect at
+    # all); the registry callables' driver frames are for the oracle gate
+    from raster_functions_ray import spatial
+
+    streamed = {"dbscan": spatial.dbscan_dataset}
     if args.query == "flagship":
         from raster_functions_ray.pipelines import flagship
 
         result = flagship.run(args.sf_dir)
+    elif args.output and args.query in streamed:
+        result = streamed[args.query](args.sf_dir)
     else:
         qs = entrypoints.queries()
         if args.query not in qs:

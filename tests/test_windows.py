@@ -347,3 +347,166 @@ class TestAcfDaily:
                       - sub.loc[k, "sa"] * sub.loc[k, "sb"])
                      / max(1, (sub.loc[k, "n_pairs"] * sxx - sx * sx / 1)))
                 assert -2.0 < r < 2.0
+
+
+class TestBpeTrain:
+    """K-round BPE vocabulary training (q_bpe_train)."""
+
+    def _ref(self, texts, k):
+        # independently-written textbook Sennrich loop (dict/Counter)
+        import re
+        from collections import Counter
+
+        vocab = Counter()
+        for t in texts:
+            for w in re.findall(r"[^ \t\n\r\f]+", t):
+                vocab[w] += 1
+        rows = []
+        for r in range(1, k + 1):
+            pc = Counter()
+            for w, n in vocab.items():
+                for i in range(len(w) - 1):
+                    pc[w[i:i + 2]] += n
+            if not pc:
+                break
+            best = min(pc, key=lambda p: (-pc[p], p))
+            newv = Counter()
+            for w, n in vocab.items():
+                newv[w.replace(best, chr(r))] += n
+            vocab = newv
+            rows.append((r, best, pc[best],
+                         sum(len(w) * n for w, n in vocab.items())))
+        return rows
+
+    def test_hand_corpus_matches_textbook_loop(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from raster_functions_ray import textops as t
+
+        texts = ["the cat then sat there", "then the cattle sat",
+                 "a a a b", "thethethe overlap overlap", ""]
+        pq.write_table(
+            pa.table({"doc_id": [f"d{i}" for i in range(len(texts))],
+                      "text": texts}),
+            str(tmp_path / "documents.parquet"))
+        out = t.q_bpe_train(str(tmp_path))
+        ref = self._ref(texts, t.BPE_TRAIN_ROUNDS)
+        assert list(map(tuple, out.to_numpy())) == ref
+
+    def test_forced_distributed_matches_driver(self, ray_session,
+                                               monkeypatch):
+        from raster_functions_ray import textops as t
+
+        base = t.q_bpe_train(SF001)
+        monkeypatch.setattr(t, "BPE_DRIVER_MAX_VOCAB", 0)
+        forced = t.q_bpe_train(SF001)
+        pd.testing.assert_frame_equal(base, forced)
+
+    def test_matches_unrolled_cte_oracle(self, ray_session):
+        import duckdb
+
+        from raster_functions_ray import textops as t
+
+        got = t.q_bpe_train(SF001)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{SF001}/documents.parquet')")
+        exp = (con.execute(t.bpe_train_oracle_sql()).df()
+               .sort_values("merge_round").reset_index(drop=True))
+        assert list(got["pair"]) == list(exp["pair"])
+        assert list(got["pair_count"]) == list(exp["pair_count"])
+        assert list(got["vocab_len_after"]) == list(exp["vocab_len_after"])
+
+
+class TestLogregTrain:
+    """K-round hashed-feature logistic regression (q_logreg_train)."""
+
+    def _ref(self, texts, k):
+        # independently-written single-process fixed-point fit
+        import re
+
+        from raster_functions_ray import textops as t
+
+        D = t.LOGREG_BUCKETS + 1
+        n = len(texts)
+        X = np.zeros((n, D), np.int64)
+        y = np.zeros(n, np.int64)
+        for i, txt in enumerate(texts):
+            ws = re.findall(r"[^ \t\n\r\f]+", txt)
+            for w in ws:
+                h = 0
+                for ch in w:
+                    h = (h * 31 + ord(ch)) % 4294967296
+                X[i, h % t.LOGREG_BUCKETS] += 1
+            X[i, t.LOGREG_BUCKETS] = 1
+            y[i] = 1 if "the" in ws else 0
+        w = np.zeros(D, np.int64)
+        rows = []
+        for r in range(1, k + 1):
+            z = X @ w
+            p = np.minimum(np.maximum(
+                2 * t.LOGREG_PS + (z * t.LOGREG_PS) // t.LOGREG_WS, 0),
+                4 * t.LOGREG_PS)
+            g = (p - 4 * t.LOGREG_PS * y) @ X
+            w = w - (g * t.LOGREG_LR_NUM) // n
+            rows += [(r, j, int(w[j])) for j in range(D)]
+        return rows
+
+    def test_hand_corpus_matches_reference_fit(self, ray_session,
+                                               tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from raster_functions_ray import textops as t
+
+        texts = ["the cat sat on the mat", "dogs bark loudly",
+                 "the the the", "no stop words here at all",
+                 "", "worthy of the crown", "x y z w v u"] * 3
+        pq.write_table(
+            pa.table({"doc_id": list(range(1, len(texts) + 1)),
+                      "text": texts}),
+            str(tmp_path / "documents.parquet"))
+        out = t.q_logreg_train(str(tmp_path))
+        assert list(map(tuple, out.to_numpy())) == self._ref(
+            texts, t.LOGREG_ROUNDS)
+
+    def test_forced_distributed_matches_driver(self, ray_session,
+                                               monkeypatch):
+        from raster_functions_ray import textops as t
+
+        base = t.q_logreg_train(SF001)
+        monkeypatch.setattr(t, "LOGREG_DRIVER_MAX_DOCS", 0)
+        forced = t.q_logreg_train(SF001)
+        pd.testing.assert_frame_equal(base, forced)
+
+    def test_matches_unrolled_cte_oracle(self, ray_session):
+        import duckdb
+
+        from raster_functions_ray import textops as t
+
+        got = t.q_logreg_train(SF001)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{SF001}/documents.parquet')")
+        exp = (con.execute(t.logreg_train_oracle_sql()).df()
+               .sort_values(["round_no", "feature_id"])
+               .reset_index(drop=True))
+        assert list(map(tuple, got.to_numpy())) == list(
+            map(tuple, exp.astype("int64").to_numpy()))
+
+    def test_weights_move_toward_the_label(self, ray_session):
+        # the bucket holding the literal token 'the' must get the most
+        # positive weight mass (the fit learns the label's feature)
+        from raster_functions_ray import textops as t
+
+        out = t.q_logreg_train(SF001)
+        last = out[out["round_no"] == t.LOGREG_ROUNDS].set_index(
+            "feature_id")["weight"]
+        the_bucket = 0
+        h = 0
+        for ch in "the":
+            h = (h * 31 + ord(ch)) % 4294967296
+        the_bucket = h % t.LOGREG_BUCKETS
+        nonbias = last.drop(t.LOGREG_BUCKETS)
+        assert nonbias.idxmax() == the_bucket
