@@ -44,8 +44,11 @@ EXCHANGES = {
     "ann_topk": 0,          # broadcast query matrix + partial top-k
     "region_label": 2,      # handshake-key groupby + (tiny) CC resolve;
                             # pixels never shuffle — partials only
-    "segment_join": 1,      # cell-keyed hash join (both sides shuffled
-                            # once); predicate runs map-side
+    "segment_join": 0,      # size-dispatched: points-side sorted cell
+                            # index broadcast (ray.put once), segments
+                            # probe map-side; the cell-keyed hash-join
+                            # lowering (1 exchange) engages above 2M
+                            # points and stays pytest-pinned
 }
 
 

@@ -1801,18 +1801,89 @@ def q_segment_join(sf_dir: str) -> pd.DataFrame:
                          "d2_num": pa.array(num[hit]),
                          "d2_den": pa.array(den[hit])})
 
-    # pair formation as a cell-keyed HASH JOIN + vectorized filter — a
-    # map_groups over the (mostly point-free) cell grid paid one Python
-    # group call per cell (40k cells, 10k points → 6.5 s); the join only
-    # materializes candidate rows where both sides share a cell and the
-    # predicate runs batch-vectorized (measured ~3× faster, same exchange)
-    pcells = pts.map_batches(pt_cells, batch_format="pyarrow")
-    scells = segs.map_batches(seg_cells, batch_format="pyarrow")
-    nparts = max(2, min(join_partitions(), 8))
-    cand = pcells.join(scells, join_type="inner", num_partitions=nparts,
-                       on=("key",))
-    out = cand.map_batches(score, batch_format="pyarrow").to_pandas()
+    # size dispatch (the doc_zone_join discipline): when the POINT side
+    # is below a metadata-known limit, broadcast its sorted cell index
+    # once via ray.put and probe from the segment side — ZERO exchanges;
+    # above, pair formation is the cell-keyed HASH JOIN + vectorized
+    # filter (a map_groups over the mostly point-free cell grid paid one
+    # Python call per cell — 40k cells, 10k points → 6.5 s; the join
+    # only materializes candidate rows where both sides share a cell)
+    if pts.count() <= SEGJ_BROADCAST_MAX_POINTS:
+        out = _segment_join_broadcast(pts, segs).to_pandas()
+    else:  # pragma: no cover — exercised by the forced-dispatch pytest
+        pcells = pts.map_batches(pt_cells, batch_format="pyarrow")
+        scells = segs.map_batches(seg_cells, batch_format="pyarrow")
+        nparts = max(2, min(join_partitions(), 8))
+        cand = pcells.join(scells, join_type="inner",
+                           num_partitions=nparts, on=("key",))
+        out = cand.map_batches(score, batch_format="pyarrow").to_pandas()
     return out.sort_values(["event_id", "seg_id"]).reset_index(drop=True)
+
+
+# point-side row count at/below which q_segment_join broadcasts the
+# sorted point-cell index instead of shuffling a hash join (narrow int
+# rows: 32 B/point → 64 MB at 2M, the repo's broadcast budget)
+SEGJ_BROADCAST_MAX_POINTS = 2_000_000
+
+
+def _segment_join_broadcast(pts: rd.Dataset, segs: rd.Dataset) -> rd.Dataset:
+    """Broadcast lowering of q_segment_join: the point side collapses to
+    four sorted int64 arrays keyed by own cell (ray.put ONCE, read in
+    every task); each segment batch probes its R-expanded bbox cells via
+    searchsorted, expands the matching cell runs with the segmented
+    arange trick, and evaluates the exact integer distance predicate
+    vectorized.  Pair candidates still form exactly once (a point's own
+    cell meets a segment's bbox cell set in at most one cell)."""
+    eid = np.sort(pts.to_pandas()["event_id"].to_numpy(np.int64))
+    px, py = _seg_points(eid)
+    key = (px // SEG_CELL) * 1024 + py // SEG_CELL
+    order = np.argsort(key, kind="stable")
+    key, eid, px, py = key[order], eid[order], px[order], py[order]
+    uk, starts = np.unique(key, return_index=True)
+    counts = np.diff(np.r_[starts, key.size])
+    ref = ray.put((uk, starts, counts, eid, px, py))
+
+    def probe(b: pa.Table) -> pa.Table:
+        uk, starts, counts, eid, px, py = ray.get(ref)
+        k = np.asarray(b["o_orderkey"], np.int64)
+        x1, y1, x2, y2 = _seg_endpoints(k)
+        cx0 = (np.minimum(x1, x2) - SEG_R) // SEG_CELL
+        cx1 = (np.maximum(x1, x2) + SEG_R) // SEG_CELL
+        cy0 = (np.minimum(y1, y2) - SEG_R) // SEG_CELL
+        cy1 = (np.maximum(y1, y2) + SEG_R) // SEG_CELL
+        di = np.repeat(np.arange(3, dtype=np.int64), 3)
+        dj = np.tile(np.arange(3, dtype=np.int64), 3)
+        keep = ((cx0[None, :] + di[:, None] <= cx1[None, :])
+                & (cy0[None, :] + dj[:, None] <= cy1[None, :]))
+        off, seg = np.nonzero(keep)
+        ckey = (cx0[seg] + di[off]) * 1024 + cy0[seg] + dj[off]
+        empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          "seg_id": pa.array([], pa.int64()),
+                          "d2_num": pa.array([], pa.int64()),
+                          "d2_den": pa.array([], pa.int64())})
+        if ckey.size == 0 or uk.size == 0:
+            return empty
+        pos = np.searchsorted(uk, ckey)
+        pos_cl = np.minimum(pos, uk.size - 1)
+        sel = np.flatnonzero(uk[pos_cl] == ckey)
+        if sel.size == 0:
+            return empty
+        s = starts[pos_cl[sel]]
+        c = counts[pos_cl[sel]]
+        total = int(c.sum())
+        base = (np.repeat(s - np.r_[0, np.cumsum(c)[:-1]], c)
+                + np.arange(total))
+        segidx = seg[np.repeat(sel, c)]
+        num, den = _seg_dist_parts(px[base], py[base], x1[segidx],
+                                   y1[segidx], x2[segidx], y2[segidx])
+        hit = num <= SEG_R * SEG_R * den
+        return pa.table({"event_id": pa.array(eid[base][hit]),
+                         "seg_id": pa.array(k[segidx][hit]),
+                         "d2_num": pa.array(num[hit]),
+                         "d2_den": pa.array(den[hit])})
+
+    return segs.map_batches(probe, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 Q_SEGMENT_JOIN_SQL = f"""

@@ -1100,3 +1100,14 @@ class TestPointPatternStats:
                            ).groupby("event_type", as_index=False).sum()
         pd.testing.assert_frame_equal(
             out, ref.astype({c: "int64" for c in ref.columns[1:]}))
+
+
+class TestSegmentJoinLowerings:
+    def test_broadcast_and_join_lowerings_identical(self, ray_session,
+                                                    monkeypatch):
+        from raster_functions_ray import spatial
+
+        base = spatial.q_segment_join(SF001)       # broadcast path
+        monkeypatch.setattr(spatial, "SEGJ_BROADCAST_MAX_POINTS", 0)
+        joined = spatial.q_segment_join(SF001)     # hash-join path
+        pd.testing.assert_frame_equal(base, joined)
