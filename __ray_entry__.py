@@ -352,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- round 5: K-round BPE vocabulary training + trained
         # hashed-feature logistic regression ----
         "bpe_train": textops.q_bpe_train,
+        "bpe_train_encode": textops.q_bpe_train_encode,
         "logreg_train": textops.q_logreg_train,
         # ---- rows-only section: the genuinely non-SQL-expressible set
         # (RNG pixel payloads, nonlinear fits, media codecs, unquantized
@@ -664,6 +665,7 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
         "anti_join_shuffle": rel.Q_ANTI_JOIN_SQL,
         "exact_percentiles": rel.Q_EXACT_PERCENTILES_SQL,
         "bpe_train": textops.bpe_train_oracle_sql(),
+        "bpe_train_encode": textops.bpe_train_encode_oracle_sql(),
         "logreg_train": textops.logreg_train_oracle_sql(),
         # minhash_dedup / simhash / pixel-stat raster queries: not
         # SQL-expressible (pandas hash / RNG pixel payloads) → rows-only;

@@ -1547,6 +1547,66 @@ def q_bpe_train(sf_dir: str) -> pd.DataFrame:
                                        "pair_count", "vocab_len_after"])
 
 
+def q_bpe_train_encode(sf_dir: str) -> pd.DataFrame:
+    """The composed tokenizer-build pipeline: TRAIN the K-round BPE
+    merge table on the corpus (q_bpe_train), then ENCODE the corpus
+    with the learned table (rank-ordered greedy replace — the
+    q_bpe_encode application semantics) and report per-language corpus
+    compression: (lang, n_docs, len_before, len_after).
+
+    Scale shape: train = one corpus groupby + vocab-sized rounds;
+    encode = ONE more streaming pass applying the K-row merge table
+    (closure-broadcast — it is a few bytes), with per-batch partial
+    (lang, count, Σlen) rows through one language-sized groupby.
+    Merged symbols never span whitespace (pairs come from the word
+    vocabulary), so the replace chain is safe on raw text."""
+    from ray.data.aggregate import Sum as ASum
+
+    trained = q_bpe_train(sf_dir)
+    merges = [(p, chr(int(r))) for r, p in
+              zip(trained["merge_round"], trained["pair"])]
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def enc(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        s = df["text"]
+        lb = s.str.len().to_numpy(np.int64)
+        for pair, sym in merges:
+            s = s.str.replace(pair, sym, regex=False)
+        la = s.str.len().to_numpy(np.int64)
+        g = (pd.DataFrame({"lang": df["lang"], "n_docs": 1,
+                           "len_before": lb, "len_after": la})
+             .groupby("lang", sort=False).sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(enc, batch_format="pyarrow", batch_size=8192)
+           .groupby("lang")
+           .aggregate(ASum("n_docs", alias_name="n_docs"),
+                      ASum("len_before", alias_name="len_before"),
+                      ASum("len_after", alias_name="len_after"))
+           .to_pandas())
+    out = out.astype({c: "int64" for c in
+                      ("n_docs", "len_before", "len_after")})
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def bpe_train_encode_oracle_sql(k: int = BPE_TRAIN_ROUNDS) -> str:
+    """The bpe_train unrolled-CTE trainer feeding a rank-ordered nested
+    replace() chain whose pair arguments are the b_r scalar subqueries."""
+    train = bpe_train_oracle_sql(k)
+    head = train[:train.index("\nSELECT 1 AS merge_round")]
+    chain = "text"
+    for r in range(1, k + 1):
+        chain = (f"replace({chain}, (SELECT pair FROM b{r}), chr({r}))")
+    return f"""{head}
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(text)) AS BIGINT) AS len_before,
+       CAST(SUM(len({chain})) AS BIGINT) AS len_after
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def bpe_train_oracle_sql(k: int = BPE_TRAIN_ROUNDS) -> str:
     """Unrolled K-round CTE oracle (the kmeans_embed unrolled-round
     discipline): v0 = the word-frequency vocabulary, then per round r a

@@ -510,3 +510,33 @@ class TestLogregTrain:
         the_bucket = h % t.LOGREG_BUCKETS
         nonbias = last.drop(t.LOGREG_BUCKETS)
         assert nonbias.idxmax() == the_bucket
+
+    def test_train_encode_composition(self, ray_session, tmp_path):
+        # encode must apply the TRAINED pairs in rank order
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from raster_functions_ray import textops as t
+
+        texts = ["the then there that", "this the them those",
+                 "banana bandana", "aaaa bbbb aaaa"]
+        pq.write_table(
+            pa.table({"doc_id": list(range(4)), "text": texts,
+                      "lang": ["en", "en", "fr", "fr"]}),
+            str(tmp_path / "documents.parquet"))
+        trained = t.q_bpe_train(str(tmp_path))
+        out = t.q_bpe_train_encode(str(tmp_path))
+        s = pd.Series(texts)
+        for r, p in zip(trained["merge_round"], trained["pair"]):
+            s = s.str.replace(p, chr(int(r)), regex=False)
+        exp = pd.DataFrame({"lang": ["en", "fr"],
+                            "len_before": [len(texts[0]) + len(texts[1]),
+                                           len(texts[2]) + len(texts[3])],
+                            "len_after": [len(s[0]) + len(s[1]),
+                                          len(s[2]) + len(s[3])]})
+        got = out.set_index("lang")
+        for lang in ("en", "fr"):
+            row = exp[exp["lang"] == lang].iloc[0]
+            assert got.loc[lang, "len_before"] == row["len_before"]
+            assert got.loc[lang, "len_after"] == row["len_after"]
+            assert got.loc[lang, "n_docs"] == 2
