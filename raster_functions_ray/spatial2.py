@@ -1749,6 +1749,13 @@ def _stdb_geometry(n: int) -> tuple[int, int]:
 
 
 def q_st_dbscan(sf_dir: str) -> pd.DataFrame:
+    """Driver-frame projection of :func:`st_dbscan_dataset` (sorted by
+    event_id) — the registry/oracle surface."""
+    return (st_dbscan_dataset(sf_dir).to_pandas()
+            .sort_values("event_id").reset_index(drop=True))
+
+
+def st_dbscan_dataset(sf_dir: str):
     """ST-DBSCAN (Birant & Kut 2007 — DBSCAN with a space-time
     neighborhood): N(p) = points within eps spatially AND {STDB_TAU_US}
     µs temporally; cores, min-core-id cluster components and border
@@ -1890,9 +1897,7 @@ def q_st_dbscan(sf_dir: str) -> pd.DataFrame:
             .to_pandas())
 
     from .spatial import _attach_dbscan_roles
-    labeled = _attach_dbscan_roles(ds, core_ids, lbl_ids, lbl_vals, bord)
-    return (labeled.to_pandas().sort_values("event_id")
-            .reset_index(drop=True))
+    return _attach_dbscan_roles(ds, core_ids, lbl_ids, lbl_vals, bord)
 
 
 def st_dbscan_oracle_sql(sf: float = 0.01) -> str:

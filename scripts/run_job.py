@@ -53,9 +53,10 @@ def main() -> int:
     # queries with a streaming-Dataset lowering: when writing to storage,
     # run the Dataset straight into write_parquet (no driver collect at
     # all); the registry callables' driver frames are for the oracle gate
-    from raster_functions_ray import spatial
+    from raster_functions_ray import spatial, spatial2
 
-    streamed = {"dbscan": spatial.dbscan_dataset}
+    streamed = {"dbscan": spatial.dbscan_dataset,
+                "st_dbscan": spatial2.st_dbscan_dataset}
     if args.query == "flagship":
         from raster_functions_ray.pipelines import flagship
 

@@ -770,3 +770,23 @@ class TestCoTravel:
         ref = pd.DataFrame(rows, columns=["ua", "ub", "n_contacts",
                                           "min_d2"]).astype("int64")
         pd.testing.assert_frame_equal(out, ref.reset_index(drop=True))
+
+
+class TestTbChecked:
+    """The 3-D blocking key's <64-bucket collision invariant is loud."""
+
+    def test_in_range_passes_through(self):
+        tb = np.array([0, 30, 61], np.int64)
+        out = spatial2._tb_checked(tb)
+        assert out is tb
+
+    def test_out_of_range_raises(self):
+        import pytest
+
+        with pytest.raises(AssertionError):
+            spatial2._tb_checked(np.array([62], np.int64))
+        with pytest.raises(AssertionError):
+            spatial2._tb_checked(np.array([-1], np.int64))
+
+    def test_empty_ok(self):
+        assert spatial2._tb_checked(np.empty(0, np.int64)).size == 0
