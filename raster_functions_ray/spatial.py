@@ -1770,20 +1770,9 @@ def q_segment_join(sf_dir: str) -> pd.DataFrame:
     def seg_cells(b: pa.Table) -> pa.Table:
         k = np.asarray(b["o_orderkey"], dtype=np.int64)
         x1, y1, x2, y2 = _seg_endpoints(k)
-        cx0 = (np.minimum(x1, x2) - SEG_R) // SEG_CELL
-        cx1 = (np.maximum(x1, x2) + SEG_R) // SEG_CELL
-        cy0 = (np.minimum(y1, y2) - SEG_R) // SEG_CELL
-        cy1 = (np.maximum(y1, y2) + SEG_R) // SEG_CELL
-        # single vectorized emission: one (9, n) offset mask → one gather
-        # (the old per-offset loop concatenated up to 9 subtables/batch)
-        di = np.repeat(np.arange(3, dtype=np.int64), 3)
-        dj = np.tile(np.arange(3, dtype=np.int64), 3)
-        keep = ((cx0[None, :] + di[:, None] <= cx1[None, :])
-                & (cy0[None, :] + dj[:, None] <= cy1[None, :]))
-        off, seg = np.nonzero(keep)
+        ckey, seg = _seg_bbox_cells(x1, y1, x2, y2)
         return pa.table({
-            "key": pa.array((cx0[seg] + di[off]) * 1024
-                            + cy0[seg] + dj[off]),
+            "key": pa.array(ckey),
             "seg_id": pa.array(k[seg]),
             "x1": pa.array(x1[seg]), "y1": pa.array(y1[seg]),
             "x2": pa.array(x2[seg]), "y2": pa.array(y2[seg])})
@@ -1826,6 +1815,24 @@ def q_segment_join(sf_dir: str) -> pd.DataFrame:
 SEGJ_BROADCAST_MAX_POINTS = 2_000_000
 
 
+def _seg_bbox_cells(x1, y1, x2, y2) -> tuple[np.ndarray, np.ndarray]:
+    """(cell key, segment index) for every grid cell a segment's
+    R-expanded bbox overlaps — ONE (9, n) offset mask + one gather (the
+    old per-offset loop concatenated up to 9 subtables per batch).
+    Shared by BOTH q_segment_join lowerings so the dispatch arms can
+    never emit different key surfaces."""
+    cx0 = (np.minimum(x1, x2) - SEG_R) // SEG_CELL
+    cx1 = (np.maximum(x1, x2) + SEG_R) // SEG_CELL
+    cy0 = (np.minimum(y1, y2) - SEG_R) // SEG_CELL
+    cy1 = (np.maximum(y1, y2) + SEG_R) // SEG_CELL
+    di = np.repeat(np.arange(3, dtype=np.int64), 3)
+    dj = np.tile(np.arange(3, dtype=np.int64), 3)
+    keep = ((cx0[None, :] + di[:, None] <= cx1[None, :])
+            & (cy0[None, :] + dj[:, None] <= cy1[None, :]))
+    off, seg = np.nonzero(keep)
+    return (cx0[seg] + di[off]) * 1024 + cy0[seg] + dj[off], seg
+
+
 def _segment_join_broadcast(pts: rd.Dataset, segs: rd.Dataset) -> rd.Dataset:
     """Broadcast lowering of q_segment_join: the point side collapses to
     four sorted int64 arrays keyed by own cell (ray.put ONCE, read in
@@ -1847,16 +1854,7 @@ def _segment_join_broadcast(pts: rd.Dataset, segs: rd.Dataset) -> rd.Dataset:
         uk, starts, counts, eid, px, py = ray.get(ref)
         k = np.asarray(b["o_orderkey"], np.int64)
         x1, y1, x2, y2 = _seg_endpoints(k)
-        cx0 = (np.minimum(x1, x2) - SEG_R) // SEG_CELL
-        cx1 = (np.maximum(x1, x2) + SEG_R) // SEG_CELL
-        cy0 = (np.minimum(y1, y2) - SEG_R) // SEG_CELL
-        cy1 = (np.maximum(y1, y2) + SEG_R) // SEG_CELL
-        di = np.repeat(np.arange(3, dtype=np.int64), 3)
-        dj = np.tile(np.arange(3, dtype=np.int64), 3)
-        keep = ((cx0[None, :] + di[:, None] <= cx1[None, :])
-                & (cy0[None, :] + dj[:, None] <= cy1[None, :]))
-        off, seg = np.nonzero(keep)
-        ckey = (cx0[seg] + di[off]) * 1024 + cy0[seg] + dj[off]
+        ckey, seg = _seg_bbox_cells(x1, y1, x2, y2)
         empty = pa.table({"event_id": pa.array([], pa.int64()),
                           "seg_id": pa.array([], pa.int64()),
                           "d2_num": pa.array([], pa.int64()),

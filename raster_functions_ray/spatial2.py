@@ -42,9 +42,10 @@ def _tb_checked(tb: np.ndarray) -> np.ndarray:
     bucket pitch ever changes."""
     if tb.size:
         lo, hi = int(tb.min()), int(tb.max())
-        assert 0 <= lo and hi <= 61, (
-            f"3-D blocking key needs time buckets in [0, 61]; got "
-            f"[{lo}, {hi}] — widen the *64 packing factor")
+        if lo < 0 or hi > 61:  # not assert: must survive python -O
+            raise ValueError(
+                f"3-D blocking key needs time buckets in [0, 61]; got "
+                f"[{lo}, {hi}] — widen the *64 packing factor")
     return tb
 
 

@@ -126,6 +126,10 @@ class QualityScorer:
         # accepts a pyarrow Table or an already-decoded DataFrame (DocScorer
         # decodes once and shares it)
         df = b if isinstance(b, pd.DataFrame) else b.to_pandas()
+        # the level-0 groupby below requires unique row labels; a caller
+        # passing a concat'd frame with duplicate index would otherwise
+        # get silently merged token sums
+        df = df.reset_index(drop=True)
         toks = df["text"].str.lower().str.findall(self.word_re)
         n_raw = toks.str.len()
         n_tok = n_raw.clip(lower=1)
@@ -1257,17 +1261,17 @@ def q_logreg_train(sf_dir: str) -> pd.DataFrame:
     feats = (ds.map_batches(featurize, batch_format="pyarrow",
                             batch_size=8192).materialize())
     n = feats.count()
-    w = np.zeros(D, np.int64)
-    rows = []
+    # the two dispatch arms differ ONLY in how the full-batch gradient
+    # is produced; the update rule and output shape are shared below
     if n <= LOGREG_DRIVER_MAX_DOCS:
         fdf = feats.to_pandas()
         X = fdf[xcols].to_numpy(np.int64)
         y = fdf["y"].to_numpy(np.int64)
-        for r in range(1, LOGREG_ROUNDS + 1):
-            w = w - (_logreg_grad(X, y, w) * LOGREG_LR_NUM) // n
-            rows += [(r, j, int(w[j])) for j in range(D)]
-    else:  # pragma: no cover — exercised by the forced-dispatch pytest
-        for r in range(1, LOGREG_ROUNDS + 1):
+
+        def grad(w: np.ndarray) -> np.ndarray:
+            return _logreg_grad(X, y, w)
+    else:
+        def grad(w: np.ndarray) -> np.ndarray:
             def gpart(b: pa.Table, w=w) -> pa.Table:
                 df = b.to_pandas()
                 g = _logreg_grad(df[xcols].to_numpy(np.int64),
@@ -1277,9 +1281,13 @@ def q_logreg_train(sf_dir: str) -> pd.DataFrame:
 
             parts = (feats.map_batches(gpart, batch_format="pyarrow")
                      .to_pandas())          # one 9-int row per batch
-            g = parts.to_numpy(np.int64).sum(axis=0)
-            w = w - (g * LOGREG_LR_NUM) // n
-            rows += [(r, j, int(w[j])) for j in range(D)]
+            return parts.to_numpy(np.int64).sum(axis=0)
+
+    w = np.zeros(D, np.int64)
+    rows = []
+    for r in range(1, LOGREG_ROUNDS + 1):
+        w = w - (grad(w) * LOGREG_LR_NUM) // n
+        rows += [(r, j, int(w[j])) for j in range(D)]
     return pd.DataFrame(rows, columns=["round_no", "feature_id", "weight"]
                         ).astype("int64")
 
@@ -1598,7 +1606,13 @@ def bpe_train_encode_oracle_sql(k: int = BPE_TRAIN_ROUNDS) -> str:
     head = train[:train.index("\nSELECT 1 AS merge_round")]
     chain = "text"
     for r in range(1, k + 1):
-        chain = (f"replace({chain}, (SELECT pair FROM b{r}), chr({r}))")
+        # COALESCE guards the pair-supply-exhausted case (b_r empty →
+        # NULL pair → NULL text): the 3-BEL sentinel can match nothing —
+        # pairs are 2 chars and the corpus carries no control chars — so
+        # the exhausted rounds become no-ops, matching the engine's
+        # early loop break
+        chain = (f"replace({chain}, COALESCE((SELECT pair FROM b{r}), "
+                 f"repeat(chr(7), 3)), chr({r}))")
     return f"""{head}
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(len(text)) AS BIGINT) AS len_before,

@@ -783,9 +783,9 @@ class TestTbChecked:
     def test_out_of_range_raises(self):
         import pytest
 
-        with pytest.raises(AssertionError):
+        with pytest.raises(ValueError):
             spatial2._tb_checked(np.array([62], np.int64))
-        with pytest.raises(AssertionError):
+        with pytest.raises(ValueError):
             spatial2._tb_checked(np.array([-1], np.int64))
 
     def test_empty_ok(self):

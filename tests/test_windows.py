@@ -540,3 +540,43 @@ class TestLogregTrain:
             assert got.loc[lang, "len_before"] == row["len_before"]
             assert got.loc[lang, "len_after"] == row["len_after"]
             assert got.loc[lang, "n_docs"] == 2
+
+    def test_train_encode_oracle_agrees_when_pairs_exhaust(
+            self, ray_session, tmp_path):
+        # vocabulary collapses to single chars before K=6 rounds: the
+        # engine breaks out early; the oracle's COALESCE sentinel makes
+        # the exhausted rounds no-ops — both sides must agree
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from raster_functions_ray import textops as t
+
+        texts = ["ab ab ab", "ab cd", "cd cd"]
+        pq.write_table(
+            pa.table({"doc_id": [1, 2, 3], "text": texts,
+                      "lang": ["en", "en", "fr"]}),
+            str(tmp_path / "documents.parquet"))
+        got = t.q_bpe_train_encode(str(tmp_path))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/documents.parquet')")
+        exp = (con.execute(t.bpe_train_encode_oracle_sql()).df()
+               .sort_values("lang").reset_index(drop=True))
+        assert not exp["len_after"].isna().any()
+        assert list(got["len_after"]) == list(
+            exp["len_after"].astype("int64"))
+        assert list(got["len_before"]) == list(
+            exp["len_before"].astype("int64"))
+
+
+class TestQualityScorerIndexHardening:
+    def test_duplicate_index_frame_scores_per_row(self):
+        from raster_functions_ray import textops as t
+
+        df = pd.DataFrame({"doc_id": [1, 2],
+                           "text": ["the cat", "dog the"]})
+        df.index = [0, 0]  # duplicate labels, e.g. after pd.concat
+        out = t.QualityScorer()(df)
+        assert list(out["stop_ratio"]) == [0.5, 0.5]
+        assert list(out["mean_word_len"]) == [3.0, 3.0]
