@@ -49,6 +49,12 @@ EXCHANGES = {
                             # probe map-side; the cell-keyed hash-join
                             # lowering (1 exchange) engages above 2M
                             # points and stays pytest-pinned
+    "bpe_train": 1,         # ONE corpus->vocab groupby; the K merge
+                            # rounds run on the vocab (driver-side below
+                            # 200k vocab rows, distributed above)
+    "logreg_train": 0,      # featurize pass + K partial-gradient map
+                            # passes; 9-int partials tree-sum, weights
+                            # broadcast per round — no shuffle
 }
 
 
@@ -101,6 +107,8 @@ def run_bench() -> dict:
         "ann_topk": lambda: ann.q_ann_topk(SF_DIR),
         "region_label": lambda: regions.q_region_label(SF_DIR),
         "segment_join": lambda: spatial.q_segment_join(SF_DIR),
+        "bpe_train": lambda: textops.q_bpe_train(SF_DIR),
+        "logreg_train": lambda: textops.q_logreg_train(SF_DIR),
     }
 
     # per-query best-of-2: the shared host has multi-second ambient noise
