@@ -552,3 +552,90 @@ JOIN dense b ON b.event_type = a.event_type AND b.bin = a.bin + l.lag
 GROUP BY a.event_type, l.lag
 ORDER BY a.event_type, l.lag
 """
+
+
+# ------------------- keyed gap-fill imputation (LOCF forward fill)
+
+def q_gap_fill(sf_dir: str) -> pd.DataFrame:
+    """Per-user daily gap-fill with LOCF (last-observation-carried-
+    forward) imputation — the keyed time-series complement of the
+    raster FillRaster/ReplaceNulls family: densify every observed
+    user's 30-day activity series and fill gaps from the last observed
+    day.  Per (user_id, day): v = that day's event count if observed,
+    else the most recent observed count; src = 0 observed / 1 filled /
+    2 leading (no prior observation, v = 0).  Exact integers.
+
+    Scale shape: per-batch (user, day, count) unique-count partials →
+    ONE groupby-Sum whose result IS output-sized (|users|·≤30 rows ≪
+    corpus); the densify + LOCF scan runs vectorized on the result
+    (running-maximum of observed day indices + one take_along_axis) —
+    the repo's result-sized driver-merge discipline.  The events
+    corpus streams through exactly once."""
+    from ray.data.aggregate import Sum as ASum
+
+    from .spatial import ST_BIN_US, ST_BINS, ST_T0_US
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = np.asarray(b["user_id"], np.int64)
+        day = (b["ts"].cast(pa.int64()).to_numpy() - ST_T0_US) // ST_BIN_US
+        ok = (day >= 0) & (day < ST_BINS)
+        key = u[ok] * ST_BINS + day[ok]
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table({"user_id": pa.array(uk // ST_BINS),
+                         "day": pa.array(uk % ST_BINS),
+                         "c": pa.array(c.astype(np.int64))})
+
+    obs = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["user_id", "day"])
+           .aggregate(ASum("c", alias_name="c"))
+           .to_pandas())                       # output-sized
+    users = np.sort(obs["user_id"].unique())
+    ui = np.searchsorted(users, obs["user_id"].to_numpy(np.int64))
+    dd = obs["day"].to_numpy(np.int64)
+    C = np.zeros((users.size, ST_BINS), np.int64)
+    C[ui, dd] = obs["c"].to_numpy(np.int64)
+    seen = np.full((users.size, ST_BINS), -1, np.int64)
+    seen[ui, dd] = dd
+    last = np.maximum.accumulate(seen, axis=1)   # last observed day ≤ d
+    v = np.where(last >= 0,
+                 np.take_along_axis(C, np.maximum(last, 0), axis=1), 0)
+    src = np.where(seen >= 0, 0, np.where(last >= 0, 1, 2))
+    out = pd.DataFrame({
+        "user_id": np.repeat(users, ST_BINS),
+        "day": np.tile(np.arange(ST_BINS, dtype=np.int64), users.size),
+        "v": v.ravel().astype(np.int64),
+        "src": src.ravel().astype(np.int64)})
+    return out.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
+Q_GAP_FILL_SQL = """
+WITH obs AS (
+  SELECT user_id,
+         (epoch_us(ts) - 1704067200000000) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events
+  WHERE (epoch_us(ts) - 1704067200000000) // 86400000000 BETWEEN 0 AND 29
+  GROUP BY user_id, day
+), grid AS (
+  SELECT u.user_id, d.day
+  FROM (SELECT DISTINCT user_id FROM obs) u,
+       (SELECT unnest(generate_series(0, 29)) AS day) d
+), j AS (
+  SELECT g.user_id, g.day, o.c
+  FROM grid g LEFT JOIN obs o USING (user_id, day)
+), f AS (
+  SELECT user_id, day, c,
+         last_value(c IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS UNBOUNDED PRECEDING) AS locf
+  FROM j
+)
+SELECT user_id, CAST(day AS BIGINT) AS day,
+       CAST(COALESCE(locf, 0) AS BIGINT) AS v,
+       CAST(CASE WHEN c IS NOT NULL THEN 0
+                 WHEN locf IS NOT NULL THEN 1 ELSE 2 END AS BIGINT) AS src
+FROM f ORDER BY user_id, day
+"""

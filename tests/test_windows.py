@@ -580,3 +580,38 @@ class TestQualityScorerIndexHardening:
         out = t.QualityScorer()(df)
         assert list(out["stop_ratio"]) == [0.5, 0.5]
         assert list(out["mean_word_len"]) == [3.0, 3.0]
+
+
+class TestGapFill:
+    def test_hand_world_locf_semantics(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from raster_functions_ray import windows as w
+        from raster_functions_ray.spatial import ST_BIN_US, ST_T0_US
+
+        # user 1: observed days 2 (x2 events) and 5; user 7: day 0 only
+        rows = [(1, 2), (1, 2), (1, 5), (7, 0)]
+        ts = [ST_T0_US + d * ST_BIN_US + 1000 for _, d in rows]
+        pq.write_table(pa.table({
+            "event_id": pa.array(range(1, 5), pa.int64()),
+            "user_id": pa.array([u for u, _ in rows], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us"))}),
+            str(tmp_path / "events.parquet"))
+        out = w.q_gap_fill(str(tmp_path)).set_index(["user_id", "day"])
+        # leading days before the first observation: v=0, src=2
+        assert (out.loc[(1, 0)]["v"], out.loc[(1, 0)]["src"]) == (0, 2)
+        assert (out.loc[(1, 1)]["src"]) == 2
+        # observed day: v = count, src=0
+        assert (out.loc[(1, 2)]["v"], out.loc[(1, 2)]["src"]) == (2, 0)
+        # gap days carry the last observation forward: v=2, src=1
+        assert (out.loc[(1, 3)]["v"], out.loc[(1, 3)]["src"]) == (2, 1)
+        assert (out.loc[(1, 4)]["v"], out.loc[(1, 4)]["src"]) == (2, 1)
+        # new observation resets the carried value
+        assert (out.loc[(1, 5)]["v"], out.loc[(1, 5)]["src"]) == (1, 0)
+        assert (out.loc[(1, 29)]["v"], out.loc[(1, 29)]["src"]) == (1, 1)
+        # second user: observed day 0, then 29 filled days
+        assert (out.loc[(7, 0)]["v"], out.loc[(7, 0)]["src"]) == (1, 0)
+        assert (out.loc[(7, 29)]["v"], out.loc[(7, 29)]["src"]) == (1, 1)
+        # dense grid: exactly 2 users x 30 days
+        assert len(out) == 60
