@@ -639,3 +639,114 @@ SELECT user_id, CAST(day AS BIGINT) AS day,
                  WHEN locf IS NOT NULL THEN 1 ELSE 2 END AS BIGINT) AS src
 FROM f ORDER BY user_id, day
 """
+
+
+def q_gap_fill_linear(sf_dir: str) -> pd.DataFrame:
+    """Linear-interpolation gap fill — the interpolation sibling of
+    q_gap_fill (pandas ``interpolate`` / ArcGIS temporal fill shape):
+    a gap day with observations on BOTH sides takes the floor of the
+    linear interpolant between them (integer-exact: counts and day
+    gaps are nonnegative, so truncation == floor on both engines); a
+    tail gap carries the last observation (LOCF), a leading gap is 0.
+    Per (user_id, day): v and src = 0 obs / 1 interpolated / 2
+    tail-carried / 3 leading.
+
+    Scale shape: identical to q_gap_fill — one output-sized
+    groupby-Sum, then the neighbor scans are two vectorized running
+    maxima (forward for the previous observed day, reversed for the
+    next) on the result matrix."""
+    from ray.data.aggregate import Sum as ASum
+
+    from .spatial import ST_BIN_US, ST_BINS, ST_T0_US
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = np.asarray(b["user_id"], np.int64)
+        day = (b["ts"].cast(pa.int64()).to_numpy() - ST_T0_US) // ST_BIN_US
+        ok = (day >= 0) & (day < ST_BINS)
+        key = u[ok] * ST_BINS + day[ok]
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table({"user_id": pa.array(uk // ST_BINS),
+                         "day": pa.array(uk % ST_BINS),
+                         "c": pa.array(c.astype(np.int64))})
+
+    obs = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["user_id", "day"])
+           .aggregate(ASum("c", alias_name="c"))
+           .to_pandas())
+    users = np.sort(obs["user_id"].unique())
+    ui = np.searchsorted(users, obs["user_id"].to_numpy(np.int64))
+    dd = obs["day"].to_numpy(np.int64)
+    C = np.zeros((users.size, ST_BINS), np.int64)
+    C[ui, dd] = obs["c"].to_numpy(np.int64)
+    seen = np.full((users.size, ST_BINS), -1, np.int64)
+    seen[ui, dd] = dd
+    prev = np.maximum.accumulate(seen, axis=1)
+    # next observed day: reversed running minimum over (day where seen)
+    seen_next = np.where(seen >= 0, seen, ST_BINS)
+    nxt = np.minimum.accumulate(seen_next[:, ::-1], axis=1)[:, ::-1]
+    p = np.maximum(prev, 0)
+    q = np.minimum(nxt, ST_BINS - 1)
+    cp = np.take_along_axis(C, p, axis=1)
+    cq = np.take_along_axis(C, q, axis=1)
+    days = np.arange(ST_BINS, dtype=np.int64)[None, :]
+    span = np.maximum(nxt - prev, 1)
+    interp = (cp * (nxt - days) + cq * (days - prev)) // span
+    is_obs = seen >= 0
+    has_prev = prev >= 0
+    has_next = nxt < ST_BINS
+    v = np.where(is_obs, C,
+                 np.where(has_prev & has_next, interp,
+                          np.where(has_prev, cp, 0)))
+    src = np.where(is_obs, 0,
+                   np.where(has_prev & has_next, 1,
+                            np.where(has_prev, 2, 3)))
+    out = pd.DataFrame({
+        "user_id": np.repeat(users, ST_BINS),
+        "day": np.tile(days.ravel(), users.size),
+        "v": v.ravel().astype(np.int64),
+        "src": src.ravel().astype(np.int64)})
+    return out.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
+Q_GAP_FILL_LINEAR_SQL = """
+WITH obs AS (
+  SELECT user_id,
+         (epoch_us(ts) - 1704067200000000) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events
+  WHERE (epoch_us(ts) - 1704067200000000) // 86400000000 BETWEEN 0 AND 29
+  GROUP BY user_id, day
+), grid AS (
+  SELECT u.user_id, d.day
+  FROM (SELECT DISTINCT user_id FROM obs) u,
+       (SELECT unnest(generate_series(0, 29)) AS day) d
+), j AS (
+  SELECT g.user_id, g.day, o.c
+  FROM grid g LEFT JOIN obs o USING (user_id, day)
+), f AS (
+  SELECT user_id, day, c,
+         last_value(CASE WHEN c IS NOT NULL THEN day END IGNORE NULLS)
+           OVER w_prev AS pd,
+         last_value(c IGNORE NULLS) OVER w_prev AS pc,
+         first_value(CASE WHEN c IS NOT NULL THEN day END IGNORE NULLS)
+           OVER w_next AS nd,
+         first_value(c IGNORE NULLS) OVER w_next AS nc
+  FROM j
+  WINDOW w_prev AS (PARTITION BY user_id ORDER BY day
+                    ROWS UNBOUNDED PRECEDING),
+         w_next AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, CAST(day AS BIGINT) AS day,
+       CAST(CASE WHEN c IS NOT NULL THEN c
+                 WHEN pd IS NOT NULL AND nd IS NOT NULL
+                   THEN (pc * (nd - day) + nc * (day - pd)) // (nd - pd)
+                 WHEN pd IS NOT NULL THEN pc ELSE 0 END AS BIGINT) AS v,
+       CAST(CASE WHEN c IS NOT NULL THEN 0
+                 WHEN pd IS NOT NULL AND nd IS NOT NULL THEN 1
+                 WHEN pd IS NOT NULL THEN 2 ELSE 3 END AS BIGINT) AS src
+FROM f ORDER BY user_id, day
+"""

@@ -615,3 +615,30 @@ class TestGapFill:
         assert (out.loc[(7, 29)]["v"], out.loc[(7, 29)]["src"]) == (1, 1)
         # dense grid: exactly 2 users x 30 days
         assert len(out) == 60
+
+    def test_linear_interpolation_semantics(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from raster_functions_ray import windows as w
+        from raster_functions_ray.spatial import ST_BIN_US, ST_T0_US
+
+        # user 1: day 2 count 4 (4 events), day 8 count 1 → days 3-7
+        # interpolate floor(4 + (1-4)*(d-2)/6)
+        rows = [(1, 2)] * 4 + [(1, 8)]
+        ts = [ST_T0_US + d * ST_BIN_US + i for i, (_, d) in enumerate(rows)]
+        pq.write_table(pa.table({
+            "event_id": pa.array(range(1, len(rows) + 1), pa.int64()),
+            "user_id": pa.array([u for u, _ in rows], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us"))}),
+            str(tmp_path / "events.parquet"))
+        out = (w.q_gap_fill_linear(str(tmp_path))
+               .set_index(["user_id", "day"]))
+        for d in range(3, 8):
+            expect = (4 * (8 - d) + 1 * (d - 2)) // 6
+            assert (out.loc[(1, d)]["v"], out.loc[(1, d)]["src"]) \
+                == (expect, 1), d
+        assert (out.loc[(1, 2)]["v"], out.loc[(1, 2)]["src"]) == (4, 0)
+        assert (out.loc[(1, 8)]["v"], out.loc[(1, 8)]["src"]) == (1, 0)
+        assert (out.loc[(1, 0)]["src"], out.loc[(1, 29)]["src"]) == (3, 2)
+        assert out.loc[(1, 29)]["v"] == 1
