@@ -2012,3 +2012,98 @@ FROM full_s
 QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s, source) = 1
 ORDER BY doc_id
 """
+
+
+# ----------------------- Count-Min sketch (mergeable frequency summary)
+
+CMS_D = 4           # hash rows
+CMS_W = 512         # buckets per row
+CMS_KOFF = 1000003  # per-row hash offset (the q_hash_classifier mix)
+
+
+def q_cms_sketch(sf_dir: str) -> pd.DataFrame:
+    """Count-Min sketch of the corpus token stream (Cormode &
+    Muthukrishnan 2005) — the frequency-summary sibling of
+    q_hll_distinct's register-level-parity discipline: {CMS_D}×{CMS_W}
+    counters, row j hashing each token with the q_hash_classifier
+    double-mix at offset j·{CMS_KOFF}.  The gate is the REGISTER TABLE
+    itself — (slot = j·{CMS_W} + bucket, n) for every nonzero counter —
+    so the oracle recomputes every counter, not a lossy summary of it.
+
+    Scale shape: per-batch partials hash once per UNIQUE token
+    (vocabulary-bounded), scatter occurrence counts into a local dense
+    D×W array, and emit nonzero slots; ONE sketch-sized groupby-Sum
+    merges them (counters are trivially mergeable by addition — the
+    property that makes CMS a distributed sketch)."""
+    from ray.data.aggregate import Sum as ASum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = (b.to_pandas()["text"].str.findall(r"[^ \t\n\r\f]+")
+                .explode().dropna())
+        local = np.zeros(CMS_D * CMS_W, np.int64)
+        if len(toks):
+            uniq, cnt = np.unique(toks.to_numpy(dtype=object),
+                                  return_counts=True)
+            h = np.array([_hc_token_hash(t) for t in uniq], np.uint64)
+            for j in range(CMS_D):
+                m = ((h + np.uint64(j * CMS_KOFF)) % np.uint64(1 << 32)
+                     * np.uint64(2654435761)) % np.uint64(1 << 32)
+                m = ((m ^ (m >> np.uint64(16))) * np.uint64(2246822519)) \
+                    % np.uint64(1 << 32)
+                np.add.at(local, j * CMS_W + (m % np.uint64(CMS_W))
+                          .astype(np.int64), cnt)
+        nz = np.flatnonzero(local)
+        return pa.table({"slot": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(local[nz])})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=8192)
+           .groupby("slot").aggregate(ASum("n", alias_name="n"))
+           .to_pandas())
+    out = out.astype({"slot": "int64", "n": "int64"})
+    return out.sort_values("slot").reset_index(drop=True)
+
+
+def cms_estimate(registers: pd.DataFrame, token: str) -> int:
+    """Point-frequency estimate from a q_cms_sketch register table:
+    min over rows of the token's counter (the CMS upper bound)."""
+    reg = np.zeros(CMS_D * CMS_W, np.int64)
+    reg[registers["slot"].to_numpy(np.int64)] = \
+        registers["n"].to_numpy(np.int64)
+    h = np.uint64(_hc_token_hash(token))
+    est = None
+    for j in range(CMS_D):
+        m = ((h + np.uint64(j * CMS_KOFF)) % np.uint64(1 << 32)
+             * np.uint64(2654435761)) % np.uint64(1 << 32)
+        m = ((m ^ (m >> np.uint64(16))) * np.uint64(2246822519)) \
+            % np.uint64(1 << 32)
+        v = int(reg[j * CMS_W + int(m % np.uint64(CMS_W))])
+        est = v if est is None else min(est, v)
+    return int(est)
+
+
+_CMS_MIXED = (
+    "CAST(xor((CAST((h32 + k.k * {koff}) % 4294967296 AS UBIGINT) "
+    "* 2654435761) % 4294967296, "
+    "((CAST((h32 + k.k * {koff}) % 4294967296 AS UBIGINT) "
+    "* 2654435761) % 4294967296) >> 16) "
+    "* 2246822519 % 4294967296 % {w} AS BIGINT)")
+
+Q_CMS_SKETCH_SQL = rf"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS t
+  FROM documents
+), h AS (
+  SELECT list_reduce(list_transform(string_split(t, ''),
+                     c -> CAST(unicode(c) AS BIGINT)),
+                     (a, b) -> (a * 31 + b) % 4294967296) AS h32
+  FROM toks
+)
+SELECT k.k * {CMS_W} + {_CMS_MIXED.format(koff=CMS_KOFF, w=CMS_W)} AS slot,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM h, LATERAL (SELECT unnest(generate_series(0, {CMS_D - 1})) AS k) k
+GROUP BY slot ORDER BY slot
+"""

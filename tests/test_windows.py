@@ -642,3 +642,29 @@ class TestGapFill:
         assert (out.loc[(1, 8)]["v"], out.loc[(1, 8)]["src"]) == (1, 0)
         assert (out.loc[(1, 0)]["src"], out.loc[(1, 29)]["src"]) == (3, 2)
         assert out.loc[(1, 29)]["v"] == 1
+
+
+class TestCmsSketch:
+    def test_overestimate_bound_and_exactness(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from raster_functions_ray import textops as t
+
+        texts = ["alpha alpha beta", "gamma alpha", "beta delta"] * 5
+        pq.write_table(
+            pa.table({"doc_id": list(range(len(texts))), "text": texts}),
+            str(tmp_path / "documents.parquet"))
+        reg = t.q_cms_sketch(str(tmp_path))
+        true = {"alpha": 15, "beta": 10, "gamma": 5, "delta": 5}
+        for tok, n in true.items():
+            est = t.cms_estimate(reg, tok)
+            assert est >= n          # the CMS upper-bound guarantee
+        # total mass per row equals the token-stream length
+        slots = reg["slot"].to_numpy()
+        for j in range(t.CMS_D):
+            row = reg[(slots >= j * t.CMS_W)
+                      & (slots < (j + 1) * t.CMS_W)]
+            assert row["n"].sum() == 35
+        # a token absent from the corpus estimates only collision mass
+        assert t.cms_estimate(reg, "zzz-not-present") <= 35
